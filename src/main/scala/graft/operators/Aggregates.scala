@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.4 — aggregations. All hash aggregates with map-side partial
+  * aggregation (HashAggregateExec partial→final), so shuffle volume is
+  * #groups, not #rows — the property that keeps these viable at 100 TB.
+  * OHLC resampling uses min_by/max_by over (ts, event_id) struct ordering
+  * (deterministic tie-break by unique event_id), the built-in replacement
+  * for corintick-domain bar resampling.
+  */
+object Aggregates {
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "agg_group" -> DeclaredQuery(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc, " +
+        "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    "agg_distinct" -> DeclaredQuery(
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    "agg_hll" -> DeclaredQuery(
+      // HLL++ sketch: mergeable, O(1) memory per group — the 100 TB
+      // distinct-count path. Implementations differ across engines, so no
+      // SQL oracle; HllSpec asserts <5% error vs exact at sf0.01.
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+      None,
+      "approximate distinct via HyperLogLog++"),
+
+    "agg_rollup" -> DeclaredQuery(
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+
+    "agg_cube" -> DeclaredQuery(
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus")),
+      Some("SELECT c_mktsegment, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY CUBE(c_mktsegment, o_orderstatus) " +
+        "ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST")),
+
+    "agg_grouping_sets" -> DeclaredQuery(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+          "FROM graft_lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+          "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+      },
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    "agg_ohlc" -> DeclaredQuery(
+      // Resample to 1-hour OHLC bars — the canonical corintick-domain
+      // aggregation (the reference stores bars; clients resample).
+      // open/close via min_by/max_by on (ts, event_id) struct ordering:
+      // deterministic because event_id is unique.
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("vol"))
+        .orderBy("bar_ts", "event_type"),
+      Some("SELECT date_trunc('hour', ts) AS bar_ts, event_type, " +
+        "first(value ORDER BY ts, event_id) AS open, max(value) AS high, min(value) AS low, " +
+        "last(value ORDER BY ts, event_id) AS close, count(*) AS n, round(sum(value), 4) AS vol " +
+        "FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type")),
+
+    "agg_vwap" -> DeclaredQuery(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")), 6)
+          .as("vwap"),
+          round(sum("l_quantity"), 2).as("volume"))
+        .orderBy("l_partkey"),
+      Some("SELECT l_partkey, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap, " +
+        "round(sum(l_quantity), 2) AS volume FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"))
+  )
+}

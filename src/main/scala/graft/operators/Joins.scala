@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.3 — joins. Equi joins ride the planner (AQE picks SMJ/shuffled-hash;
+  * skew handled by AQE skew-join). Small dimensions are broadcast
+  * explicitly so no shuffle of the fact side ever happens. The interval
+  * join keeps an equi prefix (`user_id`) so it plans as a sort-merge join
+  * with a residual range condition — never a cross product, which is the
+  * difference between minutes and never-finishes at 100 TB.
+  * (As-of join lives in TimeSeries.scala.)
+  */
+object Joins {
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "join_inner" -> DeclaredQuery(
+      (s, d) => Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    "join_broadcast" -> DeclaredQuery(
+      // part is O(20k rows) at sf0.1 — always broadcast-able; pins
+      // BroadcastHashJoinExec so the lineitem side never shuffles.
+      (s, d) => Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("p_name"), col("p_brand"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, p_name, p_brand, " +
+        "l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    "join_left" -> DeclaredQuery(
+      (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey")),
+      Some("SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey, o_orderkey NULLS FIRST")),
+
+    "join_semi" -> DeclaredQuery(
+      (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_custkey")),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey")),
+
+    "join_anti" -> DeclaredQuery(
+      (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_custkey")),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey")),
+
+    "join_range" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        p.join(v, col("user_id") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("v_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+          .select(col("purchase_id"), col("view_id"), col("user_id"),
+            (unix_micros(col("v_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+          .orderBy(col("purchase_id"), col("view_id"))
+      },
+      Some("SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id, " +
+        "epoch_us(v.ts) - epoch_us(p.ts) AS delta_us FROM events p JOIN events v " +
+        "ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' " +
+        "AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE " +
+        "ORDER BY purchase_id, view_id"))
+  )
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.2 projection/filter, §2.6 sorts/top-k, §2.7 set ops, §2.8 scalar
+  * functions. All built-in Catalyst expressions — fully codegen'd, no UDFs.
+  *
+  * Float discipline: derived doubles are rounded identically on both
+  * sides; `pow`/trig are avoided in favor of plain arithmetic (IEEE-exact
+  * across engines); `ceil`/`length`/`year` results are cast to BIGINT.
+  */
+object Relational {
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "project_expr" -> DeclaredQuery(
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2).as("charged")
+      ).orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "round(l_extendedprice * (1.0 - l_discount), 2) AS revenue, " +
+        "round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charged " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    "filter_pred" -> DeclaredQuery(
+      (s, d) => Tables.orders(s, d).filter(
+        (col("o_orderstatus").isin("O", "P") &&
+          col("o_totalprice").between(10000.0, 200000.0) &&
+          col("o_orderpriority").like("1-%")) ||
+        (col("o_orderstatus") === "F" &&
+          !col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW") &&
+          col("o_totalprice") < 5000.0)
+      ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+        "WHERE (o_orderstatus IN ('O','P') AND o_totalprice BETWEEN 10000.0 AND 200000.0 " +
+        "AND o_orderpriority LIKE '1-%') " +
+        "OR (o_orderstatus = 'F' AND o_orderpriority NOT IN ('4-NOT SPECIFIED','5-LOW') " +
+        "AND o_totalprice < 5000.0) ORDER BY o_orderkey")),
+
+    "sort_multi" -> DeclaredQuery(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .orderBy(asc_nulls_last("l_returnflag"), desc("l_extendedprice"),
+          asc("l_orderkey"), asc("l_linenumber"))
+        .limit(100),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag, " +
+        "l_extendedprice FROM lineitem ORDER BY l_returnflag ASC NULLS LAST, " +
+        "l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 100")),
+
+    "topk_global" -> DeclaredQuery(
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k
+      // then a k-row driver merge — no global sort at any scale.
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(50),
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "round(l_extendedprice * (1.0 - l_discount), 2) AS revenue FROM lineitem " +
+        "ORDER BY revenue DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 50")),
+
+    "set_union_all" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
+        e.filter(col("event_type") === "view")
+          .unionByName(e.filter(col("event_type") === "click"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, event_type FROM events WHERE event_type='view' " +
+        "UNION ALL SELECT event_id, user_id, ts, event_type FROM events WHERE event_type='click' " +
+        "ORDER BY event_id")),
+
+    "set_union" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "view").select("user_id")
+          .union(e.filter(col("event_type") === "click").select("user_id"))
+          .distinct().orderBy(col("user_id"))
+      },
+      Some("SELECT user_id FROM events WHERE event_type='view' " +
+        "UNION SELECT user_id FROM events WHERE event_type='click' ORDER BY user_id")),
+
+    "set_intersect" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+        val w1 = e.filter(col("ts") < to_timestamp(lit("2024-01-08 00:00:00"))).select("user_id")
+        val w3 = e.filter(col("ts") >= to_timestamp(lit("2024-01-22 00:00:00"))).select("user_id")
+        w1.intersect(w3).orderBy(col("user_id"))
+      },
+      Some("SELECT user_id FROM events WHERE event_type='purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type='purchase' AND ts >= TIMESTAMP '2024-01-22 00:00:00' " +
+        "ORDER BY user_id")),
+
+    "set_except" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "view").select("user_id")
+          .except(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("SELECT user_id FROM events WHERE event_type='view' " +
+        "EXCEPT SELECT user_id FROM events WHERE event_type='purchase' ORDER BY user_id")),
+
+    "fn_string" -> DeclaredQuery(
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        concat(col("p_brand"), lit("_"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word")
+      ).orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, upper(p_name) AS up_name, substring(p_name, 1, 5) AS pre5, " +
+        "p_brand || '_' || p_type AS brand_type, CAST(length(p_name) AS BIGINT) AS name_len, " +
+        "regexp_extract(p_name, '^([a-z]+)', 1) AS first_word FROM part ORDER BY p_partkey")),
+
+    "fn_date" -> DeclaredQuery(
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30")
+      ).orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, date_trunc('month', o_orderdate) AS month_start, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+        "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since, " +
+        "o_orderdate + INTERVAL 30 DAY AS plus30 FROM orders ORDER BY o_orderkey")),
+
+    "fn_math" -> DeclaredQuery(
+      // pow() is deliberately spelled x*x (IEEE-exact in every engine);
+      // ln/sqrt rounded to 6dp; ceil/floor cast to BIGINT on both sides.
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 1).as("r1"),
+        abs(col("p_retailprice") - lit(1000.0)).as("dist1k"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        round(log(col("p_retailprice")), 6).as("lg"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(col("p_retailprice") * col("p_retailprice") / lit(1000000.0), 6).as("pw")
+      ).orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, round(p_retailprice, 1) AS r1, abs(p_retailprice - 1000.0) AS dist1k, " +
+        "CAST(ceil(p_retailprice) AS BIGINT) AS ce, CAST(floor(p_retailprice) AS BIGINT) AS fl, " +
+        "round(ln(p_retailprice), 6) AS lg, round(sqrt(p_retailprice), 6) AS sq, " +
+        "round(p_retailprice * p_retailprice / 1000000.0, 6) AS pw FROM part ORDER BY p_partkey")),
+
+    "fn_array" -> DeclaredQuery(
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4)).as("head3"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("npos"),
+        round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("ssum")
+      ).orderBy(col("vec_id")),
+      Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "round(CAST(embedding[1] AS DOUBLE), 4) AS e1, " +
+        "list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4)) AS head3, " +
+        "CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS npos, " +
+        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS ssum " +
+        "FROM embeddings ORDER BY vec_id")),
+
+    "fn_json" -> DeclaredQuery(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id")),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events " +
+        "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id")),
+
+    "fn_case" -> DeclaredQuery(
+      (s, d) => Tables.orders(s, d)
+        .select(when(col("o_totalprice") >= 300000.0, "high")
+          .when(col("o_totalprice") >= 100000.0, "mid")
+          .otherwise("low").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("bucket")),
+      Some("SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high' " +
+        "WHEN o_totalprice >= 100000.0 THEN 'mid' ELSE 'low' END AS bucket, " +
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY 1 ORDER BY bucket"))
+  )
+}

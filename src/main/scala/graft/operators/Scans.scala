@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.{Tables, TsStore}
+
+/** §2.1 — scans / sources / sinks: the reference's own queryable surface
+  * (time-range slice, column projection, metadata filter, chunked write,
+  * catalog listing — `corintick/corintick.py::Corintick.read/write/
+  * list_uids`, reconstructed anchors in SURVEY §1/§3).
+  */
+object Scans {
+
+  private val lineitemCols =
+    "SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+      "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate " +
+      "FROM lineitem"
+
+  private val eventCols = "event_id, ts, user_id, event_type, value, props"
+
+  val SliceStart = "2024-01-05 00:00:00"
+  val SliceEnd = "2024-01-12 00:00:00"
+
+  def defs: Map[String, DeclaredQuery] = Map(
+    "scan_parquet" -> DeclaredQuery(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some(s"$lineitemCols ORDER BY l_orderkey, l_linenumber"),
+      "full stable-ordered scan of one table"),
+
+    "ts_slice" -> DeclaredQuery(
+      (s, d) => Tables.events(s, d)
+        .filter(col("ts") >= to_timestamp(lit(SliceStart)) &&
+                col("ts") <= to_timestamp(lit(SliceEnd)))
+        .orderBy(col("event_id")),
+      Some(s"SELECT $eventCols FROM events WHERE ts BETWEEN TIMESTAMP '$SliceStart' " +
+        s"AND TIMESTAMP '$SliceEnd' ORDER BY event_id"),
+      "corintick core read: inclusive time-range slice (row-group pruning on ts)"),
+
+    "ts_slice_proj" -> DeclaredQuery(
+      (s, d) => Tables.events(s, d)
+        .filter(col("ts") >= to_timestamp(lit(SliceStart)) &&
+                col("ts") <= to_timestamp(lit(SliceEnd)))
+        .select(col("ts"), col("user_id"), col("value"))
+        .orderBy(col("ts"), col("user_id"), col("value")),
+      Some(s"SELECT ts, user_id, value FROM events WHERE ts BETWEEN TIMESTAMP '$SliceStart' " +
+        s"AND TIMESTAMP '$SliceEnd' ORDER BY ts, user_id, value"),
+      "slice + column projection (column pruning ≙ Mongo projection doc)"),
+
+    "meta_filter" -> DeclaredQuery(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .orderBy(col("event_id")),
+      Some(s"SELECT $eventCols FROM events WHERE event_type = 'purchase' ORDER BY event_id"),
+      "metadata key/value filter as an ordinary pushed predicate"),
+
+    "write_roundtrip" -> DeclaredQuery(
+      (s, d) => {
+        val tmp = s"/tmp/graft_roundtrip_${new java.io.File(d).getName}"
+        TsStore.write(Tables.events(s, d), tmp, tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.read(s, tmp)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .orderBy(col("event_id"))
+      },
+      Some(s"SELECT $eventCols FROM events ORDER BY event_id"),
+      "chunked columnar write (range-partitioned, ts-sorted, partitioned parquet) then read back"),
+
+    "catalog_list" -> DeclaredQuery(
+      (s, d) => TsStore.listSeries(Tables.events(s, d), uidCol = "user_id"),
+      Some("SELECT user_id, count(*) AS n_rows, min(ts) AS ts_min, max(ts) AS ts_max " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+      "series catalog ≙ corintick list_uids")
+  )
+}

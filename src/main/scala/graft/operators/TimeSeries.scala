@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** Corintick-domain time-series operators (SURVEY §2.5/§4.3): as-of join,
+  * forward-fill (LOCF), resampled returns.
+  *
+  * The as-of join is the quintessential tick-data operator Spark lacks.
+  * Strategy (SURVEY §4.3 A): tag + union both sides, one window pass per
+  * key — a SINGLE shuffle on the key column and a linear scan, instead of
+  * a per-row subquery or a range cross-join. At 100 TB this is the only
+  * shape that survives: shuffle volume = |left|+|right|, state = one row
+  * of carried right-columns per partition stream.
+  */
+object TimeSeries {
+
+  /** Generic as-of join: for each left row, the latest right row of the
+    * same key with `right.ts <= left.ts` (left-outer: unmatched left rows
+    * keep nulls). Ties on ts are broken by `rightTieBreak` (latest wins).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+    val keyCols: Seq[Column] = keys.map(col)
+    val lPrep = left.select(keyCols ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(right.select(rightCols.map(col): _*).schema).as("__r")): _*)
+    val rPrep = right.select(keyCols ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
+      struct(rightCols.map(col): _*).as("__r")): _*)
+    val tieCols = rightTieBreak.map(c => col("__r").getField(c))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(Seq(col("__ts"), col("__side")) ++ tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPrep.unionByName(rPrep)
+      .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keyCols ++
+        leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightCols.map(c => col("__rlast").getField(c).as(c)): _*)
+  }
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "join_asof" -> DeclaredQuery(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+        asofJoin(p, v, keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightTieBreak = Seq("view_event_id"))
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, v.event_id AS view_event_id, v.ts AS view_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
+      "as-of join: last preceding view per purchase, per user (ties: ts<=, latest)"),
+
+    "ts_ffill" -> DeclaredQuery(
+      // LOCF gap-filling — corintick-domain missing-data handling. The
+      // `error` rows play the nulls; last(ignoreNulls) over an unbounded
+      // preceding frame is a single linear pass per key.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("v_sparse",
+            when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            last(col("v_sparse"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, last_value(CASE WHEN event_type = 'error' THEN NULL " +
+        "ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
+        "FROM events ORDER BY event_id")),
+
+    "ts_returns" -> DeclaredQuery(
+      // Resample per-uid to daily close, then pct-change — two shuffles
+      // (hash agg on (user, day); window on user) over #groups rows only.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        daily.select(col("user_id"), col("day"), col("close"),
+          round((col("close") - lag(col("close"), 1).over(w)) / lag(col("close"), 1).over(w), 6)
+            .as("ret"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
+        "last(value ORDER BY ts, event_id) AS close FROM events GROUP BY 1, 2) " +
+        "SELECT user_id, day, close, round((close - lag(close) OVER (PARTITION BY user_id " +
+        "ORDER BY day)) / lag(close) OVER (PARTITION BY user_id ORDER BY day), 6) AS ret " +
+        "FROM daily ORDER BY user_id, day"))
+  )
+}

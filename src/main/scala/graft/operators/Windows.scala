@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.5 — window functions. Every ORDER BY inside a window spec carries a
+  * unique tie-break key (event_id / o_orderkey) so frame contents are
+  * deterministic across engines. Time-based RANGE frames order by integer
+  * epoch-µs on both sides — exact integer frame bounds, no ns/µs drift.
+  * win_topk_group is the rank-then-filter shape Spark 4 rewrites to
+  * WindowGroupLimitExec (per-partition top-k before the shuffle).
+  */
+object Windows {
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "win_rank" -> DeclaredQuery(
+      (s, d) => {
+        val byPrioUnique = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+        val byPrio = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          row_number().over(byPrioUnique).as("rn"),
+          rank().over(byPrio).as("rnk"),
+          dense_rank().over(byPrio).as("drnk"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderpriority, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS rn, " +
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    "win_lag" -> DeclaredQuery(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, epoch_us(ts) - epoch_us(lag(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM events ORDER BY event_id")),
+
+    "win_movavg_rows" -> DeclaredQuery(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, 0)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(avg(col("value")).over(w), 6).as("mavg"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, round(avg(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg " +
+        "FROM events ORDER BY event_id")),
+
+    "win_movavg_range" -> DeclaredQuery(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(avg(col("value")).over(w), 6).as("mavg_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, round(avg(value) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS mavg_1h " +
+        "FROM events ORDER BY event_id")),
+
+    "win_running" -> DeclaredQuery(
+      // Running sum over integer cents: exact at any depth — no float
+      // accumulation-order hazard between engines.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            sum(col("cents")).over(w).as("run_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, ts, sum(CAST(round(value * 100, 0) AS BIGINT)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS run_cents FROM events ORDER BY event_id")),
+
+    "win_topk_group" -> DeclaredQuery(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"))
+  )
+}
