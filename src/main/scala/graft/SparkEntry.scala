@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * All declared queries live in the operator modules and are assembled by
+  * [[Registry]]; this object is only the driver-facing glue.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Corintick's reason-to-exist in one plan: slice a timeseries by time
+    * range (predicate pushed to the parquet scan), resample to hourly
+    * OHLC bars per series (hash aggregate, map-side combined).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
+              col("ts") <= to_timestamp(lit("2024-01-12 00:00:00")))
+    events.groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bar_ts"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Registry.oracleSql
 }

@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokenizer: regex split + drop empties, so runs of spaces
+    * or leading/trailing whitespace never produce empty tokens (which
+    * would pollute shingles and MinHash signatures).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** k-word shingles (n-grams) as space-joined strings; empty array when
     * the document has fewer than k tokens.

@@ -51,23 +51,35 @@ object Aggregates {
       "approximate distinct via HyperLogLog++"),
 
     "agg_rollup" -> DeclaredQuery(
-      (s, d) => Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
-        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      // Spelled in SQL: Dataset.rollup + by-name orderBy trips Spark's
+      // ambiguous-column check (the Expand node re-emits the grouping
+      // attributes). The SQL path resolves cleanly and plans identically.
+      // nation/region sit far under the broadcast threshold → two
+      // BroadcastHashJoins, zero shuffles of the customer side.
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+        Tables.region(s, d).createOrReplaceTempView("graft_region")
+        s.sql("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
+          "FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey " +
+          "JOIN graft_region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
+          "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")
+      },
       Some("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
         "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
 
     "agg_cube" -> DeclaredQuery(
-      (s, d) => Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .cube("c_mktsegment", "o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus")),
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+        s.sql("SELECT c_mktsegment, o_orderstatus, count(*) AS n, " +
+          "round(sum(o_totalprice), 2) AS total " +
+          "FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey " +
+          "GROUP BY CUBE(c_mktsegment, o_orderstatus) " +
+          "ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST")
+      },
       Some("SELECT c_mktsegment, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY CUBE(c_mktsegment, o_orderstatus) " +
         "ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST")),

@@ -54,12 +54,16 @@ object Joins {
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey")),
 
     "join_anti" -> DeclaredQuery(
-      (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
+      // Anti-join against a filtered right side (every customer has SOME
+      // order in the fixture, so the unfiltered anti-join is empty).
+      (s, d) => Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000.0),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy(col("c_custkey")),
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer c WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey")),
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0) " +
+        "ORDER BY c_custkey")),
 
     "join_range" -> DeclaredQuery(
       (s, d) => {

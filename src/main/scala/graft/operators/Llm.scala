@@ -1,0 +1,353 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.functions.{TextOps, VectorOps}
+import graft.sources.Tables
+
+/** §2.10 — LLM-data-pipeline operators (north-star extension): exact and
+  * near deduplication, similarity search, text analysis. Everything is a
+  * composition of codegen'd built-ins / higher-order functions — zero
+  * black-box UDFs — so Catalyst sees through every expression and each
+  * query is an ordinary shuffle-bounded DAG at 100 TB.
+  *
+  * Scale notes per operator are inline; the common theme: the exact O(n²)
+  * variants bound their candidate sets explicitly (same-source window,
+  * fixed query set), while the scale paths (MinHash bands, SimHash bands,
+  * random-hyperplane LSH buckets) generate candidates by equi-join on a
+  * hash key — shuffle volume O(n·bands), never a cross product.
+  *
+  * Fixture reality (FIXTURES.md, verified): the documents table has a
+  * ~31-token vocabulary, so token-set similarity is high across all docs
+  * (median pair Jaccard ≈ 0.63) while 3-shingle similarity isolates the
+  * planted near-duplicates (max ≈ 0.99 vs median 0). Near-dup ops
+  * therefore shingle at k=3; token-level ops are the text-stats family.
+  */
+object Llm {
+
+  /** Tokens appearing in the fixture vocabulary that play the stopword
+    * role for quality scoring / language ID (English function words).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private val StopSqlList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+    * punctuation — the classic GPT-2-style coarse split, minus unicode
+    * categories (fixture text is ascii word soup). Spelled with a literal
+    * space class so the pattern survives BOTH engines' SQL-literal escape
+    * rules unchanged (Spark eats `\s` backslashes inside expr() strings).
+    */
+  val BpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def toks = TextOps.tokens(col("text"))
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "llm_dedup_exact" -> DeclaredQuery(
+      // Exact dedup by normalized text: one hash-aggregate, map-side
+      // combined — shuffle volume = #distinct texts, the only shape that
+      // holds at 100 TB.
+      (s, d) => Tables.documents(s, d)
+        .groupBy(lower(trim(col("text"))).as("norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY lower(trim(text)) ORDER BY keep_id"),
+      "exact dedup of documents by normalized text (keep min doc_id)"),
+
+    "llm_text_stats" -> DeclaredQuery(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(toks).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"), col("source")),
+      Some("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_toks, " +
+        "round(avg(CAST(length(text) AS BIGINT)), 4) AS avg_chars " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+      "per-(lang,source) token/char rollups"),
+
+    "llm_tokens" -> DeclaredQuery(
+      // Token counting two ways: whitespace split and a BPE-ish regex
+      // pre-tokenizer. Pure per-row expressions — embarrassingly parallel.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_ws"),
+          size(expr(s"regexp_extract_all(text, '$BpeIshPattern', 0)")).cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws, " +
+        s"CAST(len(regexp_extract_all(text, '$BpeIshPattern')) AS BIGINT) AS n_bpe, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+      "token counting: whitespace + BPE-ish regex pre-tokenizer"),
+
+    "llm_quality" -> DeclaredQuery(
+      // Quality scoring from length / stopword-ratio / mean token length.
+      // Score arithmetic is mirrored token-for-token in the oracle so the
+      // rounded doubles agree bit-for-bit.
+      (s, d) => {
+        val nToks = size(toks).cast("double")
+        val stopHits = size(filter(toks,
+          t => array_contains(lit(Stopwords.toArray), t))).cast("double")
+        val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nToks.cast("long").as("n_toks"),
+          round(stopHits / nToks, 6).as("stop_ratio"),
+          round(sumLen / nToks, 6).as("avg_tok_len"),
+          round(least(nToks / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - stopHits / nToks) * 0.5, 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n, " +
+        s"CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE) AS hits, " +
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sumlen FROM t) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, round(hits / n, 6) AS stop_ratio, " +
+        "round(sumlen / n, 6) AS avg_tok_len, " +
+        "round(least(n / 100.0, 1.0) * 0.5 + (1.0 - hits / n) * 0.5, 6) AS quality " +
+        "FROM x ORDER BY doc_id"),
+      "document quality scoring: length, stopword ratio, token shape"),
+
+    "llm_fingerprint" -> DeclaredQuery(
+      // Document fingerprinting: whole-text digest + min-shingle digest
+      // (a 1-hash MinHash — robust to local edits). md5 is the hash
+      // because it is the one digest both engines spell identically.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", toks)).as("fp_doc"),
+          array_min(transform(TextOps.shingles(toks, 3), sh => md5(sh))).as("fp_shingle"))
+        .orderBy(col("doc_id")),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_doc, " +
+        "list_min(list_transform(generate_series(1, len(toks) - 2), " +
+        "i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fp_shingle " +
+        "FROM t ORDER BY doc_id"),
+      "rolling-hash document fingerprint: full digest + min shingle digest"),
+
+    "llm_lang_id" -> DeclaredQuery(
+      // n-gram-heuristic language ID: score = hits of per-language marker
+      // tokens; argmax with deterministic tie order. The fixture corpus is
+      // English-vocabulary word soup, so the interesting part is the
+      // deterministic scoring plumbing, not linguistic accuracy.
+      (s, d) => {
+        val t = toks
+        def hits(words: Seq[String]) =
+          size(filter(t, x => array_contains(lit(words.toArray), x)))
+        val en = hits(Seq("the", "a", "is", "of"))
+        val de = hits(Seq("der", "die", "das", "und"))
+        val fr = hits(Seq("le", "la", "et", "les"))
+        val es = hits(Seq("el", "los", "y", "que"))
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          en.cast("long").as("s_en"),
+          when(en >= de && en >= fr && en >= es && en > 0, "en")
+            .when(de >= fr && de >= es && de > 0, "de")
+            .when(fr >= es && fr > 0, "fr")
+            .when(es > 0, "es")
+            .otherwise("und").as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "x AS (SELECT doc_id, lang, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS en, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS de, " +
+        "len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS fr, " +
+        "len(list_filter(toks, x -> list_contains(['el','los','y','que'], x))) AS es FROM t) " +
+        "SELECT doc_id, lang, CAST(en AS BIGINT) AS s_en, " +
+        "CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en' " +
+        "WHEN de >= fr AND de >= es AND de > 0 THEN 'de' " +
+        "WHEN fr >= es AND fr > 0 THEN 'fr' WHEN es > 0 THEN 'es' ELSE 'und' END AS pred_lang " +
+        "FROM x ORDER BY doc_id"),
+      "marker-token language ID heuristic with deterministic argmax"),
+
+    "llm_jaccard_pairs" -> DeclaredQuery(
+      // Exact token-set Jaccard over a bounded candidate set: pairs within
+      // the same `source` (the natural sharding key — candidates never
+      // cross shards, so the pair count grows linearly in shard count, not
+      // quadratically in corpus size). Filter on the ROUNDED value so both
+      // engines make identical boundary decisions.
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
+        val a = t.select(col("doc_id").as("doc_a"), col("source"), col("tk").as("tk_a"))
+        val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("tk").as("tk_b"))
+        a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a"))
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+              size(array_union(col("tk_a"), col("tk_b"))).cast("double"), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.7)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "list_distinct(string_split_regex(trim(text), '\\s+')) AS tk FROM documents), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard " +
+        "FROM t a JOIN t b ON a.source = b.source AND b.doc_id > a.doc_id) " +
+        "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"),
+      "exact token-set Jaccard for same-source pairs (bounded candidates)"),
+
+    "llm_dedup_near" -> DeclaredQuery(
+      // MinHash + LSH near-dedup — the 100 TB path: shingle → 64-slot
+      // MinHash signature (one hash-aggregate per doc) → 16 bands × 4 rows
+      // → candidates by equi-join on (band, band-signature) → exact
+      // shingle-Jaccard verification of candidates only. Shuffle volume is
+      // O(docs × bands); no cross product anywhere. Deterministic: the
+      // hash family is xxhash64(shingle, seed). No DuckDB oracle (xxhash64
+      // is not portable); MinHashSpec asserts candidate recall ⊇ exact
+      // Jaccard ≥ τ pairs and the driver records a rows-only check.
+      (s, d) => {
+        val numHashes = 64; val rowsPerBand = 4
+        val sh = TextOps.docShingles(Tables.documents(s, d), 3)
+        val sig = sh.groupBy("doc_id")
+          .agg(TextOps.minHashAggs(col("sh"), numHashes).head,
+            TextOps.minHashAggs(col("sh"), numHashes).tail: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array(TextOps.bandStructs(numHashes, rowsPerBand): _*)).as("b"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      "MinHash(64) + LSH(16×4) shingle near-dedup, exact-verified candidates"),
+
+    "llm_dedup_simhash" -> DeclaredQuery(
+      // SimHash near-dedup: 64-bit signature per doc (sign of per-bit
+      // weight sums), candidates via 4 × 16-bit band equi-join, exact
+      // Hamming verification with bit_count(xor). Same scale shape as
+      // MinHash banding. Signatures are over 3-shingles, not tokens: the
+      // fixture's 31-token vocabulary makes token sets near-identical
+      // across ALL docs (every band would collide → quadratic candidate
+      // blowup), while shingle sets only collide for real near-dups.
+      // No oracle (xxhash64); rows-only check + spec.
+      (s, d) => {
+        val tok = TextOps.docShingles(Tables.documents(s, d), 3)
+          .withColumnRenamed("sh", "tok")
+        val sim = tok.groupBy("doc_id")
+          .agg(TextOps.simHashBitAggs(col("tok")).head,
+            TextOps.simHashBitAggs(col("tok")).tail: _*)
+          .select(col("doc_id"), TextOps.simHashAssemble.as("sim"))
+        val bands = sim.select(col("doc_id"), col("sim"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
+        bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      "SimHash(64-bit) near-dedup via 16-bit band join + Hamming ≤ 8"),
+
+    "llm_sim_topk" -> DeclaredQuery(
+      // Brute-force exact cosine top-k for a fixed query set (vec_id < 8):
+      // the small side is broadcast, so the big side streams through with
+      // NO shuffle — at 100 TB this is one scan. Rank on the ROUNDED score
+      // (+ nbr_id tie-break) so both engines rank identically. The
+      // unbounded-query-set scale path is llm_ann_lsh.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nbr_id"),
+            round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        def ss(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT q_id, e.vec_id AS nbr_id, " +
+        s"round(${ss("q_emb", "e.embedding")} / (sqrt(${ss("q_emb", "q_emb")}) * " +
+        s"sqrt(${ss("e.embedding", "e.embedding")})), 6) AS cos " +
+        "FROM q, embeddings e WHERE e.vec_id <> q.q_id) " +
+        "SELECT q_id, nbr_id, cos, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk " +
+        "FROM c QUALIFY rnk <= 5 ORDER BY q_id, rnk"
+      },
+      "exact cosine top-5 per query vector (broadcast, shuffle-free scan)"),
+
+    "llm_dedup_embed" -> DeclaredQuery(
+      // Embedding-cosine near-dup pairs, exact, over a bounded block
+      // (vec_id window ≤ 200): threshold on the rounded score. The
+      // unbounded version of this is llm_ann_lsh (bucketed); this exact
+      // variant exists for oracle-checkable correctness.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+        a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 200)
+          .select(col("id_a"), col("id_b"),
+            round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        def ss(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"round(${ss("a.embedding", "b.embedding")} / (sqrt(${ss("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${ss("b.embedding", "b.embedding")})), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 200) " +
+        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b"
+      },
+      "exact embedding-cosine near-dup pairs over a bounded id window"),
+
+    "llm_ann_lsh" -> DeclaredQuery(
+      // Approximate nearest neighbors — the scale path: random-hyperplane
+      // LSH bucket (8 planes → 256 buckets) computed in one scan, then
+      // candidates by bucket equi-join only. Left join keeps query rows
+      // with an empty bucket (nbr null) so the result is total over the
+      // query set. No oracle (approximate by design); AnnSpec measures
+      // recall vs llm_sim_topk on sf0.001.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.lshBucket(col("embedding"), numPlanes = 8, dim = 64).as("bucket"))
+        val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket").as("q_bucket"))
+          .filter(col("q_id") < 8)
+        val cand = q.join(e,
+            col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"), "left")
+          .select(col("q_id"), col("vec_id").as("nbr_id"),
+            round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(desc_nulls_last("cos"), asc_nulls_last("nbr_id"))
+        cand.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None,
+      "LSH-bucketed approximate NN top-3 (8 hyperplanes, 256 buckets)")
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.10 — multimodal-column plumbing (north star). Media payloads are
+  * opaque `binary` columns with typed metadata; the *decode* step is a
+  * deliberate deterministic stub (no image/audio codecs exist in this
+  * environment), while everything Spark-side — schema, partitioning,
+  * per-partition batch shape, metadata extraction, frame sampling — is
+  * real and oracle-checked.
+  *
+  * The fixture has no media files, so the binary payload is the utf-8
+  * encoding of `documents.text` (cast string→binary): it exercises the
+  * same byte-level plumbing a real jpeg/wav column would.
+  */
+object Multimodal {
+
+  /** Typed metadata a real decoder would emit. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
+                       width: Long, height: Long)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+
+  /** STUB decoder — the real-codec boundary. Deterministic fake: derives
+    * "decoded" dimensions from the byte length alone, exactly mirroring
+    * the SQL expressions in `mm_meta` (DecodeStubSpec asserts equality).
+    * A real deployment swaps `decodeOne` for a codec call; the
+    * mapPartitions shape (one iterator per partition, no per-row JVM↔lib
+    * setup) is what matters at 100 TB.
+    */
+  def decodeOne(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    val fmt = (n % 3) match {
+      case 0 => "png"; case 1 => "jpg"; case _ => "wav"
+    }
+    MediaMeta(docId, n, fmt, 64L + n % 256L, 64L + n % 128L)
+  }
+
+  /** mapPartitions decode over a (doc_id, payload binary) DataFrame. */
+  def decodeStub(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(mediaMetaSchema)
+    df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val m = decodeOne(r.getLong(0), r.getAs[Array[Byte]](1))
+          Row(m.doc_id, m.n_bytes, m.fmt, m.width, m.height)
+        }
+      }(enc)
+  }
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "llm_mm_join" -> DeclaredQuery(
+      // Multimodal assembly: text modality ⋈ vector modality by id. The
+      // embeddings side is keyed and bounded → at 100 TB this is an
+      // ordinary co-partitioned equi-join (or broadcast when the vector
+      // table is the small side, as here).
+      (s, d) => Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("vnorm"),
+          substring(col("text"), 1, 24).as("head"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, lang, CAST(label AS BIGINT) AS label, " +
+        "CAST(len(embedding) AS BIGINT) AS dim, " +
+        "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vnorm, " +
+        "substring(text, 1, 24) AS head " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+      "multimodal assembly: documents ⋈ embeddings, text + vector summary"),
+
+    "mm_meta" -> DeclaredQuery(
+      // Metadata extraction over the opaque binary payload — pure SQL
+      // expressions (the oracle-checkable twin of decodeStub).
+      (s, d) => {
+        val nb = length(col("text").cast("binary")).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"), nb.as("n_bytes"),
+          when(nb % 3 === 0, "png").when(nb % 3 === 1, "jpg").otherwise("wav").as("fmt"),
+          (lit(64L) + nb % 256).as("width"),
+          (lit(64L) + nb % 128).as("height"),
+          md5(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CASE CAST(octet_length(encode(text)) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' " +
+        "ELSE 'wav' END AS fmt, " +
+        "64 + CAST(octet_length(encode(text)) AS BIGINT) % 256 AS width, " +
+        "64 + CAST(octet_length(encode(text)) AS BIGINT) % 128 AS height, " +
+        "md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+      "typed metadata over opaque binary media payloads"),
+
+    "mm_frames" -> DeclaredQuery(
+      // Frame sampling: every 8th token plays the role of every Nth video
+      // frame / audio window. Per-row generate + explode — embarrassingly
+      // parallel, no shuffle before the final order.
+      (s, d) => {
+        val toks = graft.functions.TextOps.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(transform(sequence(lit(1), size(toks)),
+              i => struct(i.cast("long").as("frame_no"), element_at(toks, i).as("frame"))),
+              st => (st.getField("frame_no") - 1) % 8 === 0)).as("f"))
+          .select(col("doc_id"), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "x AS (SELECT doc_id, list_filter(generate_series(1, len(toks)), i -> (i - 1) % 8 = 0) AS idx, toks FROM t) " +
+        "SELECT doc_id, CAST(unnest(idx) AS BIGINT) AS frame_no, " +
+        "unnest(list_transform(idx, i -> toks[i])) AS frame " +
+        "FROM x ORDER BY doc_id, frame_no"),
+      "frame/window sampling over tokenized payload (every 8th)")
+  )
+}

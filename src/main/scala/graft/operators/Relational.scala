@@ -16,15 +16,19 @@ object Relational {
   def defs: Map[String, DeclaredQuery] = Map(
 
     "project_expr" -> DeclaredQuery(
+      // Money rounding is floor(x*100 + 0.5)/100 spelled identically on
+      // both sides: engines' native round() disagree on half-way doubles
+      // (Spark = exact-BigDecimal HALF_UP, DuckDB = float-multiply) —
+      // ~0.2% of rows at sf0.01. The shared IEEE formula is bit-exact.
       (s, d) => Tables.lineitem(s, d).select(
         col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2).as("charged")
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5) / 100.0).as("revenue"),
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100 + 0.5) / 100.0).as("charged")
       ).orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
-        "round(l_extendedprice * (1.0 - l_discount), 2) AS revenue, " +
-        "round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charged " +
+        "floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS revenue, " +
+        "floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100 + 0.5) / 100.0 AS charged " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
 
     "filter_pred" -> DeclaredQuery(
@@ -59,11 +63,11 @@ object Relational {
       // then a k-row driver merge — no global sort at any scale.
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"))
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5) / 100.0).as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
         .limit(50),
       Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
-        "round(l_extendedprice * (1.0 - l_discount), 2) AS revenue FROM lineitem " +
+        "floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS revenue FROM lineitem " +
         "ORDER BY revenue DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 50")),
 
     "set_union_all" -> DeclaredQuery(
@@ -99,14 +103,17 @@ object Relational {
         "ORDER BY user_id")),
 
     "set_except" -> DeclaredQuery(
+      // High-value filter keeps the difference non-empty (every user has
+      // every event type in the fixture).
       (s, d) => {
         val e = Tables.events(s, d)
-        e.filter(col("event_type") === "view").select("user_id")
-          .except(e.filter(col("event_type") === "purchase").select("user_id"))
+        e.filter(col("event_type") === "view" && col("value") > 90.0).select("user_id")
+          .except(e.filter(col("event_type") === "purchase" && col("value") > 90.0).select("user_id"))
           .orderBy(col("user_id"))
       },
-      Some("SELECT user_id FROM events WHERE event_type='view' " +
-        "EXCEPT SELECT user_id FROM events WHERE event_type='purchase' ORDER BY user_id")),
+      Some("SELECT user_id FROM events WHERE event_type='view' AND value > 90.0 " +
+        "EXCEPT SELECT user_id FROM events WHERE event_type='purchase' AND value > 90.0 " +
+        "ORDER BY user_id")),
 
     "fn_string" -> DeclaredQuery(
       (s, d) => Tables.part(s, d).select(
@@ -124,18 +131,22 @@ object Relational {
     "fn_date" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d).select(
         col("o_orderkey"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
         year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"),
         dayofweek(col("o_orderdate")).cast("long").as("dow"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
-        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30")
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30")
       ).orderBy(col("o_orderkey")),
-      Some("SELECT o_orderkey, date_trunc('month', o_orderdate) AS month_start, " +
+      // DATE-vs-TIMESTAMP casting discipline: date_trunc yields TIMESTAMP
+      // in Spark but DATE in DuckDB, and interval adds flip the other way
+      // — both sides cast explicitly to DATE (FIXTURES.md rules).
+      Some("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
         "CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, " +
         "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
         "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since, " +
-        "o_orderdate + INTERVAL 30 DAY AS plus30 FROM orders ORDER BY o_orderkey")),
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30 " +
+        "FROM orders ORDER BY o_orderkey")),
 
     "fn_math" -> DeclaredQuery(
       // pow() is deliberately spelled x*x (IEEE-exact in every engine);

@@ -62,10 +62,18 @@ object TimeSeries {
           .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
           .orderBy(col("event_id"))
       },
-      Some("SELECT p.event_id, p.ts, p.user_id, v.event_id AS view_event_id, v.ts AS view_ts " +
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
+      // Not DuckDB ASOF JOIN: its tie-break among equal (user_id, ts)
+      // view rows is arbitrary, while this engine deterministically takes
+      // the max (ts, event_id). The correlated scalar subqueries repeat
+      // that exact tie-break, so the oracle is stable on any fixture.
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "as-of join: last preceding view per purchase, per user (ties: ts<=, latest)"),
 
     "ts_ffill" -> DeclaredQuery(

@@ -83,9 +83,10 @@ object Windows {
             sum(col("cents")).over(w).as("run_cents"))
           .orderBy(col("event_id"))
       },
-      Some("SELECT event_id, user_id, ts, sum(CAST(round(value * 100, 0) AS BIGINT)) OVER " +
+      // CAST the window sum: DuckDB sum(BIGINT) widens to HUGEINT.
+      Some("SELECT event_id, user_id, ts, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "CURRENT ROW) AS run_cents FROM events ORDER BY event_id")),
+        "CURRENT ROW) AS BIGINT) AS run_cents FROM events ORDER BY event_id")),
 
     "win_topk_group" -> DeclaredQuery(
       (s, d) => {

@@ -20,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos via the legacy conf
+    * and truncate to µs — the exact conversion DuckDB 1.0 applies when it
+    * reads the same file, so both engines see identical timestamps.
+    * (`ts div 1000` is integer division: no double rounding at 2^60 ns.)
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

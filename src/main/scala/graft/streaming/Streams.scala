@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.DeclaredQuery
+import graft.sources.Tables
+
+/** §2.9 — Structured Streaming surface. The *declared* queries run the
+  * batch twin on `events.parquet` (so the DuckDB oracle applies); the
+  * same `agg` builders are applied to a streaming source (MemoryStream)
+  * with a watermark in StreamingSpec — one definition, two execution
+  * modes, which is exactly Structured Streaming's contract: a streaming
+  * query is the incremental execution of the equivalent batch plan.
+  *
+  * Scale: tumbling/sliding/session windows keyed by (window, type) /
+  * (user, session) — state per group is O(1) aggregates, evicted by
+  * watermark; no per-event state.
+  */
+object Streams {
+
+  /** Tumbling 1h aggregation — shared by batch twin and streaming test. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sv"))
+
+  /** Sliding 1h/15min aggregation. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows, 30-minute inactivity gap, per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n"), col("sv"))
+
+  /** Streaming twin used by StreamingSpec: same builders over a stream
+    * with a 10-minute watermark (late rows beyond it are dropped).
+    */
+  def withWatermark(streamingEvents: DataFrame): DataFrame =
+    streamingEvents.withWatermark("ts", "10 minutes")
+
+  def defs: Map[String, DeclaredQuery] = Map(
+
+    "stream_tumbling" -> DeclaredQuery(
+      (s, d) => tumblingAgg(Tables.events(s, d))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
+        "round(sum(value), 4) AS sv FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"),
+      "1-hour tumbling window counts/sums per event_type (batch twin)"),
+
+    "stream_sliding" -> DeclaredQuery(
+      // Spark emits one row per (aligned 15-min start, type) with ≥1
+      // event in [start, start+1h); the oracle reproduces the epoch-
+      // aligned grid with generate_series and an interval join (inner
+      // join ≙ only-non-empty-windows).
+      (s, d) => slidingAgg(Tables.events(s, d))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("WITH b AS (SELECT date_trunc('hour', min(ts)) - INTERVAL 1 HOUR AS lo, max(ts) AS hi FROM events), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws FROM b) " +
+        "SELECT g.ws AS win_start, e.event_type, count(*) AS n " +
+        "FROM grid g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR " +
+        "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+      "1-hour window sliding every 15 min (batch twin)"),
+
+    "stream_session" -> DeclaredQuery(
+      // Session semantics: a gap of ≥ 30 min starts a new session;
+      // session end = last event + gap (Spark session_window contract).
+      // Oracle = gaps-and-islands with the same ≥ comparison.
+      (s, d) => sessionAgg(Tables.events(s, d))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("WITH x AS (SELECT user_id, ts, value, " +
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS ns FROM events), " +
+        "y AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end, user_id, " +
+        "count(*) AS n, round(sum(value), 4) AS sv FROM y GROUP BY user_id, sid " +
+        "ORDER BY user_id, sess_start"),
+      "session windows, 30-min inactivity gap, per user (batch twin)")
+  )
+}
