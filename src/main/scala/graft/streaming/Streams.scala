@@ -1,9 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.DeclaredQuery
 import graft.sources.Tables
+
+/** A sparse tick: `value=None` plays a gap to be forward-filled. */
+case class Tick(user_id: Long, ts: java.sql.Timestamp, value: Option[Double])
+case class FilledTick(user_id: Long, ts: java.sql.Timestamp, v_filled: Option[Double])
 
 /** §2.9 — Structured Streaming surface. The *declared* queries run the
   * batch twin on `events.parquet` (so the DuckDB oracle applies); the
@@ -42,6 +47,29 @@ object Streams {
     */
   def withWatermark(streamingEvents: DataFrame): DataFrame =
     streamingEvents.withWatermark("ts", "10 minutes")
+
+  /** Streaming LOCF — the custom-state op (SURVEY §4.3.5): carries the
+    * last non-null value per key across micro-batches in a GroupState.
+    * State per key is ONE Option[Double] — O(keys) total state, evicted
+    * never (NoTimeout) because a gap may be arbitrarily long; a real
+    * deployment would add an event-time timeout. Works identically on a
+    * batch Dataset (state starts empty, one "batch").
+    */
+  def locfPerKey(ticks: Dataset[Tick]): Dataset[FilledTick] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Double], FilledTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Tick], state: GroupState[Option[Double]]) =>
+          var last: Option[Double] = state.getOption.flatten
+          val out = it.toSeq.sortBy(_.ts.getTime).map { t =>
+            if (t.value.nonEmpty) last = t.value
+            FilledTick(uid, t.ts, last)
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
 
   def defs: Map[String, DeclaredQuery] = Map(
 

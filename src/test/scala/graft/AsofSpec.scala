@@ -1,0 +1,41 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+
+/** As-of join semantics on a hand-built fixture: `right.ts <= left.ts`,
+  * latest (ts, tie-break) wins, unmatched left rows keep nulls.
+  */
+class AsofSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 101L, ts("2024-01-01 00:00:05")),
+      (1L, 102L, ts("2024-01-01 00:00:10")),
+      (2L, 201L, ts("2024-01-01 00:00:01"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 11L, ts("2024-01-01 00:00:05")), // tie with left@5
+      (1L, 12L, ts("2024-01-01 00:00:05")), // same ts, larger id — must win the tie
+      (1L, 13L, ts("2024-01-01 00:00:09"))
+    ).toDF("user_id", "view_event_id", "view_ts")
+
+    val out = TimeSeries.asofJoin(left, right, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"))
+      .orderBy("event_id")
+      .select("event_id", "view_event_id")
+      .as[(Long, Option[Long])].collect()
+
+    assert(out === Array(
+      (101L, Some(12L)), // ts tie included (<=), tie-break by max id
+      (102L, Some(13L)), // latest preceding
+      (201L, None)       // no right rows for user 2 → left outer null
+    ))
+  }
+}

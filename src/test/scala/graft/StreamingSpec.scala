@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Streams, Tick}
+
+/** True streaming execution of the §2.9 builders: incremental tumbling
+  * aggregation, watermark late-data drop, and the custom-state LOCF op —
+  * the behaviors a batch oracle cannot check.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling agg over a stream matches the batch twin; late rows are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingAgg(
+      Streams.withWatermark(input.toDF().toDF("ts", "event_type", "value")))
+    val q = agg.writeStream.format("memory").queryName("tw")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "view", 1.0),
+        (ts("2024-01-01 10:20:00"), "view", 2.0),
+        (ts("2024-01-01 11:30:00"), "click", 5.0)) // watermark → 11:20
+      q.processAllAvailable()
+      // late row: window [09:00,10:00) ended long before the watermark
+      input.addData((ts("2024-01-01 09:10:00"), "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tw")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "view", 2L, 3.0)))
+      assert(rows.contains((ts("2024-01-01 11:00:00"), "click", 1L, 5.0)))
+      assert(!rows.exists(_._1 == ts("2024-01-01 09:00:00")),
+        "late row beyond watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("custom-state LOCF carries last value across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = Streams.locfPerKey(input.toDS())
+      .writeStream.format("memory").queryName("locf")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Tick(1L, ts("2024-01-01 00:00:01"), Some(10.0)),
+        Tick(1L, ts("2024-01-01 00:00:02"), None))
+      q.processAllAvailable()
+      input.addData(Tick(1L, ts("2024-01-01 00:00:03"), None)) // gap spans batches
+      q.processAllAvailable()
+      val got = spark.table("locf")
+        .as[(Long, Timestamp, Option[Double])].collect()
+        .sortBy(_._2.getTime).map(_._3)
+      assert(got.toSeq === Seq(Some(10.0), Some(10.0), Some(10.0)))
+    } finally q.stop()
+  }
+
+  test("locf on a batch dataset fills forward within the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      Tick(7L, ts("2024-01-01 00:00:01"), None),       // nothing to carry yet
+      Tick(7L, ts("2024-01-01 00:00:02"), Some(4.0)),
+      Tick(7L, ts("2024-01-01 00:00:03"), None)
+    ).toDS()
+    val got = Streams.locfPerKey(batch).collect().sortBy(_.ts.getTime).map(_.v_filled)
+    assert(got.toSeq === Seq(None, Some(4.0), Some(4.0)))
+  }
+}
