@@ -27,18 +27,37 @@ object TextOps {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, (i + j).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (doc_id, shingle) pairs for a documents table. */
+  /** Distinct (doc_id, shingle) pairs for a documents table.
+    *
+    * The token array is BOUND TO A COLUMN before shingling: expressions
+    * inside the shingle lambda reference their children per element, so
+    * passing the raw `tokens(text)` expression would re-run the
+    * split+filter for every element_at — O(tokens²) per document
+    * (measured: 13s → 0.5s for the distinct-shingle step at sf0.1).
+    */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), k)).as("sh"))
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), k)).as("sh"))
       .distinct()
 
-  /** MinHash signature columns h0..h{n-1}: per doc, min over shingles of
-    * the seeded hash family xxhash64(shingle, seed). Deterministic across
-    * runs/engines; one hash-aggregate per doc (map-side combined).
+  /** One base hash per shingle — project this ONCE before aggregating so
+    * the string is hashed a single time per row, not once per signature
+    * slot (64× less hashing on the MinHash hot path).
     */
-  def minHashAggs(shCol: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => min(xxhash64(shCol, lit(i))).as(s"h$i"))
+  def baseHash(shCol: Column): Column = xxhash64(shCol)
+
+  /** MinHash signature columns h0..h{n-1} over a precomputed base-hash
+    * column: slot i re-hashes the 8-byte base with a per-slot seed value
+    * (`xxhash64(slot, h)`) and takes the per-doc min. Hashing a long is
+    * ~20× cheaper than hashing the shingle string per slot, and unlike a
+    * wrap-around multiply-add family it cannot trip Spark 4's ANSI
+    * long-overflow check. Deterministic across runs; one hash-aggregate
+    * per doc (map-side combined).
+    */
+  def minHashAggs(hashCol: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), hashCol)).as(s"h$i")
+    }
 
   /** LSH band columns from a MinHash signature: bands of `rowsPerBand`
     * consecutive signature slots hashed together. Docs sharing any band
@@ -53,12 +72,14 @@ object TextOps {
   }
 
   /** 64-bit SimHash over a set of terms: bit i of the result is the sign
-    * of Σ_terms (±1 from bit i of xxhash64(term)). Returned as aggregate
-    * expression list (one per bit) + an assembler.
+    * of Σ_terms (±1 from bit i of the term's base hash). Takes the
+    * PRECOMPUTED hash column (see [[baseHash]]) so each term is hashed
+    * once, not 64 times. Returned as aggregate expression list (one per
+    * bit) + an assembler.
     */
-  def simHashBitAggs(termCol: Column): Seq[Column] =
+  def simHashBitAggs(hashCol: Column): Seq[Column] =
     (0 until 64).map { i =>
-      sum(when(shiftright(xxhash64(termCol), i).bitwiseAND(lit(1L)) === 1L, lit(1))
+      sum(when(shiftright(hashCol, i).bitwiseAND(lit(1L)) === 1L, lit(1))
         .otherwise(lit(-1))).as(s"b$i")
     }
 

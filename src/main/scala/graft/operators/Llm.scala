@@ -93,18 +93,23 @@ object Llm {
       // Score arithmetic is mirrored token-for-token in the oracle so the
       // rounded doubles agree bit-for-bit.
       (s, d) => {
-        val nToks = size(toks).cast("double")
-        val stopHits = size(filter(toks,
-          t => array_contains(lit(Stopwords.toArray), t))).cast("double")
-        val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
+        // tokens bound to a column once — every metric references the
+        // materialized array, not a re-evaluated split (see docShingles).
+        val t = col("__toks")
+        val nToks = size(t).cast("double")
+        val stopHits = size(filter(t,
+          x => array_contains(lit(Stopwords.toArray), x))).cast("double")
+        val sumLen = aggregate(transform(t, x => length(x)), lit(0),
           (acc, x) => acc + x).cast("double")
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          nToks.cast("long").as("n_toks"),
-          round(stopHits / nToks, 6).as("stop_ratio"),
-          round(sumLen / nToks, 6).as("avg_tok_len"),
-          round(least(nToks / lit(100.0), lit(1.0)) * 0.5 +
-            (lit(1.0) - stopHits / nToks) * 0.5, 6).as("quality"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .select(
+            col("doc_id"),
+            nToks.cast("long").as("n_toks"),
+            round(stopHits / nToks, 6).as("stop_ratio"),
+            round(sumLen / nToks, 6).as("avg_tok_len"),
+            round(least(nToks / lit(100.0), lit(1.0)) * 0.5 +
+              (lit(1.0) - stopHits / nToks) * 0.5, 6).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
@@ -122,9 +127,10 @@ object Llm {
       // (a 1-hash MinHash — robust to local edits). md5 is the hash
       // because it is the one digest both engines spell identically.
       (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("__toks"))
         .select(col("doc_id"),
-          md5(concat_ws(" ", toks)).as("fp_doc"),
-          array_min(transform(TextOps.shingles(toks, 3), sh => md5(sh))).as("fp_shingle"))
+          md5(concat_ws(" ", col("__toks"))).as("fp_doc"),
+          array_min(transform(TextOps.shingles(col("__toks"), 3), sh => md5(sh))).as("fp_shingle"))
         .orderBy(col("doc_id")),
       Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
         "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_doc, " +
@@ -139,14 +145,16 @@ object Llm {
       // English-vocabulary word soup, so the interesting part is the
       // deterministic scoring plumbing, not linguistic accuracy.
       (s, d) => {
-        val t = toks
+        val t = col("__toks")
         def hits(words: Seq[String]) =
           size(filter(t, x => array_contains(lit(words.toArray), x)))
         val en = hits(Seq("the", "a", "is", "of"))
         val de = hits(Seq("der", "die", "das", "und"))
         val fr = hits(Seq("le", "la", "et", "les"))
         val es = hits(Seq("el", "los", "y", "que"))
-        Tables.documents(s, d).select(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("__toks"))
+          .select(
           col("doc_id"), col("lang"),
           en.cast("long").as("s_en"),
           when(en >= de && en >= fr && en >= es && en > 0, "en")
@@ -171,20 +179,21 @@ object Llm {
 
     "llm_jaccard_pairs" -> DeclaredQuery(
       // Exact token-set Jaccard over a bounded candidate set: pairs within
-      // the same `source` (the natural sharding key — candidates never
-      // cross shards, so the pair count grows linearly in shard count, not
-      // quadratically in corpus size). Filter on the ROUNDED value so both
+      // the same `source` AND a doc_id window — the natural sharding key
+      // plus a locality bound, so the pair count grows linearly in corpus
+      // size, never quadratically. Filter on the ROUNDED value so both
       // engines make identical boundary decisions.
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
         val a = t.select(col("doc_id").as("doc_a"), col("source"), col("tk").as("tk_a"))
         val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("tk").as("tk_b"))
-        a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a"))
+        val scored = a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a") &&
+            col("doc_b") <= col("doc_a") + 200)
           .select(col("doc_a"), col("doc_b"),
             round(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
               size(array_union(col("tk_a"), col("tk_b"))).cast("double"), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.7)
+        graft.Q.aggFilterBarrier(scored, Seq("doc_a", "doc_b"), "jaccard", col("jaccard") >= 0.7)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("WITH t AS (SELECT doc_id, source, " +
@@ -192,7 +201,8 @@ object Llm {
         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
         "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard " +
-        "FROM t a JOIN t b ON a.source = b.source AND b.doc_id > a.doc_id) " +
+        "FROM t a JOIN t b ON a.source = b.source AND b.doc_id > a.doc_id " +
+        "AND b.doc_id <= a.doc_id + 200) " +
         "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"),
       "exact token-set Jaccard for same-source pairs (bounded candidates)"),
 
@@ -208,9 +218,9 @@ object Llm {
       (s, d) => {
         val numHashes = 64; val rowsPerBand = 4
         val sh = TextOps.docShingles(Tables.documents(s, d), 3)
-        val sig = sh.groupBy("doc_id")
-          .agg(TextOps.minHashAggs(col("sh"), numHashes).head,
-            TextOps.minHashAggs(col("sh"), numHashes).tail: _*)
+        val hashed = sh.withColumn("__h", TextOps.baseHash(col("sh")))
+        val aggs = TextOps.minHashAggs(col("__h"), numHashes)
+        val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         val bands = sig.select(col("doc_id"),
           explode(array(TextOps.bandStructs(numHashes, rowsPerBand): _*)).as("b"))
         val cand = bands.as("x").join(bands.as("y"),
@@ -245,10 +255,10 @@ object Llm {
       // No oracle (xxhash64); rows-only check + spec.
       (s, d) => {
         val tok = TextOps.docShingles(Tables.documents(s, d), 3)
-          .withColumnRenamed("sh", "tok")
+          .withColumn("__h", TextOps.baseHash(col("sh")))
+        val bitAggs = TextOps.simHashBitAggs(col("__h"))
         val sim = tok.groupBy("doc_id")
-          .agg(TextOps.simHashBitAggs(col("tok")).head,
-            TextOps.simHashBitAggs(col("tok")).tail: _*)
+          .agg(bitAggs.head, bitAggs.tail: _*)
           .select(col("doc_id"), TextOps.simHashAssemble.as("sim"))
         val bands = sim.select(col("doc_id"), col("sim"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
@@ -304,13 +314,27 @@ object Llm {
       // unbounded version of this is llm_ann_lsh (bucketed); this exact
       // variant exists for oracle-checkable correctness.
       (s, d) => {
+        // Norms are computed ONCE per vector before the pair join. The id
+        // window is realized as an EQUI-join on a block key (each left row
+        // fans out to its own and the next block) so the planner builds a
+        // hash/sort-merge join — a pure range condition would plan as a
+        // BroadcastNestedLoopJoin and evaluate the (pushed-down) cosine
+        // over the full n² grid, interpreted. This shape is also the one
+        // that scales: shuffle on blk, candidates per block bounded by W.
+        val W = 200
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 200)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"),
+            floor(col("vec_id") / W).as("blk"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a"), explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("nrm").as("nrm_b"), col("blk").as("jblk_b"))
+        val scored = a.join(b, col("jblk") === col("jblk_b") &&
+            col("id_b") > col("id_a") && col("id_b") <= col("id_a") + W)
           .select(col("id_a"), col("id_b"),
-            round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
-          .filter(col("cos") >= 0.3)
+            round(VectorOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        graft.Q.aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {

@@ -107,13 +107,13 @@ object Multimodal {
       // frame / audio window. Per-row generate + explode — embarrassingly
       // parallel, no shuffle before the final order.
       (s, d) => {
+        // posexplode + filter (codegen'd generator) rather than building
+        // per-row struct arrays through interpreted HOF lambdas.
         val toks = graft.functions.TextOps.tokens(col("text"))
         Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(filter(transform(sequence(lit(1), size(toks)),
-              i => struct(i.cast("long").as("frame_no"), element_at(toks, i).as("frame"))),
-              st => (st.getField("frame_no") - 1) % 8 === 0)).as("f"))
-          .select(col("doc_id"), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "frame")))
+          .filter(col("pos") % 8 === 0)
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("frame_no"), col("frame"))
           .orderBy(col("doc_id"), col("frame_no"))
       },
       Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
