@@ -19,6 +19,10 @@ object Bench {
       li.limit(1000).join(spark.read.parquet(s"$sfDir/part.parquet"),
         col("l_partkey") === col("p_partkey")).count()
       li.limit(1000).orderBy(col("l_orderkey")).count()
+      // warm the text/HOF path too (explode + hash aggregates)
+      graft.functions.TextOps
+        .docShingles(spark.read.parquet(s"$sfDir/documents.parquet").limit(200))
+        .groupBy("doc_id").count().count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TsStore
+
+/** ScalaCheck-generator properties (SURVEY §5.2.3): random-series
+  * round-trip, forward-fill idempotence, cosine bounds — semantic
+  * invariants no single fixture exercises. Samples are drawn with fixed
+  * seeds (no scalatestplus bridge in the offline cache, so sampling is
+  * driven directly; determinism is a feature here anyway).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator exhausted for seed $seed"))
+
+  private val seriesGen: Gen[List[(Long, Long, Option[Double])]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      uid <- Gen.choose(1L, 3L)
+      off <- Gen.choose(0L, 86400L)
+      v <- Gen.option(Gen.choose(-1000.0, 1000.0))
+    } yield (uid, off, v))
+  } yield rows.zipWithIndex.map { case ((u, o, v), i) => (u, o * 1000000L + i, v) }
+  // offsets made unique per row (µs + index) → a valid tick series
+
+  private def toDf(rows: List[(Long, Long, Option[Double])]) = {
+    import spark.implicits._
+    rows.map { case (u, us, v) =>
+      (u, new Timestamp(1704067200000L + us / 1000), v)
+    }.toDF("user_id", "ts", "value")
+  }
+
+  test("property: TsStore round-trip preserves any generated series") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(seriesGen, seed)
+      val df = toDf(rows)
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("user_id"))
+      val back = TsStore.read(spark, dir).select("user_id", "ts", "value")
+      assert(back.count() === df.count(), s"seed=$seed")
+      assert(back.except(df).count() === 0 && df.except(back).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("property: forward-fill is idempotent (ffill(ffill(x)) == ffill(x))") {
+    (10L to 14L).foreach { seed =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val df = toDf(sample(seriesGen, seed))
+        .withColumn("rid", monotonically_increasing_id())
+      val once = df.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      val twice = once.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      assert(once.select("user_id", "ts", "value")
+        .except(twice.select("user_id", "ts", "value")).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("property: cosine of any two nonzero vectors lies in [-1, 1]") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0f, 1.0f))
+      .suchThat(_.exists(x => math.abs(x) > 1e-3))
+    val pairs = (20L to 29L).map(s => (sample(vecGen, s).toArray, sample(vecGen, s + 100).toArray))
+    val df = pairs.toDF("a", "b")
+      .select(graft.functions.VectorOps.cosine(col("a"), col("b")).as("c"))
+    df.collect().foreach { r =>
+      val c = r.getDouble(0)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -40,6 +40,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows over a stream match the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streams.sessionAgg(
+      Streams.withWatermark(input.toDF().toDF("ts", "user_id", "value")))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),  // same session (gap 10m)
+        (ts("2024-01-01 11:00:00"), 1L, 3.0),  // new session (gap 50m)
+        (ts("2024-01-01 10:05:00"), 2L, 4.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("sess")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+      val batch = Streams.sessionAgg(rows.toDF("ts", "user_id", "value"))
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+      assert(streaming === batch)
+      assert(batch.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("custom-state LOCF carries last value across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
