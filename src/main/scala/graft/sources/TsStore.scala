@@ -70,11 +70,15 @@ object TsStore {
            tsCol: String = "ts",
            start: Option[java.sql.Timestamp] = None,
            end: Option[java.sql.Timestamp] = None,
-           columns: Seq[String] = Seq.empty): DataFrame = {
+           columns: Seq[String] = Seq.empty,
+           meta: Map[String, Any] = Map.empty): DataFrame = {
     var df = spark.read.parquet(path)
     uid.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
     start.foreach(s => df = df.filter(col(tsCol) >= lit(s)))
     end.foreach(e => df = df.filter(col(tsCol) <= lit(e)))
+    // metadata key/values ≙ corintick's **meta kwargs on read: plain
+    // equality predicates on attribute columns, pushed to the scan.
+    meta.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     df
   }
