@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.functions._
 
 /** Query-shaping helpers shared by operator modules. */
 object Q {
@@ -33,4 +33,41 @@ object Q {
       .groupBy(keys.map(col): _*)
       .agg(min(col(value)).as(value))
       .filter(cond)
+
+  /** Two-phase (salted) aggregation for skewed keys — the 100 TB answer
+    * to one hot key melting a single reducer. Phase 1 aggregates on
+    * (key, salt) — the hot key's rows spread over `buckets` reducers —
+    * phase 2 merges the partials per key. Only algebraic partials
+    * (sum/count/min/max) compose this way; the caller passes both the
+    * per-(key,salt) partial aggs and the per-key merge aggs.
+    *
+    * The salt is `pmod(hash(all columns), buckets)` — deterministic (no
+    * rand), uniform, and computed map-side. With AQE's skew handling this
+    * is rarely needed for joins, but aggregation skew still bites.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Replicated-right salted equi-join for a skewed left key: the left
+    * side gets a deterministic salt in [0, buckets); the right side is
+    * exploded `buckets`× so every (key, salt) bucket finds its match.
+    * Use when the right side is too big to broadcast but small enough to
+    * replicate `buckets`×, and AQE's skew split is unavailable (e.g.
+    * under a required distribution).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -49,12 +49,15 @@ object TsStore {
     */
   def write(df: DataFrame, path: String, tsCol: String = "ts",
             uidCols: Seq[String] = Seq.empty,
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
+            mode: SaveMode = SaveMode.Overwrite,
+            codec: String = "zstd"): Unit = {
     require(validate(df, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     val sorted = df.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val writer = sorted.write.mode(mode)
+    // zstd default ≙ the reference's LZ4 column blobs: better ratio than
+    // snappy at similar scan speed — at 100 TB the ratio IS the IO budget.
+    val writer = sorted.write.mode(mode).option("compression", codec)
     (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
   }
 
