@@ -115,6 +115,23 @@ object Aggregates {
         "last(value ORDER BY ts, event_id) AS close, count(*) AS n, round(sum(value), 4) AS vol " +
         "FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type")),
 
+    "agg_percentile" -> DeclaredQuery(
+      // Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+      // `quantile_cont`). The approximate scale path is percentile_approx
+      // (sketch-mergeable like agg_hll); exact is declared because it is
+      // oracle-checkable.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     "agg_vwap" -> DeclaredQuery(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_partkey")

@@ -31,10 +31,12 @@ object Joins {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("p_name"), col("p_brand"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // ORDER BY covers every output column ((okey, line) is not unique)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("p_brand"), col("l_extendedprice")),
       Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, p_name, p_brand, " +
         "l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "ORDER BY l_orderkey, l_linenumber")),
+        "ORDER BY l_orderkey, l_linenumber, p_name, p_brand, l_extendedprice")),
 
     "join_left" -> DeclaredQuery(
       (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
@@ -64,6 +66,23 @@ object Joins {
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer c WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0) " +
         "ORDER BY c_custkey")),
+
+    "join_full" -> DeclaredQuery(
+      // Full outer with unmatched rows on BOTH sides: high-balance
+      // customers vs per-customer totals of F-status orders.
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 7000.0)
+          .select("c_custkey", "c_name")
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(round(sum("o_totalprice"), 2).as("f_total"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full")
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
+      },
+      Some("SELECT c_custkey, c_name, o_custkey, f_total FROM " +
+        "(SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7000.0) c " +
+        "FULL JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS f_total FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_custkey) o ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST")),
 
     "join_range" -> DeclaredQuery(
       (s, d) => {

@@ -25,11 +25,13 @@ object Relational {
         col("l_linenumber").cast("long").as("l_linenumber"),
         (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5) / 100.0).as("revenue"),
         (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100 + 0.5) / 100.0).as("charged")
-      ).orderBy(col("l_orderkey"), col("l_linenumber")),
+        // ORDER BY covers every output column: (okey, line) is not unique
+        // in the fixture, and remaining ties are then identical rows.
+      ).orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("charged")),
       Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
         "floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS revenue, " +
         "floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100 + 0.5) / 100.0 AS charged " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charged")),
 
     "filter_pred" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d).filter(
@@ -190,6 +192,28 @@ object Relational {
         .orderBy(col("event_id")),
       Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events " +
         "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id")),
+
+    "fn_null" -> DeclaredQuery(
+      // NULL-handling surface: coalesce / nullif / null-aware equality.
+      // The join_full-style LEFT JOIN injects genuine nulls to exercise.
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("big_n"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("big_n"), lit(0L)).as("big_or_zero"),
+            nullif(col("c_acctbal"), lit(0.0)).as("bal_or_null"),
+            col("big_n").isNull.as("no_big"),
+            (col("big_n") <=> lit(1L)).as("exactly_one"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, coalesce(big_n, 0) AS big_or_zero, " +
+        "nullif(c_acctbal, 0.0) AS bal_or_null, big_n IS NULL AS no_big, " +
+        "big_n IS NOT DISTINCT FROM 1 AS exactly_one FROM customer " +
+        "LEFT JOIN (SELECT o_custkey, count(*) AS big_n FROM orders " +
+        "WHERE o_totalprice > 350000.0 GROUP BY o_custkey) o ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey")),
 
     "fn_case" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d)

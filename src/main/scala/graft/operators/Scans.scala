@@ -23,10 +23,15 @@ object Scans {
 
   def defs: Map[String, DeclaredQuery] = Map(
     "scan_parquet" -> DeclaredQuery(
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (~25% dup
+      // rate!) — the ORDER BY carries enough columns for a verified total
+      // order, else tie order is engine-arbitrary and the hash flaky.
       (s, d) => Tables.lineitem(s, d)
         .withColumn("l_linenumber", col("l_linenumber").cast("long"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
-      Some(s"$lineitemCols ORDER BY l_orderkey, l_linenumber"),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice")),
+      Some(s"$lineitemCols ORDER BY l_orderkey, l_linenumber, l_partkey, " +
+        "l_suppkey, l_quantity, l_extendedprice"),
       "full stable-ordered scan of one table"),
 
     "ts_slice" -> DeclaredQuery(

@@ -88,6 +88,31 @@ object Windows {
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
         "CURRENT ROW) AS BIGINT) AS run_cents FROM events ORDER BY event_id")),
 
+    "win_ntile" -> DeclaredQuery(
+      // ntile quartiles + frame-bounded first/last values, unique order.
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("l_extendedprice")).over(wf).as("grp_min"),
+          last(col("l_extendedprice")).over(wf).as("grp_max"))
+          // (okey, line) is not unique — extend to a total output order
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"), col("quartile"))
+      },
+      Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag, " +
+        "l_extendedprice, CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "first_value(l_extendedprice) OVER wf AS grp_min, " +
+        "last_value(l_extendedprice) OVER wf AS grp_max FROM lineitem " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber), " +
+        "wf AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice, quartile")),
+
     "win_topk_group" -> DeclaredQuery(
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
