@@ -35,18 +35,14 @@ object Scans {
       "full stable-ordered scan of one table"),
 
     "ts_slice" -> DeclaredQuery(
-      (s, d) => Tables.events(s, d)
-        .filter(col("ts") >= to_timestamp(lit(SliceStart)) &&
-                col("ts") <= to_timestamp(lit(SliceEnd)))
+      (s, d) => Tables.eventsSliced(s, d, SliceStart, SliceEnd)
         .orderBy(col("event_id")),
       Some(s"SELECT $eventCols FROM events WHERE ts BETWEEN TIMESTAMP '$SliceStart' " +
         s"AND TIMESTAMP '$SliceEnd' ORDER BY event_id"),
       "corintick core read: inclusive time-range slice (row-group pruning on ts)"),
 
     "ts_slice_proj" -> DeclaredQuery(
-      (s, d) => Tables.events(s, d)
-        .filter(col("ts") >= to_timestamp(lit(SliceStart)) &&
-                col("ts") <= to_timestamp(lit(SliceEnd)))
+      (s, d) => Tables.eventsSliced(s, d, SliceStart, SliceEnd)
         .select(col("ts"), col("user_id"), col("value"))
         .orderBy(col("ts"), col("user_id"), col("value")),
       Some(s"SELECT ts, user_id, value FROM events WHERE ts BETWEEN TIMESTAMP '$SliceStart' " +

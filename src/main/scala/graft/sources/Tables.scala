@@ -31,6 +31,27 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Time-sliced events read with the range predicate applied to the RAW
+    * int64-nanos column BEFORE the µs conversion: a filter over
+    * `timestamp_micros(ts div 1000)` cannot be pushed into the parquet
+    * scan, so the plain spelling reads every row group. This one pushes
+    * `ts >= startNs AND ts < endNs'` to the scan (row-group min/max
+    * skipping — the corintick `(uid, start, end)` index behavior) with
+    * bounds chosen so the result is EXACTLY `[start, end]` inclusive on
+    * the truncated-µs timestamps: floor(v/1000) ≥ Sµs ⟺ v ≥ Sµs·1000 and
+    * floor(v/1000) ≤ Eµs ⟺ v < (Eµs+1)·1000.
+    */
+  def eventsSliced(s: SparkSession, d: String, startUtc: String, endUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def us(x: String): Long =
+      java.time.LocalDateTime.parse(x.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val c = org.apache.spark.sql.functions.col("ts")
+    table(s, d, "events")
+      .filter(c >= us(startUtc) * 1000L && c < (us(endUtc) + 1L) * 1000L)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -23,6 +23,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
   }
 
+  test("ts_slice pushes the raw-nanos range to the parquet scan (row-group skipping)") {
+    val p = plan("ts_slice")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"), pushed)
+  }
+
   test("projection is pruned at the scan (ts_slice_proj reads 3 columns, not props)") {
     val p = plan("ts_slice_proj")
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
