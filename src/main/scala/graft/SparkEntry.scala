@@ -13,9 +13,10 @@ object SparkEntry {
     * OHLC bars per series (hash aggregate, map-side combined).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .filter(col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
-              col("ts") <= to_timestamp(lit("2024-01-12 00:00:00")))
+    // eventsSliced applies the range to the RAW int64-nanos column, so the
+    // bounds actually reach the parquet scan (row-group min/max skipping).
+    val events = graft.sources.Tables.eventsSliced(spark, "/root/testdata/sf0.001",
+      "2024-01-05 00:00:00", "2024-01-12 00:00:00")
     events.groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
       .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("value")).as("high"), min(col("value")).as("low"),

@@ -43,6 +43,13 @@ object Llm {
 
   private def toks = TextOps.tokens(col("text"))
 
+  /** DuckDB spelling of [[TextOps.tokens]] — the empty-token filter is
+    * mirrored so an empty/whitespace-only document tokenizes to [] on
+    * BOTH sides (bare string_split_regex yields [''], length 1).
+    */
+  val ToksSql: String =
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
   def defs: Map[String, DeclaredQuery] = Map(
 
     "llm_dedup_exact" -> DeclaredQuery(
@@ -69,7 +76,7 @@ object Llm {
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy(col("lang"), col("source")),
       Some("SELECT lang, source, count(*) AS n_docs, " +
-        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_toks, " +
+        s"CAST(sum(len($ToksSql)) AS BIGINT) AS total_toks, " +
         "round(avg(CAST(length(text) AS BIGINT)), 4) AS avg_chars " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
       "per-(lang,source) token/char rollups"),
@@ -83,7 +90,7 @@ object Llm {
           size(expr(s"regexp_extract_all(text, '$BpeIshPattern', 0)")).cast("long").as("n_bpe"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id")),
-      Some("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws, " +
+      Some(s"SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_ws, " +
         s"CAST(len(regexp_extract_all(text, '$BpeIshPattern')) AS BIGINT) AS n_bpe, " +
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
       "token counting: whitespace + BPE-ish regex pre-tokenizer"),
@@ -112,7 +119,7 @@ object Llm {
               (lit(1.0) - stopHits / nToks) * 0.5, 6).as("quality"))
           .orderBy(col("doc_id"))
       },
-      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
         "x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n, " +
         s"CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE) AS hits, " +
         "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sumlen FROM t) " +
@@ -132,7 +139,7 @@ object Llm {
           md5(concat_ws(" ", col("__toks"))).as("fp_doc"),
           array_min(transform(TextOps.shingles(col("__toks"), 3), sh => md5(sh))).as("fp_shingle"))
         .orderBy(col("doc_id")),
-      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents) " +
         "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_doc, " +
         "list_min(list_transform(generate_series(1, len(toks) - 2), " +
         "i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fp_shingle " +
@@ -164,7 +171,7 @@ object Llm {
             .otherwise("und").as("pred_lang"))
           .orderBy(col("doc_id"))
       },
-      Some("WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      Some(s"WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents), " +
         "x AS (SELECT doc_id, lang, " +
         "len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS en, " +
         "len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS de, " +
@@ -197,7 +204,7 @@ object Llm {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("WITH t AS (SELECT doc_id, source, " +
-        "list_distinct(string_split_regex(trim(text), '\\s+')) AS tk FROM documents), " +
+        s"list_distinct($ToksSql) AS tk FROM documents), " +
         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
         "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard " +
@@ -362,7 +369,7 @@ object Llm {
           .filter(col("rnk") <= 5)
           .orderBy(col("lang"), col("rnk"))
       },
-      Some("WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok " +
+      Some(s"WITH t AS (SELECT lang, unnest($ToksSql) AS tok " +
         "FROM documents), c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok) " +
         "SELECT lang, tok, n, rnk FROM (SELECT lang, tok, n, " +
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk FROM c) " +

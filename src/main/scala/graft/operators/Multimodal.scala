@@ -116,7 +116,7 @@ object Multimodal {
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("frame_no"), col("frame"))
           .orderBy(col("doc_id"), col("frame_no"))
       },
-      Some("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      Some(s"WITH t AS (SELECT doc_id, ${Llm.ToksSql} AS toks FROM documents), " +
         "x AS (SELECT doc_id, list_filter(generate_series(1, len(toks)), i -> (i - 1) % 8 = 0) AS idx, toks FROM t) " +
         "SELECT doc_id, CAST(unnest(idx) AS BIGINT) AS frame_no, " +
         "unnest(list_transform(idx, i -> toks[i])) AS frame " +

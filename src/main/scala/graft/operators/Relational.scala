@@ -169,17 +169,27 @@ object Relational {
         "round(p_retailprice * p_retailprice / 1000000.0, 6) AS pw FROM part ORDER BY p_partkey")),
 
     "fn_array" -> DeclaredQuery(
+      // Every output column is a SCALAR: the driver's comparator sorts
+      // rows by all columns in pandas, which cannot order an array-typed
+      // cell (round-2 failure). HOF coverage is unchanged — transform /
+      // slice / filter / aggregate / array_sort / array_max all execute;
+      // their results surface through element_at or aggregates.
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4)).as("head3"),
+        element_at(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double"), 4)), 3).as("h3"),
+        round(element_at(array_sort(transform(col("embedding"), x => x.cast("double"))), 2), 4).as("s2"),
+        round(array_max(transform(col("embedding"), x => x.cast("double"))), 4).as("emax"),
         size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("npos"),
         round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("ssum")
       ).orderBy(col("vec_id")),
       Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
         "round(CAST(embedding[1] AS DOUBLE), 4) AS e1, " +
-        "list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4)) AS head3, " +
+        "list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))[3] AS h3, " +
+        "round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 4) AS s2, " +
+        "round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emax, " +
         "CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS npos, " +
         "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS ssum " +
         "FROM embeddings ORDER BY vec_id")),

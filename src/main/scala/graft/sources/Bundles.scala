@@ -36,7 +36,30 @@ class Bundles(spark: SparkSession, basePath: String,
             metadata: Map[String, Any] = Map.empty): Unit = {
     var tagged = df.withColumn(UidCol, org.apache.spark.sql.functions.lit(uid))
     metadata.foreach { case (k, v) =>
-      tagged = tagged.withColumn(k, org.apache.spark.sql.functions.lit(v))
+      // constrain metadata to literal-able scalar types up front — lit()
+      // on anything else throws an opaque runtime exception mid-write
+      val c = v match {
+        case x: String  => org.apache.spark.sql.functions.lit(x)
+        case x: Int     => org.apache.spark.sql.functions.lit(x)
+        case x: Long    => org.apache.spark.sql.functions.lit(x)
+        case x: Double  => org.apache.spark.sql.functions.lit(x)
+        case x: Boolean => org.apache.spark.sql.functions.lit(x)
+        case other => throw new IllegalArgumentException(
+          s"metadata '$k': unsupported type ${other.getClass.getName} " +
+            "(use String/Int/Long/Double/Boolean)")
+      }
+      tagged = tagged.withColumn(k, c)
+    }
+    // appending a chunk whose column set diverges from the existing
+    // collection would silently produce per-file schema drift; fail fast
+    if (mode == SaveMode.Append) {
+      try {
+        val existing = spark.read.parquet(dir(collection)).columns.toSet
+        val incoming = tagged.columns.toSet
+        require(existing == incoming,
+          s"schema drift on append to '$collection': existing=${existing.toSeq.sorted
+            .mkString(",")} incoming=${incoming.toSeq.sorted.mkString(",")}")
+      } catch { case _: org.apache.spark.sql.AnalysisException => () /* first write */ }
     }
     TsStore.write(tagged, dir(collection), tsCol = tsCol,
       uidCols = Seq(UidCol), mode = mode)

@@ -44,9 +44,13 @@ object Tables {
     */
   def eventsSliced(s: SparkSession, d: String, startUtc: String, endUtc: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def us(x: String): Long =
-      java.time.LocalDateTime.parse(x.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    def us(x: String): Long = {
+      // epoch-micros derived from (second, nano) directly — toEpochMilli
+      // would silently truncate sub-millisecond bound components.
+      val i = java.time.LocalDateTime.parse(x.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     val c = org.apache.spark.sql.functions.col("ts")
     table(s, d, "events")
       .filter(c >= us(startUtc) * 1000L && c < (us(endUtc) + 1L) * 1000L)

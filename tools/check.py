@@ -23,6 +23,10 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING-OUTPUT {name}"); n_bad += 1; continue
+        if len(files) != 1:
+            # Verify coalesce(1)s every dump; >1 part file would make the
+            # positional row compare below order-unstable.
+            print(f"MULTI-FILE    {name}: {len(files)} part files"); n_bad += 1; continue
         mine = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
         mine = mine[sorted(mine.columns)]
         if name not in oracle:
