@@ -132,6 +132,51 @@ object Aggregates {
         "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    "agg_pivot" -> DeclaredQuery(
+      // Pivot with an EXPLICIT value list: omitting it costs an extra
+      // distinct job over the full table at scale and makes the output
+      // schema data-dependent. Fixed values → one hash aggregate, schema
+      // known at plan time. Absent combinations are null → coalesce(0)
+      // so both engines emit the same zeros.
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+          .count()
+        p.select(col("user_id") +:
+            Seq("view", "click", "signup", "purchase", "error")
+              .map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+      "pivot events to per-user counts by event_type (fixed value list)"),
+
+    "agg_stats" -> DeclaredQuery(
+      // Statistical moments & bivariate aggregates. Magnitudes are kept
+      // small (quantity 1..50, discount 0..0.1) so the engines' partial-
+      // merge float orderings agree well inside the 6dp rounding.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "round(var_samp(l_discount), 6) AS var_disc, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "statistical aggregates: stddev/variance/correlation/covariance"),
+
     "agg_vwap" -> DeclaredQuery(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_partkey")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
@@ -53,11 +54,16 @@ object Llm {
   def defs: Map[String, DeclaredQuery] = Map(
 
     "llm_dedup_exact" -> DeclaredQuery(
-      // Exact dedup by normalized text: one hash-aggregate, map-side
-      // combined — shuffle volume = #distinct texts, the only shape that
-      // holds at 100 TB.
+      // Exact dedup by normalized text, grouped on the md5 DIGEST of the
+      // text rather than the text itself: partial aggregation still
+      // collapses per-partition duplicates, but what crosses the shuffle
+      // is 16 bytes per distinct document instead of the whole document —
+      // at 100 TB that's shuffling fixed-width keys instead of kilobyte
+      // texts (128-bit digest ⇒ collision odds ~n²/2¹²⁹, negligible at
+      // any corpus size). Equivalence classes — and therefore keep_id and
+      // n_copies — are identical to the oracle's GROUP BY lower(trim(text)).
       (s, d) => Tables.documents(s, d)
-        .groupBy(lower(trim(col("text"))).as("norm"))
+        .groupBy(md5(encode(lower(trim(col("text"))), "UTF-8")).as("norm"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id")),
@@ -375,6 +381,107 @@ object Llm {
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk FROM c) " +
         "WHERE rnk <= 5 ORDER BY lang, rnk"),
       "vocabulary builder: top-5 tokens per language by frequency"),
+
+    "llm_ann_ivf" -> DeclaredQuery(
+      // IVF (inverted-file) approximate NN — the other classic ANN scale
+      // path next to LSH: (1) assign every vector to its nearest of K
+      // coarse centroids in ONE scan with the centroid table broadcast
+      // (the "inverted lists"); (2) a query probes only its nprobe=2
+      // nearest cells — candidates come from an EQUI-join on cell id, so
+      // shuffle volume is O(list sizes), never n². Centroid "training" is
+      // deterministic here (first K vectors) which also makes the whole
+      // query SQL-expressible — unlike LSH, IVF gets a real DuckDB oracle.
+      // All ranking is on 6dp-rounded cosines with id tie-breaks.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        // Centroids are collected to the driver and baked in as LITERALS:
+        // K coarse centroids always fit on the driver (IVF training is an
+        // offline step), and literal centroids make cell assignment a
+        // pure map-side expression — ONE scan, ZERO shuffle, vs the
+        // n×K-row window shuffle a join+rank formulation would cost.
+        val cents: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < K)
+          .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        // rounded cosine against a literal centroid — float widened to
+        // double, left-to-right sum, (‖v‖·‖c‖) order: exactly the oracle's
+        // list_sum(list_transform(...)) arithmetic, so 6dp values agree.
+        def ccos(cEmb: Array[Float]): Column = {
+          val cNorm = math.sqrt(cEmb.map(x => x.toDouble * x.toDouble)
+            .foldLeft(0.0)(_ + _))
+          round(VectorOps.dot(col("embedding"), typedlit(cEmb)) /
+            (VectorOps.norm(col("embedding")) * lit(cNorm)), 6)
+        }
+        // (ccos, -cent_id) structs: lexicographic array_sort + reverse ≙
+        // ORDER BY ccos DESC, cent_id ASC — the oracle's tie-break.
+        val ranked = reverse(array_sort(array(cents.map { case (id, emb) =>
+          struct(ccos(emb).as("c"), lit(-id).as("nid"))
+        }: _*)))
+        val assigned = e.select(col("vec_id"), col("embedding"), ranked.as("rk"))
+        // inverted lists carry the vector: candidates need no second join
+        val cells = assigned.select(col("vec_id"), col("embedding"),
+          (-col("rk")(0).getField("nid")).as("cell"))
+        val queries = assigned.filter(col("vec_id") >= K && col("vec_id") < K + 8)
+        val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(slice(col("rk"), 1, NProbe)).as("p"))
+          .select(col("q_id"), col("q_emb"), (-col("p").getField("nid")).as("cell"))
+        val scored = broadcast(probes).join(cells, "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nbr_id"),
+            round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        val wT = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
+        scored.withColumn("rnk", row_number().over(wT).cast("long"))
+          .filter(col("rnk") <= TopK)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        def ss(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        def cosSql(a: String, b: String) =
+          s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
+        "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
+        "sc AS (SELECT e.vec_id, cent_id, " +
+        s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
+        "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
+        "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
+        "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
+        s"${cosSql("qe.embedding", "ne.embedding")} AS cos " +
+        "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
+        "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
+        "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
+        "ORDER BY q_id, rnk"
+      },
+      "IVF approximate NN: 16 coarse cells, 2-probe, exact rerank top-3"),
+
+    "llm_ngram_freq" -> DeclaredQuery(
+      // n-gram language-model statistics: per-source top-3 bigrams by
+      // DOCUMENT frequency (distinct doc per bigram, the dedup-corpus
+      // convention). explode → distinct → hash agg → WindowGroupLimit:
+      // every stage is shuffle-bounded, k rows per group move at the end.
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), toks.as("__toks"))
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
+          .distinct()
+        val c = t.groupBy("source", "bg").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("source").orderBy(desc("df"), asc("bg"))
+        c.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents), " +
+        "s AS (SELECT DISTINCT doc_id, source, unnest(list_transform(" +
+        "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t), " +
+        "c AS (SELECT source, bg, count(*) AS df FROM s GROUP BY source, bg) " +
+        "SELECT source, bg, df, rnk FROM (SELECT source, bg, df, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, bg) AS BIGINT) AS rnk FROM c) " +
+        "WHERE rnk <= 3 ORDER BY source, rnk"),
+      "bigram document-frequency top-3 per source (n-gram LM statistics)"),
 
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane

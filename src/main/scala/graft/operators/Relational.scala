@@ -225,6 +225,93 @@ object Relational {
         "WHERE o_totalprice > 350000.0 GROUP BY o_custkey) o ON c_custkey = o_custkey " +
         "ORDER BY c_custkey")),
 
+    "unpivot_melt" -> DeclaredQuery(
+      // Wide→long melt via Dataset.unpivot (Spark's UNPIVOT) — a per-row
+      // Expand, no shuffle before the final order. Both measures are cast
+      // to double up front so the single value column has one type.
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part " +
+        "UNION ALL SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part " +
+        "ORDER BY p_partkey, metric"),
+      "wide-to-long unpivot/melt of part measures"),
+
+    "fn_struct" -> DeclaredQuery(
+      // Struct ordering as argmax: max(struct(price, key)) is the
+      // deterministic one-pass top-1-per-group — lexicographic struct
+      // comparison breaks price ties by the unique key, and the hash
+      // aggregate keeps shuffle volume at #groups.
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("best"))
+        .select(col("o_custkey"),
+          col("best.o_totalprice").as("best_price"),
+          col("best.o_orderkey").as("best_okey"))
+        .orderBy(col("o_custkey")),
+      Some("SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_okey FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey DESC) = 1 ORDER BY o_custkey"),
+      "struct pack / field access / lexicographic argmax per group"),
+
+    "fn_map" -> DeclaredQuery(
+      // MapType surface: per-user event_type→count map assembled with
+      // map_from_entries(collect_list(struct)), then key lookups.
+      // collect_list order is nondeterministic but keys are unique per
+      // user, so map lookups (and size) are order-independent.
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        counts.groupBy("user_id")
+          .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+          .select(col("user_id"),
+            coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+            size(col("m")).cast("long").as("n_types"))
+          .orderBy(col("user_id"))
+      },
+      Some("SELECT user_id, count(*) FILTER (WHERE event_type = 'view') AS views, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchases, " +
+        "count(DISTINCT event_type) AS n_types " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+      "MapType build + key lookup (map_from_entries / element_at / size)"),
+
+    "sub_scalar" -> DeclaredQuery(
+      // Uncorrelated scalar subquery — Catalyst plans the aggregate once
+      // and broadcasts the single-row result into the filter. The avg is
+      // rounded to 4dp on both sides so the boundary decision is shared.
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("graft_part_ss")
+        s.sql("SELECT p_partkey, p_retailprice FROM graft_part_ss " +
+          "WHERE p_retailprice > (SELECT round(avg(p_retailprice), 4) FROM graft_part_ss) " +
+          "ORDER BY p_partkey")
+      },
+      Some("SELECT p_partkey, p_retailprice FROM part " +
+        "WHERE p_retailprice > (SELECT round(avg(p_retailprice), 4) FROM part) " +
+        "ORDER BY p_partkey"),
+      "uncorrelated scalar subquery: parts above global average price"),
+
+    "sub_correlated" -> DeclaredQuery(
+      // Correlated scalar subquery — Catalyst de-correlates it into an
+      // aggregate + join (RewriteCorrelatedScalarSubquery), i.e. the same
+      // shuffle-bounded plan a hand-written self-join would produce; no
+      // per-row re-execution at any scale. max() is exact, so no rounding
+      // is needed for the equality.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sc")
+        s.sql("SELECT o_custkey, o_orderkey, o_totalprice FROM graft_orders_sc o " +
+          "WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM graft_orders_sc o2 " +
+          "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2 " +
+        "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey"),
+      "correlated scalar subquery: each customer's max-price orders"),
+
     "fn_case" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d)
         .select(when(col("o_totalprice") >= 300000.0, "high")

@@ -67,6 +67,36 @@ object Scans {
       Some(s"SELECT $eventCols FROM events ORDER BY event_id"),
       "chunked columnar write (range-partitioned, ts-sorted, partitioned parquet) then read back"),
 
+    "write_json_roundtrip" -> DeclaredQuery(
+      // Second source format: JSON-lines sink + source. Schema is pinned
+      // on read — at scale, inference is a full extra pass over the data.
+      (s, d) => {
+        val tmp = s"/tmp/graft_json_${new java.io.File(d).getName}"
+        Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(tmp)
+        s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .json(tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
+      "JSON-lines write then pinned-schema read back"),
+
+    "write_csv_roundtrip" -> DeclaredQuery(
+      // Third source format: CSV with header + quoting. Explicit schema on
+      // read (CSV carries no types); quote mode ALL so embedded delimiters
+      // in text columns can never corrupt the framing.
+      (s, d) => {
+        val tmp = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+        Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+          .csv(tmp)
+        s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .option("header", "true").csv(tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
+      "CSV write (header, quoted) then typed read back"),
+
     "catalog_list" -> DeclaredQuery(
       (s, d) => TsStore.listSeries(Tables.events(s, d), uidCol = "user_id"),
       Some("SELECT user_id, count(*) AS n_rows, min(ts) AS ts_min, max(ts) AS ts_max " +

@@ -95,6 +95,42 @@ object TimeSeries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM events ORDER BY event_id")),
 
+    "ts_gapfill" -> DeclaredQuery(
+      // Regularize an irregular series onto a fixed hourly grid, then
+      // LOCF-fill the holes — the corintick-domain "resample to bars,
+      // carry last print forward" workflow in one query. The grid is
+      // generated per key from that key's own extent (sequence+explode:
+      // rows ∝ span, never a global cross product), the hourly means are
+      // one hash aggregate, and the fill is a single window pass — three
+      // shuffle-bounded steps at any scale. user_id < 20 bounds the
+      // declared output; the operator itself has no such limit.
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(round(avg(col("value")), 6).as("v"), count(lit(1)).as("n"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+        val w = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("user_id"), col("hr"))
+      },
+      Some("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr, " +
+        "round(avg(value), 6) AS v, count(*) AS n FROM events WHERE user_id < 20 GROUP BY 1, 2), " +
+        "grid AS (SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr " +
+        "FROM hourly GROUP BY user_id) " +
+        "SELECT g.user_id, g.hr, last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill, " +
+        "coalesce(h.n, 0) AS n FROM grid g LEFT JOIN hourly h " +
+        "ON g.user_id = h.user_id AND g.hr = h.hr ORDER BY g.user_id, g.hr"),
+      "hourly grid regularization + LOCF fill per series (gap-filling)"),
+
     "ts_returns" -> DeclaredQuery(
       // Resample per-uid to daily close, then pct-change — two shuffles
       // (hash agg on (user, day); window on user) over #groups rows only.

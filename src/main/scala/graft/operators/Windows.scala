@@ -34,6 +34,25 @@ object Windows {
         "dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk " +
         "FROM orders ORDER BY o_orderkey")),
 
+    "win_cume" -> DeclaredQuery(
+      // Distribution functions: percent_rank / cume_dist. The window
+      // ORDER BY carries the unique c_custkey tie-break so both engines
+      // compute identical fractions; 6dp rounding absorbs nothing here
+      // (the fractions are exact ratios) but keeps the discipline uniform.
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pr, " +
+        "round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cd " +
+        "FROM customer ORDER BY c_custkey"),
+      "distribution window functions: percent_rank + cume_dist"),
+
     "win_lag" -> DeclaredQuery(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
