@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point (`spark.sql.extensions=graft.GraftExtensions`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`): registers
+  * the native vector expressions so SQL users get `graft_dot` /
+  * `graft_normsq` / `graft_cosine` alongside the DataFrame API
+  * ([[graft.functions.VectorOps]], which builds the expressions directly
+  * and works in ANY session, extensions or not).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.expressions.VecExprs.registrations.foreach(ext.injectFunction)
+}

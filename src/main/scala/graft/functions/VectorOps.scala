@@ -18,25 +18,42 @@ import org.apache.spark.sql.functions._
   * join condition or as a grouped-aggregate child (see graft.Q).
   */
 object VectorOps {
+  import org.apache.spark.sql.GraftShim.{column => ofExpr, expression => toExpr}
+  import graft.functions.expressions.{FloatVecCosine, FloatVecDot, FloatVecNormSq}
 
   /** Embedding dimensionality of the fixture tables. */
   val Dim = 64
 
-  /** Σ aᵢ·bᵢ — elementwise product then left-to-right double sum. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — left-to-right double sum via the native codegen expression
+    * ([[graft.functions.expressions.FloatVecDot]]); numerically identical
+    * to the HOF spelling below and to the oracles.
+    */
+  def dot(a: Column, b: Column): Column = ofExpr(FloatVecDot(toExpr(a), toExpr(b)))
 
-  def normSq(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def normSq(a: Column): Column = ofExpr(FloatVecNormSq(toExpr(a)))
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity, computed as dot/(‖a‖·‖b‖) — the exact operation
-    * order mirrored in every oracle so rounded values agree.
+  /** Cosine similarity dot/(‖a‖·‖b‖) — ONE fused array traversal
+    * ([[graft.functions.expressions.FloatVecCosine]]); the operation
+    * order every oracle mirrors, so rounded values agree.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = ofExpr(FloatVecCosine(toExpr(a), toExpr(b)))
+
+  /** HOF spellings (interpreted lambdas, NOT codegen'd) — kept as the
+    * numeric cross-check twin for VecExprsSpec and the measured perf
+    * comparison in SURVEY §6.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normSqHof(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(normSqHof(a)) * sqrt(normSqHof(b)))
 
   /** splitmix64 — tiny deterministic PRNG for compile-time constants
     * (public-domain algorithm, Steele et al. "Fast Splittable PRNGs").

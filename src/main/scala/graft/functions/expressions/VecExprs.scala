@@ -1,0 +1,197 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Input typing shared by the vector expressions: every child must be
+  * `array<float>`. (`ExpectsInputTypes` would say this declaratively, but
+  * its `AbstractDataType` vocabulary is `private[sql]` — a manual
+  * `checkInputDataTypes` is the public-API spelling.)
+  */
+trait FloatArrayInputs { self: Expression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = self.children.zipWithIndex.collect {
+      case (c, i) if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != FloatType => (c.dataType, i)
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects array<float> inputs, got " +
+        bad.map { case (t, i) => s"arg $i: ${t.simpleString}" }.mkString(", "))
+  }
+}
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY §2.11's
+  * stretch goal). Spark's higher-order functions (`aggregate`, `zip_with`,
+  * `transform`) evaluate their lambda interpreted, per element, OUTSIDE
+  * whole-stage codegen — measured at sf0.1 that makes the HOF dot product
+  * the dominant cost of every similarity query. These expressions compile
+  * to a tight primitive `for` loop over `ArrayData.getFloat` inside the
+  * generated code: no lambda dispatch, no boxing, no codegen fence.
+  *
+  * Numeric contract (FIXTURES.md determinism rules): floats are widened to
+  * double BEFORE any arithmetic and each accumulator sums in index order —
+  * bit-identical to the HOF formulation and to the DuckDB oracles'
+  * `list_sum(list_transform(...))`, so 6dp-rounded scores are unchanged.
+  *
+  * Null contract (matches the HOF spellings exactly): null array → null;
+  * length mismatch → null (`zip_with` pads with null, poisoning the sum);
+  * any null element → null.
+  */
+object VecExprs {
+
+  /** (identifier, info, builder) triples for SparkSessionExtensions
+    * .injectFunction — also usable directly via [[graft.GraftExtensions]].
+    */
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    (FunctionIdentifier("graft_normsq"),
+      new ExpressionInfo(classOf[FloatVecNormSq].getName, "graft_normsq"),
+      (es: Seq[Expression]) => FloatVecNormSq(es(0))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "graft_cosine"),
+      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+}
+
+/** Σᵢ aᵢ·bᵢ over two float arrays, accumulated in double, index order. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  // nullable beyond child nullability: length mismatch / null element
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σᵢ aᵢ² in double — ‖a‖² in one traversal (vs transform+aggregate). */
+case class FloatVecNormSq(child: Expression)
+    extends UnaryExpression with FloatArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_normsq"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble; acc += v * v; i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused cosine similarity: dot, ‖a‖², ‖b‖² accumulated in ONE pass, then
+  * `dot / (sqrt(na)·sqrt(nb))` — the exact operation order every oracle
+  * mirrors (each accumulator is its own index-order sum, so fusing the
+  * loops changes nothing numerically). One traversal replaces the five
+  * (zip_with+aggregate, 2×transform+aggregate) of the HOF spelling.
+  * Zero vectors yield NaN (0/0) exactly like the unfused spelling.
+  */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xv = (double) $a.getFloat($i);
+         |    final double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

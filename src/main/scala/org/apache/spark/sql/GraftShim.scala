@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Expression↔Column bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 routes `Column` through ColumnNode (connect-compatible), and the
+  * classic converters (`classic.ExpressionUtils`) are `private[sql]` — so,
+  * like every library shipping custom expressions (the established pattern
+  * of frameless / deequ / spark-extensions), we expose the two converters
+  * from inside the `org.apache.spark.sql` package. This file is the ONLY
+  * private-API touchpoint in the codebase; everything else is public API.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

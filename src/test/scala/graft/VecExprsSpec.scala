@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Native codegen vector expressions vs their HOF twins: bit-identical
+  * values (same widening, same accumulation order), same null contract,
+  * and SQL-name availability via GraftExtensions.
+  */
+class VecExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs = {
+    val e = Tables.embeddings(spark, TestSpark.sf001)
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    q.crossJoin(e.filter($"vec_id" >= 5 && $"vec_id" < 50))
+  }
+
+  test("native dot/normsq/cosine are bit-identical to the HOF spellings") {
+    val d = pairs.select(
+      VectorOps.dot($"q_emb", $"embedding").as("n_dot"),
+      VectorOps.dotHof($"q_emb", $"embedding").as("h_dot"),
+      VectorOps.normSq($"embedding").as("n_nsq"),
+      VectorOps.normSqHof($"embedding").as("h_nsq"),
+      VectorOps.cosine($"q_emb", $"embedding").as("n_cos"),
+      VectorOps.cosineHof($"q_emb", $"embedding").as("h_cos"))
+      .as[(Double, Double, Double, Double, Double, Double)].collect()
+    assert(d.nonEmpty)
+    d.foreach { case (nd, hd, nn, hn, nc, hc) =>
+      // == not ~=: the contract is identical operation order, not closeness
+      assert(nd == hd, s"dot: $nd != $hd")
+      assert(nn == hn, s"normSq: $nn != $hn")
+      assert(nc == hc, s"cosine: $nc != $hc")
+    }
+  }
+
+  test("null contract: mismatched lengths and null elements yield null") {
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f)),      // ok
+      (Array(1f, 2f), Array(3f, 4f, 5f))   // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.dot($"a", $"b").as("d"))
+      .as[Option[Double]].collect()
+    assert(out(0).contains(11.0))
+    assert(out(1).isEmpty)
+    val withNullElem = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d")
+      .as[Option[Double]].collect()
+    assert(withNullElem(0).isEmpty)
+  }
+
+  test("SQL names registered by GraftExtensions match the DataFrame API") {
+    Tables.embeddings(spark, TestSpark.sf001).limit(100)
+      .createOrReplaceTempView("ve_emb")
+    val sqlRows = spark.sql(
+      "SELECT vec_id, round(graft_cosine(embedding, embedding), 6) AS c, " +
+        "round(graft_normsq(embedding), 6) AS n FROM ve_emb ORDER BY vec_id")
+      .as[(Long, Double, Double)].collect()
+    assert(sqlRows.nonEmpty)
+    sqlRows.foreach { case (_, c, _) => assert(c == 1.0) } // self-cosine
+    val dfRows = Tables.embeddings(spark, TestSpark.sf001).limit(100)
+      .select($"vec_id", round(VectorOps.normSq($"embedding"), 6).as("n"))
+      .orderBy($"vec_id").as[(Long, Double)].collect()
+    assert(sqlRows.map(r => (r._1, r._3)).toSeq == dfRows.toSeq)
+  }
+
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    val df = pairs.select(VectorOps.cosine($"q_emb", $"embedding").as("c"))
+    df.collect() // finalize the AQE plan so codegen markers are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // the Project carrying the expression must sit under WholeStageCodegen
+    assert(plan.contains("*(") && plan.contains("graft_cosine"),
+      s"expected the expression inside a WholeStageCodegen stage in:\n$plan")
+    val hofPlan = pairs.select(VectorOps.cosineHof($"q_emb", $"embedding").as("c"))
+    // cross-check: both produce identical results over the same input
+    val a = pairs.select(VectorOps.cosine($"q_emb", $"embedding")).as[Double].collect().sorted
+    val b = hofPlan.select("c").as[Double].collect().sorted
+    assert(a.sameElements(b))
+  }
+}
