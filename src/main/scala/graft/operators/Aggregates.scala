@@ -185,6 +185,40 @@ object Aggregates {
           round(sum("l_quantity"), 2).as("volume"))
         .orderBy("l_partkey"),
       Some("SELECT l_partkey, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap, " +
-        "round(sum(l_quantity), 2) AS volume FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"))
+        "round(sum(l_quantity), 2) AS volume FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
+
+    "agg_cond" -> DeclaredQuery(
+      // Conditional / boolean aggregation: FILTER-style counts and
+      // bool_and/bool_or — all partial-merge-able, one hash aggregate.
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"))
+        .orderBy(col("o_orderstatus")),
+      Some("SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big, " +
+        "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, " +
+        "bool_and(o_totalprice > 1000.0) AS all_over_1k, " +
+        "bool_or(o_totalprice > 400000.0) AS any_over_400k " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      "conditional counts + bool_and/bool_or per group"),
+
+    "agg_collect" -> DeclaredQuery(
+      // List aggregation surfaced as a SORTED joined string: collect_list
+      // order is nondeterministic across partitions, so the sort inside
+      // the row (not the shuffle) restores determinism, and the string
+      // form keeps the driver's pandas comparator happy (arrays are
+      // unhashable there — the round-2 fn_array lesson).
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_list(col("o_orderpriority"))), "|").as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey")),
+      Some("SELECT o_custkey, array_to_string(list_sort(list(o_orderpriority)), '|') AS prios, " +
+        "count(*) AS n FROM orders WHERE o_custkey <= 100 " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+      "collect_list → array_sort → string join (deterministic list agg)")
   )
 }

@@ -102,6 +102,21 @@ object Joins {
         "epoch_us(v.ts) - epoch_us(p.ts) AS delta_us FROM events p JOIN events v " +
         "ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' " +
         "AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE " +
-        "ORDER BY purchase_id, view_id"))
+        "ORDER BY purchase_id, view_id")),
+
+    "join_cross" -> DeclaredQuery(
+      // Explicit cartesian product of the two tiny dimension tables
+      // (5×25 rows). Only safe because both sides are dimension-sized;
+      // every large-scale pairing op in this repo goes through an
+      // equi-join on a derived key instead (bands/buckets/blocks).
+      (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_regionkey").cast("long").as("r_regionkey"),
+          col("r_name"), col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+      Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, " +
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name " +
+        "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
+      "bounded cartesian product of dimension tables")
   )
 }

@@ -324,6 +324,101 @@ object Relational {
       Some("SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high' " +
         "WHEN o_totalprice >= 100000.0 THEN 'mid' ELSE 'low' END AS bucket, " +
         "count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders " +
-        "GROUP BY 1 ORDER BY bucket"))
+        "GROUP BY 1 ORDER BY bucket")),
+
+    "fn_regex" -> DeclaredQuery(
+      // Regex surface: extract / replace / match-filter. The priority
+      // prefix matches on EVERY row, so the engines' no-match conventions
+      // (Spark '' vs DuckDB NULL) never come into play.
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderpriority").rlike("^[0-9]-"))
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^([0-9])-", 1).as("prio_num"),
+          regexp_replace(col("o_orderpriority"), "[AEIOU]", "").as("devoweled"))
+        .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, regexp_extract(o_orderpriority, '^([0-9])-', 1) AS prio_num, " +
+        "regexp_replace(o_orderpriority, '[AEIOU]', '', 'g') AS devoweled " +
+        "FROM orders WHERE regexp_matches(o_orderpriority, '^[0-9]-') ORDER BY o_orderkey"),
+      "regexp_extract / regexp_replace / regex match filter"),
+
+    "fn_hash" -> DeclaredQuery(
+      // Deterministic digests — the content-addressing primitive under
+      // exact dedup and fingerprinting. Pure per-row projection.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 " +
+        "FROM documents ORDER BY doc_id"),
+      "cryptographic digest functions (md5 / sha-256)"),
+
+    "fn_bitwise" -> DeclaredQuery(
+      // Bitwise ops — bucket assignment / flag packing primitives (the
+      // LSH band and SimHash machinery is built from exactly these).
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255L)).as("b_and"),
+          (col("o_orderkey").bitwiseOR(4096L)).as("b_or"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+          shiftleft(col("o_orderkey"), 2).as("b_shl"),
+          shiftright(col("o_orderkey"), 3).as("b_shr"),
+          bit_count(col("o_orderkey")).cast("long").as("b_pop"),
+          (col("o_orderkey") % 97L).as("b_mod"))
+        .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, o_orderkey & 255 AS b_and, o_orderkey | 4096 AS b_or, " +
+        "xor(o_orderkey, o_custkey) AS b_xor, o_orderkey << 2 AS b_shl, " +
+        "o_orderkey >> 3 AS b_shr, CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop, " +
+        "o_orderkey % 97 AS b_mod FROM orders ORDER BY o_orderkey"),
+      "bitwise and/or/xor/shift/popcount/mod"),
+
+    "sort_nulls" -> DeclaredQuery(
+      // Explicit null-ordering control; value is null on ~10% of events.
+      // Tie-break on event_id keeps the order total on both engines.
+      (s, d) => Tables.events(s, d)
+        .filter(col("user_id") < 3)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").asc_nulls_first, col("event_id").asc),
+      Some("SELECT event_id, user_id, value FROM events WHERE user_id < 3 " +
+        "ORDER BY value ASC NULLS FIRST, event_id"),
+      "ORDER BY with explicit NULLS FIRST placement"),
+
+    "limit_offset" -> DeclaredQuery(
+      // Pagination: total order → skip 50 → take 100. At scale Spark
+      // plans a single TakeOrderedAndProject(limit=offset+k) — no global
+      // sort materialization for page reads.
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(50).limit(100),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey " +
+        "LIMIT 100 OFFSET 50"),
+      "LIMIT/OFFSET pagination over a total order"),
+
+    "set_intersect_all" -> DeclaredQuery(
+      // Multiset intersection — duplicates preserved by multiplicity min,
+      // vs set_intersect's dedup. Spark plans both as a single shuffle.
+      (s, d) => {
+        val lo = Tables.orders(s, d).filter(col("o_totalprice") < 200000.0)
+          .select(col("o_custkey"))
+        val hi = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey"))
+        lo.intersectAll(hi).orderBy(col("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_totalprice < 200000.0 " +
+        "INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0 " +
+        "ORDER BY o_custkey"),
+      "INTERSECT ALL (multiset semantics, multiplicities preserved)"),
+
+    "set_except_all" -> DeclaredQuery(
+      (s, d) => {
+        val all = Tables.orders(s, d).select(col("o_custkey"))
+        val hi = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey"))
+        all.exceptAll(hi).orderBy(col("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders " +
+        "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0 " +
+        "ORDER BY o_custkey"),
+      "EXCEPT ALL (multiset difference by multiplicity)")
   )
 }

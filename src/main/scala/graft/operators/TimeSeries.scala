@@ -148,6 +148,27 @@ object TimeSeries {
         "last(value ORDER BY ts, event_id) AS close FROM events GROUP BY 1, 2) " +
         "SELECT user_id, day, close, round((close - lag(close) OVER (PARTITION BY user_id " +
         "ORDER BY day)) / lag(close) OVER (PARTITION BY user_id ORDER BY day), 6) AS ret " +
-        "FROM daily ORDER BY user_id, day"))
+        "FROM daily ORDER BY user_id, day")),
+
+    "ts_resample_5m" -> DeclaredQuery(
+      // Sub-hour resampling: 5-minute bars per event_type via shared
+      // epoch-floor arithmetic (unix_timestamp truncates to seconds on
+      // both engines; DuckDB's `//` is integer division — its `/` is
+      // float). One hash aggregate; bar count is bounded by span/5min ×
+      // #types regardless of input volume.
+      (s, d) => Tables.events(s, d)
+        .groupBy((expr("unix_timestamp(ts) div 300") * 300)
+          .cast("timestamp").as("bar_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v_sum"),
+          round(avg(col("value")), 6).as("v_avg"))
+        .orderBy(col("bar_ts"), col("event_type")),
+      // floor() before the BIGINT cast: DuckDB CAST(double→int) ROUNDS,
+      // which would bump a x.5+ sub-second fraction into the next bucket
+      // make_timestamp (naive µs), NOT to_timestamp (returns TIMESTAMPTZ)
+      Some("SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 * 1000000) AS bar_ts, " +
+        "event_type, count(*) AS n, round(sum(value), 4) AS v_sum, " +
+        "round(avg(value), 6) AS v_avg FROM events " +
+        "GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
+      "5-minute bar resampling (epoch-floor bucketing)")
   )
 }
