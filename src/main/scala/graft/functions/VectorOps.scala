@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
   import org.apache.spark.sql.GraftShim.{column => ofExpr, expression => toExpr}
-  import graft.functions.expressions.{FloatVecCosine, FloatVecDot, FloatVecNormSq}
+  import graft.functions.expressions.{FloatVecCosine, FloatVecDot, FloatVecLsh, FloatVecNormSq}
 
   /** Embedding dimensionality of the fixture tables. */
   val Dim = 64
@@ -73,6 +73,13 @@ object VectorOps {
     * bucket equality instead of an O(n²) cross product.
     */
   def lshBucket(v: Column, numPlanes: Int = 8, dim: Int = Dim): Column =
+    ofExpr(FloatVecLsh(toExpr(v), numPlanes, dim))
+
+  /** The unrolled Column-API spelling of [[lshBucket]] (numPlanes × dim
+    * expression nodes — 512 at the defaults). Kept as the equivalence
+    * twin for VecExprsSpec; the native expression is the production path.
+    */
+  def lshBucketUnrolled(v: Column, numPlanes: Int = 8, dim: Int = Dim): Column =
     (0 until numPlanes).map { h =>
       val proj = (1 to dim).map { i =>
         val s = if ((splitmix64(h.toLong * 4096 + i) & 1L) == 0L) -1.0 else 1.0

@@ -142,6 +142,89 @@ case class FloatVecNormSq(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket over a float vector: bit h of the result
+  * is `sign(Σᵢ s(h,i)·vᵢ)` with the ±1 sign table derived from splitmix64
+  * and baked into the generated class as a byte array reference — one
+  * tight loop replaces the `numPlanes × dim`-term unrolled expression
+  * tree the Column-API spelling builds (512 nodes at 8×64: measured
+  * multi-second codegen + eval cost on the ANN path).
+  *
+  * Exact-equivalence contract with [[graft.functions.VectorOps.lshBucket]]:
+  * same sign function `splitmix64(h·4096 + i) & 1` (i is 1-based), same
+  * per-plane left-to-right accumulation, elements beyond `dim` ignored,
+  * and a vector shorter than `dim` — or any null element in the first
+  * `dim` slots — zeroes every plane (the unrolled spelling's null
+  * `element_at`/sum fails each `when(proj > 0)` test).
+  */
+case class FloatVecLsh(child: Expression, numPlanes: Int, dim: Int)
+    extends UnaryExpression with FloatArrayInputs {
+  require(numPlanes > 0 && numPlanes <= 64, "numPlanes must be in 1..64")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_lsh"
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** signs(h * dim + (i-1)) ∈ {−1, +1} for plane h, 1-based element i. */
+  @transient private lazy val signs: Array[Byte] =
+    Array.tabulate(numPlanes * dim) { idx =>
+      val h = idx / dim; val i = idx % dim + 1
+      if ((splitmix64(h.toLong * 4096 + i) & 1L) == 0L) (-1).toByte else 1.toByte
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < dim) return 0L
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L; var h = 0
+    while (h < numPlanes) {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += signs(h * dim + j) * x.getFloat(j).toDouble; j += 1 }
+      if (acc > 0) bucket |= 1L << h
+      h += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tbl = ctx.addReferenceObj("lshSigns", signs, "byte[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val bucket = ctx.freshName("bucket")
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $hasNull = ($n < $dim);
+         |if (!$hasNull) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { $hasNull = true; break; }
+         |  }
+         |}
+         |long $bucket = 0L;
+         |if (!$hasNull) {
+         |  for (int $h = 0; $h < $numPlanes; $h++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += $tbl[$h * $dim + $j] * (double) $a.getFloat($j);
+         |    }
+         |    if ($acc > 0) { $bucket |= 1L << $h; }
+         |  }
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused cosine similarity: dot, ‖a‖², ‖b‖² accumulated in ONE pass, then
   * `dot / (sqrt(na)·sqrt(nb))` — the exact operation order every oracle
   * mirrors (each accumulator is its own index-order sum, so fusing the

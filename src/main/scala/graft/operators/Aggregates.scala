@@ -187,6 +187,24 @@ object Aggregates {
       Some("SELECT l_partkey, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap, " +
         "round(sum(l_quantity), 2) AS volume FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
 
+    "agg_salted" -> DeclaredQuery(
+      // Two-phase salted aggregation (graft.Q.saltedAgg): phase 1 on
+      // (key, salt) spreads a hot key over 16 reducers, phase 2 merges
+      // partials per key. sum/count are algebraic so the composition is
+      // exact — the oracle is the PLAIN aggregate. l_returnflag has 3
+      // values over 60k rows at sf0.01: maximal skew, the exact shape
+      // where one-reducer-per-key dies at 100 TB.
+      (s, d) => graft.Q.saltedAgg(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        keys = Seq("l_returnflag"), buckets = 16,
+        partials = Seq(sum(col("l_quantity")).as("__s"), count(lit(1)).as("__c")),
+        merges = Seq(round(sum(col("__s")), 2).as("sum_qty"),
+          sum(col("__c")).as("n")))
+        .orderBy(col("l_returnflag")),
+      Some("SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "two-phase salted aggregation (16 buckets) — equals the plain aggregate"),
+
     "agg_cond" -> DeclaredQuery(
       // Conditional / boolean aggregation: FILTER-style counts and
       // bool_and/bool_or — all partial-merge-able, one hash aggregate.

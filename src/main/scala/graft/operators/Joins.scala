@@ -104,6 +104,28 @@ object Joins {
         "AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE " +
         "ORDER BY purchase_id, view_id")),
 
+    "join_salted" -> DeclaredQuery(
+      // Salt-and-replicate skew join (graft.Q.saltedJoin): the fact side
+      // gets a deterministic salt in [0,8), the dim side is exploded 8×,
+      // and the equi-join runs on (key, salt) — one hot customer key
+      // spreads over 8 reducers instead of melting one. The oracle is the
+      // PLAIN join: salting must be a pure physical rewrite, bit-identical
+      // results. (AQE skew-join handles this adaptively when it can; the
+      // explicit salt is for required-distribution shapes it can't touch.)
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.Q.saltedJoin(o, c, "o_custkey", buckets = 8)
+          .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+      "salted skew join (8 buckets) — equals the plain join bit-for-bit"),
+
     "join_cross" -> DeclaredQuery(
       // Explicit cartesian product of the two tiny dimension tables
       // (5×25 rows). Only safe because both sides are dimension-sized;

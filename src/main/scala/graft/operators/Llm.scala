@@ -483,6 +483,29 @@ object Llm {
         "WHERE rnk <= 3 ORDER BY source, rnk"),
       "bigram document-frequency top-3 per source (n-gram LM statistics)"),
 
+    "llm_train_split" -> DeclaredQuery(
+      // Deterministic train/val/test split by content-independent hash of
+      // the document KEY (md5 of the id string, first hex nibble:
+      // 0..b=train 12/16, c..d=val 2/16, e..f=test 2/16). Hash splitting
+      // is the only assignment that stays stable under reprocessing,
+      // resharding, and incremental appends — row_number() or rand()
+      // would reshuffle docs between splits on every run. Pure per-row
+      // projection; md5 is engine-portable so the oracle is exact.
+      (s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(nib.isin("c", "d"), "val")
+              .when(nib.isin("e", "f"), "test")
+              .otherwise("train").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, CASE " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
+        "ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+      "deterministic hash-based train/val/test split (md5 nibble)"),
+
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane
       // LSH bucket (8 planes → 256 buckets) computed in one scan, then

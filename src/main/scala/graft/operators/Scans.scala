@@ -97,6 +97,18 @@ object Scans {
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
       "CSV write (header, quoted) then typed read back"),
 
+    "write_orc_roundtrip" -> DeclaredQuery(
+      // Fourth source format: ORC (columnar, footer-typed like parquet —
+      // schema comes back from file metadata, no pinning needed).
+      (s, d) => {
+        val tmp = s"/tmp/graft_orc_${new java.io.File(d).getName}"
+        Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
+      "ORC write then typed read back (footer schema)"),
+
     "catalog_list" -> DeclaredQuery(
       (s, d) => TsStore.listSeries(Tables.events(s, d), uidCol = "user_id"),
       Some("SELECT user_id, count(*) AS n_rows, min(ts) AS ts_min, max(ts) AS ts_max " +

@@ -70,6 +70,20 @@ class VecExprsSpec extends AnyFunSuite {
     assert(sqlRows.map(r => (r._1, r._3)).toSeq == dfRows.toSeq)
   }
 
+  test("native LSH bucket equals the unrolled Column spelling on every vector") {
+    val rows = Tables.embeddings(spark, TestSpark.sf001)
+      .select($"vec_id",
+        VectorOps.lshBucket($"embedding").as("native"),
+        VectorOps.lshBucketUnrolled($"embedding").as("unrolled"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, u) => assert(n == u, s"vec $id: $n != $u") }
+    // short vector → every plane zeroed (matches unrolled null-sum planes)
+    val short = Seq(Tuple1(Array(1f, 2f))).toDF("v")
+      .select(VectorOps.lshBucket($"v").as("b")).as[Long].collect()
+    assert(short(0) == 0L)
+  }
+
   test("native expressions stay inside whole-stage codegen (no fallback)") {
     val df = pairs.select(VectorOps.cosine($"q_emb", $"embedding").as("c"))
     df.collect() // finalize the AQE plan so codegen markers are visible
