@@ -24,10 +24,31 @@ object Bench {
       graft.functions.TextOps
         .docShingles(spark.read.parquet(s"$sfDir/documents.parquet").limit(200))
         .groupBy("doc_id").count().count()
+      // warm each remaining hot path over LIMITed samples so the first
+      // timed query of each family doesn't absorb its JIT + codegen
+      // compile: json parsing, window sort, exact percentile, native
+      // vector expressions, parquet write.
+      val evs = graft.sources.Tables.events(spark, sfDir).limit(20000)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+      evs.queryExecution.toRdd.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_orderkey")
+      li.limit(20000).select(ntile(4).over(w), row_number().over(w)).count()
+      li.limit(20000).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)")).count()
+      val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(2000)
+      em.select(graft.functions.VectorOps.cosine(col("embedding"), col("embedding")),
+        graft.functions.VectorOps.lshBucket(col("embedding"))).count()
+      li.limit(5000).write.mode("overwrite").parquet("/tmp/graft_bench_warm")
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count(), NOT count(): Dataset.count() lets the optimizer
+      // prune every projected column (a pure-select query would "run" in
+      // scan time, measuring nothing). toRdd materializes each query's
+      // full output rows — the honest per-operator cost.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -195,10 +195,18 @@ object Relational {
         "FROM embeddings ORDER BY vec_id")),
 
     "fn_json" -> DeclaredQuery(
-      (s, d) => Tables.events(s, d)
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .filter(col("k") > 50)
+      // The filter-on-parsed-value goes through Q.aggFilterBarrier:
+      // without it Catalyst substitutes the alias into the pushed-down
+      // predicate and the JSON document is parsed TWICE per row (once in
+      // the scan filter, once in the project) — event_id is unique, so
+      // the interposed min() aggregate is a no-op semantically but keeps
+      // the parse single. At 100 TB, halving a per-row Jackson parse
+      // dwarfs the (event_id, k)-pair shuffle the barrier costs.
+      (s, d) => graft.Q.aggFilterBarrier(
+        Tables.events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")),
+        keys = Seq("event_id"), value = "k", cond = col("k") > 50)
         .orderBy(col("event_id")),
       Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events " +
         "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id")),
