@@ -29,11 +29,20 @@ class Bundles(spark: SparkSession, basePath: String,
 
   val UidCol = "__uid"
 
-  /** Write one named series (appends as new files of the uid partition). */
+  /** Write one named series (appends as new files of the uid partition).
+    *
+    * `allowNewColumns = true` opts into the reference's dynamic-schema
+    * behavior (chunks of one series may carry different column sets;
+    * SURVEY §1.1): the append-time schema-drift guard is relaxed to a
+    * type-compatibility check on the SHARED columns only, and reads must
+    * pass `mergeSchema = true` to reassemble the union (absent columns
+    * come back null — the NaN analog).
+    */
   def write(uid: String, df: DataFrame, collection: String = defaultCollection,
             tsCol: String = "ts",
             mode: SaveMode = SaveMode.Append,
-            metadata: Map[String, Any] = Map.empty): Unit = {
+            metadata: Map[String, Any] = Map.empty,
+            allowNewColumns: Boolean = false): Unit = {
     var tagged = df.withColumn(UidCol, org.apache.spark.sql.functions.lit(uid))
     metadata.foreach { case (k, v) =>
       // constrain metadata to literal-able scalar types up front — lit()
@@ -52,13 +61,27 @@ class Bundles(spark: SparkSession, basePath: String,
     }
     // appending a chunk whose column set diverges from the existing
     // collection would silently produce per-file schema drift; fail fast
+    // unless the caller opted into dynamic schemas — then only verify the
+    // SHARED columns agree on type (a silent type conflict would fail
+    // far away, at merge-read time, with an opaque error).
     if (mode == SaveMode.Append) {
       try {
-        val existing = spark.read.parquet(dir(collection)).columns.toSet
-        val incoming = tagged.columns.toSet
-        require(existing == incoming,
-          s"schema drift on append to '$collection': existing=${existing.toSeq.sorted
-            .mkString(",")} incoming=${incoming.toSeq.sorted.mkString(",")}")
+        val existing = spark.read.parquet(dir(collection)).schema
+        val incoming = tagged.schema
+        if (!allowNewColumns) {
+          require(existing.fieldNames.toSet == incoming.fieldNames.toSet,
+            s"schema drift on append to '$collection': existing=${existing.fieldNames.sorted
+              .mkString(",")} incoming=${incoming.fieldNames.sorted.mkString(",")} " +
+              "(pass allowNewColumns = true for dynamic-schema collections)")
+        }
+        val exTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+        incoming.fields.foreach { f =>
+          exTypes.get(f.name).foreach { t =>
+            require(t == f.dataType,
+              s"type conflict on append to '$collection': column '${f.name}' " +
+                s"is $t in the collection but ${f.dataType} in the chunk")
+          }
+        }
       } catch { case _: org.apache.spark.sql.AnalysisException => () /* first write */ }
     }
     TsStore.write(tagged, dir(collection), tsCol = tsCol,
@@ -73,14 +96,55 @@ class Bundles(spark: SparkSession, basePath: String,
            start: Option[java.sql.Timestamp] = None,
            end: Option[java.sql.Timestamp] = None,
            columns: Seq[String] = Seq.empty,
-           meta: Map[String, Any] = Map.empty): DataFrame = {
+           meta: Map[String, Any] = Map.empty,
+           mergeSchema: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) (Seq(tsCol) ++ columns).distinct else columns
     TsStore.read(spark, dir(collection), uid = Some((UidCol, uid)),
-      tsCol = tsCol, start = start, end = end, columns = cols, meta = meta)
+      tsCol = tsCol, start = start, end = end, columns = cols, meta = meta,
+      mergeSchema = mergeSchema)
+  }
+
+  /** Read several named series in one scan: the uid IN-list becomes a
+    * partition filter, so only the requested series' directories are
+    * touched (multi-uid analog of the reference's per-uid read — one
+    * Spark job instead of a client-side loop over uids).
+    */
+  def readMany(uids: Seq[String], collection: String = defaultCollection,
+               tsCol: String = "ts",
+               start: Option[java.sql.Timestamp] = None,
+               end: Option[java.sql.Timestamp] = None,
+               columns: Seq[String] = Seq.empty,
+               mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var df = spark.read.option("mergeSchema", mergeSchema).parquet(dir(collection))
+      .filter(col(UidCol).isin(uids: _*))
+    start.foreach(s => df = df.filter(col(tsCol) >= s))
+    end.foreach(e => df = df.filter(col(tsCol) <= e))
+    if (columns.nonEmpty)
+      df = df.select((Seq(UidCol, tsCol) ++ columns).distinct.map(col): _*)
+    df
   }
 
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =
     TsStore.listSeries(spark.read.parquet(dir(collection)), UidCol, tsCol)
+
+  /** Delete one named series — removes its partition directory (the
+    * uid-partitioned layout makes series deletion a metadata-cheap
+    * directory drop, no rewrite of other series' files; ≙ the
+    * reference's per-uid document delete). Returns true if it existed.
+    */
+  def dropSeries(uid: String, collection: String = defaultCollection): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$uid")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** Drop a whole collection (≙ dropping a Mongo collection). */
+  def dropCollection(collection: String = defaultCollection): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir(collection))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
 }

@@ -74,8 +74,14 @@ object TsStore {
            start: Option[java.sql.Timestamp] = None,
            end: Option[java.sql.Timestamp] = None,
            columns: Seq[String] = Seq.empty,
-           meta: Map[String, Any] = Map.empty): DataFrame = {
-    var df = spark.read.parquet(path)
+           meta: Map[String, Any] = Map.empty,
+           mergeSchema: Boolean = false): DataFrame = {
+    // mergeSchema ≙ the reference's dynamic-schema read (SURVEY §1.1:
+    // chunks of one uid may carry different column sets; read reassembles
+    // the union, missing columns → null/NaN). Off by default: the footer
+    // merge is a per-file metadata pass worth paying only for collections
+    // that actually evolved.
+    var df = spark.read.option("mergeSchema", mergeSchema).parquet(path)
     uid.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
     start.foreach(s => df = df.filter(col(tsCol) >= lit(s)))
     end.foreach(e => df = df.filter(col(tsCol) <= lit(e)))

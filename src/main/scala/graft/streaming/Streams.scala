@@ -71,6 +71,19 @@ object Streams {
       }
   }
 
+  /** Streaming deduplication by business key — the training-pipeline
+    * ingest guard (a re-delivered document must not enter the corpus
+    * twice). `dropDuplicatesWithinWatermark` keys the state on `keyCols`
+    * and, unlike plain `dropDuplicates`, EVICTS each key once the
+    * watermark passes it — O(keys-in-watermark-window) state instead of
+    * unbounded, which is the only shape that survives an infinite stream.
+    * Works on a batch Dataset too (plain dedup, state unused).
+    */
+  def dedupWithinWatermark(streamingEvents: DataFrame, delay: String,
+                           keyCols: Seq[String]): DataFrame =
+    streamingEvents.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def defs: Map[String, DeclaredQuery] = Map(
 
     "stream_tumbling" -> DeclaredQuery(

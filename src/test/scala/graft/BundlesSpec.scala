@@ -51,4 +51,64 @@ class BundlesSpec extends AnyFunSuite {
     val plan = ct.read("AAPL").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
   }
+
+  test("multi-uid read prunes to the requested partitions; dropSeries removes one series") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_multi").toString
+    val ct = new Bundles(spark, base)
+    Seq("A", "B", "C").foreach { u =>
+      ct.write(u, Seq((ts("2024-01-01 09:30:00"), 1.0),
+        (ts("2024-01-01 09:31:00"), 2.0)).toDF("ts", "price"))
+    }
+    val two = ct.readMany(Seq("A", "C"))
+    assert(two.count() == 4)
+    assert(two.select("__uid").distinct().as[String].collect().toSet == Set("A", "C"))
+    // the IN-list must reach partition pruning, not a post-scan filter
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // slice applies across series
+    assert(ct.readMany(Seq("A", "C"),
+      start = Some(ts("2024-01-01 09:31:00"))).count() == 2)
+    // deletion: B gone, A/C untouched, double-delete is false
+    assert(ct.dropSeries("B"))
+    assert(!ct.dropSeries("B"))
+    assert(ct.listUids().as[(String, Long, Timestamp, Timestamp)]
+      .collect().map(_._1).toSet == Set("A", "C"))
+    assert(ct.dropCollection())
+    assert(!new java.io.File(s"$base/default").exists())
+  }
+
+  test("dynamic schema: a later chunk adds a column; merge-read reassembles the union") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_dyn").toString
+    val ct = new Bundles(spark, base)
+
+    // chunk 1: (ts, bid); chunk 2 adds an `ask` column — the reference's
+    // different-column-sets-per-chunk behavior (SURVEY §1.1)
+    ct.write("AAPL", Seq((ts("2024-01-01 09:30:00"), 100.0)).toDF("ts", "bid"))
+    ct.write("AAPL",
+      Seq((ts("2024-01-01 09:31:00"), 101.0, 101.5)).toDF("ts", "bid", "ask"),
+      allowNewColumns = true)
+
+    // default strict mode still refuses drift
+    val e = intercept[IllegalArgumentException] {
+      ct.write("AAPL",
+        Seq((ts("2024-01-01 09:32:00"), 102.0, 1000L)).toDF("ts", "bid", "size"))
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // shared-column type conflicts are refused even in dynamic mode
+    val e2 = intercept[IllegalArgumentException] {
+      ct.write("AAPL", Seq((ts("2024-01-01 09:32:00"), "oops"))
+        .toDF("ts", "bid"), allowNewColumns = true)
+    }
+    assert(e2.getMessage.contains("type conflict"))
+
+    // merge-read: union schema, absent column null on the older chunk
+    val merged = ct.read("AAPL", mergeSchema = true).orderBy("ts")
+    assert(merged.columns.toSet == Set("ts", "bid", "ask", "__uid"))
+    val rows = merged.select($"bid", $"ask").as[(Double, Option[Double])].collect()
+    assert(rows.toSeq == Seq((100.0, None), (101.0, Some(101.5))))
+    // non-merged read keeps working (first-footer schema)
+    assert(ct.read("AAPL").count() == 2)
+  }
 }

@@ -64,4 +64,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("fn_json parses each document exactly once (barrier holds)") {
+    // without Q.aggFilterBarrier the filter is pushed below the project
+    // and the plan carries TWO get_json_object calls per row
+    val n = "get_json_object".r.findAllIn(plan("fn_json")).size
+    assert(n == 1, s"expected exactly 1 get_json_object in the plan, found $n")
+  }
+
+  test("join_salted plans hash/sort-merge equi-joins, never a nested loop") {
+    val p = plan("join_salted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("limit_offset plans a global-limit shape, not a full sort materialization") {
+    val p = plan("limit_offset")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
+
+  test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
+    // the (doc_id, shingle) set feeds signature, sizes, and both
+    // verification joins — ReuseExchange must collapse those subtrees
+    val df = Registry.all("llm_dedup_near").fn(spark, TestSpark.sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2, "expected reused exchanges")
+  }
 }
