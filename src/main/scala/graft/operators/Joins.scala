@@ -104,6 +104,64 @@ object Joins {
         "AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE " +
         "ORDER BY purchase_id, view_id")),
 
+    "q3_shipping" -> DeclaredQuery(
+      // TPC-H Q3-shaped composite: 3-table join → grouped revenue →
+      // top-10. The plan is the full-pipeline showcase: both dimension
+      // filters reach their scans, customer broadcasts into orders,
+      // revenue is a two-phase hash aggregate, and the LIMIT plans as
+      // TakeOrderedAndProject (k-row merge, no global sort). Revenue is
+      // summed at full precision and rounded once at the end — rounding
+      // per-row would accumulate engine-divergent sub-cent drift (the
+      // per-group term counts are small, so the unrounded double sums
+      // agree to well under the 2dp rounding on both engines).
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("rev")), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+      "TPC-H Q3 analog: segment-filtered 3-table join, top-10 revenue"),
+
+    "q10_returns" -> DeclaredQuery(
+      // TPC-H Q10-shaped composite: revenue lost to returned lineitems
+      // per customer, top-20. Same discipline: filters at the scans,
+      // dim broadcast, sum-then-round, TakeOrderedAndProject.
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(round(sum(col("rev")), 2).as("lost_revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("lost_revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name " +
+        "ORDER BY lost_revenue DESC, c_custkey LIMIT 20"),
+      "TPC-H Q10 analog: returned-revenue per customer, top-20"),
+
     "join_salted" -> DeclaredQuery(
       // Salt-and-replicate skew join (graft.Q.saltedJoin): the fact side
       // gets a deterministic salt in [0,8), the dim side is exploded 8×,
