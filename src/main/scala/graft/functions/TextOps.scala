@@ -53,11 +53,51 @@ object TextOps {
     * wrap-around multiply-add family it cannot trip Spark 4's ANSI
     * long-overflow check. Deterministic across runs; one hash-aggregate
     * per doc (map-side combined).
+    *
+    * This 64-separate-aggregates spelling is the equivalence twin for
+    * SigAggsSpec; the production path is [[minHashSig]].
     */
   def minHashAggs(hashCol: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
       min(xxhash64(lit(i), hashCol)).as(s"h$i")
     }
+
+  /** Whole MinHash signature as ONE native aggregate returning
+    * `array<long>` — value-identical to [[minHashAggs]] slot by slot
+    * ([[graft.functions.expressions.MinHashSigAgg]]), but one primitive
+    * buffer per group instead of 64 UnsafeRow fields, with per-slot
+    * seeds precomputed once.
+    */
+  def minHashSig(hashCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.functions.expressions
+      .MinHashSigAgg(GraftShim.expression(hashCol), numHashes)
+      .toAggregateExpression())
+  }
+
+  /** Band columns from an `array<long>` signature (see [[minHashSig]]):
+    * same band values as [[bandStructs]] over h0..h63 columns, since
+    * `element_at(sig, i+1)` carries the identical slot longs.
+    */
+  def bandStructsFromSig(sigCol: Column, numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    val bands = numHashes / rowsPerBand
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand)
+          .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("sig"))
+    }
+  }
+
+  /** 64-bit SimHash as ONE native aggregate (BIGINT result) — bit-equal
+    * to the [[simHashBitAggs]]+[[simHashAssemble]] twin
+    * ([[graft.functions.expressions.SimHashAgg]]).
+    */
+  def simHash(hashCol: Column): Column = {
+    import org.apache.spark.sql.GraftShim
+    GraftShim.column(graft.functions.expressions
+      .SimHashAgg(GraftShim.expression(hashCol))
+      .toAggregateExpression())
+  }
 
   /** LSH band columns from a MinHash signature: bands of `rowsPerBand`
     * consecutive signature slots hashed together. Docs sharing any band

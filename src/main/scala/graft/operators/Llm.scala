@@ -232,10 +232,13 @@ object Llm {
         val numHashes = 64; val rowsPerBand = 4
         val sh = TextOps.docShingles(Tables.documents(s, d), 3)
         val hashed = sh.withColumn("__h", TextOps.baseHash(col("sh")))
-        val aggs = TextOps.minHashAggs(col("__h"), numHashes)
-        val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        // whole signature as ONE native aggregate buffer (array<long>),
+        // not 64 separate min() columns — same values, ~64× fewer
+        // aggregation-buffer field updates per input row
+        val sig = hashed.groupBy("doc_id")
+          .agg(TextOps.minHashSig(col("__h"), numHashes).as("__sig"))
         val bands = sig.select(col("doc_id"),
-          explode(array(TextOps.bandStructs(numHashes, rowsPerBand): _*)).as("b"))
+          explode(array(TextOps.bandStructsFromSig(col("__sig"), numHashes, rowsPerBand): _*)).as("b"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -269,10 +272,10 @@ object Llm {
       (s, d) => {
         val tok = TextOps.docShingles(Tables.documents(s, d), 3)
           .withColumn("__h", TextOps.baseHash(col("sh")))
-        val bitAggs = TextOps.simHashBitAggs(col("__h"))
+        // ONE native aggregate (long[64] buffer → BIGINT signature), not
+        // 64 sum(when(bit)) columns — bit-identical output
         val sim = tok.groupBy("doc_id")
-          .agg(bitAggs.head, bitAggs.tail: _*)
-          .select(col("doc_id"), TextOps.simHashAssemble.as("sim"))
+          .agg(TextOps.simHash(col("__h")).as("sim"))
         val bands = sim.select(col("doc_id"), col("sim"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
