@@ -116,17 +116,27 @@ object Aggregates {
         "FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type")),
 
     "agg_percentile" -> DeclaredQuery(
-      // Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
-      // `quantile_cont`). The approximate scale path is percentile_approx
-      // (sketch-mergeable like agg_hll); exact is declared because it is
-      // oracle-checkable.
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
-        .orderBy("l_returnflag"),
+      // Exact interpolated percentiles (≙ DuckDB `quantile_cont`) via the
+      // native one-pass PercentilesAgg: all three order statistics from
+      // ONE primitive-double buffer + single sort per group — Spark's
+      // builtin `percentile` runs a boxed OpenHashMap per percentile
+      // column (measured 5.7s → 1.1s warm at sf0.1). The approximate
+      // scale path is percentile_approx (sketch-mergeable like agg_hll);
+      // exact is declared because it is oracle-checkable.
+      (s, d) => {
+        import org.apache.spark.sql.GraftShim
+        val ps = GraftShim.column(graft.functions.expressions
+          .PercentilesAgg(GraftShim.expression(col("l_extendedprice")),
+            Seq(0.5, 0.95, 0.99)).toAggregateExpression())
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(ps.as("__ps"))
+          .select(col("l_returnflag"),
+            round(element_at(col("__ps"), 1), 6).as("p50"),
+            round(element_at(col("__ps"), 2), 6).as("p95"),
+            round(element_at(col("__ps"), 3), 6).as("p99"))
+          .orderBy("l_returnflag")
+      },
       Some("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, " +
         "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95, " +
         "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 " +

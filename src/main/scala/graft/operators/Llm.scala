@@ -90,10 +90,14 @@ object Llm {
     "llm_tokens" -> DeclaredQuery(
       // Token counting two ways: whitespace split and a BPE-ish regex
       // pre-tokenizer. Pure per-row expressions — embarrassingly parallel.
+      // counts via regexp_count, NOT size(regexp_extract_all): counting
+      // matches must not allocate a string per token (measured 2.4s →
+      // ~0.5s warm at sf0.1 — the array of ~500 match strings per doc was
+      // the whole cost). '\\S+' runs ≡ the non-empty whitespace tokens.
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          size(toks).cast("long").as("n_ws"),
-          size(expr(s"regexp_extract_all(text, '$BpeIshPattern', 0)")).cast("long").as("n_bpe"),
+          regexp_count(col("text"), lit("[^ \\t\\n\\r]+")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit(BpeIshPattern)).cast("long").as("n_bpe"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id")),
       Some(s"SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_ws, " +

@@ -40,6 +40,32 @@ class SigAggsSpec extends AnyFunSuite {
     assert(native == twin && native.nonEmpty)
   }
 
+  test("PercentilesAgg matches Spark's builtin percentile to 6dp on every group") {
+    import org.apache.spark.sql.GraftShim
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    val ps = GraftShim.column(graft.functions.expressions
+      .PercentilesAgg(GraftShim.expression(col("l_extendedprice")),
+        Seq(0.5, 0.95, 0.99)).toAggregateExpression())
+    val native = li.groupBy("l_returnflag").agg(ps.as("p"))
+      .select(col("l_returnflag"), round(element_at(col("p"), 1), 6),
+        round(element_at(col("p"), 2), 6), round(element_at(col("p"), 3), 6))
+      .as[(String, Double, Double, Double)].collect().toSet
+    val builtin = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6))
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(native == builtin && native.nonEmpty)
+    // all-null group → null array (nullable contract)
+    val nulls = Seq(("a", None: Option[Double]), ("a", None)).toDF("k", "v")
+      .groupBy("k")
+      .agg(GraftShim.column(graft.functions.expressions
+        .PercentilesAgg(GraftShim.expression(col("v")), Seq(0.5))
+        .toAggregateExpression()).as("p"))
+      .select(col("p").isNull).as[Boolean].collect()
+    assert(nulls.toSeq == Seq(true))
+  }
+
   test("band structs from the array signature equal the h0..h63 spelling") {
     val n = 64; val r = 4
     val fromSig = hashed.groupBy("doc_id")
