@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * and works in ANY session, extensions or not).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.VecExprs.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDotToNormSq)
+  }
 }

@@ -21,10 +21,15 @@ object TimeSeries {
   /** Generic as-of join: for each left row, the latest right row of the
     * same key with `right.ts <= left.ts` (left-outer: unmatched left rows
     * keep nulls). Ties on ts are broken by `rightTieBreak` (latest wins).
+    *
+    * `forward = true` flips the direction: the EARLIEST right row with
+    * `right.ts >= left.ts` (ties: smallest tie-break wins) — same single
+    * shuffle + linear pass, just a reversed sort order.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+               rightTieBreak: Seq[String] = Seq.empty,
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
     val keyCols: Seq[Column] = keys.map(col)
@@ -37,8 +42,14 @@ object TimeSeries {
       lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
       struct(rightCols.map(col): _*).as("__r")): _*)
     val tieCols = rightTieBreak.map(c => col("__r").getField(c))
+    // forward: descending ts puts later rows first, so "last right above
+    // me" is the closest FOLLOWING row; equal-ts tie-breaks are reversed
+    // so the smallest wins (mirror-image of the backward ordering)
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side")) ++ tieCols.map(_.desc)
+      else Seq(col("__ts"), col("__side")) ++ tieCols
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(Seq(col("__ts"), col("__side")) ++ tieCols: _*)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPrep.unionByName(rPrep)
       .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
@@ -75,6 +86,31 @@ object TimeSeries {
         "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
         "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "as-of join: last preceding view per purchase, per user (ties: ts<=, latest)"),
+
+    "join_asof_fwd" -> DeclaredQuery(
+      // Forward as-of: the FIRST view at-or-after each purchase — the
+      // "next quote after the trade" direction. Same union+window shape,
+      // reversed ordering; identical scale properties.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+        asofJoin(p, v, keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightTieBreak = Seq("view_event_id"), forward = true)
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+      "forward as-of join: first following view per purchase (ties: ts>=, earliest)"),
 
     "ts_ffill" -> DeclaredQuery(
       // LOCF gap-filling — corintick-domain missing-data handling. The

@@ -38,4 +38,30 @@ class AsofSpec extends AnyFunSuite {
       (201L, None)       // no right rows for user 2 → left outer null
     ))
   }
+
+  test("forward asof picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, 101L, ts("2024-01-01 00:00:05")),
+      (1L, 102L, ts("2024-01-01 00:00:10")),
+      (2L, 201L, ts("2024-01-01 00:00:01"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 11L, ts("2024-01-01 00:00:05")), // tie with left@5 — smaller id must win
+      (1L, 12L, ts("2024-01-01 00:00:05")),
+      (1L, 13L, ts("2024-01-01 00:00:09"))  // before left@10 → no match forward
+    ).toDF("user_id", "view_event_id", "view_ts")
+
+    val out = TimeSeries.asofJoin(left, right, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+      forward = true)
+      .orderBy("event_id")
+      .select("event_id", "view_event_id")
+      .as[(Long, Option[Long])].collect()
+
+    assert(out === Array(
+      (101L, Some(11L)), // ts tie included (>=), tie-break by MIN id
+      (102L, None),      // nothing at or after 00:00:10
+      (201L, None)
+    ))
+  }
 }

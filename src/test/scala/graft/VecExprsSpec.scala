@@ -84,6 +84,19 @@ class VecExprsSpec extends AnyFunSuite {
     assert(short(0) == 0L)
   }
 
+  test("optimizer rule rewrites graft_dot(a, a) to graft_normsq(a)") {
+    val plan = Tables.embeddings(spark, TestSpark.sf001)
+      .select(VectorOps.dot($"embedding", $"embedding").as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_normsq") && !plan.contains("graft_dot"), plan)
+    // and the rewrite preserves values
+    val rows = Tables.embeddings(spark, TestSpark.sf001).limit(50)
+      .select(VectorOps.dot($"embedding", $"embedding").as("d"),
+        VectorOps.normSq($"embedding").as("n"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (d, n) => assert(d == n) }
+  }
+
   test("native expressions stay inside whole-stage codegen (no fallback)") {
     val df = pairs.select(VectorOps.cosine($"q_emb", $"embedding").as("c"))
     df.collect() // finalize the AQE plan so codegen markers are visible
