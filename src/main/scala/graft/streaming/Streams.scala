@@ -84,6 +84,20 @@ object Streams {
     streamingEvents.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's views within [p.ts − 10 min, p.ts]. BOTH sides carry a
+    * watermark and the join condition bounds event-time distance — that
+    * pair is what lets Spark evict buffered rows (state is the last ~10
+    * minutes per side, not the whole history), the only stream-stream
+    * join shape that survives an unbounded stream.
+    */
+  def streamIntervalJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val v = views.withWatermark("v_ts", "20 minutes")
+    p.join(v,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts <= p_ts"))
+  }
+
   def defs: Map[String, DeclaredQuery] = Map(
 
     "stream_tumbling" -> DeclaredQuery(

@@ -98,6 +98,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent views across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Timestamp, Long, Long)]
+    val vIn = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streams.streamIntervalJoin(
+      pIn.toDF().toDF("p_ts", "p_user", "p_id"),
+      vIn.toDF().toDF("v_ts", "v_user", "v_id"))
+      .select($"p_id", $"v_id")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // views arrive in batch 1, purchases in batch 2 — the join must
+      // buffer across micro-batches
+      vIn.addData((ts("2024-01-01 10:00:00"), 1L, 11L),
+        (ts("2024-01-01 10:08:00"), 1L, 12L),
+        (ts("2024-01-01 09:30:00"), 1L, 13L), // too old for the purchase
+        (ts("2024-01-01 10:05:00"), 2L, 21L)) // other user
+      q.processAllAvailable()
+      pIn.addData((ts("2024-01-01 10:09:00"), 1L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 11L), (100L, 12L)))
+    } finally q.stop()
+  }
+
   test("custom-state LOCF carries last value across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
