@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
   }
 
+  test("native TypedImperativeAggregates plan as ObjectHashAggregate, never SortAggregate") {
+    // SortAggregate would interpose a per-partition sort before every
+    // signature/percentile aggregation
+    Seq("agg_percentile", "llm_dedup_near", "llm_dedup_simhash").foreach { q =>
+      val df = Registry.all(q).fn(spark, TestSpark.sf001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"), q)
+    }
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees

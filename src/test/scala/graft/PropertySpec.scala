@@ -75,4 +75,38 @@ class PropertySpec extends AnyFunSuite {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("property: asofJoin (both directions) equals the brute-force reference on random series") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    (30L to 34L).foreach { seed =>
+      val rows = sample(seriesGen, seed)
+      // split generated rows into a left and right side per uid
+      val (l, r) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+      val left = l.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      val right = r.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      if (left.nonEmpty && right.nonEmpty) {
+        val lDf = left.toDF("user_id", "event_id", "us")
+        val rDf = right.toDF("user_id", "r_id", "r_us")
+        def brute(forward: Boolean): Map[Long, Option[Long]] =
+          left.map { case (u, id, us) =>
+            val cands = right.filter { case (u2, _, us2) =>
+              u2 == u && (if (forward) us2 >= us else us2 <= us) }
+            val best =
+              if (cands.isEmpty) None
+              else if (forward) Some(cands.minBy { case (_, rid, rus) => (rus, rid) }._2)
+              else Some(cands.maxBy { case (_, rid, rus) => (rus, rid) }._2)
+            id -> best
+          }.toMap
+        Seq(false, true).foreach { fwd =>
+          val got = TimeSeries.asofJoin(lDf, rDf, keys = Seq("user_id"),
+            leftTs = "us", rightTs = "r_us",
+            rightTieBreak = Seq("r_id"), forward = fwd)
+            .select("event_id", "r_id").as[(Long, Option[Long])]
+            .collect().toMap
+          assert(got == brute(fwd), s"seed=$seed forward=$fwd")
+        }
+      }
+    }
+  }
 }
