@@ -379,6 +379,54 @@ object Relational {
         "o_orderkey % 97 AS b_mod FROM orders ORDER BY o_orderkey"),
       "bitwise and/or/xor/shift/popcount/mod"),
 
+    "fn_interval" -> DeclaredQuery(
+      // Calendar arithmetic: month-add clamps to month end identically on
+      // both engines (Jan 31 + 1 month = Feb 29); dayofweek is Spark
+      // 1-based Sunday vs DuckDB dow 0-based Sunday, bridged with +1.
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTHS")).as("ship_by"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_ref"),
+          last_day(col("o_orderdate")).as("eom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, o_orderdate + INTERVAL 3 MONTH AS ship_by, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_ref, " +
+        "last_day(o_orderdate) AS eom, " +
+        "CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow " +
+        "FROM orders ORDER BY o_orderkey"),
+      "interval add / datediff / last_day / day-of-week arithmetic"),
+
+    "fn_array_set" -> DeclaredQuery(
+      // Array set algebra (union/intersect/except), all DISTINCT + sorted
+      // + string-joined: Spark's array set ops return distinct elements
+      // in discovery order, so the in-row sort is what makes the value
+      // deterministic and the string form keeps the comparator scalar.
+      (s, d) => {
+        val a = array(col("o_orderkey") % 5, col("o_orderkey") % 7, col("o_orderkey") % 11)
+        val b = array(col("o_orderkey") % 3, col("o_orderkey") % 5)
+        Tables.orders(s, d).select(col("o_orderkey"),
+          array_join(array_sort(array_union(a, b)), ",").as("u"),
+          array_join(array_sort(array_intersect(a, b)), ",").as("i"),
+          array_join(array_sort(array_except(a, b)), ",").as("x"),
+          array_contains(a, col("o_orderkey") % 3).as("has3"))
+          .orderBy(col("o_orderkey"))
+      },
+      // every array_to_string is coalesce()d: DuckDB returns NULL for an
+      // empty list where Spark's array_join returns ''
+      Some("SELECT o_orderkey, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_concat(" +
+        "[o_orderkey % 5, o_orderkey % 7, o_orderkey % 11], [o_orderkey % 3, o_orderkey % 5]))), ','), '') AS u, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_intersect(" +
+        "[o_orderkey % 5, o_orderkey % 7, o_orderkey % 11], [o_orderkey % 3, o_orderkey % 5]))), ','), '') AS i, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_filter(" +
+        "[o_orderkey % 5, o_orderkey % 7, o_orderkey % 11], " +
+        "t -> NOT list_contains([o_orderkey % 3, o_orderkey % 5], t)))), ','), '') AS x, " +
+        "list_contains([o_orderkey % 5, o_orderkey % 7, o_orderkey % 11], o_orderkey % 3) AS has3 " +
+        "FROM orders ORDER BY o_orderkey"),
+      "array set algebra: union / intersect / except / contains"),
+
     "sort_nulls" -> DeclaredQuery(
       // Explicit null-ordering control; value is null on ~10% of events.
       // Tie-break on event_id keeps the order total on both engines.

@@ -53,6 +53,28 @@ object Windows {
         "FROM customer ORDER BY c_custkey"),
       "distribution window functions: percent_rank + cume_dist"),
 
+    "win_lead_nth" -> DeclaredQuery(
+      // lead with an explicit default + nth_value over the full frame.
+      // The window order carries the unique c_custkey tie-break.
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lead(col("c_acctbal"), 2, -1.0).over(w).as("lead2"),
+          nth_value(col("c_acctbal"), 3).over(wf).as("third_low"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "lead(c_acctbal, 2, -1.0) OVER w AS lead2, " +
+        "nth_value(c_acctbal, 3) OVER wf AS third_low FROM customer " +
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), " +
+        "wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY c_custkey"),
+      "lead with default + nth_value over the full frame"),
+
     "win_lag" -> DeclaredQuery(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
