@@ -45,6 +45,40 @@ object Multimodal {
     MediaMeta(docId, n, fmt, 64L + n % 256L, 64L + n % 128L)
   }
 
+  /** "Resized" media metadata (fake resize keeps the top-left byte). */
+  case class MediaResize(doc_id: Long, out_w: Long, out_h: Long,
+                         out_bytes: Long, first_byte: Long)
+
+  val mediaResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("out_bytes", LongType, nullable = false),
+    StructField("first_byte", LongType, nullable = false)))
+
+  /** STUB resize — a real deployment decodes, scales, re-encodes; the
+    * deterministic fake caps the payload at w×h×3 bytes and keeps the
+    * first byte (the "top-left pixel"), both SQL-mirrorable so the whole
+    * mapPartitions pipeline is oracle-checked end to end.
+    */
+  def resizeOne(docId: Long, payload: Array[Byte], w: Int, h: Int): MediaResize =
+    MediaResize(docId, w.toLong, h.toLong,
+      math.min(payload.length.toLong, w.toLong * h * 3),
+      if (payload.isEmpty) -1L else payload(0).toLong)
+
+  /** STUB feature extraction — stands in for an embedding/codec feature
+    * pass: mean byte value (the "average pixel intensity"). Exact-integer
+    * sum then ONE double division → bit-identical to the oracle's
+    * `CAST(list_sum(...) AS DOUBLE) / length`, no rounding needed.
+    */
+  def featureOne(payload: Array[Byte]): Double =
+    if (payload.isEmpty) 0.0
+    else {
+      var s = 0L; var i = 0
+      while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
+      s.toDouble / payload.length
+    }
+
   /** mapPartitions decode over a (doc_id, payload binary) DataFrame. */
   def decodeStub(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -70,8 +104,7 @@ object Multimodal {
         .select(col("doc_id"), col("lang"),
           col("label").cast("long").as("label"),
           size(col("embedding")).cast("long").as("dim"),
-          round(sqrt(aggregate(transform(col("embedding"),
-            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("vnorm"),
+          round(graft.functions.VectorOps.norm(col("embedding")), 4).as("vnorm"),
           substring(col("text"), 1, 24).as("head"))
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, lang, CAST(label AS BIGINT) AS label, " +
@@ -121,6 +154,38 @@ object Multimodal {
         "SELECT doc_id, CAST(unnest(idx) AS BIGINT) AS frame_no, " +
         "unnest(list_transform(idx, i -> toks[i])) AS frame " +
         "FROM x ORDER BY doc_id, frame_no"),
-      "frame/window sampling over tokenized payload (every 8th)")
+      "frame/window sampling over tokenized payload (every 8th)"),
+
+    "mm_resize" -> DeclaredQuery(
+      // Resize + feature-extract through the REAL mapPartitions plumbing
+      // (binary payload in, typed rows out, one iterator per partition —
+      // the shape a codec batch would use), with SQL-mirrorable stub
+      // arithmetic so the whole pipeline is oracle-checked: capped byte
+      // count, top-left byte, exact mean byte value (integer sum, one
+      // double division — no rounding divergence possible).
+      (s, d) => {
+        val spark = s
+        val outSchema = StructType(mediaResizeSchema.fields :+
+          StructField("mean_byte", DoubleType, nullable = false))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .mapPartitions { it: Iterator[Row] =>
+            it.map { r =>
+              val id = r.getLong(0); val p = r.getAs[Array[Byte]](1)
+              val m = resizeOne(id, p, 32, 32)
+              Row(m.doc_id, m.out_w, m.out_h, m.out_bytes, m.first_byte,
+                featureOne(p))
+            }
+          }(enc)
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, CAST(32 AS BIGINT) AS out_w, CAST(32 AS BIGINT) AS out_h, " +
+        "least(CAST(octet_length(encode(text)) AS BIGINT), 3072) AS out_bytes, " +
+        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "CAST(list_sum(list_transform(string_split(text, ''), c_ -> ascii(c_))) AS DOUBLE) " +
+        "/ length(text) AS mean_byte " +
+        "FROM documents ORDER BY doc_id"),
+      "resize + feature-extract stubs over mapPartitions (32×32 cap, mean byte)")
   )
 }
