@@ -513,6 +513,37 @@ object Llm {
         "ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
       "deterministic hash-based train/val/test split (md5 nibble)"),
 
+    "llm_unigram_score" -> DeclaredQuery(
+      // Unigram LM scoring — the classic perplexity-proxy quality filter:
+      // per-doc mean log-probability under the corpus's own unigram
+      // distribution. The probability table is VOCABULARY-sized, so the
+      // whole-corpus normalizer is a window over that tiny table and the
+      // doc join broadcasts it — at 100 TB the only per-token work is one
+      // broadcast-hash probe, and token explosion shuffles once for the
+      // vocab count. avg(ln p) is rounded at 6dp; the summands are O(1)
+      // magnitudes so partial-sum order divergence is ~1e-14, far inside
+      // the rounding.
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .select(col("doc_id"), explode(col("__toks")).as("tok"))
+        val freq = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy()
+        val fp = freq.select(col("tok"),
+          (col("cnt").cast("double") / sum(col("cnt")).over(w).cast("double")).as("p"))
+        t.join(broadcast(fp), "tok")
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("p"))), 6).as("score"),
+            count(lit(1)).as("n_toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents), " +
+        "f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok), " +
+        "fp AS (SELECT tok, CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM f) AS DOUBLE) AS p FROM f) " +
+        "SELECT doc_id, round(avg(ln(p)), 6) AS score, count(*) AS n_toks " +
+        "FROM t JOIN fp USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+      "unigram LM quality score: per-doc mean log-probability"),
+
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane
       // LSH bucket (8 planes → 256 buckets) computed in one scan, then
