@@ -184,6 +184,44 @@ object Joins {
         "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
       "salted skew join (8 buckets) — equals the plain join bit-for-bit"),
 
+    "join_bucketed" -> DeclaredQuery(
+      // Co-located join via bucketing — the other 100 TB shuffle-killer
+      // next to broadcast: both sides are written bucketed (8 buckets) on
+      // the join key, so the sort-merge join reads matching buckets
+      // directly and NO Exchange appears before the join (PlanSpec
+      // asserts this). The write cost is paid once per dataset lifetime
+      // in a real deployment; the merge hint stops the planner from
+      // choosing broadcast (which would ignore the bucketing and hide
+      // the demonstration). Results are the plain join, so the oracle is
+      // ordinary SQL.
+      (s, d) => {
+        val sfTag = new java.io.File(d).getName.replace('.', '_')
+        val ot = s"graft_orders_bkt_$sfTag"; val ct = s"graft_cust_bkt_$sfTag"
+        // a fresh session's in-memory catalog is empty but the managed
+        // location may persist from an earlier run — drop both
+        Seq(ot, ct).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+        s.table(ot).hint("merge")
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+      "bucketed co-located sort-merge join — zero shuffle before the join"),
+
     "join_cross" -> DeclaredQuery(
       // Explicit cartesian product of the two tiny dimension tables
       // (5×25 rows). Only safe because both sides are dimension-sized;

@@ -93,6 +93,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed: sort-merge join with no shuffle exchange before the join") {
+    val df = Registry.all("join_bucketed").fn(spark, TestSpark.sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the only Exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees
