@@ -544,6 +544,51 @@ object Llm {
         "FROM t JOIN fp USING (tok) GROUP BY doc_id ORDER BY doc_id"),
       "unigram LM quality score: per-doc mean log-probability"),
 
+    "llm_corpus_clean" -> DeclaredQuery(
+      // The end-to-end corpus-cleaning pipeline in ONE declared query:
+      // quality gate (length bounds + stopword-ratio floor) → exact dedup
+      // on the md5 digest (keep min doc_id) → deterministic hash split →
+      // per-(split, lang) corpus stats. Every stage is shuffle-bounded:
+      // the gate is a map-side filter, dedup shuffles 16-byte digests,
+      // split is a pure projection, stats one hash aggregate.
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("n_chars").cast("long").as("n_chars"), toks.as("__toks"))
+          .withColumn("__stop_ratio",
+            size(filter(col("__toks"), t => t.isin(Stopwords: _*))).cast("double") /
+              size(col("__toks")).cast("double"))
+          .filter(col("n_chars").between(80, 2000) && col("__stop_ratio") >= 0.05)
+        val kept = t
+          .withColumn("__dig", md5(encode(lower(trim(col("text"))), "UTF-8")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__dig")).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1)
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        kept.select(col("lang"),
+            when(nib.isin("c", "d"), "val").when(nib.isin("e", "f"), "test")
+              .otherwise("train").as("split"),
+            col("n_chars"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS n_chars, " +
+        s"$ToksSql AS toks FROM documents), " +
+        "g AS (SELECT *, CAST(len(list_filter(toks, x -> list_contains(" +
+        s"$StopSqlList, x))) AS DOUBLE) / len(toks) AS sr FROM t " +
+        "WHERE n_chars BETWEEN 80 AND 2000), " +
+        "q AS (SELECT * FROM g WHERE sr >= 0.05), " +
+        "k AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) " +
+        "ORDER BY doc_id) AS rn FROM q), " +
+        "s AS (SELECT lang, n_chars, CASE " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
+        "ELSE 'train' END AS split FROM k WHERE rn = 1) " +
+        "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM s GROUP BY split, lang ORDER BY split, lang"),
+      "end-to-end corpus cleaning: quality gate → exact dedup → split → stats"),
+
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane
       // LSH bucket (8 planes → 256 buckets) computed in one scan, then

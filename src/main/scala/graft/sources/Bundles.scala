@@ -141,6 +141,40 @@ class Bundles(spark: SparkSession, basePath: String,
     fs.exists(p) && fs.delete(p, true)
   }
 
+  /** Compact a collection: rewrite its accumulated append-chunks into
+    * range-partitioned, ts-sorted files — the small-file / chunk-
+    * fragmentation answer (each append creates new files; at high write
+    * rates a series degrades into thousands of tiny chunks whose open/
+    * footer costs dominate reads; ≙ the reference re-chunking a
+    * fragmented Mongo series). Writes to a sibling temp dir, then swaps
+    * via two renames, so a concurrent reader sees either the old or the
+    * new layout, never a half-written one. Returns (files before, after).
+    */
+  def compact(collection: String = defaultCollection,
+              tsCol: String = "ts"): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir(collection))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(path)
+    val tmp = new org.apache.hadoop.fs.Path(dir(collection) + ".__compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // one read of the fragmented layout, one range-partitioned sorted
+    // write — identical rows, tight row-group ts stats restored
+    TsStore.write(spark.read.parquet(dir(collection)), tmp.toString,
+      tsCol = tsCol, uidCols = Seq(UidCol))
+    val old = new org.apache.hadoop.fs.Path(dir(collection) + ".__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(path, old), s"compact: could not move $path aside")
+    require(fs.rename(tmp, path), s"compact: could not activate $tmp")
+    fs.delete(old, true)
+    (before, countFiles(path))
+  }
+
   /** Drop a whole collection (≙ dropping a Mongo collection). */
   def dropCollection(collection: String = defaultCollection): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir(collection))

@@ -78,6 +78,24 @@ class BundlesSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/default").exists())
   }
 
+  test("compact rewrites append fragmentation into fewer files, same rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_cpt").toString
+    val ct = new Bundles(spark, base)
+    // 6 appends → ≥6 files of tiny chunks
+    (0 until 6).foreach { i =>
+      ct.write("AAPL", Seq((ts(f"2024-01-01 09:3$i%d:00"), 100.0 + i)).toDF("ts", "price"))
+    }
+    val beforeRows = ct.read("AAPL").as[(java.sql.Timestamp, Double, String)].collect().toSet
+    val (before, after) = ct.compact()
+    assert(before >= 6L, s"expected fragmentation, got $before files")
+    assert(after < before, s"compact must reduce file count: $before -> $after")
+    val afterRows = ct.read("AAPL").as[(java.sql.Timestamp, Double, String)].collect().toSet
+    assert(afterRows == beforeRows)
+    // sliced read still prunes after the rewrite
+    assert(ct.read("AAPL", start = Some(ts("2024-01-01 09:33:00"))).count() == 3)
+  }
+
   test("dynamic schema: a later chunk adds a column; merge-read reassembles the union") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bundles_dyn").toString
