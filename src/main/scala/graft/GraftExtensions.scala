@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.VecExprs.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDotToNormSq)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

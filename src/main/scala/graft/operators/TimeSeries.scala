@@ -59,7 +59,56 @@ object TimeSeries {
         rightCols.map(c => col("__rlast").getField(c).as(c)): _*)
   }
 
+  /** As-of join through the CUSTOM OPERATOR path (graft.plans.AsofJoin*):
+    * builds the [[graft.plans.AsofJoinPlan]] logical node directly; the
+    * injected strategy plans the streaming-merge exec. Requires a session
+    * with [[graft.GraftExtensions]]. Key columns must be distinctly named
+    * across the two sides (the node exposes both schemas unchanged).
+    * Backward direction only; ts columns must be non-null timestamp/long.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     leftKeys: Seq[String], rightKeys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val lp = GraftShim.logicalPlan(left)
+    val rp = GraftShim.logicalPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    GraftShim.ofRows(left.sparkSession, graft.plans.AsofJoinPlan(
+      lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTs), attr(rp, rightTs), rightTieBreak.map(attr(rp, _))))
+  }
+
   def defs: Map[String, DeclaredQuery] = Map(
+
+    "join_asof_exec" -> DeclaredQuery(
+      // The SAME as-of semantics as join_asof, executed by the custom
+      // physical operator instead of union+window — both paths are
+      // oracle-checked against the identical SQL, and AsofExecSpec
+      // cross-checks them row for row.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_uid"), col("event_id").as("view_event_id"),
+            col("ts").as("view_ts"))
+        asofJoinNative(p, v, leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"))
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+      "as-of join via the custom LogicalPlan/Strategy/Exec operator"),
 
     "join_asof" -> DeclaredQuery(
       (s, d) => {

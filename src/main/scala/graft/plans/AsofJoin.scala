@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator (SURVEY §4.3 "Strategy B"):
+  * logical node + planner strategy + physical streaming-merge exec,
+  * registered through `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]).
+  *
+  * Semantics (identical to the union+window spelling,
+  * [[graft.operators.TimeSeries.asofJoin]], and proven equal in
+  * AsofExecSpec): for each left row, the latest right row of the same
+  * key with `right.ts <= left.ts`; ties on ts resolved toward the LAST
+  * right row in `(ts, tieBreak...)` order; unmatched left rows keep
+  * nulls (left-outer).
+  *
+  * Physical shape: both children hash-clustered on the key and sorted by
+  * `(key, ts [, tie...])` — the planner inserts the exchanges/sorts via
+  * `requiredChildDistribution`/`requiredChildOrdering` — then ONE
+  * synchronized forward pass per partition carrying O(1) state (the last
+  * right row seen per key). Same shuffle volume as the union+window
+  * plan (|left| + |right| rows hashed once) but no window buffering and
+  * no struct packing/unpacking, and each side keeps its own schema.
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTs: Expression, rightTs: Expression,
+                        rightTieBreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTs: Expression, rightTs: Expression,
+                        rightTieBreak: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys ++ (rightTs +: rightTieBreak))
+      .map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyTypes = leftKeys.map(_.dataType)
+    val numRightCols = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTsBound = BindReferences.bindReference(leftTs, left.output)
+      val rTsBound = BindReferences.bindReference(rightTs, right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyTypes)
+      val nullRight = new GenericInternalRow(numRightCols)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+
+      new Iterator[InternalRow] {
+        // last right row consumed, valid for lastKey only — O(1) state
+        private var lastKey: InternalRow = _
+        private var lastRight: InternalRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIt.next()
+          val lKey = lKeyProj(lRow)
+          val lTsV = lTsBound.eval(lRow).asInstanceOf[Long]
+          // consume right rows ≤ (key, ts); each consumed row becomes the
+          // candidate for its key (right is (key, ts, tie)-sorted, so the
+          // last consumed of a key is the as-of winner)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rHead = rBuf.head
+            val rKey = rKeyProj(rHead)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0 ||
+              (c == 0 && rTsBound.eval(rHead).asInstanceOf[Long] <= lTsV)) {
+              lastKey = rKey.copy()
+              lastRight = rBuf.next().copy()
+            } else advancing = false
+          }
+          if (lastRight != null && lastKey != null && keyOrd.compare(lastKey, lKey) == 0)
+            joined(lRow, lastRight)
+          else joined(lRow, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

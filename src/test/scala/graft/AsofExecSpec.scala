@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+
+/** The custom as-of operator (AsofJoinPlan/Strategy/Exec) against the
+  * union+window spelling: identical rows on the fixture and on the
+  * hand-built tie/unmatched cases, and the expected physical shape.
+  */
+class AsofExecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("custom exec equals the union+window asof on the events fixture") {
+    val e = graft.sources.Tables.events(spark, TestSpark.sf001)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val vW = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_event_id"), $"ts".as("view_ts"))
+    val vN = e.filter($"event_type" === "view")
+      .select($"user_id".as("v_uid"), $"event_id".as("view_event_id"), $"ts".as("view_ts"))
+
+    val window = TimeSeries.asofJoin(p, vW, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"))
+      .select($"event_id", $"view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val native = TimeSeries.asofJoinNative(p, vN, leftKeys = Seq("user_id"),
+      rightKeys = Seq("v_uid"), leftTs = "ts", rightTs = "view_ts",
+      rightTieBreak = Seq("view_event_id"))
+      .select($"event_id", $"view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.nonEmpty && native == window)
+  }
+
+  test("custom exec: ties take the max tie-break; unmatched keys stay null") {
+    val left = Seq((1L, 101L, ts("2024-01-01 00:00:05")),
+      (1L, 102L, ts("2024-01-01 00:00:10")),
+      (2L, 201L, ts("2024-01-01 00:00:01"))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 11L, ts("2024-01-01 00:00:05")),
+      (1L, 12L, ts("2024-01-01 00:00:05")),
+      (1L, 13L, ts("2024-01-01 00:00:09"))).toDF("v_uid", "view_event_id", "view_ts")
+    val out = TimeSeries.asofJoinNative(left, right, leftKeys = Seq("user_id"),
+      rightKeys = Seq("v_uid"), leftTs = "ts", rightTs = "view_ts",
+      rightTieBreak = Seq("view_event_id"))
+      .select($"event_id", $"view_event_id")
+      .orderBy($"event_id").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((101L, Some(12L)), (102L, Some(13L)), (201L, None)))
+  }
+
+  test("custom exec plans with one exchange per side and no window operator") {
+    val df = Registry.all("join_asof_exec").fn(spark, TestSpark.sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p) // nodeName strips the Exec suffix
+    assert(!p.contains("Window"), "no window buffering on the custom path")
+  }
+}
