@@ -3,19 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns, built from
-  * codegen'd higher-order functions. All math in double: float inputs are
-  * widened before any arithmetic so results are engine-portable
-  * (FIXTURES.md casting rules) — `aggregate(zip_with(...))` performs the
-  * same left-to-right double additions as DuckDB's
+/** Vector math over `ArrayType(FloatType)` embedding columns. All math in
+  * double: float inputs are widened before any arithmetic and summed
+  * left to right — the same additions as DuckDB's
   * `list_sum(list_transform(...))`, so rounded scores match bit-for-bit.
   *
-  * Measured at sf0.1 (400k pairs, dim 64): the HOF dot runs 2.3s vs 8.9s
-  * for a 64-term unrolled `element_at` tree and 7.2s for getItem — the
-  * HOF's per-element loop beats per-index expression calls, so DON'T
-  * unroll these. What actually matters for performance is where the
-  * expression is evaluated: keep it in a map-side Project, never in a
-  * join condition or as a grouped-aggregate child (see graft.Q).
+  * The production spellings are the NATIVE codegen expressions
+  * (`graft.functions.expressions.FloatVec*` — round 3; 2–4× over the
+  * HOFs, cosine fused to one traversal). Measured history, sf0.1 (400k
+  * pairs, dim 64): unrolled 64-term `element_at` tree 8.9s → HOF
+  * `aggregate(zip_with(...))` 2.3s (round 2) → native expression < 1s
+  * (round 3, and it stays inside whole-stage codegen). Placement still
+  * matters most: keep heavy expressions in a map-side Project, never in
+  * a join condition or as a grouped-aggregate child (see graft.Q).
   */
 object VectorOps {
   import org.apache.spark.sql.GraftShim.{column => ofExpr, expression => toExpr}

@@ -65,7 +65,9 @@ object Aggregates {
           "JOIN graft_region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
           "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")
       },
-      Some("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal " +
+      // + 0.0: c_acctbal can be negative, so a group sum can round to
+      // DuckDB's -0.0 (Spark's round never emits a signed zero)
+      Some("SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) + 0.0 AS bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name) " +
         "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
@@ -182,8 +184,8 @@ object Aggregates {
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty, " +
         "round(var_samp(l_discount), 6) AS var_disc, " +
-        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
-        "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd, count(*) AS n " +
+        "round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS cov_qd, count(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       "statistical aggregates: stddev/variance/correlation/covariance"),
 

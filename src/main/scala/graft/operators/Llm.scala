@@ -320,7 +320,7 @@ object Llm {
         "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8), " +
         "c AS (SELECT q_id, e.vec_id AS nbr_id, " +
         s"round(${ss("q_emb", "e.embedding")} / (sqrt(${ss("q_emb", "q_emb")}) * " +
-        s"sqrt(${ss("e.embedding", "e.embedding")})), 6) AS cos " +
+        s"sqrt(${ss("e.embedding", "e.embedding")})), 6) + 0.0 AS cos " +
         "FROM q, embeddings e WHERE e.vec_id <> q.q_id) " +
         "SELECT q_id, nbr_id, cos, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk " +
@@ -455,7 +455,7 @@ object Llm {
         "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
         "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
         "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
-        s"${cosSql("qe.embedding", "ne.embedding")} AS cos " +
+        s"${cosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
         "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
         "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
         "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +

@@ -185,13 +185,15 @@ object Relational {
         size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("npos"),
         round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("ssum")
       ).orderBy(col("vec_id")),
+      // every rounded double carries "+ 0.0": DuckDB round preserves
+      // -0.0, Spark's BigDecimal round never emits one (sf0.1 lesson)
       Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
-        "round(CAST(embedding[1] AS DOUBLE), 4) AS e1, " +
-        "list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))[3] AS h3, " +
-        "round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 4) AS s2, " +
-        "round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emax, " +
+        "round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1, " +
+        "list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4) + 0.0)[3] AS h3, " +
+        "round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 4) + 0.0 AS s2, " +
+        "round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS emax, " +
         "CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS npos, " +
-        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS ssum " +
+        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS ssum " +
         "FROM embeddings ORDER BY vec_id")),
 
     "fn_json" -> DeclaredQuery(

@@ -224,15 +224,21 @@ object TimeSeries {
           .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
           .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
         val w = Window.partitionBy("user_id").orderBy("day")
+        // nullif divisor: a day's close CAN be exactly 0 at larger scale
+        // factors (one at sf0.1), and Spark 4 ANSI raises DIVIDE_BY_ZERO
+        // even for doubles — null return matches the oracle's nullif
         daily.select(col("user_id"), col("day"), col("close"),
-          round((col("close") - lag(col("close"), 1).over(w)) / lag(col("close"), 1).over(w), 6)
+          round((col("close") - lag(col("close"), 1).over(w)) /
+              nullif(lag(col("close"), 1).over(w), lit(0.0)), 6)
             .as("ret"))
           .orderBy(col("user_id"), col("day"))
       },
       Some("WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, " +
         "last(value ORDER BY ts, event_id) AS close FROM events GROUP BY 1, 2) " +
+        // + 0.0 kills DuckDB's -0.0 (Spark's BigDecimal round never emits
+        // a signed zero); nullif mirrors the Spark side
         "SELECT user_id, day, close, round((close - lag(close) OVER (PARTITION BY user_id " +
-        "ORDER BY day)) / lag(close) OVER (PARTITION BY user_id ORDER BY day), 6) AS ret " +
+        "ORDER BY day)) / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY day), 0), 6) + 0.0 AS ret " +
         "FROM daily ORDER BY user_id, day")),
 
     "ts_resample_5m" -> DeclaredQuery(
