@@ -118,24 +118,28 @@ object Llm {
           x => array_contains(lit(Stopwords.toArray), x))).cast("double")
         val sumLen = aggregate(transform(t, x => length(x)), lit(0),
           (acc, x) => acc + x).cast("double")
+        // nullif token counts: a whitespace-only document tokenizes to []
+        // and Spark 4 ANSI raises DIVIDE_BY_ZERO even on doubles; null
+        // ratios (mirrored in the oracle) are the consistent answer
+        val nSafe = nullif(nToks, lit(0.0))
         Tables.documents(s, d)
           .select(col("doc_id"), toks.as("__toks"))
           .select(
             col("doc_id"),
             nToks.cast("long").as("n_toks"),
-            round(stopHits / nToks, 6).as("stop_ratio"),
-            round(sumLen / nToks, 6).as("avg_tok_len"),
+            round(stopHits / nSafe, 6).as("stop_ratio"),
+            round(sumLen / nSafe, 6).as("avg_tok_len"),
             round(least(nToks / lit(100.0), lit(1.0)) * 0.5 +
-              (lit(1.0) - stopHits / nToks) * 0.5, 6).as("quality"))
+              (lit(1.0) - stopHits / nSafe) * 0.5, 6).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
         "x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n, " +
         s"CAST(len(list_filter(toks, t -> list_contains($StopSqlList, t))) AS DOUBLE) AS hits, " +
         "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sumlen FROM t) " +
-        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, round(hits / n, 6) AS stop_ratio, " +
-        "round(sumlen / n, 6) AS avg_tok_len, " +
-        "round(least(n / 100.0, 1.0) * 0.5 + (1.0 - hits / n) * 0.5, 6) AS quality " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_toks, round(hits / nullif(n, 0), 6) AS stop_ratio, " +
+        "round(sumlen / nullif(n, 0), 6) AS avg_tok_len, " +
+        "round(least(n / 100.0, 1.0) * 0.5 + (1.0 - hits / nullif(n, 0)) * 0.5, 6) AS quality " +
         "FROM x ORDER BY doc_id"),
       "document quality scoring: length, stopword ratio, token shape"),
 
@@ -557,7 +561,7 @@ object Llm {
             col("n_chars").cast("long").as("n_chars"), toks.as("__toks"))
           .withColumn("__stop_ratio",
             size(filter(col("__toks"), t => t.isin(Stopwords: _*))).cast("double") /
-              size(col("__toks")).cast("double"))
+              nullif(size(col("__toks")).cast("double"), lit(0.0)))
           .filter(col("n_chars").between(80, 2000) && col("__stop_ratio") >= 0.05)
         val kept = t
           .withColumn("__dig", md5(encode(lower(trim(col("text"))), "UTF-8")))
@@ -576,7 +580,7 @@ object Llm {
       Some(s"WITH t AS (SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS n_chars, " +
         s"$ToksSql AS toks FROM documents), " +
         "g AS (SELECT *, CAST(len(list_filter(toks, x -> list_contains(" +
-        s"$StopSqlList, x))) AS DOUBLE) / len(toks) AS sr FROM t " +
+        s"$StopSqlList, x))) AS DOUBLE) / nullif(len(toks), 0) AS sr FROM t " +
         "WHERE n_chars BETWEEN 80 AND 2000), " +
         "q AS (SELECT * FROM g WHERE sr >= 0.05), " +
         "k AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) " +
