@@ -124,6 +124,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming file sink commits exactly-once parquet output readable as a table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingAgg(
+      Streams.withWatermark(input.toDF().toDF("ts", "event_type", "value")))
+    // Append mode: a window's row is emitted (and its file committed)
+    // only once the watermark passes the window end
+    val q = agg.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "view", 1.0),
+        (ts("2024-01-01 10:20:00"), "view", 2.0))
+      q.processAllAvailable()
+      // advance watermark beyond the 10:00 window so it gets committed
+      input.addData((ts("2024-01-01 12:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out.contains((ts("2024-01-01 10:00:00"), "view", 2L, 3.0)))
+      // the 11:00+ window is not yet watermark-closed → not committed
+      assert(!out.exists(_._1 == ts("2024-01-01 12:00:00")))
+    } finally q.stop()
+  }
+
   test("custom-state LOCF carries last value across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
