@@ -93,10 +93,12 @@ object Llm {
       // counts via regexp_count, NOT size(regexp_extract_all): counting
       // matches must not allocate a string per token (measured 2.4s →
       // ~0.5s warm at sf0.1 — the array of ~500 match strings per doc was
-      // the whole cost). '\\S+' runs ≡ the non-empty whitespace tokens.
+      // the whole cost). '\\S+' runs ≡ the non-empty \\s+ tokens of
+      // TextOps.tokens/ToksSql. (Residual engine gap: Java \\s includes
+      // \\x0B, RE2's does not — no fixture contains vertical tabs.)
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          regexp_count(col("text"), lit("[^ \\t\\n\\r]+")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("\\S+")).cast("long").as("n_ws"),
           regexp_count(col("text"), lit(BpeIshPattern)).cast("long").as("n_bpe"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id")),

@@ -64,7 +64,9 @@ object Multimodal {
   def resizeOne(docId: Long, payload: Array[Byte], w: Int, h: Int): MediaResize =
     MediaResize(docId, w.toLong, h.toLong,
       math.min(payload.length.toLong, w.toLong * h * 3),
-      if (payload.isEmpty) -1L else payload(0).toLong)
+      // & 0xff: unsigned byte value, consistent with featureOne and with
+      // the oracle's ascii() code point (exact for the ASCII fixtures)
+      if (payload.isEmpty) -1L else (payload(0) & 0xff).toLong)
 
   /** STUB feature extraction — stands in for an embedding/codec feature
     * pass: mean byte value (the "average pixel intensity"). Exact-integer
@@ -180,11 +182,15 @@ object Multimodal {
           }(enc)
           .orderBy(col("doc_id"))
       },
+      // empty-payload sentinels mirrored (-1 / 0.0) so the oracle stays
+      // exact even if a fixture regen introduces empty documents
       Some("SELECT doc_id, CAST(32 AS BIGINT) AS out_w, CAST(32 AS BIGINT) AS out_h, " +
         "least(CAST(octet_length(encode(text)) AS BIGINT), 3072) AS out_bytes, " +
-        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
-        "CAST(list_sum(list_transform(string_split(text, ''), c_ -> ascii(c_))) AS DOUBLE) " +
-        "/ length(text) AS mean_byte " +
+        "CASE WHEN length(text) = 0 THEN -1 " +
+        "ELSE CAST(ascii(substring(text, 1, 1)) AS BIGINT) END AS first_byte, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 " +
+        "ELSE CAST(list_sum(list_transform(string_split(text, ''), c_ -> ascii(c_))) AS DOUBLE) " +
+        "/ length(text) END AS mean_byte " +
         "FROM documents ORDER BY doc_id"),
       "resize + feature-extract stubs over mapPartitions (32×32 cap, mean byte)")
   )

@@ -90,8 +90,13 @@ object Scans {
         Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
           .csv(tmp)
+        // multiLine: quoted fields may legally contain newlines; without
+        // it the reader splits records mid-field. Scale tradeoff: a
+        // multiLine CSV file is not line-splittable — which is the real
+        // argument for parquet/ORC over CSV at 100 TB, stated here
+        // rather than hidden by a corruption bug.
         s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-          .option("header", "true").csv(tmp)
+          .option("header", "true").option("multiLine", "true").csv(tmp)
           .orderBy(col("doc_id"))
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),

@@ -61,16 +61,22 @@ object TimeSeries {
 
   /** As-of join through the CUSTOM OPERATOR path (graft.plans.AsofJoin*):
     * builds the [[graft.plans.AsofJoinPlan]] logical node directly; the
-    * injected strategy plans the streaming-merge exec. Requires a session
-    * with [[graft.GraftExtensions]]. Key columns must be distinctly named
-    * across the two sides (the node exposes both schemas unchanged).
-    * Backward direction only; ts columns must be non-null timestamp/long.
+    * injected strategy plans the streaming-merge exec. Works on ANY
+    * session: if [[graft.GraftExtensions]] isn't installed, the strategy
+    * is added through the public `spark.experimental.extraStrategies`
+    * hook. Key columns must be distinctly named across the two sides
+    * (the node exposes both schemas unchanged). Backward direction only;
+    * ts columns must be non-null timestamp/long.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
                      leftKeys: Seq[String], rightKeys: Seq[String],
                      leftTs: String, rightTs: String,
                      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.GraftShim
+    val session = left.sparkSession
+    if (!session.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
     val lp = GraftShim.logicalPlan(left)
     val rp = GraftShim.logicalPlan(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

@@ -66,7 +66,10 @@ class Bundles(spark: SparkSession, basePath: String,
     // far away, at merge-read time, with an opaque error).
     if (mode == SaveMode.Append) {
       try {
-        val existing = spark.read.parquet(dir(collection)).schema
+        // mergeSchema: for dynamic collections a single footer's schema
+        // would miss columns (and type conflicts) on other chunks
+        val existing = spark.read.option("mergeSchema", true)
+          .parquet(dir(collection)).schema
         val incoming = tagged.schema
         if (!allowNewColumns) {
           require(existing.fieldNames.toSet == incoming.fieldNames.toSet,
@@ -136,7 +139,10 @@ class Bundles(spark: SparkSession, basePath: String,
     * reference's per-uid document delete). Returns true if it existed.
     */
   def dropSeries(uid: String, collection: String = defaultCollection): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$uid")
+    // escape like the writer does — partition values with spaces/colons/
+    // slashes live in escaped directory names (never probe the raw uid)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
+    val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$esc")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.delete(p, true)
   }
@@ -147,8 +153,12 @@ class Bundles(spark: SparkSession, basePath: String,
     * rates a series degrades into thousands of tiny chunks whose open/
     * footer costs dominate reads; ≙ the reference re-chunking a
     * fragmented Mongo series). Writes to a sibling temp dir, then swaps
-    * via two renames, so a concurrent reader sees either the old or the
-    * new layout, never a half-written one. Returns (files before, after).
+    * via two renames — a reader never sees a HALF-written layout, but
+    * there is a brief window between the renames where the path is
+    * absent (directory renames aren't atomic pairs on HDFS-likes); run
+    * compaction in a maintenance window or behind a catalog pointer.
+    * A failed activation rename rolls the old layout back. Returns
+    * (files before, after).
     */
   def compact(collection: String = defaultCollection,
               tsCol: String = "ts"): (Long, Long) = {
@@ -165,12 +175,17 @@ class Bundles(spark: SparkSession, basePath: String,
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // one read of the fragmented layout, one range-partitioned sorted
     // write — identical rows, tight row-group ts stats restored
-    TsStore.write(spark.read.parquet(dir(collection)), tmp.toString,
-      tsCol = tsCol, uidCols = Seq(UidCol))
+    // mergeSchema so a dynamic-schema collection keeps the UNION of its
+    // chunk columns — a single-footer read would silently drop columns
+    TsStore.write(spark.read.option("mergeSchema", true).parquet(dir(collection)),
+      tmp.toString, tsCol = tsCol, uidCols = Seq(UidCol))
     val old = new org.apache.hadoop.fs.Path(dir(collection) + ".__old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(path, old), s"compact: could not move $path aside")
-    require(fs.rename(tmp, path), s"compact: could not activate $tmp")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back so the collection stays readable
+      throw new IllegalStateException(s"compact: could not activate $tmp; rolled back")
+    }
     fs.delete(old, true)
     (before, countFiles(path))
   }
