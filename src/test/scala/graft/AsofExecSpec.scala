@@ -51,6 +51,29 @@ class AsofExecSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((101L, Some(12L)), (102L, Some(13L)), (201L, None)))
   }
 
+  test("custom exec with a composite key matches the union+window path") {
+    val left = Seq(
+      (1L, "x", 101L, ts("2024-01-01 00:00:05")),
+      (1L, "y", 102L, ts("2024-01-01 00:00:05")),  // same uid, other symbol
+      (2L, "x", 201L, ts("2024-01-01 00:00:09"))
+    ).toDF("uid", "sym", "event_id", "ts")
+    val rightW = Seq(
+      (1L, "x", 11L, ts("2024-01-01 00:00:04")),
+      (1L, "y", 21L, ts("2024-01-01 00:00:03")),
+      (2L, "y", 31L, ts("2024-01-01 00:00:01"))    // (2,x) has no match
+    ).toDF("uid", "sym", "q_id", "q_ts")
+    val rightN = rightW.toDF("r_uid", "r_sym", "q_id", "q_ts")
+    val win = TimeSeries.asofJoin(left, rightW, keys = Seq("uid", "sym"),
+      leftTs = "ts", rightTs = "q_ts", rightTieBreak = Seq("q_id"))
+      .select($"event_id", $"q_id").as[(Long, Option[Long])].collect().toMap
+    val nat = TimeSeries.asofJoinNative(left, rightN,
+      leftKeys = Seq("uid", "sym"), rightKeys = Seq("r_uid", "r_sym"),
+      leftTs = "ts", rightTs = "q_ts", rightTieBreak = Seq("q_id"))
+      .select($"event_id", $"q_id").as[(Long, Option[Long])].collect().toMap
+    assert(nat == win)
+    assert(nat == Map(101L -> Some(11L), 102L -> Some(21L), 201L -> None))
+  }
+
   test("custom exec plans with one exchange per side and no window operator") {
     val df = Registry.all("join_asof_exec").fn(spark, TestSpark.sf001)
     df.collect()
