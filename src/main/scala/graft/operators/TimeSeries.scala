@@ -65,8 +65,11 @@ object TimeSeries {
     * session: if [[graft.GraftExtensions]] isn't installed, the strategy
     * is added through the public `spark.experimental.extraStrategies`
     * hook. Key columns must be distinctly named across the two sides
-    * (the node exposes both schemas unchanged). Backward direction only;
-    * ts columns must be non-null timestamp/long.
+    * (the node exposes both schemas unchanged). Backward direction only.
+    * NULL timestamps follow SQL comparison semantics: a null-ts left row
+    * matches nothing (null-extended output) and a null-ts right row is
+    * never an as-of candidate — exactly what the oracle's correlated
+    * `v.ts <= p.ts` subquery yields.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
                      leftKeys: Seq[String], rightKeys: Seq[String],
@@ -74,9 +77,17 @@ object TimeSeries {
                      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val session = left.sparkSession
-    if (!session.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // Registration is guarded per-session: `extraStrategies` is a plain
+    // read-modify-write var, so concurrent callers could otherwise lose an
+    // update or append twice. (If GraftExtensions is also installed the
+    // strategy exists in the extensions' separate strategy list too — that
+    // duplicate is harmless: both plan AsofJoinPlan to the identical exec
+    // and the planner takes the first non-empty answer.)
+    session.experimental.synchronized {
+      if (!session.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
     val lp = GraftShim.logicalPlan(left)
     val rp = GraftShim.logicalPlan(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

@@ -78,6 +78,10 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyTypes)
       val nullRight = new GenericInternalRow(numRightCols)
       val joined = new JoinedRow
+      // Parents (shuffle serializers, sorters, getByteArrayRdd on a bare
+      // collect) cast rows to UnsafeRow — always hand them one, the same
+      // way SortMergeJoinExec projects its joined rows.
+      val resultProj = UnsafeProjection.create(output, output)
       val rBuf = rIt.buffered
 
       new Iterator[InternalRow] {
@@ -90,7 +94,11 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val lRow = lIt.next()
           val lKey = lKeyProj(lRow)
-          val lTsV = lTsBound.eval(lRow).asInstanceOf[Long]
+          // SQL comparison semantics for NULL timestamps: `r.ts <= NULL`
+          // and `NULL <= l.ts` are never true, so a null-ts left row gets
+          // the null-extended output and a null-ts right row can never be
+          // the as-of match (it is consumed and discarded below).
+          val lTsAny = lTsBound.eval(lRow)
           // consume right rows ≤ (key, ts); each consumed row becomes the
           // candidate for its key (right is (key, ts, tie)-sorted, so the
           // last consumed of a key is the as-of winner)
@@ -99,15 +107,24 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             val rHead = rBuf.head
             val rKey = rKeyProj(rHead)
             val c = keyOrd.compare(rKey, lKey)
-            if (c < 0 ||
-              (c == 0 && rTsBound.eval(rHead).asInstanceOf[Long] <= lTsV)) {
-              lastKey = rKey.copy()
-              lastRight = rBuf.next().copy()
+            if (c < 0) {
+              // earlier key than every remaining left row: never a match
+              rBuf.next()
+            } else if (c == 0) {
+              val rTsAny = rTsBound.eval(rHead)
+              if (rTsAny == null) {
+                rBuf.next() // NULL ts never satisfies r.ts <= l.ts
+              } else if (lTsAny != null &&
+                rTsAny.asInstanceOf[Long] <= lTsAny.asInstanceOf[Long]) {
+                lastKey = rKey.copy()
+                lastRight = rBuf.next().copy()
+              } else advancing = false
             } else advancing = false
           }
-          if (lastRight != null && lastKey != null && keyOrd.compare(lastKey, lKey) == 0)
-            joined(lRow, lastRight)
-          else joined(lRow, nullRight)
+          val matched = lTsAny != null && lastRight != null && lastKey != null &&
+            keyOrd.compare(lastKey, lKey) == 0
+          if (matched) resultProj(joined(lRow, lastRight))
+          else resultProj(joined(lRow, nullRight))
         }
       }
     }

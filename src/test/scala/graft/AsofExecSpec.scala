@@ -74,6 +74,35 @@ class AsofExecSpec extends AnyFunSuite {
     assert(nat == Map(101L -> Some(11L), 102L -> Some(21L), 201L -> None))
   }
 
+  test("custom exec survives a bare collect and a direct orderBy (UnsafeRow output)") {
+    // No select() above the exec: parents that demand UnsafeRow (the
+    // collect path's getByteArrayRdd, SortExec's sorter) must not see a
+    // raw JoinedRow/GenericInternalRow.
+    val left = Seq((1L, 101L, ts("2024-01-01 00:00:05")),
+      (2L, 201L, ts("2024-01-01 00:00:01"))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 11L, ts("2024-01-01 00:00:04"))).toDF("v_uid", "view_event_id", "view_ts")
+    val joined = TimeSeries.asofJoinNative(left, right, leftKeys = Seq("user_id"),
+      rightKeys = Seq("v_uid"), leftTs = "ts", rightTs = "view_ts")
+    val bare = joined.collect() // would ClassCastException without the projection
+    assert(bare.length == 2)
+    val sorted = joined.orderBy($"view_event_id".desc_nulls_last).collect()
+    assert(sorted.head.getAs[Long]("view_event_id") == 11L && sorted(1).isNullAt(4))
+  }
+
+  test("custom exec: NULL timestamps follow SQL comparison semantics") {
+    val left = Seq((1L, 101L, Some(ts("2024-01-01 00:00:05"))),
+      (1L, 102L, None), // null left ts: matches nothing
+      (2L, 201L, Some(ts("2024-01-01 00:00:09")))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 11L, Some(ts("2024-01-01 00:00:04"))),
+      (2L, 21L, None)) // null right ts: never an as-of candidate
+      .toDF("v_uid", "view_event_id", "view_ts")
+    val out = TimeSeries.asofJoinNative(left, right, leftKeys = Seq("user_id"),
+      rightKeys = Seq("v_uid"), leftTs = "ts", rightTs = "view_ts")
+      .select($"event_id", $"view_event_id")
+      .orderBy($"event_id").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((101L, Some(11L)), (102L, None), (201L, None)))
+  }
+
   test("custom exec plans with one exchange per side and no window operator") {
     val df = Registry.all("join_asof_exec").fn(spark, TestSpark.sf001)
     df.collect()
