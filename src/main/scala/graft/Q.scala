@@ -55,6 +55,32 @@ object Q {
       .agg(merges.head, merges.tail: _*)
   }
 
+  /** LSH hot-bucket guard: drop every row whose bucket has more than
+    * `cap` members, BEFORE the candidate self-join. A band self-join on a
+    * bucket of B docs emits B² candidate pairs — fine for genuine
+    * near-dup clusters (B small), quadratic death for the mega-bucket a
+    * boilerplate-heavy corpus always produces (every page sharing one
+    * templated shingle band; at 100 TB a single hot band value can hold
+    * millions of docs). Capping is the standard LSH guard: exact
+    * duplicates are caught upstream by digest dedup (llm_dedup_exact /
+    * llm_corpus_clean), true near-dup pairs inside a dropped bucket
+    * usually still share one of the other bands, and what a mega-bucket
+    * overwhelmingly holds is banding-hash false positives that exact
+    * verification would discard after O(B²) wasted work.
+    *
+    * Implementation: a count window over the bucket key. The window's
+    * required distribution (hashpartitioning(bucket)) is exactly what
+    * the downstream self-join needs, so EnsureRequirements inserts no
+    * second exchange — the guard costs one sort within the shuffle the
+    * join was going to pay anyway.
+    */
+  def capBuckets(bands: DataFrame, bucketCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(bucketCol))
+    bands.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
+  }
+
   /** Replicated-right salted equi-join for a skewed left key: the left
     * side gets a deterministic salt in [0, buckets); the right side is
     * exploded `buckets`× so every (key, salt) bucket finds its match.

@@ -249,7 +249,10 @@ object Llm {
           .agg(TextOps.minHashSig(col("__h"), numHashes).as("__sig"))
         val bands = sig.select(col("doc_id"),
           explode(array(TextOps.bandStructsFromSig(col("__sig"), numHashes, rowsPerBand): _*)).as("b"))
-        val cand = bands.as("x").join(bands.as("y"),
+        // hot-bucket cap (Q.capBuckets doc): a boilerplate band shared by B
+        // docs would emit B² candidates; cap bounds the join at cap×n rows
+        val capped = graft.Q.capBuckets(bands, "b", cap = 64)
+        val cand = capped.as("x").join(capped.as("y"),
             col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
@@ -289,7 +292,9 @@ object Llm {
         val bands = sim.select(col("doc_id"), col("sim"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
-        bands.as("x").join(bands.as("y"),
+        // hot-bucket cap — same quadratic-candidate guard as llm_dedup_near
+        val capped = graft.Q.capBuckets(bands, "b", cap = 64)
+        capped.as("x").join(capped.as("y"),
             col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))

@@ -53,6 +53,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH hot-bucket cap: a planted mega-bucket cannot go quadratic") {
+    // 1000 docs sharing one band value — the boilerplate bucket every real
+    // corpus produces; uncapped it alone yields 499_500 candidate pairs.
+    val mega = (0 until 1000).map(i => (i.toLong, 777L))
+    val small = (0 until 10).flatMap(p =>
+      Seq((2000L + 2 * p, 1000L + p), (2001L + 2 * p, 1000L + p)))
+    val bands = (mega ++ small).toDF("doc_id", "b")
+    val capped = Q.capBuckets(bands, "b", cap = 64)
+    assert(capped.filter($"b" === 777L).count() == 0, "mega-bucket must be dropped")
+    assert(capped.count() == small.size, "small buckets must survive intact")
+    val cand = capped.as("x").join(capped.as("y"),
+      $"x.b" === $"y.b" && $"x.doc_id" < $"y.doc_id")
+    assert(cand.count() == 10, "candidates stay O(n) after the cap")
+  }
+
+  test("hot-bucket cap leaves the fixture's dedup outputs unchanged") {
+    // At fixture scale no bucket comes near the cap, so the guard must be
+    // a no-op on results: the recall/exactness tests above plus this row
+    // sanity pin that the capped queries still surface the planted dups.
+    val near = Registry.all("llm_dedup_near").fn(spark, TestSpark.sf001).count()
+    val sim = Registry.all("llm_dedup_simhash").fn(spark, TestSpark.sf001).count()
+    assert(near > 0 && sim > 0)
+  }
+
   test("hll approx distinct within 5% of exact per event_type") {
     val approx = Registry.all("agg_hll").fn(spark, TestSpark.sf001)
       .as[(String, Long)].collect().toMap
