@@ -24,6 +24,68 @@ import org.apache.spark.sql.functions._
   */
 object TsStore {
 
+  /** What to do when an append's time range overlaps data already stored
+    * for the same series — the reference's write-time overlap validation
+    * (`Corintick._validate*` ~L80–100 warns on overlapping `(uid, start,
+    * end)` extents, because a double-write silently duplicates ticks).
+    */
+  sealed trait OverlapPolicy
+  object OverlapPolicy {
+    /** Refuse the write (fail fast — the strict-ingest setting). */
+    case object Error extends OverlapPolicy
+    /** Log a warning and append anyway (the reference's default). */
+    case object Warn extends OverlapPolicy
+    /** Skip the pre-scan entirely (bulk backfills that manage ranges). */
+    case object Allow extends OverlapPolicy
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Series of the incoming frame whose [min ts, max ts] extent
+    * intersects the extent already stored at `path` for the same uid.
+    * Returns human-readable descriptions (bounded by the distinct uids in
+    * ONE write batch — operationally small; this is driver-side metadata,
+    * not data).
+    *
+    * Scale shape: the stored side is filtered to exactly the incoming
+    * uids BEFORE aggregating — with uid as a partition column that is
+    * plan-time partition pruning, so the pre-scan touches only the
+    * affected series' files and reduces them to per-file footer stats
+    * (min/max of ts), never the full store. The Mongo analog is the
+    * `(uid, start, end)` index lookup the reference does per write.
+    */
+  def overlappingSeries(spark: SparkSession, path: String, incoming: DataFrame,
+                        tsCol: String, uidCols: Seq[String]): Seq[String] = {
+    require(uidCols.nonEmpty, "overlap check needs at least one uid column")
+    val inExt = incoming.groupBy(uidCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__in_min"), max(col(tsCol)).as("__in_max"))
+      .collect()
+    if (inExt.isEmpty) return Seq.empty
+    val stored =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
+    val uidPred = inExt.map { r =>
+      uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val storedExt = stored.filter(uidPred)
+      .groupBy(uidCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__st_min"), max(col(tsCol)).as("__st_max"))
+      .collect()
+      .map(r => uidCols.indices.map(r.get).toSeq ->
+        (r.get(uidCols.size), r.get(uidCols.size + 1))).toMap
+    // ts may be timestamp OR long (ns ticks) — both are Comparable
+    def cmp(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    inExt.toSeq.flatMap { r =>
+      val key = uidCols.indices.map(r.get).toSeq
+      val inMin = r.get(uidCols.size); val inMax = r.get(uidCols.size + 1)
+      storedExt.get(key).collect {
+        case (stMin, stMax) if cmp(inMax, stMin) >= 0 && cmp(inMin, stMax) <= 0 =>
+          s"${uidCols.zip(key).map { case (c, v) => s"$c=$v" }.mkString(",")} " +
+            s"incoming=[$inMin, $inMax] stored=[$stMin, $stMax]"
+      }
+    }
+  }
+
   /** Monotonicity / sanity validation analogous to the reference's
     * write-time checks (`Corintick._validate*` ~L80–100): the time column
     * must be non-null; if `strictlyIncreasing`, no duplicate timestamps
@@ -46,19 +108,64 @@ object TsStore {
     * file covers a contiguous time slice of few uids (tight row-group
     * stats), sort within partitions by ts (monotonic chunks, as the
     * reference requires of its input), then write partitioned parquet.
+    *
+    * Chunk geometry is PINNED, not left to cluster defaults — the
+    * reference splits chunks under the 16 MB BSON document cap
+    * (`serialization.py` ~L90–110) because chunk size is what makes a
+    * sliced read touch little data. Here the same role is played by the
+    * parquet row group: `rowGroupBytes` (default 16 MB ≙ the BSON cap)
+    * bounds the unit of ts-slice skipping — a 128 MB default row group
+    * makes a 1-minute slice read 128 MB per file — and
+    * `maxRecordsPerFile` (default 8M rows) bounds single-file blowup so
+    * one hot series cannot produce a file whose footer/metadata stalls
+    * planning. Both are per-write options, not session mutations.
     */
   def write(df: DataFrame, path: String, tsCol: String = "ts",
             uidCols: Seq[String] = Seq.empty,
             mode: SaveMode = SaveMode.Overwrite,
-            codec: String = "zstd"): Unit = {
+            codec: String = "zstd",
+            overlapPolicy: OverlapPolicy = OverlapPolicy.Warn,
+            rowGroupBytes: Long = 16L << 20,
+            maxRecordsPerFile: Long = 8L << 20): Unit = {
     require(validate(df, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
+    // write-time overlap guard (reference behavior): appending a chunk
+    // whose time range intersects what's stored for the same series is
+    // almost always a double-write that silently duplicates rows.
+    if (mode == SaveMode.Append && uidCols.nonEmpty &&
+        overlapPolicy != OverlapPolicy.Allow) {
+      val bad = overlappingSeries(df.sparkSession, path, df, tsCol, uidCols)
+      if (bad.nonEmpty) {
+        val msg = s"append overlaps stored time ranges for ${bad.size} series " +
+          s"(double-write?): ${bad.take(5).mkString("; ")}" +
+          (if (bad.size > 5) " …" else "")
+        if (overlapPolicy == OverlapPolicy.Error)
+          throw new IllegalArgumentException(
+            s"$msg — pass overlapPolicy=Warn/Allow to append anyway")
+        else log.warn(msg)
+      }
+    }
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     val sorted = df.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     // zstd default ≙ the reference's LZ4 column blobs: better ratio than
     // snappy at similar scan speed — at 100 TB the ratio IS the IO budget.
     val writer = sorted.write.mode(mode).option("compression", codec)
-    (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
+      .option("parquet.block.size", rowGroupBytes)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    // Timestamps MUST be INT64 micros, not the INT96 legacy type: INT96
+    // columns carry NO parquet min/max statistics, which silently turns
+    // every ts-slice into a full scan (measured: the row-group-skip test
+    // reads 100% of rows under INT96). Session-conf-only in Spark, so set
+    // and restore around the write.
+    val sess = df.sparkSession
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prev = sess.conf.getOption(tsTypeKey)
+    sess.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
+    finally prev match {
+      case Some(v) => sess.conf.set(tsTypeKey, v)
+      case None    => sess.conf.unset(tsTypeKey)
+    }
   }
 
   /** Sliced read — the reference's core entry point (`Corintick.read`):
