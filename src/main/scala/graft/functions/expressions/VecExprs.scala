@@ -47,16 +47,33 @@ object VecExprs {
   /** (identifier, info, builder) triples for SparkSessionExtensions
     * .injectFunction — also usable directly via [[graft.GraftExtensions]].
     */
+  /** SQL-path arity guard: without it `graft_dot(a)` dies with an opaque
+    * IndexOutOfBoundsException and `graft_cosine(a,b,c)` silently drops
+    * the extra argument. AnalysisException is what Spark's own builtins
+    * raise for wrong arity, so callers see a uniform analysis-time error.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    }
+
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
-      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+      arity("graft_dot", 2)(es => FloatVecDot(es(0), es(1)))),
     (FunctionIdentifier("graft_normsq"),
       new ExpressionInfo(classOf[FloatVecNormSq].getName, "graft_normsq"),
-      (es: Seq[Expression]) => FloatVecNormSq(es(0))),
+      arity("graft_normsq", 1)(es => FloatVecNormSq(es(0)))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[FloatVecCosine].getName, "graft_cosine"),
-      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+      arity("graft_cosine", 2)(es => FloatVecCosine(es(0), es(1)))))
 }
 
 /** Σᵢ aᵢ·bᵢ over two float arrays, accumulated in double, index order. */

@@ -42,7 +42,8 @@ class Bundles(spark: SparkSession, basePath: String,
             tsCol: String = "ts",
             mode: SaveMode = SaveMode.Append,
             metadata: Map[String, Any] = Map.empty,
-            allowNewColumns: Boolean = false): Unit = {
+            allowNewColumns: Boolean = false,
+            overlapPolicy: TsStore.OverlapPolicy = TsStore.OverlapPolicy.Warn): Unit = {
     var tagged = df.withColumn(UidCol, org.apache.spark.sql.functions.lit(uid))
     metadata.foreach { case (k, v) =>
       // constrain metadata to literal-able scalar types up front — lit()
@@ -66,9 +67,13 @@ class Bundles(spark: SparkSession, basePath: String,
     // far away, at merge-read time, with an opaque error).
     if (mode == SaveMode.Append) {
       try {
-        // mergeSchema: for dynamic collections a single footer's schema
-        // would miss columns (and type conflicts) on other chunks
-        val existing = spark.read.option("mergeSchema", true)
+        // Uniform collections (the common case) read ONE footer: the
+        // guard itself keeps every chunk's schema identical, so any
+        // footer is representative and the check is O(1) per append.
+        // Only dynamic-schema collections pay the O(#files) mergeSchema
+        // metadata pass — a single footer would miss columns (and type
+        // conflicts) that live on other chunks.
+        val existing = spark.read.option("mergeSchema", allowNewColumns)
           .parquet(dir(collection)).schema
         val incoming = tagged.schema
         if (!allowNewColumns) {
@@ -88,7 +93,7 @@ class Bundles(spark: SparkSession, basePath: String,
       } catch { case _: org.apache.spark.sql.AnalysisException => () /* first write */ }
     }
     TsStore.write(tagged, dir(collection), tsCol = tsCol,
-      uidCols = Seq(UidCol), mode = mode)
+      uidCols = Seq(UidCol), mode = mode, overlapPolicy = overlapPolicy)
   }
 
   /** Sliced read of one series: uid + inclusive range + projection +

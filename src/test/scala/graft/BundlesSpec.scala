@@ -52,6 +52,48 @@ class BundlesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("facade overlap guard: double-write refused under Error, disjoint append fine") {
+    import spark.implicits._
+    import graft.sources.TsStore.OverlapPolicy
+    val base = Files.createTempDirectory("graft_bundles_ovl").toString
+    val ct = new Bundles(spark, base)
+    ct.write("AAPL", Seq((ts("2024-01-01 09:30:00"), 100.0),
+      (ts("2024-01-01 09:40:00"), 101.0)).toDF("ts", "price"))
+    // later chunk, disjoint range — the normal corintick write cadence
+    ct.write("AAPL", Seq((ts("2024-01-01 09:41:00"), 102.0)).toDF("ts", "price"),
+      overlapPolicy = OverlapPolicy.Error)
+    // re-delivery of the first chunk's range — refused
+    val e = intercept[IllegalArgumentException] {
+      ct.write("AAPL", Seq((ts("2024-01-01 09:35:00"), 999.0)).toDF("ts", "price"),
+        overlapPolicy = OverlapPolicy.Error)
+    }
+    assert(e.getMessage.contains("overlaps"))
+    // another series may share the wall-clock range
+    ct.write("MSFT", Seq((ts("2024-01-01 09:35:00"), 400.0)).toDF("ts", "price"),
+      overlapPolicy = OverlapPolicy.Error)
+    assert(ct.read("AAPL").count() === 3)
+  }
+
+  test("binary payload column round-trips byte-exact (pickle-fallback parity)") {
+    // The reference pickles objects it can't columnarize; the Spark-side
+    // analog is an opaque BinaryType column riding next to typed ones.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_bin").toString
+    val ct = new Bundles(spark, base)
+    val payloads = Seq(
+      (ts("2024-01-01 09:30:00"), Array[Byte](0, 1, -1, 127, -128), "a"),
+      (ts("2024-01-01 09:31:00"), Array.empty[Byte], "b"),
+      (ts("2024-01-01 09:32:00"), Array.tabulate(1024)(i => (i % 251).toByte), "c"))
+    ct.write("BLOB", payloads.toDF("ts", "payload", "tag"))
+    val back = ct.read("BLOB").orderBy("ts")
+      .select("payload", "tag").as[(Array[Byte], String)].collect()
+    assert(back.length === 3)
+    payloads.sortBy(_._1.getTime).zip(back).foreach { case ((_, want, tag), (got, gotTag)) =>
+      assert(java.util.Arrays.equals(got, want), s"payload bytes differ for tag $tag")
+      assert(gotTag === tag)
+    }
+  }
+
   test("multi-uid read prunes to the requested partitions; dropSeries removes one series") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bundles_multi").toString

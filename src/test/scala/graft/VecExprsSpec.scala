@@ -70,6 +70,17 @@ class VecExprsSpec extends AnyFunSuite {
     assert(sqlRows.map(r => (r._1, r._3)).toSeq == dfRows.toSeq)
   }
 
+  test("wrong SQL arity is a clean analysis error, not an index crash") {
+    Tables.embeddings(spark, TestSpark.sf001).limit(1)
+      .createOrReplaceTempView("ve_arity")
+    Seq("SELECT graft_dot(embedding) FROM ve_arity",
+        "SELECT graft_cosine(embedding, embedding, embedding) FROM ve_arity",
+        "SELECT graft_normsq(embedding, embedding) FROM ve_arity").foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("graft_"), s"$q → ${e.getMessage.take(120)}")
+    }
+  }
+
   test("native LSH bucket equals the unrolled Column spelling on every vector") {
     val rows = Tables.embeddings(spark, TestSpark.sf001)
       .select($"vec_id",
