@@ -50,24 +50,49 @@ object Streams {
 
   /** Streaming LOCF — the custom-state op (SURVEY §4.3.5): carries the
     * last non-null value per key across micro-batches in a GroupState.
-    * State per key is ONE Option[Double] — O(keys) total state, evicted
-    * never (NoTimeout) because a gap may be arbitrarily long; a real
-    * deployment would add an event-time timeout. Works identically on a
-    * batch Dataset (state starts empty, one "batch").
+    * State per key is ONE Option[Double].
+    *
+    * `expireAfter` (e.g. `"1 hour"`) bounds total state on an infinite
+    * stream: a key idle past the expiry — measured in EVENT time against
+    * the stream's watermark, so reprocessing old data cannot mass-evict —
+    * has its state dropped, and a later tick for that key starts from
+    * empty (its leading gap fills with null until a value arrives, the
+    * same cold-start semantics as a brand-new key). Without it state is
+    * O(all keys ever seen), which no infinite stream survives.
+    * EventTimeTimeout requires `withWatermark` upstream on `ts`.
+    *
+    * `expireAfter = None` keeps NoTimeout (bounded key domains / batch).
+    * Works identically on a batch Dataset (state starts empty, one
+    * "batch", timeouts never fire — Spark's documented batch contract).
     */
-  def locfPerKey(ticks: Dataset[Tick]): Dataset[FilledTick] = {
+  def locfPerKey(ticks: Dataset[Tick],
+                 expireAfter: Option[String] = None): Dataset[FilledTick] = {
     import ticks.sparkSession.implicits._
+    val timeoutConf =
+      if (expireAfter.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ticks.groupByKey(_.user_id)
       .flatMapGroupsWithState[Option[Double], FilledTick](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Tick], state: GroupState[Option[Double]]) =>
-          var last: Option[Double] = state.getOption.flatten
-          val out = it.toSeq.sortBy(_.ts.getTime).map { t =>
-            if (t.value.nonEmpty) last = t.value
-            FilledTick(uid, t.ts, last)
+          if (state.hasTimedOut) {
+            // idle past expiry: drop the carried value; emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: Option[Double] = state.getOption.flatten
+            val rows = it.toSeq.sortBy(_.ts.getTime)
+            val out = rows.map { t =>
+              if (t.value.nonEmpty) last = t.value
+              FilledTick(uid, t.ts, last)
+            }
+            state.update(last)
+            expireAfter.foreach { d =>
+              if (rows.nonEmpty)
+                state.setTimeoutTimestamp(rows.last.ts.getTime, d)
+            }
+            out.iterator
           }
-          state.update(last)
-          out.iterator
       }
   }
 

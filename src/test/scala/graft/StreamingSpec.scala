@@ -151,6 +151,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LOCF event-time expiry drops idle key state; a returning tick starts cold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val ticks = input.toDS().withWatermark("ts", "0 seconds").as[Tick]
+    val q = Streams.locfPerKey(ticks, expireAfter = Some("30 minutes"))
+      .writeStream.format("memory").queryName("locf_exp")
+      .outputMode("append").start()
+    try {
+      input.addData(Tick(1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+        Tick(1L, ts("2024-01-01 10:01:00"), None))
+      q.processAllAvailable()
+      // another key advances the watermark far past key 1's expiry…
+      input.addData(Tick(2L, ts("2024-01-01 12:00:00"), Some(1.0)))
+      q.processAllAvailable()
+      // …and the following batch is where the timeout actually fires
+      input.addData(Tick(2L, ts("2024-01-01 12:10:00"), None))
+      q.processAllAvailable()
+      // key 1 returns after expiry with a leading gap: 5.0 must NOT leak
+      input.addData(Tick(1L, ts("2024-01-01 12:20:00"), None))
+      q.processAllAvailable()
+      val k1 = spark.table("locf_exp").as[(Long, Timestamp, Option[Double])]
+        .collect().filter(_._1 == 1L).sortBy(_._2.getTime).map(_._3)
+      assert(k1.length === 3)
+      assert(k1(0) === Some(5.0))
+      assert(k1(1) === Some(5.0), "gap inside the expiry window fills")
+      assert(k1(2).isEmpty, "expired state must not leak the old value")
+    } finally q.stop()
+  }
+
   test("custom-state LOCF carries last value across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
