@@ -144,6 +144,25 @@ object Aggregates {
         "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    "agg_percentile_approx" -> DeclaredQuery(
+      // The 100 TB percentile path: percentile_approx's Greenwald-Khanna
+      // sketch is MERGEABLE — partial sketches combine map-side and
+      // across partitions with bounded rank error (≤ n/accuracy), so the
+      // shuffle carries one sketch per group instead of every value,
+      // unlike exact percentiles which must see the full distribution.
+      // No DuckDB oracle (sketch internals aren't portable, same family
+      // as agg_hll); PercentileApproxSpec bounds the error vs the exact
+      // agg_percentile twin.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy("l_returnflag"),
+      None,
+      "approximate percentiles via mergeable GK sketch (scale twin of agg_percentile)"),
+
     "agg_pivot" -> DeclaredQuery(
       // Pivot with an EXPLICIT value list: omitting it costs an extra
       // distinct job over the full table at scale and makes the output
