@@ -501,6 +501,39 @@ object Llm {
         "WHERE rnk <= 3 ORDER BY source, rnk"),
       "bigram document-frequency top-3 per source (n-gram LM statistics)"),
 
+    "llm_decontaminate" -> DeclaredQuery(
+      // Benchmark decontamination — the training-pipeline gate that keeps
+      // eval data out of the training corpus: flag every corpus document
+      // sharing an n-gram with the held-out eval split (docs with
+      // doc_id % 50 == 0 play the benchmark set; 3-gram granularity is
+      // the fixture-scale stand-in for the customary 13-grams — the
+      // 31-token fixture vocabulary makes trigram collisions common
+      // enough to exercise the hit-counting path, ~257 flagged docs at
+      // sf0.01). Scale
+      // shape: the eval n-gram set is benchmark-sized (thousands of
+      // docs, not billions) → broadcast, so contamination detection is
+      // ONE scan of corpus shingles with a map-side hash probe; the only
+      // shuffle is the per-doc hit count. docShingles emits distinct
+      // (doc_id, shingle) pairs, so count(*) after the probe is the
+      // distinct contaminated-gram count.
+      (s, d) => {
+        val g = TextOps.docShingles(Tables.documents(s, d), 3)
+        val evalGrams = g.filter(col("doc_id") % 50 === 0)
+          .select(col("sh")).distinct()
+        g.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalGrams), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_eval_grams FROM g JOIN e USING (sh) " +
+        "WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id ORDER BY doc_id"),
+      "benchmark decontamination: corpus docs sharing 3-grams with the eval split"),
+
     "llm_train_split" -> DeclaredQuery(
       // Deterministic train/val/test split by content-independent hash of
       // the document KEY (md5 of the id string, first hex nibble:

@@ -34,6 +34,33 @@ object Windows {
         "dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk " +
         "FROM orders ORDER BY o_orderkey")),
 
+    "win_ewma" -> DeclaredQuery(
+      // Exponentially-weighted moving average per user over event time —
+      // the corintick-domain smoother, via the native Ewma
+      // AggregateWindowFunction (expressions/EwmaWin.scala: O(n) running
+      // recurrence inside WindowExec's running frame; a relational
+      // spelling is an O(n²) triangular self-join). Null ticks carry the
+      // previous value (ts_ffill semantics). The oracle is the same
+      // recurrence as a DuckDB recursive CTE over per-user row numbers —
+      // both engines execute literally `0.2·x + 0.8·e` in binary64, so
+      // 6dp-rounded outputs hash-match exactly.
+      (s, d) => {
+        val e = graft.functions.expressions.EwmaWin.ewmaOver(col("value"), 0.2,
+          partitionBy = Seq(col("user_id")), orderBy = Seq(col("ts"), col("event_id")))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), round(e, 6).as("ewma"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("WITH RECURSIVE base AS (SELECT user_id, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "r AS (SELECT user_id, event_id, rn, value AS e FROM base WHERE rn = 1 " +
+        "UNION ALL SELECT b.user_id, b.event_id, b.rn, " +
+        "CASE WHEN b.value IS NULL THEN r.e WHEN r.e IS NULL THEN b.value " +
+        "ELSE 0.2 * b.value + 0.8 * r.e END " +
+        "FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1) " +
+        "SELECT user_id, event_id, round(e, 6) AS ewma FROM r ORDER BY user_id, event_id"),
+      "per-user EWMA of tick values (native running window recurrence)"),
+
     "win_cume" -> DeclaredQuery(
       // Distribution functions: percent_rank / cume_dist. The window
       // ORDER BY carries the unique c_custkey tie-break so both engines

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.EwmaWin
+import graft.sources.Tables
+
+/** The native Ewma window function: bit-equality against a driver-side
+  * recurrence over the real fixture, and the null contract (leading nulls
+  * stay null, a mid-stream null carries — ts_ffill semantics).
+  */
+class EwmaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ewma is bit-equal to the driver-computed recurrence on real events") {
+    val got = Tables.events(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_id"),
+        EwmaWin.ewmaOver(col("value"), 0.2,
+          partitionBy = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id"))).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    val rows = Tables.events(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(t => (t._1, t._3.getTime, t._2))
+    var cur = Map.empty[Long, Option[Double]]
+    val want = rows.map { case (u, id, _, v) =>
+      val e = (v, cur.getOrElse(u, None)) match {
+        case (None, prev)          => prev
+        case (Some(x), None)       => Some(x)
+        case (Some(x), Some(p))    => Some(0.2 * x + 0.8 * p)
+      }
+      cur += u -> e
+      (u, id) -> e
+    }.toMap
+
+    assert(got.size === want.size && got.nonEmpty)
+    want.foreach { case (k, e) =>
+      assert(got(k) === e, s"row $k: native ${got(k)} vs reference $e")
+    }
+  }
+
+  test("null contract: leading nulls stay null, a mid-stream null carries") {
+    val df = Seq(
+      (1L, 1L, Option.empty[Double]),
+      (1L, 2L, Some(10.0)),
+      (1L, 3L, None),
+      (1L, 4L, Some(20.0))).toDF("u", "id", "v")
+    val got = df.select(col("id"),
+      EwmaWin.ewmaOver(col("v"), 0.5,
+        partitionBy = Seq(col("u")), orderBy = Seq(col("id"))).as("e"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got.toSeq === Seq(None, Some(10.0), Some(10.0), Some(15.0)))
+  }
+
+  test("alpha outside (0, 1] is rejected at construction") {
+    assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 0.0))
+    assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 1.5))
+  }
+}
