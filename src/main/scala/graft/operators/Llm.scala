@@ -557,6 +557,39 @@ object Llm {
         "ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
       "deterministic hash-based train/val/test split (md5 nibble)"),
 
+    "llm_sample_mix" -> DeclaredQuery(
+      // Deterministic data mixing — per-source sampling rates (the
+      // "3 parts web to 1 part code" recipe every pretraining corpus
+      // uses), decided per document by a content-independent KEY hash so
+      // the sample is stable under reprocessing, resharding, and
+      // incremental appends (rand() resamples every run; row_number
+      // depends on physical layout). The keep rule compares an md5
+      // nibble's hex position against the source's rate in 16ths
+      // (fixture recipe: source number % 4 → 4/8/12/16 sixteenths).
+      // Nibble POSITION 2 keeps mixing independent of llm_train_split's
+      // position-1 nibble — a doc's split and its mixing survival are
+      // uncorrelated. Pure per-row projection+filter: embarrassingly
+      // parallel, no shuffle at all before the declared ORDER BY.
+      (s, d) => {
+        val rate16 =
+          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1) * 4
+        val nibPos = expr(
+          "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            rate16.cast("long").as("rate16"), nibPos.cast("long").as("__nib"))
+          .filter(col("__nib") <= col("rate16"))
+          .select(col("doc_id"), col("source"), col("rate16"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, source, " +
+        "CAST((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4 AS BIGINT) AS rate16 " +
+        "FROM documents WHERE instr('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= " +
+        "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4 " +
+        "ORDER BY doc_id"),
+      "deterministic per-source mixing: md5-nibble keep at source-derived rates"),
+
     "llm_unigram_score" -> DeclaredQuery(
       // Unigram LM scoring — the classic perplexity-proxy quality filter:
       // per-doc mean log-probability under the corpus's own unigram

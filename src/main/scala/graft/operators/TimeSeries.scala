@@ -197,6 +197,39 @@ object TimeSeries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
         "FROM events ORDER BY event_id")),
 
+    "ts_align" -> DeclaredQuery(
+      // Two-series alignment — the reference's client-side pandas merge
+      // done engine-side: project each series into its own column of ONE
+      // scan (no self-union, no self-join), then a single window pass
+      // forward-fills both, so every output row carries the latest known
+      // value of BOTH series as of that instant (the "align bid/ask"
+      // quant merge). One shuffle on (key, ts) at any scale; aligning by
+      // joining every A row to B rows would be the O(n²) trap.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "view", col("value")).as("va"),
+            when(col("event_type") === "click", col("value")).as("vb"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            last(col("va"), ignoreNulls = true).over(w).as("va_f"),
+            last(col("vb"), ignoreNulls = true).over(w).as("vb_f"))
+          .orderBy(col("event_id"))
+      },
+      Some("WITH u AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN event_type = 'view' THEN value END AS va, " +
+        "CASE WHEN event_type = 'click' THEN value END AS vb " +
+        "FROM events WHERE event_type IN ('view', 'click')) " +
+        "SELECT user_id, ts, event_id, " +
+        "last_value(va IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS va_f, " +
+        "last_value(vb IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vb_f " +
+        "FROM u ORDER BY event_id"),
+      "align two series on the union of their timestamps, per-side LOCF"),
+
     "ts_gapfill" -> DeclaredQuery(
       // Regularize an irregular series onto a fixed hourly grid, then
       // LOCF-fill the holes — the corintick-domain "resample to bars,
