@@ -590,6 +590,38 @@ object Llm {
         "ORDER BY doc_id"),
       "deterministic per-source mixing: md5-nibble keep at source-derived rates"),
 
+    "llm_pack_sequences" -> DeclaredQuery(
+      // Sequence packing — the last step before a training corpus hits
+      // the GPU: documents are concatenated in a stable order and chunked
+      // into fixed token-budget sequences (budget 512 here), so each doc
+      // gets (pack_id, offset) coordinates. Pure window arithmetic: an
+      // EXCLUSIVE running token sum per source shard (docs straddle pack
+      // boundaries — the standard concat-then-chunk scheme), then integer
+      // div/mod. One shuffle (the window's, by shard); integer-only math
+      // so the oracle is exact. At 100 TB the shard key is what bounds
+      // window partition size — source plays that role here.
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks"))
+          .withColumn("off", coalesce(sum("n_toks").over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            expr("off div 512").as("pack_id"),
+            (col("off") % 512).as("pack_offset"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, " +
+        s"CAST(len($ToksSql) AS BIGINT) AS n_toks FROM documents), " +
+        // sum() OVER returns HUGEINT in DuckDB — cast back to BIGINT so
+        // the integer div/mod results match Spark's LongType exactly
+        "o AS (SELECT doc_id, source, n_toks, coalesce(CAST(sum(n_toks) OVER (" +
+        "PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off FROM t) " +
+        "SELECT doc_id, source, n_toks, CAST(off // 512 AS BIGINT) AS pack_id, " +
+        "CAST(off % 512 AS BIGINT) AS pack_offset FROM o ORDER BY doc_id"),
+      "sequence packing: concat-then-chunk (pack_id, offset) per doc at budget 512"),
+
     "llm_unigram_score" -> DeclaredQuery(
       // Unigram LM scoring — the classic perplexity-proxy quality filter:
       // per-doc mean log-probability under the corpus's own unigram

@@ -102,6 +102,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("win_ewma plans ONE window pass over one key shuffle (no self-join)") {
+    val p = plan("win_ewma")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert(p.contains("graft_ewma"), p)
+    assert(!p.contains("Join"), "EWMA must never plan a join")
+  }
+
+  test("llm_decontaminate broadcasts the eval-gram set (corpus side never shuffles to join)") {
+    val df = Registry.all("llm_decontaminate").fn(spark, TestSpark.sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("ts_align is one scan + one window pass, never a self-join of the two series") {
+    val p = plan("ts_align")
+    assert(!p.contains("Join"), p.take(400))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("llm_sample_mix plans no shuffle before the declared ORDER BY") {
+    // pure projection+filter: the only Exchange is the final range sort
+    val p = plan("llm_sample_mix")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees
