@@ -25,11 +25,19 @@ object TimeSeries {
     * `forward = true` flips the direction: the EARLIEST right row with
     * `right.ts >= left.ts` (ties: smallest tie-break wins) — same single
     * shuffle + linear pass, just a reversed sort order.
+    *
+    * `tolerance` bounds match staleness (pandas `merge_asof(tolerance=)`
+    * semantics): a match farther than `tolerance` from the left ts is
+    * nulled out. Post-filtering the single-pass result is equivalent to
+    * restricting candidates to the window, because the as-of winner
+    * inside [ts-tol, ts] is the same row as the unbounded winner whenever
+    * one exists — so the scale shape is unchanged (no extra pass).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightTieBreak: Seq[String] = Seq.empty,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
     val keyCols: Seq[Column] = keys.map(col)
@@ -51,12 +59,20 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lPrep.unionByName(rPrep)
+    val raw = lPrep.unionByName(rPrep)
       .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(keyCols ++
-        leftCols.map(c => col("__l").getField(c).as(c)) ++
-        rightCols.map(c => col("__rlast").getField(c).as(c)): _*)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val mTs = col("__rlast").getField(rightTs)
+        val inTol = if (forward) mTs <= col("__ts") + tol
+                    else mTs >= col("__ts") - tol
+        raw.withColumn("__rlast", when(inTol, col("__rlast")))
+      case None => raw
+    }
+    bounded.select(keyCols ++
+      leftCols.map(c => col("__l").getField(c).as(c)) ++
+      rightCols.map(c => col("__rlast").getField(c).as(c)): _*)
   }
 
   /** As-of join through the CUSTOM OPERATOR path (graft.plans.AsofJoin*):
@@ -152,6 +168,34 @@ object TimeSeries {
         "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
         "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "as-of join: last preceding view per purchase, per user (ties: ts<=, latest)"),
+
+    "join_asof_tol" -> DeclaredQuery(
+      // Bounded-staleness as-of: a preceding view OLDER than 10 minutes
+      // is no match (pandas merge_asof tolerance). Same single-shuffle
+      // union+window pass as join_asof; the tolerance is a post-filter on
+      // the carried match — equivalent to windowed candidates because the
+      // in-window winner IS the unbounded winner when one exists.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+        asofJoin(p, v, keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightTieBreak = Seq("view_event_id"),
+          tolerance = Some(expr("INTERVAL 10 MINUTES")))
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 10 MINUTE " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 10 MINUTE " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+      "as-of join with 10-minute staleness tolerance (unmatched → nulls)"),
 
     "join_asof_fwd" -> DeclaredQuery(
       // Forward as-of: the FIRST view at-or-after each purchase — the

@@ -14,6 +14,23 @@ class AsofSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("tolerance nulls out matches staler than the bound, keeps fresh ones") {
+    val left = Seq(
+      (1L, 101L, ts("2024-01-01 00:10:00")),  // nearest view 9 min old → match
+      (1L, 102L, ts("2024-01-01 00:30:00")),  // nearest view 21 min old → too stale
+      (1L, 103L, ts("2024-01-01 00:09:00")))  // exactly at the 10-min bound → match
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 11L, ts("2024-01-01 00:01:00")),
+      (1L, 12L, ts("2024-01-01 00:09:00")))
+      .toDF("user_id", "view_event_id", "view_ts")
+    val out = TimeSeries.asofJoin(left, right, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+      tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .orderBy("event_id").select("event_id", "view_event_id")
+      .as[(Long, Option[Long])].collect()
+    assert(out === Array((101L, Some(12L)), (102L, None), (103L, Some(12L))))
+  }
+
   test("asof join picks the latest right row at or before each left ts") {
     val left = Seq(
       (1L, 101L, ts("2024-01-01 00:00:05")),
