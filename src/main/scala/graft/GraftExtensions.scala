@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.VecExprs.registrations.foreach(ext.injectFunction)
+    ext.injectFunction(graft.functions.expressions.EwmaWin.registration)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDotToNormSq)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -63,6 +63,33 @@ case class Ewma(child: Expression, alpha: Double)
 
 object EwmaWin {
   import org.apache.spark.sql.GraftShim
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  /** SQL registration triple for GraftExtensions: the analyzer resolves
+    * `graft_ewma(x, a) OVER (...)` through UnresolvedFunction, which
+    * keeps AggregateWindowFunctions bare inside the WindowExpression —
+    * the path Column.over gets wrong (see [[ewmaOver]]).
+    */
+  def registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ewma"),
+      new ExpressionInfo(classOf[Ewma].getName, "graft_ewma"),
+      es => {
+        if (es.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_ewma", "expectedNum" -> "2",
+              "actualNum" -> es.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val alpha = es(1) match {
+          case Literal(v: Double, _) => v
+          // SQL `0.2` parses as a Decimal literal
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_ewma: alpha must be a numeric literal, got $other")
+        }
+        Ewma(es.head, alpha)
+      })
 
   /** Bare expression — exists so alpha validation fires eagerly; prefer
     * [[ewmaOver]] for actual queries.

@@ -256,10 +256,17 @@ object Llm {
             col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // exact verification runs over the 64-bit base hashes, not the
+        // shingle strings: the join/aggregate shuffles carry 8 bytes per
+        // shingle instead of the text (at corpus scale shingles ARE the
+        // data volume), and the hashed set is the same set the signature
+        // used (collision odds per doc pair ~ shingles²/2⁶⁴ — vanishing;
+        // LlmOpsSpec still asserts equality against string-set Jaccard).
+        val hs = hashed.select(col("doc_id"), col("__h"))
+        val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .join(hs.select(col("doc_id").as("doc_a"), col("__h")), "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"), col("__h")), Seq("doc_b", "__h"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")

@@ -60,6 +60,24 @@ class EwmaSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(None, Some(10.0), Some(10.0), Some(15.0)))
   }
 
+  test("SQL graft_ewma OVER (...) matches the DataFrame API result") {
+    Tables.events(spark, TestSpark.sf001).limit(2000)
+      .createOrReplaceTempView("ewma_ev")
+    val sqlRows = spark.sql(
+      "SELECT event_id, round(graft_ewma(value, 0.2) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS e " +
+        "FROM ewma_ev ORDER BY event_id")
+      .as[(Long, Option[Double])].collect()
+    val dfRows = spark.table("ewma_ev")
+      .select(col("event_id"),
+        round(EwmaWin.ewmaOver(col("value"), 0.2,
+          partitionBy = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id"))), 6).as("e"))
+      .orderBy("event_id").as[(Long, Option[Double])].collect()
+    assert(sqlRows.nonEmpty && sqlRows.toSeq === dfRows.toSeq)
+  }
+
   test("alpha outside (0, 1] is rejected at construction") {
     assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 0.0))
     assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 1.5))
