@@ -130,6 +130,23 @@ object Relational {
         "p_brand || '_' || p_type AS brand_type, CAST(length(p_name) AS BIGINT) AS name_len, " +
         "regexp_extract(p_name, '^([a-z]+)', 1) AS first_word FROM part ORDER BY p_partkey")),
 
+    "fn_encode" -> DeclaredQuery(
+      // Binary encodings: base64 / hex / UTF-8 round-trip. hex is
+      // lower()ed on both sides (Spark upper-cases, DuckDB varies by
+      // input type); p_name < 76 chars so Spark's legacy chunked-base64
+      // question never arises.
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        base64(encode(col("p_name"), "UTF-8")).as("b64"),
+        lower(hex(encode(col("p_name"), "UTF-8"))).as("hx"),
+        decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("rt")
+      ).orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, to_base64(encode(p_name)) AS b64, " +
+        "lower(hex(p_name)) AS hx, " +
+        "decode(from_base64(to_base64(encode(p_name)))) AS rt " +
+        "FROM part ORDER BY p_partkey"),
+      "base64/hex encodings and a byte-exact decode round-trip"),
+
     "fn_date" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d).select(
         col("o_orderkey"),

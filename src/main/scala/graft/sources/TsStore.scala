@@ -64,9 +64,15 @@ object TsStore {
     val stored =
       try spark.read.parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
-    val uidPred = inExt.map { r =>
-      uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
-    }.reduce(_ || _)
+    // single uid column (the Bundles case): one IN-list predicate —
+    // partition-prunable and O(1) plan nodes however many series the
+    // batch touches. Composite keys fall back to an OR of conjunctions,
+    // fine for the handful of series a normal append carries.
+    val uidPred =
+      if (uidCols.sizeIs == 1) col(uidCols.head).isin(inExt.map(_.get(0)): _*)
+      else inExt.map { r =>
+        uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
+      }.reduce(_ || _)
     val storedExt = stored.filter(uidPred)
       .groupBy(uidCols.map(col): _*)
       .agg(min(col(tsCol)).as("__st_min"), max(col(tsCol)).as("__st_max"))
