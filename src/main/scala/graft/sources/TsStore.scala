@@ -73,16 +73,19 @@ object TsStore {
       else inExt.map { r =>
         uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
       }.reduce(_ || _)
+    // keys compare as STRINGS: partition-column type inference can read
+    // a numeric-looking string uid back as int ("123" → 123), and the
+    // driver-side map lookup must not silently miss the overlap for it
     val storedExt = stored.filter(uidPred)
       .groupBy(uidCols.map(col): _*)
       .agg(min(col(tsCol)).as("__st_min"), max(col(tsCol)).as("__st_max"))
       .collect()
-      .map(r => uidCols.indices.map(r.get).toSeq ->
+      .map(r => uidCols.indices.map(i => String.valueOf(r.get(i))).toSeq ->
         (r.get(uidCols.size), r.get(uidCols.size + 1))).toMap
     // ts may be timestamp OR long (ns ticks) — both are Comparable
     def cmp(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b)
     inExt.toSeq.flatMap { r =>
-      val key = uidCols.indices.map(r.get).toSeq
+      val key = uidCols.indices.map(i => String.valueOf(r.get(i))).toSeq
       val inMin = r.get(uidCols.size); val inMax = r.get(uidCols.size + 1)
       storedExt.get(key).collect {
         case (stMin, stMax) if cmp(inMax, stMin) >= 0 && cmp(inMin, stMax) <= 0 =>
