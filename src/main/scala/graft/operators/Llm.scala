@@ -705,6 +705,81 @@ object Llm {
         "FROM s GROUP BY split, lang ORDER BY split, lang"),
       "end-to-end corpus cleaning: quality gate → exact dedup → split → stats"),
 
+    "llm_pipeline_full" -> DeclaredQuery(
+      // The COMPLETE modern pretraining-data pipeline as one declared
+      // query — every stage is one of this engine's operators, composed:
+      //   length gate → exact dedup (16-byte digest shuffle) →
+      //   benchmark decontamination (broadcast eval-gram anti-join) →
+      //   deterministic per-source mixing (md5 nibble 2) →
+      //   hash train/val/test split (md5 nibble 1) →
+      //   sequence packing (exclusive running sum per (split, source))
+      // → per-(split, source) corpus accounting: docs, tokens, packs.
+      // Scale: the only shuffles are the dedup digest, the pack window's
+      // (split, source), and the final stats aggregate; decontamination
+      // is a map-side broadcast probe, gate/mix/split are projections.
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        val base = all
+          .select(col("doc_id"), col("source"), col("text"),
+            col("n_chars").cast("long").as("n_chars"), toks.as("__toks"))
+          .filter(col("n_chars").between(80, 2000))
+        val dedup = base
+          .withColumn("__dig", md5(encode(lower(trim(col("text"))), "UTF-8")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("__dig").orderBy("doc_id")))
+          .filter(col("__rn") === 1)
+        val g = TextOps.docShingles(all, 3)
+        val evalG = g.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+        val contaminated = g.join(broadcast(evalG), "sh").select("doc_id").distinct()
+        val clean = dedup.filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val rate16 =
+          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1) * 4
+        val nib1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val nibPos2 = expr(
+          "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))")
+        val mixed = clean.filter(nibPos2 <= rate16)
+          .select(col("doc_id"), col("source"),
+            when(nib1.isin("c", "d"), "val").when(nib1.isin("e", "f"), "test")
+              .otherwise("train").as("split"),
+            size(col("__toks")).cast("long").as("n_toks"))
+        val w = Window.partitionBy("split", "source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        mixed.withColumn("off", coalesce(sum("n_toks").over(w), lit(0L)))
+          .withColumn("pack_id", expr("off div 512"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+            countDistinct("pack_id").as("n_packs"))
+          .orderBy(col("split"), col("source"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS n_chars, " +
+        s"$ToksSql AS toks FROM documents), " +
+        "base AS (SELECT * FROM t WHERE n_chars BETWEEN 80 AND 2000), " +
+        "k AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) " +
+        "ORDER BY doc_id) AS rn FROM base), " +
+        "ded AS (SELECT * FROM k WHERE rn = 1), " +
+        "g AS (SELECT DISTINCT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (sh)), " +
+        "clean AS (SELECT * FROM ded WHERE doc_id % 50 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
+        "mixed AS (SELECT doc_id, source, CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
+        "ELSE 'train' END AS split, CAST(len(toks) AS BIGINT) AS n_toks FROM clean " +
+        "WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= " +
+        "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4), " +
+        "o AS (SELECT *, coalesce(CAST(sum(n_toks) OVER (PARTITION BY split, source " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS off FROM mixed), " +
+        "p AS (SELECT split, source, n_toks, off // 512 AS pack_id FROM o) " +
+        "SELECT split, source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks, " +
+        "CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs FROM p " +
+        "GROUP BY split, source ORDER BY split, source"),
+      "full pretraining pipeline: gate → dedup → decontaminate → mix → split → pack"),
+
     "llm_ann_lsh" -> DeclaredQuery(
       // Approximate nearest neighbors — the scale path: random-hyperplane
       // LSH bucket (8 planes → 256 buckets) computed in one scan, then
