@@ -73,18 +73,14 @@ object EwmaWin {
   def registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_ewma"),
       new ExpressionInfo(classOf[Ewma].getName, "graft_ewma"),
-      es => {
-        if (es.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "graft_ewma", "expectedNum" -> "2",
-              "actualNum" -> es.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+      VecExprs.arity("graft_ewma", 2) { es =>
         val alpha = es(1) match {
           case Literal(v: Double, _) => v
-          // SQL `0.2` parses as a Decimal literal
+          // SQL `0.2` parses as a Decimal literal, `1` as an integer —
+          // both are valid alphas (the range check lives in Ewma itself)
           case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
           case other => throw new IllegalArgumentException(
             s"graft_ewma: alpha must be a numeric literal, got $other")
         }

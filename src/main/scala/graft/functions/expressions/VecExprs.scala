@@ -51,8 +51,10 @@ object VecExprs {
     * IndexOutOfBoundsException and `graft_cosine(a,b,c)` silently drops
     * the extra argument. AnalysisException is what Spark's own builtins
     * raise for wrong arity, so callers see a uniform analysis-time error.
+    * Shared by every graft_* registration (EwmaWin uses it too) so the
+    * SQL error surface stays uniform.
     */
-  private def arity(name: String, n: Int)(
+  private[expressions] def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     es => {
       if (es.length != n)

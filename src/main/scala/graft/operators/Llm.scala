@@ -44,6 +44,30 @@ object Llm {
 
   private def toks = TextOps.tokens(col("text"))
 
+  /** Deterministic-hash recipe pieces shared by llm_train_split,
+    * llm_sample_mix and llm_pipeline_full — Scala Column and DuckDB SQL
+    * spellings side by side, so a recipe change cannot desynchronize the
+    * composed pipeline from its component queries. Split uses md5 nibble
+    * POSITION 1, mixing nibble POSITION 2: a doc's split and its mixing
+    * survival stay uncorrelated.
+    */
+  private def splitNib = substring(md5(col("doc_id").cast("string")), 1, 1)
+  private def splitCol: Column =
+    when(splitNib.isin("c", "d"), "val")
+      .when(splitNib.isin("e", "f"), "test").otherwise("train")
+  private val SplitCaseSql: String =
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
+      "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
+      "ELSE 'train' END"
+  private def mixRate16: Column =
+    (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1) * 4
+  private def mixNibPos: Column = expr(
+    "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))")
+  private val MixRate16Sql: String =
+    "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4"
+  private val MixNibPosSql: String =
+    "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))"
+
   /** DuckDB spelling of [[TextOps.tokens]] — the empty-token filter is
     * mirrored so an empty/whitespace-only document tokenizes to [] on
     * BOTH sides (bare string_split_regex yields [''], length 1).
@@ -549,19 +573,10 @@ object Llm {
       // resharding, and incremental appends — row_number() or rand()
       // would reshuffle docs between splits on every run. Pure per-row
       // projection; md5 is engine-portable so the oracle is exact.
-      (s, d) => {
-        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            when(nib.isin("c", "d"), "val")
-              .when(nib.isin("e", "f"), "test")
-              .otherwise("train").as("split"))
-          .orderBy(col("doc_id"))
-      },
-      Some("SELECT doc_id, CASE " +
-        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
-        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
-        "ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), splitCol.as("split"))
+        .orderBy(col("doc_id")),
+      Some(s"SELECT doc_id, $SplitCaseSql AS split FROM documents ORDER BY doc_id"),
       "deterministic hash-based train/val/test split (md5 nibble)"),
 
     "llm_sample_mix" -> DeclaredQuery(
@@ -577,24 +592,14 @@ object Llm {
       // position-1 nibble — a doc's split and its mixing survival are
       // uncorrelated. Pure per-row projection+filter: embarrassingly
       // parallel, no shuffle at all before the declared ORDER BY.
-      (s, d) => {
-        val rate16 =
-          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1) * 4
-        val nibPos = expr(
-          "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))")
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            rate16.cast("long").as("rate16"), nibPos.cast("long").as("__nib"))
-          .filter(col("__nib") <= col("rate16"))
-          .select(col("doc_id"), col("source"), col("rate16"))
-          .orderBy(col("doc_id"))
-      },
-      Some("SELECT doc_id, source, " +
-        "CAST((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4 AS BIGINT) AS rate16 " +
-        "FROM documents WHERE instr('0123456789abcdef', " +
-        "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= " +
-        "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4 " +
-        "ORDER BY doc_id"),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          mixRate16.cast("long").as("rate16"), mixNibPos.cast("long").as("__nib"))
+        .filter(col("__nib") <= col("rate16"))
+        .select(col("doc_id"), col("source"), col("rate16"))
+        .orderBy(col("doc_id")),
+      Some(s"SELECT doc_id, source, CAST($MixRate16Sql AS BIGINT) AS rate16 " +
+        s"FROM documents WHERE $MixNibPosSql <= $MixRate16Sql ORDER BY doc_id"),
       "deterministic per-source mixing: md5-nibble keep at source-derived rates"),
 
     "llm_pack_sequences" -> DeclaredQuery(
@@ -680,11 +685,7 @@ object Llm {
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col("__dig")).orderBy(col("doc_id"))))
           .filter(col("__rn") === 1)
-        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
-        kept.select(col("lang"),
-            when(nib.isin("c", "d"), "val").when(nib.isin("e", "f"), "test")
-              .otherwise("train").as("split"),
-            col("n_chars"))
+        kept.select(col("lang"), splitCol.as("split"), col("n_chars"))
           .groupBy("split", "lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
           .orderBy(col("split"), col("lang"))
@@ -697,10 +698,7 @@ object Llm {
         "q AS (SELECT * FROM g WHERE sr >= 0.05), " +
         "k AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) " +
         "ORDER BY doc_id) AS rn FROM q), " +
-        "s AS (SELECT lang, n_chars, CASE " +
-        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
-        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
-        "ELSE 'train' END AS split FROM k WHERE rn = 1) " +
+        s"s AS (SELECT lang, n_chars, $SplitCaseSql AS split FROM k WHERE rn = 1) " +
         "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM s GROUP BY split, lang ORDER BY split, lang"),
       "end-to-end corpus cleaning: quality gate → exact dedup → split → stats"),
@@ -733,15 +731,8 @@ object Llm {
         val contaminated = g.join(broadcast(evalG), "sh").select("doc_id").distinct()
         val clean = dedup.filter(col("doc_id") % 50 =!= 0)
           .join(contaminated, Seq("doc_id"), "left_anti")
-        val rate16 =
-          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1) * 4
-        val nib1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-        val nibPos2 = expr(
-          "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))")
-        val mixed = clean.filter(nibPos2 <= rate16)
-          .select(col("doc_id"), col("source"),
-            when(nib1.isin("c", "d"), "val").when(nib1.isin("e", "f"), "test")
-              .otherwise("train").as("split"),
+        val mixed = clean.filter(mixNibPos <= mixRate16)
+          .select(col("doc_id"), col("source"), splitCol.as("split"),
             size(col("__toks")).cast("long").as("n_toks"))
         val w = Window.partitionBy("split", "source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -765,12 +756,9 @@ object Llm {
         "cont AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (sh)), " +
         "clean AS (SELECT * FROM ded WHERE doc_id % 50 <> 0 " +
         "AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
-        "mixed AS (SELECT doc_id, source, CASE " +
-        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
-        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
-        "ELSE 'train' END AS split, CAST(len(toks) AS BIGINT) AS n_toks FROM clean " +
-        "WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) <= " +
-        "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) * 4), " +
+        s"mixed AS (SELECT doc_id, source, $SplitCaseSql AS split, " +
+        "CAST(len(toks) AS BIGINT) AS n_toks FROM clean " +
+        s"WHERE $MixNibPosSql <= $MixRate16Sql), " +
         "o AS (SELECT *, coalesce(CAST(sum(n_toks) OVER (PARTITION BY split, source " +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
         "AS off FROM mixed), " +

@@ -70,24 +70,40 @@ class Bundles(spark: SparkSession, basePath: String,
         // Uniform collections (the common case) read ONE footer: the
         // guard itself keeps every chunk's schema identical, so any
         // footer is representative and the check is O(1) per append.
-        // Only dynamic-schema collections pay the O(#files) mergeSchema
-        // metadata pass — a single footer would miss columns (and type
-        // conflicts) that live on other chunks.
-        val existing = spark.read.option("mergeSchema", allowNewColumns)
+        // Safety is deterministic: the fast path only ACCEPTS a chunk
+        // whose schema exactly matches an existing chunk's (such an
+        // append can never introduce new drift or type conflicts —
+        // whatever heterogeneity exists already existed). Any
+        // disagreement with the sampled footer falls through to the
+        // deterministic mergeSchema-union check, which is also what
+        // dynamic-schema appends always use (a single footer would miss
+        // columns and type conflicts living on other chunks).
+        def unionSchema = spark.read.option("mergeSchema", true)
           .parquet(dir(collection)).schema
         val incoming = tagged.schema
-        if (!allowNewColumns) {
-          require(existing.fieldNames.toSet == incoming.fieldNames.toSet,
-            s"schema drift on append to '$collection': existing=${existing.fieldNames.sorted
-              .mkString(",")} incoming=${incoming.fieldNames.sorted.mkString(",")} " +
-              "(pass allowNewColumns = true for dynamic-schema collections)")
+        def check(existing: org.apache.spark.sql.types.StructType): Boolean = {
+          if (!allowNewColumns &&
+              existing.fieldNames.toSet != incoming.fieldNames.toSet) return false
+          val exTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+          incoming.fields.forall(f => exTypes.get(f.name).forall(_ == f.dataType))
         }
-        val exTypes = existing.fields.map(f => f.name -> f.dataType).toMap
-        incoming.fields.foreach { f =>
-          exTypes.get(f.name).foreach { t =>
-            require(t == f.dataType,
-              s"type conflict on append to '$collection': column '${f.name}' " +
-                s"is $t in the collection but ${f.dataType} in the chunk")
+        val fastPath = !allowNewColumns &&
+          check(spark.read.parquet(dir(collection)).schema)
+        if (!fastPath) {
+          val merged = unionSchema
+          if (!allowNewColumns) {
+            require(merged.fieldNames.toSet == incoming.fieldNames.toSet,
+              s"schema drift on append to '$collection': existing=${merged.fieldNames.sorted
+                .mkString(",")} incoming=${incoming.fieldNames.sorted.mkString(",")} " +
+                "(pass allowNewColumns = true for dynamic-schema collections)")
+          }
+          val exTypes = merged.fields.map(f => f.name -> f.dataType).toMap
+          incoming.fields.foreach { f =>
+            exTypes.get(f.name).foreach { t =>
+              require(t == f.dataType,
+                s"type conflict on append to '$collection': column '${f.name}' " +
+                  s"is $t in the collection but ${f.dataType} in the chunk")
+            }
           }
         }
       } catch { case _: org.apache.spark.sql.AnalysisException => () /* first write */ }

@@ -42,10 +42,17 @@ object TsStore {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Series of the incoming frame whose [min ts, max ts] extent
-    * intersects the extent already stored at `path` for the same uid.
-    * Returns human-readable descriptions (bounded by the distinct uids in
-    * ONE write batch — operationally small; this is driver-side metadata,
-    * not data).
+    * intersects a stored CHUNK's extent for the same uid — per-chunk
+    * (per parquet file), not the per-uid hull, so a backfill into a
+    * genuine gap between chunks is NOT flagged (matches the reference's
+    * per-chunk `(uid, start, end)` validation; a hull check would refuse
+    * every legitimate gap fill). Returns human-readable descriptions
+    * (bounded by the distinct uids in ONE write batch — driver-side
+    * metadata, not data).
+    *
+    * Also rejects null timestamps in `incoming` (one pass computes both
+    * the null count and the extents, so `write` needs no separate
+    * validation job).
     *
     * Scale shape: the stored side is filtered to exactly the incoming
     * uids BEFORE aggregating — with uid as a partition column that is
@@ -58,8 +65,11 @@ object TsStore {
                         tsCol: String, uidCols: Seq[String]): Seq[String] = {
     require(uidCols.nonEmpty, "overlap check needs at least one uid column")
     val inExt = incoming.groupBy(uidCols.map(col): _*)
-      .agg(min(col(tsCol)).as("__in_min"), max(col(tsCol)).as("__in_max"))
+      .agg(min(col(tsCol)).as("__in_min"), max(col(tsCol)).as("__in_max"),
+        count(when(col(tsCol).isNull, lit(1))).as("__in_nulls"))
       .collect()
+    val nulls = inExt.map(_.getAs[Long]("__in_nulls")).sum
+    require(nulls == 0, s"$nulls null $tsCol values — refusing write")
     if (inExt.isEmpty) return Seq.empty
     val stored =
       try spark.read.parquet(path)
@@ -75,22 +85,26 @@ object TsStore {
       }.reduce(_ || _)
     // keys compare as STRINGS: partition-column type inference can read
     // a numeric-looking string uid back as int ("123" → 123), and the
-    // driver-side map lookup must not silently miss the overlap for it
+    // driver-side map lookup must not silently miss the overlap for it.
+    // Grouping by input file gives per-CHUNK extents (ts-sorted chunked
+    // writes make these tight); chunk count per uid is bounded by write
+    // cadence, and compact() collapses it.
     val storedExt = stored.filter(uidPred)
-      .groupBy(uidCols.map(col): _*)
+      .groupBy((uidCols.map(col) :+ input_file_name().as("__file")): _*)
       .agg(min(col(tsCol)).as("__st_min"), max(col(tsCol)).as("__st_max"))
       .collect()
-      .map(r => uidCols.indices.map(i => String.valueOf(r.get(i))).toSeq ->
-        (r.get(uidCols.size), r.get(uidCols.size + 1))).toMap
+      .groupBy(r => uidCols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .view.mapValues(_.map(r => (r.get(uidCols.size + 1), r.get(uidCols.size + 2))).toSeq)
+      .toMap
     // ts may be timestamp OR long (ns ticks) — both are Comparable
     def cmp(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b)
     inExt.toSeq.flatMap { r =>
       val key = uidCols.indices.map(i => String.valueOf(r.get(i))).toSeq
       val inMin = r.get(uidCols.size); val inMax = r.get(uidCols.size + 1)
-      storedExt.get(key).collect {
+      storedExt.getOrElse(key, Seq.empty).collectFirst {
         case (stMin, stMax) if cmp(inMax, stMin) >= 0 && cmp(inMin, stMax) <= 0 =>
           s"${uidCols.zip(key).map { case (c, v) => s"$c=$v" }.mkString(",")} " +
-            s"incoming=[$inMin, $inMax] stored=[$stMin, $stMax]"
+            s"incoming=[$inMin, $inMax] stored-chunk=[$stMin, $stMax]"
       }
     }
   }
@@ -136,12 +150,19 @@ object TsStore {
             overlapPolicy: OverlapPolicy = OverlapPolicy.Warn,
             rowGroupBytes: Long = 16L << 20,
             maxRecordsPerFile: Long = 8L << 20): Unit = {
-    require(validate(df, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
     // write-time overlap guard (reference behavior): appending a chunk
     // whose time range intersects what's stored for the same series is
-    // almost always a double-write that silently duplicates rows.
-    if (mode == SaveMode.Append && uidCols.nonEmpty &&
-        overlapPolicy != OverlapPolicy.Allow) {
+    // almost always a double-write that silently duplicates rows. The
+    // pre-scan doubles as the null-ts validation (one job computes
+    // both), so `validate` runs separately only when the guard doesn't.
+    // NOTE each pre-write job re-executes the incoming frame's lineage —
+    // callers appending from an expensive upstream pipeline should
+    // .cache() it or pass OverlapPolicy.Allow.
+    val overlapChecked = mode == SaveMode.Append && uidCols.nonEmpty &&
+      overlapPolicy != OverlapPolicy.Allow
+    if (!overlapChecked)
+      require(validate(df, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
+    if (overlapChecked) {
       val bad = overlappingSeries(df.sparkSession, path, df, tsCol, uidCols)
       if (bad.nonEmpty) {
         val msg = s"append overlaps stored time ranges for ${bad.size} series " +
@@ -165,15 +186,21 @@ object TsStore {
     // columns carry NO parquet min/max statistics, which silently turns
     // every ts-slice into a full scan (measured: the row-group-skip test
     // reads 100% of rows under INT96). Session-conf-only in Spark, so set
-    // and restore around the write.
+    // and restore around the write. TsStore-vs-TsStore concurrency is
+    // serialized by the lock below; a NON-TsStore parquet write racing on
+    // the same session during this window would still see the pinned
+    // value — acceptable (it pins the GOOD type), but restore-ordering
+    // means heavy concurrent mixed writers should use separate sessions.
     val sess = df.sparkSession
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prev = sess.conf.getOption(tsTypeKey)
-    sess.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
-    finally prev match {
-      case Some(v) => sess.conf.set(tsTypeKey, v)
-      case None    => sess.conf.unset(tsTypeKey)
+    TsStore.synchronized {
+      val prev = sess.conf.getOption(tsTypeKey)
+      sess.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      try (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
+      finally prev match {
+        case Some(v) => sess.conf.set(tsTypeKey, v)
+        case None    => sess.conf.unset(tsTypeKey)
+      }
     }
   }
 

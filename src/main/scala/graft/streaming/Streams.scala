@@ -59,7 +59,13 @@ object Streams {
     * empty (its leading gap fills with null until a value arrives, the
     * same cold-start semantics as a brand-new key). Without it state is
     * O(all keys ever seen), which no infinite stream survives.
-    * EventTimeTimeout requires `withWatermark` upstream on `ts`.
+    * EventTimeTimeout requires `withWatermark` upstream on `ts`, and —
+    * Spark's documented timeout semantics — ALSO arms the operator's
+    * late-row filter: ticks older than the watermark are dropped from
+    * the OUTPUT entirely, not merely barred from evicting state. With
+    * `expireAfter = None` such late ticks still flow through. Choose
+    * expiry only when the watermark already defines your lateness
+    * contract.
     *
     * `expireAfter = None` keeps NoTimeout (bounded key domains / batch).
     * Works identically on a batch Dataset (state starts empty, one

@@ -28,7 +28,10 @@ class EwmaSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3))))
-      .sortBy(t => (t._1, t._3.getTime, t._2))
+      // full Timestamp precision (getTime alone truncates to millis and
+      // could diverge from the window's (ts, event_id) order on a
+      // same-millisecond pair)
+      .sortBy(t => (t._1, t._3.getTime, t._3.getNanos, t._2))
     var cur = Map.empty[Long, Option[Double]]
     val want = rows.map { case (u, id, _, v) =>
       val e = (v, cur.getOrElse(u, None)) match {
