@@ -90,6 +90,32 @@ class TsStoreSpec extends AnyFunSuite {
     assert(TsStore.read(spark, dir).count() === 5)
   }
 
+  test("backfill into a gap between stored chunks is accepted; chunk overlap still refused") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.TsStore.OverlapPolicy
+    def tick(t: String) = (java.sql.Timestamp.valueOf(t), 1L, 1.0)
+    val dir = Files.createTempDirectory("graft_gap").toString
+    TsStore.write(Seq(tick("2024-01-01 09:00:00"), tick("2024-01-01 09:10:00"))
+      .toDF("ts", "uid", "v"), dir, uidCols = Seq("uid"))
+    TsStore.write(Seq(tick("2024-01-01 09:40:00"), tick("2024-01-01 09:50:00"))
+      .toDF("ts", "uid", "v"), dir, uidCols = Seq("uid"), mode = SaveMode.Append,
+      overlapPolicy = OverlapPolicy.Error)
+    // the missed middle chunk: inside the per-uid HULL [09:00, 09:50]
+    // but intersecting NO stored chunk — a hull check would refuse this
+    // legitimate backfill
+    TsStore.write(Seq(tick("2024-01-01 09:20:00"), tick("2024-01-01 09:30:00"))
+      .toDF("ts", "uid", "v"), dir, uidCols = Seq("uid"), mode = SaveMode.Append,
+      overlapPolicy = OverlapPolicy.Error)
+    assert(TsStore.read(spark, dir).count() === 6)
+    // an actual chunk intersection is still a refused double-write
+    val e = intercept[IllegalArgumentException] {
+      TsStore.write(Seq(tick("2024-01-01 09:05:00")).toDF("ts", "uid", "v"),
+        dir, uidCols = Seq("uid"), mode = SaveMode.Append,
+        overlapPolicy = OverlapPolicy.Error)
+    }
+    assert(e.getMessage.contains("overlaps"))
+  }
+
   test("pinned chunk geometry: ts-slice skips row groups via footer stats") {
     // Tiny row groups force many per-file chunks; a narrow slice must then
     // read a small fraction of rows at the SCAN (row-group skipping), not
