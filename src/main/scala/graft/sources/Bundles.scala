@@ -149,6 +149,42 @@ class Bundles(spark: SparkSession, basePath: String,
     df
   }
 
+  /** Aligned two-series read: both series' values on the UNION of their
+    * timestamps, each forward-filled — the reference's client-side
+    * `pandas.merge(...).ffill()` done engine-side, one scan + one window
+    * pass (see `operators.TimeSeries` ts_align for the shape discussion).
+    * Output: one row per distinct ts, columns `<uidA>_<valueCol>` /
+    * `<uidB>_<valueCol>`.
+    *
+    * Scale note: a single pair is inherently one sequential merge (the
+    * window is unpartitioned — fine for one series pair, which is the
+    * reference's use case); aligning MANY pairs at once should go
+    * through the keyed ts_align operator instead.
+    */
+  def align(uidA: String, uidB: String, valueCol: String,
+            collection: String = defaultCollection,
+            tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(uidA != uidB, "align needs two distinct series")
+    val both = readMany(Seq(uidA, uidB), collection, tsCol, columns = Seq(valueCol))
+    // tie-break the fill order by uid so equal-ts ticks fill
+    // deterministically; the per-ts max() then collapses the ≤2 rows of
+    // a shared timestamp (they differ only in null-vs-value fills)
+    val w = Window.orderBy(col(tsCol), col(UidCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    both.select(col(tsCol), col(UidCol),
+        when(col(UidCol) === uidA, col(valueCol)).as("__va"),
+        when(col(UidCol) === uidB, col(valueCol)).as("__vb"))
+      .select(col(tsCol),
+        last(col("__va"), ignoreNulls = true).over(w).as("__fa"),
+        last(col("__vb"), ignoreNulls = true).over(w).as("__fb"))
+      .groupBy(col(tsCol))
+      .agg(max(col("__fa")).as(s"${uidA}_$valueCol"),
+        max(col("__fb")).as(s"${uidB}_$valueCol"))
+      .orderBy(col(tsCol))
+  }
+
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =

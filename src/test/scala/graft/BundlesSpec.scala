@@ -94,6 +94,26 @@ class BundlesSpec extends AnyFunSuite {
     }
   }
 
+  test("aligned two-series read: union of timestamps, per-side forward fill") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_align").toString
+    val ct = new Bundles(spark, base)
+    ct.write("AAPL", Seq((ts("2024-01-01 09:30:00"), 100.0),
+      (ts("2024-01-01 09:32:00"), 102.0)).toDF("ts", "price"))
+    ct.write("MSFT", Seq((ts("2024-01-01 09:31:00"), 400.0),
+      (ts("2024-01-01 09:32:00"), 402.0)).toDF("ts", "price"))
+    val out = ct.align("AAPL", "MSFT", "price").collect()
+    assert(out.map(_.getTimestamp(0)).toSeq === Seq(
+      ts("2024-01-01 09:30:00"), ts("2024-01-01 09:31:00"), ts("2024-01-01 09:32:00")))
+    def v(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // 09:30 — AAPL only, MSFT not yet known
+    assert(v(out(0), 1) === Some(100.0) && v(out(0), 2) === None)
+    // 09:31 — MSFT prints, AAPL carried
+    assert(v(out(1), 1) === Some(100.0) && v(out(1), 2) === Some(400.0))
+    // 09:32 — both print at the SAME ts: one output row, both fresh
+    assert(v(out(2), 1) === Some(102.0) && v(out(2), 2) === Some(402.0))
+  }
+
   test("multi-uid read prunes to the requested partitions; dropSeries removes one series") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bundles_multi").toString
