@@ -163,6 +163,30 @@ object Aggregates {
       None,
       "approximate percentiles via mergeable GK sketch (scale twin of agg_percentile)"),
 
+    "agg_mode" -> DeclaredQuery(
+      // Mode (most frequent value) per group with a DETERMINISTIC
+      // tie-break — Spark's and DuckDB's builtin mode() both leave ties
+      // arbitrary, so the portable spelling is count → rank, which is
+      // also the shape that scales (two hash aggregates + a
+      // WindowGroupLimit-eligible rank filter; builtin mode keeps a
+      // per-group value map).
+      (s, d) => {
+        val c = Tables.orders(s, d)
+          .groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+          .orderBy(desc("n"), asc("o_orderstatus"))
+        c.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+          .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY n DESC, o_orderstatus) AS rnk FROM c) " +
+        "SELECT o_orderpriority, o_orderstatus AS mode_status, n FROM r " +
+        "WHERE rnk = 1 ORDER BY o_orderpriority"),
+      "deterministic mode per group (count + rank, portable tie-break)"),
+
     "agg_pivot" -> DeclaredQuery(
       // Pivot with an EXPLICIT value list: omitting it costs an extra
       // distinct job over the full table at scale and makes the output

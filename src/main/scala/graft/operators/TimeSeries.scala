@@ -90,7 +90,8 @@ object TimeSeries {
   def asofJoinNative(left: DataFrame, right: DataFrame,
                      leftKeys: Seq[String], rightKeys: Seq[String],
                      leftTs: String, rightTs: String,
-                     rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+                     rightTieBreak: Seq[String] = Seq.empty,
+                     toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val session = left.sparkSession
     // Registration is guarded per-session: `extraStrategies` is a plain
@@ -111,7 +112,8 @@ object TimeSeries {
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
     GraftShim.ofRows(left.sparkSession, graft.plans.AsofJoinPlan(
       lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTs), attr(rp, rightTs), rightTieBreak.map(attr(rp, _))))
+      attr(lp, leftTs), attr(rp, rightTs), rightTieBreak.map(attr(rp, _)),
+      toleranceMicros))
   }
 
   def defs: Map[String, DeclaredQuery] = Map(
@@ -142,6 +144,33 @@ object TimeSeries {
         "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
         "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "as-of join via the custom LogicalPlan/Strategy/Exec operator"),
+
+    "join_asof_exec_tol" -> DeclaredQuery(
+      // Tolerance through the CUSTOM EXEC path — feature parity with the
+      // union+window join_asof_tol (identical oracle): the staleness
+      // check is one comparison against the exec's carried right ts.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_uid"), col("event_id").as("view_event_id"),
+            col("ts").as("view_ts"))
+        asofJoinNative(p, v, leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+          toleranceMicros = Some(10L * 60 * 1000 * 1000))
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 10 MINUTE " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 10 MINUTE " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+      "as-of join with staleness tolerance via the custom exec"),
 
     "join_asof" -> DeclaredQuery(
       (s, d) => {

@@ -30,7 +30,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
-                        rightTieBreak: Seq[Expression]) extends BinaryNode {
+                        rightTieBreak: Seq[Expression],
+                        tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -41,16 +42,22 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** `tolerance` (raw ts units — µs for timestamp columns) bounds match
+  * staleness exactly like [[graft.operators.TimeSeries.asofJoin]]'s
+  * tolerance: a carried match farther than the bound nulls out. Checked
+  * per left row against the carried right ts — zero extra state.
+  */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
-                        rightTieBreak: Seq[Expression]) extends BinaryExecNode {
+                        rightTieBreak: Seq[Expression],
+                        tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -88,6 +95,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         // last right row consumed, valid for lastKey only — O(1) state
         private var lastKey: InternalRow = _
         private var lastRight: InternalRow = _
+        private var lastRightTs: Long = 0L
 
         override def hasNext: Boolean = lIt.hasNext
 
@@ -117,12 +125,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               } else if (lTsAny != null &&
                 rTsAny.asInstanceOf[Long] <= lTsAny.asInstanceOf[Long]) {
                 lastKey = rKey.copy()
+                lastRightTs = rTsAny.asInstanceOf[Long]
                 lastRight = rBuf.next().copy()
               } else advancing = false
             } else advancing = false
           }
           val matched = lTsAny != null && lastRight != null && lastKey != null &&
-            keyOrd.compare(lastKey, lKey) == 0
+            keyOrd.compare(lastKey, lKey) == 0 &&
+            tolerance.forall(t => lTsAny.asInstanceOf[Long] - lastRightTs <= t)
           if (matched) resultProj(joined(lRow, lastRight))
           else resultProj(joined(lRow, nullRight))
         }

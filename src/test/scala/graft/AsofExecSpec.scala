@@ -36,6 +36,30 @@ class AsofExecSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == window)
   }
 
+  test("custom exec tolerance equals the union+window tolerance on the fixture") {
+    val e = graft.sources.Tables.events(spark, TestSpark.sf001)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val vW = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_event_id"), $"ts".as("view_ts"))
+    val vN = e.filter($"event_type" === "view")
+      .select($"user_id".as("v_uid"), $"event_id".as("view_event_id"), $"ts".as("view_ts"))
+    val window = TimeSeries.asofJoin(p, vW, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+      tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select($"event_id", $"view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val native = TimeSeries.asofJoinNative(p, vN, leftKeys = Seq("user_id"),
+      rightKeys = Seq("v_uid"), leftTs = "ts", rightTs = "view_ts",
+      rightTieBreak = Seq("view_event_id"),
+      toleranceMicros = Some(10L * 60 * 1000 * 1000))
+      .select($"event_id", $"view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.nonEmpty && native == window)
+    // the bound must actually bite somewhere on the fixture
+    assert(window.values.exists(_.isEmpty))
+  }
+
   test("custom exec: ties take the max tie-break; unmatched keys stay null") {
     val left = Seq((1L, 101L, ts("2024-01-01 00:00:05")),
       (1L, 102L, ts("2024-01-01 00:00:10")),
