@@ -303,6 +303,42 @@ object TimeSeries {
         "FROM u ORDER BY event_id"),
       "align two series on the union of their timestamps, per-side LOCF"),
 
+    "ts_twap" -> DeclaredQuery(
+      // Hourly TWAP per series — each tick weighted by its holding time:
+      // the interval to the next tick, clipped to the bar end (the last
+      // tick holds until the bar closes). All weights are integer
+      // MICROSECONDS (unix_micros ≙ epoch_us), so the weighted sums are
+      // exact on both engines and only the final ratio rounds. One
+      // window pass (lead) + one hash aggregate — the same two-shuffle
+      // shape as ts_returns at any scale. Null-value ticks are excluded
+      // up front so numerator and denominator see the same tick set.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val t = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("bar", date_trunc("hour", col("ts")))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        val barEndUs = unix_micros(col("bar") + expr("INTERVAL 1 HOUR"))
+        val wUs = least(coalesce(unix_micros(col("next_ts")), barEndUs), barEndUs) -
+          unix_micros(col("ts"))
+        t.withColumn("__w", wUs)
+          .groupBy("user_id", "bar")
+          .agg(round(sum(col("value") * col("__w")) / nullif(sum(col("__w")), lit(0L)), 6)
+            .as("twap"), count(lit(1)).as("n_ticks"))
+          .orderBy(col("user_id"), col("bar"))
+      },
+      Some("WITH t AS (SELECT user_id, ts, event_id, value, " +
+        "date_trunc('hour', ts) AS bar, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "x AS (SELECT user_id, bar, value, " +
+        "least(coalesce(epoch_us(next_ts), epoch_us(bar + INTERVAL 1 HOUR)), " +
+        "epoch_us(bar + INTERVAL 1 HOUR)) - epoch_us(ts) AS w FROM t) " +
+        "SELECT user_id, bar, round(sum(value * w) / nullif(sum(w), 0), 6) AS twap, " +
+        "count(*) AS n_ticks FROM x GROUP BY user_id, bar ORDER BY user_id, bar"),
+      "hourly TWAP per series: holding-time-weighted mean, exact µs weights"),
+
     "ts_gapfill" -> DeclaredQuery(
       // Regularize an irregular series onto a fixed hourly grid, then
       // LOCF-fill the holes — the corintick-domain "resample to bars,
