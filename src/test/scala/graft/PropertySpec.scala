@@ -76,6 +76,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tolerance-bounded asof equals brute force on BOTH implementations") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val tol = 3600L * 1000000L // 1 hour of µs against a day of offsets — bites often
+    (40L to 44L).foreach { seed =>
+      val rows = sample(seriesGen, seed)
+      val (l, r) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+      val left = l.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      val right = r.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      if (left.nonEmpty && right.nonEmpty) {
+        val lDf = left.toDF("user_id", "event_id", "us")
+        val brute: Map[Long, Option[Long]] =
+          left.map { case (u, id, us) =>
+            val cands = right.filter { case (u2, _, us2) =>
+              u2 == u && us2 <= us && us2 >= us - tol }
+            id -> (if (cands.isEmpty) None
+              else Some(cands.maxBy { case (_, rid, rus) => (rus, rid) }._2))
+          }.toMap
+        val win = TimeSeries.asofJoin(lDf, right.toDF("user_id", "r_id", "r_us"),
+          keys = Seq("user_id"), leftTs = "us", rightTs = "r_us",
+          rightTieBreak = Seq("r_id"), tolerance = Some(lit(tol)))
+          .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+        val nat = TimeSeries.asofJoinNative(lDf, right.toDF("v_uid", "r_id", "r_us"),
+          leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "us", rightTs = "r_us", rightTieBreak = Seq("r_id"),
+          toleranceMicros = Some(tol))
+          .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+        assert(win == brute, s"seed=$seed window-path")
+        assert(nat == brute, s"seed=$seed native-exec-path")
+      }
+    }
+  }
+
   test("property: asofJoin (both directions) equals the brute-force reference on random series") {
     import spark.implicits._
     import graft.operators.TimeSeries
