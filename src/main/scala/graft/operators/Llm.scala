@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
@@ -74,6 +74,76 @@ object Llm {
     */
   val ToksSql: String =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+  /** Verified near-dup pairs (doc_a < doc_b, rounded Jaccard >= 0.7) —
+    * the ONE definition of the dup edge set, shared by llm_jaccard_pairs
+    * (which reports the pairs) and llm_dup_clusters (which resolves them
+    * into components), so the two queries cannot drift apart. Candidates
+    * are bounded to same-source + a doc_id window (linear growth); the
+    * agg barrier keeps the heavy set-scoring expressions map-side.
+    */
+  private def jaccardDupPairs(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
+    val a = t.select(col("doc_id").as("doc_a"), col("source"), col("tk").as("tk_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("tk").as("tk_b"))
+    val scored = a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a") &&
+        col("doc_b") <= col("doc_a") + 200)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+          size(array_union(col("tk_a"), col("tk_b"))).cast("double"), 6).as("jaccard"))
+    graft.Q.aggFilterBarrier(scored, Seq("doc_a", "doc_b"), "jaccard", col("jaccard") >= 0.7)
+  }
+
+  /** DuckDB spelling of [[jaccardDupPairs]] as a CTE chain ending in
+    * `p(doc_a, doc_b, jaccard)` — prefix for both queries' oracles.
+    */
+  private val DupPairsSql: String =
+    "t AS (SELECT doc_id, source, " +
+      s"list_distinct($ToksSql) AS tk FROM documents), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard " +
+      "FROM t a JOIN t b ON a.source = b.source AND b.doc_id > a.doc_id " +
+      "AND b.doc_id <= a.doc_id + 200 " +
+      "WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) >= 0.7)"
+
+  /** Connected components of an undirected edge list `(u, v)` by
+    * iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors — one equi-join + one
+    * partial-agg shuffle per round, converging in O(max component
+    * diameter) rounds. `localCheckpoint` after each round truncates the
+    * lineage so round k's plan doesn't replay rounds 1..k-1 — the
+    * standard Spark iterative-graph guard. The fixpoint (min id per
+    * component) is deterministic regardless of iteration schedule.
+    * Returns `(u, label)` for every node with at least one edge.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.toDF("u", "v")
+      .unionByName(pairs.toDF("v", "u"))
+      .localCheckpoint() // materialized once; re-joined every round
+    var labels = edges.groupBy("u").agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbr = edges.join(labels.select(col("u").as("v"), col("label")), "v")
+        .groupBy("u").agg(min(col("label")).as("__nbr"))
+      val next = labels.join(nbr, Seq("u"))
+        .select(col("u"), least(col("label"), col("__nbr")).as("label"))
+        .localCheckpoint()
+      // limit(1): existence check, not a full count — stops at the first
+      // changed row
+      converged = next.join(labels.withColumnRenamed("label", "__old"), "u")
+        .filter(col("label") =!= col("__old")).limit(1).count() == 0L
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
 
   def defs: Map[String, DeclaredQuery] = Map(
 
@@ -230,28 +300,51 @@ object Llm {
       // plus a locality bound, so the pair count grows linearly in corpus
       // size, never quadratically. Filter on the ROUNDED value so both
       // engines make identical boundary decisions.
-      (s, d) => {
-        val t = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
-        val a = t.select(col("doc_id").as("doc_a"), col("source"), col("tk").as("tk_a"))
-        val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("tk").as("tk_b"))
-        val scored = a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a") &&
-            col("doc_b") <= col("doc_a") + 200)
-          .select(col("doc_a"), col("doc_b"),
-            round(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
-              size(array_union(col("tk_a"), col("tk_b"))).cast("double"), 6).as("jaccard"))
-        graft.Q.aggFilterBarrier(scored, Seq("doc_a", "doc_b"), "jaccard", col("jaccard") >= 0.7)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some("WITH t AS (SELECT doc_id, source, " +
-        s"list_distinct($ToksSql) AS tk FROM documents), " +
-        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
-        "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) AS jaccard " +
-        "FROM t a JOIN t b ON a.source = b.source AND b.doc_id > a.doc_id " +
-        "AND b.doc_id <= a.doc_id + 200) " +
-        "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"),
+      (s, d) => jaccardDupPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"WITH $DupPairsSql " +
+        "SELECT doc_a, doc_b, jaccard FROM p ORDER BY doc_a, doc_b"),
       "exact token-set Jaccard for same-source pairs (bounded candidates)"),
+
+    "llm_dup_clusters" -> DeclaredQuery(
+      // Duplicate-CLUSTER resolution — the step every real dedup pipeline
+      // needs after pair generation: a pair list alone can't answer "keep
+      // which copy?" when dups chain (A~B, B~C but A!~C must still
+      // collapse to one survivor). Connected components over the verified
+      // dup edge set by iterative min-label propagation: each round, every
+      // node takes the min label among itself and its neighbors — one
+      // equi-join + one partial-agg shuffle per round, converging in
+      // O(max component diameter) rounds (dup clusters are shallow:
+      // near-identical docs are mutually similar, so diameters stay in
+      // the low single digits; the O(log n) large-star/small-star variant
+      // of Kiveris et al., "Connected Components in MapReduce and
+      // Beyond", SoCC'14, is the drop-in upgrade if they didn't).
+      // `localCheckpoint` after each round truncates the lineage so round
+      // k's plan doesn't replay rounds 1..k-1 — the standard Spark
+      // iterative-graph guard. The fixpoint (min id per component) is
+      // deterministic regardless of iteration schedule. Output: every doc
+      // in some dup cluster, its canonical (cluster_id = min doc_id),
+      // the cluster size, and keep = "is the canonical survivor".
+      (s, d) => {
+        val pairs = jaccardDupPairs(s, d)
+        connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+          .select(col("u").as("doc_id"), col("label").as("cluster_id"))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      // oracle: transitive closure by recursive CTE, then min reachable id
+      // per node — the same fixpoint the propagation loop converges to
+      Some(s"WITH RECURSIVE $DupPairsSql, " +
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM p " +
+        "UNION ALL SELECT doc_b, doc_a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), " +
+        "cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u) " +
+        "SELECT doc_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS n_members, " +
+        "doc_id = cluster_id AS keep FROM cc ORDER BY doc_id"),
+      "connected-component dup clusters with canonical survivor per cluster"),
 
     "llm_dedup_near" -> DeclaredQuery(
       // MinHash + LSH near-dedup — the 100 TB path: shingle → 64-slot
