@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
 import graft.sources.Tables
@@ -292,6 +293,31 @@ object Aggregates {
       Some("SELECT o_custkey, array_to_string(list_sort(list(o_orderpriority)), '|') AS prios, " +
         "count(*) AS n FROM orders WHERE o_custkey <= 100 " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
-      "collect_list → array_sort → string join (deterministic list agg)")
+      "collect_list → array_sort → string join (deterministic list agg)"),
+
+    "agg_hist" -> DeclaredQuery(
+      // Fixed-width histogram — distribution profiling as ONE hash
+      // aggregate whose output is #buckets rows regardless of input
+      // volume (the 100 TB way to look at a column; contrast a global
+      // sort/percentile). Bucketing is floor integer division spelled
+      // identically on both engines (floor BEFORE the int cast: DuckDB's
+      // double→int cast ROUNDS); the share-of-total ratio reuses the
+      // aggregate's own output (a #buckets-row window, not a second scan).
+      (s, d) => {
+        val hist = Tables.lineitem(s, d)
+          .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        hist.withColumn("lo", (col("bucket") * 5000.0).cast("double"))
+          .withColumn("share",
+            round(col("n").cast("double") / sum(col("n")).over(Window.partitionBy()), 6))
+          .select(col("bucket"), col("lo"), col("n"), col("share"))
+          .orderBy(col("bucket"))
+      },
+      Some("WITH h AS (SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT bucket, CAST(bucket * 5000.0 AS DOUBLE) AS lo, n, " +
+        "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share " +
+        "FROM h ORDER BY bucket"),
+      "fixed-width histogram: floor-div bucketing + share of total")
   )
 }

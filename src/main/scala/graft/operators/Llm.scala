@@ -109,14 +109,19 @@ object Llm {
       "WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) >= 0.7)"
 
-  /** Connected components of an undirected edge list `(u, v)` by
-    * iterative min-label propagation: each round every node takes the min
-    * label among itself and its neighbors — one equi-join + one
-    * partial-agg shuffle per round, converging in O(max component
-    * diameter) rounds. `localCheckpoint` after each round truncates the
-    * lineage so round k's plan doesn't replay rounds 1..k-1 — the
-    * standard Spark iterative-graph guard. The fixpoint (min id per
-    * component) is deterministic regardless of iteration schedule.
+  /** Connected components of an undirected edge list `(u, v)`:
+    * min-label propagation over edges PLUS pointer jumping (path
+    * doubling) over the label graph each round. Edge propagation alone
+    * converges in O(max component diameter) rounds — a chained-duplicate
+    * path (A~B~C~…, each within the candidate window of the next) made
+    * that blow past any fixed round cap at sf0.1. The jump step follows
+    * each node's label to THAT node's label (labels are always node ids,
+    * so the label table maps them), doubling the propagation distance per
+    * round → O(log diameter) rounds total. Each round is one equi-join +
+    * one partial-agg shuffle (neighbors) plus one self-join (jump);
+    * `localCheckpoint` truncates lineage so round k doesn't replay rounds
+    * 1..k-1 — the standard Spark iterative-graph guard. The fixpoint (min
+    * id per component) is deterministic regardless of iteration schedule.
     * Returns `(u, label)` for every node with at least one edge.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
@@ -131,8 +136,17 @@ object Llm {
     while (!converged && rounds < maxRounds) {
       val nbr = edges.join(labels.select(col("u").as("v"), col("label")), "v")
         .groupBy("u").agg(min(col("label")).as("__nbr"))
-      val next = labels.join(nbr, Seq("u"))
+      val cand = labels.join(nbr, Seq("u"))
         .select(col("u"), least(col("label"), col("__nbr")).as("label"))
+      // pointer jump: label ← label(label). Every label value is a node
+      // id (least() over node ids), so cand itself is the mapping; left
+      // join + coalesce keeps already-minimal labels (label(m) = m rows
+      // always exist, but stay safe under future re-keying).
+      val next = cand.join(
+          cand.select(col("u").as("label"), col("label").as("__jump")),
+          Seq("label"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"))
         .localCheckpoint()
       // limit(1): existence check, not a full count — stops at the first
       // changed row
@@ -238,6 +252,40 @@ object Llm {
         "round(least(n / 100.0, 1.0) * 0.5 + (1.0 - hits / nullif(n, 0)) * 0.5, 6) AS quality " +
         "FROM x ORDER BY doc_id"),
       "document quality scoring: length, stopword ratio, token shape"),
+
+    "llm_repetition" -> DeclaredQuery(
+      // Within-document repetition signal (the Gopher/MassiveText "most
+      // frequent n-gram fraction" rule): docs whose single most frequent
+      // bigram carries too much of the text are template/boilerplate junk
+      // a pretraining corpus filters out. Two hash aggregates, both
+      // partitioned by doc_id — the second reuses the first's
+      // partitioning, so one shuffle of (doc, bigram) pairs total.
+      // NON-distinct bigrams (counts matter here, unlike docShingles);
+      // the flag compares the ROUNDED fraction so both engines make
+      // identical boundary decisions.
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .filter(size(col("__toks")) >= 2)
+        val cnt = t.select(col("doc_id"),
+            explode(TextOps.shingles(col("__toks"), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        cnt.groupBy("doc_id")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
+            sum(col("c")).as("n_bigrams"),
+            count(lit(1)).as("n_distinct"))
+          .withColumn("flag_repetitive", col("top_bigram_frac") > 0.1)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
+        "s AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t WHERE len(toks) >= 2), " +
+        "c AS (SELECT doc_id, bg, count(*) AS c FROM s GROUP BY doc_id, bg) " +
+        "SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac, " +
+        "CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, " +
+        "round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) > 0.1 AS flag_repetitive " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
+      "top-bigram repetition fraction (Gopher-style boilerplate filter)"),
 
     "llm_fingerprint" -> DeclaredQuery(
       // Document fingerprinting: whole-text digest + min-shingle digest

@@ -419,6 +419,117 @@ object TimeSeries {
         "event_type, count(*) AS n, round(sum(value), 4) AS v_sum, " +
         "round(avg(value), 6) AS v_avg FROM events " +
         "GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
-      "5-minute bar resampling (epoch-floor bucketing)")
+      "5-minute bar resampling (epoch-floor bucketing)"),
+
+    "ts_sessionize" -> DeclaredQuery(
+      // Batch sessionization — the classic clickstream/telemetry shape: a
+      // session breaks when a series goes quiet for > 12h. Session ids
+      // come from the lag-gap-cumsum idiom (new-session flag where the
+      // gap from the previous tick exceeds the threshold, running sum of
+      // flags = session ordinal), so the whole operator is ONE window
+      // pass + ONE hash aggregate that reuses the window's (user_id)
+      // partitioning — two shuffles at any scale, state O(1) per row.
+      // Gap arithmetic is integer MICROSECONDS: exact on both engines.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 12L * 3600L * 1000000L
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("__new",
+            when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs
+              || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        t.groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("v_sum"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      // sum() OVER returns HUGEINT in DuckDB — CAST to BIGINT to match
+      Some("WITH m AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 " +
+        "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS nw FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "x AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM m) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, round(sum(value), 4) AS v_sum " +
+        "FROM x GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+      "gap-based sessionization (12h idle gap): lag-cumsum session ids + per-session stats"),
+
+    "ts_m4" -> DeclaredQuery(
+      // M4 downsampling (Jugel et al., VLDB 2014): per series per pixel
+      // bucket keep exactly min / max / first / last — the four points
+      // that make a line rendering of the bucket pixel-identical to the
+      // full series. THE way to plot a 100 TB series: output is
+      // #series × #buckets regardless of input rows. first/last are
+      // spelled as conditional aggregates over asc/desc row_numbers (the
+      // engine-portable spelling of arg_min/arg_max with a composite
+      // (ts, event_id) tie-break); both windows and the aggregate share
+      // the (event_type, day) hash partitioning — one shuffle total.
+      (s, d) => {
+        val t = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .withColumn("bucket", date_trunc("day", col("ts")))
+        val wAsc = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t.withColumn("__ra", row_number().over(wAsc))
+          .withColumn("__rd", row_number().over(wDesc))
+          .groupBy("event_type", "bucket")
+          .agg(round(min(col("value")), 6).as("v_min"),
+            round(max(col("value")), 6).as("v_max"),
+            round(max(when(col("__ra") === 1, col("value"))), 6).as("v_first"),
+            round(max(when(col("__rd") === 1, col("value"))), 6).as("v_last"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("WITH t AS (SELECT event_type, date_trunc('day', ts) AS bucket, value, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('day', ts) " +
+        "ORDER BY ts, event_id) AS ra, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('day', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rd " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT event_type, bucket, round(min(value), 6) AS v_min, " +
+        "round(max(value), 6) AS v_max, " +
+        "round(max(CASE WHEN ra = 1 THEN value END), 6) AS v_first, " +
+        "round(max(CASE WHEN rd = 1 THEN value END), 6) AS v_last, count(*) AS n " +
+        "FROM t GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+      "M4 time-series downsampling: min/max/first/last per series per bucket"),
+
+    "ts_outliers" -> DeclaredQuery(
+      // Rolling z-score anomaly flags: each tick scored against the
+      // trailing 20-tick mean/stddev of ITS OWN series — one window pass,
+      // no self-join, no global statistics bottleneck. Warmup guard
+      // (≥ 10 trailing ticks) keeps early unstable stddevs out. The flag
+      // compares the ROUNDED score so both engines make identical
+      // boundary decisions (same idiom as llm_jaccard_pairs).
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        val t = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("__n", count(col("value")).over(w))
+          .withColumn("__mu", avg(col("value")).over(w))
+          .withColumn("__sd", stddev_samp(col("value")).over(w))
+        t.filter(col("__n") >= 10)
+          .select(col("event_id"), col("user_id"), col("value"),
+            round((col("value") - col("__mu")) / nullif(col("__sd"), lit(0.0)), 6).as("z"))
+          .withColumn("is_outlier", abs(col("z")) > 2.0)
+          .orderBy(col("event_id"))
+      },
+      Some("WITH t AS (SELECT event_id, user_id, value, " +
+        "count(value) OVER w AS n, avg(value) OVER w AS mu, " +
+        "stddev_samp(value) OVER w AS sd FROM events WHERE value IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, value, " +
+        "round((value - mu) / nullif(sd, 0), 6) + 0.0 AS z, " +
+        "abs(round((value - mu) / nullif(sd, 0), 6)) > 2.0 AS is_outlier " +
+        "FROM t WHERE n >= 10 ORDER BY event_id"),
+      "rolling z-score outlier flags per series (trailing window, warmup-guarded)")
   )
 }

@@ -33,6 +33,15 @@ class CcSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L) && got.size == 13)
   }
 
+  test("a 300-hop path converges inside the cap (pointer-jump doubling)") {
+    // the sf0.1 regression shape: chained near-dups form a path whose
+    // diameter exceeds the round cap; plain neighbor-min would need ~300
+    // rounds, path doubling needs ~log2(300) ≈ 9
+    val path = (0L until 300L).map(i => (i + 1, i))
+    val got = labelsOf(path)
+    assert(got.values.toSet == Set(0L) && got.size == 301)
+  }
+
   test("matches brute-force components on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
