@@ -287,6 +287,134 @@ object Llm {
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
       "top-bigram repetition fraction (Gopher-style boilerplate filter)"),
 
+    "llm_tfidf" -> DeclaredQuery(
+      // Corpus-level TF-IDF: top-3 characteristic terms per document.
+      // The scale skeleton is the canonical one: ONE shuffle of
+      // (doc, term) pairs for tf, a vocab-sized df table JOINED BACK BY
+      // BROADCAST (vocabularies are millions of rows when corpora are
+      // billions — always the small side), the corpus doc-count as a
+      // 1-row broadcast cross join, and per-doc top-k through the
+      // rank<=k filter Spark rewrites into WindowGroupLimit (k rows per
+      // partition survive BEFORE the shuffle). Smooth idf
+      // (ln((N+1)/(df+1))+1, the sklearn spelling) keeps every term
+      // finite. Scoring compares the ROUNDED score so both engines make
+      // identical ranking decisions.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+              .as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.term, " +
+        "round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score " +
+        "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, score, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) " +
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score FROM r " +
+        "WHERE rk <= 3 ORDER BY doc_id, rk"),
+      "corpus TF-IDF (smooth idf): top-3 terms per doc, broadcast df join"),
+
+    "llm_pii_scrub" -> DeclaredQuery(
+      // PII redaction — the compliance pass every pretraining corpus
+      // runs: find and mask email addresses and phone-shaped numbers.
+      // The fixture corpus is synthetic word soup with no PII, so the
+      // query first AUGMENTS each doc with a deterministic
+      // contact-header derived from its own key (documented fixture
+      // augmentation — both engines build the identical string); the
+      // redaction machinery (pattern count + global replace) is the real
+      // thing and the md5 of the scrubbed text proves byte-identical
+      // masking. Patterns use only RE2-and-Java-common syntax; Spark's
+      // regexp_replace is global by default, DuckDB needs the 'g' flag.
+      // Per-row expressions only — embarrassingly parallel at any scale.
+      (s, d) => {
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "[0-9]{3}-[0-9]{4}"
+        val pii = concat(lit("contact "), col("source"), lit("."),
+          col("doc_id").cast("string"), lit("@example.com call 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" "), col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), pii.as("__pii"))
+          .select(col("doc_id"),
+            regexp_count(col("__pii"), lit(emailPat)).as("n_emails"),
+            regexp_count(col("__pii"), lit(phonePat)).as("n_phones"),
+            regexp_replace(regexp_replace(col("__pii"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>").as("__scrub"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            md5(col("__scrub")).as("scrub_md5"),
+            length(col("__scrub")).cast("long").as("scrub_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH p AS (SELECT doc_id, 'contact ' || source || '.' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com call 555-01' || " +
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || text AS pii " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, " +
+        "len(regexp_extract_all(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{4}')) AS n_phones, " +
+        "regexp_replace(regexp_replace(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', " +
+        "'<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrub FROM p) " +
+        "SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_phones AS INT) AS n_phones, " +
+        "md5(scrub) AS scrub_md5, CAST(len(scrub) AS BIGINT) AS scrub_len " +
+        "FROM x ORDER BY doc_id"),
+      "PII redaction: count + globally mask emails/phones, digest-verified"),
+
+    "llm_chunk_dedup" -> DeclaredQuery(
+      // Sub-document (chunk-level) duplication profile: split each doc
+      // into consecutive FULL 8-token chunks, digest each, and report per
+      // doc what fraction of its chunks also occur elsewhere in the
+      // corpus — the granularity at which boilerplate headers/footers
+      // show up even when whole-doc dedup passes. Shuffle volume is one
+      // (doc, 16-byte digest) pair per chunk — never the text — then one
+      // digest-keyed count join and one per-doc aggregate. The size>=W
+      // guard exists because Spark's sequence(0, -1) yields a DESCENDING
+      // range rather than an empty one (and DuckDB drops such docs in
+      // the unnest) — both engines therefore emit only docs with >= 1
+      // full chunk.
+      (s, d) => {
+        val W = 8
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .filter(size(col("__toks")) >= W)
+        val chunks = t.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), (floor(size(col("__toks")) / W)).cast("int") - 1),
+            i => md5(concat_ws(" ", slice(col("__toks"), i * W + 1, lit(W)))))))
+          .toDF("doc_id", "chunk_idx", "digest")
+        val dup = chunks.groupBy("digest").agg(count(lit(1)).as("cnt"))
+        chunks.join(dup, "digest")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+            round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t0 AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
+        "t AS (SELECT * FROM t0 WHERE len(toks) >= 8), " +
+        "c AS (SELECT doc_id, md5(array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')) AS digest " +
+        "FROM t, unnest(generate_series(0, CAST(len(toks) // 8 AS INT) - 1)) AS u(i)), " +
+        "d AS (SELECT digest, count(*) AS cnt FROM c GROUP BY 1) " +
+        "SELECT c.doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "round(sum(CASE WHEN d.cnt > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_frac " +
+        "FROM c JOIN d USING (digest) GROUP BY c.doc_id ORDER BY doc_id"),
+      "chunk-level dedup profile: 8-token chunk digests, corpus-dup fraction per doc"),
+
     "llm_fingerprint" -> DeclaredQuery(
       // Document fingerprinting: whole-text digest + min-shingle digest
       // (a 1-hash MinHash — robust to local edits). md5 is the hash

@@ -75,6 +75,55 @@ object TimeSeries {
       rightCols.map(c => col("__rlast").getField(c).as(c)): _*)
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): for each left row, the right row of the same key with
+    * the smallest |right.ts - left.ts|; ties between an equally-near
+    * preceding and following candidate go BACKWARD (the preceding row),
+    * matching the at-or-before bias of the plain as-of. Same union
+    * strategy as [[asofJoin]], but BOTH directions are carried in the one
+    * partitioned stream: two window frames (last-preceding over the
+    * ascending order, first-following over the descending order) share a
+    * single shuffle on the key columns, then a per-row CASE picks the
+    * nearer candidate — shuffle volume |left|+|right| and two linear
+    * sorts, never a per-row subquery.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+    val keyCols: Seq[Column] = keys.map(col)
+    val lPrep = left.select(keyCols ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(right.select(rightCols.map(col): _*).schema).as("__r")): _*)
+    val rPrep = right.select(keyCols ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
+      struct(rightCols.map(col): _*).as("__r")): _*)
+    val tieCols = rightTieBreak.map(c => col("__r").getField(c))
+    val ordBwd = Seq(col("__ts"), col("__side")) ++ tieCols
+    val ordFwd = Seq(col("__ts").desc, col("__side")) ++ tieCols.map(_.desc)
+    val wBwd = Window.partitionBy(keyCols: _*).orderBy(ordBwd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols: _*).orderBy(ordFwd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = lPrep.unionByName(rPrep)
+      .withColumn("__rprev", last(col("__r"), ignoreNulls = true).over(wBwd))
+      .withColumn("__rnext", last(col("__r"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+    val dPrev = unix_micros(col("__ts")) - unix_micros(col("__rprev").getField(rightTs))
+    val dNext = unix_micros(col("__rnext").getField(rightTs)) - unix_micros(col("__ts"))
+    val chosen = when(col("__rprev").isNull, col("__rnext"))
+      .when(col("__rnext").isNull, col("__rprev"))
+      .when(dNext < dPrev, col("__rnext"))
+      .otherwise(col("__rprev"))
+    tagged.withColumn("__rbest", chosen)
+      .select(keyCols ++
+        leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightCols.map(c => col("__rbest").getField(c).as(c)): _*)
+  }
+
   /** As-of join through the CUSTOM OPERATOR path (graft.plans.AsofJoin*):
     * builds the [[graft.plans.AsofJoinPlan]] logical node directly; the
     * injected strategy plans the streaming-merge exec. Works on ANY
@@ -530,6 +579,139 @@ object TimeSeries {
         "round((value - mu) / nullif(sd, 0), 6) + 0.0 AS z, " +
         "abs(round((value - mu) / nullif(sd, 0), 6)) > 2.0 AS is_outlier " +
         "FROM t WHERE n >= 10 ORDER BY event_id"),
-      "rolling z-score outlier flags per series (trailing window, warmup-guarded)")
+      "rolling z-score outlier flags per series (trailing window, warmup-guarded)"),
+
+    "join_asof_nearest" -> DeclaredQuery(
+      // Nearest as-of (pandas merge_asof direction='nearest'): closest
+      // view in EITHER direction per purchase, equal-distance ties going
+      // backward. One shuffle carries both direction candidates — see
+      // asofJoinNearest's scaladoc for the two-frame single-exchange
+      // shape. The oracle repeats the engine's exact tie-breaks in both
+      // correlated subqueries and picks the nearer via interval compare.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+        asofJoinNearest(p, v, keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightTieBreak = Seq("view_event_id"))
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("WITH b AS (SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS b_eid, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS b_ts, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS f_eid, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS f_ts " +
+        "FROM events p WHERE p.event_type = 'purchase') " +
+        "SELECT event_id, ts, user_id, " +
+        "CASE WHEN b_ts IS NULL THEN f_eid WHEN f_ts IS NULL THEN b_eid " +
+        "WHEN (f_ts - ts) < (ts - b_ts) THEN f_eid ELSE b_eid END AS view_event_id, " +
+        "CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts " +
+        "WHEN (f_ts - ts) < (ts - b_ts) THEN f_ts ELSE b_ts END AS view_ts " +
+        "FROM b ORDER BY event_id"),
+      "nearest-direction as-of join (closest view either way; ties backward)"),
+
+    "ts_corr" -> DeclaredQuery(
+      // Cross-series correlation matrix: Pearson r between every pair of
+      // event-type series after aligning them on a daily grid. The align
+      // step is a hash aggregate down to #types × #days rows — the raw
+      // ticks never pairwise-join, so input volume only affects the ONE
+      // aggregate pass; the pair join runs over the tiny aligned table
+      // (broadcastable at any corpus size: days × types). Upper triangle
+      // only (type_a < type_b); r rounded to 6dp — double-sum ordering
+      // differences between engines sit ~1e-13, far below the rounding.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(avg(col("value")).as("v"))
+        val a = daily.select(col("event_type").as("type_a"), col("day"), col("v").as("va"))
+        val b = daily.select(col("event_type").as("type_b"), col("day").as("day_b"), col("v").as("vb"))
+        a.join(broadcast(b), col("day") === col("day_b") && col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(round(corr(col("va"), col("vb")), 6).as("r"), count(lit(1)).as("n_days"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "avg(value) AS v FROM events WHERE value IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "round(corr(a.v, b.v), 6) AS r, count(*) AS n_days " +
+        "FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      "pairwise Pearson correlation between series on an aligned daily grid"),
+
+    "ts_interp_linear" -> DeclaredQuery(
+      // Linear interpolation onto a regular hourly grid — ts_gapfill's
+      // sibling where a gap is filled by the straight line between its
+      // bracketing observations instead of carrying the last one
+      // forward. Same three shuffle-bounded steps (hourly aggregate,
+      // per-key grid from the key's own extent, one window pass); the
+      // window pass carries BOTH brackets (last observed value/hour
+      // behind, first ahead) in two frames over one (user_id) shuffle.
+      // Every grid point lies inside [first obs, last obs] by
+      // construction, so both brackets always exist and the weight
+      // denominator is strictly positive on unobserved points (observed
+      // points short-circuit to their own value before any division).
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(round(avg(col("value")), 6).as("v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+        val wB = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val j = grid.join(hourly, Seq("user_id", "hr"), "left")
+          .withColumn("__pv", last(col("v"), ignoreNulls = true).over(wB))
+          .withColumn("__ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wB))
+          .withColumn("__nv", first(col("v"), ignoreNulls = true).over(wF))
+          .withColumn("__nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wF))
+        j.select(col("user_id"), col("hr"),
+            // NO final round: the operands are already deterministic (6dp
+            // v's, exact integer micros), and -, *, /, + are correctly
+            // rounded IEEE ops — identical bits on both engines. A 6dp
+            // round here CREATES divergence at half-way points (x.xxxxxx5
+            // ties resolve differently across engines).
+            when(col("v").isNotNull, col("v")).otherwise(
+              col("__pv") + (col("__nv") - col("__pv")) *
+                (unix_micros(col("hr")) - unix_micros(col("__ph"))).cast("double") /
+                (unix_micros(col("__nh")) - unix_micros(col("__ph"))).cast("double"))
+              .as("v_interp"),
+            col("v").isNotNull.as("is_observed"))
+          .orderBy(col("user_id"), col("hr"))
+      },
+      Some("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr, " +
+        "round(avg(value), 6) AS v FROM events WHERE user_id < 20 GROUP BY 1, 2), " +
+        "grid AS (SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr " +
+        "FROM hourly GROUP BY user_id), " +
+        "j AS (SELECT g.user_id, g.hr, h.v, " +
+        "last_value(h.v IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wb AS ph, " +
+        "first_value(h.v IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wf AS nh " +
+        "FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr " +
+        "WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hr " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY g.user_id ORDER BY g.hr " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, hr, CASE WHEN v IS NOT NULL THEN v ELSE " +
+        "pv + (nv - pv) * CAST(epoch_us(hr) - epoch_us(ph) AS DOUBLE) / " +
+        "CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE) END AS v_interp, " +
+        "v IS NOT NULL AS is_observed FROM j ORDER BY user_id, hr"),
+      "linear interpolation onto an hourly grid (bracketing-observation line)")
   )
 }

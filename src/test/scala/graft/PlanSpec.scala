@@ -128,6 +128,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("join_asof_nearest carries both directions over ONE key shuffle") {
+    // two window frames (backward last / forward first) must share the
+    // single hashpartitioning(user_id) exchange — the final ORDER BY's
+    // rangepartitioning is the only other exchange allowed
+    val p = plan("join_asof_nearest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+    assert(!p.contains("Join"), "nearest as-of must never plan a join")
+  }
+
+  test("llm_tfidf broadcasts the vocab-sized df table and group-limits top-k") {
+    val df = Registry.all("llm_tfidf").fn(spark, TestSpark.sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(p.contains("WindowGroupLimit"), "rank<=k must prune pre-shuffle")
+  }
+
+  test("ts_interp_linear: both bracket frames share one key shuffle, no self-join") {
+    val p = plan("ts_interp_linear")
+    // grid+hourly left join is legitimate; what must NOT appear is a
+    // second hashpartitioning for the forward-looking window frame
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees

@@ -109,6 +109,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: asofJoinNearest equals brute force (equal-distance ties go backward)") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    (40L to 44L).foreach { seed =>
+      val rows = sample(seriesGen, seed)
+      val (l, r) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+      val left = l.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      val right = r.map { case ((u, us, _), i) => (u, i.toLong, us) }
+      if (left.nonEmpty && right.nonEmpty) {
+        val lDf = left.toDF("user_id", "event_id", "us")
+          .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+        val rDf = right.toDF("user_id", "r_id", "r_us")
+          .select(col("user_id"), col("r_id"), timestamp_micros(col("r_us")).as("r_ts"))
+        val brute: Map[Long, Option[Long]] = left.map { case (u, id, us) =>
+          val cands = right.filter(_._1 == u)
+          val bwd = cands.filter(_._3 <= us) match {
+            case Nil => None; case c => Some(c.maxBy(x => (x._3, x._2))) }
+          val fwd = cands.filter(_._3 >= us) match {
+            case Nil => None; case c => Some(c.minBy(x => (x._3, x._2))) }
+          val best = (bwd, fwd) match {
+            case (None, f) => f.map(_._2)
+            case (b, None) => b.map(_._2)
+            case (Some(b), Some(f)) =>
+              if ((f._3 - us) < (us - b._3)) Some(f._2) else Some(b._2)
+          }
+          id -> best
+        }.toMap
+        val got = TimeSeries.asofJoinNearest(lDf, rDf, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "r_ts", rightTieBreak = Seq("r_id"))
+          .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+        assert(got == brute, s"seed=$seed")
+      }
+    }
+  }
+
   test("property: asofJoin (both directions) equals the brute-force reference on random series") {
     import spark.implicits._
     import graft.operators.TimeSeries
