@@ -415,6 +415,50 @@ object Llm {
         "FROM c JOIN d USING (digest) GROUP BY c.doc_id ORDER BY doc_id"),
       "chunk-level dedup profile: 8-token chunk digests, corpus-dup fraction per doc"),
 
+    "llm_quantize" -> DeclaredQuery(
+      // Symmetric int8 quantization of the embedding column — the
+      // storage/serving transform a 100 TB embedding table actually
+      // ships (4× smaller, SIMD-friendly). Per vector: scale =
+      // max|x|/127, q_i = round(x_i/scale) — round-to-integer is safe
+      // cross-engine (both round half away from zero; no decimal-scaling
+      // step to diverge). The md5 of the quantized codes proves
+      // byte-identical quantization; relative RMSE audits the loss. All
+      // per-row array expressions: embarrassingly parallel, zero
+      // shuffles before the declared ORDER BY. The scale is BOUND TO A
+      // COLUMN before the lambdas (an expression argument would
+      // re-evaluate array_max per element — the measured O(d²) trap).
+      (s, d) => {
+        val t = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+              .as("__scale"))
+        val qv = transform(col("embedding"),
+          x => round(x.cast("double") / nullif(col("__scale"), lit(0.0))).cast("int"))
+        t.select(col("vec_id"), col("__scale"), qv.as("__q"),
+            aggregate(col("embedding"), lit(0.0), (acc, x) =>
+              acc + pow(x.cast("double") -
+                round(x.cast("double") / nullif(col("__scale"), lit(0.0))) * col("__scale"), 2))
+              .as("__num"),
+            aggregate(col("embedding"), lit(0.0), (acc, x) =>
+              acc + pow(x.cast("double"), 2)).as("__den"))
+          .select(col("vec_id"), round(col("__scale"), 6).as("scale"),
+            md5(concat_ws(",", transform(col("__q"), _.cast("string")))).as("q_md5"),
+            round(sqrt(col("__num") / nullif(col("__den"), lit(0.0))), 6).as("rel_rmse"))
+          .orderBy(col("vec_id"))
+      },
+      Some("WITH t AS (SELECT vec_id, embedding, " +
+        "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(scale, 6) AS scale, " +
+        "md5(array_to_string(list_transform(embedding, " +
+        "x -> CAST(CAST(round(CAST(x AS DOUBLE) / nullif(scale, 0)) AS INT) AS VARCHAR)), ',')) AS q_md5, " +
+        "round(sqrt(list_aggregate(list_transform(embedding, " +
+        "x -> pow(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / nullif(scale, 0)) * scale, 2)), 'sum') / " +
+        "nullif(list_aggregate(list_transform(embedding, " +
+        "x -> pow(CAST(x AS DOUBLE), 2)), 'sum'), 0)), 6) AS rel_rmse " +
+        "FROM t ORDER BY vec_id"),
+      "symmetric int8 embedding quantization: per-vector scale, code digest, rel RMSE"),
+
     "llm_fingerprint" -> DeclaredQuery(
       // Document fingerprinting: whole-text digest + min-shingle digest
       // (a 1-hash MinHash — robust to local edits). md5 is the hash

@@ -35,6 +35,21 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** 30-minute OHLC bars per event_type — the corintick flagship
+    * aggregation as a streaming-compatible window agg. open/close via
+    * min_by/max_by on the (ts, event_id) struct: deterministic (event_id
+    * unique) AND merge-friendly — bar state is O(1) per (window, type)
+    * regardless of tick volume, evicted by watermark in streaming mode.
+    */
+  def ohlcAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bar_ts"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Session windows, 30-minute inactivity gap, per user. */
   def sessionAgg(events: DataFrame): DataFrame =
     events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -166,6 +181,19 @@ object Streams {
         "SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end, user_id, " +
         "count(*) AS n, round(sum(value), 4) AS sv FROM y GROUP BY user_id, sid " +
         "ORDER BY user_id, sess_start"),
-      "session windows, 30-min inactivity gap, per user (batch twin)")
+      "session windows, 30-min inactivity gap, per user (batch twin)"),
+
+    "stream_ohlc" -> DeclaredQuery(
+      // The flagship corintick aggregation, streaming edition: 30-minute
+      // OHLC bars via the same builder StreamingSpec drives over a
+      // MemoryStream with a watermark. window() aligns to the epoch, so
+      // the oracle reproduces buckets with the shared epoch-floor idiom.
+      (s, d) => ohlcAgg(Tables.events(s, d))
+        .orderBy(col("bar_ts"), col("event_type")),
+      Some("SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 * 1000000) AS bar_ts, " +
+        "event_type, first(value ORDER BY ts, event_id) AS open, max(value) AS high, " +
+        "min(value) AS low, last(value ORDER BY ts, event_id) AS close, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
+      "30-min OHLC bars per event_type (streaming window agg, batch twin)")
   )
 }

@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars match the batch twin (open/close by (ts, event_id))") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val agg = Streams.ohlcAgg(
+      Streams.withWatermark(input.toDF().toDF("ts", "event_type", "event_id", "value")))
+    val q = agg.writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 10:05:00"), "trade", 1L, 10.0), // open of [10:00,10:30)
+        (ts("2024-01-01 10:12:00"), "trade", 2L, 14.0), // high
+        (ts("2024-01-01 10:25:00"), "trade", 3L, 7.0),  // low + close
+        (ts("2024-01-01 10:40:00"), "trade", 4L, 9.0),  // next bar
+        (ts("2024-01-01 10:05:00"), "trade", 5L, 11.0)) // same ts as open: id breaks tie
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("ohlc")
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)].collect().toSet
+      val batch = Streams.ohlcAgg(rows.toDF("ts", "event_type", "event_id", "value"))
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)].collect().toSet
+      assert(streaming === batch)
+      assert(batch.contains((ts("2024-01-01 10:00:00"), "trade", 10.0, 14.0, 7.0, 7.0, 4L)))
+      assert(batch.contains((ts("2024-01-01 10:30:00"), "trade", 9.0, 9.0, 9.0, 9.0, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops re-delivered keys, keeps distinct ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
