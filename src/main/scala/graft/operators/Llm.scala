@@ -136,8 +136,12 @@ object Llm {
     while (!converged && rounds < maxRounds) {
       val nbr = edges.join(labels.select(col("u").as("v"), col("label")), "v")
         .groupBy("u").agg(min(col("label")).as("__nbr"))
+      // __old rides along so convergence needs NO extra join: labels are
+      // monotonically non-increasing, so "any row where label != __old"
+      // is exactly "this round changed something".
       val cand = labels.join(nbr, Seq("u"))
-        .select(col("u"), least(col("label"), col("__nbr")).as("label"))
+        .select(col("u"), least(col("label"), col("__nbr")).as("label"),
+          col("label").as("__old"))
       // pointer jump: label ← label(label). Every label value is a node
       // id (least() over node ids), so cand itself is the mapping; left
       // join + coalesce keeps already-minimal labels (label(m) = m rows
@@ -146,13 +150,13 @@ object Llm {
           cand.select(col("u").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
+          col("__old"))
         .localCheckpoint()
       // limit(1): existence check, not a full count — stops at the first
       // changed row
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "u")
-        .filter(col("label") =!= col("__old")).limit(1).count() == 0L
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0L
+      labels = next.select(col("u"), col("label"))
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
@@ -303,7 +307,15 @@ object Llm {
         val docs = Tables.documents(s, d)
         val tf = docs.select(col("doc_id"), explode(toks).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // count(tf > 0), NOT count(1): a bare count (or count(tf) — the
+        // optimizer rewrites a never-null count away) lets column pruning
+        // drop tf's count out of this branch's partial aggregate, making
+        // its (doc_id, term) exchange differ structurally from tf's own —
+        // the corpus would be scanned and exploded TWICE. The tf>0
+        // predicate (always true, but not foldable) keeps the subtrees
+        // identical so ReuseExchange collapses them into one scan.
+        val df = tf.groupBy("term")
+          .agg(count(when(col("tf") > 0, 1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),

@@ -143,6 +143,8 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(400))
     assert(p.contains("WindowGroupLimit"), "rank<=k must prune pre-shuffle")
+    // tf and df must share the (doc_id, term) exchange — one corpus scan
+    assert(p.contains("ReusedExchange"), "df branch must reuse tf's exchange")
   }
 
   test("ts_interp_linear: both bracket frames share one key shuffle, no self-join") {
