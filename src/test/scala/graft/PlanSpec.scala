@@ -154,6 +154,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
   }
 
+  test("round-6 operators keep their declared shuffle budgets") {
+    // (query, max hashpartitioning exchanges, may plan a join)
+    // the bound pins the scale claim each query's comment makes: e.g.
+    // sessionize/m4's aggregate must REUSE the window's partitioning
+    val budgets = Seq(
+      ("ts_sessionize", 1, false), ("ts_m4", 1, false),
+      ("stream_ohlc", 1, false), ("llm_quantize", 0, false),
+      ("llm_repetition", 2, false), ("llm_chunk_dedup", 2, true))
+    budgets.foreach { case (name, maxHash, joinOk) =>
+      val p = plan(name)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= maxHash, s"$name: $n hash exchanges > budget $maxHash")
+      if (!joinOk) assert(!p.contains("Join"), s"$name must not plan a join")
+    }
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees
