@@ -712,6 +712,74 @@ object TimeSeries {
         "pv + (nv - pv) * CAST(epoch_us(hr) - epoch_us(ph) AS DOUBLE) / " +
         "CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE) END AS v_interp, " +
         "v IS NOT NULL AS is_observed FROM j ORDER BY user_id, hr"),
-      "linear interpolation onto an hourly grid (bracketing-observation line)")
+      "linear interpolation onto an hourly grid (bracketing-observation line)"),
+
+    "ts_funnel" -> DeclaredQuery(
+      // Ordered-sequence funnel (view → click → purchase, each stage
+      // strictly after the previous): the classic product-analytics
+      // operator. Three conditional-min window passes over ONE (user_id)
+      // shuffle resolve each user's stage timestamps (stage k's min ts
+      // references stage k-1's — windows chain, partitioning is reused),
+      // then a single hash aggregate by user-decile reduces to a
+      // fixed-size funnel table. No joins, no per-user subqueries —
+      // shuffle volume = |events| once, at any scale.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("__v0", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("__c0", min(when(col("event_type") === "click" &&
+            col("ts") >= col("__v0"), col("ts"))).over(w))
+          .withColumn("__p0", min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("__c0"), col("ts"))).over(w))
+        t.groupBy((col("user_id") % 10).as("user_decile"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("__v0").isNotNull, col("user_id"))).as("n_view"),
+            countDistinct(when(col("__c0").isNotNull, col("user_id"))).as("n_view_click"),
+            countDistinct(when(col("__p0").isNotNull, col("user_id"))).as("n_funnel_full"))
+          .orderBy(col("user_decile"))
+      },
+      Some("WITH a AS (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v0 " +
+        "FROM events), " +
+        "b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v0 THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS c0 FROM a), " +
+        "c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c0 THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS p0 FROM b) " +
+        "SELECT user_id % 10 AS user_decile, count(DISTINCT user_id) AS n_users, " +
+        "count(DISTINCT CASE WHEN v0 IS NOT NULL THEN user_id END) AS n_view, " +
+        "count(DISTINCT CASE WHEN c0 IS NOT NULL THEN user_id END) AS n_view_click, " +
+        "count(DISTINCT CASE WHEN p0 IS NOT NULL THEN user_id END) AS n_funnel_full " +
+        "FROM c GROUP BY 1 ORDER BY user_decile"),
+      "view→click→purchase funnel: chained conditional-min windows, one user shuffle"),
+
+    "ts_retention" -> DeclaredQuery(
+      // Cohort retention — users grouped by first-activity day, counted
+      // again at day +1 and +7: the other half of the product-analytics
+      // pair. Distinct (user, day) activity first (collapses tick volume
+      // to at most users × days), then the cohort join is BY USER — at
+      // scale both sides are user-keyed aggregates, so this is a
+      // co-partitioned shuffle join, never a broadcast of the fact side.
+      // datediff on day-truncated timestamps is exact integer arithmetic.
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        act.join(cohort, "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+          .filter(col("offset").isin(0L, 1L, 7L))
+          .groupBy("cohort_day", "offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("offset"))
+      },
+      Some("WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1) " +
+        "SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS \"offset\", " +
+        "count(DISTINCT a.user_id) AS n_users " +
+        "FROM act a JOIN cohort c ON a.user_id = c.user_id " +
+        "WHERE date_diff('day', c.cohort_day, a.day) IN (0, 1, 7) " +
+        "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""),
+      "cohort retention (day 0/+1/+7 active users per first-activity cohort)")
   )
 }
