@@ -96,4 +96,18 @@ object Q {
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** THE OHLC aggregate columns — the one definition of the bar
+    * determinism contract, shared by `agg_ohlc`, the flagship
+    * `SparkEntry.entry` and the streaming `Streams.ohlcAgg`: open/close
+    * via min_by/max_by over the (ts, id) struct (id unique ⇒
+    * deterministic even on equal timestamps), high/low plain extremes.
+    * All four are O(1)-mergeable state per bar, so the same spelling is
+    * valid batch-side and as watermark-evicted streaming state.
+    */
+  def ohlcAggs(tsCol: Column, idCol: Column, vCol: Column): Seq[Column] = Seq(
+    min_by(vCol, struct(tsCol, idCol)).as("open"),
+    max(vCol).as("high"),
+    min(vCol).as("low"),
+    max_by(vCol, struct(tsCol, idCol)).as("close"))
 }

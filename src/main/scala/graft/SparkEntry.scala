@@ -17,11 +17,10 @@ object SparkEntry {
     // bounds actually reach the parquet scan (row-group min/max skipping).
     val events = graft.sources.Tables.eventsSliced(spark, "/root/testdata/sf0.001",
       "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    val aggs = Q.ohlcAggs(col("ts"), col("event_id"), col("value")) :+
+      count(lit(1)).as("n")
     events.groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
-      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-        max(col("value")).as("high"), min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("bar_ts"), col("event_type"))
   }
 

@@ -103,16 +103,14 @@ object Aggregates {
       // aggregation (the reference stores bars; clients resample).
       // open/close via min_by/max_by on (ts, event_id) struct ordering:
       // deterministic because event_id is unique.
-      (s, d) => Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
-        .agg(
-          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-          count(lit(1)).as("n"),
-          round(sum("value"), 4).as("vol"))
-        .orderBy("bar_ts", "event_type"),
+      (s, d) => {
+        val aggs = graft.Q.ohlcAggs(col("ts"), col("event_id"), col("value")) ++
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("vol"))
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("bar_ts", "event_type")
+      },
       Some("SELECT date_trunc('hour', ts) AS bar_ts, event_type, " +
         "first(value ORDER BY ts, event_id) AS open, max(value) AS high, min(value) AS low, " +
         "last(value ORDER BY ts, event_id) AS close, count(*) AS n, round(sum(value), 4) AS vol " +

@@ -142,12 +142,17 @@ object Llm {
       val cand = labels.join(nbr, Seq("u"))
         .select(col("u"), least(col("label"), col("__nbr")).as("label"),
           col("label").as("__old"))
-      // pointer jump: label ← label(label). Every label value is a node
-      // id (least() over node ids), so cand itself is the mapping; left
-      // join + coalesce keeps already-minimal labels (label(m) = m rows
-      // always exist, but stay safe under future re-keying).
+      // pointer jump: label ← labels(label). Every label value is a node
+      // id (least() over node ids), so the PREVIOUS round's checkpointed
+      // labels table is a valid (slightly stale) mapping — using it
+      // instead of `cand` avoids recomputing the neighbor-min join+agg a
+      // second time in the self-join (only the shuffle would be reused).
+      // Stale jumps keep the monotone-decrease invariant and the same
+      // fixpoint; the 300-hop CcSpec case pins that doubling still holds.
+      // Left join + coalesce keeps already-minimal labels (label(m) = m
+      // rows always exist, but stay safe under future re-keying).
       val next = cand.join(
-          cand.select(col("u").as("label"), col("label").as("__jump")),
+          labels.select(col("u").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("u"),
           least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
@@ -261,9 +266,11 @@ object Llm {
       // Within-document repetition signal (the Gopher/MassiveText "most
       // frequent n-gram fraction" rule): docs whose single most frequent
       // bigram carries too much of the text are template/boilerplate junk
-      // a pretraining corpus filters out. Two hash aggregates, both
-      // partitioned by doc_id — the second reuses the first's
-      // partitioning, so one shuffle of (doc, bigram) pairs total.
+      // a pretraining corpus filters out. Two hash aggregates: the first
+      // shuffles (doc, bigram) pairs, the second re-keys its already
+      // collapsed per-doc counts to hash(doc_id) — the expensive shuffle
+      // (raw bigram volume) happens once; the second moves only distinct
+      // (doc, bigram, count) rows. PlanSpec budgets the two exchanges.
       // NON-distinct bigrams (counts matter here, unlike docShingles);
       // the flag compares the ROUNDED fraction so both engines make
       // identical boundary decisions.
@@ -388,9 +395,11 @@ object Llm {
     "llm_chunk_dedup" -> DeclaredQuery(
       // Sub-document (chunk-level) duplication profile: split each doc
       // into consecutive FULL 8-token chunks, digest each, and report per
-      // doc what fraction of its chunks also occur elsewhere in the
-      // corpus — the granularity at which boilerplate headers/footers
-      // show up even when whole-doc dedup passes. Shuffle volume is one
+      // doc what fraction of its chunks occur MORE THAN ONCE corpus-wide
+      // (a chunk repeated within one document counts too — internal
+      // boilerplate is still boilerplate) — the granularity at which
+      // repeated headers/footers show up even when whole-doc dedup
+      // passes. Shuffle volume is one
       // (doc, 16-byte digest) pair per chunk — never the text — then one
       // digest-keyed count join and one per-doc aggregate. The size>=W
       // guard exists because Spark's sequence(0, -1) yields a DESCENDING

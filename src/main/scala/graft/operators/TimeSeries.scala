@@ -33,11 +33,16 @@ object TimeSeries {
     * inside [ts-tol, ts] is the same row as the unbounded winner whenever
     * one exists — so the scale shape is unchanged (no extra pass).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String,
-               rightTieBreak: Seq[String] = Seq.empty,
-               forward: Boolean = false,
-               tolerance: Option[Column] = None): DataFrame = {
+  /** Shared tagged-union prep for the window-based as-of family: both
+    * sides keyed, timestamped as `__ts`, side-tagged, with the non-key
+    * payload packed into `__l`/`__r` structs (null-cast on the other
+    * side). Returned as (union input, key cols, left cols, right cols,
+    * tie-break cols) so every variant sorts/selects the same shapes.
+    */
+  private def asofPrep(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightTieBreak: Seq[String])
+      : (DataFrame, Seq[Column], Array[String], Array[String], Seq[Column]) = {
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
     val keyCols: Seq[Column] = keys.map(col)
@@ -50,6 +55,16 @@ object TimeSeries {
       lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
       struct(rightCols.map(col): _*).as("__r")): _*)
     val tieCols = rightTieBreak.map(c => col("__r").getField(c))
+    (lPrep.unionByName(rPrep), keyCols, leftCols, rightCols, tieCols)
+  }
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightTieBreak: Seq[String] = Seq.empty,
+               forward: Boolean = false,
+               tolerance: Option[Column] = None): DataFrame = {
+    val (union, keyCols, leftCols, rightCols, tieCols) =
+      asofPrep(left, right, keys, leftTs, rightTs, rightTieBreak)
     // forward: descending ts puts later rows first, so "last right above
     // me" is the closest FOLLOWING row; equal-ts tie-breaks are reversed
     // so the smallest wins (mirror-image of the backward ordering)
@@ -59,7 +74,7 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val raw = lPrep.unionByName(rPrep)
+    val raw = union
       .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val bounded = tolerance match {
@@ -90,25 +105,15 @@ object TimeSeries {
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
-    val leftCols = left.columns.filterNot(keys.contains)
-    val rightCols = right.columns.filterNot(keys.contains)
-    val keyCols: Seq[Column] = keys.map(col)
-    val lPrep = left.select(keyCols ++ Seq(
-      col(leftTs).as("__ts"), lit(1).as("__side"),
-      struct(leftCols.map(col): _*).as("__l"),
-      lit(null).cast(right.select(rightCols.map(col): _*).schema).as("__r")): _*)
-    val rPrep = right.select(keyCols ++ Seq(
-      col(rightTs).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
-      struct(rightCols.map(col): _*).as("__r")): _*)
-    val tieCols = rightTieBreak.map(c => col("__r").getField(c))
+    val (union, keyCols, leftCols, rightCols, tieCols) =
+      asofPrep(left, right, keys, leftTs, rightTs, rightTieBreak)
     val ordBwd = Seq(col("__ts"), col("__side")) ++ tieCols
     val ordFwd = Seq(col("__ts").desc, col("__side")) ++ tieCols.map(_.desc)
     val wBwd = Window.partitionBy(keyCols: _*).orderBy(ordBwd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keyCols: _*).orderBy(ordFwd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tagged = lPrep.unionByName(rPrep)
+    val tagged = union
       .withColumn("__rprev", last(col("__r"), ignoreNulls = true).over(wBwd))
       .withColumn("__rnext", last(col("__r"), ignoreNulls = true).over(wFwd))
       .filter(col("__side") === 1)
@@ -715,8 +720,9 @@ object TimeSeries {
       "linear interpolation onto an hourly grid (bracketing-observation line)"),
 
     "ts_funnel" -> DeclaredQuery(
-      // Ordered-sequence funnel (view → click → purchase, each stage
-      // strictly after the previous): the classic product-analytics
+      // Ordered-sequence funnel (view → click → purchase, each stage AT
+      // OR AFTER the previous — ts >= on both engines, so an equal-ts
+      // pair satisfies the order): the classic product-analytics
       // operator. Three conditional-min window passes over ONE (user_id)
       // shuffle resolve each user's stage timestamps (stage k's min ts
       // references stage k-1's — windows chain, partitioning is reused),

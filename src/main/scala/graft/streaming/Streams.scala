@@ -41,14 +41,14 @@ object Streams {
     * unique) AND merge-friendly — bar state is O(1) per (window, type)
     * regardless of tick volume, evicted by watermark in streaming mode.
     */
-  def ohlcAgg(events: DataFrame): DataFrame =
+  def ohlcAgg(events: DataFrame): DataFrame = {
+    val aggs = graft.Q.ohlcAggs(col("ts"), col("event_id"), col("value")) :+
+      count(lit(1)).as("n")
     events.groupBy(window(col("ts"), "30 minutes"), col("event_type"))
-      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-        max(col("value")).as("high"), min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("window.start").as("bar_ts"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
 
   /** Session windows, 30-minute inactivity gap, per user. */
   def sessionAgg(events: DataFrame): DataFrame =

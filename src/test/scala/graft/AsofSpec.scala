@@ -14,6 +14,30 @@ class AsofSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("nearest: equal-ts candidates and equal distances resolve like the oracle") {
+    // the property generator never produces equal timestamps, so the
+    // tie branches are pinned here: among equal-ts candidates the
+    // backward frame takes the MAX tie-break, the forward frame the MIN;
+    // equal |distance| between directions goes backward
+    val left = Seq(
+      (1L, 101L, ts("2024-01-01 00:10:00")),  // rights at ±10min, ids (1,2)@-10 (3,4)@+10
+      (2L, 201L, ts("2024-01-01 00:10:00")))  // rights exactly AT ts, ids 5,6
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")), (1L, 2L, ts("2024-01-01 00:00:00")),
+      (1L, 3L, ts("2024-01-01 00:20:00")), (1L, 4L, ts("2024-01-01 00:20:00")),
+      (2L, 5L, ts("2024-01-01 00:10:00")), (2L, 6L, ts("2024-01-01 00:10:00")))
+      .toDF("user_id", "view_event_id", "view_ts")
+    val out = TimeSeries.asofJoinNearest(left, right, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"))
+      .orderBy("event_id").select("event_id", "view_event_id")
+      .as[(Long, Long)].collect().toMap
+    // user 1: dPrev == dNext == 10min → backward; backward tie → max id 2
+    assert(out(101L) === 2L)
+    // user 2: distance 0 both ways → backward frame's max id among equal ts
+    assert(out(201L) === 6L)
+  }
+
   test("tolerance nulls out matches staler than the bound, keeps fresh ones") {
     val left = Seq(
       (1L, 101L, ts("2024-01-01 00:10:00")),  // nearest view 9 min old → match
