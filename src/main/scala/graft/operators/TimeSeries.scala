@@ -726,9 +726,13 @@ object TimeSeries {
       // operator. Three conditional-min window passes over ONE (user_id)
       // shuffle resolve each user's stage timestamps (stage k's min ts
       // references stage k-1's — windows chain, partitioning is reused),
-      // then a single hash aggregate by user-decile reduces to a
-      // fixed-size funnel table. No joins, no per-user subqueries —
-      // shuffle volume = |events| once, at any scale.
+      // then the per-user flag collapse REUSES that same partitioning
+      // (groupBy user after a user-partitioned window adds no exchange)
+      // and only the per-user flags shuffle to the decile aggregate.
+      // Deliberately NOT count(DISTINCT …): multiple distinct aggregates
+      // plan an Expand that replays the full event volume 4× through the
+      // shuffle; flag-collapse-then-sum is exchange-free until the rows
+      // are already one-per-user. No joins, no per-user subqueries.
       (s, d) => {
         val w = Window.partitionBy("user_id")
         val t = Tables.events(s, d)
@@ -738,11 +742,15 @@ object TimeSeries {
             col("ts") >= col("__v0"), col("ts"))).over(w))
           .withColumn("__p0", min(when(col("event_type") === "purchase" &&
             col("ts") >= col("__c0"), col("ts"))).over(w))
-        t.groupBy((col("user_id") % 10).as("user_decile"))
-          .agg(countDistinct(col("user_id")).as("n_users"),
-            countDistinct(when(col("__v0").isNotNull, col("user_id"))).as("n_view"),
-            countDistinct(when(col("__c0").isNotNull, col("user_id"))).as("n_view_click"),
-            countDistinct(when(col("__p0").isNotNull, col("user_id"))).as("n_funnel_full"))
+        val perUser = t.groupBy("user_id")
+          .agg(max(col("__v0").isNotNull.cast("long")).as("f_view"),
+            max(col("__c0").isNotNull.cast("long")).as("f_click"),
+            max(col("__p0").isNotNull.cast("long")).as("f_full"))
+        perUser.groupBy((col("user_id") % 10).as("user_decile"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("f_view")).as("n_view"),
+            sum(col("f_click")).as("n_view_click"),
+            sum(col("f_full")).as("n_funnel_full"))
           .orderBy(col("user_decile"))
       },
       Some("WITH a AS (SELECT user_id, ts, event_type, " +
@@ -763,28 +771,34 @@ object TimeSeries {
       // Cohort retention — users grouped by first-activity day, counted
       // again at day +1 and +7: the other half of the product-analytics
       // pair. Distinct (user, day) activity first (collapses tick volume
-      // to at most users × days), then the cohort join is BY USER — at
-      // scale both sides are user-keyed aggregates, so this is a
-      // co-partitioned shuffle join, never a broadcast of the fact side.
-      // datediff on day-truncated timestamps is exact integer arithmetic.
+      // to at most users × days); the cohort day is a WINDOW MIN over
+      // the same user partitioning, not a self-join — one fork, no
+      // duplicated upstream. The explicit repartition(user_id) is
+      // load-bearing: hash(user) is a subset of the distinct's
+      // clustering key and exactly the window's, so ONE exchange feeds
+      // both (the planner's default would hash(user, day) for the
+      // distinct and re-exchange for the window; PlanSpec pins the
+      // 2-exchange budget). count(*) not count(DISTINCT): (user, day)
+      // rows are already distinct, so a user contributes at most one row
+      // per (cohort, offset) — same value, no distinct-aggregate Expand.
+      // datediff on day-truncated timestamps is exact integer math.
       (s, d) => {
         val act = Tables.events(s, d)
           .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .repartition(col("user_id"))
           .distinct()
-        val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-        act.join(cohort, "user_id")
+        act.withColumn("cohort_day", min(col("day")).over(Window.partitionBy("user_id")))
           .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
           .filter(col("offset").isin(0L, 1L, 7L))
           .groupBy("cohort_day", "offset")
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          .agg(count(lit(1)).as("n_users"))
           .orderBy(col("cohort_day"), col("offset"))
       },
       Some("WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
-        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1) " +
-        "SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS \"offset\", " +
-        "count(DISTINCT a.user_id) AS n_users " +
-        "FROM act a JOIN cohort c ON a.user_id = c.user_id " +
-        "WHERE date_diff('day', c.cohort_day, a.day) IN (0, 1, 7) " +
+        "x AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM act) " +
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS \"offset\", " +
+        "count(*) AS n_users FROM x " +
+        "WHERE date_diff('day', cohort_day, day) IN (0, 1, 7) " +
         "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""),
       "cohort retention (day 0/+1/+7 active users per first-activity cohort)")
   )

@@ -161,7 +161,11 @@ class PlanSpec extends AnyFunSuite {
     val budgets = Seq(
       ("ts_sessionize", 1, false), ("ts_m4", 1, false),
       ("stream_ohlc", 1, false), ("llm_quantize", 0, false),
-      ("llm_repetition", 2, false), ("llm_chunk_dedup", 2, true))
+      ("llm_repetition", 2, false), ("llm_chunk_dedup", 2, true),
+      ("ts_funnel", 2, false), ("ts_retention", 2, false))
+    // ts_funnel additionally must not plan the multi-count-distinct
+    // Expand (it would replay the event volume 4× through the shuffle)
+    assert(!plan("ts_funnel").contains("Expand"), "ts_funnel planned an Expand")
     budgets.foreach { case (name, maxHash, joinOk) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size
