@@ -135,7 +135,8 @@ object TimeSeries {
     * session: if [[graft.GraftExtensions]] isn't installed, the strategy
     * is added through the public `spark.experimental.extraStrategies`
     * hook. Key columns must be distinctly named across the two sides
-    * (the node exposes both schemas unchanged). Backward direction only.
+    * (the node exposes both schemas unchanged). `forward = true` flips
+    * to first-at-or-after semantics (see [[graft.plans.AsofJoinExec]]).
     * NULL timestamps follow SQL comparison semantics: a null-ts left row
     * matches nothing (null-extended output) and a null-ts right row is
     * never an as-of candidate — exactly what the oracle's correlated
@@ -145,7 +146,8 @@ object TimeSeries {
                      leftKeys: Seq[String], rightKeys: Seq[String],
                      leftTs: String, rightTs: String,
                      rightTieBreak: Seq[String] = Seq.empty,
-                     toleranceMicros: Option[Long] = None): DataFrame = {
+                     toleranceMicros: Option[Long] = None,
+                     forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val session = left.sparkSession
     // Registration is guarded per-session: `extraStrategies` is a plain
@@ -167,7 +169,7 @@ object TimeSeries {
     GraftShim.ofRows(left.sparkSession, graft.plans.AsofJoinPlan(
       lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
       attr(lp, leftTs), attr(rp, rightTs), rightTieBreak.map(attr(rp, _)),
-      toleranceMicros))
+      toleranceMicros, forward))
   }
 
   def defs: Map[String, DeclaredQuery] = Map(
@@ -198,6 +200,34 @@ object TimeSeries {
         "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts " +
         "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "as-of join via the custom LogicalPlan/Strategy/Exec operator"),
+
+    "join_asof_exec_fwd" -> DeclaredQuery(
+      // Forward direction through the custom exec: first view at-or-after
+      // each purchase. Same oracle as join_asof_fwd (the window twin);
+      // the exec's forward pass peeks the sorted right head instead of
+      // carrying the last-seen row — see AsofJoinExec's scaladoc.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_uid"), col("event_id").as("view_event_id"),
+            col("ts").as("view_ts"))
+        asofJoinNative(p, v, leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+          forward = true)
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS view_event_id, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS view_ts " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
+      "forward as-of via the custom exec (first at-or-after, peeked head)"),
 
     "join_asof_exec_tol" -> DeclaredQuery(
       // Tolerance through the CUSTOM EXEC path — feature parity with the

@@ -31,7 +31,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightTieBreak: Seq[Expression],
-                        tolerance: Option[Long] = None) extends BinaryNode {
+                        tolerance: Option[Long] = None,
+                        forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -42,8 +43,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -52,12 +53,22 @@ object AsofJoinStrategy extends SparkStrategy {
   * staleness exactly like [[graft.operators.TimeSeries.asofJoin]]'s
   * tolerance: a carried match farther than the bound nulls out. Checked
   * per left row against the carried right ts — zero extra state.
+  *
+  * `forward = true` flips the direction: the EARLIEST right row with
+  * `right.ts >= left.ts` (ties: smallest (ts, tieBreak) — exactly the
+  * window spelling's mirror). The merge pass is even simpler than
+  * backward: with both sides ascending, a right row behind the current
+  * left ts can never match this or any LATER left row, so it is
+  * discarded, and the buffered head (first at-or-after row of the key)
+  * IS the winner — peeked, not consumed, because one right row may
+  * serve many left rows. Still O(1) state, one pass.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightTieBreak: Seq[Expression],
-                        tolerance: Option[Long] = None) extends BinaryExecNode {
+                        tolerance: Option[Long] = None,
+                        forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -91,7 +102,51 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val resultProj = UnsafeProjection.create(output, output)
       val rBuf = rIt.buffered
 
-      new Iterator[InternalRow] {
+      if (forward) new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIt.next()
+          val lKey = lKeyProj(lRow)
+          val lTsAny = lTsBound.eval(lRow)
+          // discard right rows that can never match this or any later
+          // left row: stale keys, NULL-ts rows (never >= anything), and
+          // rows strictly behind the current left ts (left is ascending,
+          // so later left rows are even further ahead). A null-ts left
+          // row advances nothing — it just emits null-extended.
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rHead = rBuf.head
+            val rKey = rKeyProj(rHead)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rBuf.next()
+            } else if (c == 0) {
+              val rTsAny = rTsBound.eval(rHead)
+              if (rTsAny == null) {
+                rBuf.next() // NULL ts never satisfies r.ts >= l.ts
+              } else if (lTsAny != null &&
+                rTsAny.asInstanceOf[Long] < lTsAny.asInstanceOf[Long]) {
+                rBuf.next() // behind every remaining left row of this key
+              } else advancing = false
+            } else advancing = false
+          }
+          // the head, if same-key, is the first (ts, tie)-ascending row
+          // with ts >= l.ts — the forward as-of winner. Peek, don't
+          // consume: it may also serve later left rows.
+          val matched = lTsAny != null && rBuf.hasNext && {
+            val rHead = rBuf.head
+            keyOrd.compare(rKeyProj(rHead), lKey) == 0 && {
+              val rTsAny = rTsBound.eval(rHead)
+              rTsAny != null &&
+                tolerance.forall(t =>
+                  rTsAny.asInstanceOf[Long] - lTsAny.asInstanceOf[Long] <= t)
+            }
+          }
+          if (matched) resultProj(joined(lRow, rBuf.head))
+          else resultProj(joined(lRow, nullRight))
+        }
+      } else new Iterator[InternalRow] {
         // last right row consumed, valid for lastKey only — O(1) state
         private var lastKey: InternalRow = _
         private var lastRight: InternalRow = _

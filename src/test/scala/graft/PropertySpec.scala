@@ -173,6 +173,15 @@ class PropertySpec extends AnyFunSuite {
             .select("event_id", "r_id").as[(Long, Option[Long])]
             .collect().toMap
           assert(got == brute(fwd), s"seed=$seed forward=$fwd")
+          // the custom exec must agree in BOTH directions too
+          val nat = TimeSeries.asofJoinNative(lDf,
+            right.toDF("v_uid", "r_id", "r_us"),
+            leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+            leftTs = "us", rightTs = "r_us",
+            rightTieBreak = Seq("r_id"), forward = fwd)
+            .select("event_id", "r_id").as[(Long, Option[Long])]
+            .collect().toMap
+          assert(nat == brute(fwd), s"seed=$seed forward=$fwd native-exec-path")
         }
       }
     }
