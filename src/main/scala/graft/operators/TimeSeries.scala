@@ -147,7 +147,8 @@ object TimeSeries {
                      leftTs: String, rightTs: String,
                      rightTieBreak: Seq[String] = Seq.empty,
                      toleranceMicros: Option[Long] = None,
-                     forward: Boolean = false): DataFrame = {
+                     forward: Boolean = false,
+                     nearest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val session = left.sparkSession
     // Registration is guarded per-session: `extraStrategies` is a plain
@@ -169,7 +170,7 @@ object TimeSeries {
     GraftShim.ofRows(left.sparkSession, graft.plans.AsofJoinPlan(
       lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
       attr(lp, leftTs), attr(rp, rightTs), rightTieBreak.map(attr(rp, _)),
-      toleranceMicros, forward))
+      toleranceMicros, forward, nearest))
   }
 
   def defs: Map[String, DeclaredQuery] = Map(
@@ -228,6 +229,45 @@ object TimeSeries {
         "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS view_ts " +
         "FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"),
       "forward as-of via the custom exec (first at-or-after, peeked head)"),
+
+    "join_asof_exec_nearest" -> DeclaredQuery(
+      // Nearest direction through the custom exec — same oracle as the
+      // window twin join_asof_nearest: the carried backward candidate and
+      // the peeked forward head compete per left row, ties backward.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_uid"), col("event_id").as("view_event_id"),
+            col("ts").as("view_ts"))
+        asofJoinNative(p, v, leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+          nearest = true)
+          .select("event_id", "ts", "user_id", "view_event_id", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("WITH b AS (SELECT p.event_id, p.ts, p.user_id, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS b_eid, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts <= p.ts " +
+        "ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS b_ts, " +
+        "(SELECT v.event_id FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS f_eid, " +
+        "(SELECT v.ts FROM events v WHERE v.event_type = 'view' " +
+        "AND v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS f_ts " +
+        "FROM events p WHERE p.event_type = 'purchase') " +
+        "SELECT event_id, ts, user_id, " +
+        "CASE WHEN b_ts IS NULL THEN f_eid WHEN f_ts IS NULL THEN b_eid " +
+        "WHEN (f_ts - ts) < (ts - b_ts) THEN f_eid ELSE b_eid END AS view_event_id, " +
+        "CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts " +
+        "WHEN (f_ts - ts) < (ts - b_ts) THEN f_ts ELSE b_ts END AS view_ts " +
+        "FROM b ORDER BY event_id"),
+      "nearest as-of via the custom exec (carried prev vs peeked next)"),
 
     "join_asof_exec_tol" -> DeclaredQuery(
       // Tolerance through the CUSTOM EXEC path — feature parity with the

@@ -32,7 +32,9 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftTs: Expression, rightTs: Expression,
                         rightTieBreak: Seq[Expression],
                         tolerance: Option[Long] = None,
-                        forward: Boolean = false) extends BinaryNode {
+                        forward: Boolean = false,
+                        nearest: Boolean = false) extends BinaryNode {
+  require(!(forward && nearest), "direction is backward, forward OR nearest")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -43,8 +45,9 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol, fwd) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol, fwd, near) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol,
+        fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -62,13 +65,24 @@ object AsofJoinStrategy extends SparkStrategy {
   * discarded, and the buffered head (first at-or-after row of the key)
   * IS the winner — peeked, not consumed, because one right row may
   * serve many left rows. Still O(1) state, one pass.
+  *
+  * `nearest = true` composes the two: consumed at-or-behind rows keep
+  * updating the carried backward candidate (max (ts, tieBreak) ≤ l.ts)
+  * while the buffered head is the forward candidate (ts strictly >
+  * l.ts — the equal-ts row was consumed, giving it distance 0 on the
+  * backward side, which wins every tie). The nearer candidate is
+  * emitted; equal distances resolve backward, matching
+  * [[graft.operators.TimeSeries.asofJoinNearest]] and pandas
+  * `merge_asof(direction='nearest')`. With `tolerance`, each side is
+  * bounded independently before the choice.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightTieBreak: Seq[Expression],
                         tolerance: Option[Long] = None,
-                        forward: Boolean = false) extends BinaryExecNode {
+                        forward: Boolean = false,
+                        nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -185,11 +199,40 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               } else advancing = false
             } else advancing = false
           }
-          val matched = lTsAny != null && lastRight != null && lastKey != null &&
+          val prevValid = lTsAny != null && lastRight != null && lastKey != null &&
             keyOrd.compare(lastKey, lKey) == 0 &&
             tolerance.forall(t => lTsAny.asInstanceOf[Long] - lastRightTs <= t)
-          if (matched) resultProj(joined(lRow, lastRight))
-          else resultProj(joined(lRow, nullRight))
+          if (!nearest) {
+            if (prevValid) resultProj(joined(lRow, lastRight))
+            else resultProj(joined(lRow, nullRight))
+          } else {
+            // nearest: the peeked head is the forward candidate — every
+            // at-or-behind row was consumed above, so the head (if
+            // same-key) is STRICTLY after l.ts; an equal-ts row sits on
+            // the backward side with distance 0 and wins every tie.
+            var nextRow: InternalRow = null
+            var nextTs = 0L
+            if (lTsAny != null && rBuf.hasNext) {
+              val rHead = rBuf.head
+              if (keyOrd.compare(rKeyProj(rHead), lKey) == 0) {
+                val rTsAny = rTsBound.eval(rHead)
+                if (rTsAny != null && tolerance.forall(t =>
+                    rTsAny.asInstanceOf[Long] - lTsAny.asInstanceOf[Long] <= t)) {
+                  nextRow = rHead
+                  nextTs = rTsAny.asInstanceOf[Long]
+                }
+              }
+            }
+            val chosen =
+              if (prevValid && nextRow != null) {
+                val dPrev = lTsAny.asInstanceOf[Long] - lastRightTs
+                val dNext = nextTs - lTsAny.asInstanceOf[Long]
+                if (dNext < dPrev) nextRow else lastRight // tie → backward
+              } else if (prevValid) lastRight
+              else nextRow
+            if (chosen != null) resultProj(joined(lRow, chosen))
+            else resultProj(joined(lRow, nullRight))
+          }
         }
       }
     }

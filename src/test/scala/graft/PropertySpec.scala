@@ -140,6 +140,13 @@ class PropertySpec extends AnyFunSuite {
           leftTs = "ts", rightTs = "r_ts", rightTieBreak = Seq("r_id"))
           .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
         assert(got == brute, s"seed=$seed")
+        val nat = TimeSeries.asofJoinNative(lDf,
+          rDf.withColumnRenamed("user_id", "v_uid"),
+          leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+          leftTs = "ts", rightTs = "r_ts", rightTieBreak = Seq("r_id"),
+          nearest = true)
+          .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+        assert(nat == brute, s"seed=$seed native-exec-path")
       }
     }
   }
