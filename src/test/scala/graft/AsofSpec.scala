@@ -38,6 +38,29 @@ class AsofSpec extends AnyFunSuite {
     assert(out(201L) === 6L)
   }
 
+  test("native nearest with tolerance bounds each direction independently") {
+    // left at 00:20 — prev at 00:00 (20m behind), next at 00:25 (5m ahead)
+    // tol 10m: prev invalid, next valid → next wins even though |dPrev|
+    // would lose untolerated too; left at 00:02 — only prev at 00:00 is
+    // in range (next 23m ahead) → prev; left at 01:30 — nothing in tol
+    val left = Seq(
+      (1L, 101L, ts("2024-01-01 00:20:00")),
+      (1L, 102L, ts("2024-01-01 00:02:00")),
+      (1L, 103L, ts("2024-01-01 01:30:00")))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 11L, ts("2024-01-01 00:00:00")),
+      (1L, 12L, ts("2024-01-01 00:25:00")))
+      .toDF("v_uid", "view_event_id", "view_ts")
+    val out = TimeSeries.asofJoinNative(left, right,
+      leftKeys = Seq("user_id"), rightKeys = Seq("v_uid"),
+      leftTs = "ts", rightTs = "view_ts", rightTieBreak = Seq("view_event_id"),
+      toleranceMicros = Some(10L * 60 * 1000 * 1000), nearest = true)
+      .select("event_id", "view_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(101L -> Some(12L), 102L -> Some(11L), 103L -> None))
+  }
+
   test("tolerance nulls out matches staler than the bound, keeps fresh ones") {
     val left = Seq(
       (1L, 101L, ts("2024-01-01 00:10:00")),  // nearest view 9 min old → match
