@@ -162,6 +162,82 @@ object Joins {
         "ORDER BY lost_revenue DESC, c_custkey LIMIT 20"),
       "TPC-H Q10 analog: returned-revenue per customer, top-20"),
 
+    "q5_local_supplier" -> DeclaredQuery(
+      // TPC-H Q5 analog — the 6-table join showcase: revenue by nation
+      // for ASIA customers served by a SAME-NATION supplier in 1996.
+      // Join strategy by table role: region→nation collapses to a tiny
+      // broadcast dimension that prunes customers map-side; supplier is
+      // the classic small dimension (1 per 10 customers in TPC-H) and
+      // broadcasts into the fact chain; the only shuffles are the two
+      // fact joins (orders⋈customer on custkey, lineitem⋈ on orderkey),
+      // both equi-joins AQE can re-plan. Date filter reaches the orders
+      // scan. Revenue summed at full precision, rounded once.
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val n = Tables.nation(s, d).join(broadcast(r),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val c = Tables.customer(s, d).join(broadcast(n),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_nationkey", "n_name")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("rev")), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+      "TPC-H Q5 analog: 6-table local-supplier revenue by nation"),
+
+    "q18_big_orders" -> DeclaredQuery(
+      // TPC-H Q18 analog — the HAVING-subquery showcase: orders whose
+      // total line quantity exceeds a threshold, with customer detail.
+      // The having-filtered aggregate is BY NATURE small (high-threshold
+      // survivors), so it broadcasts back into orders carrying its qty —
+      // no second lineitem scan, no semi-join pass. Quantities are
+      // integral doubles: sums are exact on both engines, so the
+      // threshold compare can never flip on float noise. TakeOrdered
+      // top-100 on (o_totalprice desc, o_orderkey).
+      (s, d) => {
+        val big = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+          .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("__qty"))
+          .filter(col("__qty") > 180.0)
+          .select(col("l_orderkey"), round(col("__qty"), 2).as("qty"))
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        Tables.orders(s, d)
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) " +
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty " +
+        "FROM orders JOIN big ON o_orderkey = big.l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+      "TPC-H Q18 analog: large-quantity orders via broadcast having-aggregate"),
+
     "join_salted" -> DeclaredQuery(
       // Salt-and-replicate skew join (graft.Q.saltedJoin): the fact side
       // gets a deterministic salt in [0,8), the dim side is exploded 8×,

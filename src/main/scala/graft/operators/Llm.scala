@@ -480,6 +480,48 @@ object Llm {
         "FROM t ORDER BY vec_id"),
       "symmetric int8 embedding quantization: per-vector scale, code digest, rel RMSE"),
 
+    "llm_domain_filter" -> DeclaredQuery(
+      // URL/domain filtering — the first gate of every web-corpus
+      // pipeline: parse the host out of each document's source URL,
+      // classify its TLD, and flag blocklisted domains. The fixture has
+      // no URL column, so the URL is built deterministically from the
+      // doc's own keys (same augmentation idiom as llm_pii_scrub); the
+      // host/TLD extraction is a shared regexp spelling (regexp_extract
+      // group syntax is identical on both engines — no parse_url, whose
+      // DuckDB twin differs). Per-row expressions + one tiny aggregate:
+      // the per-TLD rollup a crawler dashboard actually reads.
+      (s, d) => {
+        val url = concat(lit("https://"), lower(col("source")), lit(".example."),
+          when(col("doc_id") % 3 === 0, "com")
+            .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+          lit("/p/"), col("doc_id").cast("string"))
+        val hostPat = "^https?://([^/]+)"
+        val tldPat = "\\.([a-z]+)$"
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), url.as("__url"))
+          .select(col("doc_id"),
+            regexp_extract(col("__url"), hostPat, 1).as("host"))
+          .withColumn("tld", regexp_extract(col("host"), tldPat, 1))
+          .withColumn("blocked",
+            col("tld") === "net" || col("host").isin("src0.example.com", "src1.example.org"))
+        t.groupBy("tld")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            sum(col("blocked").cast("long")).as("n_blocked"))
+          .orderBy(col("tld"))
+      },
+      Some("WITH u AS (SELECT doc_id, 'https://' || lower(source) || '.example.' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END " +
+        "|| '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "t AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u), " +
+        "x AS (SELECT doc_id, host, regexp_extract(host, '\\.([a-z]+)$', 1) AS tld, " +
+        "(regexp_extract(host, '\\.([a-z]+)$', 1) = 'net' OR " +
+        "host IN ('src0.example.com', 'src1.example.org')) AS blocked FROM t) " +
+        "SELECT tld, count(*) AS n_docs, count(DISTINCT host) AS n_hosts, " +
+        "CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked " +
+        "FROM x GROUP BY tld ORDER BY tld"),
+      "URL domain filtering: host/TLD extraction + blocklist flags, per-TLD rollup"),
+
     "llm_fingerprint" -> DeclaredQuery(
       // Document fingerprinting: whole-text digest + min-shingle digest
       // (a 1-hash MinHash — robust to local edits). md5 is the hash

@@ -174,6 +174,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q5/q18: dimensions broadcast, facts equi-join, no nested loop") {
+    Seq("q5_local_supplier", "q18_big_orders").foreach { name =>
+      val df = Registry.all(name).fn(spark, TestSpark.sf001)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(300)}")
+      assert(!p.contains("NestedLoop"), s"$name must not plan a nested loop")
+    }
+  }
+
   test("llm_dedup_near reuses the distinct-shingle exchange across its consumers") {
     // the (doc_id, shingle) set feeds signature, sizes, and both
     // verification joins — ReuseExchange must collapse those subtrees
