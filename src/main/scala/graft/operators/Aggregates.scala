@@ -316,6 +316,34 @@ object Aggregates {
         "SELECT bucket, CAST(bucket * 5000.0 AS DOUBLE) AS lo, n, " +
         "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share " +
         "FROM h ORDER BY bucket"),
-      "fixed-width histogram: floor-div bucketing + share of total")
+      "fixed-width histogram: floor-div bucketing + share of total"),
+
+    "dq_profile" -> DeclaredQuery(
+      // Data-quality profile — the Deequ-style ingestion gate: row count,
+      // per-column null counts, numeric extents and a low-cardinality
+      // distinct count, all in ONE pass over the table (one partial+final
+      // aggregate, no per-metric scans). The single-row result is what a
+      // pipeline asserts invariants against before accepting a batch.
+      (s, d) => Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").isNull.cast("long")).as("qty_nulls"),
+          sum(col("l_discount").isNull.cast("long")).as("disc_nulls"),
+          round(min(col("l_quantity")), 2).as("qty_min"),
+          round(max(col("l_quantity")), 2).as("qty_max"),
+          round(min(col("l_extendedprice")), 2).as("price_min"),
+          round(max(col("l_extendedprice")), 2).as("price_max"),
+          countDistinct(col("l_returnflag")).as("flag_distinct"),
+          min(col("l_shipdate")).as("ship_min"),
+          max(col("l_shipdate")).as("ship_max"))
+        .orderBy(col("n_rows")),
+      Some("SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls, " +
+        "CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS disc_nulls, " +
+        "round(min(l_quantity), 2) AS qty_min, round(max(l_quantity), 2) AS qty_max, " +
+        "round(min(l_extendedprice), 2) AS price_min, round(max(l_extendedprice), 2) AS price_max, " +
+        "count(DISTINCT l_returnflag) AS flag_distinct, " +
+        "min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max " +
+        "FROM lineitem ORDER BY n_rows"),
+      "one-pass data-quality profile: counts, null counts, extents, cardinality")
   )
 }

@@ -870,6 +870,19 @@ object TimeSeries {
         "count(*) AS n_users FROM x " +
         "WHERE date_diff('day', cohort_day, day) IN (0, 1, 7) " +
         "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""),
-      "cohort retention (day 0/+1/+7 active users per first-activity cohort)")
+      "cohort retention (day 0/+1/+7 active users per first-activity cohort)"),
+
+    "ts_diurnal" -> DeclaredQuery(
+      // Diurnal (hour-of-day) seasonality profile per series — the
+      // classic "when is this metric active" rollup: one hash aggregate
+      // to a fixed #types × 24 table regardless of input volume.
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v_avg"))
+        .orderBy(col("event_type"), col("hod")),
+      Some("SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n, " +
+        "round(avg(value), 6) AS v_avg FROM events " +
+        "GROUP BY 1, 2 ORDER BY event_type, hod"),
+      "hour-of-day seasonality profile per series (fixed-size rollup)")
   )
 }
