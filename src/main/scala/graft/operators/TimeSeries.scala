@@ -173,6 +173,30 @@ object TimeSeries {
       toleranceMicros, forward, nearest))
   }
 
+  /** Hourly close bars per series — the shared resample stage of the
+    * bar-indicator family (ts_bollinger / ts_rsi). close = max_by over
+    * the unique (ts, event_id) struct: a PARTIAL-aggregatable spelling,
+    * so each input partition collapses its ticks to one candidate per
+    * (series, hour) map-side and only bar-sized partials reach the
+    * exchange — at 100 TB the raw tick volume never shuffles. (The
+    * row_number()=1 idiom ts_m4 uses needs the full ticks sorted inside
+    * each bar partition first; fine for min/max/first/last together,
+    * strictly worse when close alone is needed.)
+    */
+  private def hourlyCloseBars(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+
+  /** DuckDB twin of [[hourlyCloseBars]]: ordered-aggregate `last` over
+    * the same unique (ts, event_id) order — tie-free, so both engines
+    * pick the identical closing tick. */
+  private val HourlyCloseBarsSql: String =
+    "bars AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts, " +
+      "last(value ORDER BY ts, event_id) AS close " +
+      "FROM events WHERE value IS NOT NULL GROUP BY 1, 2)"
+
   def defs: Map[String, DeclaredQuery] = Map(
 
     "join_asof_exec" -> DeclaredQuery(
@@ -883,6 +907,116 @@ object TimeSeries {
       Some("SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n, " +
         "round(avg(value), 6) AS v_avg FROM events " +
         "GROUP BY 1, 2 ORDER BY event_type, hod"),
-      "hour-of-day seasonality profile per series (fixed-size rollup)")
+      "hour-of-day seasonality profile per series (fixed-size rollup)"),
+
+    "ts_bollinger" -> DeclaredQuery(
+      // Bollinger bands on RESAMPLED bars: hourly close per series, then
+      // a trailing 20-bar mean ± 2σ window over the bars. The compose
+      // order is the scale story — the bar stage is a max_by hash
+      // aggregate (map-side combinable: raw ticks collapse to one bar
+      // per (series, hour) per input partition BEFORE the exchange), so
+      // only bars ever shuffle; the window pass then runs over
+      // #series × #hours rows. Warmup ≥ 10 bars; band flags compare
+      // ROUNDED bounds so both engines make identical boundary calls
+      // (ts_outliers idiom).
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("bar_ts"))
+          .rowsBetween(-19, 0)
+        hourlyCloseBars(s, d)
+          .withColumn("__n", count(col("close")).over(w))
+          .withColumn("__mu", avg(col("close")).over(w))
+          .withColumn("__sd", stddev_samp(col("close")).over(w))
+          .filter(col("__n") >= 10)
+          .select(col("event_type"), col("bar_ts"),
+            round(col("close"), 6).as("close"),
+            round(col("__mu"), 6).as("ma"),
+            round(col("__mu") + lit(2.0) * col("__sd"), 6).as("upper"),
+            round(col("__mu") - lit(2.0) * col("__sd"), 6).as("lower"))
+          .withColumn("breach",
+            when(col("close") > col("upper"), lit("up"))
+              .when(col("close") < col("lower"), lit("down"))
+              .otherwise(lit("in")))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      Some(s"WITH $HourlyCloseBarsSql, " +
+        "b AS (SELECT event_type, bar_ts, close, count(close) OVER w AS n, " +
+        "avg(close) OVER w AS mu, stddev_samp(close) OVER w AS sd FROM bars " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, bar_ts, round(close, 6) AS close, round(mu, 6) AS ma, " +
+        "round(mu + 2.0 * sd, 6) AS upper, round(mu - 2.0 * sd, 6) AS lower, " +
+        "CASE WHEN round(close, 6) > round(mu + 2.0 * sd, 6) THEN 'up' " +
+        "WHEN round(close, 6) < round(mu - 2.0 * sd, 6) THEN 'down' ELSE 'in' END AS breach " +
+        "FROM b WHERE n >= 10 ORDER BY event_type, bar_ts"),
+      "Bollinger bands over hourly resampled bars (trailing 20-bar mean ± 2σ)"),
+
+    "ts_rsi" -> DeclaredQuery(
+      // Cutler's RSI (simple-average variant — the SMA spelling is
+      // ANSI-window-expressible, unlike Wilder's recursive EWM): hourly
+      // close bars per series, lag-diff into gains/losses, trailing
+      // 14-bar averages, RSI = 100 − 100/(1+RS). Same bars-first shape
+      // as ts_bollinger: every pass after the bar aggregate runs on
+      // #series × #hours rows and reuses the bar partitioning. All-loss
+      // windows (avgGain=0) → RSI 0; all-gain (avgLoss=0) → RSI 100,
+      // via the nullif guard both engines spell identically.
+      (s, d) => {
+        val ord = Window.partitionBy("event_type").orderBy(col("bar_ts"))
+        val trail = ord.rowsBetween(-13, 0)
+        hourlyCloseBars(s, d)
+          .withColumn("__d", col("close") - lag(col("close"), 1).over(ord))
+          .withColumn("__g", when(col("__d") > 0, col("__d")).otherwise(lit(0.0)))
+          .withColumn("__l", when(col("__d") < 0, -col("__d")).otherwise(lit(0.0)))
+          .withColumn("__n", count(col("__d")).over(trail))
+          .withColumn("__ag", avg(col("__g")).over(trail))
+          .withColumn("__al", avg(col("__l")).over(trail))
+          .filter(col("__n") >= 14)
+          .select(col("event_type"), col("bar_ts"),
+            round(lit(100.0) * col("__ag") / nullif(col("__ag") + col("__al"), lit(0.0)), 6)
+              .as("rsi"))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      Some(s"WITH $HourlyCloseBarsSql, " +
+        "d AS (SELECT event_type, bar_ts, " +
+        "close - lag(close) OVER (PARTITION BY event_type ORDER BY bar_ts) AS dd FROM bars), " +
+        "g AS (SELECT event_type, bar_ts, " +
+        "count(dd) OVER w AS n, " +
+        "avg(CASE WHEN dd > 0 THEN dd ELSE 0.0 END) OVER w AS ag, " +
+        "avg(CASE WHEN dd < 0 THEN -dd ELSE 0.0 END) OVER w AS al FROM d " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, bar_ts, " +
+        "round(100.0 * ag / nullif(ag + al, 0.0), 6) AS rsi " +
+        "FROM g WHERE n >= 14 ORDER BY event_type, bar_ts"),
+      "Cutler's RSI over hourly bars (trailing 14-bar simple averages)"),
+
+    "ts_drawdown" -> DeclaredQuery(
+      // Running-peak drawdown per user series: cumulative max over the
+      // tick stream, per-tick gap to peak, then a per-series rollup (max
+      // drawdown magnitude, peak, final value). One (user_id) shuffle
+      // feeds both the window and the aggregate — the rollup keeps
+      // output at #series rows regardless of tick volume. Absolute
+      // drawdown (value − peak), not a ratio: `value` spans negative
+      // territory in the fixture, where a ratio flips sign at peak≤0.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("__peak", max(col("value")).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("value")), 6).as("peak"),
+            round(min(col("value") - col("__peak")), 6).as("max_dd"))
+          .orderBy(col("user_id"))
+      },
+      Some("WITH t AS (SELECT user_id, value, " +
+        "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT user_id, count(*) AS n, round(max(value), 6) AS peak, " +
+        "round(min(value - peak), 6) AS max_dd " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
+      "running-peak drawdown per series (one shuffle: window + rollup)")
   )
 }

@@ -162,7 +162,21 @@ class PlanSpec extends AnyFunSuite {
       ("ts_sessionize", 1, false), ("ts_m4", 1, false),
       ("stream_ohlc", 1, false), ("llm_quantize", 0, false),
       ("llm_repetition", 2, false), ("llm_chunk_dedup", 2, true),
-      ("ts_funnel", 2, false), ("ts_retention", 2, false))
+      ("ts_funnel", 2, false), ("ts_retention", 2, false),
+      // bar-indicator family: ticks collapse map-side into the bar
+      // aggregate's (type, hour) exchange; the indicator window then
+      // re-keys the BAR-sized table on (type) — 2 hash exchanges, and
+      // the first one must be fed by a partial aggregate (no raw-tick
+      // shuffle; asserted separately below)
+      ("ts_bollinger", 2, false), ("ts_rsi", 2, false),
+      // drawdown: window + rollup share the one (user_id) exchange
+      ("ts_drawdown", 1, false))
+    // the bar stage's map-side combine: a partial HashAggregate (with
+    // the max_by partial) must sit BELOW the first exchange
+    assert("partial_max_by|HashAggregate.*Partial".r.findFirstIn(plan("ts_bollinger")).isDefined
+      || plan("ts_bollinger").linesIterator.exists(l =>
+           l.contains("HashAggregate") && l.contains("partial")),
+      "ts_bollinger bar stage lost its map-side combine")
     // ts_funnel additionally must not plan the multi-count-distinct
     // Expand (it would replay the event volume 4× through the shuffle)
     assert(!plan("ts_funnel").contains("Expand"), "ts_funnel planned an Expand")
