@@ -311,6 +311,44 @@ object Joins {
       Some("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, " +
         "CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name " +
         "FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
-      "bounded cartesian product of dimension tables")
+      "bounded cartesian product of dimension tables"),
+
+    "join_bloom" -> DeclaredQuery(
+      // User-steerable runtime-filter join (graft.functions.BloomFilter):
+      // a 16 KiB bloom built over the selective dimension's keys rides a
+      // one-row broadcast to the fact scan, and fact rows failing the
+      // K-bit probe are dropped BEFORE the exact join — at 100 TB,
+      // non-matching fact rows never reach the join's shuffle (Spark's
+      // InjectRuntimeFilter shape, but available from the public API and
+      // composable with any downstream plan). False positives are
+      // removed by the exact join that follows, so the result — and the
+      // oracle, which is the PLAIN join — stay exact. The probe is pure
+      // built-in Column arithmetic (whole-stage codegen); the build side
+      // is an ObjectHashAggregate with an O(m) buffer merged per
+      // partition partial.
+      (s, d) => {
+        import graft.functions.BloomFilter
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"))
+        val (p1, p2) = BloomFilter.probes(col("c_custkey"))
+        val bloomAgg = udaf(BloomFilter.agg(), org.apache.spark.sql.Encoders.product[BloomFilter.Probes])
+        val bloom = dim.select(p1.as("p1"), p2.as("p2"))
+          .agg(bloomAgg(col("p1"), col("p2")).as("bf"))
+          .select(col("bf.bits").as("__bits"))
+        val facts = Tables.orders(s, d)
+          .join(broadcast(bloom))
+          .filter(BloomFilter.mightContain(col("__bits"), col("o_custkey")))
+        facts.join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "bloom-filter runtime-filtered join (exact result; probe prunes pre-shuffle)")
   )
 }

@@ -1168,6 +1168,47 @@ object Llm {
           .orderBy(col("q_id"), col("rnk"))
       },
       None,
-      "LSH-bucketed approximate NN top-3 (8 hyperplanes, 256 buckets)")
+      "LSH-bucketed approximate NN top-3 (8 hyperplanes, 256 buckets)"),
+
+    "llm_kmeans" -> DeclaredQuery(
+      // One Lloyd assignment step, k=8: every vector to its nearest
+      // centroid (centroids = the first 8 vectors — deterministic seed,
+      // the k-means‖ init would be a follow-up round of this same
+      // plan). Shape is the 100 TB one: the k-row centroid table
+      // BROADCASTS (k ≪ n always), dist² = |v|² + |c|² − 2v·c with the
+      // norms computed once per side and the dot via the codegen'd
+      // native expression, and the argmin is a PARTIAL-aggregatable
+      // min(struct) — the n×k fan-out collapses back to n rows map-side
+      // (each vector's k candidates are co-located by construction), so
+      // the one exchange carries n partials, never n×k. Ties break to
+      // the lowest cluster id via the struct order on the ROUNDED dist.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.normSq(col("embedding")).as("nsq"))
+        val c = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("__c"), col("embedding").as("cvec"),
+            col("nsq").as("cnsq"))
+        e.join(broadcast(c))
+          .select(col("vec_id"),
+            round(col("nsq") + col("cnsq") -
+              lit(2.0) * VectorOps.dot(col("embedding"), col("cvec")), 6).as("__d2"),
+            col("__c"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("__d2").as("d"), col("__c").as("c"))).as("__m"))
+          .select(col("vec_id"), col("__m.c").as("cluster"), col("__m.d").as("d2"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def ss(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        s"WITH e AS (SELECT vec_id, embedding, ${ss("embedding", "embedding")} AS nsq FROM embeddings), " +
+        "c AS (SELECT vec_id AS cl, embedding AS cvec, nsq AS cnsq FROM e WHERE vec_id < 8), " +
+        s"p AS (SELECT vec_id, round(nsq + cnsq - 2.0 * ${ss("e.embedding", "cvec")}, 6) AS d2, cl " +
+        "FROM e, c) " +
+        "SELECT vec_id, min({'d': d2, 'c': cl}).c AS cluster, " +
+        "min({'d': d2, 'c': cl}).d AS d2 FROM p GROUP BY vec_id ORDER BY vec_id"
+      },
+      "k-means Lloyd assignment step (k=8 broadcast centroids, map-side argmin)")
   )
 }

@@ -170,7 +170,13 @@ class PlanSpec extends AnyFunSuite {
       // shuffle; asserted separately below)
       ("ts_bollinger", 2, false), ("ts_rsi", 2, false),
       // drawdown: window + rollup share the one (user_id) exchange
-      ("ts_drawdown", 1, false))
+      ("ts_drawdown", 1, false),
+      // kmeans assignment: centroids broadcast, n×k argmin collapses
+      // map-side — ONE exchange of n min-struct partials
+      ("llm_kmeans", 1, true))
+    // the centroid side must broadcast (k ≪ n at any scale)
+    assert(plan("llm_kmeans").contains("BroadcastExchange"),
+      "llm_kmeans centroids must broadcast")
     // the bar stage's map-side combine: a partial HashAggregate (with
     // the max_by partial) must sit BELOW the first exchange
     assert("partial_max_by|HashAggregate.*Partial".r.findFirstIn(plan("ts_bollinger")).isDefined
