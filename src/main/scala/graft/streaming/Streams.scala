@@ -123,12 +123,15 @@ object Streams {
     * and, unlike plain `dropDuplicates`, EVICTS each key once the
     * watermark passes it — O(keys-in-watermark-window) state instead of
     * unbounded, which is the only shape that survives an infinite stream.
-    * Works on a batch Dataset too (plain dedup, state unused).
+    * On a batch Dataset (where Spark REJECTS the within-watermark
+    * variant outright) it falls back to `dropDuplicates(keyCols)` — the
+    * batch semantics the streaming operator incrementalizes.
     */
-  def dedupWithinWatermark(streamingEvents: DataFrame, delay: String,
+  def dedupWithinWatermark(events: DataFrame, delay: String,
                            keyCols: Seq[String]): DataFrame =
-    streamingEvents.withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's views within [p.ts − 10 min, p.ts]. BOTH sides carry a
@@ -137,11 +140,14 @@ object Streams {
     * minutes per side, not the whole history), the only stream-stream
     * join shape that survives an unbounded stream.
     */
-  def streamIntervalJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+  def streamIntervalJoin(purchases: DataFrame, views: DataFrame,
+                         intervalMinutes: Int = 10): DataFrame = {
     val p = purchases.withWatermark("p_ts", "10 minutes")
-    val v = views.withWatermark("v_ts", "20 minutes")
+    // the view side must be retained long enough to cover the trailing
+    // interval plus the purchase side's own allowed lateness
+    val v = views.withWatermark("v_ts", s"${intervalMinutes + 10} minutes")
     p.join(v,
-      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts <= p_ts"))
+      expr(s"p_user = v_user AND v_ts >= p_ts - INTERVAL $intervalMinutes MINUTES AND v_ts <= p_ts"))
   }
 
   def defs: Map[String, DeclaredQuery] = Map(
@@ -194,6 +200,49 @@ object Streams {
         "event_type, first(value ORDER BY ts, event_id) AS open, max(value) AS high, " +
         "min(value) AS low, last(value ORDER BY ts, event_id) AS close, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
-      "30-min OHLC bars per event_type (streaming window agg, batch twin)")
+      "30-min OHLC bars per event_type (streaming window agg, batch twin)"),
+
+    "stream_dedup" -> DeclaredQuery(
+      // Batch twin of dedupWithinWatermark (the ingest re-delivery
+      // guard): the projection is EXACTLY the dedup key, so the batch
+      // semantics are DISTINCT — deterministic regardless of which
+      // physical row the dedup keeps — and the oracle is plain SELECT
+      // DISTINCT. StreamingSpec drives the same builder over a
+      // MemoryStream and proves watermark-eviction of the key state.
+      (s, d) => dedupWithinWatermark(
+          Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type")),
+          "10 minutes", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .distinct() // collapse the per-key survivor rows (key-only projection)
+        .orderBy(col("user_id"), col("event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events " +
+        "ORDER BY user_id, event_type"),
+      "streaming dedup by business key (batch twin: distinct survivors)"),
+
+    "stream_join" -> DeclaredQuery(
+      // Batch twin of streamIntervalJoin: purchases × same-user views
+      // within the trailing 4-hour interval. The equi prefix
+      // (user) + bounded event-time range is both the only
+      // stream-stream join shape with evictable state AND the batch
+      // plan that avoids a cross product (sort-merge with residual).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+        streamIntervalJoin(p, v, intervalMinutes = 240)
+          .select(col("p_id"), col("v_id"), col("p_user"), col("p_ts"), col("v_ts"))
+          .orderBy(col("p_id"), col("v_id"))
+      },
+      Some("SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user, " +
+        "p.ts AS p_ts, v.ts AS v_ts " +
+        "FROM events p JOIN events v ON p.event_type = 'purchase' " +
+        "AND v.event_type = 'view' AND v.user_id = p.user_id " +
+        "AND v.ts >= p.ts - INTERVAL 240 MINUTE AND v.ts <= p.ts " +
+        "ORDER BY p_id, v_id"),
+      "stream-stream interval join (batch twin: bounded-range equi join)")
   )
 }
