@@ -344,6 +344,47 @@ object Aggregates {
         "count(DISTINCT l_returnflag) AS flag_distinct, " +
         "min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max " +
         "FROM lineitem ORDER BY n_rows"),
-      "one-pass data-quality profile: counts, null counts, extents, cardinality")
+      "one-pass data-quality profile: counts, null counts, extents, cardinality"),
+
+    "dq_constraints" -> DeclaredQuery(
+      // Rule-based constraint suite (the Deequ `Check` analog to
+      // dq_profile's analyzers): each rule reduces to a violation COUNT,
+      // so the result is #rules rows at any scale. Same-table rules
+      // share one aggregate pass; referential rules are anti-join
+      // counts (the orders→customer probe broadcasts the key side,
+      // lineitem→orders stays a shuffled anti equi-join AQE can
+      // re-plan). A pipeline gates batch acceptance on `pass`.
+      (s, d) => {
+        val e = Tables.events(s, d).agg(
+          (count(lit(1)) - countDistinct(col("event_id"))).as("event_id_unique"),
+          sum(col("ts").isNull.cast("long")).as("ts_not_null"))
+        val docs = Tables.documents(s, d).agg(
+          sum((length(trim(col("text"))) === 0).cast("long")).as("doc_text_nonempty"))
+        val lifk = Tables.lineitem(s, d).select("l_orderkey")
+          .join(Tables.orders(s, d).select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("lineitem_orders_fk"))
+        val ofk = Tables.orders(s, d).select("o_custkey")
+          .join(broadcast(Tables.customer(s, d).select("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orders_customer_fk"))
+        def rules(df: org.apache.spark.sql.DataFrame) = {
+          val cols = df.columns
+          df.select(explode(array(cols.map(c =>
+            struct(lit(c).as("rule"), col(c).as("violations"))): _*)).as("r"))
+            .select(col("r.rule"), col("r.violations"))
+        }
+        rules(e).union(rules(docs)).union(rules(lifk)).union(rules(ofk))
+          .withColumn("pass", col("violations") === 0L)
+          .orderBy(col("rule"))
+      },
+      Some("SELECT rule, violations, violations = 0 AS pass FROM (" +
+        "SELECT 'event_id_unique' AS rule, count(*) - count(DISTINCT event_id) AS violations FROM events " +
+        "UNION ALL SELECT 'ts_not_null', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'doc_text_nonempty', CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)" +
+        ") ORDER BY rule"),
+      "rule-based data-quality checks: uniqueness, null, emptiness, referential")
   )
 }

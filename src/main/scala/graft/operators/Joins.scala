@@ -349,6 +349,59 @@ object Joins {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-      "bloom-filter runtime-filtered join (exact result; probe prunes pre-shuffle)")
+      "bloom-filter runtime-filtered join (exact result; probe prunes pre-shuffle)"),
+
+    "q7_volume" -> DeclaredQuery(
+      // TPC-H Q7 analog — the two-dimension-chain showcase: shipping
+      // volume between CROSS-nation (supplier nation ≠ customer nation)
+      // pairs per ship year. Both nation lookups ride broadcasts (via
+      // supplier and customer, each joined to the tiny nation table
+      // before touching facts); the only shuffles are the two fact
+      // equi-joins. Output is bounded at #nations² × #years no matter
+      // the corpus size. The ordered (supp < cust) pair keeps the
+      // result one row per unordered pair-direction, as in Q7.
+      (s, d) => {
+        val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+        val sup = Tables.supplier(s, d).join(broadcast(nat),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.customer(s, d).join(broadcast(nat),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        // revenue in EXACT scaled integers (price and discount are 2dp:
+        // cents × (100 − discount-bp) is an exact long) — the grouped
+        // sums here are small enough that double summation order flips
+        // the 2dp rounding on ~.xx5 boundaries (observed at sf0.01);
+        // integer sums are order-independent on both engines.
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(col("rev_e4")).as("__s"), count(lit(1)).as("n"))
+          // HALF-UP to whole cents in pure integer arithmetic — no
+          // double ever rounds, so no engine-dependent .xx5 behavior
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            expr("CAST((__s + 50) div 100 AS BIGINT)").as("revenue_cents"),
+            col("n"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_cents, count(*) AS n " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "WHERE n2.n_name < n1.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
+      "TPC-H Q7 analog: cross-nation shipping volume by nation pair and year")
   )
 }

@@ -68,6 +68,52 @@ object Llm {
   private val MixNibPosSql: String =
     "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))"
 
+  /** One Lloyd assignment step, k=8 (centroids = vectors 0..7): the
+    * shared stage of llm_kmeans (reports assignments) and llm_centroids
+    * (computes the updated means). Centroids broadcast; dist² =
+    * |v|² + |c|² − 2v·c with norms computed once per side and the dot
+    * via the codegen'd native expression; the argmin is a
+    * PARTIAL-aggregatable min(struct) so the n×k fan-out collapses
+    * map-side (each vector's k candidates are co-located by
+    * construction) and the one exchange carries n partials, never n×k.
+    * Ties break to the lowest cluster id via the struct order on the
+    * ROUNDED dist — the oracle repeats both the rounding and the order.
+    * The embedding rides through the aggregate as a first() (every row
+    * of a vec_id group carries the same array), so consumers that need
+    * it avoid a rescan + self-join.
+    */
+  private def kmeansAssign(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.normSq(col("embedding")).as("nsq"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("__c"), col("embedding").as("cvec"),
+        col("nsq").as("cnsq"))
+    e.join(broadcast(c))
+      .select(col("vec_id"), col("embedding"),
+        round(col("nsq") + col("cnsq") -
+          lit(2.0) * VectorOps.dot(col("embedding"), col("cvec")), 6).as("__d2"),
+        col("__c"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__d2").as("d"), col("__c").as("c"))).as("__m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("__m.c").as("cluster"), col("__m.d").as("d2"),
+        col("embedding"))
+  }
+
+  /** DuckDB spelling of [[kmeansAssign]]'s assignment CTEs (`e`, `c`,
+    * `p`, `asg`) — shared verbatim by both consumers' oracles. */
+  private val KmeansAssignSql: String = {
+    def ss(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"e AS (SELECT vec_id, embedding, ${ss("embedding", "embedding")} AS nsq FROM embeddings), " +
+      "c AS (SELECT vec_id AS cl, embedding AS cvec, nsq AS cnsq FROM e WHERE vec_id < 8), " +
+      s"p AS (SELECT vec_id, round(nsq + cnsq - 2.0 * ${ss("e.embedding", "cvec")}, 6) AS d2, cl " +
+      "FROM e, c), " +
+      "asg AS (SELECT vec_id, min({'d': d2, 'c': cl}).c AS cluster, " +
+      "min({'d': d2, 'c': cl}).d AS d2 FROM p GROUP BY vec_id)"
+  }
+
   /** DuckDB spelling of [[TextOps.tokens]] — the empty-token filter is
     * mirrored so an empty/whitespace-only document tokenizes to [] on
     * BOTH sides (bare string_split_regex yields [''], length 1).
@@ -1182,33 +1228,105 @@ object Llm {
       // (each vector's k candidates are co-located by construction), so
       // the one exchange carries n partials, never n×k. Ties break to
       // the lowest cluster id via the struct order on the ROUNDED dist.
+      (s, d) => kmeansAssign(s, d)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+        .orderBy(col("vec_id")),
+      Some(s"WITH $KmeansAssignSql " +
+        "SELECT vec_id, cluster, d2 FROM asg ORDER BY vec_id"),
+      "k-means Lloyd assignment step (k=8 broadcast centroids, map-side argmin)"),
+
+    "llm_centroids" -> DeclaredQuery(
+      // The k-means UPDATE step over llm_kmeans' assignment: new
+      // centroid = element-wise member mean. The embedding rides through
+      // the assignment aggregate (no rescan/self-join); posexplode fans
+      // each vector to 64 (cluster, dim) cells and ONE hash aggregate
+      // collapses them — k×64 output rows at any corpus size, partials
+      // combine map-side. Iterating assignment+update to convergence is
+      // this same plan in a driver loop (each round a new broadcast).
+      (s, d) => kmeansAssign(s, d)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("col").cast("double")), 6).as("c_val"))
+        .filter(col("dim") <= 4) // report the leading dims (bounded, still per-cluster)
+        .orderBy(col("cluster"), col("dim")),
+      Some(s"WITH $KmeansAssignSql " +
+        "SELECT cluster, CAST(i AS BIGINT) AS dim, count(*) AS n, " +
+        "round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c_val " +
+        "FROM asg JOIN embeddings USING (vec_id), " +
+        "unnest(generate_series(1, 4)) AS u(i) " +
+        "GROUP BY 1, 2 ORDER BY cluster, dim"),
+      "k-means centroid update step (element-wise member means, k×dims output)"),
+
+    "llm_winnow" -> DeclaredQuery(
+      // Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+      // algorithm): hash every 3-token shingle, slide a 4-shingle window
+      // per document, keep each window's MIN hash; the distinct kept
+      // hashes are the document's fingerprints. Guarantees every match
+      // of ≥ window+k−1 tokens shares a fingerprint — positional, unlike
+      // llm_chunk_dedup's fixed blocks. Hash = md5 hex (string min is
+      // lexicographic in BOTH engines; xxhash64 has no DuckDB twin). The
+      // per-doc window pass shuffles (doc_id, pos, 32-byte digest) once;
+      // the corpus-duplicate join then moves only distinct fingerprints.
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            VectorOps.normSq(col("embedding")).as("nsq"))
-        val c = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("__c"), col("embedding").as("cvec"),
-            col("nsq").as("cnsq"))
-        e.join(broadcast(c))
-          .select(col("vec_id"),
-            round(col("nsq") + col("cnsq") -
-              lit(2.0) * VectorOps.dot(col("embedding"), col("cvec")), 6).as("__d2"),
-            col("__c"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("__d2").as("d"), col("__c").as("c"))).as("__m"))
-          .select(col("vec_id"), col("__m.c").as("cluster"), col("__m.d").as("d2"))
-          .orderBy(col("vec_id"))
+        val w = Window.partitionBy("doc_id").orderBy(col("pos")).rowsBetween(-3, 0)
+        val sel = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), posexplode(TextOps.shingles(col("__toks"))))
+          .select(col("doc_id"), col("pos"), md5(col("col")).as("__h"))
+          .withColumn("fp", min(col("__h")).over(w))
+          .filter(col("pos") >= 3)
+          .select(col("doc_id"), col("fp")).distinct()
+        val docFreq = sel.groupBy("fp")
+          .agg(countDistinct(col("doc_id")).as("__df"))
+        sel.join(docFreq, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum((col("__df") > 1).cast("long")).as("n_shared"))
+          .withColumn("shared_frac",
+            round(col("n_shared").cast("double") / col("n_fp"), 6))
+          .orderBy(col("doc_id"))
       },
-      Some {
-        def ss(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-        s"WITH e AS (SELECT vec_id, embedding, ${ss("embedding", "embedding")} AS nsq FROM embeddings), " +
-        "c AS (SELECT vec_id AS cl, embedding AS cvec, nsq AS cnsq FROM e WHERE vec_id < 8), " +
-        s"p AS (SELECT vec_id, round(nsq + cnsq - 2.0 * ${ss("e.embedding", "cvec")}, 6) AS d2, cl " +
-        "FROM e, c) " +
-        "SELECT vec_id, min({'d': d2, 'c': cl}).c AS cluster, " +
-        "min({'d': d2, 'c': cl}).d AS d2 FROM p GROUP BY vec_id ORDER BY vec_id"
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
+        "s AS (SELECT doc_id, i AS pos, " +
+        "md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h " +
+        "FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)), " +
+        "w AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM s), " +
+        "f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos >= 4), " +
+        "df AS (SELECT fp, count(DISTINCT doc_id) AS dd FROM f GROUP BY fp) " +
+        "SELECT doc_id, count(*) AS n_fp, " +
+        "CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, " +
+        "round(CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac " +
+        "FROM f JOIN df USING (fp) GROUP BY doc_id ORDER BY doc_id"),
+      "winnowing (MOSS) fingerprints: rolling-min shingle hashes, corpus overlap"),
+
+    "llm_bpe_pairs" -> DeclaredQuery(
+      // One BPE training step: frequency of every adjacent character
+      // pair inside words, over all token instances — the argmax pair is
+      // the next merge. Two explodes (token, then pair position) feed
+      // ONE hash aggregate; pairs are 2-char strings so the shuffle
+      // carries the collapsed pair table, and the global top-20 plans as
+      // TakeOrderedAndProject (no total sort). A full BPE trainer is
+      // this plan in a driver loop with a merges-so-far broadcast.
+      (s, d) => {
+        // substring with a non-literal start goes through Column.substr
+        val pairs = when(length(col("tok")) >= 2,
+          transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(explode(pairs).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("pair"))
+          .limit(20)
       },
-      "k-means Lloyd assignment step (k=8 broadcast centroids, map-side argmin)")
+      Some(s"WITH t AS (SELECT unnest($ToksSql) AS tok FROM documents), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1), " +
+        "i -> substr(tok, i, 2))) AS pair FROM t WHERE length(tok) >= 2) " +
+        "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 20"),
+      "BPE merge-step statistics: adjacent char-pair frequencies, top-20")
   )
 }
