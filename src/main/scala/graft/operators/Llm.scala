@@ -1327,6 +1327,34 @@ object Llm {
         "i -> substr(tok, i, 2))) AS pair FROM t WHERE length(tok) >= 2) " +
         "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
         "ORDER BY n DESC, pair LIMIT 20"),
-      "BPE merge-step statistics: adjacent char-pair frequencies, top-20")
+      "BPE merge-step statistics: adjacent char-pair frequencies, top-20"),
+
+    "llm_dataset_card" -> DeclaredQuery(
+      // The dataset card: one summary row a corpus release ships with —
+      // doc/lang/source counts, token volume, length stats, exact-dup
+      // rate. Three DISTINCT aggregates in one pass: Spark plans the
+      // multi-distinct via Expand (each row replayed 4×) — here that is
+      // the RIGHT trade (one scan of the corpus beats four; contrast
+      // ts_funnel, where the Expand was avoidable by restructuring).
+      // Output is a single row at any corpus size.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"),
+          length(col("text")).cast("long").as("__nc"),
+          md5(col("text")).as("__dig"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("__nt")).as("n_tokens"),
+          round(avg(col("__nc")), 6).as("avg_chars"),
+          (count(lit(1)) - countDistinct(col("__dig"))).as("n_exact_dups"))
+        .orderBy(col("n_docs")),
+      Some(s"SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "count(DISTINCT source) AS n_sources, " +
+        s"CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens, " +
+        "round(avg(length(text)), 6) AS avg_chars, " +
+        "count(*) - count(DISTINCT md5(text)) AS n_exact_dups " +
+        "FROM documents ORDER BY n_docs"),
+      "corpus dataset card: one-row release summary (counts, tokens, dup rate)")
   )
 }

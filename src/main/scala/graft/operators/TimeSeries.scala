@@ -1017,6 +1017,38 @@ object TimeSeries {
         "SELECT user_id, count(*) AS n, round(max(value), 6) AS peak, " +
         "round(min(value - peak), 6) AS max_dd " +
         "FROM t GROUP BY user_id ORDER BY user_id"),
-      "running-peak drawdown per series (one shuffle: window + rollup)")
+      "running-peak drawdown per series (one shuffle: window + rollup)"),
+
+    "ts_beta" -> DeclaredQuery(
+      // Per-series market beta (and alpha): each event-type's daily
+      // series regressed against the equal-weight market (the
+      // cross-type daily mean). ts_corr's scale shape: ONE aggregate
+      // collapses raw ticks to #types × #days, the market series is an
+      // aggregate OVER that tiny table, and the join back is a
+      // #days-row broadcast — tick volume only ever touches the first
+      // pass. covar_samp/var_samp spell identically in both engines;
+      // 6dp rounding absorbs double-sum ordering (~1e-13), as ts_corr.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(avg(col("value")).as("v"))
+        val market = daily.groupBy("day").agg(avg(col("v")).as("m"))
+        daily.join(broadcast(market), "day")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(covar_samp(col("v"), col("m")) / var_samp(col("m")), 6).as("beta"),
+            round(avg(col("v")) - covar_samp(col("v"), col("m")) / var_samp(col("m")) * avg(col("m")), 6)
+              .as("alpha"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "mkt AS (SELECT day, avg(v) AS m FROM daily GROUP BY day) " +
+        "SELECT event_type, count(*) AS n_days, " +
+        "round(covar_samp(v, m) / var_samp(m), 6) AS beta, " +
+        "round(avg(v) - covar_samp(v, m) / var_samp(m) * avg(m), 6) AS alpha " +
+        "FROM daily JOIN mkt USING (day) GROUP BY event_type ORDER BY event_type"),
+      "per-series beta/alpha vs the equal-weight market (daily-aligned)")
   )
 }
