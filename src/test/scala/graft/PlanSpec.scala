@@ -177,6 +177,24 @@ class PlanSpec extends AnyFunSuite {
     // the centroid side must broadcast (k ≪ n at any scale)
     assert(plan("llm_kmeans").contains("BroadcastExchange"),
       "llm_kmeans centroids must broadcast")
+    // ts_beta: the daily-collapse subtree feeds both the market agg and
+    // the join — ReuseExchange must collapse the duplicate, and the
+    // market series must broadcast (#days rows)
+    val beta = {
+      val df = Registry.all("ts_beta").fn(spark, TestSpark.sf001)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(beta.contains("ReusedExchange"), "ts_beta must reuse the daily exchange")
+    assert(beta.contains("BroadcastExchange"), "ts_beta market side must broadcast")
+    // bpe top-20 is a TakeOrdered, never a total sort of the pair table
+    assert(plan("llm_bpe_pairs").contains("TakeOrderedAndProject"),
+      "llm_bpe_pairs must plan global top-k")
+    // dataset card: ONE corpus scan feeding the multi-distinct Expand
+    val card = plan("llm_dataset_card")
+    assert(card.contains("Expand"), "llm_dataset_card plans the multi-distinct Expand")
+    assert("Scan parquet".r.findAllIn(card).size == 1,
+      "llm_dataset_card must scan the corpus exactly once")
     // the bar stage's map-side combine: a partial HashAggregate (with
     // the max_by partial) must sit BELOW the first exchange
     assert("partial_max_by|HashAggregate.*Partial".r.findFirstIn(plan("ts_bollinger")).isDefined
