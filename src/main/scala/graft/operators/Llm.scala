@@ -1355,6 +1355,70 @@ object Llm {
         "round(avg(length(text)), 6) AS avg_chars, " +
         "count(*) - count(DISTINCT md5(text)) AS n_exact_dups " +
         "FROM documents ORDER BY n_docs"),
-      "corpus dataset card: one-row release summary (counts, tokens, dup rate)")
+      "corpus dataset card: one-row release summary (counts, tokens, dup rate)"),
+
+    "llm_quality_tiers" -> DeclaredQuery(
+      // Quantile-tier bucketing — the CCNet-style "split the corpus into
+      // quality tiers" step, spelled the way it scales: compute the
+      // 20/40/60/80 boundaries ONCE (a 4-double result), broadcast them
+      // back, bucket each doc with a CASE, and roll up per tier. A
+      // global ntile() would need a single-partition window over the
+      // whole corpus — this shape's only full pass is the boundary
+      // aggregate (exact percentile here for the oracle gate; the
+      // production swap-in is percentile_approx, same plan otherwise —
+      // see agg_percentile_approx for the sketch's own correctness
+      // harness). Tier population counts differ from n/5 only by the
+      // boundary-tie mass, which the fixed <= spelling pins identically
+      // on both engines.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val b = docs.agg(percentile(col("n_chars"),
+          array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))).as("bs"))
+        docs.join(broadcast(b))
+          .withColumn("tier",
+            when(col("n_chars") <= col("bs")(0), 1L)
+              .when(col("n_chars") <= col("bs")(1), 2L)
+              .when(col("n_chars") <= col("bs")(2), 3L)
+              .when(col("n_chars") <= col("bs")(3), 4L)
+              .otherwise(5L))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("chars_min"),
+            max(col("n_chars")).as("chars_max"))
+          .orderBy(col("tier"))
+      },
+      Some("WITH b AS (SELECT quantile_cont(n_chars, [0.2, 0.4, 0.6, 0.8]) AS bs FROM documents) " +
+        "SELECT CASE WHEN n_chars <= bs[1] THEN 1 WHEN n_chars <= bs[2] THEN 2 " +
+        "WHEN n_chars <= bs[3] THEN 3 WHEN n_chars <= bs[4] THEN 4 ELSE 5 END AS tier, " +
+        "count(*) AS n_docs, min(n_chars) AS chars_min, max(n_chars) AS chars_max " +
+        "FROM documents, b GROUP BY 1 ORDER BY tier"),
+      "quantile quality tiers: boundaries once + broadcast, never a global ntile"),
+
+    "llm_dedup_prefix" -> DeclaredQuery(
+      // Prefix-fingerprint dedup — the near-dup family's cheapest member
+      // (boilerplate mirrors share openings even when tails drift): key
+      // = md5 of the first 32 tokens, canonical = min doc_id per key via
+      // one window over the 16-byte-digest shuffle. Complements exact
+      // (whole-doc md5), MinHash/SimHash (set similarity), chunk
+      // (sub-doc blocks) and winnow (positional) — a user picks by
+      // recall/cost point.
+      (s, d) => {
+        val w = Window.partitionBy("__p")
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("__toks"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("__toks"), 1, 32))).as("__p"))
+          .withColumn("canonical", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canonical"),
+            (col("doc_id") =!= col("canonical")).as("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, md5(array_to_string(($ToksSql)[1:32], ' ')) AS p " +
+        "FROM documents) " +
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY p) AS canonical, " +
+        "doc_id <> min(doc_id) OVER (PARTITION BY p) AS is_dup " +
+        "FROM t ORDER BY doc_id"),
+      "prefix-fingerprint dedup: md5 of first 32 tokens, min-id canonical")
   )
 }
