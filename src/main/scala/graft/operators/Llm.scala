@@ -1419,6 +1419,42 @@ object Llm {
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY p) AS canonical, " +
         "doc_id <> min(doc_id) OVER (PARTITION BY p) AS is_dup " +
         "FROM t ORDER BY doc_id"),
-      "prefix-fingerprint dedup: md5 of first 32 tokens, min-id canonical")
+      "prefix-fingerprint dedup: md5 of first 32 tokens, min-id canonical"),
+
+    "llm_corpus_diff" -> DeclaredQuery(
+      // Release diff — what changed between corpus v1 and v2 (v2 derived
+      // deterministically: drop docs whose md5 nibble is 'a', rewrite
+      // text for doc_id < 50, add 10 new ids). A full-outer join on
+      // doc_id comparing 16-byte digests classifies every id as
+      // added/removed/changed/unchanged; the rollup is 4 rows at any
+      // corpus size. Only (id, digest) pairs ever shuffle — never text —
+      // which is what makes the diff affordable as a per-release gate.
+      (s, d) => {
+        val v1 = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("__d1"))
+        val docs = Tables.documents(s, d)
+        val v2 = docs
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "a")
+          .select(col("doc_id"),
+            md5(when(col("doc_id") < 50, concat(lit("v2 "), col("text")))
+              .otherwise(col("text"))).as("__d2"))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"), md5(col("text")).as("__d2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(when(col("__d1").isNull, "added")
+            .when(col("__d2").isNull, "removed")
+            .when(col("__d1") =!= col("__d2"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents), " +
+        "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id < 50 THEN 'v2 ' || text ELSE text END) AS d2 " +
+        "FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'a' " +
+        "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id < 10) " +
+        "SELECT CASE WHEN d1 IS NULL THEN 'added' WHEN d2 IS NULL THEN 'removed' " +
+        "WHEN d1 <> d2 THEN 'changed' ELSE 'unchanged' END AS status, count(*) AS n " +
+        "FROM v1 FULL OUTER JOIN v2 USING (doc_id) GROUP BY 1 ORDER BY status"),
+      "corpus release diff: digest-only full-outer compare, 4-row rollup")
   )
 }

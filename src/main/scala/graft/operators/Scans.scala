@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
 import graft.sources.{Tables, TsStore}
@@ -66,6 +67,48 @@ object Scans {
       },
       Some(s"SELECT $eventCols FROM events ORDER BY event_id"),
       "chunked columnar write (range-partitioned, ts-sorted, partitioned parquet) then read back"),
+
+    "write_upsert" -> DeclaredQuery(
+      // Incremental corpus maintenance — MERGE/latest-wins upsert
+      // without a table format: base = the documents table, delta = a
+      // derived batch (re-delivered docs 0..49 with updated text, plus
+      // 10 brand-new ids). Union + one (doc_id) window keeping the
+      // highest version: the only shuffle carries base+delta once; at
+      // 100 TB the production variant partition-prunes the base to the
+      // touched partitions first (TsStore's layout), same plan after
+      // the prune. The merged result round-trips through a parquet sink
+      // before verification, so the oracle also gates the sink path.
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), lit(1L).as("version"))
+        val delta = Tables.documents(s, d)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+            col("lang"), lit(2L).as("version"))
+          .unionByName(Tables.documents(s, d).filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+              col("lang"), lit(2L).as("version")))
+        val w = Window.partitionBy("doc_id").orderBy(desc("version"))
+        val merged = base.unionByName(delta)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("version"))
+        val tmp = s"/tmp/graft_upsert_${new java.io.File(d).getName}"
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("doc_id"), md5(col("text")).as("digest"), col("lang"), col("version"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH delta AS (SELECT doc_id, 'v2 ' || text AS text, lang, 2 AS version " +
+        "FROM documents WHERE doc_id < 50 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, 2 FROM documents WHERE doc_id < 10), " +
+        "u AS (SELECT doc_id, text, lang, 1 AS version FROM documents " +
+        "UNION ALL SELECT * FROM delta), " +
+        "m AS (SELECT doc_id, text, lang, version, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) " +
+        "SELECT doc_id, md5(text) AS digest, lang, CAST(version AS BIGINT) AS version " +
+        "FROM m WHERE rn = 1 ORDER BY doc_id"),
+      "MERGE-style latest-wins upsert (union + one keyed window) through a parquet sink"),
 
     "write_json_roundtrip" -> DeclaredQuery(
       // Second source format: JSON-lines sink + source. Schema is pinned
