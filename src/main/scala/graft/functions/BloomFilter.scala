@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * partition; Spark's own InjectRuntimeFilter does this internally, but
   * is not user-steerable from the public API).
   *
-  * Hashing is ANSI-safe enhanced double hashing: the caller derives two
-  * POSITION seeds in `[0, mBits)` via `pmod(xxhash64(key), m)` /
-  * `pmod(xxhash64(key, 1), m)` (see [[probes]]), and probe i tests bit
-  * `(p1 + i·p2) mod m`. All arithmetic stays far below Long range, so
-  * the identical spelling runs as Scala in the Aggregator and as
-  * Catalyst `Column`s in [[mightContain]] — no overflow-wrapping
-  * semantics to keep in sync under `spark.sql.ansi.enabled`.
+  * Hashing is ANSI-safe enhanced double hashing: two raw `xxhash64`
+  * values per key (seeds 42 and 42+extra-arg) are reduced mod m into
+  * position seeds, and probe i tests bit `(p1 + i·p2) mod m`. The
+  * reduction happens AFTER any multiply only on values < m, so the
+  * identical spelling runs as Scala in the Aggregator and as Catalyst
+  * `Column`s in [[mightContain]] — no overflow-wrapping semantics to
+  * keep in sync under `spark.sql.ansi.enabled`.
+  *
+  * m is SELF-DESCRIBING: the probe derives it from the bitmap column's
+  * own length (`size(bits) · 64`), so a build/probe sizing mismatch —
+  * which would silently manufacture false negatives and drop real join
+  * rows — is structurally impossible; only [[agg]] takes an mBits.
   */
 object BloomFilter {
 
@@ -32,26 +37,29 @@ object BloomFilter {
   /** Bitmap sized for the default declared query (2^17 bits = 16 KiB). */
   val DefaultBits = 1 << 17
 
-  /** Input: the two derived bit positions for one key. */
-  case class Probes(p1: Long, p2: Long)
+  /** Input: the two RAW (unreduced) hashes of one key. */
+  case class Probes(h1: Long, h2: Long)
 
   /** Buffer/output: the bitmap as packed 64-bit words. */
   case class Bits(bits: Array[Long])
 
-  /** The two position seeds for `key`, as Columns — the probe side MUST
-    * use the same spelling (same xxhash64 seeds, same pmod). */
-  def probes(key: Column, mBits: Int = DefaultBits): (Column, Column) =
-    (pmod(xxhash64(key), lit(mBits.toLong)),
-      pmod(xxhash64(key, lit(1L)), lit(mBits.toLong)))
+  /** The two raw hash Columns for `key` — the probe side uses the same
+    * spelling (xxhash64 with and without the extra seed literal). */
+  def probes(key: Column): (Column, Column) =
+    (xxhash64(key), xxhash64(key, lit(1L)))
 
   def agg(mBits: Int = DefaultBits): Aggregator[Probes, Bits, Bits] = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
     new Aggregator[Probes, Bits, Bits] {
       def zero: Bits = Bits(new Array[Long](mBits / 64))
       def reduce(b: Bits, in: Probes): Bits = {
+        val m = b.bits.length * 64
+        // floorMod ≙ Catalyst pmod — same non-negative residue
+        val p1 = java.lang.Math.floorMod(in.h1, m.toLong)
+        val p2 = java.lang.Math.floorMod(in.h2, m.toLong)
         var i = 0
         while (i < K) {
-          val pos = ((in.p1 + i.toLong * in.p2) % mBits).toInt
+          val pos = ((p1 + i.toLong * p2) % m).toInt
           b.bits(pos >> 6) |= 1L << (pos & 63)
           i += 1
         }
@@ -69,14 +77,18 @@ object BloomFilter {
   }
 
   /** All-K-bits-set test against `bloomBits` (an `array<bigint>` column,
-    * typically broadcast via a one-row join). Pure built-in Columns —
-    * stays inside whole-stage codegen. `shiftleft` goes through
-    * `call_function` because the Scala wrapper only accepts a literal
-    * shift amount; the SQL function takes an expression. */
-  def mightContain(bloomBits: Column, key: Column, mBits: Int = DefaultBits): Column = {
-    val (p1, p2) = probes(key, mBits)
+    * typically broadcast via a one-row join). m comes from the bitmap
+    * itself, so the test can never disagree with the build's sizing.
+    * Pure built-in Columns — stays inside whole-stage codegen.
+    * `shiftleft` goes through `call_function` because the Scala wrapper
+    * only accepts a literal shift amount; the SQL function takes an
+    * expression. */
+  def mightContain(bloomBits: Column, key: Column): Column = {
+    val m = size(bloomBits).cast("long") * lit(64L)
+    val p1 = pmod(xxhash64(key), m)
+    val p2 = pmod(xxhash64(key, lit(1L)), m)
     (0 until K).map { i =>
-      val pos = (p1 + lit(i.toLong) * p2) % lit(mBits.toLong)
+      val pos = (p1 + lit(i.toLong) * p2) % m
       val word = element_at(bloomBits, (pos / 64).cast("int") + lit(1))
       val mask = call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
       word.bitwiseAND(mask) =!= lit(0L)

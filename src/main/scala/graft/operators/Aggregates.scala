@@ -382,8 +382,11 @@ object Aggregates {
         "SELECT 'event_id_unique' AS rule, count(*) - count(DISTINCT event_id) AS violations FROM events " +
         "UNION ALL SELECT 'ts_not_null', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
         "UNION ALL SELECT 'doc_text_nonempty', CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
-        "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
-        "UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)" +
+        // NOT EXISTS, not NOT IN: left_anti's NULL-key semantics (a
+        // null FK row IS an orphan; a null inner key changes nothing)
+        // match NOT EXISTS — NOT IN goes UNKNOWN on either null.
+        "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)" +
         ") ORDER BY rule"),
       "rule-based data-quality checks: uniqueness, null, emptiness, referential")
   )

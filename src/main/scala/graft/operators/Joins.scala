@@ -331,10 +331,10 @@ object Joins {
         val dim = Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"), col("c_name"))
-        val (p1, p2) = BloomFilter.probes(col("c_custkey"))
+        val (h1, h2) = BloomFilter.probes(col("c_custkey"))
         val bloomAgg = udaf(BloomFilter.agg(), org.apache.spark.sql.Encoders.product[BloomFilter.Probes])
-        val bloom = dim.select(p1.as("p1"), p2.as("p2"))
-          .agg(bloomAgg(col("p1"), col("p2")).as("bf"))
+        val bloom = dim.select(h1.as("h1"), h2.as("h2"))
+          .agg(bloomAgg(col("h1"), col("h2")).as("bf"))
           .select(col("bf.bits").as("__bits"))
         val facts = Tables.orders(s, d)
           .join(broadcast(bloom))

@@ -1277,8 +1277,10 @@ object Llm {
           .withColumn("fp", min(col("__h")).over(w))
           .filter(col("pos") >= 3)
           .select(col("doc_id"), col("fp")).distinct()
+        // sel is already distinct (doc_id, fp): a plain count IS the
+        // doc frequency — no second distinct pass
         val docFreq = sel.groupBy("fp")
-          .agg(countDistinct(col("doc_id")).as("__df"))
+          .agg(count(lit(1)).as("__df"))
         sel.join(docFreq, "fp")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"),
@@ -1294,7 +1296,7 @@ object Llm {
         "w AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM s), " +
         "f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos >= 4), " +
-        "df AS (SELECT fp, count(DISTINCT doc_id) AS dd FROM f GROUP BY fp) " +
+        "df AS (SELECT fp, count(*) AS dd FROM f GROUP BY fp) " +
         "SELECT doc_id, count(*) AS n_fp, " +
         "CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, " +
         "round(CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac " +

@@ -956,9 +956,10 @@ object TimeSeries {
       // close bars per series, lag-diff into gains/losses, trailing
       // 14-bar averages, RSI = 100 − 100/(1+RS). Same bars-first shape
       // as ts_bollinger: every pass after the bar aggregate runs on
-      // #series × #hours rows and reuses the bar partitioning. All-loss
-      // windows (avgGain=0) → RSI 0; all-gain (avgLoss=0) → RSI 100,
-      // via the nullif guard both engines spell identically.
+      // #series × #hours rows and reuses the bar partitioning. The
+      // ag/(ag+al) form yields RSI 0 for all-loss and 100 for all-gain
+      // windows by itself; the nullif guard fires only on a FULLY FLAT
+      // window (ag=al=0), which emits a NULL rsi on both engines.
       (s, d) => {
         val ord = Window.partitionBy("event_type").orderBy(col("bar_ts"))
         val trail = ord.rowsBetween(-13, 0)

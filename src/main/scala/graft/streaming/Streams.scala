@@ -212,8 +212,7 @@ object Streams {
       (s, d) => dedupWithinWatermark(
           Tables.events(s, d).select(col("ts"), col("user_id"), col("event_type")),
           "10 minutes", Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type"))
-        .distinct() // collapse the per-key survivor rows (key-only projection)
+        .select(col("user_id"), col("event_type")) // dedup keyed exactly on these → already distinct
         .orderBy(col("user_id"), col("event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events " +
         "ORDER BY user_id, event_type"),

@@ -15,11 +15,12 @@ class BloomFilterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def bloomOver(keys: org.apache.spark.sql.DataFrame, keyCol: String) = {
-    val (p1, p2) = BloomFilter.probes(col(keyCol))
-    val agg = udaf(BloomFilter.agg(), Encoders.product[BloomFilter.Probes])
-    keys.select(p1.as("p1"), p2.as("p2"))
-      .agg(agg(col("p1"), col("p2")).as("bf"))
+  private def bloomOver(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+                        mBits: Int = BloomFilter.DefaultBits) = {
+    val (h1, h2) = BloomFilter.probes(col(keyCol))
+    val agg = udaf(BloomFilter.agg(mBits), Encoders.product[BloomFilter.Probes])
+    keys.select(h1.as("h1"), h2.as("h2"))
+      .agg(agg(col("h1"), col("h2")).as("bf"))
       .select(col("bf.bits").as("__bits"))
   }
 
@@ -28,6 +29,14 @@ class BloomFilterSpec extends AnyFunSuite {
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     val misses = dim.join(broadcast(bloomOver(dim, "c_custkey")))
       .filter(!BloomFilter.mightContain($"__bits", $"c_custkey"))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("probe derives m from the bitmap itself — non-default sizing stays exact") {
+    val members = spark.range(0, 500).select(($"id" * 3).as("k"))
+    val misses = members.join(broadcast(bloomOver(members, "k", mBits = 1 << 12)))
+      .filter(!BloomFilter.mightContain($"__bits", $"k"))
       .count()
     assert(misses == 0L)
   }

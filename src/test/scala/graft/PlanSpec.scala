@@ -195,12 +195,18 @@ class PlanSpec extends AnyFunSuite {
     assert(card.contains("Expand"), "llm_dataset_card plans the multi-distinct Expand")
     assert("Scan parquet".r.findAllIn(card).size == 1,
       "llm_dataset_card must scan the corpus exactly once")
-    // the bar stage's map-side combine: a partial HashAggregate (with
-    // the max_by partial) must sit BELOW the first exchange
-    assert("partial_max_by|HashAggregate.*Partial".r.findFirstIn(plan("ts_bollinger")).isDefined
-      || plan("ts_bollinger").linesIterator.exists(l =>
-           l.contains("HashAggregate") && l.contains("partial")),
-      "ts_bollinger bar stage lost its map-side combine")
+    // the bar stage's map-side combine: the partial_max_by aggregate
+    // must sit BELOW (print after, in tree order) the first hash
+    // exchange — i.e. ticks collapse before they shuffle
+    locally {
+      val p = plan("ts_bollinger")
+      // deepest exchange is the (event_type, bar_ts) bar shuffle — the
+      // partial must print below even that one
+      val ex = p.lastIndexOf("Exchange hashpartitioning")
+      val pa = p.indexOf("partial_max_by")
+      assert(ex >= 0 && pa > ex,
+        s"ts_bollinger bar stage lost its map-side combine (exchange@$ex, partial@$pa)")
+    }
     // ts_funnel additionally must not plan the multi-count-distinct
     // Expand (it would replay the event volume 4× through the shuffle)
     assert(!plan("ts_funnel").contains("Expand"), "ts_funnel planned an Expand")
