@@ -388,6 +388,33 @@ object Aggregates {
         "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
         "UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)" +
         ") ORDER BY rule"),
-      "rule-based data-quality checks: uniqueness, null, emptiness, referential")
+      "rule-based data-quality checks: uniqueness, null, emptiness, referential"),
+
+    "agg_entropy" -> DeclaredQuery(
+      // Shannon entropy of each user's event-type distribution — the
+      // behavioral-diversity metric (and, on corpora, the dataset-
+      // diversity metric). Counts collapse to #users × #types first;
+      // the per-user total is a window over that tiny table REUSING the
+      // count aggregate's partitioning (subset key), so raw events
+      // shuffle once. -Σ p·ln p has ≤ #types O(1)-magnitude summands —
+      // 6dp rounding absorbs ordering noise.
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("__n"))
+        val w = Window.partitionBy("user_id")
+        counts
+          .withColumn("__tot", sum(col("__n")).over(w))
+          .withColumn("__p", col("__n").cast("double") / col("__tot").cast("double"))
+          .groupBy("user_id")
+          .agg(round(-sum(col("__p") * log(col("__p"))), 6).as("entropy"),
+            count(lit(1)).cast("long").as("n_types"))
+          .orderBy(col("user_id"))
+      },
+      Some("WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT user_id, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p FROM c) " +
+        "SELECT user_id, round(-sum(p * ln(p)), 6) AS entropy, count(*) AS n_types " +
+        "FROM p GROUP BY user_id ORDER BY user_id"),
+      "Shannon entropy per user's event-type distribution (one event shuffle)")
   )
 }

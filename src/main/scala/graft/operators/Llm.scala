@@ -1457,6 +1457,58 @@ object Llm {
         "SELECT CASE WHEN d1 IS NULL THEN 'added' WHEN d2 IS NULL THEN 'removed' " +
         "WHEN d1 <> d2 THEN 'changed' ELSE 'unchanged' END AS status, count(*) AS n " +
         "FROM v1 FULL OUTER JOIN v2 USING (doc_id) GROUP BY 1 ORDER BY status"),
-      "corpus release diff: digest-only full-outer compare, 4-row rollup")
+      "corpus release diff: digest-only full-outer compare, 4-row rollup"),
+
+    "llm_mixture_weights" -> DeclaredQuery(
+      // Training-mixture design: per-source sampling weights under
+      // temperature τ=0.7 (the multilingual/multi-source up-weighting
+      // recipe: w_i ∝ c_i^τ, flattening the head). One token-count
+      // aggregate to #sources rows; the normalizer is a window over
+      // that tiny table. Cross-engine pow() can differ in the last ulp
+      // — relative 1e-16, absorbed by 6dp rounding of weights in [0,1].
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("source"), size(toks).cast("long").as("__nt"))
+          .groupBy("source").agg(sum(col("__nt")).as("n_toks"))
+        val w = Window.partitionBy()
+        counts
+          .withColumn("__pw", pow(col("n_toks").cast("double"), lit(0.7)))
+          .select(col("source"), col("n_toks"),
+            round(col("n_toks").cast("double") / sum(col("n_toks").cast("double")).over(w), 6).as("w_nat"),
+            round(col("__pw") / sum(col("__pw")).over(w), 6).as("w_temp"))
+          .orderBy(col("source"))
+      },
+      Some(s"WITH c AS (SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS n_toks " +
+        "FROM documents GROUP BY source) " +
+        "SELECT source, n_toks, " +
+        "round(CAST(n_toks AS DOUBLE) / sum(CAST(n_toks AS DOUBLE)) OVER (), 6) AS w_nat, " +
+        "round(pow(CAST(n_toks AS DOUBLE), 0.7) / sum(pow(CAST(n_toks AS DOUBLE), 0.7)) OVER (), 6) AS w_temp " +
+        "FROM c ORDER BY source"),
+      "temperature-sampling mixture weights per source (τ=0.7 flattening)"),
+
+    "llm_edit_sim" -> DeclaredQuery(
+      // Edit-distance near-dup — the similarity family's character-level
+      // member (catches typo-level mirrors that token shingles miss):
+      // levenshtein over 40-char prefixes of id-ADJACENT doc pairs. The
+      // neighbor set is an equi join on doc_id+1 (llm_dedup_embed's
+      // block idiom: a bounded candidate generator that stays a hash
+      // join at any scale — the production candidate source would be an
+      // LSH/prefix bucket, same downstream plan). Distance on a capped
+      // prefix bounds the O(len²) DP per pair.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("__pre"))
+        val b = docs.select((col("doc_id") - 1).as("__nbr"), col("__pre").as("__pre_b"))
+        docs.join(b, col("doc_id") === col("__nbr"))
+          .select(col("doc_id"),
+            levenshtein(col("__pre"), col("__pre_b")).cast("long").as("dist"))
+          .withColumn("is_near", col("dist") <= 10)
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH d AS (SELECT doc_id, substring(text, 1, 40) AS pre FROM documents) " +
+        "SELECT a.doc_id, CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist, " +
+        "levenshtein(a.pre, b.pre) <= 10 AS is_near " +
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id"),
+      "edit-distance similarity over bounded adjacent-id pairs (40-char prefixes)")
   )
 }

@@ -1050,6 +1050,41 @@ object TimeSeries {
         "round(covar_samp(v, m) / var_samp(m), 6) AS beta, " +
         "round(avg(v) - covar_samp(v, m) / var_samp(m) * avg(m), 6) AS alpha " +
         "FROM daily JOIN mkt USING (day) GROUP BY event_type ORDER BY event_type"),
-      "per-series beta/alpha vs the equal-weight market (daily-aligned)")
+      "per-series beta/alpha vs the equal-weight market (daily-aligned)"),
+
+    "ts_seasonal" -> DeclaredQuery(
+      // Additive seasonal decomposition residuals: value minus its
+      // series' hour-of-day mean and day-of-week mean, plus the grand
+      // mean (classic two-factor deseasonalization; what remains is
+      // trend + noise). The three mean tables are tiny aggregates
+      // (#types × 24 / #types × 7 / #types) that BROADCAST back onto
+      // one event scan — at 100 TB the full-volume data is touched by
+      // exactly two passes (the mean aggregates share one scan via
+      // grouping sets-free independent aggs; the residual join is
+      // map-side). Output per tick, 6dp.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            hour(col("ts")).as("__hod"), dayofweek(col("ts")).as("__dow"))
+        val hod = e.groupBy("event_type", "__hod").agg(avg("value").as("__mh"))
+        val dow = e.groupBy("event_type", "__dow").agg(avg("value").as("__md"))
+        val grand = e.groupBy("event_type").agg(avg("value").as("__mg"))
+        e.join(broadcast(hod), Seq("event_type", "__hod"))
+          .join(broadcast(dow), Seq("event_type", "__dow"))
+          .join(broadcast(grand), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value") - col("__mh") - col("__md") + col("__mg"), 6).as("resid"))
+          .orderBy(col("event_id"))
+      },
+      Some("WITH e AS (SELECT event_id, event_type, value, hour(ts) AS hod, " +
+        "isodow(ts) % 7 + 1 AS dow FROM events WHERE value IS NOT NULL), " +
+        "h AS (SELECT event_type, hod, avg(value) AS mh FROM e GROUP BY 1, 2), " +
+        "d AS (SELECT event_type, dow, avg(value) AS md FROM e GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, avg(value) AS mg FROM e GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, round(value - mh - md + mg, 6) AS resid " +
+        "FROM e JOIN h USING (event_type, hod) JOIN d USING (event_type, dow) " +
+        "JOIN g USING (event_type) ORDER BY event_id"),
+      "two-factor seasonal decomposition residuals (tiny means broadcast back)")
   )
 }
