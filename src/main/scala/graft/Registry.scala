@@ -16,8 +16,13 @@ final case class DeclaredQuery(
     doc: String = "")
 
 object Registry {
-  /** All operator modules contributing declared queries. */
-  def modules: Seq[Map[String, DeclaredQuery]] = Seq(
+  /** All operator modules contributing declared queries. Modules expose
+    * Seq, not Map: a Map literal silently keeps the LAST entry on a
+    * duplicated key, so an intra-module name collision would shadow an
+    * existing query without any signal — the Seq spelling lets the
+    * global check below catch every collision, same-module included.
+    */
+  def modules: Seq[Seq[(String, DeclaredQuery)]] = Seq(
     graft.operators.Scans.defs,
     graft.operators.Relational.defs,
     graft.operators.Joins.defs,
@@ -30,10 +35,10 @@ object Registry {
   )
 
   lazy val all: Map[String, DeclaredQuery] = {
-    val maps = modules
-    val dupes = maps.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    val entries = modules.flatten
+    val dupes = entries.map(_._1).groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
-    maps.reduce(_ ++ _)
+    entries.toMap
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

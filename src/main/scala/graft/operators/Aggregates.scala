@@ -14,7 +14,7 @@ import graft.sources.Tables
   */
 object Aggregates {
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "agg_group" -> DeclaredQuery(
       (s, d) => Tables.lineitem(s, d)

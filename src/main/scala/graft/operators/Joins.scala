@@ -14,7 +14,7 @@ import graft.sources.Tables
   */
 object Joins {
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "join_inner" -> DeclaredQuery(
       (s, d) => Tables.orders(s, d).join(Tables.customer(s, d),

@@ -214,7 +214,7 @@ object Llm {
     labels
   }
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "llm_dedup_exact" -> DeclaredQuery(
       // Exact dedup by normalized text, grouped on the md5 DIGEST of the

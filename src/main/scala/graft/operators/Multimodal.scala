@@ -94,7 +94,7 @@ object Multimodal {
       }(enc)
   }
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "llm_mm_join" -> DeclaredQuery(
       // Multimodal assembly: text modality ⋈ vector modality by id. The

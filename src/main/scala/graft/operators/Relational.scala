@@ -13,7 +13,7 @@ import graft.sources.Tables
   */
 object Relational {
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "project_expr" -> DeclaredQuery(
       // Money rounding is floor(x*100 + 0.5)/100 spelled identically on

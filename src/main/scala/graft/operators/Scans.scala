@@ -22,7 +22,7 @@ object Scans {
   val SliceStart = "2024-01-05 00:00:00"
   val SliceEnd = "2024-01-12 00:00:00"
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
     "scan_parquet" -> DeclaredQuery(
       // (l_orderkey, l_linenumber) is NOT unique in the fixture (~25% dup
       // rate!) — the ORDER BY carries enough columns for a verified total

@@ -197,7 +197,7 @@ object TimeSeries {
       "last(value ORDER BY ts, event_id) AS close " +
       "FROM events WHERE value IS NOT NULL GROUP BY 1, 2)"
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "join_asof_exec" -> DeclaredQuery(
       // The SAME as-of semantics as join_asof, executed by the custom

@@ -14,7 +14,7 @@ import graft.sources.Tables
   */
 object Windows {
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "win_rank" -> DeclaredQuery(
       (s, d) => {

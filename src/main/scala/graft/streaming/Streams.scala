@@ -150,7 +150,7 @@ object Streams {
       expr(s"p_user = v_user AND v_ts >= p_ts - INTERVAL $intervalMinutes MINUTES AND v_ts <= p_ts"))
   }
 
-  def defs: Map[String, DeclaredQuery] = Map(
+  def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "stream_tumbling" -> DeclaredQuery(
       (s, d) => tumblingAgg(Tables.events(s, d))
