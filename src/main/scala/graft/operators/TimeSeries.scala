@@ -1085,6 +1085,51 @@ object TimeSeries {
         "SELECT e.event_id, e.event_type, round(value - mh - md + mg, 6) AS resid " +
         "FROM e JOIN h USING (event_type, hod) JOIN d USING (event_type, dow) " +
         "JOIN g USING (event_type) ORDER BY event_id"),
-      "two-factor seasonal decomposition residuals (tiny means broadcast back)")
+      "two-factor seasonal decomposition residuals (tiny means broadcast back)"),
+
+    "ts_feature_windows" -> DeclaredQuery(
+      // Multi-horizon feature generation — the classic ML feature shape
+      // ("views in the last 1h / 24h, spend in the last 7d, as of each
+      // purchase"): three RANGE frames over ONE (user_id, µs) sort, all
+      // strictly-preceding (upper bound −1µs, so features never leak
+      // the label event itself). Same partition+order spec → Spark
+      // evaluates all frames in a single Window pass over a single
+      // shuffle; the purchase filter then prunes output AFTER features
+      // are computed from the full event stream.
+      (s, d) => {
+        def frame(secs: Long) = Window.partitionBy("user_id").orderBy(col("__us"))
+          .rangeBetween(-secs * 1000000L, -1L)
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("__us"))
+        e.withColumn("n_views_1h",
+            count(when(col("event_type") === "view", lit(1))).over(frame(3600L)))
+          .withColumn("n_views_24h",
+            count(when(col("event_type") === "view", lit(1))).over(frame(86400L)))
+          .withColumn("n_clicks_24h",
+            count(when(col("event_type") === "click", lit(1))).over(frame(86400L)))
+          .withColumn("spend_7d",
+            round(coalesce(sum(when(col("event_type") === "purchase", col("value")))
+              .over(frame(604800L)), lit(0.0)), 6).as("spend_7d"))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("n_views_1h"), col("n_views_24h"), col("n_clicks_24h"), col("spend_7d"))
+          .orderBy(col("event_id"))
+      },
+      Some("WITH e AS (SELECT event_id, user_id, ts, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT event_id, user_id, ts, event_type, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) OVER " +
+        "(PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS n_views_1h, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) OVER " +
+        "(PARTITION BY user_id ORDER BY us RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_views_24h, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) OVER " +
+        "(PARTITION BY user_id ORDER BY us RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_clicks_24h, " +
+        "round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END) OVER " +
+        "(PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0.0), 6) AS spend_7d " +
+        "FROM e) " +
+        "SELECT event_id, user_id, ts, n_views_1h, n_views_24h, n_clicks_24h, spend_7d " +
+        "FROM f WHERE event_type = 'purchase' ORDER BY event_id"),
+      "multi-horizon as-of features (1h/24h/7d trailing frames, one window pass)")
   )
 }

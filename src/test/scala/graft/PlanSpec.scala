@@ -173,7 +173,14 @@ class PlanSpec extends AnyFunSuite {
       ("ts_drawdown", 1, false),
       // kmeans assignment: centroids broadcast, n×k argmin collapses
       // map-side — ONE exchange of n min-struct partials
-      ("llm_kmeans", 1, true))
+      ("llm_kmeans", 1, true),
+      // all three horizons share one (user_id, µs) sort: one exchange
+      ("ts_feature_windows", 1, false))
+    // Spark stacks one WindowExec per distinct frame, but they must all
+    // ride ONE (user_id, µs) sort — the declared ORDER BY's range sort
+    // is the only other Sort allowed
+    assert("Sort ".r.findAllIn(plan("ts_feature_windows")).size <= 2,
+      "ts_feature_windows frames must share one sort")
     // the centroid side must broadcast (k ≪ n at any scale)
     assert(plan("llm_kmeans").contains("BroadcastExchange"),
       "llm_kmeans centroids must broadcast")
