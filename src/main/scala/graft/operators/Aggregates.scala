@@ -51,6 +51,27 @@ object Aggregates {
       None,
       "approximate distinct via HyperLogLog++"),
 
+    "agg_hll_union" -> DeclaredQuery(
+      // Sketch REAGGREGATION — the pattern that makes 100 TB rollup
+      // tables work: build a Datasketches HLL sketch per (type, day),
+      // persist-shaped (binary column), then hll_union_agg the daily
+      // sketches to per-type totals WITHOUT touching raw data again. A
+      // distinct-count rollup is not reaggregatable from counts (days
+      // overlap users); sketches merge losslessly. No SQL oracle
+      // (sketch binaries are engine-specific); HllSpec bounds the
+      // estimate against the exact distinct.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None,
+      "HLL sketch union: daily sketches reaggregate to totals without a rescan"),
+
     "agg_rollup" -> DeclaredQuery(
       // Spelled in SQL: Dataset.rollup + by-name orderBy trips Spark's
       // ambiguous-column check (the Expand node re-emits the grouping

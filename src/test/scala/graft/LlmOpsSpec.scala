@@ -88,6 +88,18 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll daily-sketch union reaggregates to within 5% of exact totals") {
+    val approx = Registry.all("agg_hll_union").fn(spark, TestSpark.sf001)
+      .select("event_type", "approx_users")
+      .as[(String, Double)].collect().toMap
+    val exact = Tables.events(spark, TestSpark.sf001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) / n <= 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
   test("ann results: 8 query groups, ranks bounded, scores in [-1,1]") {
     val rows = Registry.all("llm_ann_lsh").fn(spark, TestSpark.sf001)
       .select(col("q_id"), col("rnk"), col("cos")).collect()

@@ -193,4 +193,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: bloom filter has zero false negatives at any sizing") {
+    import spark.implicits._
+    import graft.functions.BloomFilter
+    val gen = for {
+      mExp <- Gen.choose(7, 14) // 128 bits .. 16 Kbits
+      n <- Gen.choose(1, 2000)
+      keys <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield (1 << mExp, keys)
+    (1L to 6L).foreach { seed =>
+      val (mBits, keys) = sample(gen, seed)
+      val df = keys.toDF("k")
+      val (h1, h2) = BloomFilter.probes(col("k"))
+      val agg = org.apache.spark.sql.functions.udaf(
+        BloomFilter.agg(mBits),
+        org.apache.spark.sql.Encoders.product[BloomFilter.Probes])
+      val bloom = df.select(h1.as("h1"), h2.as("h2"))
+        .agg(agg(col("h1"), col("h2")).as("bf"))
+        .select(col("bf.bits").as("__bits"))
+      val misses = df.join(broadcast(bloom))
+        .filter(!BloomFilter.mightContain(col("__bits"), col("k")))
+        .count()
+      assert(misses == 0L, s"seed=$seed mBits=$mBits n=${keys.size}: $misses false negatives")
+    }
+  }
 }
