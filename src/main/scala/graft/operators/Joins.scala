@@ -402,6 +402,31 @@ object Joins {
         "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
         "WHERE n2.n_name < n1.n_name " +
         "GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"),
-      "TPC-H Q7 analog: cross-nation shipping volume by nation pair and year")
+      "TPC-H Q7 analog: cross-nation shipping volume by nation pair and year"),
+
+    "q6_forecast" -> DeclaredQuery(
+      // TPC-H Q6 analog — the pure-scan showcase: no join, no window,
+      // just predicates that must ALL reach the parquet scan (date
+      // range, discount band, quantity cap) and a single-row aggregate.
+      // At 100 TB this query is entirely IO-bound; the plan to demand
+      // is scan-with-PushedFilters → partial agg → one 1-row exchange.
+      // Revenue = sum(price × discount) in exact scaled integers
+      // (q7_volume's idiom: discount-bp × cents is an exact long).
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select((round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")).as("__rev_e4"))
+        .agg(expr("CAST((sum(__rev_e4) + 50) div 100 AS BIGINT)").as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue_cents")),
+      Some("SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100 AS BIGINT) AS revenue_cents, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 " +
+        "ORDER BY revenue_cents"),
+      "TPC-H Q6 analog: all-predicates-pushed scan, single-row exact-cents aggregate")
   )
 }

@@ -1130,6 +1130,36 @@ object TimeSeries {
         "FROM e) " +
         "SELECT event_id, user_id, ts, n_views_1h, n_views_24h, n_clicks_24h, spend_7d " +
         "FROM f WHERE event_type = 'purchase' ORDER BY event_id"),
-      "multi-horizon as-of features (1h/24h/7d trailing frames, one window pass)")
+      "multi-horizon as-of features (1h/24h/7d trailing frames, one window pass)"),
+
+    "ts_trend" -> DeclaredQuery(
+      // Rolling trend: least-squares slope of close vs bar index over
+      // the trailing 20 bars (regr_slope as a WINDOW aggregate — both
+      // engines support ordered-frame regression). Rides the shared
+      // hourlyCloseBars stage, so the regression runs over bar counts,
+      // not ticks. x = per-series bar index (row_number over the same
+      // sort the frame uses — no extra pass). 6dp rounding absorbs the
+      // ~1e-13 accumulation-order noise, as with corr/beta.
+      (s, d) => {
+        val ord = Window.partitionBy("event_type").orderBy(col("bar_ts"))
+        val trail = ord.rowsBetween(-19, 0)
+        hourlyCloseBars(s, d)
+          .withColumn("__x", row_number().over(ord).cast("double"))
+          .withColumn("__n", count(col("close")).over(trail))
+          .withColumn("slope", regr_slope(col("close"), col("__x")).over(trail))
+          .filter(col("__n") >= 10)
+          .select(col("event_type"), col("bar_ts"), round(col("slope"), 6).as("slope"))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      Some(s"WITH $HourlyCloseBarsSql, " +
+        "x AS (SELECT event_type, bar_ts, close, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS DOUBLE) AS xi FROM bars), " +
+        "r AS (SELECT event_type, bar_ts, count(close) OVER w AS n, " +
+        "regr_slope(close, xi) OVER w AS slope FROM x " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, bar_ts, round(slope, 6) AS slope " +
+        "FROM r WHERE n >= 10 ORDER BY event_type, bar_ts"),
+      "rolling least-squares trend slope over hourly bars (regr_slope window)")
   )
 }

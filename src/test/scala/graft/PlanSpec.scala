@@ -181,6 +181,14 @@ class PlanSpec extends AnyFunSuite {
     // is the only other Sort allowed
     assert("Sort ".r.findAllIn(plan("ts_feature_windows")).size <= 2,
       "ts_feature_windows frames must share one sort")
+    // q6: every predicate must reach the scan (the pure-IO query)
+    locally {
+      val p = plan("q6_forecast")
+      assert(p.contains("PushedFilters: [IsNotNull("), "q6 lost scan pushdown entirely")
+      Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+        assert(p.contains(s"IsNotNull($c)"), s"q6 lost pushdown of $c")
+      }
+    }
     // the centroid side must broadcast (k ≪ n at any scale)
     assert(plan("llm_kmeans").contains("BroadcastExchange"),
       "llm_kmeans centroids must broadcast")
