@@ -427,6 +427,60 @@ object Joins {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 " +
         "ORDER BY revenue_cents"),
-      "TPC-H Q6 analog: all-predicates-pushed scan, single-row exact-cents aggregate")
+      "TPC-H Q6 analog: all-predicates-pushed scan, single-row exact-cents aggregate"),
+
+    "q12_priority" -> DeclaredQuery(
+      // TPC-H Q12 analog — the conditional-count join: per returnflag,
+      // how many lineitems belong to critical (1-URGENT / 2-HIGH)
+      // orders vs not. The orders side projects to (key, one boolean)
+      // before joining, and the conditional split is two sums inside
+      // ONE aggregate pass — not two filtered scans. Pure integer
+      // outputs: nothing to round.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("__crit"))
+        Tables.lineitem(s, d).select("l_orderkey", "l_returnflag")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("__crit").cast("long")).as("n_critical"),
+            sum((!col("__crit")).cast("long")).as("n_regular"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_critical, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_regular " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "TPC-H Q12 analog: critical-vs-regular conditional counts in one pass"),
+
+    "q14_promo" -> DeclaredQuery(
+      // TPC-H Q14 analog — promotion revenue share for one ship month.
+      // part broadcasts (it always fits relative to lineitem); both the
+      // promo numerator and the total denominator are EXACT scaled-
+      // integer sums from the same single aggregate, so the final share
+      // is one double division of two identical longs on both engines.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_partkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__rev_e4"))
+        l.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", col("__rev_e4")).otherwise(0L)).as("__promo"),
+            sum(col("__rev_e4")).as("__total"))
+          .select(round(lit(100.0) * col("__promo") / col("__total"), 6).as("promo_share"),
+            expr("CAST((__total + 50) div 100 AS BIGINT)").as("revenue_cents"))
+          .orderBy(col("promo_share"))
+      },
+      Some("WITH l AS (SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4 FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01') " +
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) / sum(rev_e4), 6) AS promo_share, " +
+        "CAST((sum(rev_e4) + 50) // 100 AS BIGINT) AS revenue_cents " +
+        "FROM l JOIN part ON l_partkey = p_partkey ORDER BY promo_share"),
+      "TPC-H Q14 analog: promo revenue share (exact integer sums, one division)")
   )
 }
