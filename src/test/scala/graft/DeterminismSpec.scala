@@ -34,8 +34,8 @@ class DeterminismSpec extends AnyFunSuite {
     assert(orphan.isEmpty, s"oracles without queries: $orphan")
     // every declared-but-unoracled query is one of the known sketch/hash ops
     val unoracled = qNames -- Registry.oracleSql.keySet
-    assert(unoracled == Set("agg_hll", "agg_percentile_approx", "llm_ann_lsh",
-      "llm_dedup_near", "llm_dedup_simhash"),
+    assert(unoracled == Set("agg_hll", "agg_hll_union", "agg_percentile_approx",
+      "llm_ann_lsh", "llm_dedup_near", "llm_dedup_simhash"),
       s"unexpected oracle-less queries: $unoracled")
   }
 }
