@@ -414,11 +414,15 @@ object Aggregates {
     "agg_entropy" -> DeclaredQuery(
       // Shannon entropy of each user's event-type distribution — the
       // behavioral-diversity metric (and, on corpora, the dataset-
-      // diversity metric). Counts collapse to #users × #types first;
-      // the per-user total is a window over that tiny table REUSING the
-      // count aggregate's partitioning (subset key), so raw events
-      // shuffle once. -Σ p·ln p has ≤ #types O(1)-magnitude summands —
-      // 6dp rounding absorbs ordering noise.
+      // diversity metric). Counts collapse to #users × #types first
+      // (map-side combined), so RAW events shuffle once; the per-user
+      // window then re-keys only the tiny counts table (hash(user,
+      // type) does not satisfy ClusteredDistribution(user), so this
+      // second, counts-sized exchange is real — and irrelevant at any
+      // scale). -Σ p·ln p has ≤ #types O(1)-magnitude summands — 6dp
+      // rounding absorbs ordering noise; the oracle's `+ 0.0` clears
+      // DuckDB's signed zero for single-type users (-0.0, which
+      // Spark's round never emits).
       (s, d) => {
         val counts = Tables.events(s, d)
           .groupBy("user_id", "event_type")
@@ -434,7 +438,7 @@ object Aggregates {
       },
       Some("WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
         "p AS (SELECT user_id, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p FROM c) " +
-        "SELECT user_id, round(-sum(p * ln(p)), 6) AS entropy, count(*) AS n_types " +
+        "SELECT user_id, round(-sum(p * ln(p)), 6) + 0.0 AS entropy, count(*) AS n_types " +
         "FROM p GROUP BY user_id ORDER BY user_id"),
       "Shannon entropy per user's event-type distribution (one event shuffle)")
   )

@@ -1056,20 +1056,33 @@ object TimeSeries {
       // Additive seasonal decomposition residuals: value minus its
       // series' hour-of-day mean and day-of-week mean, plus the grand
       // mean (classic two-factor deseasonalization; what remains is
-      // trend + noise). The three mean tables are tiny aggregates
-      // (#types × 24 / #types × 7 / #types) that BROADCAST back onto
-      // one event scan — at 100 TB the full-volume data is touched by
-      // exactly two passes (the mean aggregates share one scan via
-      // grouping sets-free independent aggs; the residual join is
-      // map-side). Output per tick, 6dp.
+      // trend + noise). ALL THREE mean tables derive from ONE shared
+      // (type, hod, dow) pre-aggregate — #types × 24 × 7 rows — by
+      // re-aggregating its (sum, count) pairs, so the three mean
+      // subtrees are IDENTICAL below their final agg and ReuseExchange
+      // collapses them to a single scan+aggregate (PlanSpec pins 2
+      // event scans total: cube + residual probe; the naive
+      // independent-avg spelling costs 4). Means spelled sum/count on
+      // both sides so the two-level summation structure matches; 6dp
+      // rounding absorbs partial-order noise as usual.
       (s, d) => {
+        // coalesce makes the bucket keys NON-NULLABLE: otherwise each
+        // inner join infers a different IsNotNull(hour/dayofweek) filter
+        // into its cube branch, the subtrees stop being canonically
+        // identical, and ReuseExchange cannot collapse them (ts is never
+        // null, so the -1 bucket is unreachable)
         val e = Tables.events(s, d)
           .filter(col("value").isNotNull)
           .select(col("event_id"), col("event_type"), col("value"),
-            hour(col("ts")).as("__hod"), dayofweek(col("ts")).as("__dow"))
-        val hod = e.groupBy("event_type", "__hod").agg(avg("value").as("__mh"))
-        val dow = e.groupBy("event_type", "__dow").agg(avg("value").as("__md"))
-        val grand = e.groupBy("event_type").agg(avg("value").as("__mg"))
+            coalesce(hour(col("ts")), lit(-1)).as("__hod"),
+            coalesce(dayofweek(col("ts")), lit(-1)).as("__dow"))
+        val cube = e.groupBy("event_type", "__hod", "__dow")
+          .agg(sum("value").as("__s"), count(lit(1)).as("__n"))
+        def meansBy(keys: String*) = cube.groupBy(keys.map(col): _*)
+          .agg((sum(col("__s")) / sum(col("__n"))).as(s"__m${keys.length}"))
+        val hod = meansBy("event_type", "__hod").withColumnRenamed("__m2", "__mh")
+        val dow = meansBy("event_type", "__dow").withColumnRenamed("__m2", "__md")
+        val grand = meansBy("event_type").withColumnRenamed("__m1", "__mg")
         e.join(broadcast(hod), Seq("event_type", "__hod"))
           .join(broadcast(dow), Seq("event_type", "__dow"))
           .join(broadcast(grand), Seq("event_type"))
@@ -1077,15 +1090,17 @@ object TimeSeries {
             round(col("value") - col("__mh") - col("__md") + col("__mg"), 6).as("resid"))
           .orderBy(col("event_id"))
       },
-      Some("WITH e AS (SELECT event_id, event_type, value, hour(ts) AS hod, " +
-        "isodow(ts) % 7 + 1 AS dow FROM events WHERE value IS NOT NULL), " +
-        "h AS (SELECT event_type, hod, avg(value) AS mh FROM e GROUP BY 1, 2), " +
-        "d AS (SELECT event_type, dow, avg(value) AS md FROM e GROUP BY 1, 2), " +
-        "g AS (SELECT event_type, avg(value) AS mg FROM e GROUP BY 1) " +
+      Some("WITH e AS (SELECT event_id, event_type, value, coalesce(hour(ts), -1) AS hod, " +
+        "coalesce(isodow(ts) % 7 + 1, -1) AS dow FROM events WHERE value IS NOT NULL), " +
+        "cube AS (SELECT event_type, hod, dow, sum(value) AS s, count(*) AS n " +
+        "FROM e GROUP BY 1, 2, 3), " +
+        "h AS (SELECT event_type, hod, sum(s) / sum(n) AS mh FROM cube GROUP BY 1, 2), " +
+        "d AS (SELECT event_type, dow, sum(s) / sum(n) AS md FROM cube GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, sum(s) / sum(n) AS mg FROM cube GROUP BY 1) " +
         "SELECT e.event_id, e.event_type, round(value - mh - md + mg, 6) AS resid " +
         "FROM e JOIN h USING (event_type, hod) JOIN d USING (event_type, dow) " +
         "JOIN g USING (event_type) ORDER BY event_id"),
-      "two-factor seasonal decomposition residuals (tiny means broadcast back)"),
+      "two-factor seasonal residuals (one shared pre-aggregate feeds all means)"),
 
     "ts_feature_windows" -> DeclaredQuery(
       // Multi-horizon feature generation — the classic ML feature shape
@@ -1093,8 +1108,9 @@ object TimeSeries {
       // purchase"): three RANGE frames over ONE (user_id, µs) sort, all
       // strictly-preceding (upper bound −1µs, so features never leak
       // the label event itself). Same partition+order spec → Spark
-      // evaluates all frames in a single Window pass over a single
-      // shuffle; the purchase filter then prunes output AFTER features
+      // stacks one WindowExec per distinct frame but they all ride the
+      // SAME sort and single shuffle (PlanSpec pins ≤1 exchange, ≤2
+      // sorts); the purchase filter then prunes output AFTER features
       // are computed from the full event stream.
       (s, d) => {
         def frame(secs: Long) = Window.partitionBy("user_id").orderBy(col("__us"))

@@ -181,12 +181,31 @@ class PlanSpec extends AnyFunSuite {
     // is the only other Sort allowed
     assert("Sort ".r.findAllIn(plan("ts_feature_windows")).size <= 2,
       "ts_feature_windows frames must share one sort")
-    // q6: every predicate must reach the scan (the pure-IO query)
+    // ts_seasonal: the three mean tables must collapse onto ONE shared
+    // pre-aggregate scan — 2 event scans total (cube + residual probe),
+    // not 4
     locally {
-      val p = plan("q6_forecast")
-      assert(p.contains("PushedFilters: [IsNotNull("), "q6 lost scan pushdown entirely")
-      Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
-        assert(p.contains(s"IsNotNull($c)"), s"q6 lost pushdown of $c")
+      val df = Registry.all("ts_seasonal").fn(spark, TestSpark.sf001)
+      df.collect()
+      // AQE's toString appends the pre-reuse "Initial Plan" — count
+      // scans only in the final executed section
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("Scan parquet".r.findAllIn(p).size <= 2,
+        "ts_seasonal mean subtrees stopped sharing the pre-aggregate")
+    }
+    // q6: every predicate — range, band, and cap, not just the
+    // IsNotNulls — must reach the scan (the pure-IO query). Read the
+    // scan node's metadata directly: plan toString truncates the
+    // PushedFilters list.
+    locally {
+      val df = Registry.all("q6_forecast").fn(spark, TestSpark.sf001)
+      val pushed = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+      }.mkString
+      Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach { f =>
+        assert(pushed.contains(f), s"q6 lost pushdown of $f: $pushed")
       }
     }
     // the centroid side must broadcast (k ≪ n at any scale)
