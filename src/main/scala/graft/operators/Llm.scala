@@ -1509,6 +1509,55 @@ object Llm {
         "SELECT a.doc_id, CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist, " +
         "levenshtein(a.pre, b.pre) <= 10 AS is_near " +
         "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id"),
-      "edit-distance similarity over bounded adjacent-id pairs (40-char prefixes)")
+      "edit-distance similarity over bounded adjacent-id pairs (40-char prefixes)"),
+
+    "llm_cooccur" -> DeclaredQuery(
+      // PMI co-occurrence over the HEAD vocabulary — the embedding-free
+      // association statistic (word2vec's input, topic seeds). The
+      // vocabulary is capped to the top-12 tokens by doc frequency
+      // (computed once, broadcast), so the per-doc pair fan-out is
+      // bounded at 66 regardless of document length: each doc's token
+      // set intersects the head list, pairs explode from that ≤12-item
+      // array, ONE aggregate counts pair support, and PMI derives from
+      // the (also broadcast) singleton supports. At 100 TB nothing
+      // quadratic ever forms — the cap is the candidate generator, as
+      // in every other pairing op here. Ordered pairs a < b.
+      (s, d) => {
+        val docToks = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(toks).as("__set"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("__nd"))
+        val head = docToks.select(col("doc_id"), explode(col("__set")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("__df"))
+          .orderBy(desc("__df"), col("tok")).limit(12)
+        val withHead = docToks
+          .join(broadcast(head.agg(collect_list(struct(col("tok"), col("__df"))).as("__hs"))))
+          .select(col("doc_id"), col("__hs"),
+            filter(col("__set"), t => exists(col("__hs"), h => h("tok") === t)).as("__present"))
+        val pairs = withHead
+          .select(col("doc_id"), explode(col("__present")).as("a"), col("__present"))
+          .select(col("doc_id"), col("a"), explode(col("__present")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(head.select(col("tok").as("a"), col("__df").as("__dfa"))), "a")
+          .join(broadcast(head.select(col("tok").as("b"), col("__df").as("__dfb"))), "b")
+          .join(broadcast(nDocs))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(log(col("n_ab").cast("double") * col("__nd").cast("double") /
+              (col("__dfa").cast("double") * col("__dfb").cast("double"))), 6).as("pmi"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "head AS (SELECT tok, count(*) AS df FROM e GROUP BY tok ORDER BY df DESC, tok LIMIT 12), " +
+        "p AS (SELECT x.doc_id, x.tok AS a, y.tok AS b FROM e x JOIN e y ON x.doc_id = y.doc_id " +
+        "AND x.tok < y.tok WHERE x.tok IN (SELECT tok FROM head) AND y.tok IN (SELECT tok FROM head)), " +
+        "c AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY a, b), " +
+        "nd AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT a, b, n_ab, round(ln(CAST(n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE) / " +
+        "(CAST(ha.df AS DOUBLE) * CAST(hb.df AS DOUBLE))), 6) AS pmi " +
+        "FROM c JOIN head ha ON c.a = ha.tok JOIN head hb ON c.b = hb.tok " +
+        "CROSS JOIN nd ORDER BY a, b"),
+      "PMI co-occurrence over the top-12 vocabulary (bounded pair fan-out)")
   )
 }

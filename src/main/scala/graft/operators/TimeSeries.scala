@@ -1176,6 +1176,32 @@ object TimeSeries {
         "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) " +
         "SELECT event_type, bar_ts, round(slope, 6) AS slope " +
         "FROM r WHERE n >= 10 ORDER BY event_type, bar_ts"),
-      "rolling least-squares trend slope over hourly bars (regr_slope window)")
+      "rolling least-squares trend slope over hourly bars (regr_slope window)"),
+
+    "ts_acf" -> DeclaredQuery(
+      // Autocorrelation at 1-bar and 24-bar lags per series — the
+      // seasonality detector (a daily cycle shows as high lag-24 ACF on
+      // hourly bars). Lagged pairs come from the same single window
+      // pass over the shared bar stage; corr() then collapses to
+      // #series rows. Same rounding posture as ts_corr/ts_beta.
+      (s, d) => {
+        val ord = Window.partitionBy("event_type").orderBy(col("bar_ts"))
+        hourlyCloseBars(s, d)
+          .withColumn("__l1", lag(col("close"), 1).over(ord))
+          .withColumn("__l24", lag(col("close"), 24).over(ord))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_bars"),
+            round(corr(col("close"), col("__l1")), 6).as("acf_1"),
+            round(corr(col("close"), col("__l24")), 6).as("acf_24"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"WITH $HourlyCloseBarsSql, " +
+        "l AS (SELECT event_type, close, " +
+        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS l1, " +
+        "lag(close, 24) OVER (PARTITION BY event_type ORDER BY bar_ts) AS l24 FROM bars) " +
+        "SELECT event_type, count(*) AS n_bars, round(corr(close, l1), 6) AS acf_1, " +
+        "round(corr(close, l24), 6) AS acf_24 " +
+        "FROM l GROUP BY event_type ORDER BY event_type"),
+      "autocorrelation at 1/24-bar lags per series (daily-cycle detector)")
   )
 }
