@@ -1558,6 +1558,36 @@ object Llm {
         "(CAST(ha.df AS DOUBLE) * CAST(hb.df AS DOUBLE))), 6) AS pmi " +
         "FROM c JOIN head ha ON c.a = ha.tok JOIN head hb ON c.b = hb.tok " +
         "CROSS JOIN nd ORDER BY a, b"),
-      "PMI co-occurrence over the top-12 vocabulary (bounded pair fan-out)")
+      "PMI co-occurrence over the top-12 vocabulary (bounded pair fan-out)"),
+
+    "llm_shard_manifest" -> DeclaredQuery(
+      // Corpus-export sharding — the "write this as bounded-size
+      // shards" step (webdataset/TFRecord style): docs are assigned to
+      // shards of ≤64 KiB cumulative text per lang, in deterministic
+      // doc_id order, via running-byte cumsum → floor-div. The shard
+      // rollup reuses the window's hash(lang) exchange (lang is a
+      // subset of the rollup key, so the aggregate's required
+      // clustering is already satisfied) — one shuffle end to end.
+      // First/last doc ids per shard make the manifest seekable.
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("__nc"))
+          .withColumn("__cum", sum(col("__nc")).over(w))
+          .withColumn("shard_id", ((col("__cum") - 1L) / 65536L).cast("long"))
+          .groupBy("lang", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("shard_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, lang, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
+        "SELECT lang, CAST((cum - 1) // 65536 AS BIGINT) AS shard_id, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM t GROUP BY 1, 2 ORDER BY lang, shard_id"),
+      "size-bounded export-shard manifest (running cumsum, one lang shuffle)")
   )
 }
