@@ -1588,6 +1588,36 @@ object Llm {
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM t GROUP BY 1, 2 ORDER BY lang, shard_id"),
-      "size-bounded export-shard manifest (running cumsum, one lang shuffle)")
+      "size-bounded export-shard manifest (running cumsum, one lang shuffle)"),
+
+    "llm_sentences" -> DeclaredQuery(
+      // Sentence segmentation + readability proxies: split on [.!?]+
+      // runs, count non-empty sentences, average sentence length in
+      // words — the readability signal quality filters threshold on
+      // (very long or very short average sentences flag boilerplate
+      // and tables). Pure per-row expressions: no shuffle before the
+      // declared ORDER BY at any corpus size. The split pattern is
+      // spelled from the same char-class on both sides; empty/blank
+      // segments (trailing punctuation) are filtered identically.
+      (s, d) => {
+        val sents = filter(split(col("text"), "[.!?]+"),
+          t => length(trim(t)) > 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), sents.as("__ss"))
+          .select(col("doc_id"),
+            size(col("__ss")).cast("long").as("n_sents"),
+            round(aggregate(col("__ss"), lit(0L),
+              (acc, x) => acc + size(TextOps.tokens(x))).cast("double") /
+              nullif(size(col("__ss")).cast("double"), lit(0.0)), 6).as("avg_sent_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '[.!?]+'), " +
+        "x -> trim(x) <> '') AS ss FROM documents) " +
+        "SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sents, " +
+        "round(CAST(list_sum(list_transform(ss, x -> len(list_filter(" +
+        "string_split_regex(trim(x), '\\s+'), w -> w <> '')))) AS DOUBLE) / " +
+        "nullif(CAST(len(ss) AS DOUBLE), 0.0), 6) AS avg_sent_words " +
+        "FROM t ORDER BY doc_id"),
+      "sentence segmentation + average sentence length (readability proxy)")
   )
 }
