@@ -443,8 +443,11 @@ object Joins {
         Tables.lineitem(s, d).select("l_orderkey", "l_returnflag")
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_returnflag")
-          .agg(sum(col("__crit").cast("long")).as("n_critical"),
-            sum((!col("__crit")).cast("long")).as("n_regular"))
+          // Null-explicit: isin yields NULL for a null priority; the
+          // oracle's CASE ... ELSE 1 counts those as regular, so spell
+          // both branches with when/otherwise instead of (!__crit).
+          .agg(sum(when(col("__crit"), 1L).otherwise(0L)).as("n_critical"),
+            sum(when(col("__crit"), 0L).otherwise(1L)).as("n_regular"))
           .orderBy(col("l_returnflag"))
       },
       Some("SELECT l_returnflag, " +

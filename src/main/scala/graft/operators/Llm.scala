@@ -1575,7 +1575,11 @@ object Llm {
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("__nc"))
           .withColumn("__cum", sum(col("__nc")).over(w))
-          .withColumn("shard_id", ((col("__cum") - 1L) / 65536L).cast("long"))
+          // greatest(..., 0): a zero-byte prefix makes cum-1 = -1, where
+          // Spark's `/` (double, trunc-toward-zero) and DuckDB's `//`
+          // (floor) disagree on the shard id; clamp so both yield 0.
+          .withColumn("shard_id",
+            (greatest(col("__cum") - 1L, lit(0L)) / 65536L).cast("long"))
           .groupBy("lang", "shard_id")
           .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("bytes"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -1584,7 +1588,7 @@ object Llm {
       Some("WITH t AS (SELECT doc_id, lang, n_chars, " +
         "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
-        "SELECT lang, CAST((cum - 1) // 65536 AS BIGINT) AS shard_id, " +
+        "SELECT lang, CAST(greatest(cum - 1, 0) // 65536 AS BIGINT) AS shard_id, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM t GROUP BY 1, 2 ORDER BY lang, shard_id"),

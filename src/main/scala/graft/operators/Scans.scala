@@ -22,6 +22,15 @@ object Scans {
   val SliceStart = "2024-01-05 00:00:00"
   val SliceEnd = "2024-01-12 00:00:00"
 
+  /** Per-invocation sink dir: fixed /tmp paths race when two runs (e.g.
+    * Bench and Verify) overwrite the same dataset at once. The path never
+    * affects the query result, so uniqueness is free.
+    */
+  private def sinkDir(prefix: String, d: String): String =
+    java.nio.file.Files
+      .createTempDirectory(s"graft_${prefix}_${new java.io.File(d).getName}_")
+      .toString
+
   def defs: Seq[(String, DeclaredQuery)] = Seq(
     "scan_parquet" -> DeclaredQuery(
       // (l_orderkey, l_linenumber) is NOT unique in the fixture (~25% dup
@@ -59,7 +68,7 @@ object Scans {
 
     "write_roundtrip" -> DeclaredQuery(
       (s, d) => {
-        val tmp = s"/tmp/graft_roundtrip_${new java.io.File(d).getName}"
+        val tmp = sinkDir("roundtrip", d)
         TsStore.write(Tables.events(s, d), tmp, tsCol = "ts", uidCols = Seq("event_type"))
         TsStore.read(s, tmp)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -93,7 +102,7 @@ object Scans {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(col("doc_id"), col("text"), col("lang"), col("version"))
-        val tmp = s"/tmp/graft_upsert_${new java.io.File(d).getName}"
+        val tmp = sinkDir("upsert", d)
         merged.write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
           .select(col("doc_id"), md5(col("text")).as("digest"), col("lang"), col("version"))
@@ -114,7 +123,7 @@ object Scans {
       // Second source format: JSON-lines sink + source. Schema is pinned
       // on read — at scale, inference is a full extra pass over the data.
       (s, d) => {
-        val tmp = s"/tmp/graft_json_${new java.io.File(d).getName}"
+        val tmp = sinkDir("json", d)
         Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").json(tmp)
         s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -129,7 +138,7 @@ object Scans {
       // read (CSV carries no types); quote mode ALL so embedded delimiters
       // in text columns can never corrupt the framing.
       (s, d) => {
-        val tmp = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+        val tmp = sinkDir("csv", d)
         Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
           .csv(tmp)
@@ -149,7 +158,7 @@ object Scans {
       // Fourth source format: ORC (columnar, footer-typed like parquet —
       // schema comes back from file metadata, no pinning needed).
       (s, d) => {
-        val tmp = s"/tmp/graft_orc_${new java.io.File(d).getName}"
+        val tmp = sinkDir("orc", d)
         Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").orc(tmp)
         s.read.orc(tmp).orderBy(col("doc_id"))
