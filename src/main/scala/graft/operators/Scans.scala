@@ -119,6 +119,44 @@ object Scans {
         "FROM m WHERE rn = 1 ORDER BY doc_id"),
       "MERGE-style latest-wins upsert (union + one keyed window) through a parquet sink"),
 
+    "write_upsert_pruned" -> DeclaredQuery(
+      // The PRODUCTION upsert path: same latest-wins MERGE semantics as
+      // write_upsert, but through TsStore.upsert — the base is partition-
+      // PRUNED to the delta's uid values (here: only the 'purchase'
+      // partition) and rewritten via dynamic partition overwrite, so the
+      // four untouched event_type partitions are never read or
+      // rewritten. TsStoreSpec pins the pruning in the scan metadata;
+      // this oracle gates the end-to-end result through the store.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("upsert_pruned", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        val delta = purchases.filter(col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(purchases.filter(col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.read(s, dir)
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("WITH base AS (SELECT event_id, ts, user_id, event_type, value, 1 AS version, 0 AS src FROM events), " +
+        "delta AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, 2 AS version, 1 AS src " +
+        "FROM events WHERE event_type = 'purchase' AND event_id % 10 = 0 " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value, 2, 1 " +
+        "FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0), " +
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), " +
+        "m AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC, src DESC) AS rn FROM u) " +
+        "SELECT event_id, ts, user_id, event_type, value, CAST(version AS BIGINT) AS version " +
+        "FROM m WHERE rn = 1 ORDER BY event_id"),
+      "partition-pruned MERGE through TsStore: prune base to delta's partitions, dynamic-overwrite only those"),
+
     "write_json_roundtrip" -> DeclaredQuery(
       // Second source format: JSON-lines sink + source. Schema is pinned
       // on read — at scale, inference is a full extra pass over the data.

@@ -143,4 +143,71 @@ class TsStoreSpec extends AnyFunSuite {
     assert(cat.length === n)
     assert(cat.map(_.getAs[Long]("n_rows")).sum === events.count())
   }
+
+  test("partition-pruned upsert reads only touched partitions and rewrites only them") {
+    val dir = Files.createTempDirectory("graft_ups").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+
+    def partFiles(et: String): Set[(String, Long, Long)] =
+      Option(new java.io.File(s"$dir/event_type=$et").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val untouchedBefore = Seq("click", "view", "signup", "error").map(partFiles)
+    val purchaseFilesBefore = partFiles("purchase")
+    assert(purchaseFilesBefore.nonEmpty)
+
+    val purchases = events.filter(col("event_type") === "purchase")
+    val delta = purchases.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+      .unionByName(purchases.limit(3)
+        .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+      .cache()
+
+    // 1. PLAN-TIME pruning: the base scan of the merge plan carries the
+    //    uid predicate as a PartitionFilter — and, executed, it reads
+    //    exactly the touched partition's files, none of the other four.
+    //    (AQE off for the metric walk: QueryStageExec wraps leaves.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TsStore.upsertPlan(spark, dir, delta,
+        keyCols = Seq("event_id"), versionCol = "version", uidCols = Seq("event_type"))
+      plan.collect()
+      val scans = plan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains(new java.io.File(dir).getName) => f
+      }
+      assert(scans.nonEmpty, "merge plan lost the base file scan")
+      assert(scans.head.metadata("PartitionFilters").contains("event_type"),
+        s"base prune is not a plan-time PartitionFilter: ${scans.head.metadata("PartitionFilters")}")
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val totalFiles = Seq("click", "view", "signup", "error", "purchase")
+        .map(partFiles(_).size).sum
+      assert(filesRead === purchaseFilesBefore.size,
+        s"merge read $filesRead files, expected only the ${purchaseFilesBefore.size} purchase files (store has $totalFiles)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // 2. Dynamic overwrite rewrites ONLY the touched partition.
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val untouchedAfter = Seq("click", "view", "signup", "error").map(partFiles)
+    assert(untouchedAfter === untouchedBefore,
+      "untouched partitions were rewritten — dynamic overwrite not partition-scoped")
+    assert(partFiles("purchase") !== purchaseFilesBefore)
+
+    // 3. End state == latest-wins merge of base ∪ delta.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(desc("version"))
+    val expected = base.unionByName(delta)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val got = TsStore.read(spark, dir).select(expected.columns.map(col): _*)
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+    delta.unpersist()
+  }
 }
