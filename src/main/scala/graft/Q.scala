@@ -55,30 +55,48 @@ object Q {
       .agg(merges.head, merges.tail: _*)
   }
 
-  /** LSH hot-bucket guard: drop every row whose bucket has more than
-    * `cap` members, BEFORE the candidate self-join. A band self-join on a
-    * bucket of B docs emits B² candidate pairs — fine for genuine
-    * near-dup clusters (B small), quadratic death for the mega-bucket a
-    * boilerplate-heavy corpus always produces (every page sharing one
-    * templated shingle band; at 100 TB a single hot band value can hold
-    * millions of docs). Capping is the standard LSH guard: exact
-    * duplicates are caught upstream by digest dedup (llm_dedup_exact /
-    * llm_corpus_clean), true near-dup pairs inside a dropped bucket
-    * usually still share one of the other bands, and what a mega-bucket
-    * overwhelmingly holds is banding-hash false positives that exact
-    * verification would discard after O(B²) wasted work.
+  /** LSH candidate-pair generation with an over-cap bucket guard. A band
+    * self-join on a bucket of B docs emits B² candidate pairs — fine for
+    * genuine near-dup clusters (B small), quadratic death for the
+    * mega-bucket a boilerplate-heavy corpus always produces (every page
+    * sharing one templated shingle band; at 100 TB a single hot band
+    * value can hold millions of docs). Buckets at or under `cap` emit
+    * all pairs (B² bounded by cap²); buckets OVER the cap emit STAR
+    * edges only: every member paired with the bucket's min-`idCol`
+    * representative — B−1 edges, linear in bucket size.
     *
-    * Implementation: a count window over the bucket key. The window's
-    * required distribution (hashpartitioning(bucket)) is exactly what
-    * the downstream self-join needs, so EnsureRequirements inserts no
-    * second exchange — the guard costs one sort within the shuffle the
-    * join was going to pay anyway.
+    * Why stars beat dropping: a genuine 10k-copy boilerplate dup cluster
+    * over-caps EVERY band simultaneously, so dropping loses it entirely
+    * (each copy survives dedup). A star still links every member to the
+    * cluster's canonical doc, so connected components collapses the
+    * whole cluster to one survivor — while the worst case (a mega-bucket
+    * of banding false positives) costs O(B) verification work instead of
+    * the O(B²) the uncapped join would pay; exact verification upstream
+    * of any dedup decision discards the false edges.
+    *
+    * One count+min window over the bucket key (same hashpartitioning the
+    * small-bucket self-join needs → no extra exchange), then a union of
+    * the two regimes. `salvage = false` reproduces the drop behavior for
+    * A/B tests. Output: distinct (doc_a < doc_b) candidate id pairs.
     */
-  def capBuckets(bands: DataFrame, bucketCol: String, cap: Int): DataFrame = {
+  def bucketCandidates(bands: DataFrame, bucketCol: String, idCol: String,
+                       cap: Int, salvage: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(bucketCol))
-    bands.withColumn("__bucket_n", count(lit(1)).over(w))
-      .filter(col("__bucket_n") <= cap)
-      .drop("__bucket_n")
+    val annotated = bands.select(col(bucketCol), col(idCol))
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .withColumn("__bucket_min", min(col(idCol)).over(w))
+    val small = annotated.filter(col("__bucket_n") <= cap)
+    val smallPairs = small.as("x").join(small.as("y"),
+        col(s"x.$bucketCol") === col(s"y.$bucketCol") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    val pairs =
+      if (!salvage) smallPairs
+      else smallPairs.unionByName(
+        annotated.filter(col("__bucket_n") > cap &&
+            col(idCol) =!= col("__bucket_min"))
+          .select(col("__bucket_min").as("doc_a"), col(idCol).as("doc_b")))
+    pairs.distinct()
   }
 
   /** Replicated-right salted equi-join for a skewed left key: the left

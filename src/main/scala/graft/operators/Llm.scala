@@ -155,6 +155,51 @@ object Llm {
       "WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) >= 0.7)"
 
+  /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
+    * the 100 TB dup edge source (no id-locality or same-source assumption,
+    * unlike [[jaccardDupPairs]]): shingle → 64-slot MinHash signature →
+    * 16 bands × 4 rows → candidates via [[graft.Q.bucketCandidates]]
+    * (all-pairs under the 64-member bucket cap, star-to-canonical edges
+    * over it) → exact shingle-Jaccard verification of candidates only.
+    * Shuffle volume is O(docs × bands) + O(candidates); verification
+    * joins carry 8-byte shingle hashes, never text. Shared by
+    * `llm_dedup_near` (reports the pairs) and `llm_dup_clusters_lsh`
+    * (resolves them into components). `salvage = false` reproduces the
+    * drop-the-bucket behavior for the A/B recall spec.
+    */
+  def minhashDupPairs(docs: DataFrame, tau: Double = 0.5,
+                      salvage: Boolean = true): DataFrame = {
+    val numHashes = 64; val rowsPerBand = 4
+    val hashed = TextOps.docShingles(docs, 3)
+      .withColumn("__h", TextOps.baseHash(col("sh")))
+    // whole signature as ONE native aggregate buffer (array<long>),
+    // not 64 separate min() columns — same values, ~64× fewer
+    // aggregation-buffer field updates per input row
+    val sig = hashed.groupBy("doc_id")
+      .agg(TextOps.minHashSig(col("__h"), numHashes).as("__sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(array(TextOps.bandStructsFromSig(col("__sig"), numHashes, rowsPerBand): _*)).as("b"))
+    val cand = graft.Q.bucketCandidates(bands, "b", "doc_id", cap = 64, salvage)
+    // exact verification runs over the 64-bit base hashes, not the
+    // shingle strings: the join/aggregate shuffles carry 8 bytes per
+    // shingle instead of the text (at corpus scale shingles ARE the
+    // data volume), and the hashed set is the same set the signature
+    // used (collision odds per doc pair ~ shingles²/2⁶⁴ — vanishing;
+    // LlmOpsSpec still asserts equality against string-set Jaccard).
+    val hs = hashed.select(col("doc_id"), col("__h"))
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("__h")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("__h")), Seq("doc_b", "__h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Connected components of an undirected edge list `(u, v)`:
     * min-label propagation over edges PLUS pointer jumping (path
     * doubling) over the label graph each round. Edge propagation alone
@@ -684,47 +729,34 @@ object Llm {
       // hash family is xxhash64(shingle, seed). No DuckDB oracle (xxhash64
       // is not portable); MinHashSpec asserts candidate recall ⊇ exact
       // Jaccard ≥ τ pairs and the driver records a rows-only check.
-      (s, d) => {
-        val numHashes = 64; val rowsPerBand = 4
-        val sh = TextOps.docShingles(Tables.documents(s, d), 3)
-        val hashed = sh.withColumn("__h", TextOps.baseHash(col("sh")))
-        // whole signature as ONE native aggregate buffer (array<long>),
-        // not 64 separate min() columns — same values, ~64× fewer
-        // aggregation-buffer field updates per input row
-        val sig = hashed.groupBy("doc_id")
-          .agg(TextOps.minHashSig(col("__h"), numHashes).as("__sig"))
-        val bands = sig.select(col("doc_id"),
-          explode(array(TextOps.bandStructsFromSig(col("__sig"), numHashes, rowsPerBand): _*)).as("b"))
-        // hot-bucket cap (Q.capBuckets doc): a boilerplate band shared by B
-        // docs would emit B² candidates; cap bounds the join at cap×n rows
-        val capped = graft.Q.capBuckets(bands, "b", cap = 64)
-        val cand = capped.as("x").join(capped.as("y"),
-            col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // exact verification runs over the 64-bit base hashes, not the
-        // shingle strings: the join/aggregate shuffles carry 8 bytes per
-        // shingle instead of the text (at corpus scale shingles ARE the
-        // data volume), and the hashed set is the same set the signature
-        // used (collision odds per doc pair ~ shingles²/2⁶⁴ — vanishing;
-        // LlmOpsSpec still asserts equality against string-set Jaccard).
-        val hs = hashed.select(col("doc_id"), col("__h"))
-        val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = cand
-          .join(hs.select(col("doc_id").as("doc_a"), col("__h")), "doc_a")
-          .join(hs.select(col("doc_id").as("doc_b"), col("__h")), Seq("doc_b", "__h"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("inter").cast("double") /
-              (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => minhashDupPairs(Tables.documents(s, d), tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
       None,
       "MinHash(64) + LSH(16×4) shingle near-dedup, exact-verified candidates"),
+
+    "llm_dup_clusters_lsh" -> DeclaredQuery(
+      // Dup-cluster resolution over the LSH edge set — the production
+      // companion to llm_dup_clusters, whose oracle-checkable edge source
+      // (jaccardDupPairs) bounds candidates to same-source + a doc_id
+      // window: dup clusters whose ids differ by >200 are invisible to
+      // it. The MinHash edges carry no locality assumption, so this is
+      // the variant that finds EVERY near-dup cluster at corpus scale;
+      // star salvage in bucketCandidates keeps even a giant boilerplate
+      // cluster connected to its canonical survivor. No oracle (xxhash64
+      // not portable); LlmOpsSpec plants a far-apart dup pair the window
+      // misses and a 200-member over-cap cluster, and asserts both
+      // resolve here.
+      (s, d) => {
+        val pairs = minhashDupPairs(Tables.documents(s, d), tau = 0.5)
+        connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+          .select(col("u").as("doc_id"), col("label").as("cluster_id"))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      "connected-component dup clusters over the LSH edge set (no id-locality bound)"),
 
     "llm_dedup_simhash" -> DeclaredQuery(
       // SimHash near-dedup: 64-bit signature per doc (sign of per-bit
@@ -742,16 +774,15 @@ object Llm {
         // 64 sum(when(bit)) columns — bit-identical output
         val sim = tok.groupBy("doc_id")
           .agg(TextOps.simHash(col("__h")).as("sim"))
-        val bands = sim.select(col("doc_id"), col("sim"),
+        val bands = sim.select(col("doc_id"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
-        // hot-bucket cap — same quadratic-candidate guard as llm_dedup_near
-        val capped = graft.Q.capBuckets(bands, "b", cap = 64)
-        capped.as("x").join(capped.as("y"),
-            col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
-          .distinct()
+        // hot-bucket guard with star salvage — same quadratic-candidate
+        // shield as llm_dedup_near; signatures join back by id (one row
+        // per doc, 8-byte keys) for the exact Hamming verification
+        graft.Q.bucketCandidates(bands, "b", "doc_id", cap = 64)
+          .join(sim.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+          .join(sim.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
           .filter(col("hamming") <= 8)

@@ -53,25 +53,75 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH hot-bucket cap: a planted mega-bucket cannot go quadratic") {
+  test("LSH hot-bucket guard: a planted mega-bucket yields linear star edges, not B²") {
     // 1000 docs sharing one band value — the boilerplate bucket every real
     // corpus produces; uncapped it alone yields 499_500 candidate pairs.
     val mega = (0 until 1000).map(i => (i.toLong, 777L))
     val small = (0 until 10).flatMap(p =>
       Seq((2000L + 2 * p, 1000L + p), (2001L + 2 * p, 1000L + p)))
     val bands = (mega ++ small).toDF("doc_id", "b")
-    val capped = Q.capBuckets(bands, "b", cap = 64)
-    assert(capped.filter($"b" === 777L).count() == 0, "mega-bucket must be dropped")
-    assert(capped.count() == small.size, "small buckets must survive intact")
-    val cand = capped.as("x").join(capped.as("y"),
-      $"x.b" === $"y.b" && $"x.doc_id" < $"y.doc_id")
-    assert(cand.count() == 10, "candidates stay O(n) after the cap")
+    val cand = Q.bucketCandidates(bands, "b", "doc_id", cap = 64)
+    // over-cap bucket → B-1 star edges anchored at the min id, O(B) not B²
+    val megaPairs = cand.filter($"doc_b" < 2000L)
+    assert(megaPairs.count() === 999)
+    assert(megaPairs.filter($"doc_a" =!= 0L).count() === 0,
+      "star edges must anchor at the bucket's canonical (min) id")
+    // under-cap buckets keep exact all-pairs semantics
+    assert(cand.filter($"doc_b" >= 2000L).count() === 10)
+    // the A/B drop variant reproduces the old guard: mega-bucket vanishes
+    assert(Q.bucketCandidates(bands, "b", "doc_id", cap = 64, salvage = false)
+      .count() === 10)
   }
 
-  test("hot-bucket cap leaves the fixture's dedup outputs unchanged") {
+  test("over-cap salvage: a 200-member dup cluster collapses to one survivor; dropping fragments it") {
+    // 200 near-identical docs (40 shared tokens + a unique suffix):
+    // pairwise shingle Jaccard ≈ 0.86, and every LSH band bucket holds
+    // ~200 members — far over the 64 cap, the case where drop semantics
+    // lose the cluster entirely.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, s"$base suffix$i"))
+      .toDF("doc_id", "text")
+    val linked = graft.operators.Llm.minhashDupPairs(docs, tau = 0.5)
+    val labels = graft.operators.Llm.connectedComponents(
+      linked.select($"doc_a".as("u"), $"doc_b".as("v"))).collect()
+    assert(labels.length === 200, "salvage must link every cluster member")
+    assert(labels.map(_.getLong(1)).toSet === Set(0L),
+      "the cluster must collapse to its canonical min-id survivor")
+    // A/B: with drop semantics the over-cap buckets vanish and the
+    // cluster fragments — most members get no edge at all
+    val dropped = graft.operators.Llm.minhashDupPairs(docs, tau = 0.5, salvage = false)
+    val droppedNodes = graft.operators.Llm.connectedComponents(
+      dropped.select($"doc_a".as("u"), $"doc_b".as("v"))).count()
+    assert(droppedNodes < 200,
+      s"drop semantics unexpectedly covered all 200 members ($droppedNodes)")
+  }
+
+  test("planted far-apart dup pair: window-bounded clusters miss it, LSH clusters catch it") {
+    // Near-identical docs whose ids differ by ≫200 — outside
+    // jaccardDupPairs' candidate window, so llm_dup_clusters is blind to
+    // the pair by construction; the MinHash edge set has no id-locality
+    // assumption and must resolve it.
+    val base = (1 to 25).map(i => s"word$i").mkString(" ")
+    val docs = (Seq((0L, s"$base ending"), (100000L, s"$base finale")) ++
+      (1 to 20).map(i => (i.toLong, (1 to 30).map(j => s"filler${i}_$j").mkString(" "))))
+      .map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_far").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val windowed = Registry.all("llm_dup_clusters").fn(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!windowed.contains(100000L),
+      "the id-window edge source should miss the far-apart pair (else this pin is stale)")
+    val lsh = Registry.all("llm_dup_clusters_lsh").fn(spark, dir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(lsh.get(0L).contains(0L) && lsh.get(100000L).contains(0L),
+      s"LSH clusters must link the far-apart pair to canonical 0: $lsh")
+  }
+
+  test("hot-bucket guard leaves the fixture's dedup outputs unchanged") {
     // At fixture scale no bucket comes near the cap, so the guard must be
     // a no-op on results: the recall/exactness tests above plus this row
-    // sanity pin that the capped queries still surface the planted dups.
+    // sanity pin that the guarded queries still surface the planted dups.
     val near = Registry.all("llm_dedup_near").fn(spark, TestSpark.sf001).count()
     val sim = Registry.all("llm_dedup_simhash").fn(spark, TestSpark.sf001).count()
     assert(near > 0 && sim > 0)
