@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
 import graft.functions.{TextOps, VectorOps}
-import graft.sources.Tables
+import graft.sources.{IvfIndex, Tables}
 
 /** §2.10 — LLM-data-pipeline operators (north-star extension): exact and
   * near deduplication, similarity search, text analysis. Everything is a
@@ -154,6 +154,33 @@ object Llm {
       "AND b.doc_id <= a.doc_id + 200 " +
       "WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) >= 0.7)"
+
+  /** ONE oracle for both IVF queries (`llm_ann_ivf` recomputes per query;
+    * `llm_ann_ivf_indexed` probes the persisted index) — the index is an
+    * access-path change, never a semantics change, and sharing the SQL
+    * pins that.
+    */
+  private val IvfOracleSql: String = {
+    def ss(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def cosSql(a: String, b: String) =
+      s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
+    "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
+    "sc AS (SELECT e.vec_id, cent_id, " +
+    s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
+    "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+    "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
+    "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1), " +
+    "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
+    "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
+    "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
+    s"${cosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
+    "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
+    "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
+    "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
+    "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
+    "ORDER BY q_id, rnk"
+  }
 
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,
@@ -936,28 +963,31 @@ object Llm {
           .filter(col("rnk") <= TopK)
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some {
-        def ss(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-        def cosSql(a: String, b: String) =
-          s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
-        "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
-        "sc AS (SELECT e.vec_id, cent_id, " +
-        s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
-        "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
-        "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1), " +
-        "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
-        "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
-        "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
-        s"${cosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
-        "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
-        "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
-        "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
-        "ORDER BY q_id, rnk"
-      },
+      Some(IvfOracleSql),
       "IVF approximate NN: 16 coarse cells, 2-probe, exact rerank top-3"),
+
+    "llm_ann_ivf_indexed" -> DeclaredQuery(
+      // The PERSISTED-index IVF path — train once, probe many: build
+      // writes centroids + cell-PARTITIONED inverted lists through the
+      // TsStore layout in one step; probe picks each query's 2 nearest
+      // cells from the centroid table and reads ONLY those cells'
+      // partitions (bounded probed-cell ids become an IN-list on the
+      // partition column → plan-time pruning, PlanSpec-pinned). Identical
+      // semantics to llm_ann_ivf — same oracle — but candidate IO scales
+      // with the probed lists, not the corpus: the 100 TB serving shape.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx_").toString
+        IvfIndex.build(Tables.embeddings(s, d), dir, K)
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        IvfIndex.probe(s, dir, queries, NProbe, TopK)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(IvfOracleSql),
+      "persisted IVF index: cell-partitioned inverted lists, pruned 2-probe, top-3"),
 
     "llm_ngram_freq" -> DeclaredQuery(
       // n-gram language-model statistics: per-source top-3 bigrams by

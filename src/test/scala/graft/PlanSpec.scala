@@ -270,4 +270,20 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(p).size >= 2, "expected reused exchanges")
   }
+
+  test("llm_ann_ivf_indexed probes only the index's probed cells (partition pruning)") {
+    // The probe plan must read the persisted index, pruned to the probed
+    // cell partitions, and touch the base embeddings only to fetch the 8
+    // query vectors — candidate generation never rescans the corpus.
+    val df = Registry.all("llm_ann_ivf_indexed").fn(spark, TestSpark.sf001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val (index, base) = scans.partition(_.metadata("Location").contains("graft_ivf_idx"))
+    assert(index.size === 1 && base.size === 1,
+      s"expected one index scan + one query-vector scan, got ${scans.map(_.metadata("Location"))}")
+    val pf = index.head.metadata("PartitionFilters")
+    assert(pf.contains("cell") && pf.contains("IN"),
+      s"cells read is not plan-time partition-pruned: $pf")
+  }
 }
