@@ -178,6 +178,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream restart resumes from checkpointed offsets and window state") {
+    import spark.implicits._
+    // The one execution mode MemoryStream never exercises: readStream
+    // over a parquet landing dir with a REAL checkpoint, stopped and
+    // restarted. Run 1 ingests two ticks of the 10:00 bar — the
+    // watermark stops at 10:10, so the bar exists only in checkpointed
+    // STATE. Run 2 (a brand-new query on the same checkpoint) ingests
+    // one later tick, advances the watermark past the bar, and must
+    // commit a bar built from rows it never read — proof that both the
+    // source offsets and the window state survived the restart.
+    val root = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE"
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(s"$root/src")
+      Streams.ohlcAgg(src.withWatermark("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    Seq((ts("2024-01-01 10:05:00"), "view", 1L, 1.0),
+        (ts("2024-01-01 10:20:00"), "view", 2L, 2.0))
+      .toDF("ts", "event_type", "event_id", "value")
+      .write.mode("append").parquet(s"$root/src")
+    val q1 = startQuery(); q1.awaitTermination()
+    Seq((ts("2024-01-01 12:00:00"), "click", 3L, 5.0))
+      .toDF("ts", "event_type", "event_id", "value")
+      .write.mode("append").parquet(s"$root/src")
+    val q2 = startQuery(); q2.awaitTermination()
+    // resumption, not reprocessing: run 2 read ONLY the new file's row
+    val rows2 = q2.recentProgress.map(_.numInputRows).sum
+    assert(rows2 === 1, s"restart reprocessed already-committed files ($rows2 rows read)")
+    // the committed bar combines run-1 rows that lived only in state —
+    // and appears exactly once (no duplicate emission across restarts)
+    val out = spark.read.parquet(s"$root/out")
+      .select("bar_ts", "event_type", "open", "high", "low", "close", "n")
+      .as[(Timestamp, String, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(out === Seq((ts("2024-01-01 10:00:00"), "view", 1.0, 2.0, 1.0, 2.0, 2L)),
+      s"restart lost or duplicated checkpointed window state: $out")
+  }
+
   test("LOCF event-time expiry drops idle key state; a returning tick starts cold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
