@@ -31,6 +31,39 @@ class SkewSpec extends AnyFunSuite {
     assert(s.except(p).count() === 0 && p.except(s).count() === 0)
   }
 
+  test("join_range shape stays linear and equi-keyed under a planted hot user") {
+    import spark.implicits._
+    // One user owns EVERY row — the worst key skew a bounded-range join
+    // can see. 20k alternating purchase/view ticks one minute apart:
+    // uncapped, the hot key's P×V pair space is 10^8; the ±5-minute band
+    // must bound actual output to ~6 matches per purchase (the views at
+    // ±1/±3/±5 min), i.e. linear in input, and the join itself must plan
+    // as a shuffled EQUI join on user_id (band as a post-join condition),
+    // never a nested loop — so AQE's skew-split can still carve the hot
+    // partition at scale.
+    val n = 20000
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ticks = (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(baseMs + i * 60000L), 1L,
+        if (i % 2 == 0) "purchase" else "view")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val p = ticks.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val v = ticks.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+    val joined = p.join(v, $"user_id" === $"v_user" &&
+      $"v_ts" >= $"p_ts" - expr("INTERVAL 5 MINUTES") &&
+      $"v_ts" <= $"p_ts" + expr("INTERVAL 5 MINUTES"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"hot-user band join fell back to a non-equi plan:\n${plan.take(800)}")
+    val out = joined.count()
+    // exact: interior purchases match 6 views; the 3 edge purchases on
+    // each side match fewer — far under the 10^8 uncapped pair space
+    assert(out <= 6L * n / 2, s"band join output not linear: $out")
+    assert(out >= 5L * n / 2, s"band join lost matches: $out")
+  }
+
   test("saltedJoin equals plain join on the skewed key") {
     import spark.implicits._
     val dim = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
