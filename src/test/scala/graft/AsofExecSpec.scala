@@ -134,4 +134,34 @@ class AsofExecSpec extends AnyFunSuite {
     assert(p.contains("AsofJoin"), p) // nodeName strips the Exec suffix
     assert(!p.contains("Window"), "no window buffering on the custom path")
   }
+
+  test("graft_asof SQL table function round-trips the join_asof_exec rows") {
+    // The TVF surface (GraftExtensions.injectTableFunction → AsofTvf):
+    // plain spark.sql over two temp views must produce exactly the
+    // declared join_asof_exec result, and plan through the custom exec.
+    val e = graft.sources.Tables.events(spark, TestSpark.sf001)
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("asof_purchases")
+    e.filter($"event_type" === "view")
+      .select($"user_id".as("v_uid"), $"event_id".as("view_event_id"),
+        $"ts".as("view_ts"))
+      .createOrReplaceTempView("asof_views")
+    val sql = spark.sql(
+      "SELECT event_id, ts, user_id, view_event_id, view_ts FROM graft_asof(" +
+        "'asof_purchases', 'asof_views', 'user_id', 'v_uid', 'ts', 'view_ts', " +
+        "'view_event_id') ORDER BY event_id")
+    assert(sql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "the TVF must plan through the custom exec")
+    val declared = Registry.all("join_asof_exec").fn(spark, TestSpark.sf001)
+    assert(sql.collect().toSeq === declared.collect().toSeq)
+    // direction + tolerance arguments reach the exec: forward matches
+    // the forward declared query
+    val fwd = spark.sql(
+      "SELECT event_id, ts, user_id, view_event_id, view_ts FROM graft_asof(" +
+        "'asof_purchases', 'asof_views', 'user_id', 'v_uid', 'ts', 'view_ts', " +
+        "'view_event_id', 'forward') ORDER BY event_id")
+    val declaredFwd = Registry.all("join_asof_exec_fwd").fn(spark, TestSpark.sf001)
+    assert(fwd.collect().toSeq === declaredFwd.collect().toSeq)
+  }
 }
