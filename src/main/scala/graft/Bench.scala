@@ -41,7 +41,13 @@ object Bench {
         graft.functions.VectorOps.lshBucket(col("embedding"))).count()
       li.limit(5000).write.mode("overwrite").parquet("/tmp/graft_bench_warm")
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated name prefixes); the driver
+    // sets no filter and times the full surface
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count(), NOT count(): Dataset.count() lets the optimizer
       // prune every projected column (a pure-select query would "run" in
