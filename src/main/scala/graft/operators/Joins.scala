@@ -484,6 +484,186 @@ object Joins {
         "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) / sum(rev_e4), 6) AS promo_share, " +
         "CAST((sum(rev_e4) + 50) // 100 AS BIGINT) AS revenue_cents " +
         "FROM l JOIN part ON l_partkey = p_partkey ORDER BY promo_share"),
-      "TPC-H Q14 analog: promo revenue share (exact integer sums, one division)")
+      "TPC-H Q14 analog: promo revenue share (exact integer sums, one division)"),
+
+    "q4_priority_exists" -> DeclaredQuery(
+      // TPC-H Q4 analog — the EXISTS/semi-join showcase: 1996 orders
+      // with at least one lineitem shipped after the order date (the
+      // fixture has no commit/receipt dates; shipped-late plays Q4's
+      // late-commit flag), counted per priority. The semi join keeps
+      // exactly one copy of each qualifying order however many
+      // lineitems match, projects lineitem to (key, shipdate) before
+      // shuffling, and the 1996 filter reaches the orders scan.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "TPC-H Q4 analog: per-priority count of orders with a late-shipped line (semi join)"),
+
+    "q13_custdist" -> DeclaredQuery(
+      // TPC-H Q13 analog — the outer-join distribution: orders per
+      // customer (LEFT join so order-less customers count at 0), then
+      // the distribution of customers over order counts. Two hash
+      // aggregates; the second one's input is #customers rows, and its
+      // output is bounded by the max order count per customer.
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey")
+        val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count " +
+        "ORDER BY custdist DESC, c_count DESC"),
+      "TPC-H Q13 analog: distribution of customers by order count (left join + two aggs)"),
+
+    "q15_top_supplier" -> DeclaredQuery(
+      // TPC-H Q15 analog — revenue view + max selection: per-supplier
+      // Q1-1996 revenue (exact e4 integers), then the supplier(s) whose
+      // revenue equals the maximum. The max is a one-row aggregate over
+      // the #suppliers-row revenue table, broadcast back as a cross
+      // join — never a single-partition global window. Supplier names
+      // ride a broadcast.
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+          .groupBy("l_suppkey").agg(sum(col("rev_e4")).as("total_e4"))
+        val top = rev.crossJoin(broadcast(rev.agg(max(col("total_e4")).as("__mx"))))
+          .filter(col("total_e4") === col("__mx"))
+        top.join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            expr("CAST((total_e4 + 50) div 100 AS BIGINT)").as("revenue_cents"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("WITH rev AS (SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_e4 FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, CAST((total_e4 + 50) // 100 AS BIGINT) AS revenue_cents " +
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_e4 = (SELECT max(total_e4) FROM rev) ORDER BY s_suppkey"),
+      "TPC-H Q15 analog: top revenue supplier for a quarter (agg + one-row broadcast max)"),
+
+    "q17_small_qty" -> DeclaredQuery(
+      // TPC-H Q17 analog — the avg-broadcast-back pattern: revenue and
+      // count of Brand#1 lineitems whose quantity is under 20% of that
+      // part's average quantity. One scan of the brand's lineitems
+      // (part broadcast) feeds BOTH the per-part average and the
+      // filtered sum; the tiny averages table broadcasts back. The
+      // average is exact-integer sum / count (quantities are integral
+      // in the fixture), so the 0.2× threshold is bit-identical on
+      // both engines.
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        val avgs = base.groupBy("l_partkey")
+          .agg((sum(round(col("l_quantity")).cast("long")).cast("double") /
+            count(lit(1))).as("avg_qty"))
+          .select(col("l_partkey").as("a_pk"), col("avg_qty"))
+        base.join(broadcast(avgs), col("l_partkey") === col("a_pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+            count(lit(1)).as("n"))
+          .select(col("sum_cents"), col("n"))
+          .orderBy(col("sum_cents"))
+      },
+      Some("WITH b AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'), " +
+        "a AS (SELECT l_partkey AS a_pk, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM b GROUP BY l_partkey) " +
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "count(*) AS n FROM b JOIN a ON l_partkey = a_pk " +
+        "WHERE l_quantity < 0.2 * avg_qty ORDER BY sum_cents"),
+      "TPC-H Q17 analog: small-quantity revenue vs per-part average (avg broadcast back)"),
+
+    "q19_disjunction" -> DeclaredQuery(
+      // TPC-H Q19 analog — the disjunctive-predicate join: revenue over
+      // two (brand, size-range, quantity-range) OR-branches. The
+      // part-only half of the disjunction is applied to the part side
+      // BEFORE the join (the CNF factor Catalyst won't always extract),
+      // so the broadcast carries only candidate parts; the full
+      // disjunction re-checks after the join. Exact e4 revenue.
+      (s, d) => {
+        val b1p = col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+        val b2p = col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+        val p = Tables.part(s, d).filter(b1p || b2p)
+          .select("p_partkey", "p_brand", "p_size")
+        val l = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter((b1p && col("l_quantity").between(1, 20)) ||
+            (b2p && col("l_quantity").between(10, 30)))
+          .agg(sum(col("rev_e4")).as("__s"), count(lit(1)).as("n"))
+          .select(expr("CAST((__s + 50) div 100 AS BIGINT)").as("revenue_cents"), col("n"))
+          .orderBy(col("revenue_cents"))
+      },
+      Some("SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_cents, " +
+        "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30) " +
+        "ORDER BY revenue_cents"),
+      "TPC-H Q19 analog: disjunctive brand/size/quantity revenue (part-side OR pre-filter)"),
+
+    "q22_inactive" -> DeclaredQuery(
+      // TPC-H Q22 analog — scalar-subquery + anti-join: customers with
+      // above-average balance (exact-cents average over positive
+      // balances, one row broadcast) and NO orders since 2000, rolled
+      // up per nation. The anti join projects orders to the key before
+      // shuffling; nation names ride a broadcast. (The fixture has no
+      // phone column, so nation plays Q22's country code.)
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+        val avgPos = c.filter(col("bal_cents") > 0)
+          .agg(avg(col("bal_cents")).as("__avg"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        c.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents") > col("__avg"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("WITH c AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer) " +
+        "SELECT n_name, count(*) AS n_cust, CAST(sum(bal_cents) AS BIGINT) AS total_cents " +
+        "FROM c JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE bal_cents > (SELECT avg(bal_cents) FROM c WHERE bal_cents > 0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY n_name ORDER BY n_name"),
+      "TPC-H Q22 analog: wealthy inactive customers per nation (scalar avg + anti join)")
   )
 }

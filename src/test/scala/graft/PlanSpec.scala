@@ -271,6 +271,20 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllIn(p).size >= 2, "expected reused exchanges")
   }
 
+  test("round-7 composites: semi/anti joins and a pushed part-side disjunction") {
+    assert(plan("q4_priority_exists").contains("LeftSemi"),
+      "q4 must plan the EXISTS as a semi join")
+    assert(plan("q22_inactive").contains("LeftAnti"),
+      "q22 must plan the no-recent-orders test as an anti join")
+    val pushed = Registry.all("q19_disjunction").fn(spark, TestSpark.sf001)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("part.parquet") => f.metadata("PushedFilters")
+      }.mkString
+    assert(pushed.contains("Or("),
+      s"q19's part-side OR prefilter must reach the part scan: $pushed")
+  }
+
   test("llm_ann_ivf_indexed probes only the index's probed cells (partition pruning)") {
     // The probe plan must read the persisted index, pruned to the probed
     // cell partitions, and touch the base embeddings only to fetch the 8
