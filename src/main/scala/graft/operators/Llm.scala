@@ -890,6 +890,57 @@ object Llm {
       },
       "exact embedding-cosine near-dup pairs over a bounded id window"),
 
+    "llm_semdedup" -> DeclaredQuery(
+      // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+      // 2303.09540): cluster embeddings into K coarse cells, then drop
+      // any vector with a smaller-id same-cell neighbor above the
+      // cosine threshold — duplicates are only searched WITHIN a cell,
+      // so the quadratic term is (n/K)² per cell, tuned by K, never n².
+      // Cell assignment is the shared IVF literal-centroid scan
+      // (IvfIndex.assign — one scan, zero shuffle); the pair join
+      // shuffles on cell; the heavy cosine sits behind the aggregate
+      // barrier so it is computed once per pair, map-side, codegen'd.
+      // Output: every vector with its cell and keep flag.
+      (s, d) => {
+        val cells = IvfIndex.assign(Tables.embeddings(s, d), 16)
+          .withColumn("nrm", VectorOps.norm(col("embedding")))
+        val a = cells.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a"), col("cell"))
+        val b = cells.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("nrm").as("nrm_b"), col("cell").as("cell_b"))
+        val scored = a.join(b, col("cell") === col("cell_b") &&
+            col("id_b") > col("id_a"))
+          .select(col("id_a"), col("id_b"),
+            round(VectorOps.dot(col("emb_a"), col("emb_b")) /
+              (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        val dominated = graft.Q
+          .aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)
+          .select(col("id_b"), lit(1).as("__dom")).distinct()
+        cells.select(col("vec_id"), col("cell"))
+          .join(dominated, col("vec_id") === col("id_b"), "left")
+          .select(col("vec_id"), col("cell"), col("__dom").isNull.as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def ss(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        def cosSql(a: String, b: String) =
+          s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
+        "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
+        "sc AS (SELECT e.vec_id, cent_id, " +
+        s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
+        "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
+        "cells AS (SELECT a.vec_id, CAST(cent_id AS BIGINT) AS cell, e.embedding " +
+        "FROM a JOIN embeddings e USING (vec_id) WHERE rn = 1), " +
+        "p AS (SELECT x.vec_id AS ia, y.vec_id AS ib, " +
+        s"${cosSql("x.embedding", "y.embedding")} AS cos " +
+        "FROM cells x JOIN cells y ON x.cell = y.cell AND y.vec_id > x.vec_id) " +
+        "SELECT vec_id, cell, NOT EXISTS (SELECT 1 FROM p WHERE ib = vec_id " +
+        "AND cos >= 0.3) AS keep FROM cells ORDER BY vec_id"
+      },
+      "SemDeDup: cluster embeddings into K cells, drop within-cell cosine dups"),
+
     "llm_topk_tokens" -> DeclaredQuery(
       // Vocabulary building: top-5 tokens per language by document
       // frequency. The rank-then-filter shape is rewritten by Spark 4 to

@@ -1202,6 +1202,56 @@ object TimeSeries {
         "SELECT event_type, count(*) AS n_bars, round(corr(close, l1), 6) AS acf_1, " +
         "round(corr(close, l24), 6) AS acf_24 " +
         "FROM l GROUP BY event_type ORDER BY event_type"),
-      "autocorrelation at 1/24-bar lags per series (daily-cycle detector)")
+      "autocorrelation at 1/24-bar lags per series (daily-cycle detector)"),
+
+    "ts_macd" -> DeclaredQuery(
+      // MACD(12, 26, 9) per series over the shared hourly bar stage —
+      // three EWMA recurrences via the native Ewma window function
+      // (expressions/EwmaWin.scala): ema12/ema26 ride ONE WindowExec
+      // (same spec), and the signal line's second window pass reuses the
+      // same (event_type) clustering, so the whole cascade costs one
+      // shuffle after the bar aggregate. Alphas are spelled as the same
+      // 2/(n+1) divisions on both engines, and the recurrence
+      // `α·x + (1−α)·e` is literally Ewma's arithmetic — binary64
+      // bit-identical, so 6dp-rounded outputs hash-match. `+ 0.0` in the
+      // oracle absorbs the -0.0 sign Spark's round() drops.
+      (s, d) => {
+        import graft.functions.expressions.EwmaWin
+        val pb = Seq(col("event_type")); val ob = Seq(col("bar_ts"))
+        val withEmas = hourlyCloseBars(s, d)
+          .select(col("event_type"), col("bar_ts"),
+            EwmaWin.ewmaOver(col("close"), 2.0 / 13, pb, ob).as("__e12"),
+            EwmaWin.ewmaOver(col("close"), 2.0 / 27, pb, ob).as("__e26"))
+          .withColumn("__macd", col("__e12") - col("__e26"))
+        withEmas
+          .select(col("event_type"), col("bar_ts"), col("__macd"),
+            EwmaWin.ewmaOver(col("__macd"), 0.2, pb, ob).as("__sig"))
+          .select(col("event_type"), col("bar_ts"),
+            round(col("__macd"), 6).as("macd"),
+            round(col("__sig"), 6).as("signal_line"),
+            round(col("__macd") - col("__sig"), 6).as("histogram"))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      // ONE recursion carrying all three EWMA states (e12, e26, sig) —
+      // chained recursive CTEs re-evaluate their upstream CTE per
+      // iteration (quadratic blowup, measured as a hang at sf0.01);
+      // carrying the state tuple keeps the oracle linear. sig_n uses
+      // macd_n = e12_n − e26_n computed from the SAME step expressions,
+      // exactly the value Spark derives from its window outputs.
+      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, " +
+        "base AS (SELECT event_type, bar_ts, close, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn FROM bars), " +
+        "r AS (SELECT event_type, bar_ts, rn, close AS e12, close AS e26, " +
+        "close - close AS sig FROM base WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.bar_ts, b.rn, " +
+        "(2.0/13) * b.close + (1 - 2.0/13) * r.e12, " +
+        "(2.0/27) * b.close + (1 - 2.0/27) * r.e26, " +
+        "0.2 * ((2.0/13) * b.close + (1 - 2.0/13) * r.e12 - " +
+        "((2.0/27) * b.close + (1 - 2.0/27) * r.e26)) + 0.8 * r.sig " +
+        "FROM r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, bar_ts, round(e12 - e26, 6) + 0.0 AS macd, " +
+        "round(sig, 6) + 0.0 AS signal_line, round(e12 - e26 - sig, 6) + 0.0 AS histogram " +
+        "FROM r ORDER BY event_type, bar_ts"),
+      "MACD(12,26,9) per series: three native-EWMA recurrences, one bar shuffle")
   )
 }

@@ -49,6 +49,22 @@ object IvfIndex {
       struct(centroidCos(vec, emb).as("c"), lit(-id).as("nid"))
     }: _*)))
 
+  /** Nearest-centroid cell assignment with the deterministic first-`k`
+    * centroids baked in as literals — ONE scan, zero shuffle. Returns
+    * `(vec_id, embedding, cell)`; shared by [[build]] and the
+    * SemDeDup-style `llm_semdedup` operator (cluster-then-dedup needs
+    * exactly this cell key).
+    */
+  def assign(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cents: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    e.select(col("vec_id"), col("embedding"),
+      (-rankedCells(col("embedding"), cents)(0).getField("nid"))
+        .cast("long").as("cell"))
+  }
+
   /** Train + persist in one step: centroids (first K vectors) and the
     * cell-partitioned inverted lists. Assignment is ONE scan with the
     * centroids baked in as literals — a pure map-side expression, zero
