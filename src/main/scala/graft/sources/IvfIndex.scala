@@ -65,20 +65,48 @@ object IvfIndex {
         .cast("long").as("cell"))
   }
 
-  /** Train + persist in one step: centroids (first K vectors) and the
-    * cell-partitioned inverted lists. Assignment is ONE scan with the
-    * centroids baked in as literals — a pure map-side expression, zero
-    * shuffle before the layout write.
+  /** Train + persist in one step: centroids and the cell-partitioned
+    * inverted lists. Assignment is ONE scan per round with the centroids
+    * baked in as literals — a pure map-side expression, zero shuffle
+    * before the layout write.
+    *
+    * `lloydRounds = 0` (the oracle-checkable default) seeds centroids
+    * with the first K vectors and writes immediately; `lloydRounds > 0`
+    * runs that many k-means refinement rounds first — each is one
+    * assignment scan + one partial-aggregatable per-cell mean whose
+    * K×dims result is collected to the driver (driver-sized by
+    * construction, same budget as the seed collect). An emptied cell
+    * keeps its previous centroid. The index layout and probe path are
+    * identical either way — training quality is orthogonal to the
+    * access path.
     */
-  def build(embeddings: DataFrame, dir: String, k: Int): Unit = {
+  def build(embeddings: DataFrame, dir: String, k: Int,
+            lloydRounds: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < k)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val loaded: Seq[(Int, Array[Float])] = cents
+    var cents: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
+    for (_ <- 0 until lloydRounds) {
+      val assigned = e.select(col("embedding"),
+        (-rankedCells(col("embedding"), cents)(0).getField("nid")).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+        }
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    import spark.implicits._
+    cents.map { case (id, emb) => (id.toLong, emb.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     val assigned = e.select(col("vec_id"), col("embedding"),
-      (-rankedCells(col("embedding"), loaded)(0).getField("nid")).as("cell"))
+      (-rankedCells(col("embedding"), cents)(0).getField("nid")).as("cell"))
     TsStore.write(assigned, s"$dir/cells", tsCol = "vec_id",
       uidCols = Seq("cell"), overlapPolicy = TsStore.OverlapPolicy.Allow)
   }

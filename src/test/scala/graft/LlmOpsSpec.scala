@@ -150,6 +150,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index with Lloyd refinement keeps the layout and probe contract") {
+    // Training quality is orthogonal to the access path: a k-means-
+    // refined build must produce the same index SHAPE (K centroids,
+    // every vector in exactly one cell-partitioned list) and the probe
+    // must still answer every query with bounded ranks.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lloyd").toString
+    val e = Tables.embeddings(spark, TestSpark.sf001)
+    graft.sources.IvfIndex.build(e, dir, k = 16, lloydRounds = 2)
+    assert(spark.read.parquet(s"$dir/centroids").count() === 16)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === e.count())
+    assert(cells.select("vec_id").distinct().count() === e.count())
+    val queries = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = graft.sources.IvfIndex.probe(spark, dir, queries, nprobe = 2, topK = 3)
+      .collect()
+    assert(res.map(_.getAs[Long]("q_id")).toSet === (16L until 24L).toSet)
+    res.foreach(r => assert(r.getAs[Long]("rnk") >= 1 && r.getAs[Long]("rnk") <= 3))
+  }
+
   test("ann results: 8 query groups, ranks bounded, scores in [-1,1]") {
     val rows = Registry.all("llm_ann_lsh").fn(spark, TestSpark.sf001)
       .select(col("q_id"), col("rnk"), col("cos")).collect()
