@@ -632,6 +632,102 @@ object Joins {
         "ORDER BY revenue_cents"),
       "TPC-H Q19 analog: disjunctive brand/size/quantity revenue (part-side OR pre-filter)"),
 
+    "q8_market_share" -> DeclaredQuery(
+      // TPC-H Q8 analog — national market share: NATION_7 suppliers'
+      // slice of ASIA-region customers' ECONOMY-part revenue per order
+      // year. Every dimension chain (part filter, supplier→nation,
+      // customer→nation→region) broadcasts; the only shuffles are the
+      // two fact equi-joins (lineitem⋈orders, orders⋈customer). The
+      // share is one double division of two exact-e4 integer sums from
+      // the same aggregate — the q14 pattern over a 6-table join.
+      (s, d) => {
+        val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        val asiaCust = Tables.customer(s, d)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat.select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("__snk"))
+          .select("s_suppkey", "supp_nation")
+        val eco = Tables.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey")
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+          .join(broadcast(eco), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === "NATION_7", col("rev_e4"))
+            .otherwise(0L)).as("__n7"),
+            sum(col("rev_e4")).as("__tot"))
+          .select(col("o_year"),
+            round(col("__n7").cast("double") / col("__tot").cast("double"), 6).as("mkt_share"),
+            expr("CAST((__tot + 50) div 100 AS BIGINT)").as("revenue_cents"))
+          .orderBy(col("o_year"))
+      },
+      Some("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN rev_e4 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share, " +
+        "CAST((sum(rev_e4) + 50) // 100 AS BIGINT) AS revenue_cents FROM " +
+        "(SELECT l_orderkey, l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4 FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY') l " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+        "GROUP BY 1 ORDER BY o_year"),
+      "TPC-H Q8 analog: NATION_7 market share of ASIA ECONOMY revenue per year"),
+
+    "q9_profit" -> DeclaredQuery(
+      // TPC-H Q9 analog — profit per supplier nation per ship year:
+      // revenue minus quantity × retail cost (the fixture has no
+      // partsupp, so p_retailprice plays ps_supplycost). ALL arithmetic
+      // is exact e4 integers — including the possibly-NEGATIVE profit,
+      // which is emitted as raw e4 (never half-up-divided: integer div
+      // truncates toward zero in Spark but floors in DuckDB, so signed
+      // cents conversion is the one place the q7 rounding trick breaks).
+      (s, d) => {
+        val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"),
+            (round(col("p_retailprice") * 100).cast("long") * 100L).as("cost_e4"))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("supp_nation", "l_year")
+          .agg(sum(col("rev_e4") - col("qty") * col("cost_e4")).as("profit_e4"),
+            count(lit(1)).as("n"))
+          .orderBy(col("supp_nation"), col("l_year"))
+      },
+      Some("SELECT n_name AS supp_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) - " +
+        "CAST(round(l_quantity) AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT) * 100) AS BIGINT) AS profit_e4, " +
+        "count(*) AS n FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY 1, 2 ORDER BY supp_nation, l_year"),
+      "TPC-H Q9 analog: per-nation-per-year profit in exact signed e4 integers"),
+
     "q22_inactive" -> DeclaredQuery(
       // TPC-H Q22 analog — scalar-subquery + anti-join: customers with
       // above-average balance (exact-cents average over positive
