@@ -728,6 +728,84 @@ object Joins {
         "GROUP BY 1, 2 ORDER BY supp_nation, l_year"),
       "TPC-H Q9 analog: per-nation-per-year profit in exact signed e4 integers"),
 
+    "q2_min_supplier" -> DeclaredQuery(
+      // TPC-H Q2 analog — correlated-min supplier selection: for each
+      // ECONOMY part, the EUROPE-region supplier who has shipped it
+      // (distinct lineitem pairs play partsupp) with the lowest account
+      // balance. The argmin is a partial-aggregatable min_by over the
+      // (balance, suppkey) struct — deterministic tie-break, no
+      // per-group sort, one aggregate after the broadcast joins.
+      (s, d) => {
+        val es = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+        val eco = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(eco), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(min_by(struct(col("s_suppkey"), col("s_name"), col("bal_cents")),
+            struct(col("bal_cents"), col("s_suppkey"))).as("__w"))
+          .select(col("p_partkey"), col("__w.s_suppkey").as("s_suppkey"),
+            col("__w.s_name").as("s_name"), col("__w.bal_cents").as("bal_cents"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+        "es AS (SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "j AS (SELECT l_partkey AS p_partkey, s_suppkey, s_name, bal_cents, " +
+        "row_number() OVER (PARTITION BY l_partkey ORDER BY bal_cents, s_suppkey) AS rn " +
+        "FROM ps JOIN es ON l_suppkey = s_suppkey " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_type = 'ECONOMY') " +
+        "SELECT p_partkey, s_suppkey, s_name, bal_cents FROM j WHERE rn = 1 " +
+        "ORDER BY p_partkey"),
+      "TPC-H Q2 analog: cheapest EUROPE supplier per ECONOMY part (min_by argmin)"),
+
+    "q21_late_supplier" -> DeclaredQuery(
+      // TPC-H Q21 analog — the double-correlated self-join: suppliers
+      // who were the ONLY late shipper (>90 days after order date) in a
+      // multi-supplier 'F' order. One F-order line projection feeds both
+      // the late set and the all-pairs set (ReuseExchange collapses the
+      // shared distinct); the EXISTS is a semi join, the NOT EXISTS an
+      // anti join, both on (orderkey, suppkey≠) conditions.
+      (s, d) => {
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val lines = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(f, col("l_orderkey") === col("o_orderkey"))
+        val pairs = lines.select("l_orderkey", "l_suppkey").distinct()
+        val late = lines
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        late.as("t")
+          .join(pairs.as("p"), col("t.l_orderkey") === col("p.l_orderkey") &&
+            col("t.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
+          .join(late.as("x").select(col("l_orderkey").as("__xo"), col("l_suppkey").as("__xs")),
+            col("t.l_orderkey") === col("__xo") && col("t.l_suppkey") =!= col("__xs"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("t.l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+      },
+      Some("WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'), " +
+        "l AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem JOIN f ON l_orderkey = o_orderkey), " +
+        "late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem JOIN f ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) " +
+        "SELECT s_name, count(*) AS numwait FROM late t " +
+        "JOIN supplier ON t.l_suppkey = s_suppkey " +
+        "WHERE EXISTS (SELECT 1 FROM l WHERE l.l_orderkey = t.l_orderkey AND l.l_suppkey <> t.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM late x WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey <> t.l_suppkey) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+      "TPC-H Q21 analog: sole late supplier in multi-supplier orders (semi + anti self-joins)"),
+
     "q22_inactive" -> DeclaredQuery(
       // TPC-H Q22 analog — scalar-subquery + anti-join: customers with
       // above-average balance (exact-cents average over positive

@@ -192,6 +192,31 @@ object Multimodal {
         "ELSE CAST(list_sum(list_transform(string_split(text, ''), c_ -> ascii(c_))) AS DOUBLE) " +
         "/ length(text) END AS mean_byte " +
         "FROM documents ORDER BY doc_id"),
-      "resize + feature-extract stubs over mapPartitions (32×32 cap, mean byte)")
+      "resize + feature-extract stubs over mapPartitions (32×32 cap, mean byte)"),
+
+    "mm_dedup" -> DeclaredQuery(
+      // Content-hash dedup of raw media payloads — the standard image/
+      // audio dedup step (identical bytes ⇒ identical media, no decode
+      // needed): group on the md5 DIGEST of the binary payload so the
+      // shuffle carries 16 bytes per distinct payload, never the media;
+      // keep the min doc_id, count copies, carry the byte size. Distinct
+      // from llm_dedup_exact (normalized text identity): this is RAW
+      // byte identity, the pre-decode gate a multimodal pipeline runs
+      // before any expensive near-dup pass.
+      (s, d) => {
+        val payload = col("text").cast("binary")
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(payload).as("__dg"),
+            length(payload).cast("long").as("__nb"))
+          .groupBy("__dg")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+            min(col("__nb")).as("n_bytes"))
+          .select(col("keep_id"), col("n_copies"), col("n_bytes"))
+          .orderBy(col("keep_id"))
+      },
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
+        "CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes " +
+        "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+      "raw-payload content-hash dedup (16-byte digest shuffle, pre-decode gate)")
   )
 }
