@@ -728,6 +728,53 @@ object Joins {
         "GROUP BY 1, 2 ORDER BY supp_nation, l_year"),
       "TPC-H Q9 analog: per-nation-per-year profit in exact signed e4 integers"),
 
+    "q1_pricing" -> DeclaredQuery(
+      // TPC-H Q1 analog — the full pricing summary: per (returnflag,
+      // linestatus), sums of quantity / base price / discounted price /
+      // charge plus three averages and a count, over one scan-and-agg.
+      // Every sum is an exact scaled integer (qty ×1, price cents ×e2,
+      // disc price ×e4, charge ×e6 — the e6 sum stays far inside long
+      // range at fixture scale; a 100 TB run would bucket by month or
+      // use decimal), and each average is ONE double division of two
+      // exact integers — nothing order-dependent anywhere.
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        val dbp = lit(100L) - round(col("l_discount") * 100).cast("long")
+        val tbp = lit(100L) + round(col("l_tax") * 100).cast("long")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_quantity")).cast("long").as("qty"),
+            cents.as("price_c"), (cents * dbp).as("disc_e4"),
+            (cents * dbp * tbp).as("charge_e6"),
+            round(col("l_discount") * 100).cast("long").as("disc_bp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("qty")).as("sum_qty"),
+            sum(col("price_c")).as("sum_base_cents"),
+            sum(col("disc_e4")).as("sum_disc_e4"),
+            sum(col("charge_e6")).as("sum_charge_e6"),
+            count(lit(1)).as("n"),
+            sum(col("disc_bp")).as("__sd"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+            col("sum_base_cents"), col("sum_disc_e4"), col("sum_charge_e6"),
+            round(col("sum_qty").cast("double") / col("n"), 6).as("avg_qty"),
+            round(col("sum_base_cents").cast("double") / col("n") / 100.0, 6).as("avg_price"),
+            round(col("__sd").cast("double") / col("n") / 100.0, 6).as("avg_disc"),
+            col("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6, " +
+        "round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty, " +
+        "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price, " +
+        "round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc, " +
+        "count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "TPC-H Q1 analog: full pricing summary in exact scaled-integer sums"),
+
     "q2_min_supplier" -> DeclaredQuery(
       // TPC-H Q2 analog — correlated-min supplier selection: for each
       // ECONOMY part, the EUROPE-region supplier who has shipped it
