@@ -228,6 +228,10 @@ object TsStore {
     require(keyCols.nonEmpty, "upsert needs at least one merge-key column")
     require(uidCols.nonEmpty, "upsert needs the store's partition columns")
     val touched = delta.select(uidCols.map(col): _*).distinct().collect()
+    // empty delta → empty touched set → nothing to merge (also keeps the
+    // composite-key predicate's reduce from seeing an empty collection)
+    if (touched.isEmpty)
+      return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol))
     val base =
       try spark.read.parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException =>
