@@ -164,4 +164,17 @@ class AsofExecSpec extends AnyFunSuite {
     val declaredFwd = Registry.all("join_asof_exec_fwd").fn(spark, TestSpark.sf001)
     assert(fwd.collect().toSeq === declaredFwd.collect().toSeq)
   }
+
+  test("graft_asof rejects malformed arguments with actionable errors") {
+    def fails(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(needle) ||
+        Option(e.getCause).exists(_.getMessage.contains(needle)),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    fails("SELECT * FROM graft_asof('a', 'b')", "graft_asof expects")
+    fails("SELECT * FROM graft_asof('a','b','k','k','ts','ts','','sideways')",
+      "backward|forward|nearest")
+    fails("SELECT * FROM graft_asof(1,'b','k','k','ts','ts')", "string literal")
+  }
 }

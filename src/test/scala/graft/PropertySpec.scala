@@ -218,4 +218,31 @@ class PropertySpec extends AnyFunSuite {
       assert(misses == 0L, s"seed=$seed mBits=$mBits n=${keys.size}: $misses false negatives")
     }
   }
+
+  test("property: bucketCandidates is bounded and complete on random bucket layouts") {
+    import spark.implicits._
+    val layoutGen: Gen[List[(Long, Long)]] = for {
+      nBuckets <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nBuckets, Gen.choose(1, 30))
+    } yield rows.zipWithIndex.flatMap { case (sz, b) =>
+      (0 until sz).map(i => ((b * 1000 + i).toLong, b.toLong))
+    }
+    (1L to 5L).foreach { seed =>
+      val rows = sample(layoutGen, seed)
+      val cap = 10
+      val bands = rows.toDF("doc_id", "b")
+      val got = Q.bucketCandidates(bands, "b", "doc_id", cap)
+        .as[(Long, Long)].collect().toSet
+      val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted)
+      val want = byBucket.flatMap { case (_, ids) =>
+        if (ids.size <= cap)
+          for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+        else ids.tail.map(m => (ids.head, m)) // star to the min id
+      }.toSet
+      assert(got === want, s"seed=$seed")
+      // invariants: ordered pairs, and per-bucket output never exceeds
+      // max(cap², B−1) — the linear-salvage bound
+      got.foreach { case (a, bb) => assert(a < bb, s"seed=$seed unordered pair") }
+    }
+  }
 }

@@ -144,6 +144,25 @@ class TsStoreSpec extends AnyFunSuite {
     assert(cat.map(_.getAs[Long]("n_rows")).sum === events.count())
   }
 
+  test("upsert is idempotent: re-applying the same delta leaves the store unchanged") {
+    val dir = Files.createTempDirectory("graft_ups_idem").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val delta = events.filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 2).as("value"), lit(2L).as("version")).cache()
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val first = TsStore.read(spark, dir).collect().toSet
+    // same delta again: every delta row ties on version with the stored
+    // copy and the delta wins (MERGE update) — same rows, same state
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    assert(TsStore.read(spark, dir).collect().toSet === first)
+    delta.unpersist()
+  }
+
   test("partition-pruned upsert reads only touched partitions and rewrites only them") {
     val dir = Files.createTempDirectory("graft_ups").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
