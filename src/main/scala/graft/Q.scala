@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
 /** Query-shaping helpers shared by operator modules. */
 object Q {
 
+  /** Process-scoped scratch root, deleted on JVM exit. Two properties the
+    * naive alternatives lack: a FIXED /tmp path races when two processes
+    * (e.g. Bench and Verify) overwrite the same dataset at once, while a
+    * fresh createTempDirectory per INVOCATION leaks a full dataset copy
+    * per query run — a long verify/bench loop fills /tmp. One root per
+    * process gives isolation across processes, reuse (mode-overwrite)
+    * within one, and cleanup when it ends.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
+    }))
+    p
+  }
+
+  /** Stable scratch dir for `name` within this process (created on first
+    * use; callers write with mode overwrite).
+    */
+  def scratchDir(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** Unique scratch dir under the process root — for staging that must
+    * not collide across concurrent invocations in one process. Still
+    * reclaimed by the shutdown hook (callers may also delete eagerly).
+    */
+  def scratchTempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** Filter on an expensive derived column WITHOUT predicate pushdown.
     *
     * Spark pushes deterministic predicates through projects and into join

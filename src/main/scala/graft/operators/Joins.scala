@@ -864,8 +864,12 @@ object Joins {
         val cents = round(col("c_acctbal") * 100).cast("long")
         val c = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+        // exact-integer sum then ONE double division (NOT avg(): Spark's
+        // Average over longs runs a double sum buffer — order-dependent
+        // past 2^53 total cents; the sum/count spelling stays exact and
+        // matches the q1/q15/q17 average pattern)
         val avgPos = c.filter(col("bal_cents") > 0)
-          .agg(avg(col("bal_cents")).as("__avg"))
+          .agg((sum(col("bal_cents")).cast("double") / count(lit(1))).as("__avg"))
         val recent = Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
           .select("o_custkey")
@@ -881,7 +885,7 @@ object Joins {
       Some("WITH c AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer) " +
         "SELECT n_name, count(*) AS n_cust, CAST(sum(bal_cents) AS BIGINT) AS total_cents " +
         "FROM c JOIN nation ON c_nationkey = n_nationkey " +
-        "WHERE bal_cents > (SELECT avg(bal_cents) FROM c WHERE bal_cents > 0) " +
+        "WHERE bal_cents > (SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) FROM c WHERE bal_cents > 0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY n_name ORDER BY n_name"),

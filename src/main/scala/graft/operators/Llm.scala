@@ -155,32 +155,46 @@ object Llm {
       "WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE), 6) >= 0.7)"
 
+  /** DuckDB cosine over 64-float list columns — shared by every
+    * embedding oracle so the arithmetic (double widening, left-to-right
+    * sum, norm-product order, 6dp rounding) is spelled ONCE.
+    */
+  private def CosSql(a: String, b: String): String = {
+    def ss(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
+  }
+
+  /** The deterministic first-16-centroid assignment ranking as a
+    * `cent/sc/a` CTE chain — the ONE SQL spelling of `IvfIndex.assign`'s
+    * arithmetic, shared by the IVF oracles and `llm_semdedup` so a
+    * change to the assignment (rounding, tie-break, seeding) cannot
+    * silently drift one consumer.
+    */
+  private val IvfAssignCtes: String =
+    "cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
+    "sc AS (SELECT e.vec_id, cent_id, " +
+    s"${CosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
+    "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+    "ORDER BY ccos DESC, cent_id) AS rn FROM sc)"
+
   /** ONE oracle for both IVF queries (`llm_ann_ivf` recomputes per query;
     * `llm_ann_ivf_indexed` probes the persisted index) — the index is an
     * access-path change, never a semantics change, and sharing the SQL
     * pins that.
     */
-  private val IvfOracleSql: String = {
-    def ss(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def cosSql(a: String, b: String) =
-      s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
-    "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
-    "sc AS (SELECT e.vec_id, cent_id, " +
-    s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
-    "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
-    "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
+  private val IvfOracleSql: String =
+    s"WITH $IvfAssignCtes, " +
     "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1), " +
     "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
     "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
     "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
-    s"${cosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
+    s"${CosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
     "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
     "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
     "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
     "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
     "ORDER BY q_id, rnk"
-  }
 
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,
@@ -226,6 +240,20 @@ object Llm {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
+
+  /** Cluster-resolution tail shared by `llm_dup_clusters` (window edge
+    * source) and `llm_dup_clusters_lsh` (MinHash edge source): resolve
+    * the `(doc_a, doc_b)` pairs into components, tag each member with
+    * its canonical (min-id) cluster, the cluster size, and the survivor
+    * flag. One definition so the two queries cannot drift apart.
+    */
+  private def dupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("u").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
 
   /** Connected components of an undirected edge list `(u, v)`:
     * min-label propagation over edges PLUS pointer jumping (path
@@ -725,15 +753,7 @@ object Llm {
       // deterministic regardless of iteration schedule. Output: every doc
       // in some dup cluster, its canonical (cluster_id = min doc_id),
       // the cluster size, and keep = "is the canonical survivor".
-      (s, d) => {
-        val pairs = jaccardDupPairs(s, d)
-        connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-          .select(col("u").as("doc_id"), col("label").as("cluster_id"))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-          .withColumn("keep", col("doc_id") === col("cluster_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => dupClusters(jaccardDupPairs(s, d)),
       // oracle: transitive closure by recursive CTE, then min reachable id
       // per node — the same fixpoint the propagation loop converges to
       Some(s"WITH RECURSIVE $DupPairsSql, " +
@@ -773,15 +793,7 @@ object Llm {
       // not portable); LlmOpsSpec plants a far-apart dup pair the window
       // misses and a 200-member over-cap cluster, and asserts both
       // resolve here.
-      (s, d) => {
-        val pairs = minhashDupPairs(Tables.documents(s, d), tau = 0.5)
-        connectedComponents(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-          .select(col("u").as("doc_id"), col("label").as("cluster_id"))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-          .withColumn("keep", col("doc_id") === col("cluster_id"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => dupClusters(minhashDupPairs(Tables.documents(s, d), tau = 0.5)),
       None,
       "connected-component dup clusters over the LSH edge set (no id-locality bound)"),
 
@@ -879,15 +891,10 @@ object Llm {
         graft.Q.aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        def ss(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-        "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        s"round(${ss("a.embedding", "b.embedding")} / (sqrt(${ss("a.embedding", "a.embedding")}) * " +
-        s"sqrt(${ss("b.embedding", "b.embedding")})), 6) AS cos " +
+      Some("WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${CosSql("a.embedding", "b.embedding")} AS cos " +
         "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 200) " +
-        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b"
-      },
+        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b"),
       "exact embedding-cosine near-dup pairs over a bounded id window"),
 
     "llm_semdedup" -> DeclaredQuery(
@@ -921,24 +928,14 @@ object Llm {
           .select(col("vec_id"), col("cell"), col("__dom").isNull.as("keep"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        def ss(a: String, b: String) =
-          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-        def cosSql(a: String, b: String) =
-          s"round(${ss(a, b)} / (sqrt(${ss(a, a)}) * sqrt(${ss(b, b)})), 6)"
-        "WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16), " +
-        "sc AS (SELECT e.vec_id, cent_id, " +
-        s"${cosSql("e.embedding", "c_emb")} AS ccos FROM embeddings e CROSS JOIN cent), " +
-        "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY ccos DESC, cent_id) AS rn FROM sc), " +
+      Some(s"WITH $IvfAssignCtes, " +
         "cells AS (SELECT a.vec_id, CAST(cent_id AS BIGINT) AS cell, e.embedding " +
         "FROM a JOIN embeddings e USING (vec_id) WHERE rn = 1), " +
         "p AS (SELECT x.vec_id AS ia, y.vec_id AS ib, " +
-        s"${cosSql("x.embedding", "y.embedding")} AS cos " +
+        s"${CosSql("x.embedding", "y.embedding")} AS cos " +
         "FROM cells x JOIN cells y ON x.cell = y.cell AND y.vec_id > x.vec_id) " +
         "SELECT vec_id, cell, NOT EXISTS (SELECT 1 FROM p WHERE ib = vec_id " +
-        "AND cos >= 0.3) AS keep FROM cells ORDER BY vec_id"
-      },
+        "AND cos >= 0.3) AS keep FROM cells ORDER BY vec_id"),
       "SemDeDup: cluster embeddings into K cells, drop within-cell cosine dups"),
 
     "llm_topk_tokens" -> DeclaredQuery(
@@ -1028,8 +1025,7 @@ object Llm {
       // with the probed lists, not the corpus: the 100 TB serving shape.
       (s, d) => {
         val K = 16; val NProbe = 2; val TopK = 3
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_ivf_idx_").toString
+        val dir = graft.Q.scratchDir(s"ivf_idx_${new java.io.File(d).getName}")
         IvfIndex.build(Tables.embeddings(s, d), dir, K)
         val queries = Tables.embeddings(s, d)
           .filter(col("vec_id") >= K && col("vec_id") < K + 8)

@@ -22,14 +22,12 @@ object Scans {
   val SliceStart = "2024-01-05 00:00:00"
   val SliceEnd = "2024-01-12 00:00:00"
 
-  /** Per-invocation sink dir: fixed /tmp paths race when two runs (e.g.
-    * Bench and Verify) overwrite the same dataset at once. The path never
-    * affects the query result, so uniqueness is free.
+  /** Process-scoped sink dir (see [[graft.Q.scratchDir]]): isolated
+    * across concurrent processes, reused (mode overwrite) within one,
+    * deleted on JVM exit. The path never affects the query result.
     */
   private def sinkDir(prefix: String, d: String): String =
-    java.nio.file.Files
-      .createTempDirectory(s"graft_${prefix}_${new java.io.File(d).getName}_")
-      .toString
+    graft.Q.scratchDir(s"${prefix}_${new java.io.File(d).getName}")
 
   def defs: Seq[(String, DeclaredQuery)] = Seq(
     "scan_parquet" -> DeclaredQuery(

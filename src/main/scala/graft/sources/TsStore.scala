@@ -61,6 +61,21 @@ object TsStore {
     * (min/max of ts), never the full store. The Mongo analog is the
     * `(uid, start, end)` index lookup the reference does per write.
     */
+  /** Partition predicate over collected uid values — one definition for
+    * the overlap guard's pre-scan and [[upsertPlan]]'s base prune. A
+    * single uid column (the Bundles case) becomes one IN-list predicate:
+    * partition-prunable and O(1) plan nodes however many series the
+    * batch touches. Composite keys fall back to an OR of conjunctions,
+    * fine for the handful of series a normal batch carries. Caller
+    * guarantees `rows` non-empty.
+    */
+  private def uidPredicate(rows: Seq[org.apache.spark.sql.Row],
+                           uidCols: Seq[String]): Column =
+    if (uidCols.sizeIs == 1) col(uidCols.head).isin(rows.map(_.get(0)): _*)
+    else rows.map { r =>
+      uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
+    }.reduce(_ || _)
+
   def overlappingSeries(spark: SparkSession, path: String, incoming: DataFrame,
                         tsCol: String, uidCols: Seq[String]): Seq[String] = {
     require(uidCols.nonEmpty, "overlap check needs at least one uid column")
@@ -74,15 +89,7 @@ object TsStore {
     val stored =
       try spark.read.parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
-    // single uid column (the Bundles case): one IN-list predicate —
-    // partition-prunable and O(1) plan nodes however many series the
-    // batch touches. Composite keys fall back to an OR of conjunctions,
-    // fine for the handful of series a normal append carries.
-    val uidPred =
-      if (uidCols.sizeIs == 1) col(uidCols.head).isin(inExt.map(_.get(0)): _*)
-      else inExt.map { r =>
-        uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
-      }.reduce(_ || _)
+    val uidPred = uidPredicate(inExt.toSeq, uidCols)
     // keys compare as STRINGS: partition-column type inference can read
     // a numeric-looking string uid back as int ("123" → 123), and the
     // driver-side map lookup must not silently miss the overlap for it.
@@ -236,21 +243,27 @@ object TsStore {
       try spark.read.parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
-    val uidPred =
-      if (uidCols.sizeIs == 1) col(uidCols.head).isin(touched.map(_.get(0)): _*)
-      else touched.map { r =>
-        uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
-      }.reduce(_ || _)
-    base.filter(uidPred).selectExpr(delta.columns.map(c => s"`$c`"): _*)
+    base.filter(uidPredicate(touched.toSeq, uidCols))
+      .selectExpr(delta.columns.map(c => s"`$c`"): _*)
       .withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)))
       .transform(dedupLatest(keyCols, versionCol))
   }
 
+  /** Latest-wins per key: highest version, delta over base on a version
+    * tie. The trailing hash tie-break makes the winner DETERMINISTIC
+    * even when the delta itself carries duplicate (key, version) rows
+    * with different payloads — without it, row_number() would keep
+    * whichever copy the shuffle delivered first, and re-running the
+    * same upsert could persist different values (breaking the engine's
+    * determinism contract). Identical duplicate rows hash equal, so the
+    * tie-break is only ever visible where the outcome was ambiguous.
+    */
   private def dedupLatest(keyCols: Seq[String], versionCol: String)(
       u: DataFrame): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(desc(versionCol), desc("__src"))
+      .orderBy(desc(versionCol), desc("__src"),
+        xxhash64(u.columns.map(col): _*).desc)
     u.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__src")
   }
@@ -274,13 +287,21 @@ object TsStore {
     */
   def upsert(spark: SparkSession, path: String, delta: DataFrame,
              keyCols: Seq[String], versionCol: String,
-             tsCol: String = "ts", uidCols: Seq[String] = Seq.empty,
+             tsCol: String, uidCols: Seq[String],
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20): Unit = {
-    if (delta.isEmpty) return
-    val merged = upsertPlan(spark, path, delta, keyCols, versionCol, uidCols)
-    val staging = java.nio.file.Files.createTempDirectory("graft_upsert_stage_").toString
+    // Pin the delta ONCE. The merge evaluates it three times (emptiness,
+    // touched-partition collect, staging write); a nondeterministic
+    // delta lineage (limit/sample/shuffled upstream) could otherwise
+    // name partition set {A} during the prune but produce rows in
+    // {A, B} at write time — the B partition, never merged with its
+    // base rows, would then be dynamic-overwritten with delta rows
+    // only, silently deleting base data. localCheckpoint is delta-sized.
+    val pinned = delta.localCheckpoint()
+    if (pinned.isEmpty) return
+    val merged = upsertPlan(spark, path, pinned, keyCols, versionCol, uidCols)
+    val staging = graft.Q.scratchTempDir("upsert_stage_")
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     TsStore.synchronized {

@@ -293,7 +293,7 @@ class PlanSpec extends AnyFunSuite {
     val scans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    val (index, base) = scans.partition(_.metadata("Location").contains("graft_ivf_idx"))
+    val (index, base) = scans.partition(_.metadata("Location").contains("ivf_idx_"))
     assert(index.size === 1 && base.size === 1,
       s"expected one index scan + one query-vector scan, got ${scans.map(_.metadata("Location"))}")
     val pf = index.head.metadata("PartitionFilters")
