@@ -247,6 +247,47 @@ class Bundles(spark: SparkSession, basePath: String,
     (before, countFiles(path))
   }
 
+  /** Compact ONE series — the 100 TB maintenance shape: a hot series
+    * fragments into thousands of small append-chunks while the rest of
+    * the collection is fine, and rewriting everything ([[compact]]) for
+    * one bad partition is a full-store IO bill. This reads ONLY the
+    * series' partition directory (the data files carry no uid column —
+    * it lives in the directory name — so the rewrite is uid-free and
+    * swaps back into the same `__uid=` dir), rewrites it range-
+    * partitioned and ts-sorted with TsStore's pinned chunk geometry,
+    * and activates via the same rename-swap-rollback protocol as
+    * [[compact]]. Every other partition's files are untouched. Returns
+    * (files before, after) for the one partition.
+    */
+  def compactSeries(uid: String, collection: String = defaultCollection,
+                    tsCol: String = "ts"): (Long, Long) = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
+    val part = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$esc")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(part), s"compactSeries: no partition for uid '$uid' at $part")
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(part)
+    val tmp = new org.apache.hadoop.fs.Path(part.toString + ".__compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // mergeSchema for dynamic-schema series (union of chunk columns)
+    TsStore.write(spark.read.option("mergeSchema", true).parquet(part.toString),
+      tmp.toString, tsCol = tsCol, uidCols = Seq.empty)
+    val old = new org.apache.hadoop.fs.Path(part.toString + ".__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(part, old), s"compactSeries: could not move $part aside")
+    if (!fs.rename(tmp, part)) {
+      fs.rename(old, part) // roll back so the series stays readable
+      throw new IllegalStateException(s"compactSeries: could not activate $tmp; rolled back")
+    }
+    fs.delete(old, true)
+    (before, countFiles(part))
+  }
+
   /** Drop a whole collection (≙ dropping a Mongo collection). */
   def dropCollection(collection: String = defaultCollection): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir(collection))

@@ -158,6 +158,33 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("AAPL", start = Some(ts("2024-01-01 09:33:00"))).count() == 3)
   }
 
+  test("compactSeries rewrites ONE fragmented series; other partitions' files untouched") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bundles_cs").toString
+    val ct = new Bundles(spark, base)
+    // AAPL fragments over 6 appends; MSFT is written once and must not move
+    (0 until 6).foreach { i =>
+      ct.write("AAPL", Seq((ts(f"2024-01-01 09:3$i%d:00"), 100.0 + i)).toDF("ts", "price"))
+    }
+    ct.write("MSFT", Seq((ts("2024-01-01 09:30:00"), 400.0)).toDF("ts", "price"))
+    def msftFiles: Set[(String, Long, Long)] =
+      Option(new java.io.File(s"$base/default/__uid=MSFT").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val msftBefore = msftFiles
+    assert(msftBefore.nonEmpty)
+    val beforeRows = ct.read("AAPL").as[(java.sql.Timestamp, Double, String)].collect().toSet
+    val (before, after) = ct.compactSeries("AAPL")
+    assert(before >= 6L && after < before,
+      s"series compact must reduce file count: $before -> $after")
+    assert(msftFiles === msftBefore, "untouched series' files were rewritten")
+    val afterRows = ct.read("AAPL").as[(java.sql.Timestamp, Double, String)].collect().toSet
+    assert(afterRows === beforeRows)
+    // partition pruning + ts slicing still work through the swapped dir
+    assert(ct.read("AAPL", start = Some(ts("2024-01-01 09:33:00"))).count() == 3)
+    assert(ct.read("MSFT").count() == 1)
+  }
+
   test("dynamic schema: a later chunk adds a column; merge-read reassembles the union") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bundles_dyn").toString
