@@ -1,12 +1,13 @@
 package graft.functions.expressions
 
 import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native signature aggregates for the near-dedup path.
   *
@@ -141,4 +142,28 @@ case class SimHashAgg(child: Expression,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+/** SQL registrations for the signature aggregates (GraftExtensions):
+  * `graft_minhash_sig(h, 64)` and `graft_simhash(h)` make the native
+  * one-buffer aggregates reachable from plain SQL — the same analyzer
+  * path as any built-in aggregate (UnresolvedFunction wraps them in an
+  * AggregateExpression), so `GROUP BY doc_id` dedup pipelines can be
+  * written without the Scala API.
+  */
+object SigAggs {
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAgg].getName, "graft_minhash_sig"),
+      VecExprs.arity("graft_minhash_sig", 2) { es =>
+        val n = es(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: numHashes must be an integer literal, got $other")
+        }
+        MinHashSigAgg(es.head, n)
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      VecExprs.arity("graft_simhash", 1)(es => SimHashAgg(es.head))))
 }

@@ -40,6 +40,25 @@ class SigAggsSpec extends AnyFunSuite {
     assert(native == twin && native.nonEmpty)
   }
 
+  test("SQL names graft_minhash_sig / graft_simhash equal the Column-API aggregates") {
+    hashed.createOrReplaceTempView("sig_hashed")
+    val sqlMin = spark.sql(
+      "SELECT doc_id, graft_minhash_sig(__h, 64) AS sig FROM sig_hashed GROUP BY doc_id")
+      .as[(Long, Array[Long])].collect().toMap
+    val apiMin = hashed.groupBy("doc_id")
+      .agg(TextOps.minHashSig(col("__h"), 64).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(sqlMin.keySet === apiMin.keySet && sqlMin.nonEmpty)
+    sqlMin.foreach { case (doc, sig) => assert(sig.sameElements(apiMin(doc))) }
+    val sqlSim = spark.sql(
+      "SELECT doc_id, graft_simhash(__h) AS sim FROM sig_hashed GROUP BY doc_id")
+      .as[(Long, Long)].collect().toMap
+    val apiSim = hashed.groupBy("doc_id")
+      .agg(TextOps.simHash(col("__h")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sqlSim === apiSim)
+  }
+
   test("PercentilesAgg matches Spark's builtin percentile to 6dp on every group") {
     import org.apache.spark.sql.GraftShim
     val li = Tables.lineitem(spark, TestSpark.sf001)
