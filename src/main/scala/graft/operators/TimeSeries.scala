@@ -1252,6 +1252,50 @@ object TimeSeries {
         "SELECT event_type, bar_ts, round(e12 - e26, 6) + 0.0 AS macd, " +
         "round(sig, 6) + 0.0 AS signal_line, round(e12 - e26 - sig, 6) + 0.0 AS histogram " +
         "FROM r ORDER BY event_type, bar_ts"),
-      "MACD(12,26,9) per series: three native-EWMA recurrences, one bar shuffle")
+      "MACD(12,26,9) per series: three native-EWMA recurrences, one bar shuffle"),
+
+    "ts_heikin" -> DeclaredQuery(
+      // Heikin-Ashi smoothed bars per series: ha_close is the plain
+      // per-bar OHLC mean, but ha_open is RECURSIVE —
+      // (ha_open₍ₙ₋₁₎ + ha_close₍ₙ₋₁₎)/2 — i.e. an EWMA(α=0.5) over the
+      // lagged ha_close seeded with (open₁+close₁)/2, so the native Ewma
+      // window function runs it in one O(n) pass. The lag/seed staging
+      // window and the recurrence window share one (event_type)
+      // clustering — one shuffle after the hourly bar aggregate. Every
+      // expression is spelled with identical association on both engines;
+      // the oracle carries the state in one recursive CTE (the ts_macd
+      // lesson: chained recursions re-evaluate upstream per iteration).
+      (s, d) => {
+        import graft.functions.expressions.EwmaWin
+        val aggs = graft.Q.ohlcAggs(col("ts"), col("event_id"), col("value"))
+        val bars = Tables.events(s, d).filter(col("value").isNotNull)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+          .agg(aggs.head, aggs.tail: _*)
+        val ord = Window.partitionBy("event_type").orderBy(col("bar_ts"))
+        val staged = bars
+          .withColumn("__hc",
+            (((col("open") + col("high")) + col("low")) + col("close")) / 4.0)
+          .withColumn("__rn", row_number().over(ord))
+          .withColumn("__x", when(col("__rn") === 1,
+            (col("open") + col("close")) / 2.0)
+            .otherwise(lag(col("__hc"), 1).over(ord)))
+        staged.select(col("event_type"), col("bar_ts"),
+            round(EwmaWin.ewmaOver(col("__x"), 0.5,
+              Seq(col("event_type")), Seq(col("bar_ts"))), 6).as("ha_open"),
+            round(col("__hc"), 6).as("ha_close"))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      Some("WITH RECURSIVE bars AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts, " +
+        "first(value ORDER BY ts, event_id) AS open, max(value) AS high, min(value) AS low, " +
+        "last(value ORDER BY ts, event_id) AS close FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "base AS (SELECT event_type, bar_ts, open, close, " +
+        "(((open + high) + low) + close) / 4.0 AS hc, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn FROM bars), " +
+        "r AS (SELECT event_type, bar_ts, rn, hc, (open + close) / 2.0 AS e FROM base WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.bar_ts, b.rn, b.hc, 0.5 * r.hc + 0.5 * r.e " +
+        "FROM r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1) " +
+        "SELECT event_type, bar_ts, round(e, 6) + 0.0 AS ha_open, " +
+        "round(hc, 6) + 0.0 AS ha_close FROM r ORDER BY event_type, bar_ts"),
+      "Heikin-Ashi bars: recursive ha_open as a seeded native-EWMA pass")
   )
 }

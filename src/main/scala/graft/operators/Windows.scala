@@ -192,6 +192,48 @@ object Windows {
       },
       Some("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
-        "WHERE rn <= 3 ORDER BY o_custkey, rn"))
+        "WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    "win_pareto" -> DeclaredQuery(
+      // Pareto / 80-20 concentration per event type: users ranked by
+      // exact-cents spend, running cumulative share, and how many top
+      // users cover 80% of the type's volume. The crossing test is PURE
+      // INTEGER (5·cum ≥ 4·total ⟺ cum/total ≥ 0.8) so no float
+      // boundary can flip a rank between engines; the displayed share is
+      // one rounded division per row. Two aggregates + one window over
+      // the same (event_type) clustering; output is #types rows.
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy("event_type", "user_id")
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(desc("cents"), asc("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("event_type")
+        perUser
+          .withColumn("__cum", sum(col("cents")).over(w))
+          .withColumn("__tot", sum(col("cents")).over(tot))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(desc("cents"), asc("user_id"))))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            min(when(col("__cum") * 5 >= col("__tot") * 4, col("__rk")))
+              .as("users_to_80pct"),
+            max(col("__tot")).as("total_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH pu AS (SELECT event_type, user_id, " +
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, cents, " +
+        "CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY cents DESC, user_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rk FROM pu) " +
+        "SELECT event_type, count(*) AS n_users, " +
+        "min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS users_to_80pct, " +
+        "max(tot) AS total_cents FROM r GROUP BY event_type ORDER BY event_type"),
+      "Pareto concentration: top users covering 80% of each type's exact-cents volume")
   )
 }
