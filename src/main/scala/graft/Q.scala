@@ -131,6 +131,42 @@ object Q {
     pairs.distinct()
   }
 
+  /** Rank-bounded within-cell self-pairs — the cluster-then-compare
+    * quadratic, CAPPED (the SemDeDup cell analog of what
+    * [[bucketCandidates]] does for LSH buckets). Every row gets a rank
+    * (`row_number` by `idCol` within its `cellCol`); pairs are emitted
+    * for 0 < rank(b) − rank(a) ≤ cap. For cells of size ≤ cap+1 that is
+    * EXACTLY the all-pairs `id_a < id_b` self-join — the oracle-checked
+    * fixture regime — while an over-cap cell (the mega-cluster a
+    * boilerplate-heavy corpus always produces; the SemDeDup paper grows
+    * K with corpus size for exactly this reason) emits ≤ n·cap pairs
+    * instead of n², each row compared to its cap nearest-ranked
+    * predecessors.
+    *
+    * The rank-distance band is realized as an EQUI-join on (cell, rank
+    * block) with each left row exploded to its own and the next block —
+    * same shape as llm_dedup_embed's id-window join — so the planner
+    * builds a hash join, never a nested loop. Returns every non-cell
+    * column twice, suffixed `_a`/`_b`, plus `cellCol` once.
+    */
+  def boundedCellPairs(df: DataFrame, cellCol: String, idCol: String,
+                       cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(cellCol)).orderBy(col(idCol))
+    val r = df.withColumn("__rn", row_number().over(w))
+    val others = df.columns.filterNot(_ == cellCol).toSeq
+    val a = r.select(col(cellCol) +: others.map(c => col(c).as(s"${c}_a")) :+
+      col("__rn").as("__rn_a") :+
+      explode(array(floor(col("__rn") / cap), floor(col("__rn") / cap) + 1))
+        .as("__jblk"): _*)
+    val b = r.select(col(cellCol).as("__cell_b") +:
+      others.map(c => col(c).as(s"${c}_b")) :+
+      col("__rn").as("__rn_b") :+ floor(col("__rn") / cap).as("__jblk_b"): _*)
+    a.join(b, col(cellCol) === col("__cell_b") && col("__jblk") === col("__jblk_b") &&
+        col("__rn_b") > col("__rn_a") && col("__rn_b") <= col("__rn_a") + cap)
+      .drop("__cell_b", "__jblk", "__jblk_b", "__rn_a", "__rn_b")
+  }
+
   /** Replicated-right salted equi-join for a skewed left key: the left
     * side gets a deterministic salt in [0, buckets); the right side is
     * exploded `buckets`× so every (key, salt) bucket finds its match.

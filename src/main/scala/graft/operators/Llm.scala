@@ -903,22 +903,21 @@ object Llm {
       // any vector with a smaller-id same-cell neighbor above the
       // cosine threshold — duplicates are only searched WITHIN a cell,
       // so the quadratic term is (n/K)² per cell, tuned by K, never n².
-      // Cell assignment is the shared IVF literal-centroid scan
-      // (IvfIndex.assign — one scan, zero shuffle); the pair join
-      // shuffles on cell; the heavy cosine sits behind the aggregate
-      // barrier so it is computed once per pair, map-side, codegen'd.
+      // Cell assignment is the shared IVF scan (IvfIndex.assign); the
+      // within-cell pair join is RANK-BOUNDED (Q.boundedCellPairs,
+      // cap=256): at fixture scale every cell is under the cap so the
+      // result — and the oracle — is the exact all-pairs semantics,
+      // while an over-cap mega-cell (the regime where fixed-K SemDeDup
+      // goes quadratic) emits n·cap pairs, never n² (A/B-pinned in
+      // LlmOpsSpec). The heavy cosine sits behind the aggregate barrier
+      // so it is computed once per pair, map-side, codegen'd.
       // Output: every vector with its cell and keep flag.
       (s, d) => {
         val cells = IvfIndex.assign(Tables.embeddings(s, d), 16)
           .withColumn("nrm", VectorOps.norm(col("embedding")))
-        val a = cells.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-          col("nrm").as("nrm_a"), col("cell"))
-        val b = cells.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-          col("nrm").as("nrm_b"), col("cell").as("cell_b"))
-        val scored = a.join(b, col("cell") === col("cell_b") &&
-            col("id_b") > col("id_a"))
-          .select(col("id_a"), col("id_b"),
-            round(VectorOps.dot(col("emb_a"), col("emb_b")) /
+        val scored = graft.Q.boundedCellPairs(cells, "cell", "vec_id", 256)
+          .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b"),
+            round(VectorOps.dot(col("embedding_a"), col("embedding_b")) /
               (col("nrm_a") * col("nrm_b")), 6).as("cos"))
         val dominated = graft.Q
           .aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)

@@ -155,6 +155,36 @@ object Scans {
         "FROM m WHERE rn = 1 ORDER BY event_id"),
       "partition-pruned MERGE through TsStore: prune base to delta's partitions, dynamic-overwrite only those"),
 
+    "write_upsert_timetravel" -> DeclaredQuery(
+      // Versioned (time-travel) read over the store's manifest log: the
+      // upsert publishes ONE atomic manifest version, and the replaced
+      // files stay on disk until vacuum — so reading `asOf` the
+      // pre-upsert version reconstructs the exact pre-merge store from
+      // the same directory, no copy. The oracle is simply the base
+      // table: if any merged row leaked into (or base row vanished
+      // from) the old snapshot, the hash diverges. At 100 TB this is
+      // the audit/debug/reproduce-training-run read path — a snapshot
+      // is a file LIST, so holding history costs zero data movement.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("upsert_tt", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        val v = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.read(s, dir, asOf = Some(v - 1))
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, CAST(1 AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "time-travel read: the pre-upsert manifest version reconstructs the unmerged store"),
+
     "write_json_roundtrip" -> DeclaredQuery(
       // Second source format: JSON-lines sink + source. Schema is pinned
       // on read — at scale, inference is a full extra pass over the data.

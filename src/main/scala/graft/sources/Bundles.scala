@@ -78,8 +78,7 @@ class Bundles(spark: SparkSession, basePath: String,
         // deterministic mergeSchema-union check, which is also what
         // dynamic-schema appends always use (a single footer would miss
         // columns and type conflicts living on other chunks).
-        def unionSchema = spark.read.option("mergeSchema", true)
-          .parquet(dir(collection)).schema
+        def unionSchema = TsStore.load(spark, dir(collection), mergeSchema = true).schema
         val incoming = tagged.schema
         def check(existing: org.apache.spark.sql.types.StructType): Boolean = {
           if (!allowNewColumns &&
@@ -88,7 +87,7 @@ class Bundles(spark: SparkSession, basePath: String,
           incoming.fields.forall(f => exTypes.get(f.name).forall(_ == f.dataType))
         }
         val fastPath = !allowNewColumns &&
-          check(spark.read.parquet(dir(collection)).schema)
+          check(TsStore.load(spark, dir(collection)).schema)
         if (!fastPath) {
           val merged = unionSchema
           if (!allowNewColumns) {
@@ -140,7 +139,7 @@ class Bundles(spark: SparkSession, basePath: String,
                columns: Seq[String] = Seq.empty,
                mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    var df = spark.read.option("mergeSchema", mergeSchema).parquet(dir(collection))
+    var df = TsStore.load(spark, dir(collection), mergeSchema)
       .filter(col(UidCol).isin(uids: _*))
     start.foreach(s => df = df.filter(col(tsCol) >= s))
     end.foreach(e => df = df.filter(col(tsCol) <= e))
@@ -188,7 +187,7 @@ class Bundles(spark: SparkSession, basePath: String,
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =
-    TsStore.listSeries(spark.read.parquet(dir(collection)), UidCol, tsCol)
+    TsStore.listSeries(TsStore.load(spark, dir(collection)), UidCol, tsCol)
 
   /** Delete one named series — removes its partition directory (the
     * uid-partitioned layout makes series deletion a metadata-cheap
@@ -228,13 +227,20 @@ class Bundles(spark: SparkSession, basePath: String,
       n
     }
     val before = countFiles(path)
+    // a LOGGED collection compacts its LIVE rows only (dead upserted-away
+    // files are dropped here — compaction doubles as physical GC); the
+    // rewritten layout then re-seeds the log at the next version, so the
+    // version counter stays monotonic. Time travel past a compaction is
+    // truncated by construction (the old files are gone) — same
+    // semantics as vacuum(retain=1).
+    val loggedAt = StoreLog.latestVersion(dir(collection))
     val tmp = new org.apache.hadoop.fs.Path(dir(collection) + ".__compact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // one read of the fragmented layout, one range-partitioned sorted
     // write — identical rows, tight row-group ts stats restored
     // mergeSchema so a dynamic-schema collection keeps the UNION of its
     // chunk columns — a single-footer read would silently drop columns
-    TsStore.write(spark.read.option("mergeSchema", true).parquet(dir(collection)),
+    TsStore.write(TsStore.load(spark, dir(collection), mergeSchema = true),
       tmp.toString, tsCol = tsCol, uidCols = Seq(UidCol))
     val old = new org.apache.hadoop.fs.Path(dir(collection) + ".__old")
     if (fs.exists(old)) fs.delete(old, true)
@@ -244,6 +250,10 @@ class Bundles(spark: SparkSession, basePath: String,
       throw new IllegalStateException(s"compact: could not activate $tmp; rolled back")
     }
     fs.delete(old, true)
+    loggedAt.foreach { v =>
+      StoreLog.commit(dir(collection), v, Seq.empty,
+        StoreLog.listDataFiles(dir(collection)))
+    }
     (before, countFiles(path))
   }
 
@@ -251,19 +261,38 @@ class Bundles(spark: SparkSession, basePath: String,
     * fragments into thousands of small append-chunks while the rest of
     * the collection is fine, and rewriting everything ([[compact]]) for
     * one bad partition is a full-store IO bill. This reads ONLY the
-    * series' partition directory (the data files carry no uid column —
-    * it lives in the directory name — so the rewrite is uid-free and
-    * swaps back into the same `__uid=` dir), rewrites it range-
-    * partitioned and ts-sorted with TsStore's pinned chunk geometry,
-    * and activates via the same rename-swap-rollback protocol as
-    * [[compact]]. Every other partition's files are untouched. Returns
-    * (files before, after) for the one partition.
+    * series' live rows (the data files carry no uid column — it lives in
+    * the directory name — so the rewrite is uid-free and swaps back into
+    * the same `__uid=` dir), rewrites them range-partitioned and
+    * ts-sorted with TsStore's pinned chunk geometry, and activates via
+    * the same rename-swap-rollback protocol as [[compact]]. Every other
+    * partition's files are untouched. Returns (files before, after) for
+    * the one partition.
+    *
+    * Staging and backup live in a SIBLING of the collection directory
+    * (`<collection>.__cs/`), never inside it: an in-root staging dir
+    * named `__uid=<uid>.__compact` would be DISCOVERED as a real
+    * partition (Spark's hidden-path filter exempts underscore names
+    * containing '='), so a concurrent reader would see a phantom series
+    * with duplicate rows, and a crash between the renames would lose the
+    * real partition value. Stray leftovers from a crashed prior run are
+    * recovered up front: a missing partition with a surviving backup is
+    * restored, stale staging is dropped.
     */
   def compactSeries(uid: String, collection: String = defaultCollection,
                     tsCol: String = "ts"): (Long, Long) = {
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
     val part = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$esc")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val csRoot = new org.apache.hadoop.fs.Path(dir(collection) + ".__cs")
+    val tmp = new org.apache.hadoop.fs.Path(csRoot, esc)
+    val old = new org.apache.hadoop.fs.Path(csRoot, esc + ".__old")
+    // crash recovery from a prior interrupted run: the backup survives
+    // until activation succeeded, so a missing partition is restorable
+    if (!fs.exists(part) && fs.exists(old))
+      require(fs.rename(old, part), s"compactSeries: could not restore $part from $old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     require(fs.exists(part), s"compactSeries: no partition for uid '$uid' at $part")
     def countFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
@@ -272,19 +301,31 @@ class Bundles(spark: SparkSession, basePath: String,
       n
     }
     val before = countFiles(part)
-    val tmp = new org.apache.hadoop.fs.Path(part.toString + ".__compact")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // mergeSchema for dynamic-schema series (union of chunk columns)
-    TsStore.write(spark.read.option("mergeSchema", true).parquet(part.toString),
-      tmp.toString, tsCol = tsCol, uidCols = Seq.empty)
-    val old = new org.apache.hadoop.fs.Path(part.toString + ".__old")
-    if (fs.exists(old)) fs.delete(old, true)
+    val loggedAt = StoreLog.latestVersion(dir(collection))
+    val partPrefix = s"$UidCol=$esc"
+    // live rows only: on a logged collection the partition dir may hold
+    // upserted-away dead files that a raw directory read would resurrect
+    val rows = loggedAt match {
+      case Some(_) =>
+        TsStore.load(spark, dir(collection), mergeSchema = true)
+          .filter(org.apache.spark.sql.functions.col(UidCol) === uid).drop(UidCol)
+      case None => spark.read.option("mergeSchema", true).parquet(part.toString)
+    }
+    TsStore.write(rows, tmp.toString, tsCol = tsCol, uidCols = Seq.empty)
     require(fs.rename(part, old), s"compactSeries: could not move $part aside")
     if (!fs.rename(tmp, part)) {
       fs.rename(old, part) // roll back so the series stays readable
       throw new IllegalStateException(s"compactSeries: could not activate $tmp; rolled back")
     }
     fs.delete(old, true)
+    if (fs.exists(csRoot) && !fs.listFiles(csRoot, true).hasNext) fs.delete(csRoot, true)
+    loggedAt.foreach { v =>
+      val snap = StoreLog.read(dir(collection), v)
+      val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
+      val fresh = StoreLog.listDataFiles(dir(collection))
+        .filter(_.startsWith(partPrefix + "/"))
+      StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ fresh)
+    }
     (before, countFiles(part))
   }
 

@@ -28,17 +28,38 @@ import graft.functions.VectorOps
   * `llm_ann_ivf`) which keeps the whole pipeline SQL-expressible — the
   * indexed query gets a real DuckDB oracle. Swapping in k-means centroids
   * (`llm_kmeans`/`llm_centroids`) changes only what `build` writes.
+  *
+  * Nearest-cell ranking has TWO physical paths behind one API, chosen by
+  * K: up to [[LiteralKMax]] centroids are baked into ONE expression
+  * (zero shuffle, oracle-portable arithmetic); above that, the literal
+  * expression tree — O(K) nodes evaluated per row — would blow past
+  * codegen limits, and K must grow toward √n for IVF to keep cells
+  * readable at scale (K=16 over 100 TB = 6 TB cells; a 2-probe reads
+  * 12 TB). The large-K path broadcast-joins the centroid table and
+  * argmin-aggregates — the same assignment shape as `llm_kmeans` — with
+  * IDENTICAL rounding and tie-break, pinned bit-equal in IvfSpec.
   */
 object IvfIndex {
+
+  /** Above this K, nearest-centroid ranking switches from the baked-in
+    * literal expression to the broadcast-join argmin path.
+    */
+  val LiteralKMax = 32
 
   /** Rounded cosine of a vector column against a LITERAL centroid —
     * float widened to double, left-to-right sum, (‖v‖·‖c‖) order:
     * exactly the oracle's list_sum(list_transform(...)) arithmetic.
     */
-  private def centroidCos(vec: Column, cEmb: Array[Float]): Column = {
-    val cNorm = math.sqrt(cEmb.map(x => x.toDouble * x.toDouble).foldLeft(0.0)(_ + _))
-    round(VectorOps.dot(vec, typedlit(cEmb)) / (VectorOps.norm(vec) * lit(cNorm)), 6)
-  }
+  private def centroidCos(vec: Column, cEmb: Array[Float]): Column =
+    round(VectorOps.dot(vec, typedlit(cEmb)) /
+      (VectorOps.norm(vec) * lit(centNorm(cEmb))), 6)
+
+  /** Driver-side centroid norm, same fold order as the executor-side
+    * VectorOps.norm (left-to-right double accumulation) so the two
+    * ranking paths divide by the bit-identical denominator.
+    */
+  private def centNorm(cEmb: Array[Float]): Double =
+    math.sqrt(cEmb.map(x => x.toDouble * x.toDouble).foldLeft(0.0)(_ + _))
 
   /** Nearest-centroid ranking array for a vector column: (ccos, -cent_id)
     * structs, lexicographically sorted descending ≙ ORDER BY ccos DESC,
@@ -49,26 +70,85 @@ object IvfIndex {
       struct(centroidCos(vec, emb).as("c"), lit(-id).as("nid"))
     }: _*)))
 
-  /** Nearest-centroid cell assignment with the deterministic first-`k`
-    * centroids baked in as literals — ONE scan, zero shuffle. Returns
-    * `(vec_id, embedding, cell)`; shared by [[build]] and the
-    * SemDeDup-style `llm_semdedup` operator (cluster-then-dedup needs
-    * exactly this cell key).
+  /** The (ccos, -cent_id) ranking struct against a centroid-table ROW —
+    * the join path's copy of [[centroidCos]]'s arithmetic (cent_nrm is
+    * precomputed driver-side by [[centNorm]], so the denominator is the
+    * same double either way).
     */
-  def assign(embeddings: DataFrame, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val cents: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+  private def joinRankStruct(vec: Column): Column =
+    struct(
+      round(VectorOps.dot(vec, col("cent_emb")) /
+        (VectorOps.norm(vec) * col("cent_nrm")), 6).as("c"),
+      (-col("cent_id")).as("nid"))
+
+  private def centroidsDf(spark: SparkSession,
+                          cents: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (id, emb) => (id, emb.toSeq, centNorm(emb)) }
+      .toDF("cent_id", "cent_emb", "cent_nrm")
+      .select(col("cent_id"), col("cent_emb").cast("array<float>").as("cent_emb"),
+        col("cent_nrm"))
+  }
+
+  /** Large-K nearest-cell assignment: broadcast the K-row centroid table,
+    * score all n×K pairs map-side, argmin via a partial-aggregatable
+    * max(struct) — the pair rows collapse to n BEFORE the one shuffle
+    * (hash-agg partials), so shuffle volume is the corpus, never n×K.
+    */
+  private[graft] def assignByJoin(e: DataFrame,
+                                  cents: Seq[(Int, Array[Float])]): DataFrame = {
+    val cdf = centroidsDf(e.sparkSession, cents)
+    e.join(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"),
+        joinRankStruct(col("embedding")).as("s"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(col("s")).as("s"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("s").getField("nid")).cast("long").as("cell"))
+  }
+
+  /** Literal-expression nearest-cell assignment (the oracle-portable
+    * small-K path): one scan, zero shuffle, O(K) expression per row.
+    */
+  private[graft] def assignLiteral(e: DataFrame,
+                                   cents: Seq[(Int, Array[Float])]): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       (-rankedCells(col("embedding"), cents)(0).getField("nid"))
         .cast("long").as("cell"))
+
+  private def withCell(e: DataFrame, cents: Seq[(Int, Array[Float])]): DataFrame =
+    if (cents.size <= LiteralKMax) assignLiteral(e, cents)
+    else assignByJoin(e, cents)
+
+  /** Deterministic seed centroids: the first `k` vectors. Fails loudly if
+    * the corpus doesn't carry exactly k distinct vec_ids below k (ids not
+    * starting at 0, renumbered upstream) — silently building a smaller
+    * index than requested would degrade recall AND diverge from the K an
+    * oracle hardcodes.
+    */
+  private[graft] def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Array[Float])] = {
+    val cents = e.filter(col("vec_id") < k)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.size == k && cents.map(_._1).distinct.size == k,
+      s"IVF seeding expected $k distinct vectors with vec_id in [0, $k), " +
+        s"got ${cents.size} — corpus ids must start at 0 (renumber or pass matching k)")
+    cents
+  }
+
+  /** Nearest-centroid cell assignment with deterministic first-`k` seed
+    * centroids. Returns `(vec_id, embedding, cell)`; shared by [[build]]
+    * and the SemDeDup-style `llm_semdedup` operator (cluster-then-dedup
+    * needs exactly this cell key). K picks the physical path — see the
+    * object doc.
+    */
+  def assign(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    withCell(e, seedCentroids(e, k))
   }
 
   /** Train + persist in one step: centroids and the cell-partitioned
-    * inverted lists. Assignment is ONE scan per round with the centroids
-    * baked in as literals — a pure map-side expression, zero shuffle
-    * before the layout write.
+    * inverted lists.
     *
     * `lloydRounds = 0` (the oracle-checkable default) seeds centroids
     * with the first K vectors and writes immediately; `lloydRounds > 0`
@@ -84,17 +164,13 @@ object IvfIndex {
             lloydRounds: Int = 0): Unit = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    var cents: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    var cents = seedCentroids(e, k)
     for (_ <- 0 until lloydRounds) {
-      val assigned = e.select(col("embedding"),
-        (-rankedCells(col("embedding"), cents)(0).getField("nid")).as("cell"))
-      val means = assigned
+      val means = withCell(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .collect()
-        .groupBy(_.getInt(0))
+        .groupBy(_.getLong(0).toInt)
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
         }
@@ -105,33 +181,66 @@ object IvfIndex {
       .toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      (-rankedCells(col("embedding"), cents)(0).getField("nid")).as("cell"))
-    TsStore.write(assigned, s"$dir/cells", tsCol = "vec_id",
+    TsStore.write(withCell(e, cents), s"$dir/cells", tsCol = "vec_id",
       uidCols = Seq("cell"), overlapPolicy = TsStore.OverlapPolicy.Allow)
+  }
+
+  private def loadCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Incrementally add vectors to a persisted index — no retrain, no
+    * rebuild: assign the delta against the PERSISTED centroids and
+    * latest-wins upsert into the cell-partitioned lists, so only the
+    * touched cell partitions are read or replaced (TsStore's pruned
+    * MERGE + manifest commit; untouched inverted lists are never opened
+    * — pinned by scan metrics in IvfSpec). A re-added vec_id replaces
+    * its previous row; with unchanged centroids it lands in the same
+    * cell whenever its embedding is unchanged (the partition-immutability
+    * contract of the pruned MERGE). Returns the cells table's committed
+    * manifest version.
+    */
+  def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
+    val assigned = withCell(delta.select(col("vec_id"), col("embedding")),
+      loadCentroids(spark, dir))
+    TsStore.upsert(spark, s"$dir/cells", assigned, keyCols = Seq("vec_id"),
+      versionCol = "vec_id", tsCol = "vec_id", uidCols = Seq("cell"))
   }
 
   /** Probe the persisted index: `queries` is a (q_id, q_emb) frame —
     * SMALL by contract (the serving batch). Cell selection reads the
     * centroid table only; candidate generation reads only the probed
-    * cells' partitions; exact cosine rerank returns the top `topK`
-    * neighbors per query with rounded scores and id tie-breaks.
+    * cells' partitions (manifest-aware, so [[add]]-committed vectors are
+    * visible and replaced ones are not); exact cosine rerank returns the
+    * top `topK` neighbors per query with rounded scores and id
+    * tie-breaks.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             nprobe: Int, topK: Int): DataFrame = {
-    val cents: Seq[(Int, Array[Float])] = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    val probes = queries.toDF("q_id", "q_emb")
-      .select(col("q_id"), col("q_emb"),
-        explode(slice(rankedCells(col("q_emb"), cents), 1, nprobe)).as("p"))
-      .select(col("q_id"), col("q_emb"), (-col("p").getField("nid")).as("cell"))
+    val cents = loadCentroids(spark, dir)
+    val q = queries.toDF("q_id", "q_emb")
+    val probes =
+      if (cents.size <= LiteralKMax)
+        q.select(col("q_id"), col("q_emb"),
+          explode(slice(rankedCells(col("q_emb"), cents), 1, nprobe)).as("p"))
+          .select(col("q_id"), col("q_emb"), (-col("p").getField("nid")).as("cell"))
+      else {
+        // large K: rank per query over the broadcast centroid table —
+        // the query batch is small, so the per-query window is trivial
+        val w = Window.partitionBy("q_id").orderBy(col("s").desc)
+        q.join(broadcast(centroidsDf(spark, cents)))
+          .select(col("q_id"), col("q_emb"), joinRankStruct(col("q_emb")).as("s"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nprobe)
+          .select(col("q_id"), col("q_emb"), (-col("s").getField("nid")).as("cell"))
+      }
     // the probed cell ids as LITERALS (bounded by queries × nprobe): an
     // IN-list on the partition column is what turns the cells read into
     // plan-time partition pruning — a join on cell would scan every list
     val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val cells = spark.read.parquet(s"$dir/cells")
+      .collect().map(_.get(0)).toSeq
+    val cells = TsStore.load(spark, s"$dir/cells")
       .filter(col("cell").isin(probedCells: _*))
     val scored = broadcast(probes).join(cells, "cell")
       .filter(col("vec_id") =!= col("q_id"))

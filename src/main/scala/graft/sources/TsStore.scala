@@ -87,7 +87,7 @@ object TsStore {
     require(nulls == 0, s"$nulls null $tsCol values — refusing write")
     if (inExt.isEmpty) return Seq.empty
     val stored =
-      try spark.read.parquet(path)
+      try load(spark, path)
       catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
     val uidPred = uidPredicate(inExt.toSeq, uidCols)
     // keys compare as STRINGS: partition-column type inference can read
@@ -184,21 +184,61 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     val sorted = df.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
+    if (mode == SaveMode.Overwrite) {
+      // an overwrite is a NEW store — a stale manifest naming deleted
+      // files must not survive it
+      StoreLog.delete(path)
+      writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
+    } else if (StoreLog.exists(path)) {
+      // logged store: appended files must be NAMED by a manifest commit
+      // or manifest readers never see them. Stage to a txn-private dir,
+      // move into place (invisible until committed), publish. A pure
+      // file ADDITION serializes after any concurrent commit, so a CAS
+      // loss always rebases onto the winner's file list.
+      val staging = txnDir(path)
+      writeFiles(sorted, staging, uidCols, SaveMode.Overwrite, codec,
+        rowGroupBytes, maxRecordsPerFile)
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      var committed = false
+      var attempts = 0
+      while (!committed) {
+        val cur = StoreLog.ensure(path)
+        try {
+          StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved)
+          committed = true
+        } catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1; if (attempts > 50) throw c
+        }
+      }
+    } else writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
+  }
+
+  private def txnDir(path: String): String =
+    s"$path/_graft_txn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** The physical parquet write (shared by the plain and the staged-txn
+    * paths). Timestamps MUST be INT64 micros, not the INT96 legacy type:
+    * INT96 columns carry NO parquet min/max statistics, which silently
+    * turns every ts-slice into a full scan (measured: the row-group-skip
+    * test reads 100% of rows under INT96). Session-conf-only in Spark,
+    * so set and restore around the write. TsStore-vs-TsStore concurrency
+    * is serialized by the lock below; a NON-TsStore parquet write racing
+    * on the same session during this window would still see the pinned
+    * value — acceptable (it pins the GOOD type), but restore-ordering
+    * means heavy concurrent mixed writers should use separate sessions.
+    */
+  private def writeFiles(sorted: DataFrame, path: String, uidCols: Seq[String],
+                         mode: SaveMode, codec: String,
+                         rowGroupBytes: Long, maxRecordsPerFile: Long): Unit = {
     // zstd default ≙ the reference's LZ4 column blobs: better ratio than
     // snappy at similar scan speed — at 100 TB the ratio IS the IO budget.
     val writer = sorted.write.mode(mode).option("compression", codec)
       .option("parquet.block.size", rowGroupBytes)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-    // Timestamps MUST be INT64 micros, not the INT96 legacy type: INT96
-    // columns carry NO parquet min/max statistics, which silently turns
-    // every ts-slice into a full scan (measured: the row-group-skip test
-    // reads 100% of rows under INT96). Session-conf-only in Spark, so set
-    // and restore around the write. TsStore-vs-TsStore concurrency is
-    // serialized by the lock below; a NON-TsStore parquet write racing on
-    // the same session during this window would still see the pinned
-    // value — acceptable (it pins the GOOD type), but restore-ordering
-    // means heavy concurrent mixed writers should use separate sessions.
-    val sess = df.sparkSession
+    val sess = sorted.sparkSession
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     TsStore.synchronized {
       val prev = sess.conf.getOption(tsTypeKey)
@@ -240,7 +280,7 @@ object TsStore {
     if (touched.isEmpty)
       return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol))
     val base =
-      try spark.read.parquet(path)
+      try load(spark, path)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
     base.filter(uidPredicate(touched.toSeq, uidCols))
@@ -261,65 +301,154 @@ object TsStore {
     */
   private def dedupLatest(keyCols: Seq[String], versionCol: String)(
       u: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    // xxhash64 rejects MapType at analysis time — serialize any column
+    // whose type contains a map to its canonical JSON for the tie-break
+    // (the events table's `props` map is a store-supported column; the
+    // hash only breaks (key, version) ties, so a stable serialization is
+    // all it needs to be)
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: MapType     => true
+      case s: StructType  => s.fields.exists(f => unhashable(f.dataType))
+      case a: ArrayType   => unhashable(a.elementType)
+      case _              => false
+    }
+    val tieCols: Seq[Column] = u.schema.fields.toSeq.map { f =>
+      if (unhashable(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(desc(versionCol), desc("__src"),
-        xxhash64(u.columns.map(col): _*).desc)
+      .orderBy(desc(versionCol), desc("__src"), xxhash64(tieCols: _*).desc)
     u.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__src")
   }
 
   /** Partition-pruned MERGE (latest-wins upsert) into a TsStore layout —
-    * the incremental-maintenance write path. The naive MERGE re-windows
-    * base ∪ delta over the FULL key space (a 100 TB shuffle for a 1 GB
-    * delta); this one touches only the partitions the delta names:
+    * the incremental-maintenance write path, CRASH-ATOMIC and
+    * cross-process safe via the [[StoreLog]] manifest. The naive MERGE
+    * re-windows base ∪ delta over the FULL key space (a 100 TB shuffle
+    * for a 1 GB delta); this one touches only the partitions the delta
+    * names:
     *
-    *   1. read the base pruned to the delta's partition values
+    *   1. ensure a manifest exists (v1 = the store's current files),
+    *   2. read the base pruned to the delta's partition values
     *      ([[upsertPlan]] — plan-time pruning, pinned in TsStoreSpec),
-    *   2. merge (one keyed window over touched-partitions ∪ delta),
-    *   3. stage the merged rows to a scratch dir (Spark refuses to
-    *      overwrite a path that feeds the same plan, and rightly so),
-    *   4. dynamic-partition-overwrite the store: only partitions present
-    *      in the merged output are replaced; untouched partitions' files
-    *      are never read OR rewritten.
+    *   3. merge (one keyed window over touched-partitions ∪ delta),
+    *   4. stage the merged rows to a txn-private dir INSIDE the store
+    *      (underscore-hidden), then move the files into their partition
+    *      dirs — present on disk but invisible to manifest readers,
+    *   5. publish ONE manifest version that atomically swaps the touched
+    *      partitions' old files for the new ones. Untouched partitions'
+    *      files are never read OR rewritten; replaced files stay on disk
+    *      for time travel ([[read]] `asOf`) until [[vacuum]].
     *
-    * Cost: one pruned scan + two writes of the touched partitions. At
-    * 100 TB both sides scale with the DELTA's footprint, not the store's.
+    * A crash at ANY step leaves the previous manifest live — readers see
+    * fully-old or fully-new, never a mix. A concurrent writer is
+    * detected by the commit CAS: commits over DISJOINT partition sets
+    * serialize automatically (rebase + retry); overlapping ones abort
+    * with [[StoreLog.CommitConflict]] and leave the store on the
+    * winner's version (the staged files are removed). Returns the
+    * committed manifest version.
+    *
+    * Cost: one pruned scan + one write of the touched partitions + one
+    * manifest file. At 100 TB both sides scale with the DELTA's
+    * footprint, not the store's.
     */
   def upsert(spark: SparkSession, path: String, delta: DataFrame,
              keyCols: Seq[String], versionCol: String,
              tsCol: String, uidCols: Seq[String],
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
-             maxRecordsPerFile: Long = 8L << 20): Unit = {
+             maxRecordsPerFile: Long = 8L << 20): Long = {
     // Pin the delta ONCE. The merge evaluates it three times (emptiness,
     // touched-partition collect, staging write); a nondeterministic
     // delta lineage (limit/sample/shuffled upstream) could otherwise
     // name partition set {A} during the prune but produce rows in
     // {A, B} at write time — the B partition, never merged with its
-    // base rows, would then be dynamic-overwritten with delta rows
-    // only, silently deleting base data. localCheckpoint is delta-sized.
+    // base rows, would then be swapped to delta rows only, silently
+    // deleting base data. localCheckpoint is delta-sized.
     val pinned = delta.localCheckpoint()
-    if (pinned.isEmpty) return
+    val base = StoreLog.ensure(path)
+    if (pinned.isEmpty) return base.version
     val merged = upsertPlan(spark, path, pinned, keyCols, versionCol, uidCols)
-    val staging = graft.Q.scratchTempDir("upsert_stage_")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    TsStore.synchronized {
-      val prev = spark.conf.getOption(modeKey)
-      spark.conf.set(modeKey, "dynamic")
-      try write(spark.read.parquet(staging), path, tsCol, uidCols,
-        mode = SaveMode.Overwrite, codec = codec,
-        overlapPolicy = OverlapPolicy.Allow,
-        rowGroupBytes = rowGroupBytes, maxRecordsPerFile = maxRecordsPerFile)
-      finally {
-        prev match {
-          case Some(v) => spark.conf.set(modeKey, v)
-          case None    => spark.conf.unset(modeKey)
-        }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    // the touched partition DIRECTORY prefixes — the unit of replacement
+    // and of writer-vs-writer conflict detection; escaped exactly as the
+    // partitioned writer escapes them
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val prefixes: Set[String] = pinned.select(uidCols.map(col): _*).distinct().collect()
+      .map { r =>
+        uidCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          s"${esc(c)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else esc(String.valueOf(v))}"
+        }.mkString("/")
+      }.toSet
+    val staging = txnDir(path)
+    write(merged, staging, tsCol, uidCols, mode = SaveMode.Overwrite,
+      codec = codec, overlapPolicy = OverlapPolicy.Allow,
+      rowGroupBytes = rowGroupBytes, maxRecordsPerFile = maxRecordsPerFile)
+    val moved =
+      try StoreLog.adoptStaged(path, staging)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
+    def abort(why: String): Nothing = {
+      moved.foreach(f => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, f)))
+      throw new StoreLog.CommitConflict(why)
+    }
+    var expected = base
+    var attempts = 0
+    while (true) {
+      try return StoreLog.commit(path, expected.version, prefixes.toSeq,
+        expected.files.filterNot(under) ++ moved)
+      catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1
+          if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+          val cur = StoreLog.latest(path).getOrElse(throw c)
+          // rebase is sound ONLY if no intervening commit touched our
+          // partitions — neither replaced them nor appended files under
+          // them; otherwise our merge used a stale base for those rows
+          var prevFiles = expected.files.toSet
+          ((expected.version + 1) to cur.version).foreach { v =>
+            val s = StoreLog.read(path, v)
+            if (s.replaced.exists(prefixes.contains) ||
+                (s.files.toSet -- prevFiles).exists(under))
+              abort(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
+                s"(now v${cur.version}) — re-run the upsert against the new base")
+            prevFiles = s.files.toSet
+          }
+          expected = cur
       }
     }
+    throw new IllegalStateException("unreachable: upsert commit loop exited")
   }
+
+  /** Manifest-aware dataset load: a logged store reads exactly the live
+    * (or `asOf`-versioned) file set; an unlogged one reads the directory
+    * as before. `basePath` keeps partition-column inference identical in
+    * both modes, so predicates on uid columns prune the same way.
+    */
+  def load(spark: SparkSession, path: String, mergeSchema: Boolean = false,
+           asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+    snap match {
+      case Some(s) =>
+        spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
+          .parquet(s.files.map(f => s"$path/$f"): _*)
+      case None =>
+        spark.read.option("mergeSchema", mergeSchema).parquet(path)
+    }
+  }
+
+  /** Committed manifest versions of a logged store (empty if unlogged). */
+  def versions(path: String): Seq[Long] = StoreLog.listVersions(path)
+
+  /** Reclaim space: drop files no retained manifest references and
+    * manifests beyond the newest `retainVersions` — the time-travel
+    * window shrinks accordingly. MUST NOT run concurrently with writers
+    * (staged-but-uncommitted files are unreferenced by construction).
+    */
+  def vacuum(path: String, retainVersions: Int = 1): Int =
+    StoreLog.vacuum(path, retainVersions)
 
   /** Sliced read — the reference's core entry point (`Corintick.read`):
     * uid + inclusive time range + column projection. All three conditions
@@ -335,13 +464,16 @@ object TsStore {
            end: Option[java.sql.Timestamp] = None,
            columns: Seq[String] = Seq.empty,
            meta: Map[String, Any] = Map.empty,
-           mergeSchema: Boolean = false): DataFrame = {
+           mergeSchema: Boolean = false,
+           asOf: Option[Long] = None): DataFrame = {
     // mergeSchema ≙ the reference's dynamic-schema read (SURVEY §1.1:
     // chunks of one uid may carry different column sets; read reassembles
     // the union, missing columns → null/NaN). Off by default: the footer
     // merge is a per-file metadata pass worth paying only for collections
-    // that actually evolved.
-    var df = spark.read.option("mergeSchema", mergeSchema).parquet(path)
+    // that actually evolved. `asOf` time-travels a LOGGED store to the
+    // named manifest version (upserted-away rows come back; requires the
+    // version inside the vacuum retention window).
+    var df = load(spark, path, mergeSchema, asOf)
     uid.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
     start.foreach(s => df = df.filter(col(tsCol) >= lit(s)))
     end.foreach(e => df = df.filter(col(tsCol) <= lit(e)))

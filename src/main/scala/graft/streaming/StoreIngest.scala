@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.TsStore
+
+/** Streaming ingest into the chunked store — the `writeStream` twin of
+  * the corintick write path (the reference only ever ingested batches;
+  * a 100 TB pipeline tails a feed). Each micro-batch runs the
+  * partition-pruned, manifest-committed [[TsStore.upsert]], so:
+  *
+  *   - per-batch cost scales with the batch's partitions, not the store;
+  *   - the store is crash-atomic per batch (a killed batch leaves the
+  *     previous manifest live);
+  *   - REPLAY IS IDEMPOTENT: foreachBatch is at-least-once across
+  *     restarts (a batch can be re-delivered when the failure lands
+  *     between epoch commit and checkpoint write), and latest-wins MERGE
+  *     maps the re-delivered rows onto the same winners — the store
+  *     converges to the exactly-once state. Pinned in StreamingSpec by
+  *     deleting a checkpoint commit marker and restarting.
+  *
+  * Versioning comes from the DATA (`versionCol`, e.g. the event ts or an
+  * upstream sequence number), NOT from the batch id — a re-delivered
+  * batch must carry identical versions for idempotency to hold.
+  */
+object StoreIngest {
+
+  def start(stream: DataFrame, path: String,
+            keyCols: Seq[String], versionCol: String,
+            tsCol: String, uidCols: Seq[String],
+            checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          TsStore.upsert(batch.sparkSession, path, batch,
+            keyCols = keyCols, versionCol = versionCol,
+            tsCol = tsCol, uidCols = uidCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

@@ -218,4 +218,35 @@ class BundlesSpec extends AnyFunSuite {
     // non-merged read keeps working (first-footer schema)
     assert(ct.read("AAPL").count() == 2)
   }
+
+  test("compactSeries stages OUTSIDE the discovery root; crashed swap recovers at next run") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cs2").toString
+    val ct = new Bundles(spark, base)
+    for (i <- 0 until 3)
+      ct.write("aapl", Seq((ts(s"2024-01-01 09:3$i:00"), 100.0 + i)).toDF("ts", "price"))
+    ct.write("msft", Seq((ts("2024-01-01 09:30:00"), 1.0)).toDF("ts", "price"))
+    ct.compactSeries("aapl")
+    // no phantom partitions: staging/backup names never enter discovery
+    val uids = ct.listUids().select("__uid").as[String].collect().toSet
+    assert(uids === Set("aapl", "msft"), s"phantom partitions discovered: $uids")
+    assert(ct.read("aapl").count() === 3)
+    // nothing compact-related lives INSIDE the collection dir (the bug
+    // was `__uid=aapl.__compact` being discovered as a real partition)
+    val inRoot = new java.io.File(s"$base/default").listFiles().map(_.getName).toSet
+    assert(inRoot.forall(n => !n.contains("__compact") && !n.contains("__old")),
+      s"staging leftovers inside the discovery root: $inRoot")
+    // simulate a crash between the two renames: the partition sits in
+    // the backup sibling, the real path is gone
+    val part = new java.io.File(s"$base/default/__uid=aapl")
+    val old = new java.io.File(s"$base/default.__cs/aapl.__old")
+    old.getParentFile.mkdirs()
+    require(part.renameTo(old), "test setup: could not move partition aside")
+    assert(!part.exists())
+    // next compactSeries restores the backup, then compacts normally
+    ct.compactSeries("aapl")
+    assert(ct.read("aapl").count() === 3)
+    assert(ct.read("aapl").agg(org.apache.spark.sql.functions.sum("price"))
+      .first().getDouble(0) === 303.0)
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{IvfIndex, Tables, TsStore}
+
+/** The two nearest-cell ranking paths (literal expression vs broadcast
+  * argmin), seed validation, and incremental index maintenance.
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf001)
+    .select(col("vec_id"), col("embedding"))
+
+  test("broadcast-join assignment is bit-equal to the literal path at K=64") {
+    // K=64 > LiteralKMax: the public API takes the join path; force the
+    // literal expression for the same centroids and compare cells. Any
+    // rounding/tie-break divergence between the two arithmetic spellings
+    // shows up as a cell mismatch here.
+    val k = 64
+    val e = Tables.embeddings(spark, TestSpark.sf01)
+      .select(col("vec_id"), col("embedding"))
+    val cents = IvfIndex.seedCentroids(e, k)
+    assert(cents.size === k)
+    val litPath = IvfIndex.assignLiteral(e, cents).select("vec_id", "cell")
+    val join = IvfIndex.assignByJoin(e, cents).select("vec_id", "cell")
+    assert(join.count() === litPath.count())
+    assert(join.except(litPath).count() === 0, "join path assigned some vector differently")
+    assert(litPath.except(join).count() === 0)
+    // and the public API at K=64 IS the join path's answer
+    val api = IvfIndex.assign(e, k).select("vec_id", "cell")
+    assert(api.except(join).count() === 0 && join.except(api).count() === 0)
+  }
+
+  test("seeding fails loudly when the corpus lacks k distinct ids below k") {
+    val renumbered = emb.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] { IvfIndex.assign(renumbered, 16).collect() }
+    assert(e.getMessage.contains("distinct vectors"))
+  }
+
+  test("add() makes new vectors probeable without retraining, touching only their cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString
+    IvfIndex.build(emb, dir, k = 8)
+    // new vectors = copies of existing ones under fresh ids — their cell
+    // is then KNOWN (same as the copied vector's), and a probe near them
+    // must now return the twin at cosine 1.0
+    val twins = emb.filter(col("vec_id").isin(20L, 21L, 22L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val cellsBefore = TsStore.load(spark, s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def partFiles(cell: Long): Set[String] = {
+      val d = new java.io.File(s"$dir/cells/cell=$cell")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val touchedCells = Seq(20L, 21L, 22L).map(cellsBefore).toSet
+    val untouched = (0L until 8L).filterNot(touchedCells)
+    assume(untouched.nonEmpty)
+    val untouchedBefore = untouched.map(c => c -> partFiles(c)).toMap
+
+    IvfIndex.add(spark, dir, twins)
+
+    // only the touched cells' partitions gained files
+    untouched.foreach { c =>
+      assert(partFiles(c) === untouchedBefore(c),
+        s"add() rewrote files in untouched cell $c")
+    }
+    // the added vectors are in the manifest-visible index, right cells
+    val cellsAfter = TsStore.load(spark, s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(20L, 21L, 22L).foreach { id =>
+      assert(cellsAfter(id + 100000L) === cellsBefore(id),
+        s"twin of $id landed in a different cell than its original")
+    }
+    // probing AT vector 20 finds its twin as the top neighbor (cos 1.0)
+    val q = emb.filter(col("vec_id") === 20L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = IvfIndex.probe(spark, dir, q, nprobe = 1, topK = 1)
+      .select("nbr_id", "cos").collect().head
+    assert(top.getLong(0) === 100020L && top.getDouble(1) === 1.0,
+      s"probe after add() did not surface the added twin: $top")
+    // and the probe's cells scan is still partition-pruned to one cell
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = IvfIndex.probe(spark, dir, q, nprobe = 1, topK = 1)
+      probed.collect()
+      val scans = probed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("cells") => f
+      }
+      assert(scans.nonEmpty)
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val probedCell = cellsBefore(20L)
+      // only the probed cell's LIVE manifest files — the directory also
+      // holds the dead pre-add file, which the manifest read must skip
+      val live = graft.sources.StoreLog.latest(s"$dir/cells").get.files
+        .count(_.startsWith(s"cell=$probedCell/"))
+      assert(filesRead === live,
+        s"probe read $filesRead files, expected only cell $probedCell's $live live files")
+      assert(live < partFiles(probedCell).size,
+        "expected the replaced pre-add file to still sit (dead) in the partition dir")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -194,4 +194,46 @@ class LlmOpsSpec extends AnyFunSuite {
       if (a == b) assert(math.abs(c - 1.0) < 1e-9)
     }
   }
+
+  test("boundedCellPairs: a planted mega-cell emits n·cap pairs, not n²; small cells stay exact") {
+    val n = 600; val cap = 100
+    val mega = spark.range(n).select(col("id").as("vec_id"), lit(0L).as("cell"))
+    val small = spark.range(50).select((col("id") + 10000L).as("vec_id"), lit(1L).as("cell"))
+    val df = mega.unionByName(small)
+    val capped = graft.Q.boundedCellPairs(df, "cell", "vec_id", cap)
+    // each rank-r row compares to its min(r-1, cap) nearest predecessors
+    val expectMega = (0 until n).map(r => math.min(r, cap).toLong).sum
+    assert(capped.filter(col("cell") === 0L).count() === expectMega)
+    assert(expectMega < n.toLong * (n - 1) / 2 / 3,
+      "cap did not bound the mega-cell meaningfully below quadratic")
+    // an under-cap cell is the exact all-pairs self-join
+    assert(capped.filter(col("cell") === 1L).count() === 50L * 49 / 2)
+    // and raising the cap past the cell size recovers exact everywhere
+    val exact = graft.Q.boundedCellPairs(df, "cell", "vec_id", n)
+    assert(exact.filter(col("cell") === 0L).count() === n.toLong * (n - 1) / 2)
+  }
+
+  test("semdedup cap leaves the fixture result identical to unbounded all-pairs") {
+    import graft.functions.VectorOps
+    import graft.sources.IvfIndex
+    val declared = Registry.all("llm_semdedup").fn(spark, TestSpark.sf001)
+    // the same pipeline with the rank bound effectively OFF (cap ≫ n):
+    // any difference means some fixture cell exceeded the declared cap —
+    // i.e. the oracle-checked semantics silently changed
+    val cells = IvfIndex.assign(Tables.embeddings(spark, TestSpark.sf001), 16)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val scored = graft.Q.boundedCellPairs(cells, "cell", "vec_id", 1 << 20)
+      .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b"),
+        round(VectorOps.dot(col("embedding_a"), col("embedding_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+    val dominated = graft.Q
+      .aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)
+      .select(col("id_b"), lit(1).as("__dom")).distinct()
+    val unbounded = cells.select(col("vec_id"), col("cell"))
+      .join(dominated, col("vec_id") === col("id_b"), "left")
+      .select(col("vec_id"), col("cell"), col("__dom").isNull.as("keep"))
+    assert(declared.count() === unbounded.count())
+    assert(declared.except(unbounded).count() === 0)
+    assert(unbounded.except(declared).count() === 0)
+  }
 }

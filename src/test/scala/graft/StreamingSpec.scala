@@ -281,4 +281,44 @@ class StreamingSpec extends AnyFunSuite {
     val got = Streams.locfPerKey(batch).collect().sortBy(_.ts.getTime).map(_.v_filled)
     assert(got.toSeq === Seq(None, Some(4.0), Some(4.0)))
   }
+
+  test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    // foreachBatch is at-least-once: if the process dies after the
+    // store upsert but before the checkpoint's commit marker lands,
+    // the restarted query re-delivers the SAME batch. Latest-wins
+    // merge must absorb the replay — the store ends exactly-once.
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, version LONG"
+    def startIngest() =
+      StoreIngest.start(spark.readStream.schema(schema).parquet(src), store,
+        keyCols = Seq("event_id"), versionCol = "version",
+        tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 2.0, 1L))
+      .toDF("ts", "event_type", "event_id", "value", "version")
+      .write.mode("append").parquet(src)
+    val q1 = startIngest(); q1.awaitTermination()
+    assert(TsStore.read(spark, store).count() === 2)
+    // the crash window: batch 0's upsert is committed to the STORE but
+    // its checkpoint commit marker is lost → the restart re-delivers it
+    val marker = new java.io.File(s"$ckpt/commits/0")
+    assert(marker.exists(), "test setup: expected commit marker for batch 0")
+    assert(marker.delete())
+    // the local FS keeps a checksum shadow; a stale one blocks re-commit
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    Seq((ts("2024-01-01 10:02:00"), "view", 1L, 9.0, 2L), // update key 1
+        (ts("2024-01-01 10:03:00"), "signup", 3L, 3.0, 1L)) // new partition
+      .toDF("ts", "event_type", "event_id", "value", "version")
+      .write.mode("append").parquet(src)
+    val q2 = startIngest(); q2.awaitTermination()
+    val out = TsStore.read(spark, store)
+      .select("event_id", "value", "version")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(out === Set((1L, 9.0, 2L), (2L, 2.0, 1L), (3L, 3.0, 1L)),
+      s"replayed batch corrupted the store: $out")
+  }
 }

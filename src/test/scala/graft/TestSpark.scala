@@ -17,4 +17,5 @@ object TestSpark {
     s
   }
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }
