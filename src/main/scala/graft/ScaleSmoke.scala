@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale smoke (dev/maintenance main, not driver-run):
+  * self-replicates the events/documents/embeddings fixtures `reps`×
+  * with deterministic id offsets, then times the heaviest declared
+  * queries plus the whole dedup/CC/semdedup family on BOTH the original
+  * and the scaled dir. A hidden quadratic — the regime fixture scale
+  * can't see — shows up as a time ratio far above `reps`; everything
+  * built shuffle-bounded should track ≲ `reps` (plus constant job
+  * overhead, which makes small ratios < reps normal in local mode).
+  *
+  * Replication keeps TEXTS AND EMBEDDINGS IDENTICAL across replicas on
+  * purpose: every doc gains `reps−1` exact twins, so dup clusters grow
+  * `reps`×, LSH band buckets go over-cap (exercising the star salvage),
+  * and IVF/semdedup cells exceed the rank bound (exercising the pair
+  * cap) — the exact mechanisms that must keep the quadratics bounded at
+  * 100 TB. events keeps its raw int64-nanos ts column so
+  * `Tables.events`/`eventsSliced` read the scaled dir unchanged.
+  */
+object ScaleSmoke {
+
+  private val Queries = Seq(
+    "llm_dedup_exact", "llm_chunk_dedup", "llm_dedup_near",
+    "llm_dedup_simhash", "llm_dedup_embed", "llm_semdedup",
+    "llm_dup_clusters", "llm_dup_clusters_lsh",
+    "llm_ann_lsh", "llm_ann_ivf_indexed",
+    "write_upsert_pruned", "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = Q.scratchDir(s"scale_${reps}x_${new java.io.File(sfDir).getName}")
+    val rep = explode(sequence(lit(0L), lit(reps - 1L))).as("__rep")
+
+    // events: RAW nanos read (no µs conversion) so the scaled file keeps
+    // the int64 ts column both Tables.events paths expect
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("*"), rep)
+      .withColumn("event_id", col("event_id") + col("__rep") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("__rep") * 10000000L)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("*"), rep)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * 10000000L)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("*"), rep)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * 10000000L)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      Registry.all(name).fn(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // base pass first (doubles as JIT warmup for the scaled pass — the
+    // bias, if any, makes ratios LOOK worse, never better)
+    val base = Queries.map(q => q -> time(q, sfDir)).toMap
+    val big = Queries.map(q => q -> time(q, scaled)).toMap
+    val rows = Queries.map { q =>
+      val r = big(q) / base(q)
+      f"""{"query":"$q","base_sec":${base(q)}%.2f,"x${reps}_sec":${big(q)}%.2f,"ratio":$r%.1f}"""
+    }
+    println(rows.mkString("[", ",\n", "]"))
+    val worst = Queries.maxBy(q => big(q) / base(q))
+    val flagged = Queries.filter(q => big(q) / base(q) > reps * 1.8)
+    println(f"SUMMARY reps=$reps worst=$worst ratio=${big(worst) / base(worst)}%.1f " +
+      s"superlinear=${if (flagged.isEmpty) "none" else flagged.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -381,10 +381,19 @@ object TsStore {
           s"${esc(c)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else esc(String.valueOf(v))}"
         }.mkString("/")
       }.toSet
+    // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
+    // scan), not on the merge lineage: the base was validated at its own
+    // write, so the merge can only carry a null ts the delta brought in.
+    // Routing the staged write through TsStore.write instead would
+    // re-execute the whole pruned merge a second time just to count
+    // nulls (measured: ~2x the upsert wall time at sf0.1).
+    require(validate(pinned, tsCol, uidCols) == 0,
+      s"null $tsCol values in upsert delta — refusing write")
     val staging = txnDir(path)
-    write(merged, staging, tsCol, uidCols, mode = SaveMode.Overwrite,
-      codec = codec, overlapPolicy = OverlapPolicy.Allow,
-      rowGroupBytes = rowGroupBytes, maxRecordsPerFile = maxRecordsPerFile)
+    val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
+    writeFiles(merged.repartitionByRange(rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*),
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
     val moved =
       try StoreLog.adoptStaged(path, staging)
       finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
