@@ -1035,6 +1035,34 @@ object Llm {
       Some(IvfOracleSql),
       "persisted IVF index: cell-partitioned inverted lists, pruned 2-probe, top-3"),
 
+    "llm_ann_ivf_add" -> DeclaredQuery(
+      // INCREMENTAL index maintenance, oracle-gated end-to-end: build
+      // the index over only the FIRST HALF of the corpus, then
+      // IvfIndex.add the second half — assignment against the persisted
+      // centroids, latest-wins upsert into ONLY the touched cell
+      // partitions (TsStore's manifest-committed pruned MERGE). Cell
+      // assignment depends only on the centroids (the deterministic
+      // first 16 vectors, present in the first half), so build+add must
+      // probe IDENTICALLY to the full one-shot build — the shared
+      // IvfOracleSql pins that: any row the add path loses, duplicates,
+      // or mis-cells breaks the hash. At 100 TB this is the difference
+      // between re-clustering a corpus and committing a day's new
+      // vectors against yesterday's index.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val e = Tables.embeddings(s, d)
+        val splitAt = 250L // sf-fixed half point; seeds (vec_id < 16) stay in the build half
+        val dir = graft.Q.scratchDir(s"ivf_add_${new java.io.File(d).getName}")
+        IvfIndex.build(e.filter(col("vec_id") < splitAt), dir, K)
+        IvfIndex.add(s, dir, e.filter(col("vec_id") >= splitAt))
+        val queries = e.filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        IvfIndex.probe(s, dir, queries, NProbe, TopK)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(IvfOracleSql),
+      "incremental IVF: build on half the corpus, add() the rest, probe == one-shot build"),
+
     "llm_ngram_freq" -> DeclaredQuery(
       // n-gram language-model statistics: per-source top-3 bigrams by
       // DOCUMENT frequency (distinct doc per bigram, the dedup-corpus

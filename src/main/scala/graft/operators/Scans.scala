@@ -121,10 +121,12 @@ object Scans {
       // The PRODUCTION upsert path: same latest-wins MERGE semantics as
       // write_upsert, but through TsStore.upsert — the base is partition-
       // PRUNED to the delta's uid values (here: only the 'purchase'
-      // partition) and rewritten via dynamic partition overwrite, so the
-      // four untouched event_type partitions are never read or
-      // rewritten. TsStoreSpec pins the pruning in the scan metadata;
-      // this oracle gates the end-to-end result through the store.
+      // partition) and the touched partitions are swapped by ONE atomic
+      // manifest commit (StoreLog), so the four untouched event_type
+      // partitions are never read or rewritten and a crash mid-upsert
+      // leaves the previous version live. TsStoreSpec pins the pruning
+      // in the scan metadata; this oracle gates the end-to-end result
+      // through the store.
       (s, d) => {
         val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
         val base = Tables.events(s, d)

@@ -184,6 +184,44 @@ class Bundles(spark: SparkSession, basePath: String,
       .orderBy(col(tsCol))
   }
 
+  /** Latest-wins MERGE of one series — the facade over the manifest-
+    * committed [[TsStore.upsert]]: only this uid's partition is read or
+    * replaced, the commit is one atomic manifest version, and replaced
+    * chunks stay readable via [[readAsOf]] until [[vacuum]]. Returns
+    * the committed version. The reference had no update path at all
+    * (appends only); this is the corintick write API completed for
+    * correction/backfill workloads.
+    */
+  def upsert(uid: String, df: DataFrame, keyCols: Seq[String],
+             versionCol: String, collection: String = defaultCollection,
+             tsCol: String = "ts"): Long = {
+    val tagged = df.withColumn(UidCol, org.apache.spark.sql.functions.lit(uid))
+    TsStore.upsert(spark, dir(collection), tagged, keyCols = keyCols,
+      versionCol = versionCol, tsCol = tsCol, uidCols = Seq(UidCol))
+  }
+
+  /** Time-travel read of one series at a committed manifest version. */
+  def readAsOf(uid: String, version: Long,
+               collection: String = defaultCollection,
+               tsCol: String = "ts",
+               columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols = if (columns.nonEmpty) (Seq(tsCol) ++ columns).distinct else columns
+    TsStore.read(spark, dir(collection), uid = Some((UidCol, uid)),
+      tsCol = tsCol, columns = cols, asOf = Some(version))
+  }
+
+  /** Committed manifest versions of a collection (empty if unlogged). */
+  def versions(collection: String = defaultCollection): Seq[Long] =
+    TsStore.versions(dir(collection))
+
+  /** Reclaim replaced chunks beyond the newest `retainVersions`
+    * manifests (shrinks the [[readAsOf]] window; never run concurrently
+    * with writers). Returns files deleted.
+    */
+  def vacuum(collection: String = defaultCollection,
+             retainVersions: Int = 1): Int =
+    TsStore.vacuum(dir(collection), retainVersions)
+
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =

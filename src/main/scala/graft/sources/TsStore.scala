@@ -283,10 +283,17 @@ object TsStore {
       try load(spark, path)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
+    // UNION of the two schemas, not the delta's projection: a delta
+    // narrower than the store must not silently DROP base-only columns
+    // from the rewritten partitions (carried-over base rows keep their
+    // values; delta rows get null for columns they didn't supply — the
+    // whole-row MERGE UPDATE semantics). A wider delta adds its new
+    // columns the same way (schema evolution; older partitions surface
+    // them as null through mergeSchema reads). Same-name type conflicts
+    // still fail loudly in unionByName.
     base.filter(uidPredicate(touched.toSeq, uidCols))
-      .selectExpr(delta.columns.map(c => s"`$c`"): _*)
       .withColumn("__src", lit(0))
-      .unionByName(delta.withColumn("__src", lit(1)))
+      .unionByName(delta.withColumn("__src", lit(1)), allowMissingColumns = true)
       .transform(dedupLatest(keyCols, versionCol))
   }
 

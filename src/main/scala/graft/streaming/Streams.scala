@@ -152,6 +152,42 @@ object Streams {
 
   def defs: Seq[(String, DeclaredQuery)] = Seq(
 
+    "stream_ingest" -> DeclaredQuery(
+      // The streaming WRITE path, oracle-gated end-to-end and actually
+      // executed as a stream (deterministic: file source + AvailableNow
+      // = one replayable batch, unlike the watermark-timing queries
+      // whose declared form is the batch twin): land the events table
+      // in a parquet dir, readStream it through StoreIngest (foreach-
+      // Batch → manifest-committed TsStore.upsert), then read the STORE
+      // back. The oracle is the plain events table — any row the
+      // ingest dropped, duplicated, or mis-partitioned breaks the hash.
+      // StreamingSpec separately proves the restart/re-delivery
+      // idempotency of the same path.
+      (s, d) => {
+        // txn-unique root: a checkpoint may never be reused against a
+        // fresh landing dir (offsets would point at dead files)
+        val root = graft.Q.scratchTempDir("stream_ingest_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        Tables.events(s, d).select(cols.map(col): _*)
+          .withColumn("version", lit(1L))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val src = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING, version BIGINT")
+          .parquet(s"$root/src")
+        val q = StoreIngest.start(src, s"$root/store",
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"),
+          checkpoint = s"$root/ckpt")
+        q.awaitTermination()
+        graft.sources.TsStore.read(s, s"$root/store")
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props, " +
+        "CAST(1 AS BIGINT) AS version FROM events ORDER BY event_id"),
+      "streaming ingest into the store: readStream → foreachBatch upsert → read back"),
+
     "stream_tumbling" -> DeclaredQuery(
       (s, d) => tumblingAgg(Tables.events(s, d))
         .orderBy(col("win_start"), col("event_type")),

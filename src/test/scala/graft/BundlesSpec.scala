@@ -249,4 +249,30 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").agg(org.apache.spark.sql.functions.sum("price"))
       .first().getDouble(0) === 303.0)
   }
+
+  test("facade upsert: correct one series atomically, time-travel and vacuum it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bupsert").toString
+    val ct = new Bundles(spark, base)
+    ct.write("aapl", Seq((ts("2024-01-01 09:30:00"), 100.0, 1L),
+      (ts("2024-01-01 09:31:00"), 101.0, 1L)).toDF("ts", "price", "version"))
+    ct.write("msft", Seq((ts("2024-01-01 09:30:00"), 1.0, 1L)).toDF("ts", "price", "version"))
+    // correct the 09:31 aapl tick (key = ts within the pruned series)
+    val v = ct.upsert("aapl",
+      Seq((ts("2024-01-01 09:31:00"), 999.0, 2L)).toDF("ts", "price", "version"),
+      keyCols = Seq("ts"), versionCol = "version")
+    assert(ct.versions().last === v)
+    val aapl = ct.read("aapl")
+    assert(aapl.count() === 2)
+    assert(aapl.filter(col("price") === 999.0).count() === 1)
+    assert(aapl.filter(col("price") === 101.0).count() === 0)
+    // the pre-correction tick is still reachable at the prior version
+    assert(ct.readAsOf("aapl", v - 1).filter(col("price") === 101.0).count() === 1)
+    // the other series was never touched
+    assert(ct.read("msft").count() === 1)
+    // vacuum reclaims the replaced chunk; the live view is unchanged
+    assert(ct.vacuum() > 0)
+    assert(ct.read("aapl").filter(col("price") === 999.0).count() === 1)
+    assertThrows[IllegalArgumentException] { ct.readAsOf("aapl", v - 1).collect() }
+  }
 }

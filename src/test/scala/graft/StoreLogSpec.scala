@@ -193,17 +193,52 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), base)
   }
 
-  test("upsert tie-break hash survives map columns (events props)") {
+  test("upsert tie-break hash survives MAP-typed columns") {
     val dir = Files.createTempDirectory("graft_map").toString
+    // a real MapType column (the fixture's props is a JSON string, so
+    // it would not trip xxhash64's MapType rejection — build one)
+    val attrs = expr("map('et', event_type)")
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"), col("props"), lit(1L).as("version"))
+      col("event_type"), col("value"), attrs.as("attrs"), lit(1L).as("version"))
     TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
     val d = events.filter(col("event_type") === "purchase").limit(20)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        (col("value") + 1.0).as("value"), col("props"), lit(2L).as("version"))
+        (col("value") + 1.0).as("value"), attrs.as("attrs"), lit(2L).as("version"))
     // pre-fix this threw DATATYPE_MISMATCH on xxhash64(map) at analysis
     TsStore.upsert(spark, dir, d, keyCols = Seq("event_id"),
       versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
-    assert(TsStore.read(spark, dir).filter(col("version") === 2L).count() === 20)
+    val got = TsStore.read(spark, dir)
+    assert(got.filter(col("version") === 2L).count() === 20)
+    assert(got.filter(col("attrs").getItem("et").isNotNull).count() === got.count())
+  }
+
+  test("upsert schema union: a narrow delta keeps base-only columns, a wide one adds columns") {
+    val dir = Files.createTempDirectory("graft_schema").toString
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"), lit(1L).as("version"))
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    // NARROW delta (no props): carried-over base rows must KEEP their
+    // props (pre-fix the merge projected base to the delta's columns,
+    // silently dropping base-only columns from rewritten partitions);
+    // updated rows get null props — whole-row MERGE UPDATE semantics
+    val narrow = events.filter(col("event_type") === "purchase" && col("event_id") % 11 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(2L).as("version"))
+    TsStore.upsert(spark, dir, narrow, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val afterNarrow = TsStore.read(spark, dir)
+    assert(afterNarrow.filter(col("version") === 1L && col("props").isNull).count() === 0,
+      "carried-over base rows lost their base-only column")
+    assert(afterNarrow.filter(col("version") === 2L).count() === narrow.count())
+    assert(afterNarrow.filter(col("version") === 2L && col("props").isNotNull).count() === 0)
+    // WIDE delta (new column): older rows surface it as null
+    val wide = events.filter(col("event_type") === "click" && col("event_id") % 13 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), lit(3L).as("version"), lit("fixup").as("note"))
+    TsStore.upsert(spark, dir, wide, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val afterWide = TsStore.read(spark, dir, mergeSchema = true)
+    assert(afterWide.filter(col("note") === "fixup").count() === wide.count())
+    assert(afterWide.filter(col("version") < 3L && col("note").isNotNull).count() === 0)
   }
 }
