@@ -155,7 +155,7 @@ object Scans {
         "m AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC, src DESC) AS rn FROM u) " +
         "SELECT event_id, ts, user_id, event_type, value, CAST(version AS BIGINT) AS version " +
         "FROM m WHERE rn = 1 ORDER BY event_id"),
-      "partition-pruned MERGE through TsStore: prune base to delta's partitions, dynamic-overwrite only those"),
+      "partition-pruned MERGE through TsStore: prune base to delta's partitions, atomically swap only those"),
 
     "write_upsert_timetravel" -> DeclaredQuery(
       // Versioned (time-travel) read over the store's manifest log: the

@@ -265,34 +265,56 @@ class Bundles(spark: SparkSession, basePath: String,
       n
     }
     val before = countFiles(path)
-    // a LOGGED collection compacts its LIVE rows only (dead upserted-away
-    // files are dropped here — compaction doubles as physical GC); the
-    // rewritten layout then re-seeds the log at the next version, so the
-    // version counter stays monotonic. Time travel past a compaction is
-    // truncated by construction (the old files are gone) — same
-    // semantics as vacuum(retain=1).
-    val loggedAt = StoreLog.latestVersion(dir(collection))
-    val tmp = new org.apache.hadoop.fs.Path(dir(collection) + ".__compact")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // one read of the fragmented layout, one range-partitioned sorted
-    // write — identical rows, tight row-group ts stats restored
-    // mergeSchema so a dynamic-schema collection keeps the UNION of its
-    // chunk columns — a single-footer read would silently drop columns
-    TsStore.write(TsStore.load(spark, dir(collection), mergeSchema = true),
-      tmp.toString, tsCol = tsCol, uidCols = Seq(UidCol))
-    val old = new org.apache.hadoop.fs.Path(dir(collection) + ".__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(path, old), s"compact: could not move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back so the collection stays readable
-      throw new IllegalStateException(s"compact: could not activate $tmp; rolled back")
+    StoreLog.latestVersion(dir(collection)) match {
+      case Some(v) =>
+        // LOGGED collection: compaction is a manifest COMMIT, not a
+        // directory swap — the rewritten files are staged to a hidden
+        // txn dir, moved into the partition dirs (invisible until
+        // named), and ONE commit replaces every live file with the
+        // compacted set. No rename window in which the path is absent,
+        // no moment where the live manifest names missing files; a
+        // crash leaves the previous version live, a concurrent upsert
+        // is caught by the commit CAS (compaction replaces everything,
+        // so ANY intervening commit is a conflict — rerun). Replaced
+        // chunks stay time-travelable until vacuum.
+        val snap = StoreLog.read(dir(collection), v)
+        val staging = TsStore.txnDir(dir(collection))
+        TsStore.write(TsStore.load(spark, dir(collection), mergeSchema = true),
+          staging, tsCol = tsCol, uidCols = Seq(UidCol))
+        val moved =
+          try StoreLog.adoptStaged(dir(collection), staging)
+          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+        val replaced = snap.files.filter(_.contains("/"))
+          .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
+        try StoreLog.commit(dir(collection), v, replaced, moved)
+        catch {
+          case c: StoreLog.CommitConflict =>
+            moved.foreach(f => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir(collection), f)))
+            throw c
+        }
+        (before, moved.size.toLong)
+      case None =>
+        // unlogged: the original rename-swap-rollback protocol
+        val tmp = new org.apache.hadoop.fs.Path(dir(collection) + ".__compact")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        // one read of the fragmented layout, one range-partitioned
+        // sorted write — identical rows, tight row-group ts stats
+        // restored. mergeSchema so a dynamic-schema collection keeps
+        // the UNION of its chunk columns — a single-footer read would
+        // silently drop columns
+        TsStore.write(spark.read.option("mergeSchema", true).parquet(dir(collection)),
+          tmp.toString, tsCol = tsCol, uidCols = Seq(UidCol))
+        val old = new org.apache.hadoop.fs.Path(dir(collection) + ".__old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(path, old), s"compact: could not move $path aside")
+        if (!fs.rename(tmp, path)) {
+          fs.rename(old, path) // roll back so the collection stays readable
+          throw new IllegalStateException(s"compact: could not activate $tmp; rolled back")
+        }
+        fs.delete(old, true)
+        (before, countFiles(path))
     }
-    fs.delete(old, true)
-    loggedAt.foreach { v =>
-      StoreLog.commit(dir(collection), v, Seq.empty,
-        StoreLog.listDataFiles(dir(collection)))
-    }
-    (before, countFiles(path))
   }
 
   /** Compact ONE series — the 100 TB maintenance shape: a hot series
@@ -338,33 +360,49 @@ class Bundles(spark: SparkSession, basePath: String,
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    val before = countFiles(part)
-    val loggedAt = StoreLog.latestVersion(dir(collection))
     val partPrefix = s"$UidCol=$esc"
-    // live rows only: on a logged collection the partition dir may hold
-    // upserted-away dead files that a raw directory read would resurrect
-    val rows = loggedAt match {
-      case Some(_) =>
-        TsStore.load(spark, dir(collection), mergeSchema = true)
-          .filter(org.apache.spark.sql.functions.col(UidCol) === uid).drop(UidCol)
-      case None => spark.read.option("mergeSchema", true).parquet(part.toString)
+    StoreLog.latestVersion(dir(collection)) match {
+      case Some(v) =>
+        // LOGGED collection: same txn-commit protocol as [[compact]] —
+        // never a rename window, never a manifest naming moved-away
+        // files, concurrent commits caught by the CAS; the live rows
+        // come through the manifest (a raw directory read would
+        // resurrect upserted-away dead chunks). Replaced chunks stay
+        // time-travelable until vacuum.
+        val snap = StoreLog.read(dir(collection), v)
+        val before = snap.files.count(_.startsWith(partPrefix + "/")).toLong
+        val staging = TsStore.txnDir(dir(collection))
+        val rows = TsStore.load(spark, dir(collection), mergeSchema = true)
+          .filter(org.apache.spark.sql.functions.col(UidCol) === uid)
+        TsStore.write(rows, staging, tsCol = tsCol, uidCols = Seq(UidCol))
+        val moved =
+          try StoreLog.adoptStaged(dir(collection), staging)
+          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+        require(moved.forall(_.startsWith(partPrefix + "/")),
+          s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
+        val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
+        try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved)
+        catch {
+          case c: StoreLog.CommitConflict =>
+            moved.foreach(f => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir(collection), f)))
+            throw c
+        }
+        (before, moved.size.toLong)
+      case None =>
+        // unlogged: sibling-staged rename-swap-rollback (see scaladoc)
+        val before = countFiles(part)
+        TsStore.write(spark.read.option("mergeSchema", true).parquet(part.toString),
+          tmp.toString, tsCol = tsCol, uidCols = Seq.empty)
+        require(fs.rename(part, old), s"compactSeries: could not move $part aside")
+        if (!fs.rename(tmp, part)) {
+          fs.rename(old, part) // roll back so the series stays readable
+          throw new IllegalStateException(s"compactSeries: could not activate $tmp; rolled back")
+        }
+        fs.delete(old, true)
+        if (fs.exists(csRoot) && !fs.listFiles(csRoot, true).hasNext) fs.delete(csRoot, true)
+        (before, countFiles(part))
     }
-    TsStore.write(rows, tmp.toString, tsCol = tsCol, uidCols = Seq.empty)
-    require(fs.rename(part, old), s"compactSeries: could not move $part aside")
-    if (!fs.rename(tmp, part)) {
-      fs.rename(old, part) // roll back so the series stays readable
-      throw new IllegalStateException(s"compactSeries: could not activate $tmp; rolled back")
-    }
-    fs.delete(old, true)
-    if (fs.exists(csRoot) && !fs.listFiles(csRoot, true).hasNext) fs.delete(csRoot, true)
-    loggedAt.foreach { v =>
-      val snap = StoreLog.read(dir(collection), v)
-      val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
-      val fresh = StoreLog.listDataFiles(dir(collection))
-        .filter(_.startsWith(partPrefix + "/"))
-      StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ fresh)
-    }
-    (before, countFiles(part))
   }
 
   /** Drop a whole collection (≙ dropping a Mongo collection). */

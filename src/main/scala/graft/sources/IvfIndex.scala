@@ -203,7 +203,22 @@ object IvfIndex {
     */
   def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val assigned = withCell(delta.select(col("vec_id"), col("embedding")),
-      loadCentroids(spark, dir))
+      loadCentroids(spark, dir)).localCheckpoint()
+    // Loud guard on the pruned MERGE's partition-immutability contract:
+    // a re-added vec_id whose embedding moved it to a DIFFERENT cell
+    // would leave its stale row live in the old cell's partition (the
+    // upsert only rewrites the new cell) — a silently duplicated,
+    // stale-answering index. The check is one column-pruned scan of the
+    // cells table (vec_id + the partition column) joined against the
+    // delta; the price of failing loudly instead of corrupting. Callers
+    // hitting a genuine cell migration should rebuild or delete first.
+    val existing = TsStore.load(spark, s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long").as("__old_cell"))
+    val movedN = assigned.join(existing, "vec_id")
+      .filter(col("cell") =!= col("__old_cell")).count()
+    require(movedN == 0,
+      s"$movedN re-added vector(s) would change cell — the pruned upsert cannot " +
+        "move a key across partitions; rebuild the index (or drop the ids) instead")
     TsStore.upsert(spark, s"$dir/cells", assigned, keyCols = Seq("vec_id"),
       versionCol = "vec_id", tsCol = "vec_id", uidCols = Seq("cell"))
   }

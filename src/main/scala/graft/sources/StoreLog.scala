@@ -53,7 +53,24 @@ object StoreLog {
 
   private val mapper = new ObjectMapper()
 
-  def logDir(path: String): String = s"$path/_graft_log"
+  /** The log speaks java.nio, i.e. LOCAL filesystem paths. A URI-style
+    * path (`hdfs://…`, `s3a://…`, even `file:…`) would resolve as a
+    * bogus RELATIVE local path and the manifest machinery would
+    * silently diverge from the actual store — reject it loudly. (An
+    * HDFS port would swap these primitives for `FileContext.rename`,
+    * which is the same atomic-no-overwrite CAS.)
+    */
+  def isLocal(path: String): Boolean =
+    !path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
+
+  private def requireLocal(path: String): String = {
+    require(isLocal(path),
+      s"StoreLog supports plain local filesystem paths only, got '$path' " +
+        "(URI schemes would need the FileContext-based commit primitives)")
+    path
+  }
+
+  def logDir(path: String): String = s"${requireLocal(path)}/_graft_log"
 
   private def verFile(path: String, v: Long): String =
     f"${logDir(path)}/v$v%08d.json"
@@ -147,7 +164,7 @@ object StoreLog {
     * dirs, Spark's _SUCCESS markers) are excluded at every level.
     */
   def listDataFiles(path: String): Seq[String] = {
-    val root = Paths.get(path)
+    val root = Paths.get(requireLocal(path))
     if (!Files.isDirectory(root)) return Seq.empty
     def hidden(p: NioPath): Boolean = hiddenName(p.getFileName.toString)
     val out = Seq.newBuilder[String]
@@ -222,7 +239,7 @@ object StoreLog {
     */
   def adoptStaged(path: String, stagingDir: String): Seq[String] = {
     val stage = Paths.get(stagingDir)
-    val root = Paths.get(path)
+    val root = Paths.get(requireLocal(path))
     val staged = Seq.newBuilder[(NioPath, String)]
     def walk(p: NioPath): Unit =
       children(p)

@@ -184,12 +184,15 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     val sorted = df.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
+    // Manifest handling applies to local paths only (StoreLog's commit
+    // primitives are java.nio); a scheme'd path takes the plain write —
+    // upsert/ensure on such a path fail loudly inside StoreLog instead.
     if (mode == SaveMode.Overwrite) {
       // an overwrite is a NEW store — a stale manifest naming deleted
       // files must not survive it
-      StoreLog.delete(path)
+      if (StoreLog.isLocal(path)) StoreLog.delete(path)
       writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
-    } else if (StoreLog.exists(path)) {
+    } else if (StoreLog.isLocal(path) && StoreLog.exists(path)) {
       // logged store: appended files must be NAMED by a manifest commit
       // or manifest readers never see them. Stage to a txn-private dir,
       // move into place (invisible until committed), publish. A pure
@@ -216,7 +219,7 @@ object TsStore {
     } else writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
   }
 
-  private def txnDir(path: String): String =
+  private[sources] def txnDir(path: String): String =
     s"$path/_graft_txn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   /** The physical parquet write (shared by the plain and the staged-txn
@@ -279,8 +282,14 @@ object TsStore {
     // composite-key predicate's reduce from seeing an empty collection)
     if (touched.isEmpty)
       return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol))
+    // mergeSchema: on a schema-evolved store the base schema must be the
+    // UNION of the live footers — a first-footer read could silently
+    // drop a column that only some partitions carry, and the rewrite
+    // below would then erase it from the touched partitions for good.
+    // Cost is a footer-metadata pass over the live files, paid only on
+    // the upsert path.
     val base =
-      try load(spark, path)
+      try load(spark, path, mergeSchema = true)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
     // UNION of the two schemas, not the delta's projection: a delta
@@ -377,17 +386,6 @@ object TsStore {
     val base = StoreLog.ensure(path)
     if (pinned.isEmpty) return base.version
     val merged = upsertPlan(spark, path, pinned, keyCols, versionCol, uidCols)
-    // the touched partition DIRECTORY prefixes — the unit of replacement
-    // and of writer-vs-writer conflict detection; escaped exactly as the
-    // partitioned writer escapes them
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
-    val prefixes: Set[String] = pinned.select(uidCols.map(col): _*).distinct().collect()
-      .map { r =>
-        uidCols.zipWithIndex.map { case (c, i) =>
-          val v = r.get(i)
-          s"${esc(c)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else esc(String.valueOf(v))}"
-        }.mkString("/")
-      }.toSet
     // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
     // scan), not on the merge lineage: the base was validated at its own
     // write, so the merge can only carry a null ts the delta brought in.
@@ -404,6 +402,18 @@ object TsStore {
     val moved =
       try StoreLog.adoptStaged(path, staging)
       finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    // the touched partition DIRECTORY prefixes — the unit of replacement
+    // and of writer-vs-writer conflict detection — are read off the
+    // STAGED OUTPUT's own directory names: Spark's partition-path
+    // rendering (escaping, timestamp formatting, null spelling) is the
+    // single source of truth, so a hand-built String.valueOf rendering
+    // can never silently disagree with the directories the base files
+    // actually live under (it would for e.g. timestamp uid columns).
+    val prefixes: Set[String] = moved.map { f =>
+      val i = f.lastIndexOf('/')
+      require(i > 0, s"staged upsert file '$f' is not under a partition directory")
+      f.substring(0, i)
+    }.toSet
     def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
     def abort(why: String): Nothing = {
       moved.foreach(f => java.nio.file.Files.deleteIfExists(
@@ -441,11 +451,19 @@ object TsStore {
   /** Manifest-aware dataset load: a logged store reads exactly the live
     * (or `asOf`-versioned) file set; an unlogged one reads the directory
     * as before. `basePath` keeps partition-column inference identical in
-    * both modes, so predicates on uid columns prune the same way.
+    * both modes, so predicates on uid columns prune the same way. A
+    * snapshot with ZERO files (the v1 a fresh-path upsert commits)
+    * surfaces as UNABLE_TO_INFER_SCHEMA — deliberately the same
+    * AnalysisException an empty unlogged directory read raises, which
+    * is what [[upsertPlan]]'s empty-base catch keys on.
     */
   def load(spark: SparkSession, path: String, mergeSchema: Boolean = false,
            asOf: Option[Long] = None): DataFrame = {
-    val snap = asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+    val snap =
+      if (!StoreLog.isLocal(path)) {
+        require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
+        None
+      } else asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
     snap match {
       case Some(s) =>
         spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
@@ -456,7 +474,8 @@ object TsStore {
   }
 
   /** Committed manifest versions of a logged store (empty if unlogged). */
-  def versions(path: String): Seq[Long] = StoreLog.listVersions(path)
+  def versions(path: String): Seq[Long] =
+    if (StoreLog.isLocal(path)) StoreLog.listVersions(path) else Seq.empty
 
   /** Reclaim space: drop files no retained manifest references and
     * manifests beyond the newest `retainVersions` — the time-travel

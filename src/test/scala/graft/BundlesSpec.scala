@@ -275,4 +275,38 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").filter(col("price") === 999.0).count() === 1)
     assertThrows[IllegalArgumentException] { ct.readAsOf("aapl", v - 1).collect() }
   }
+
+  test("compaction of a LOGGED collection is a manifest commit, not a swap") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_lcompact").toString
+    val ct = new Bundles(spark, base)
+    for (i <- 0 until 3)
+      ct.write("aapl", Seq((ts(s"2024-01-01 09:3$i:00"), 100.0 + i, 1L))
+        .toDF("ts", "price", "version"))
+    ct.write("msft", Seq((ts("2024-01-01 09:30:00"), 1.0, 1L)).toDF("ts", "price", "version"))
+    // an upsert turns the collection into a LOGGED store
+    val v = ct.upsert("aapl",
+      Seq((ts("2024-01-01 09:31:00"), 999.0, 2L)).toDF("ts", "price", "version"),
+      keyCols = Seq("ts"), versionCol = "version")
+    val liveBefore = ct.read("aapl").collect().toSet
+    // single-series compaction: one new version, rows identical, msft
+    // untouched, and the pre-compaction version still time-travels
+    // (the txn protocol never deletes — vacuum does)
+    val (before, after) = ct.compactSeries("aapl")
+    assert(after <= before && after >= 1)
+    assert(ct.versions().last === v + 1)
+    assert(ct.read("aapl").collect().toSet === liveBefore)
+    assert(ct.read("msft").count() === 1)
+    assert(ct.readAsOf("aapl", v).collect().toSet === liveBefore)
+    // whole-collection compaction: same protocol, one more version
+    val (_, afterAll) = ct.compact()
+    assert(ct.versions().last === v + 2)
+    assert(afterAll >= 2) // >= one file per series
+    assert(ct.read("aapl").collect().toSet === liveBefore)
+    assert(ct.read("msft").count() === 1)
+    // vacuum reclaims every superseded chunk; live reads unchanged
+    assert(ct.vacuum() > 0)
+    assert(ct.read("aapl").collect().toSet === liveBefore)
+    assert(ct.listUids().count() === 2)
+  }
 }

@@ -104,5 +104,15 @@ class IvfSpec extends AnyFunSuite {
       assert(live < partFiles(probedCell).size,
         "expected the replaced pre-add file to still sit (dead) in the partition dir")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // a re-add that would MOVE a vector across cells must fail loudly —
+    // the pruned upsert can't evict the stale row from the old cell
+    val differentCellId = cellsBefore.collectFirst {
+      case (id, c) if c != cellsBefore(20L) && id < 100000L => id
+    }.get
+    val movedDelta = emb.filter(col("vec_id") === differentCellId)
+      .select(lit(20L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] { IvfIndex.add(spark, dir, movedDelta) }
+    assert(e.getMessage.contains("change cell"))
   }
 }

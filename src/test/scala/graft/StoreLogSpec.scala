@@ -240,5 +240,42 @@ class StoreLogSpec extends AnyFunSuite {
     val afterWide = TsStore.read(spark, dir, mergeSchema = true)
     assert(afterWide.filter(col("note") === "fixup").count() === wide.count())
     assert(afterWide.filter(col("version") < 3L && col("note").isNotNull).count() === 0)
+    // a SECOND narrow upsert on the evolved partition must not erase the
+    // evolved column from carried-over rows: the merge reads the base
+    // with mergeSchema — a single-footer schema (e.g. an un-evolved
+    // file listed first) would silently drop `note` from the rewrite
+    val narrow2 = events.filter(col("event_type") === "click" && col("event_id") % 17 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(5L).as("version"))
+    TsStore.upsert(spark, dir, narrow2, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val keptNotes = wide.select("event_id")
+      .except(narrow2.select("event_id")).count()
+    assert(keptNotes > 0, "fixture degenerate: every wide row re-updated")
+    assert(TsStore.read(spark, dir, mergeSchema = true)
+      .filter(col("note") === "fixup").count() === keptNotes,
+      "narrow upsert erased the evolved column from carried-over rows")
+  }
+
+  test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
+    import spark.implicits._
+    // partition values with spaces/colons: Spark's path rendering
+    // ('day=2024-01-01 09%3A30%3A00') must be what the manifest's
+    // replaced-prefix matching uses — a hand-built String.valueOf
+    // rendering would never match and every upsert would DOUBLE keys
+    val dir = Files.createTempDirectory("graft_tsuid").toString
+    def day(s: String) = java.sql.Timestamp.valueOf(s)
+    val b = Seq((1L, day("2024-01-01 09:30:00"), 10.0, 1L),
+      (2L, day("2024-01-01 09:30:00"), 20.0, 1L),
+      (3L, day("2024-01-02 09:30:00"), 30.0, 1L))
+      .toDF("id", "day", "v", "version")
+    TsStore.write(b, dir, tsCol = "day", uidCols = Seq("day"))
+    val d = Seq((2L, day("2024-01-01 09:30:00"), 99.0, 2L))
+      .toDF("id", "day", "v", "version")
+    TsStore.upsert(spark, dir, d, keyCols = Seq("id"),
+      versionCol = "version", tsCol = "day", uidCols = Seq("day"))
+    val got = TsStore.read(spark, dir, tsCol = "day")
+    assert(got.count() === 3, s"duplicated keys: ${got.collect().toSeq}")
+    assert(got.filter(col("id") === 2L).select("v").first().getDouble(0) === 99.0)
   }
 }
