@@ -381,7 +381,8 @@ class Bundles(spark: SparkSession, basePath: String,
         require(moved.forall(_.startsWith(partPrefix + "/")),
           s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
         val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
-        try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved)
+        try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved,
+          parent = Some(snap))
         catch {
           case c: StoreLog.CommitConflict =>
             moved.foreach(f => java.nio.file.Files.deleteIfExists(

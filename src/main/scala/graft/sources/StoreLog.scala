@@ -45,6 +45,18 @@ object StoreLog {
   final case class Snapshot(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String])
 
+  /** Every `CheckpointInterval`-th version is a CHECKPOINT (full live
+    * file list); the versions between are DELTAS (add/remove lists vs
+    * the previous version). This bounds the per-commit manifest cost by
+    * the COMMIT's footprint, not the store's: a 1 GB upsert against a
+    * 6M-file store writes the few hundred paths it touched, not a
+    * 300 MB listing. Reading any version resolves ≤ interval−1 deltas
+    * above its checkpoint ancestor — a bounded driver-side metadata
+    * walk. (Pre-round-8.5 logs, whose every version carries `files`,
+    * parse as all-checkpoints — fully backward compatible.)
+    */
+  val CheckpointInterval = 10
+
   /** Thrown when a concurrent commit replaced an overlapping partition
     * set — the caller's merge was computed against a stale base and
     * cannot be serialized after the winner.
@@ -106,27 +118,59 @@ object StoreLog {
 
   def latestVersion(path: String): Option[Long] = listVersions(path).lastOption
 
-  def read(path: String, version: Long): Snapshot = {
+  private def strings(n: JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  private def readRaw(path: String, version: Long): JsonNode = {
     val f = Paths.get(verFile(path, version))
     require(Files.exists(f), s"store log has no version $version at $f")
-    val root = mapper.readTree(Files.readAllBytes(f))
-    def strings(n: JsonNode): Seq[String] =
-      n.elements().asScala.map(_.asText()).toSeq
+    mapper.readTree(Files.readAllBytes(f))
+  }
+
+  def read(path: String, version: Long): Snapshot = {
+    val root = readRaw(path, version)
+    val files =
+      if (root.has("files")) strings(root.get("files"))
+      else {
+        // delta: resolve the parent chain down to the checkpoint ancestor
+        val parent = read(path, version - 1).files
+        (parent.toSet -- strings(root.get("remove")).toSet ++
+          strings(root.get("add"))).toSeq.sorted
+      }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
-      strings(root.get("replaced")), strings(root.get("files")))
+      strings(root.get("replaced")), files)
+  }
+
+  /** The newest checkpoint version at or below `version` — the manifest
+    * every read of `version` ultimately resolves against. Vacuum must
+    * never delete manifests at or above this for a retained version.
+    */
+  private def checkpointAncestor(path: String, version: Long): Long = {
+    var v = version
+    while (!readRaw(path, v).has("files")) v -= 1
+    v
   }
 
   def latest(path: String): Option[Snapshot] =
     latestVersion(path).map(read(path, _))
 
-  /** Atomically publish `snap` as the next version after
-    * `expectedVersion` (0 = creating a fresh log). Returns the committed
-    * version. Fails with [[CommitConflict]] if another writer got there
-    * first — the caller decides whether a rebase is sound.
+  /** Atomically publish the next version after `expectedVersion` (0 =
+    * creating a fresh log). Returns the committed version. Fails with
+    * [[CommitConflict]] if another writer got there first — the caller
+    * decides whether a rebase is sound.
+    *
+    * When `parent` is the resolved snapshot at `expectedVersion` (the
+    * caller holds it anyway — it computed `files` from it) and the new
+    * version is not checkpoint-due, the manifest is written as a DELTA
+    * (add/remove vs the parent): O(commit footprint), not O(store).
+    * Without a parent — or on the checkpoint cadence — the full list is
+    * written.
     */
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
-             files: Seq[String]): Long = {
+             files: Seq[String], parent: Option[Snapshot] = None): Long = {
     val v = expectedVersion + 1
+    parent.foreach(p => require(p.version == expectedVersion,
+      s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
     val dir = Paths.get(logDir(path))
     Files.createDirectories(dir)
     val root = mapper.createObjectNode()
@@ -136,7 +180,14 @@ object StoreLog {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
     root.set[JsonNode]("replaced", arr(replaced.sorted))
-    root.set[JsonNode]("files", arr(files.sorted))
+    parent match {
+      case Some(p) if v % CheckpointInterval != 0 =>
+        val next = files.toSet; val prev = p.files.toSet
+        root.set[JsonNode]("add", arr((next -- prev).toSeq.sorted))
+        root.set[JsonNode]("remove", arr((prev -- next).toSeq.sorted))
+      case _ =>
+        root.set[JsonNode]("files", arr(files.sorted))
+    }
     val bytes = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root)
     val tmp = Files.createTempFile(dir, ".commit_", ".tmp")
@@ -214,6 +265,26 @@ object StoreLog {
       retained.flatMap(v => read(path, v).files).toSet
     val deleted = listDataFiles(path).filterNot(live)
     deleted.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    // the oldest retained version may be a DELTA whose checkpoint
+    // ancestor is about to be dropped — rewrite it as a checkpoint
+    // (resolved BEFORE any manifest deletion; atomic in-place replace)
+    // so every retained version stays self-resolvable
+    val oldest = retained.head
+    if (!readRaw(path, oldest).has("files")) {
+      val snap = read(path, oldest)
+      val root = mapper.createObjectNode()
+      root.put("version", snap.version)
+      root.put("timestampMs", snap.timestampMs)
+      def arr(xs: Seq[String]): ArrayNode = {
+        val a = mapper.createArrayNode(); xs.foreach(a.add); a
+      }
+      root.set[JsonNode]("replaced", arr(snap.replaced))
+      root.set[JsonNode]("files", arr(snap.files))
+      val tmp = Files.createTempFile(Paths.get(logDir(path)), ".ckpt_", ".tmp")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      Files.move(tmp, Paths.get(verFile(path, oldest)),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
     versions.dropRight(retainVersions)
       .foreach(v => Files.deleteIfExists(Paths.get(verFile(path, v))))
     // prune now-empty partition directories so discovery doesn't surface

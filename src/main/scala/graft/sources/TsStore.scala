@@ -209,7 +209,8 @@ object TsStore {
       while (!committed) {
         val cur = StoreLog.ensure(path)
         try {
-          StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved)
+          StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
+            parent = Some(cur))
           committed = true
         } catch {
           case c: StoreLog.CommitConflict =>
@@ -424,7 +425,7 @@ object TsStore {
     var attempts = 0
     while (true) {
       try return StoreLog.commit(path, expected.version, prefixes.toSeq,
-        expected.files.filterNot(under) ++ moved)
+        expected.files.filterNot(under) ++ moved, parent = Some(expected))
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1

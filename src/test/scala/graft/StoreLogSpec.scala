@@ -257,6 +257,59 @@ class StoreLogSpec extends AnyFunSuite {
       "narrow upsert erased the evolved column from carried-over rows")
   }
 
+  test("delta manifests: O(commit) deltas between checkpoints, chain-resolved reads, vacuum rewrite") {
+    val (dir, base) = freshStore()
+    StoreLog.ensure(dir) // v1 = checkpoint
+    val deltas = (1 to 11).map { i =>
+      events.filter(col("event_id") % 50 === i)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + i * 100.0).as("value"), lit(i + 1L).as("version"))
+        .localCheckpoint()
+    }
+    deltas.foreach(d => TsStore.upsert(spark, dir, d, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type")))
+    assert(TsStore.versions(dir) === (1L to 12L))
+    // raw manifest shape: full file list only at v1 and the checkpoint
+    // cadence (v10); everything else is an add/remove delta
+    def isCkpt(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json"))).contains("\"files\"")
+    assert((1L to 12L).filter(isCkpt) === Seq(1L, 10L))
+    // reads resolve the delta chain identically at, below and above a checkpoint
+    same(TsStore.read(spark, dir), merged(base, deltas: _*))
+    same(TsStore.read(spark, dir, asOf = Some(6L)), merged(base, deltas.take(5): _*))
+    same(TsStore.read(spark, dir, asOf = Some(10L)), merged(base, deltas.take(9): _*))
+    // vacuum keeps retained versions self-resolvable: v11 is a delta
+    // whose checkpoint ancestor (v10) gets dropped — it must be
+    // rewritten as a checkpoint, not left dangling
+    assert(TsStore.vacuum(dir, retainVersions = 2) > 0)
+    assert(TsStore.versions(dir) === Seq(11L, 12L))
+    assert(isCkpt(11L), "oldest retained delta was not rewritten as a checkpoint")
+    same(TsStore.read(spark, dir, asOf = Some(11L)), merged(base, deltas.take(10): _*))
+    same(TsStore.read(spark, dir), merged(base, deltas: _*))
+  }
+
+  test("five concurrent per-partition upserts all commit through the CAS and serialize") {
+    val (dir, base) = freshStore()
+    StoreLog.ensure(dir)
+    val types = Seq("click", "view", "signup", "error", "purchase")
+    val ds = types.map { t =>
+      events.filter(col("event_type") === t && col("event_id") % 3 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + 9.0).as("value"), lit(2L).as("version")).localCheckpoint()
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val versions = Await.result(Future.sequence(ds.map { d =>
+      Future(TsStore.upsert(spark, dir, d, keyCols = Seq("event_id"),
+        versionCol = "version", tsCol = "ts", uidCols = Seq("event_type")))
+    }), 10.minutes)
+    assert(versions.toSet.size === 5, s"writers shared a version: $versions")
+    assert(versions.max === 6L)
+    // disjoint keys (each event_id has one type) → order-independent merge
+    same(TsStore.read(spark, dir), merged(base, ds: _*))
+  }
+
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
     import spark.implicits._
     // partition values with spaces/colons: Spark's path rendering
