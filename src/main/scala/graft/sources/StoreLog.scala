@@ -287,6 +287,14 @@ object StoreLog {
     }
     versions.dropRight(retainVersions)
       .foreach(v => Files.deleteIfExists(Paths.get(verFile(path, v))))
+    // stale txn staging dirs (a writer that crashed before adopting its
+    // staged files) are hidden from listDataFiles and from readers —
+    // this is their one reclaim point (vacuum's no-concurrent-writers
+    // contract is exactly what makes deleting them safe)
+    children(Paths.get(path))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("_graft_txn_"))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     // prune now-empty partition directories so discovery doesn't surface
     // phantom empty partitions
     def pruneEmpty(p: NioPath): Unit = {

@@ -61,9 +61,16 @@ class StoreLogSpec extends AnyFunSuite {
     // a directory read would now double-count; the manifest read must not
     assert(TsStore.read(spark, dir).count() === n, "reader saw uncommitted files")
     same(TsStore.read(spark, dir), base)
-    // vacuum reclaims the orphan
+    // a writer that crashed BEFORE adopting leaves a staged txn dir —
+    // hidden from readers, reclaimed only by vacuum
+    val txn = Paths.get(dir, "_graft_txn_deadbeef")
+    Files.createDirectories(txn.resolve("event_type=purchase"))
+    Files.copy(victim, txn.resolve("event_type=purchase/part-x.c000.parquet"))
+    assert(TsStore.read(spark, dir).count() === n)
+    // vacuum reclaims both the adopted orphan and the staged txn dir
     assert(TsStore.vacuum(dir) === 1)
     assert(!Files.exists(part.resolve("part-deadbeef-orphan.c000.parquet")))
+    assert(!Files.exists(txn))
   }
 
   test("upsert commits one atomic version; time travel reads the pre-upsert store") {
