@@ -14,13 +14,17 @@ import com.fasterxml.jackson.databind.node.ArrayNode
   *
   * Layout: `<store>/_graft_log/v00000001.json`, one JSON file per
   * version. Underscore-prefixed, '='-free name, so Spark's partition
-  * discovery never sees it. Each snapshot is self-contained (full live
-  * file list), so reading any version needs exactly one manifest file —
-  * no log replay:
+  * discovery never sees it. Every [[CheckpointInterval]]-th version is
+  * a CHECKPOINT carrying the full live file list; versions between are
+  * DELTAS (add/remove vs their parent), so a commit writes O(its own
+  * footprint) and a read resolves at most `interval − 1` deltas above
+  * one checkpoint:
   *
   * {{{
-  * { "version": 3, "timestampMs": ..., "replaced": ["event_type=view"],
-  *   "files": ["event_type=view/part-...parquet", ...] }
+  * { "version": 10, "timestampMs": ..., "replaced": ["event_type=view"],
+  *   "files": ["event_type=view/part-...parquet", ...] }        // checkpoint
+  * { "version": 11, "timestampMs": ..., "replaced": [...],
+  *   "add": [...], "remove": [...] }                            // delta
   * }}}
   *
   * Commit is compare-and-swap on the NEXT version's file name: the
@@ -34,11 +38,12 @@ import com.fasterxml.jackson.databind.node.ArrayNode
   * intact — readers can never observe a half-committed state, because
   * the only mutation readers look at is the appearance of one file.
   *
-  * Scale note: a snapshot is O(live files) — fine while file counts are
-  * bounded by TsStore's pinned chunk geometry plus periodic
-  * [[Bundles.compact]]; a production log at 10⁸ files would add delta
-  * segments + checkpoints (the Delta/Iceberg shape) without changing
-  * this commit primitive.
+  * Scale note: only checkpoints are O(live files); the commit hot path
+  * (upserts, appends, single-series compaction) writes deltas. Readers
+  * are safe against concurrent COMMITS at any time; [[vacuum]] must not
+  * run concurrently with writers, and a reader racing vacuum may need
+  * the one retry [[read]] performs (the rewrite-then-delete ordering
+  * guarantees retained versions stay resolvable).
   */
 object StoreLog {
 
@@ -128,27 +133,41 @@ object StoreLog {
   }
 
   def read(path: String, version: Long): Snapshot = {
+    // one retry: a concurrent vacuum may delete a delta's checkpoint
+    // ancestor, but only AFTER atomically rewriting the oldest retained
+    // version as a checkpoint — so re-walking from the requested
+    // version sees the rewritten (now self-contained) manifest. Reads
+    // of versions vacuum actually DROPPED still fail, as they should.
+    try readResolve(path, version)
+    catch { case _: IllegalArgumentException => readResolve(path, version) }
+  }
+
+  private def readResolve(path: String, version: Long): Snapshot = {
     val root = readRaw(path, version)
     val files =
       if (root.has("files")) strings(root.get("files"))
       else {
-        // delta: resolve the parent chain down to the checkpoint ancestor
-        val parent = read(path, version - 1).files
-        (parent.toSet -- strings(root.get("remove")).toSet ++
-          strings(root.get("add"))).toSeq.sorted
+        // walk raw manifests down to the checkpoint ancestor collecting
+        // the deltas, then apply them FORWARD over one mutable set —
+        // one checkpoint parse + one final sort, not a full Snapshot
+        // materialization per chain level
+        var v = version - 1
+        var deltas = List(root) // newest-last after the walk below
+        var node = readRaw(path, v)
+        while (!node.has("files")) {
+          deltas ::= node
+          v -= 1
+          node = readRaw(path, v)
+        }
+        val acc = scala.collection.mutable.Set[String](strings(node.get("files")): _*)
+        deltas.foreach { d =>
+          acc --= strings(d.get("remove"))
+          acc ++= strings(d.get("add"))
+        }
+        acc.toSeq.sorted
       }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
       strings(root.get("replaced")), files)
-  }
-
-  /** The newest checkpoint version at or below `version` — the manifest
-    * every read of `version` ultimately resolves against. Vacuum must
-    * never delete manifests at or above this for a retained version.
-    */
-  private def checkpointAncestor(path: String, version: Long): Long = {
-    var v = version
-    while (!readRaw(path, v).has("files")) v -= 1
-    v
   }
 
   def latest(path: String): Option[Snapshot] =
@@ -166,6 +185,31 @@ object StoreLog {
     * Without a parent — or on the checkpoint cadence — the full list is
     * written.
     */
+  /** Serialize one manifest. `delta` carries (parentFiles, files) when
+    * the version should be stored as add/remove lists; otherwise the
+    * full `files` list is embedded (checkpoint).
+    */
+  private def manifestBytes(version: Long, timestampMs: Long,
+                            replaced: Seq[String], files: Seq[String],
+                            parentFiles: Option[Seq[String]]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    root.put("timestampMs", timestampMs)
+    def arr(xs: Seq[String]): ArrayNode = {
+      val a = mapper.createArrayNode(); xs.foreach(a.add); a
+    }
+    root.set[JsonNode]("replaced", arr(replaced.sorted))
+    parentFiles match {
+      case Some(prev) =>
+        val next = files.toSet; val prevSet = prev.toSet
+        root.set[JsonNode]("add", arr((next -- prevSet).toSeq.sorted))
+        root.set[JsonNode]("remove", arr((prevSet -- next).toSeq.sorted))
+      case None =>
+        root.set[JsonNode]("files", arr(files.sorted))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
              files: Seq[String], parent: Option[Snapshot] = None): Long = {
     val v = expectedVersion + 1
@@ -173,23 +217,8 @@ object StoreLog {
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
     val dir = Paths.get(logDir(path))
     Files.createDirectories(dir)
-    val root = mapper.createObjectNode()
-    root.put("version", v)
-    root.put("timestampMs", System.currentTimeMillis())
-    def arr(xs: Seq[String]): ArrayNode = {
-      val a = mapper.createArrayNode(); xs.foreach(a.add); a
-    }
-    root.set[JsonNode]("replaced", arr(replaced.sorted))
-    parent match {
-      case Some(p) if v % CheckpointInterval != 0 =>
-        val next = files.toSet; val prev = p.files.toSet
-        root.set[JsonNode]("add", arr((next -- prev).toSeq.sorted))
-        root.set[JsonNode]("remove", arr((prev -- next).toSeq.sorted))
-      case _ =>
-        root.set[JsonNode]("files", arr(files.sorted))
-    }
-    val bytes = mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root)
+    val asDelta = parent.filter(_ => v % CheckpointInterval != 0).map(_.files)
+    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files, asDelta)
     val tmp = Files.createTempFile(dir, ".commit_", ".tmp")
     try {
       Files.write(tmp, bytes)
@@ -272,28 +301,29 @@ object StoreLog {
     val oldest = retained.head
     if (!readRaw(path, oldest).has("files")) {
       val snap = read(path, oldest)
-      val root = mapper.createObjectNode()
-      root.put("version", snap.version)
-      root.put("timestampMs", snap.timestampMs)
-      def arr(xs: Seq[String]): ArrayNode = {
-        val a = mapper.createArrayNode(); xs.foreach(a.add); a
-      }
-      root.set[JsonNode]("replaced", arr(snap.replaced))
-      root.set[JsonNode]("files", arr(snap.files))
       val tmp = Files.createTempFile(Paths.get(logDir(path)), ".ckpt_", ".tmp")
-      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-      Files.move(tmp, Paths.get(verFile(path, oldest)),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.write(tmp, manifestBytes(snap.version, snap.timestampMs,
+          snap.replaced, snap.files, parentFiles = None))
+        Files.move(tmp, Paths.get(verFile(path, oldest)),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
     }
     versions.dropRight(retainVersions)
       .foreach(v => Files.deleteIfExists(Paths.get(verFile(path, v))))
     // stale txn staging dirs (a writer that crashed before adopting its
     // staged files) are hidden from listDataFiles and from readers —
-    // this is their one reclaim point (vacuum's no-concurrent-writers
-    // contract is exactly what makes deleting them safe)
+    // this is their one reclaim point. AGE-gated (mtime > 1h), the
+    // Delta/Iceberg convention: a merely in-flight writer's staging
+    // survives even if someone vacuums against the documented
+    // no-concurrent-writers contract.
+    val txnCutoffMs = System.currentTimeMillis() - 60L * 60 * 1000
     children(Paths.get(path))
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("_graft_txn_"))
+      .filter { p =>
+        Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_graft_txn_") &&
+          Files.getLastModifiedTime(p).toMillis < txnCutoffMs
+      }
       .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     // prune now-empty partition directories so discovery doesn't surface
     // phantom empty partitions

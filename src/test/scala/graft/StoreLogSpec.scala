@@ -62,14 +62,19 @@ class StoreLogSpec extends AnyFunSuite {
     assert(TsStore.read(spark, dir).count() === n, "reader saw uncommitted files")
     same(TsStore.read(spark, dir), base)
     // a writer that crashed BEFORE adopting leaves a staged txn dir —
-    // hidden from readers, reclaimed only by vacuum
+    // hidden from readers, reclaimed only by an AGE-gated vacuum
     val txn = Paths.get(dir, "_graft_txn_deadbeef")
     Files.createDirectories(txn.resolve("event_type=purchase"))
     Files.copy(victim, txn.resolve("event_type=purchase/part-x.c000.parquet"))
     assert(TsStore.read(spark, dir).count() === n)
-    // vacuum reclaims both the adopted orphan and the staged txn dir
+    // fresh staging (an in-flight writer) survives vacuum...
     assert(TsStore.vacuum(dir) === 1)
+    assert(Files.exists(txn), "vacuum deleted an in-flight writer's staging dir")
     assert(!Files.exists(part.resolve("part-deadbeef-orphan.c000.parquet")))
+    // ...aged-out staging (a crashed writer) is reclaimed
+    Files.setLastModifiedTime(txn,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+    TsStore.vacuum(dir)
     assert(!Files.exists(txn))
   }
 
