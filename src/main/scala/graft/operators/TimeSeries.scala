@@ -1254,6 +1254,54 @@ object TimeSeries {
         "FROM r ORDER BY event_type, bar_ts"),
       "MACD(12,26,9) per series: three native-EWMA recurrences, one bar shuffle"),
 
+    "ts_ewm_vol" -> DeclaredQuery(
+      // EWMA volatility (RiskMetrics-style, span 9 ⇒ α=0.2) of hourly
+      // close-to-close returns per series. Variance via the recursion
+      // identity var_t = ewma(r²)_t − ewma(r)_t² — BOTH terms are plain
+      // linear EWMA recurrences, so they ride the SAME native Ewma
+      // window function (one WindowExec, two frames, one shuffle after
+      // the bar aggregate) instead of needing a bespoke two-state
+      // recursion. Return, subtraction, greatest and sqrt are IEEE-
+      // identical across engines; α spelled 0.2 / (1 − 0.2) on both
+      // sides exactly as Ewma computes it.
+      (s, d) => {
+        import graft.functions.expressions.EwmaWin
+        val pb = Seq(col("event_type")); val ob = Seq(col("bar_ts"))
+        val w = Window.partitionBy("event_type").orderBy("bar_ts")
+        val rets = hourlyCloseBars(s, d)
+          .select(col("event_type"), col("bar_ts"),
+            (col("close") / lag(col("close"), 1).over(w) - 1).as("r"))
+          .filter(col("r").isNotNull)
+        rets
+          .select(col("event_type"), col("bar_ts"), col("r"),
+            EwmaWin.ewmaOver(col("r"), 0.2, pb, ob).as("__er"),
+            EwmaWin.ewmaOver(col("r") * col("r"), 0.2, pb, ob).as("__er2"))
+          .select(col("event_type"), col("bar_ts"),
+            round(col("r"), 6).as("ret"),
+            round(sqrt(greatest(col("__er2") - col("__er") * col("__er"), lit(0.0))), 6)
+              .as("ewm_vol"))
+          .orderBy(col("event_type"), col("bar_ts"))
+      },
+      // one recursion carrying BOTH EWMA states (er, er2) — same
+      // state-tuple discipline as ts_macd (chained recursive CTEs
+      // re-evaluate upstream per iteration)
+      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, " +
+        "base AS (SELECT event_type, bar_ts, close, " +
+        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev FROM bars), " +
+        "rets AS (SELECT event_type, bar_ts, close/prev - 1 AS r, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn " +
+        "FROM base WHERE prev IS NOT NULL), " +
+        "rec AS (SELECT event_type, bar_ts, rn, r, r AS er, r*r AS er2 " +
+        "FROM rets WHERE rn = 1 " +
+        "UNION ALL SELECT b.event_type, b.bar_ts, b.rn, b.r, " +
+        "0.2 * b.r + (1 - 0.2) * rec.er, " +
+        "0.2 * (b.r * b.r) + (1 - 0.2) * rec.er2 " +
+        "FROM rec JOIN rets b ON b.event_type = rec.event_type AND b.rn = rec.rn + 1) " +
+        "SELECT event_type, bar_ts, round(r, 6) + 0.0 AS ret, " +
+        "round(sqrt(greatest(er2 - er * er, 0.0)), 6) + 0.0 AS ewm_vol " +
+        "FROM rec ORDER BY event_type, bar_ts"),
+      "EWMA volatility of hourly returns per series (two EWMA frames, one window pass)"),
+
     "ts_heikin" -> DeclaredQuery(
       // Heikin-Ashi smoothed bars per series: ha_close is the plain
       // per-bar OHLC mean, but ha_open is RECURSIVE —
