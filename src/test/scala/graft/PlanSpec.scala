@@ -300,4 +300,14 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("cell") && pf.contains("IN"),
       s"cells read is not plan-time partition-pruned: $pf")
   }
+
+  test("ts_ewm_vol: both EWMA recurrences fuse into ONE window pass above the lag stage") {
+    val p = plan("ts_ewm_vol").split("== Initial Plan ==").head
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.length === 2,
+      s"expected the lag window + one fused EWMA window, got ${windows.length}")
+    val ewma = windows.filter(_.contains("graft_ewma"))
+    assert(ewma.length === 1 && "graft_ewma".r.findAllIn(ewma.head).length === 2,
+      "the two EWMA recurrences split into separate window passes")
+  }
 }
