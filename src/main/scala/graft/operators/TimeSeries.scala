@@ -1302,6 +1302,64 @@ object TimeSeries {
         "FROM rec ORDER BY event_type, bar_ts"),
       "EWMA volatility of hourly returns per series (two EWMA frames, one window pass)"),
 
+    "ts_ewm_corr" -> DeclaredQuery(
+      // Pairwise EWMA correlation (α=0.2) of hourly returns — the
+      // rolling twin of ts_corr's static matrix. All FIVE sufficient
+      // statistics (E[x], E[y], E[xy], E[x²], E[y²]) are plain linear
+      // EWMA recurrences, so they ride ONE WindowExec partitioned by
+      // the (tx, ty) pair — pairs parallelize across the cluster, each
+      // pair's recurrence is sequential by nature (same note as
+      // Bundles.align). corr = cov/√(vx·vy) from the raw (unrounded)
+      // states; zero-variance prefixes surface as NULL via the same
+      // CASE on both engines. Output: pair × bar_ts series, 6dp.
+      (s, d) => {
+        import graft.functions.expressions.EwmaWin
+        val w = Window.partitionBy("event_type").orderBy("bar_ts")
+        val rets = hourlyCloseBars(s, d)
+          .select(col("event_type"), col("bar_ts"),
+            (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+          .filter(col("ret").isNotNull)
+        val pairs = rets.as("a").join(rets.as("b"),
+            col("a.bar_ts") === col("b.bar_ts") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("tx"), col("b.event_type").as("ty"),
+            col("a.bar_ts").as("bar_ts"), col("a.ret").as("rx"), col("b.ret").as("ry"))
+        val pb = Seq(col("tx"), col("ty")); val ob = Seq(col("bar_ts"))
+        def e(c: org.apache.spark.sql.Column) = EwmaWin.ewmaOver(c, 0.2, pb, ob)
+        val st = pairs.select(col("tx"), col("ty"), col("bar_ts"),
+          e(col("rx")).as("__ex"), e(col("ry")).as("__ey"),
+          e(col("rx") * col("ry")).as("__exy"),
+          e(col("rx") * col("rx")).as("__ex2"),
+          e(col("ry") * col("ry")).as("__ey2"))
+        val vp = (col("__ex2") - col("__ex") * col("__ex")) *
+          (col("__ey2") - col("__ey") * col("__ey"))
+        st.select(col("tx"), col("ty"), col("bar_ts"),
+            when(vp > 0.0, round((col("__exy") - col("__ex") * col("__ey")) / sqrt(vp), 6))
+              .as("ewm_corr"))
+          .orderBy(col("tx"), col("ty"), col("bar_ts"))
+      },
+      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, " +
+        "l AS (SELECT event_type, bar_ts, close, " +
+        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev FROM bars), " +
+        "r AS (SELECT event_type, bar_ts, close/prev - 1 AS ret FROM l WHERE prev IS NOT NULL), " +
+        "p AS (SELECT a.event_type AS tx, b.event_type AS ty, a.bar_ts, " +
+        "a.ret AS rx, b.ret AS ry, row_number() OVER " +
+        "(PARTITION BY a.event_type, b.event_type ORDER BY a.bar_ts) AS rn " +
+        "FROM r a JOIN r b ON a.bar_ts = b.bar_ts AND a.event_type < b.event_type), " +
+        "rec AS (SELECT tx, ty, bar_ts, rn, rx AS ex, ry AS ey, rx*ry AS exy, " +
+        "rx*rx AS ex2, ry*ry AS ey2 FROM p WHERE rn = 1 " +
+        "UNION ALL SELECT b.tx, b.ty, b.bar_ts, b.rn, " +
+        "0.2 * b.rx + (1 - 0.2) * rec.ex, " +
+        "0.2 * b.ry + (1 - 0.2) * rec.ey, " +
+        "0.2 * (b.rx * b.ry) + (1 - 0.2) * rec.exy, " +
+        "0.2 * (b.rx * b.rx) + (1 - 0.2) * rec.ex2, " +
+        "0.2 * (b.ry * b.ry) + (1 - 0.2) * rec.ey2 " +
+        "FROM rec JOIN p b ON b.tx = rec.tx AND b.ty = rec.ty AND b.rn = rec.rn + 1) " +
+        "SELECT tx, ty, bar_ts, CASE WHEN (ex2 - ex*ex) * (ey2 - ey*ey) > 0 " +
+        "THEN round((exy - ex*ey) / sqrt((ex2 - ex*ex) * (ey2 - ey*ey)), 6) + 0.0 " +
+        "ELSE NULL END AS ewm_corr FROM rec ORDER BY tx, ty, bar_ts"),
+      "pairwise EWMA correlation of hourly returns (5 recurrences, one window pass per pair)"),
+
     "ts_heikin" -> DeclaredQuery(
       // Heikin-Ashi smoothed bars per series: ha_close is the plain
       // per-bar OHLC mean, but ha_open is RECURSIVE —
