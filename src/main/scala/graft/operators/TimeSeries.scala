@@ -197,6 +197,30 @@ object TimeSeries {
       "last(value ORDER BY ts, event_id) AS close " +
       "FROM events WHERE value IS NOT NULL GROUP BY 1, 2)"
 
+  /** Hourly close-to-close returns per series over [[hourlyCloseBars]] —
+    * the shared stage of the ts_ewm family, spelled ONCE so its
+    * engine-parity details can't drift between consumers. nullif
+    * divisor: an hourly close CAN be exactly 0 (ts_returns hit a zero
+    * daily close at sf0.1) and Spark 4 ANSI raises DIVIDE_BY_ZERO even
+    * for doubles; a zero-close predecessor yields a NULL return and the
+    * row is dropped like the leading bar — [[HourlyReturnsSql]] filters
+    * the identical rows.
+    */
+  private def hourlyReturns(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("bar_ts")
+    hourlyCloseBars(s, d)
+      .select(col("event_type"), col("bar_ts"),
+        (col("close") / nullif(lag(col("close"), 1).over(w), lit(0.0)) - 1).as("r"))
+      .filter(col("r").isNotNull)
+  }
+
+  /** DuckDB twin of [[hourlyReturns]] (expects `bars` in scope). */
+  private val HourlyReturnsSql: String =
+    "l AS (SELECT event_type, bar_ts, close, " +
+      "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev FROM bars), " +
+      "rets AS (SELECT event_type, bar_ts, close/prev - 1 AS r " +
+      "FROM l WHERE prev IS NOT NULL AND prev <> 0)"
+
   def defs: Seq[(String, DeclaredQuery)] = Seq(
 
     "join_asof_exec" -> DeclaredQuery(
@@ -1267,12 +1291,7 @@ object TimeSeries {
       (s, d) => {
         import graft.functions.expressions.EwmaWin
         val pb = Seq(col("event_type")); val ob = Seq(col("bar_ts"))
-        val w = Window.partitionBy("event_type").orderBy("bar_ts")
-        val rets = hourlyCloseBars(s, d)
-          .select(col("event_type"), col("bar_ts"),
-            (col("close") / lag(col("close"), 1).over(w) - 1).as("r"))
-          .filter(col("r").isNotNull)
-        rets
+        hourlyReturns(s, d)
           .select(col("event_type"), col("bar_ts"), col("r"),
             EwmaWin.ewmaOver(col("r"), 0.2, pb, ob).as("__er"),
             EwmaWin.ewmaOver(col("r") * col("r"), 0.2, pb, ob).as("__er2"))
@@ -1285,18 +1304,15 @@ object TimeSeries {
       // one recursion carrying BOTH EWMA states (er, er2) — same
       // state-tuple discipline as ts_macd (chained recursive CTEs
       // re-evaluate upstream per iteration)
-      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, " +
-        "base AS (SELECT event_type, bar_ts, close, " +
-        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev FROM bars), " +
-        "rets AS (SELECT event_type, bar_ts, close/prev - 1 AS r, " +
-        "row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn " +
-        "FROM base WHERE prev IS NOT NULL), " +
+      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, $HourlyReturnsSql, " +
+        "rr AS (SELECT event_type, bar_ts, r, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY bar_ts) AS rn FROM rets), " +
         "rec AS (SELECT event_type, bar_ts, rn, r, r AS er, r*r AS er2 " +
-        "FROM rets WHERE rn = 1 " +
+        "FROM rr WHERE rn = 1 " +
         "UNION ALL SELECT b.event_type, b.bar_ts, b.rn, b.r, " +
         "0.2 * b.r + (1 - 0.2) * rec.er, " +
         "0.2 * (b.r * b.r) + (1 - 0.2) * rec.er2 " +
-        "FROM rec JOIN rets b ON b.event_type = rec.event_type AND b.rn = rec.rn + 1) " +
+        "FROM rec JOIN rr b ON b.event_type = rec.event_type AND b.rn = rec.rn + 1) " +
         "SELECT event_type, bar_ts, round(r, 6) + 0.0 AS ret, " +
         "round(sqrt(greatest(er2 - er * er, 0.0)), 6) + 0.0 AS ewm_vol " +
         "FROM rec ORDER BY event_type, bar_ts"),
@@ -1314,16 +1330,12 @@ object TimeSeries {
       // CASE on both engines. Output: pair × bar_ts series, 6dp.
       (s, d) => {
         import graft.functions.expressions.EwmaWin
-        val w = Window.partitionBy("event_type").orderBy("bar_ts")
-        val rets = hourlyCloseBars(s, d)
-          .select(col("event_type"), col("bar_ts"),
-            (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
-          .filter(col("ret").isNotNull)
+        val rets = hourlyReturns(s, d)
         val pairs = rets.as("a").join(rets.as("b"),
             col("a.bar_ts") === col("b.bar_ts") &&
               col("a.event_type") < col("b.event_type"))
           .select(col("a.event_type").as("tx"), col("b.event_type").as("ty"),
-            col("a.bar_ts").as("bar_ts"), col("a.ret").as("rx"), col("b.ret").as("ry"))
+            col("a.bar_ts").as("bar_ts"), col("a.r").as("rx"), col("b.r").as("ry"))
         val pb = Seq(col("tx"), col("ty")); val ob = Seq(col("bar_ts"))
         def e(c: org.apache.spark.sql.Column) = EwmaWin.ewmaOver(c, 0.2, pb, ob)
         val st = pairs.select(col("tx"), col("ty"), col("bar_ts"),
@@ -1338,14 +1350,11 @@ object TimeSeries {
               .as("ewm_corr"))
           .orderBy(col("tx"), col("ty"), col("bar_ts"))
       },
-      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, " +
-        "l AS (SELECT event_type, bar_ts, close, " +
-        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev FROM bars), " +
-        "r AS (SELECT event_type, bar_ts, close/prev - 1 AS ret FROM l WHERE prev IS NOT NULL), " +
+      Some(s"WITH RECURSIVE $HourlyCloseBarsSql, $HourlyReturnsSql, " +
         "p AS (SELECT a.event_type AS tx, b.event_type AS ty, a.bar_ts, " +
-        "a.ret AS rx, b.ret AS ry, row_number() OVER " +
+        "a.r AS rx, b.r AS ry, row_number() OVER " +
         "(PARTITION BY a.event_type, b.event_type ORDER BY a.bar_ts) AS rn " +
-        "FROM r a JOIN r b ON a.bar_ts = b.bar_ts AND a.event_type < b.event_type), " +
+        "FROM rets a JOIN rets b ON a.bar_ts = b.bar_ts AND a.event_type < b.event_type), " +
         "rec AS (SELECT tx, ty, bar_ts, rn, rx AS ex, ry AS ey, rx*ry AS exy, " +
         "rx*rx AS ex2, ry*ry AS ey2 FROM p WHERE rn = 1 " +
         "UNION ALL SELECT b.tx, b.ty, b.bar_ts, b.rn, " +

@@ -42,12 +42,18 @@ class StoreModelSpec extends AnyFunSuite {
     model = base.map(r => r.id -> r).toMap
     TsStore.write(df(base), dir, tsCol = "ts", uidCols = Seq("part"))
 
-    def readStore(asOf: Option[Long] = None): Map[Long, Rec] =
-      TsStore.read(spark, dir, asOf = asOf)
+    def readStore(asOf: Option[Long] = None): Map[Long, Rec] = {
+      val rows = TsStore.read(spark, dir, asOf = asOf)
         .select(col("id"), col("part"), col("value"), col("version"))
         .collect()
-        .map(r => r.getLong(0) -> Rec(r.getLong(0), r.getString(1),
-          r.getDouble(2), r.getLong(3))).toMap
+      // a buggy upsert's signature failure is an old row left LIVE next
+      // to its replacement — .toMap would silently collapse that, so
+      // pin key uniqueness before keying
+      assert(rows.length === rows.map(_.getLong(0)).distinct.length,
+        "duplicate live rows for a key — upsert left a replaced row live")
+      rows.map(r => r.getLong(0) -> Rec(r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toMap
+    }
 
     var nextVersion = 2L
     var nextId = 100L
