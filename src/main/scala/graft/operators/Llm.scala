@@ -937,6 +937,42 @@ object Llm {
         "AND cos >= 0.3) AS keep FROM cells ORDER BY vec_id"),
       "SemDeDup: cluster embeddings into K cells, drop within-cell cosine dups"),
 
+    "llm_cms_counts" -> DeclaredQuery(
+      // CountMinSketch token frequencies — the last member of the
+      // sketch family (HLL distinct, approx percentiles, MinHash/
+      // SimHash signatures, Bloom membership): per-language CMS over
+      // every token via Spark's native count_min_sketch aggregate
+      // (binary, MERGEABLE — the daily-shard → global-union pattern of
+      // agg_hll_union applies unchanged), probed for a fixed token
+      // set. The sketch travels driver-side ONCE per language
+      // (KB-sized by construction: width=⌈e/ε⌉ counters); estimates
+      // are deterministic (fixed seed). CMS guarantees OVERESTIMATE
+      // only, ≤ ε·N with confidence δ — pinned vs exact counts in
+      // LlmOpsSpec. No oracle by design: the sketch binary is
+      // Spark-internal, like the HLL family.
+      (s, d) => {
+        import s.implicits._
+        // fixture-vocabulary probes (the synthetic corpus speaks SQL):
+        // high-frequency in every language, so estimates are meaningful
+        val probes = Seq("hash", "join", "data", "scan", "row")
+        val sk = Tables.documents(s, d)
+          .select(col("lang"), explode(toks).as("tok"))
+          .groupBy("lang")
+          .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"),
+            count(lit(1)).as("n_tokens"))
+          .collect()
+        val rows = sk.flatMap { r =>
+          val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+          probes.map(p => (r.getString(0), p, cms.estimateCount(p),
+            r.getAs[Long]("n_tokens")))
+        }.toSeq
+        rows.toDF("lang", "tok", "est", "n_tokens")
+          .orderBy(col("lang"), col("tok"))
+      },
+      None,
+      "CountMinSketch token counts per language (mergeable sketch, fixed probe set)"),
+
     "llm_topk_tokens" -> DeclaredQuery(
       // Vocabulary building: top-5 tokens per language by document
       // frequency. The rank-then-filter shape is rewritten by Spark 4 to

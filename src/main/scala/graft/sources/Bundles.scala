@@ -222,6 +222,26 @@ class Bundles(spark: SparkSession, basePath: String,
              retainVersions: Int = 1): Int =
     TsStore.vacuum(dir(collection), retainVersions)
 
+  /** Streaming ingest into a collection — the facade over
+    * [[graft.streaming.StoreIngest]]: the stream's `uidCol` column
+    * becomes the series id (renamed to the collection's partition
+    * column), each micro-batch is a manifest-committed latest-wins
+    * upsert, and re-delivered batches converge (see StoreIngest's
+    * idempotency contract). `keyCols` are PER-SERIES keys — the series
+    * id is prepended automatically, so `keyCols = Seq("ts")` means "one
+    * row per (series, ts)", and equal timestamps on different series
+    * can never collide in the merge. Returns the running query.
+    */
+  def ingest(stream: DataFrame, uidCol: String,
+             keyCols: Seq[String], versionCol: String,
+             checkpoint: String,
+             collection: String = defaultCollection,
+             tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StoreIngest.start(
+      stream.withColumnRenamed(uidCol, UidCol), dir(collection),
+      keyCols = UidCol +: keyCols, versionCol = versionCol, tsCol = tsCol,
+      uidCols = Seq(UidCol), checkpoint = checkpoint)
+
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =

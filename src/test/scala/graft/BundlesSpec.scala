@@ -276,6 +276,32 @@ class BundlesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { ct.readAsOf("aapl", v - 1).collect() }
   }
 
+  test("facade streaming ingest: a landed feed becomes series in the collection") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bingest").toString
+    val ct = new Bundles(spark, s"$root/db")
+    Seq(("aapl", ts("2024-01-01 09:30:00"), 100.0, 1L),
+        ("msft", ts("2024-01-01 09:30:00"), 50.0, 1L),
+        ("aapl", ts("2024-01-01 09:31:00"), 101.0, 1L))
+      .toDF("sym", "ts", "price", "version")
+      .write.mode("append").parquet(s"$root/src")
+    val q = ct.ingest(
+      spark.readStream.schema("sym STRING, ts TIMESTAMP, price DOUBLE, version LONG")
+        .parquet(s"$root/src"),
+      uidCol = "sym", keyCols = Seq("ts"), versionCol = "version",
+      checkpoint = s"$root/ckpt")
+    q.awaitTermination()
+    assert(ct.read("aapl").count() === 2)
+    assert(ct.read("msft").count() === 1)
+    assert(ct.listUids().count() === 2)
+    // and the ingested collection is a LOGGED store: versions exist and
+    // a facade upsert stacks on top of the streamed state
+    assert(ct.versions().nonEmpty)
+    ct.upsert("aapl", Seq((ts("2024-01-01 09:31:00"), 999.0, 2L))
+      .toDF("ts", "price", "version"), keyCols = Seq("ts"), versionCol = "version")
+    assert(ct.read("aapl").filter(col("price") === 999.0).count() === 1)
+  }
+
   test("compaction of a LOGGED collection is a manifest commit, not a swap") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_lcompact").toString

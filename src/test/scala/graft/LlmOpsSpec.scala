@@ -195,6 +195,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms token counts are overestimate-only within eps*N of exact") {
+    val got = Registry.all("llm_cms_counts").fn(spark, TestSpark.sf001)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val exact = Tables.documents(spark, TestSpark.sf001)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, t, n) => (l, t) -> n }.toMap
+    got.foreach { case (lang, tok, est, nTokens) =>
+      val ex = exact.getOrElse((lang, tok), 0L)
+      assert(est >= ex, s"CMS underestimated ($lang,$tok): $est < $ex")
+      assert(est <= ex + math.ceil(0.001 * nTokens).toLong,
+        s"CMS violated the eps*N bound ($lang,$tok): est=$est exact=$ex n=$nTokens")
+    }
+  }
+
   test("boundedCellPairs: a planted mega-cell emits n·cap pairs, not n²; small cells stay exact") {
     val n = 600; val cap = 100
     val mega = spark.range(n).select(col("id").as("vec_id"), lit(0L).as("cell"))

@@ -111,6 +111,26 @@ class StoreLogSpec extends AnyFunSuite {
     }
   }
 
+  test("the commit primitive is atomic ACROSS PROCESSES: one hard link wins") {
+    // the CAS is link(2) — a kernel-level fail-if-exists. Eight separate
+    // OS processes race distinct sources onto one target; regardless of
+    // scheduling, exactly one may succeed and the survivor must be one
+    // writer's intact content (this is what makes StoreLog cross-
+    // process safe without any lock file)
+    val dir = Files.createTempDirectory("graft_xproc")
+    val target = dir.resolve("v00000001.json")
+    val procs = (0 until 8).map { i =>
+      val src = dir.resolve(s"src_$i")
+      Files.write(src, s"writer-$i".getBytes)
+      new ProcessBuilder("ln", src.toString, target.toString)
+        .redirectErrorStream(true).start()
+    }
+    val wins = procs.map(_.waitFor()).count(_ == 0)
+    assert(wins === 1, s"expected exactly one winning link, got $wins")
+    assert(new String(Files.readAllBytes(target)).matches("writer-\\d"),
+      "surviving manifest is not one writer's intact content")
+  }
+
   test("commit CAS: the second writer to a version loses, deterministically") {
     val dir = Files.createTempDirectory("graft_cas").toString
     StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet"))
