@@ -26,8 +26,10 @@ object ScaleSmoke {
     "llm_dedup_exact", "llm_chunk_dedup", "llm_dedup_near",
     "llm_dedup_simhash", "llm_dedup_embed", "llm_semdedup",
     "llm_dup_clusters", "llm_dup_clusters_lsh",
-    "llm_ann_lsh", "llm_ann_ivf_indexed",
-    "write_upsert_pruned", "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc")
+    "llm_ann_lsh", "llm_ann_ivf_indexed", "llm_ann_ivf_add",
+    "llm_cms_counts", "stream_ingest", "write_upsert_pruned",
+    "write_upsert_timetravel", "ts_ewm_vol", "ts_ewm_corr",
+    "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
