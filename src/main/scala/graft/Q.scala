@@ -151,6 +151,9 @@ object Q {
     */
   def boundedCellPairs(df: DataFrame, cellCol: String, idCol: String,
                        cap: Int): DataFrame = {
+    // cap = 0 would divide by zero in the block key (error under ANSI,
+    // silently-empty pairs otherwise); negative caps silently emit nothing
+    require(cap >= 1, "boundedCellPairs needs a positive rank cap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(cellCol)).orderBy(col(idCol))
     val r = df.withColumn("__rn", row_number().over(w))

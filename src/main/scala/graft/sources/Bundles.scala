@@ -247,18 +247,44 @@ class Bundles(spark: SparkSession, basePath: String,
                tsCol: String = "ts"): DataFrame =
     TsStore.listSeries(TsStore.load(spark, dir(collection)), UidCol, tsCol)
 
-  /** Delete one named series — removes its partition directory (the
-    * uid-partitioned layout makes series deletion a metadata-cheap
-    * directory drop, no rewrite of other series' files; ≙ the
-    * reference's per-uid document delete). Returns true if it existed.
+  /** Delete one named series (≙ the reference's per-uid document
+    * delete). On an UNLOGGED collection the uid-partitioned layout makes
+    * this a metadata-cheap directory drop — no rewrite of other series'
+    * files. On a LOGGED collection (any upsert/ingest makes it logged) a
+    * raw directory delete would BRICK the collection: the live manifest
+    * still names the deleted files, so every manifest-aware read fails
+    * with missing paths. There the deletion is a manifest COMMIT (same
+    * CAS loop as the append path) that removes the partition's files
+    * from the live list — the data files stay on disk for time travel
+    * ([[readAsOf]]) until [[vacuum]] reclaims them. Returns true if the
+    * series existed.
     */
   def dropSeries(uid: String, collection: String = defaultCollection): Boolean = {
     // escape like the writer does — partition values with spaces/colons/
     // slashes live in escaped directory names (never probe the raw uid)
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
-    val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$UidCol=$esc")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.delete(p, true)
+    val partPrefix = s"$UidCol=$esc"
+    if (StoreLog.isLocal(dir(collection)) && StoreLog.exists(dir(collection))) {
+      var attempts = 0
+      while (true) {
+        val snap = StoreLog.latest(dir(collection)).get
+        if (!snap.files.exists(_.startsWith(partPrefix + "/"))) return false
+        val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
+        try {
+          StoreLog.commit(dir(collection), snap.version, Seq(partPrefix), kept,
+            parent = Some(snap))
+          return true
+        } catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1; if (attempts > 20) throw c
+        }
+      }
+      throw new IllegalStateException("unreachable: dropSeries commit loop exited")
+    } else {
+      val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$partPrefix")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.delete(p, true)
+    }
   }
 
   /** Compact a collection: rewrite its accumulated append-chunks into
@@ -284,8 +310,12 @@ class Bundles(spark: SparkSession, basePath: String,
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    val before = countFiles(path)
-    StoreLog.latestVersion(dir(collection)) match {
+    // non-local (scheme'd) collections carry no log by construction —
+    // logDir/latestVersion reject such paths loudly, so they must keep
+    // taking the unlogged rename-swap branch
+    val logVer = if (StoreLog.isLocal(dir(collection)))
+      StoreLog.latestVersion(dir(collection)) else None
+    logVer match {
       case Some(v) =>
         // LOGGED collection: compaction is a manifest COMMIT, not a
         // directory swap — the rewritten files are staged to a hidden
@@ -298,6 +328,10 @@ class Bundles(spark: SparkSession, basePath: String,
         // so ANY intervening commit is a conflict — rerun). Replaced
         // chunks stay time-travelable until vacuum.
         val snap = StoreLog.read(dir(collection), v)
+        // live-vs-live comparison: the on-disk recursive count includes
+        // dead time-traveled chunks from prior upserts, which would
+        // inflate the reported ratio on any store not yet vacuumed
+        val before = snap.files.size.toLong
         val staging = TsStore.txnDir(dir(collection))
         TsStore.write(TsStore.load(spark, dir(collection), mergeSchema = true),
           staging, tsCol = tsCol, uidCols = Seq(UidCol))
@@ -315,7 +349,9 @@ class Bundles(spark: SparkSession, basePath: String,
         }
         (before, moved.size.toLong)
       case None =>
-        // unlogged: the original rename-swap-rollback protocol
+        // unlogged: the original rename-swap-rollback protocol (no dead
+        // chunks can exist without a log, so the raw count IS live)
+        val before = countFiles(path)
         val tmp = new org.apache.hadoop.fs.Path(dir(collection) + ".__compact")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         // one read of the fragmented layout, one range-partitioned
@@ -381,7 +417,9 @@ class Bundles(spark: SparkSession, basePath: String,
       n
     }
     val partPrefix = s"$UidCol=$esc"
-    StoreLog.latestVersion(dir(collection)) match {
+    val logVer = if (StoreLog.isLocal(dir(collection)))
+      StoreLog.latestVersion(dir(collection)) else None
+    logVer match {
       case Some(v) =>
         // LOGGED collection: same txn-commit protocol as [[compact]] —
         // never a rename window, never a manifest naming moved-away

@@ -276,6 +276,37 @@ class BundlesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { ct.readAsOf("aapl", v - 1).collect() }
   }
 
+  test("dropSeries on a LOGGED collection commits a manifest version, never bricks reads") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bdrop_logged").toString
+    val ct = new Bundles(spark, base)
+    ct.write("aapl", Seq((ts("2024-01-01 09:30:00"), 100.0, 1L),
+      (ts("2024-01-01 09:31:00"), 101.0, 1L)).toDF("ts", "price", "version"))
+    ct.write("msft", Seq((ts("2024-01-01 09:30:00"), 1.0, 1L)).toDF("ts", "price", "version"))
+    // an upsert makes the collection LOGGED — the regime where a raw
+    // directory delete would leave the live manifest naming dead files
+    val v = ct.upsert("aapl",
+      Seq((ts("2024-01-01 09:31:00"), 999.0, 2L)).toDF("ts", "price", "version"),
+      keyCols = Seq("ts"), versionCol = "version")
+    assert(ct.dropSeries("msft"))
+    // the WHOLE collection stays readable through the manifest — this is
+    // exactly the read that PATH_NOT_FOUND-bricked under raw deletion
+    assert(ct.listUids().as[(String, Long, Timestamp, Timestamp)]
+      .collect().map(_._1).toSet === Set("aapl"))
+    assert(ct.read("aapl").count() === 2)
+    assert(ct.readMany(Seq("aapl", "msft")).select("__uid")
+      .distinct().as[String].collect().toSet === Set("aapl"))
+    // double-drop is false, and the drop is one committed version
+    assert(!ct.dropSeries("msft"))
+    assert(ct.versions().last === v + 1)
+    // the dropped series stays time-travelable until vacuum...
+    assert(ct.readAsOf("msft", v).count() === 1)
+    // ...which reclaims its (now-unreferenced) data files
+    assert(ct.vacuum() > 0)
+    assertThrows[Exception] { ct.readAsOf("msft", v).collect() }
+    assert(ct.read("aapl").count() === 2)
+  }
+
   test("facade streaming ingest: a landed feed becomes series in the collection") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_bingest").toString
