@@ -264,7 +264,7 @@ class Bundles(spark: SparkSession, basePath: String,
     // slashes live in escaped directory names (never probe the raw uid)
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
     val partPrefix = s"$UidCol=$esc"
-    if (StoreLog.isLocal(dir(collection)) && StoreLog.exists(dir(collection))) {
+    if (StoreLog.canLog(dir(collection)) && StoreLog.exists(dir(collection))) {
       var attempts = 0
       while (true) {
         val snap = StoreLog.latest(dir(collection)).get
@@ -313,7 +313,7 @@ class Bundles(spark: SparkSession, basePath: String,
     // non-local (scheme'd) collections carry no log by construction —
     // logDir/latestVersion reject such paths loudly, so they must keep
     // taking the unlogged rename-swap branch
-    val logVer = if (StoreLog.isLocal(dir(collection)))
+    val logVer = if (StoreLog.canLog(dir(collection)))
       StoreLog.latestVersion(dir(collection)) else None
     logVer match {
       case Some(v) =>
@@ -337,14 +337,13 @@ class Bundles(spark: SparkSession, basePath: String,
           staging, tsCol = tsCol, uidCols = Seq(UidCol))
         val moved =
           try StoreLog.adoptStaged(dir(collection), staging)
-          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+          finally StoreLog.deleteStaging(staging)
         val replaced = snap.files.filter(_.contains("/"))
           .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
         try StoreLog.commit(dir(collection), v, replaced, moved)
         catch {
           case c: StoreLog.CommitConflict =>
-            moved.foreach(f => java.nio.file.Files.deleteIfExists(
-              java.nio.file.Paths.get(dir(collection), f)))
+            StoreLog.deleteDataFiles(dir(collection), moved)
             throw c
         }
         (before, moved.size.toLong)
@@ -417,7 +416,7 @@ class Bundles(spark: SparkSession, basePath: String,
       n
     }
     val partPrefix = s"$UidCol=$esc"
-    val logVer = if (StoreLog.isLocal(dir(collection)))
+    val logVer = if (StoreLog.canLog(dir(collection)))
       StoreLog.latestVersion(dir(collection)) else None
     logVer match {
       case Some(v) =>
@@ -435,7 +434,7 @@ class Bundles(spark: SparkSession, basePath: String,
         TsStore.write(rows, staging, tsCol = tsCol, uidCols = Seq(UidCol))
         val moved =
           try StoreLog.adoptStaged(dir(collection), staging)
-          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+          finally StoreLog.deleteStaging(staging)
         require(moved.forall(_.startsWith(partPrefix + "/")),
           s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
         val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
@@ -443,8 +442,7 @@ class Bundles(spark: SparkSession, basePath: String,
           parent = Some(snap))
         catch {
           case c: StoreLog.CommitConflict =>
-            moved.foreach(f => java.nio.file.Files.deleteIfExists(
-              java.nio.file.Paths.get(dir(collection), f)))
+            StoreLog.deleteDataFiles(dir(collection), moved)
             throw c
         }
         (before, moved.size.toLong)

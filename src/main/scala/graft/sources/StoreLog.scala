@@ -1,11 +1,8 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path => NioPath, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ArrayNode
+import scala.jdk.CollectionConverters._
 
 /** Versioned file manifest for a TsStore directory — the minimal commit
   * protocol that makes [[TsStore.upsert]] crash-atomic and cross-process
@@ -28,13 +25,14 @@ import com.fasterxml.jackson.databind.node.ArrayNode
   * }}}
   *
   * Commit is compare-and-swap on the NEXT version's file name: the
-  * content is fully written to a hidden temp file, then linked into
-  * place with an atomic fail-if-exists primitive (POSIX hard link for
-  * `file:` paths; HDFS `rename` is atomic-no-overwrite by contract). Two
+  * content is fully staged, then made to appear with ONE atomic
+  * fail-if-exists operation — the backend-specific primitive behind the
+  * [[CommitIo]] seam (POSIX hard link on local paths; HDFS
+  * rename-no-overwrite, which is atomic by NameNode contract). Two
   * writers racing to the same version: exactly one wins; the loser sees
   * the winner's snapshot and either rebases (disjoint `replaced`
   * partition sets — both commits serialize cleanly) or aborts. A crash
-  * at ANY point before the link leaves the previous version live and
+  * at ANY point before the publish leaves the previous version live and
   * intact — readers can never observe a half-committed state, because
   * the only mutation readers look at is the appearance of one file.
   *
@@ -70,32 +68,33 @@ object StoreLog {
 
   private val mapper = new ObjectMapper()
 
-  /** The log speaks java.nio, i.e. LOCAL filesystem paths. A URI-style
-    * path (`hdfs://…`, `s3a://…`, even `file:…`) would resolve as a
-    * bogus RELATIVE local path and the manifest machinery would
-    * silently diverge from the actual store — reject it loudly. (An
-    * HDFS port would swap these primitives for `FileContext.rename`,
-    * which is the same atomic-no-overwrite CAS.)
+  /** True for a plain (scheme-less) local filesystem path — these take
+    * the java.nio commit primitives directly.
     */
   def isLocal(path: String): Boolean =
     !path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
 
-  private def requireLocal(path: String): String = {
-    require(isLocal(path),
-      s"StoreLog supports plain local filesystem paths only, got '$path' " +
-        "(URI schemes would need the FileContext-based commit primitives)")
-    path
-  }
+  /** Whether a path can carry a manifest log at all: its backend must
+    * offer an atomic publish-if-absent primitive ([[CommitIo.forPath]]).
+    * Plain local paths and `file:`/HDFS-like URIs qualify; object-store
+    * schemes without an atomic no-overwrite publish do not — callers
+    * degrade to the unlogged write paths there.
+    */
+  def canLog(path: String): Boolean = CommitIo.forPath(path).isDefined
 
-  def logDir(path: String): String = s"${requireLocal(path)}/_graft_log"
+  private def io(path: String): CommitIo =
+    CommitIo.forPath(path).getOrElse(throw new IllegalArgumentException(
+      s"StoreLog cannot commit to '$path': the scheme has no atomic " +
+        "publish-if-absent primitive (local paths, file:, and HDFS-like " +
+        "URIs are supported)"))
+
+  def logDir(path: String): String = s"$path/_graft_log"
 
   private def verFile(path: String, v: Long): String =
     f"${logDir(path)}/v$v%08d.json"
 
-  def exists(path: String): Boolean = {
-    val d = Paths.get(logDir(path))
-    Files.isDirectory(d) && listVersions(path).nonEmpty
-  }
+  def exists(path: String): Boolean =
+    io(path).isDir(logDir(path)) && listVersions(path).nonEmpty
 
   /** Spark's hidden-path rule, mirrored exactly: `_`/`.`-prefixed names
     * are hidden UNLESS they contain '=' — a partition directory for an
@@ -105,21 +104,10 @@ object StoreLog {
   private def hiddenName(n: String): Boolean =
     (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
 
-  /** Children of a directory with the stream closed eagerly (Files.list
-    * leaks a descriptor if the stream is abandoned mid-iteration).
-    */
-  private def children(p: NioPath): Seq[NioPath] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList finally s.close()
-  }
-
-  def listVersions(path: String): Seq[Long] = {
-    val d = Paths.get(logDir(path))
-    if (!Files.isDirectory(d)) return Seq.empty
-    children(d).map(_.getFileName.toString)
+  def listVersions(path: String): Seq[Long] =
+    io(path).list(logDir(path)).map(_.name)
       .collect { case n if n.matches("v\\d{8}\\.json") => n.substring(1, 9).toLong }
       .sorted
-  }
 
   def latestVersion(path: String): Option[Long] = listVersions(path).lastOption
 
@@ -127,9 +115,9 @@ object StoreLog {
     n.elements().asScala.map(_.asText()).toSeq
 
   private def readRaw(path: String, version: Long): JsonNode = {
-    val f = Paths.get(verFile(path, version))
-    require(Files.exists(f), s"store log has no version $version at $f")
-    mapper.readTree(Files.readAllBytes(f))
+    val f = verFile(path, version)
+    require(io(path).exists(f), s"store log has no version $version at $f")
+    mapper.readTree(io(path).readBytes(f))
   }
 
   def read(path: String, version: Long): Snapshot = {
@@ -173,21 +161,9 @@ object StoreLog {
   def latest(path: String): Option[Snapshot] =
     latestVersion(path).map(read(path, _))
 
-  /** Atomically publish the next version after `expectedVersion` (0 =
-    * creating a fresh log). Returns the committed version. Fails with
-    * [[CommitConflict]] if another writer got there first — the caller
-    * decides whether a rebase is sound.
-    *
-    * When `parent` is the resolved snapshot at `expectedVersion` (the
-    * caller holds it anyway — it computed `files` from it) and the new
-    * version is not checkpoint-due, the manifest is written as a DELTA
-    * (add/remove vs the parent): O(commit footprint), not O(store).
-    * Without a parent — or on the checkpoint cadence — the full list is
-    * written.
-    */
-  /** Serialize one manifest. `delta` carries (parentFiles, files) when
-    * the version should be stored as add/remove lists; otherwise the
-    * full `files` list is embedded (checkpoint).
+  /** Serialize one manifest. When `parentFiles` is present the version
+    * is stored as add/remove lists vs that parent (a DELTA); otherwise
+    * the full `files` list is embedded (a CHECKPOINT).
     */
   private def manifestBytes(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String],
@@ -210,31 +186,29 @@ object StoreLog {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
+  /** Atomically publish the next version after `expectedVersion` (0 =
+    * creating a fresh log). Returns the committed version. Fails with
+    * [[CommitConflict]] if another writer got there first — the caller
+    * decides whether a rebase is sound.
+    *
+    * When `parent` is the resolved snapshot at `expectedVersion` (the
+    * caller holds it anyway — it computed `files` from it) and the new
+    * version is not checkpoint-due, the manifest is written as a DELTA
+    * (add/remove vs the parent): O(commit footprint), not O(store).
+    * Without a parent — or on the checkpoint cadence — the full list is
+    * written.
+    */
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
              files: Seq[String], parent: Option[Snapshot] = None): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
-    val dir = Paths.get(logDir(path))
-    Files.createDirectories(dir)
     val asDelta = parent.filter(_ => v % CheckpointInterval != 0).map(_.files)
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files, asDelta)
-    val tmp = Files.createTempFile(dir, ".commit_", ".tmp")
-    try {
-      Files.write(tmp, bytes)
-      // POSIX link(2) is atomic and fails with EEXIST if the target
-      // exists — the CAS. (fs.rename would silently OVERWRITE on a
-      // local filesystem, losing the racing writer's commit; on HDFS
-      // rename-no-overwrite is the same primitive and this would use
-      // FileContext.rename there.)
-      try Files.createLink(Paths.get(verFile(path, v)), tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflict(
-            s"version $v already committed at $path — concurrent writer won")
-      }
-      v
-    } finally Files.deleteIfExists(tmp)
+    if (!io(path).publishIfAbsent(verFile(path, v), bytes))
+      throw new CommitConflict(
+        s"version $v already committed at $path — concurrent writer won")
+    v
   }
 
   /** List the store's CURRENT data files (relative paths) straight from
@@ -244,17 +218,15 @@ object StoreLog {
     * dirs, Spark's _SUCCESS markers) are excluded at every level.
     */
   def listDataFiles(path: String): Seq[String] = {
-    val root = Paths.get(requireLocal(path))
-    if (!Files.isDirectory(root)) return Seq.empty
-    def hidden(p: NioPath): Boolean = hiddenName(p.getFileName.toString)
+    val fsio = io(path)
+    if (!fsio.isDir(path)) return Seq.empty
     val out = Seq.newBuilder[String]
-    def walk(p: NioPath): Unit =
-      children(p).filterNot(hidden).foreach { c =>
-        if (Files.isDirectory(c)) walk(c)
-        else if (c.getFileName.toString.endsWith(".parquet"))
-          out += root.relativize(c).toString
+    def walk(dir: String, prefix: String): Unit =
+      fsio.list(dir).filterNot(e => hiddenName(e.name)).foreach { e =>
+        if (e.isDir) walk(s"$dir/${e.name}", s"$prefix${e.name}/")
+        else if (e.name.endsWith(".parquet")) out += s"$prefix${e.name}"
       }
-    walk(root)
+    walk(path, "")
     out.result().sorted
   }
 
@@ -273,11 +245,20 @@ object StoreLog {
   /** Drop the log (used by mode=Overwrite writes: an overwrite is a new
     * store; a stale manifest naming deleted files must not survive it).
     */
-  def delete(path: String): Unit = {
-    val d = new java.io.File(logDir(path))
-    if (d.exists()) org.apache.commons.io.FileUtils.deleteQuietly(d)
-    ()
-  }
+  def delete(path: String): Unit = io(path).deleteDir(logDir(path))
+
+  /** Delete previously-adopted data files by store-relative path — the
+    * abort path of a failed commit (the files were staged, moved into
+    * the store, but the manifest CAS lost and no rebase is sound).
+    */
+  def deleteDataFiles(path: String, rels: Seq[String]): Unit =
+    rels.foreach(f => io(path).deleteFile(s"$path/$f"))
+
+  /** Recursively delete a txn staging directory (same backend as the
+    * store it lives under). Quiet on a missing path.
+    */
+  def deleteStaging(stagingDir: String): Unit =
+    CommitIo.forPath(stagingDir).foreach(_.deleteDir(stagingDir))
 
   /** Garbage-collect: delete data files referenced by NO retained
     * snapshot and drop manifests older than the latest `retainVersions`.
@@ -287,13 +268,14 @@ object StoreLog {
     */
   def vacuum(path: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
+    val fsio = io(path)
     val versions = listVersions(path)
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(retainVersions)
     val live: Set[String] =
       retained.flatMap(v => read(path, v).files).toSet
     val deleted = listDataFiles(path).filterNot(live)
-    deleted.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
     // the oldest retained version may be a DELTA whose checkpoint
     // ancestor is about to be dropped — rewrite it as a checkpoint
     // (resolved BEFORE any manifest deletion; atomic in-place replace)
@@ -301,16 +283,12 @@ object StoreLog {
     val oldest = retained.head
     if (!readRaw(path, oldest).has("files")) {
       val snap = read(path, oldest)
-      val tmp = Files.createTempFile(Paths.get(logDir(path)), ".ckpt_", ".tmp")
-      try {
-        Files.write(tmp, manifestBytes(snap.version, snap.timestampMs,
+      fsio.replaceAtomic(verFile(path, oldest),
+        manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None))
-        Files.move(tmp, Paths.get(verFile(path, oldest)),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      } finally Files.deleteIfExists(tmp)
     }
     versions.dropRight(retainVersions)
-      .foreach(v => Files.deleteIfExists(Paths.get(verFile(path, v))))
+      .foreach(v => fsio.deleteFile(verFile(path, v)))
     // stale txn staging dirs (a writer that crashed before adopting its
     // staged files) are hidden from listDataFiles and from readers —
     // this is their one reclaim point. AGE-gated (mtime > 1h), the
@@ -318,23 +296,19 @@ object StoreLog {
     // survives even if someone vacuums against the documented
     // no-concurrent-writers contract.
     val txnCutoffMs = System.currentTimeMillis() - 60L * 60 * 1000
-    children(Paths.get(path))
-      .filter { p =>
-        Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("_graft_txn_") &&
-          Files.getLastModifiedTime(p).toMillis < txnCutoffMs
-      }
-      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    fsio.list(path)
+      .filter(e => e.isDir && e.name.startsWith("_graft_txn_") &&
+        fsio.mtimeMs(s"$path/${e.name}") < txnCutoffMs)
+      .foreach(e => fsio.deleteDir(s"$path/${e.name}"))
     // prune now-empty partition directories so discovery doesn't surface
     // phantom empty partitions
-    def pruneEmpty(p: NioPath): Unit = {
-      children(p).filter(Files.isDirectory(_)).foreach(pruneEmpty)
-      if (children(p).isEmpty && !hiddenName(p.getFileName.toString))
-        Files.deleteIfExists(p)
+    def pruneEmpty(dir: String): Unit = {
+      fsio.list(dir).filter(_.isDir).foreach(e => pruneEmpty(s"$dir/${e.name}"))
+      fsio.deleteDirIfEmpty(dir)
     }
-    children(Paths.get(path))
-      .filter(p => Files.isDirectory(p) && !hiddenName(p.getFileName.toString))
-      .foreach(pruneEmpty)
+    fsio.list(path)
+      .filter(e => e.isDir && !hiddenName(e.name))
+      .foreach(e => pruneEmpty(s"$path/${e.name}"))
     deleted.size
   }
 
@@ -347,22 +321,16 @@ object StoreLog {
     * commit that names them.
     */
   def adoptStaged(path: String, stagingDir: String): Seq[String] = {
-    val stage = Paths.get(stagingDir)
-    val root = Paths.get(requireLocal(path))
-    val staged = Seq.newBuilder[(NioPath, String)]
-    def walk(p: NioPath): Unit =
-      children(p)
-        .filterNot(c => hiddenName(c.getFileName.toString))
-        .foreach { c =>
-          if (Files.isDirectory(c)) walk(c)
-          else if (c.getFileName.toString.endsWith(".parquet"))
-            staged += ((c, stage.relativize(c).toString))
-        }
-    walk(stage)
-    staged.result().map { case (src, rel) =>
-      val dst = root.resolve(rel)
-      Files.createDirectories(dst.getParent)
-      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    val fsio = io(path)
+    val staged = Seq.newBuilder[String]
+    def walk(dir: String, prefix: String): Unit =
+      fsio.list(dir).filterNot(e => hiddenName(e.name)).foreach { e =>
+        if (e.isDir) walk(s"$dir/${e.name}", s"$prefix${e.name}/")
+        else if (e.name.endsWith(".parquet")) staged += s"$prefix${e.name}"
+      }
+    walk(stagingDir, "")
+    staged.result().map { rel =>
+      fsio.move(s"$stagingDir/$rel", s"$path/$rel")
       rel
     }.sorted
   }

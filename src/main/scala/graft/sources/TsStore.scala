@@ -184,15 +184,16 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     val sorted = df.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    // Manifest handling applies to local paths only (StoreLog's commit
-    // primitives are java.nio); a scheme'd path takes the plain write —
-    // upsert/ensure on such a path fail loudly inside StoreLog instead.
+    // Manifest handling applies to paths whose backend has an atomic
+    // publish primitive (local, file:, HDFS-likes — CommitIo.forPath);
+    // other schemes take the plain write, and upsert/ensure on such a
+    // path fail loudly inside StoreLog instead.
     if (mode == SaveMode.Overwrite) {
       // an overwrite is a NEW store — a stale manifest naming deleted
       // files must not survive it
-      if (StoreLog.isLocal(path)) StoreLog.delete(path)
+      if (StoreLog.canLog(path)) StoreLog.delete(path)
       writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
-    } else if (StoreLog.isLocal(path) && StoreLog.exists(path)) {
+    } else if (StoreLog.canLog(path) && StoreLog.exists(path)) {
       // logged store: appended files must be NAMED by a manifest commit
       // or manifest readers never see them. Stage to a txn-private dir,
       // move into place (invisible until committed), publish. A pure
@@ -203,7 +204,7 @@ object TsStore {
         rowGroupBytes, maxRecordsPerFile)
       val moved =
         try StoreLog.adoptStaged(path, staging)
-        finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+        finally StoreLog.deleteStaging(staging)
       var committed = false
       var attempts = 0
       while (!committed) {
@@ -402,7 +403,7 @@ object TsStore {
       staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
     val moved =
       try StoreLog.adoptStaged(path, staging)
-      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      finally StoreLog.deleteStaging(staging)
     // the touched partition DIRECTORY prefixes — the unit of replacement
     // and of writer-vs-writer conflict detection — are read off the
     // STAGED OUTPUT's own directory names: Spark's partition-path
@@ -417,8 +418,7 @@ object TsStore {
     }.toSet
     def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
     def abort(why: String): Nothing = {
-      moved.foreach(f => java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(path, f)))
+      StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
     }
     var expected = base
@@ -461,7 +461,7 @@ object TsStore {
   def load(spark: SparkSession, path: String, mergeSchema: Boolean = false,
            asOf: Option[Long] = None): DataFrame = {
     val snap =
-      if (!StoreLog.isLocal(path)) {
+      if (!StoreLog.canLog(path)) {
         require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
         None
       } else asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
@@ -476,7 +476,7 @@ object TsStore {
 
   /** Committed manifest versions of a logged store (empty if unlogged). */
   def versions(path: String): Seq[Long] =
-    if (StoreLog.isLocal(path)) StoreLog.listVersions(path) else Seq.empty
+    if (StoreLog.canLog(path)) StoreLog.listVersions(path) else Seq.empty
 
   /** Reclaim space: drop files no retained manifest references and
     * manifests beyond the newest `retainVersions` — the time-travel

@@ -342,6 +342,106 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), merged(base, ds: _*))
   }
 
+  test("TsStore end to end on a file:-scheme path: upsert, time travel, vacuum via CommitIo.Hadoop") {
+    // same store lifecycle as the plain-path specs, but every manifest
+    // operation (list, read, publish, adopt, delete) routes through the
+    // Hadoop FileSystem/FileContext implementation of the seam
+    val dir = "file:" + Files.createTempDirectory("graft_hfs").toString
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val d1 = delta(10, 1000.0)
+    val v = TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    assert(v === 2L, s"expected ensure()=v1 + upsert()=v2, got v$v")
+    assert(TsStore.versions(dir) === Seq(1L, 2L))
+    same(TsStore.read(spark, dir), merged(base, d1))
+    same(TsStore.read(spark, dir, asOf = Some(1L)), base)
+    // the CAS detects a stale base through the Hadoop impl too
+    val e = intercept[StoreLog.CommitConflict] {
+      StoreLog.commit(dir, 1L, Seq.empty, Seq("x.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // a logged append surfaces through the manifest
+    val extra = events.filter(col("event_type") === "purchase").limit(5)
+      .select(col("event_id") + 50000000L, col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit(9L).as("version"))
+      .toDF(cols :+ "version": _*)
+    TsStore.write(extra, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    val n = TsStore.read(spark, dir).count()
+    assert(n === merged(base, d1).count() + 5)
+    // vacuum reclaims the upserted-away chunks; the live view holds
+    assert(TsStore.vacuum(dir) > 0)
+    assert(TsStore.read(spark, dir).count() === n)
+    assertThrows[IllegalArgumentException] {
+      TsStore.read(spark, dir, asOf = Some(1L)).collect()
+    }
+  }
+
+  test("the Hadoop CommitIo publish is atomic ACROSS PROCESSES: eight JVMs race one version") {
+    // the re-run of the link(2) race THROUGH the seam: eight separate
+    // JVM processes resolve CommitIo for a file: URI and race
+    // publishIfAbsent onto the same manifest name (a go-file barrier
+    // keeps the window tight). Exactly one may win, and the survivor
+    // must be one writer's intact content.
+    val dir = Files.createTempDirectory("graft_xproc_h")
+    val target = s"file:$dir/_graft_log/v00000001.json"
+    val go = dir.resolve("go")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = (0 until 8).map { i =>
+      new ProcessBuilder((Seq(javaBin, "-cp", cp) ++
+        Seq("java.base/java.lang", "java.base/java.util", "java.base/sun.nio.ch")
+          .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+        Seq("graft.XProcCasMain", go.toString, target, s"writer-$i")): _*)
+        .redirectErrorStream(true).start()
+    }
+    Files.write(go, Array.emptyByteArray)
+    val codes = procs.map { pr =>
+      val done = pr.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) pr.destroyForcibly()
+      assert(done, "child JVM did not finish in time")
+      pr.exitValue()
+    }
+    assert(codes.forall(c => c == 0 || c == 7),
+      s"a child crashed (exit codes $codes): " +
+        new String(procs.head.getInputStream.readAllBytes()).take(2000))
+    assert(codes.count(_ == 0) === 1, s"expected exactly one CAS winner, got $codes")
+    val surviving = new String(Files.readAllBytes(
+      Paths.get(dir.toString, "_graft_log", "v00000001.json")))
+    assert(surviving.matches("writer-\\d"),
+      "surviving manifest is not one writer's intact content")
+  }
+
+  test("the FileContext rename-no-overwrite branch commits on a non-file scheme (viewfs)") {
+    // viewfs mounts resolve in-process with no daemon, and its scheme is
+    // not 'file' — so this drives the EXACT code path an HDFS deployment
+    // would use: FileContext.create staging + rename(Rename.NONE) CAS +
+    // rename(OVERWRITE) for vacuum's checkpoint rewrite.
+    val backing = Files.createTempDirectory("graft_viewfs")
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.viewfs.mounttable.graftcas.link./store", backing.toUri.toString)
+    val dir = "viewfs://graftcas/store"
+    assert(StoreLog.canLog(dir))
+    assert(StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet")) === 1L)
+    // CAS loss through the rename branch
+    val e = intercept[StoreLog.CommitConflict] {
+      StoreLog.commit(dir, 0L, Seq.empty, Seq("b.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    val snap1 = StoreLog.read(dir, 1L)
+    assert(snap1.files === Seq("a.parquet"))
+    StoreLog.commit(dir, 1L, Seq("p=1"), Seq("a.parquet", "p=1/b.parquet"),
+      parent = Some(snap1))
+    assert(StoreLog.latest(dir).get.files === Seq("a.parquet", "p=1/b.parquet"))
+    // v2 was a delta; vacuum must rewrite it as a checkpoint through
+    // FileContext rename(OVERWRITE) and drop v1
+    StoreLog.vacuum(dir, retainVersions = 1)
+    assert(StoreLog.listVersions(dir) === Seq(2L))
+    assert(StoreLog.read(dir, 2L).files === Seq("a.parquet", "p=1/b.parquet"))
+  }
+
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
     import spark.implicits._
     // partition values with spaces/colons: Spark's path rendering

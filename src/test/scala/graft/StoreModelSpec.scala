@@ -24,9 +24,19 @@ class StoreModelSpec extends AnyFunSuite {
   private val Rec = ModelRec
 
   test("25 random upserts/appends track the reference model; sampled versions time-travel") {
+    run(Files.createTempDirectory("graft_model").toString)
+  }
+
+  test("the same model check holds through the Hadoop CommitIo on a file:-scheme path") {
+    // identical op sequence, but every manifest/list/move/delete runs
+    // through CommitIo.Hadoop (file: URI) instead of the java.nio impl —
+    // the seam's strongest equivalence proof
+    run("file:" + Files.createTempDirectory("graft_model_hfs").toString)
+  }
+
+  private def run(dir: String): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val dir = Files.createTempDirectory("graft_model").toString
     def part(id: Long) = s"p${id % 4}"
 
     var model = Map.empty[Long, Rec]
