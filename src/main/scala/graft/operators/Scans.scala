@@ -187,6 +187,36 @@ object Scans {
         "FROM events ORDER BY event_id"),
       "time-travel read: the pre-upsert manifest version reconstructs the unmerged store"),
 
+    "write_delete" -> DeclaredQuery(
+      // Row-level DELETE through the store — the takedown/
+      // decontamination verb (GDPR erasure, eval-set removal): write
+      // events as a logged store, delete a keyed slice of one series,
+      // read the live view back. TsStore.delete is FILE-granular
+      // copy-on-write: one predicate-pushed scan names the live files
+      // containing matching rows, only those files' survivors are
+      // rewritten, and ONE manifest commit swaps them — untouched
+      // files (same partition included) are never read for rewrite.
+      // The deleted rows stay readable asOf the pre-delete version
+      // until vacuum (pinned in StoreLogSpec); the oracle gates the
+      // live view: SELECT ... WHERE NOT pred.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("delete", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.delete(s, dir,
+          col("event_type") === "purchase" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.read(s, dir)
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, CAST(1 AS BIGINT) AS version " +
+        "FROM events WHERE NOT (event_type = 'purchase' AND event_id % 7 = 0) " +
+        "ORDER BY event_id"),
+      "row-level DELETE through the manifest: file-granular copy-on-write anti-merge"),
+
     "write_json_roundtrip" -> DeclaredQuery(
       // Second source format: JSON-lines sink + source. Schema is pinned
       // on read — at scale, inference is a full extra pass over the data.

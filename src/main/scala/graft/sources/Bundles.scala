@@ -200,6 +200,25 @@ class Bundles(spark: SparkSession, basePath: String,
       versionCol = versionCol, tsCol = tsCol, uidCols = Seq(UidCol))
   }
 
+  /** Delete one series' rows in an inclusive time range (whole series if
+    * no bounds) through the manifest — the takedown verb, file-granular
+    * copy-on-write via [[TsStore.delete]]: only the chunks that contain
+    * matching ticks are rewritten, the commit is one atomic manifest
+    * version, and the deleted ticks stay readable via [[readAsOf]] until
+    * [[vacuum]]. Returns the committed version.
+    */
+  def delete(uid: String,
+             start: Option[java.sql.Timestamp] = None,
+             end: Option[java.sql.Timestamp] = None,
+             collection: String = defaultCollection,
+             tsCol: String = "ts"): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var pred = col(UidCol) === lit(uid)
+    start.foreach(s0 => pred = pred && col(tsCol) >= lit(s0))
+    end.foreach(e => pred = pred && col(tsCol) <= lit(e))
+    TsStore.delete(spark, dir(collection), pred, tsCol = tsCol, uidCols = Seq(UidCol))
+  }
+
   /** Time-travel read of one series at a committed manifest version. */
   def readAsOf(uid: String, version: Long,
                collection: String = defaultCollection,

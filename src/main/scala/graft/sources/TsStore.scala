@@ -449,6 +449,118 @@ object TsStore {
     throw new IllegalStateException("unreachable: upsert commit loop exited")
   }
 
+  /** Row-level DELETE through the manifest — the one maintenance verb a
+    * training-corpus owner is legally guaranteed to need (takedown
+    * requests, decontamination removals) and the reference never had.
+    * FILE-granular copy-on-write: one pruned scan finds the live files
+    * that actually CONTAIN matching rows, only those files' surviving
+    * rows are rewritten (staged → adopted → ONE manifest commit swaps
+    * the affected files for their rewrites), and everything else —
+    * files of the same partition included — is never read for rewrite
+    * or touched. Deleted rows remain readable `asOf` any pre-delete
+    * version until [[vacuum]] reclaims the replaced files. Returns the
+    * committed version (the current one when nothing matches).
+    *
+    * Cost at 100 TB: the match scan is predicate-pushed (a takedown by
+    * uid/doc-id prunes to partitions and row groups), and the rewrite
+    * IO is bounded by the affected FILES' size, not the store's or even
+    * the partition's. A concurrent APPEND into a touched partition
+    * serializes after the delete cleanly (the delete claims only the
+    * files it named; appended files are untouched by construction);
+    * a concurrent commit that REPLACED a touched partition aborts with
+    * [[StoreLog.CommitConflict]] — the affected files may no longer be
+    * live and rewriting them would resurrect replaced rows.
+    */
+  def delete(spark: SparkSession, path: String, pred: Column,
+             tsCol: String, uidCols: Seq[String],
+             codec: String = "zstd",
+             rowGroupBytes: Long = 16L << 20,
+             maxRecordsPerFile: Long = 8L << 20): Long = {
+    require(uidCols.nonEmpty, "delete needs the store's partition columns")
+    val base = StoreLog.ensure(path)
+    if (base.files.isEmpty) return base.version
+    val live = load(spark, path, mergeSchema = true)
+    // which live files hold matching rows — the copy-on-write unit.
+    // input_file_name() yields the scan's URL-ENCODED file URI; decoding
+    // it ONCE recovers the raw on-disk path byte-for-byte (Spark encoded
+    // the on-disk path once), so a suffix match against the manifest's
+    // relative paths is exact even for escaped partition values
+    // ('day=... 09%3A30%3A00' directories). Matching the file NAME alone
+    // would NOT be sound: one write job reuses 'part-00000-<jobuuid>'
+    // across every partition directory it writes, so a name key smears
+    // a one-partition delete over all of them. If a URI ever fails to
+    // parse, fall back to the name-key SUPERSET — correctness-safe (it
+    // only rewrites extra files' survivors), just wider IO. Driver
+    // cost: one string per affected file, the budget of a manifest
+    // delta.
+    val affectedUris = live.filter(pred)
+      .select(input_file_name().as("__f"))
+      .distinct().collect().map(_.getString(0))
+    if (affectedUris.isEmpty) return base.version
+    def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+    val affected: Seq[String] =
+      try {
+        val rawPaths = affectedUris.map(u => new java.net.URI(u).getPath).toSeq
+        val hit = base.files.filter(f => rawPaths.exists(_.endsWith("/" + f)))
+        require(hit.size == rawPaths.size,
+          s"delete matched ${rawPaths.size} scan files but only ${hit.size} " +
+            s"manifest entries at $path — scan outside the live snapshot?")
+        hit
+      } catch {
+        case _: java.net.URISyntaxException =>
+          val names = affectedUris.map(nameOf).toSet
+          base.files.filter(f => names.contains(nameOf(f)))
+      }
+    val affectedSet = affected.toSet
+    // conflict unit = the affected files' partition directories, read
+    // off the manifest's own paths (never re-rendered from values)
+    val prefixes: Set[String] = affected.map { f =>
+      val i = f.lastIndexOf('/')
+      require(i > 0, s"live file '$f' is not under a partition directory")
+      f.substring(0, i)
+    }.toSet
+    // rewrite ONLY the affected files' survivors. DELETE semantics:
+    // rows where pred is TRUE go; null-pred rows stay (SQL DELETE).
+    val survivors = spark.read.option("basePath", path).option("mergeSchema", true)
+      .parquet(affected.map(f => s"$path/$f"): _*)
+      .filter(!coalesce(pred, lit(false)))
+    val staging = txnDir(path)
+    val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
+    writeFiles(survivors.repartitionByRange(rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*),
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+    val moved =
+      try StoreLog.adoptStaged(path, staging)
+      finally StoreLog.deleteStaging(staging)
+    def abort(why: String): Nothing = {
+      StoreLog.deleteDataFiles(path, moved)
+      throw new StoreLog.CommitConflict(why)
+    }
+    var expected = base
+    var attempts = 0
+    while (true) {
+      try return StoreLog.commit(path, expected.version, prefixes.toSeq,
+        expected.files.filterNot(affectedSet) ++ moved, parent = Some(expected))
+      catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1
+          if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+          val cur = StoreLog.latest(path).getOrElse(throw c)
+          // rebase is sound unless an intervening commit REPLACED one of
+          // our partitions (our affected files may no longer be live);
+          // pure appends under them serialize after this delete cleanly
+          ((expected.version + 1) to cur.version).foreach { v =>
+            val s = StoreLog.read(path, v)
+            if (s.replaced.exists(prefixes.contains))
+              abort(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
+                s"(now v${cur.version}) — re-run the delete against the new base")
+          }
+          expected = cur
+      }
+    }
+    throw new IllegalStateException("unreachable: delete commit loop exited")
+  }
+
   /** Manifest-aware dataset load: a logged store reads exactly the live
     * (or `asOf`-versioned) file set; an unlogged one reads the directory
     * as before. `basePath` keeps partition-column inference identical in

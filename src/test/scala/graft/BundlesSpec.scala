@@ -307,6 +307,27 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").count() === 2)
   }
 
+  test("facade delete: a time-ranged takedown of one series, time-travelable until vacuum") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bdelete").toString
+    val ct = new Bundles(spark, base)
+    ct.write("aapl", Seq((ts("2024-01-01 09:30:00"), 100.0),
+      (ts("2024-01-01 09:31:00"), 101.0),
+      (ts("2024-01-01 09:32:00"), 102.0)).toDF("ts", "price"))
+    ct.write("msft", Seq((ts("2024-01-01 09:31:00"), 1.0)).toDF("ts", "price"))
+    val v = ct.delete("aapl", start = Some(ts("2024-01-01 09:31:00")),
+      end = Some(ts("2024-01-01 09:31:00")))
+    // the one tick in range is gone; neighbors and other series survive
+    assert(ct.read("aapl").select("price").as[Double].collect().sorted
+      === Array(100.0, 102.0))
+    assert(ct.read("msft").count() === 1)
+    // takedown is reversible until vacuum: the pre-delete version reads whole
+    assert(ct.readAsOf("aapl", v - 1).count() === 3)
+    assert(ct.vacuum() > 0)
+    assertThrows[Exception] { ct.readAsOf("aapl", v - 1).collect() }
+    assert(ct.read("aapl").count() === 2)
+  }
+
   test("facade streaming ingest: a landed feed becomes series in the collection") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_bingest").toString

@@ -342,6 +342,51 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), merged(base, ds: _*))
   }
 
+  test("row-level delete: one committed version, time travel holds pre-delete, vacuum reclaims") {
+    val (dir, base) = freshStore()
+    val pred = col("event_type") === "purchase" && col("event_id") % 3 === 0
+    val v = TsStore.delete(spark, dir, pred, tsCol = "ts", uidCols = Seq("event_type"))
+    assert(v === 2L, s"expected ensure()=v1 + delete()=v2, got v$v")
+    val expect = base.filter(not(pred))
+    same(TsStore.read(spark, dir), expect)
+    // only the partition holding matches was declared replaced — the
+    // conflict unit the CAS uses against concurrent upserts
+    assert(StoreLog.read(dir, v).replaced === Seq("event_type=purchase"))
+    // re-running the same delete is a no-op at the same version
+    assert(TsStore.delete(spark, dir, pred, tsCol = "ts",
+      uidCols = Seq("event_type")) === v)
+    // the deleted rows remain readable asOf the pre-delete version...
+    same(TsStore.read(spark, dir, asOf = Some(1L)), base)
+    // ...until vacuum reclaims the replaced chunks
+    assert(TsStore.vacuum(dir) > 0)
+    same(TsStore.read(spark, dir), expect)
+    assertThrows[IllegalArgumentException] {
+      TsStore.read(spark, dir, asOf = Some(1L)).collect()
+    }
+  }
+
+  test("delete is FILE-granular: a single-row takedown rewrites one file, keeps its siblings") {
+    val (dir, _) = freshStore()
+    val v1 = StoreLog.ensure(dir)
+    // pick one concrete row to take down
+    val victim = TsStore.read(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id").orderBy("event_id").first().getLong(0)
+    val v = TsStore.delete(spark, dir, col("event_id") === victim,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val v2files = StoreLog.read(dir, v).files.toSet
+    val removed = v1.files.toSet -- v2files
+    // copy-on-write unit is the FILE: exactly the one chunk holding the
+    // victim was replaced; every other purchase chunk is carried over
+    assert(removed.size === 1, s"expected one rewritten file, got $removed")
+    assert(removed.head.startsWith("event_type=purchase/"))
+    val keptPurchase = v1.files.count(_.startsWith("event_type=purchase/")) - 1
+    assert(v2files.count(f => f.startsWith("event_type=purchase/") &&
+      v1.files.contains(f)) === keptPurchase,
+      "an untouched sibling chunk of the partition was rewritten")
+    assert(TsStore.read(spark, dir).filter(col("event_id") === victim).count() === 0)
+  }
+
   test("TsStore end to end on a file:-scheme path: upsert, time travel, vacuum via CommitIo.Hadoop") {
     // same store lifecycle as the plain-path specs, but every manifest
     // operation (list, read, publish, adopt, delete) routes through the
@@ -440,6 +485,27 @@ class StoreLogSpec extends AnyFunSuite {
     StoreLog.vacuum(dir, retainVersions = 1)
     assert(StoreLog.listVersions(dir) === Seq(2L))
     assert(StoreLog.read(dir, 2L).files === Seq("a.parquet", "p=1/b.parquet"))
+  }
+
+  test("delete on a TIMESTAMP-partitioned store: URI-decoded file matching survives escaped paths") {
+    import spark.implicits._
+    // partition dirs like 'day=2024-01-01 09%3A30%3A00' — the raw
+    // on-disk name has literal '%' and ' ', so the scan-file-to-manifest
+    // match must decode input_file_name()'s URI exactly once
+    val dir = Files.createTempDirectory("graft_tsdel").toString
+    def day(s: String) = java.sql.Timestamp.valueOf(s)
+    val b = Seq((1L, day("2024-01-01 09:30:00"), 10.0),
+      (2L, day("2024-01-01 09:30:00"), 20.0),
+      (3L, day("2024-01-02 09:30:00"), 30.0))
+      .toDF("id", "day", "v")
+    TsStore.write(b, dir, tsCol = "day", uidCols = Seq("day"))
+    val v = TsStore.delete(spark, dir, col("id") === 2L,
+      tsCol = "day", uidCols = Seq("day"))
+    val got = TsStore.read(spark, dir, tsCol = "day")
+    assert(got.count() === 2, s"wrong survivor count: ${got.collect().toSeq}")
+    assert(got.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    // only the matching day's partition was declared replaced
+    assert(StoreLog.read(dir, v).replaced.forall(_.contains("09%3A30")))
   }
 
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
