@@ -202,25 +202,51 @@ object IvfIndex {
     * manifest version.
     */
   def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
-    val assigned = withCell(delta.select(col("vec_id"), col("embedding")),
-      loadCentroids(spark, dir)).localCheckpoint()
+    val assigned = assignAgainst(spark, dir, delta).localCheckpoint()
     // Loud guard on the pruned MERGE's partition-immutability contract:
     // a re-added vec_id whose embedding moved it to a DIFFERENT cell
     // would leave its stale row live in the old cell's partition (the
     // upsert only rewrites the new cell) — a silently duplicated,
-    // stale-answering index. The check is one column-pruned scan of the
-    // cells table (vec_id + the partition column) joined against the
-    // delta; the price of failing loudly instead of corrupting. Callers
-    // hitting a genuine cell migration should rebuild or delete first.
-    val existing = TsStore.load(spark, s"$dir/cells")
-      .select(col("vec_id"), col("cell").cast("long").as("__old_cell"))
-    val movedN = assigned.join(existing, "vec_id")
-      .filter(col("cell") =!= col("__old_cell")).count()
+    // stale-answering index. The guard scan is BOUNDED — see
+    // [[migrations]]; failing loudly costs O(delta locality), not
+    // O(index). Callers hitting a genuine cell migration should rebuild
+    // or delete first.
+    val movedN = migrations(spark, dir, assigned).count()
     require(movedN == 0,
       s"$movedN re-added vector(s) would change cell — the pruned upsert cannot " +
         "move a key across partitions; rebuild the index (or drop the ids) instead")
     TsStore.upsert(spark, s"$dir/cells", assigned, keyCols = Seq("vec_id"),
       versionCol = "vec_id", tsCol = "vec_id", uidCols = Seq("cell"))
+  }
+
+  /** Assign a delta against the PERSISTED centroids (the [[add]] path's
+    * first step, exposed for specs).
+    */
+  private[graft] def assignAgainst(spark: SparkSession, dir: String,
+                                   delta: DataFrame): DataFrame =
+    withCell(delta.select(col("vec_id"), col("embedding")),
+      loadCentroids(spark, dir))
+
+  /** The cell-migration guard's scan: re-added rows whose new cell
+    * differs from their live cell. Column-pruned to (vec_id, cell) AND
+    * bounded by the delta's own id extent: any existing row that could
+    * collide with a delta id necessarily has vec_id in
+    * [delta-min, delta-max], and the cells table is vec_id-sorted within
+    * partitions (TsStore's pinned geometry), so the BETWEEN predicate
+    * reaches parquet row-group min/max stats and the guard reads only
+    * the row groups whose id range overlaps the delta's. An hourly add
+    * of fresh top-of-range ids reads the tail chunks, not the index
+    * (pinned by scan metrics in IvfSpec); the degenerate case — a delta
+    * spanning the whole id range — degrades to the full (still
+    * column-pruned) scan.
+    */
+  private[graft] def migrations(spark: SparkSession, dir: String,
+                                assigned: DataFrame): DataFrame = {
+    val ext = assigned.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).first()
+    val existing = TsStore.load(spark, s"$dir/cells")
+      .filter(col("vec_id").between(lit(ext.getLong(0)), lit(ext.getLong(1))))
+      .select(col("vec_id"), col("cell").cast("long").as("__old_cell"))
+    assigned.join(existing, "vec_id").filter(col("cell") =!= col("__old_cell"))
   }
 
   /** Probe the persisted index: `queries` is a (q_id, q_emb) frame —

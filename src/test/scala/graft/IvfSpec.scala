@@ -115,4 +115,49 @@ class IvfSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { IvfIndex.add(spark, dir, movedDelta) }
     assert(e.getMessage.contains("change cell"))
   }
+
+  test("the add guard scan is bounded by the delta's id extent, not the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
+    IvfIndex.build(emb, dir, k = 8)
+    val total = TsStore.load(spark, s"$dir/cells").count()
+    // first add: three twins at the top of the id range
+    val twins = emb.filter(col("vec_id").isin(20L, 21L, 22L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    IvfIndex.add(spark, dir, twins)
+    // second, clustered delta just above them: its guard extent
+    // [100023, 100025] overlaps NO build-time chunk (ids < 100000) and
+    // no prior-add row group, so parquet footer stats must skip
+    // essentially the whole index — the scan may surface at most the
+    // prior add's three tail rows, never the corpus
+    val fresh = emb.filter(col("vec_id").isin(23L, 24L, 25L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val assigned = IvfIndex.assignAgainst(spark, dir, fresh).localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val mig = IvfIndex.migrations(spark, dir, assigned)
+      assert(mig.count() === 0)
+      val scans = mig.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("cells") => f
+      }
+      assert(scans.nonEmpty)
+      val scanRows = scans.map(_.metrics("numOutputRows").value).sum
+      assert(scanRows <= 3,
+        s"guard scan surfaced $scanRows rows of a $total-row index — " +
+          "the id-extent bound is not reaching the parquet row-group stats")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // and the bound keeps the LOUD-failure contract: a planted migration
+    // inside the extent still throws (the existing add() spec pins the
+    // thrown path; here we pin that the bounded scan still SEES it)
+    val cells = TsStore.load(spark, s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val otherCell = cells.collectFirst {
+      case (id, c) if id < 100L && c != cells(100020L) => id
+    }.get
+    val moved = emb.filter(col("vec_id") === otherCell)
+      .select(lit(100020L).as("vec_id"), col("embedding"))
+    val e2 = intercept[IllegalArgumentException] { IvfIndex.add(spark, dir, moved) }
+    assert(e2.getMessage.contains("change cell"))
+  }
 }
