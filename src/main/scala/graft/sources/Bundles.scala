@@ -354,18 +354,21 @@ class Bundles(spark: SparkSession, basePath: String,
         val staging = TsStore.txnDir(dir(collection))
         TsStore.write(TsStore.load(spark, dir(collection), mergeSchema = true),
           staging, tsCol = tsCol, uidCols = Seq(UidCol))
-        val moved =
-          try StoreLog.adoptStaged(dir(collection), staging)
-          finally StoreLog.deleteStaging(staging)
-        val replaced = snap.files.filter(_.contains("/"))
-          .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
-        try StoreLog.commit(dir(collection), v, replaced, moved)
-        catch {
-          case c: StoreLog.CommitConflict =>
-            StoreLog.deleteDataFiles(dir(collection), moved)
-            throw c
+        val (_, movedN) = StoreLog.withWriterLease(dir(collection)) { _ =>
+          val moved =
+            try StoreLog.adoptStaged(dir(collection), staging)
+            finally StoreLog.deleteStaging(staging)
+          val replaced = snap.files.filter(_.contains("/"))
+            .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
+          try StoreLog.commit(dir(collection), v, replaced, moved)
+          catch {
+            case c: StoreLog.CommitConflict =>
+              StoreLog.deleteDataFiles(dir(collection), moved)
+              throw c
+          }
+          (v, moved.size.toLong)
         }
-        (before, moved.size.toLong)
+        (before, movedN)
       case None =>
         // unlogged: the original rename-swap-rollback protocol (no dead
         // chunks can exist without a log, so the raw count IS live)
@@ -451,20 +454,23 @@ class Bundles(spark: SparkSession, basePath: String,
         val rows = TsStore.load(spark, dir(collection), mergeSchema = true)
           .filter(org.apache.spark.sql.functions.col(UidCol) === uid)
         TsStore.write(rows, staging, tsCol = tsCol, uidCols = Seq(UidCol))
-        val moved =
-          try StoreLog.adoptStaged(dir(collection), staging)
-          finally StoreLog.deleteStaging(staging)
-        require(moved.forall(_.startsWith(partPrefix + "/")),
-          s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
-        val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
-        try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved,
-          parent = Some(snap))
-        catch {
-          case c: StoreLog.CommitConflict =>
-            StoreLog.deleteDataFiles(dir(collection), moved)
-            throw c
+        val movedN = StoreLog.withWriterLease(dir(collection)) { _ =>
+          val moved =
+            try StoreLog.adoptStaged(dir(collection), staging)
+            finally StoreLog.deleteStaging(staging)
+          require(moved.forall(_.startsWith(partPrefix + "/")),
+            s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
+          val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
+          try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved,
+            parent = Some(snap))
+          catch {
+            case c: StoreLog.CommitConflict =>
+              StoreLog.deleteDataFiles(dir(collection), moved)
+              throw c
+          }
+          moved.size.toLong
         }
-        (before, moved.size.toLong)
+        (before, movedN)
       case None =>
         // unlogged: sibling-staged rename-swap-rollback (see scaladoc)
         val before = countFiles(part)

@@ -55,6 +55,12 @@ trait CommitIo {
 
   def deleteFile(path: String): Unit
 
+  /** Set a file's modification time to now (used to stamp adopted data
+    * files with their ADOPT time — the staging write's mtime would
+    * predate the commit window the vacuum lease protects).
+    */
+  def touch(path: String): Unit
+
   /** Recursive, quiet (missing path is a no-op). */
   def deleteDir(path: String): Unit
 
@@ -148,6 +154,10 @@ object CommitIo {
     }
 
     override def deleteFile(path: String): Unit = { Files.deleteIfExists(p(path)); () }
+
+    override def touch(path: String): Unit =
+      Files.setLastModifiedTime(p(path),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
 
     override def deleteDir(path: String): Unit = {
       val f = new java.io.File(path)
@@ -276,6 +286,11 @@ object CommitIo {
       val f = fs(p)
       if (f.exists(p)) f.delete(p, false)
       ()
+    }
+
+    override def touch(path: String): Unit = {
+      val p = hp(path)
+      fs(p).setTimes(p, System.currentTimeMillis(), -1)
     }
 
     override def deleteDir(path: String): Unit = {

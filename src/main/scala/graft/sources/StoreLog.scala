@@ -46,17 +46,29 @@ import scala.jdk.CollectionConverters._
 object StoreLog {
 
   final case class Snapshot(version: Long, timestampMs: Long,
-                            replaced: Seq[String], files: Seq[String])
+                            replaced: Seq[String], files: Seq[String],
+                            checkpointInterval: Int = CheckpointInterval)
 
-  /** Every `CheckpointInterval`-th version is a CHECKPOINT (full live
-    * file list); the versions between are DELTAS (add/remove lists vs
-    * the previous version). This bounds the per-commit manifest cost by
-    * the COMMIT's footprint, not the store's: a 1 GB upsert against a
+  /** Every `interval`-th version is a CHECKPOINT (full live file
+    * list); the versions between are DELTAS (add/remove lists vs the
+    * previous version). This bounds the per-commit manifest cost by the
+    * COMMIT's footprint, not the store's: a 1 GB upsert against a
     * 6M-file store writes the few hundred paths it touched, not a
     * 300 MB listing. Reading any version resolves ≤ interval−1 deltas
     * above its checkpoint ancestor — a bounded driver-side metadata
     * walk. (Pre-round-8.5 logs, whose every version carries `files`,
     * parse as all-checkpoints — fully backward compatible.)
+    *
+    * The interval is a PER-STORE option: [[ensure]] records it in the
+    * store's first manifest and every later manifest re-records its
+    * writer's value (v1 may be vacuumed away, so no reader ever needs
+    * it), and [[commit]] inherits the parent's — a streaming-cadence
+    * store can trade checkpoint cost against delta-resolution depth
+    * (interval 3 = a full listing every 3 commits but ≤ 2 deltas per
+    * read). Resolution itself is cadence-AGNOSTIC — a read walks down
+    * to the nearest full-list manifest whatever rhythm wrote the chain
+    * — so logs with mixed intervals resolve fine (pinned in
+    * StoreLogSpec). This value is only the default.
     */
   val CheckpointInterval = 10
 
@@ -65,6 +77,43 @@ object StoreLog {
     * cannot be serialized after the winner.
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** How long a writer lease stays valid without renewal. Writers renew
+    * per commit attempt, and the protected window (adopt → commit) is
+    * normally seconds; a writer stalled past this loses vacuum
+    * protection — the same declared exposure as the txn-staging age
+    * gate.
+    */
+  val WriterLeaseMs: Long = 10L * 60 * 1000
+
+  /** A per-txn writer lease — the handshake that makes [[vacuum]] safe
+    * to run against LIVE writers. A writer holds a lease across its
+    * danger window (data files adopted into partition directories but
+    * not yet named by a commit — to vacuum they look exactly like
+    * garbage); while any fresh lease exists, vacuum spares dead files
+    * young enough to be such an adoption. Lease files live in the log
+    * directory (`.lease_<uuid>` — dot-prefixed, never matched by the
+    * version listing); a crashed writer's stale lease expires by mtime
+    * and is reclaimed by the next vacuum.
+    */
+  final class WriterLease private[StoreLog] (path: String) {
+    private[StoreLog] val file =
+      s"${logDir(path)}/.lease_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    private val fsio = io(path)
+    fsio.replaceAtomic(file, Array[Byte]('1'))
+    /** Refresh the lease's mtime (called per commit attempt). */
+    def renew(): Unit =
+      if (fsio.exists(file)) fsio.touch(file) else fsio.replaceAtomic(file, Array[Byte]('1'))
+    private[StoreLog] def release(): Unit = fsio.deleteFile(file)
+  }
+
+  /** Run `body` under a writer lease (acquire → body → release). Every
+    * adopt-then-commit sequence must run inside one; see [[WriterLease]].
+    */
+  def withWriterLease[T](path: String)(body: WriterLease => T): T = {
+    val lease = new WriterLease(path)
+    try body(lease) finally lease.release()
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -155,7 +204,9 @@ object StoreLog {
         acc.toSeq.sorted
       }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
-      strings(root.get("replaced")), files)
+      strings(root.get("replaced")), files,
+      if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
+      else CheckpointInterval)
   }
 
   def latest(path: String): Option[Snapshot] =
@@ -167,10 +218,12 @@ object StoreLog {
     */
   private def manifestBytes(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String],
-                            parentFiles: Option[Seq[String]]): Array[Byte] = {
+                            parentFiles: Option[Seq[String]],
+                            checkpointInterval: Int): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
+    root.put("checkpointInterval", checkpointInterval)
     def arr(xs: Seq[String]): ArrayNode = {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
@@ -199,12 +252,16 @@ object StoreLog {
     * written.
     */
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
-             files: Seq[String], parent: Option[Snapshot] = None): Long = {
+             files: Seq[String], parent: Option[Snapshot] = None,
+             interval: Option[Int] = None): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
-    val asDelta = parent.filter(_ => v % CheckpointInterval != 0).map(_.files)
-    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files, asDelta)
+    val eff = interval.orElse(parent.map(_.checkpointInterval))
+      .getOrElse(CheckpointInterval)
+    require(eff >= 1, s"checkpoint interval must be >= 1, got $eff")
+    val asDelta = parent.filter(_ => v % eff != 0).map(_.files)
+    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files, asDelta, eff)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -235,9 +292,13 @@ object StoreLog {
     * both writers list the same committed files (staging dirs are
     * hidden), so the loser just adopts the winner's identical v1.
     */
-  def ensure(path: String): Snapshot =
+  def ensure(path: String,
+             checkpointInterval: Int = CheckpointInterval): Snapshot =
     latest(path).getOrElse {
-      try { commit(path, 0L, Seq.empty, listDataFiles(path)); () }
+      try {
+        commit(path, 0L, Seq.empty, listDataFiles(path),
+          interval = Some(checkpointInterval)); ()
+      }
       catch { case _: CommitConflict => () }
       latest(path).get
     }
@@ -264,17 +325,39 @@ object StoreLog {
     * snapshot and drop manifests older than the latest `retainVersions`.
     * Time travel beyond the retained window dies here, by declaration —
     * vacuum is the storage-reclaim lever, exactly as in table formats.
+    * SAFE AGAINST LIVE WRITERS via the [[WriterLease]] protocol: while
+    * any fresh lease exists, dead files young enough to be an in-flight
+    * adoption are spared (they reclaim on a later pass once aged).
     * Returns the number of data files deleted.
     */
   def vacuum(path: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fsio = io(path)
+    val now = System.currentTimeMillis()
+    // writer leases FIRST, versions after: a writer that commits before
+    // this point is in the version listing below (its files are live);
+    // one that commits after it still holds its fresh lease here (the
+    // lease is released only post-commit), so its adopted files get the
+    // young-file protection. This ordering is what closes the
+    // check-then-reclaim race. Stale leases (crashed writers) expire by
+    // mtime and are reclaimed now.
+    val leases = fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
+    val (stale, active) = leases.partition(n =>
+      now - fsio.mtimeMs(s"${logDir(path)}/$n") >= WriterLeaseMs)
+    stale.foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
+    val writerActive = active.nonEmpty
     val versions = listVersions(path)
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(retainVersions)
     val live: Set[String] =
       retained.flatMap(v => read(path, v).files).toSet
-    val deleted = listDataFiles(path).filterNot(live)
+    // while a writer is live, a dead-looking YOUNG file may be its
+    // adopted-but-uncommitted output (mtime = adopt time, stamped by
+    // adoptStaged) — spare those; genuinely replaced chunks age past
+    // the lease window and reclaim on the next pass
+    val deleted = listDataFiles(path).filterNot(live).filter { f =>
+      !writerActive || now - fsio.mtimeMs(s"$path/$f") >= WriterLeaseMs
+    }
     deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
     // the oldest retained version may be a DELTA whose checkpoint
     // ancestor is about to be dropped — rewrite it as a checkpoint
@@ -285,7 +368,8 @@ object StoreLog {
       val snap = read(path, oldest)
       fsio.replaceAtomic(verFile(path, oldest),
         manifestBytes(snap.version, snap.timestampMs,
-          snap.replaced, snap.files, parentFiles = None))
+          snap.replaced, snap.files, parentFiles = None,
+          checkpointInterval = snap.checkpointInterval))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))
@@ -331,6 +415,10 @@ object StoreLog {
     walk(stagingDir, "")
     staged.result().map { rel =>
       fsio.move(s"$stagingDir/$rel", s"$path/$rel")
+      // stamp the ADOPT time: a move preserves the staging write's
+      // mtime, but the vacuum lease's young-file protection must date
+      // from when the file became adoptable garbage-lookalike
+      fsio.touch(s"$path/$rel")
       rel
     }.sorted
   }

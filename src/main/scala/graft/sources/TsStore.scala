@@ -202,20 +202,23 @@ object TsStore {
       val staging = txnDir(path)
       writeFiles(sorted, staging, uidCols, SaveMode.Overwrite, codec,
         rowGroupBytes, maxRecordsPerFile)
-      val moved =
-        try StoreLog.adoptStaged(path, staging)
-        finally StoreLog.deleteStaging(staging)
-      var committed = false
-      var attempts = 0
-      while (!committed) {
-        val cur = StoreLog.ensure(path)
-        try {
-          StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
-            parent = Some(cur))
-          committed = true
-        } catch {
-          case c: StoreLog.CommitConflict =>
-            attempts += 1; if (attempts > 50) throw c
+      StoreLog.withWriterLease(path) { lease =>
+        val moved =
+          try StoreLog.adoptStaged(path, staging)
+          finally StoreLog.deleteStaging(staging)
+        var committed = false
+        var attempts = 0
+        while (!committed) {
+          lease.renew()
+          val cur = StoreLog.ensure(path)
+          try {
+            StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
+              parent = Some(cur))
+            committed = true
+          } catch {
+            case c: StoreLog.CommitConflict =>
+              attempts += 1; if (attempts > 50) throw c
+          }
         }
       }
     } else writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
@@ -401,52 +404,56 @@ object TsStore {
     writeFiles(merged.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
       staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
-    val moved =
-      try StoreLog.adoptStaged(path, staging)
-      finally StoreLog.deleteStaging(staging)
-    // the touched partition DIRECTORY prefixes — the unit of replacement
-    // and of writer-vs-writer conflict detection — are read off the
-    // STAGED OUTPUT's own directory names: Spark's partition-path
-    // rendering (escaping, timestamp formatting, null spelling) is the
-    // single source of truth, so a hand-built String.valueOf rendering
-    // can never silently disagree with the directories the base files
-    // actually live under (it would for e.g. timestamp uid columns).
-    val prefixes: Set[String] = moved.map { f =>
-      val i = f.lastIndexOf('/')
-      require(i > 0, s"staged upsert file '$f' is not under a partition directory")
-      f.substring(0, i)
-    }.toSet
-    def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
-    def abort(why: String): Nothing = {
-      StoreLog.deleteDataFiles(path, moved)
-      throw new StoreLog.CommitConflict(why)
-    }
-    var expected = base
-    var attempts = 0
-    while (true) {
-      try return StoreLog.commit(path, expected.version, prefixes.toSeq,
-        expected.files.filterNot(under) ++ moved, parent = Some(expected))
-      catch {
-        case c: StoreLog.CommitConflict =>
-          attempts += 1
-          if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
-          val cur = StoreLog.latest(path).getOrElse(throw c)
-          // rebase is sound ONLY if no intervening commit touched our
-          // partitions — neither replaced them nor appended files under
-          // them; otherwise our merge used a stale base for those rows
-          var prevFiles = expected.files.toSet
-          ((expected.version + 1) to cur.version).foreach { v =>
-            val s = StoreLog.read(path, v)
-            if (s.replaced.exists(prefixes.contains) ||
-                (s.files.toSet -- prevFiles).exists(under))
-              abort(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
-                s"(now v${cur.version}) — re-run the upsert against the new base")
-            prevFiles = s.files.toSet
-          }
-          expected = cur
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
+      // the touched partition DIRECTORY prefixes — the unit of replacement
+      // and of writer-vs-writer conflict detection — are read off the
+      // STAGED OUTPUT's own directory names: Spark's partition-path
+      // rendering (escaping, timestamp formatting, null spelling) is the
+      // single source of truth, so a hand-built String.valueOf rendering
+      // can never silently disagree with the directories the base files
+      // actually live under (it would for e.g. timestamp uid columns).
+      val prefixes: Set[String] = moved.map { f =>
+        val i = f.lastIndexOf('/')
+        require(i > 0, s"staged upsert file '$f' is not under a partition directory")
+        f.substring(0, i)
+      }.toSet
+      def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
+      def abort(why: String): Nothing = {
+        StoreLog.deleteDataFiles(path, moved)
+        throw new StoreLog.CommitConflict(why)
       }
+      var expected = base
+      var attempts = 0
+      var done = -1L
+      while (done < 0) {
+        lease.renew()
+        try done = StoreLog.commit(path, expected.version, prefixes.toSeq,
+          expected.files.filterNot(under) ++ moved, parent = Some(expected))
+        catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1
+            if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+            val cur = StoreLog.latest(path).getOrElse(throw c)
+            // rebase is sound ONLY if no intervening commit touched our
+            // partitions — neither replaced them nor appended files under
+            // them; otherwise our merge used a stale base for those rows
+            var prevFiles = expected.files.toSet
+            ((expected.version + 1) to cur.version).foreach { v =>
+              val s = StoreLog.read(path, v)
+              if (s.replaced.exists(prefixes.contains) ||
+                  (s.files.toSet -- prevFiles).exists(under))
+                abort(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
+                  s"(now v${cur.version}) — re-run the upsert against the new base")
+              prevFiles = s.files.toSet
+            }
+            expected = cur
+        }
+      }
+      done
     }
-    throw new IllegalStateException("unreachable: upsert commit loop exited")
   }
 
   /** Row-level DELETE through the manifest — the one maintenance verb a
@@ -529,36 +536,40 @@ object TsStore {
     writeFiles(survivors.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
       staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
-    val moved =
-      try StoreLog.adoptStaged(path, staging)
-      finally StoreLog.deleteStaging(staging)
-    def abort(why: String): Nothing = {
-      StoreLog.deleteDataFiles(path, moved)
-      throw new StoreLog.CommitConflict(why)
-    }
-    var expected = base
-    var attempts = 0
-    while (true) {
-      try return StoreLog.commit(path, expected.version, prefixes.toSeq,
-        expected.files.filterNot(affectedSet) ++ moved, parent = Some(expected))
-      catch {
-        case c: StoreLog.CommitConflict =>
-          attempts += 1
-          if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
-          val cur = StoreLog.latest(path).getOrElse(throw c)
-          // rebase is sound unless an intervening commit REPLACED one of
-          // our partitions (our affected files may no longer be live);
-          // pure appends under them serialize after this delete cleanly
-          ((expected.version + 1) to cur.version).foreach { v =>
-            val s = StoreLog.read(path, v)
-            if (s.replaced.exists(prefixes.contains))
-              abort(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
-                s"(now v${cur.version}) — re-run the delete against the new base")
-          }
-          expected = cur
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
+      def abort(why: String): Nothing = {
+        StoreLog.deleteDataFiles(path, moved)
+        throw new StoreLog.CommitConflict(why)
       }
+      var expected = base
+      var attempts = 0
+      var done = -1L
+      while (done < 0) {
+        lease.renew()
+        try done = StoreLog.commit(path, expected.version, prefixes.toSeq,
+          expected.files.filterNot(affectedSet) ++ moved, parent = Some(expected))
+        catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1
+            if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+            val cur = StoreLog.latest(path).getOrElse(throw c)
+            // rebase is sound unless an intervening commit REPLACED one of
+            // our partitions (our affected files may no longer be live);
+            // pure appends under them serialize after this delete cleanly
+            ((expected.version + 1) to cur.version).foreach { v =>
+              val s = StoreLog.read(path, v)
+              if (s.replaced.exists(prefixes.contains))
+                abort(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
+                  s"(now v${cur.version}) — re-run the delete against the new base")
+            }
+            expected = cur
+        }
+      }
+      done
     }
-    throw new IllegalStateException("unreachable: delete commit loop exited")
   }
 
   /** Manifest-aware dataset load: a logged store reads exactly the live

@@ -25,11 +25,21 @@ import graft.sources.TsStore
   */
 object StoreIngest {
 
+  /** `checkpointInterval` (per-store, recorded in the manifest log):
+    * streaming ingest commits one manifest version per non-empty batch,
+    * so a minutes-cadence feed pays a full O(live-files) checkpoint
+    * every [[graft.sources.StoreLog.CheckpointInterval]] commits by
+    * default — a small interval bounds delta-resolution depth, a large
+    * one amortizes checkpoint IO. Only effective when this ingest
+    * CREATES the store's log; an existing log keeps its recorded value.
+    */
   def start(stream: DataFrame, path: String,
             keyCols: Seq[String], versionCol: String,
             tsCol: String, uidCols: Seq[String],
             checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            checkpointInterval: Option[Int] = None): StreamingQuery = {
+    checkpointInterval.foreach(i => graft.sources.StoreLog.ensure(path, i))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
@@ -41,4 +51,5 @@ object StoreIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 }

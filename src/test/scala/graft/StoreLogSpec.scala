@@ -320,6 +320,107 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), merged(base, deltas: _*))
   }
 
+  test("writer-safe vacuum: an active lease protects a mid-commit writer; aged garbage still reclaims") {
+    val (dir, _) = freshStore()
+    // make genuine garbage: an upsert's replaced chunks, AGED past the
+    // lease window (a real store's dead chunks are hours old)
+    TsStore.upsert(spark, dir, delta(10, 1000.0), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val live = StoreLog.latest(dir).get.files.toSet
+    val dead = StoreLog.listDataFiles(dir).filterNot(live)
+    assert(dead.nonEmpty, "upsert left no dead chunks?")
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * StoreLog.WriterLeaseMs)
+    dead.foreach(f => Files.setLastModifiedTime(Paths.get(dir, f), aged))
+    val n = TsStore.read(spark, dir).count()
+    // a live writer mid-danger-window: stage a new chunk, adopt it under
+    // a lease — on disk, named by NO manifest, indistinguishable from
+    // crash garbage except for the lease
+    val donor = live.find(_.startsWith("event_type=purchase/")).get
+    val staging = Paths.get(dir, "_graft_txn_racewriter")
+    Files.createDirectories(staging.resolve("event_type=purchase"))
+    Files.copy(Paths.get(dir, donor),
+      staging.resolve("event_type=purchase/part-racewriter.c000.zstd.parquet"))
+    val chunkRows = spark.read.parquet(s"$dir/$donor").count()
+    val committed = StoreLog.withWriterLease(dir) { _ =>
+      val moved = StoreLog.adoptStaged(dir, staging.toString)
+      assert(moved.nonEmpty)
+      // RACE POINT: vacuum runs while the writer sits between adopt and
+      // commit. It must take the aged garbage and spare the adoption.
+      val reclaimed = TsStore.vacuum(dir)
+      assert(reclaimed === dead.size,
+        s"vacuum reclaimed $reclaimed of ${dead.size} aged dead chunks")
+      moved.foreach(f => assert(Files.exists(Paths.get(dir, f)),
+        s"vacuum reclaimed the live writer's adopted-but-uncommitted $f"))
+      val cur = StoreLog.latest(dir).get
+      StoreLog.commit(dir, cur.version, Seq.empty, cur.files ++ moved,
+        parent = Some(cur))
+    }
+    // the writer's commit SURVIVED the concurrent vacuum: every file its
+    // manifest names exists, and the appended rows read back
+    StoreLog.read(dir, committed).files.foreach(f =>
+      assert(Files.exists(Paths.get(dir, f)), s"committed manifest names missing $f"))
+    assert(TsStore.read(spark, dir).count() === n + chunkRows)
+    // the lease was released with the block: none left behind, and a
+    // stale crashed-writer lease is reclaimed by the next vacuum
+    val leaseDir = Paths.get(dir, "_graft_log")
+    assert(!Files.list(leaseDir).filter(_.getFileName.toString.startsWith(".lease_"))
+      .findFirst().isPresent, "lease file leaked past its writer")
+    val crashed = leaseDir.resolve(".lease_crashed")
+    Files.write(crashed, Array[Byte]('1'))
+    Files.setLastModifiedTime(crashed, aged)
+    TsStore.vacuum(dir)
+    assert(!Files.exists(crashed), "stale lease of a crashed writer not reclaimed")
+  }
+
+  test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
+    val (dir, base) = freshStore()
+    StoreLog.ensure(dir, checkpointInterval = 3) // v1 checkpoint, interval recorded
+    val deltas = (1 to 8).map { i =>
+      events.filter(col("event_id") % 50 === i)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + i * 100.0).as("value"), lit(i + 1L).as("version"))
+        .localCheckpoint()
+    }
+    deltas.foreach(d => TsStore.upsert(spark, dir, d, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type")))
+    assert(TsStore.versions(dir) === (1L to 9L))
+    def isCkpt(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json"))).contains("\"files\"")
+    // inherited interval 3: full listings at v3/v6/v9, deltas between
+    assert((1L to 9L).filter(isCkpt) === Seq(1L, 3L, 6L, 9L))
+    assert(StoreLog.latest(dir).get.checkpointInterval === 3)
+    same(TsStore.read(spark, dir), merged(base, deltas: _*))
+    same(TsStore.read(spark, dir, asOf = Some(5L)), merged(base, deltas.take(4): _*))
+    // MIXED chain: a parentless commit (a compaction-style full listing)
+    // carries the DEFAULT interval; later commits inherit 10 — and reads
+    // resolve across the interval change because resolution is
+    // cadence-agnostic (walk down to the nearest full-list manifest)
+    val cur = StoreLog.latest(dir).get
+    StoreLog.commit(dir, cur.version, Seq.empty, cur.files) // v10, checkpoint, interval 10
+    val more = (9 to 10).map { i =>
+      events.filter(col("event_id") % 50 === i)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + i * 100.0).as("value"), lit(i + 1L).as("version"))
+        .localCheckpoint()
+    }
+    more.foreach(d => TsStore.upsert(spark, dir, d, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type")))
+    assert(TsStore.versions(dir) === (1L to 12L))
+    assert(isCkpt(10L) && !isCkpt(11L) && !isCkpt(12L),
+      "post-mix commits did not inherit the new interval")
+    assert(StoreLog.latest(dir).get.checkpointInterval === 10)
+    same(TsStore.read(spark, dir), merged(base, (deltas ++ more): _*))
+    same(TsStore.read(spark, dir, asOf = Some(8L)), merged(base, deltas.take(7): _*))
+    // vacuum keeps the oldest retained version self-resolvable and the
+    // rewrite carries its writer's interval forward
+    assert(TsStore.vacuum(dir, retainVersions = 2) > 0)
+    assert(TsStore.versions(dir) === Seq(11L, 12L))
+    assert(isCkpt(11L))
+    assert(StoreLog.read(dir, 11L).checkpointInterval === 10)
+    same(TsStore.read(spark, dir), merged(base, (deltas ++ more): _*))
+  }
+
   test("five concurrent per-partition upserts all commit through the CAS and serialize") {
     val (dir, base) = freshStore()
     StoreLog.ensure(dir)
