@@ -282,6 +282,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(None, Some(4.0), Some(4.0)))
   }
 
+  test("multi-batch streaming ingest: one manifest version per batch across a checkpoint boundary") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    // the steady-state regime streaming ingest exists for: a feed lands
+    // small files, maxFilesPerTrigger=1 makes each ONE micro-batch, and
+    // the manifest chain grows one version per batch — crossing the
+    // default CheckpointInterval=10 boundary, so the STREAMING path
+    // itself exercises delta commits, the cadence checkpoint, and
+    // chain-resolved reads (StoreLogSpec pins this for batch upserts;
+    // this is the streaming twin).
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_mb").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, version LONG"
+    val types = Seq("view", "click")
+    (0 until 14).foreach { i =>
+      (0 until 5).map { j =>
+        (new Timestamp(ts("2024-01-01 10:00:00").getTime + (i * 5 + j) * 60000L),
+          types(i % 2), (i * 10 + j).toLong, i * 1.0 + j, 1L)
+      }.toDF("ts", "event_type", "event_id", "value", "version")
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    assert(new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 14, "test setup: want 14 landed files")
+    val q = StoreIngest.start(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+      store, keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    q.awaitTermination()
+    // one committed version per non-empty micro-batch + the initial ensure
+    assert(TsStore.versions(store) === (1L to 15L))
+    // the streaming path wrote O(batch) deltas between checkpoints and a
+    // full listing on the cadence — the same shape as batch upserts
+    def isCkpt(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_log", f"v$v%08d.json"))).contains("\"files\"")
+    assert((1L to 15L).filter(isCkpt) === Seq(1L, 10L))
+    // chain-resolved live read: all 14 batches' rows, exactly once
+    assert(TsStore.read(spark, store).count() === 70)
+    // mid-stream time travel: version k holds exactly its k−1 batches,
+    // below, at and above the checkpoint boundary
+    (2L to 15L).foreach { v =>
+      assert(TsStore.read(spark, store, asOf = Some(v)).count() === (v - 1) * 5,
+        s"asOf v$v resolved the wrong batch prefix")
+    }
+  }
+
   test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
     import spark.implicits._
     import graft.streaming.StoreIngest
