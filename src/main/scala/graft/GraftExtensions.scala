@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.expressions.EwmaWin.registration)
     graft.functions.expressions.SigAggs.registrations.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.plans.AsofTvf.registration)
+    ext.injectTableFunction(graft.plans.StoreTvf.registration)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDotToNormSq)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

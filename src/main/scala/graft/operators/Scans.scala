@@ -187,6 +187,34 @@ object Scans {
         "FROM events ORDER BY event_id"),
       "time-travel read: the pre-upsert manifest version reconstructs the unmerged store"),
 
+    "store_sql_timetravel" -> DeclaredQuery(
+      // The SQL face of the versioned store: graft_store('path', asOf =>
+      // v) is a table-valued function (SparkSessionExtensions), so the
+      // manifest-aware read — live file list from the log, dead chunks
+      // invisible, partition/row-group pruning unchanged — is reachable
+      // from plain SQL like the rest of the surface. Same store
+      // construction as write_upsert_timetravel; the read goes through
+      // spark.sql instead of the Scala API, and the oracle is again the
+      // pre-upsert base.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("store_sql_tt", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        val v = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value, version " +
+          s"FROM graft_store('$dir', asOf => ${v - 1}) ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, CAST(1 AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "SQL time travel via the graft_store table-valued function"),
+
     "write_delete" -> DeclaredQuery(
       // Row-level DELETE through the store — the takedown/
       // decontamination verb (GDPR erasure, eval-set removal): write

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** SQL entry point for the manifest-aware (and time-travel) store read —
+  * a table-valued function so warehouse users reach
+  * [[graft.sources.TsStore.load]] without the Scala API:
+  *
+  * {{{
+  *   SELECT * FROM graft_store('/data/ticks/default')             -- live
+  *   SELECT * FROM graft_store('/data/ticks/default', 3)          -- asOf v3
+  *   SELECT * FROM graft_store('/data/ticks/default', asOf => 3)  -- named
+  * }}}
+  *
+  * A logged store's directory holds replaced (dead) chunks by design; a
+  * plain `parquet.`/read of the path would resurrect them. This TVF is
+  * the SQL-side manifest-aware read: the live file list (or the `asOf`
+  * version's) comes from the store log, and the returned plan is the
+  * same pruned parquet relation the Scala path builds — partition
+  * pruning, row-group skipping and column pruning all apply unchanged.
+  * The builder runs at parse time, so arguments must be literals (the
+  * version is a commit id, not data).
+  */
+object StoreTvf {
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, _: StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_store: $what must be a string literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_store: $what must be an integer literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    if (args.isEmpty || args.length > 2)
+      throw new IllegalArgumentException(
+        s"graft_store expects (path[, asOf => version]) — got ${args.length} args")
+    val path = strArg(args.head, "path")
+    val asOf: Option[Long] = args.drop(1).headOption.map {
+      case NamedArgumentExpression(name, value) =>
+        if (name.toLowerCase != "asof")
+          throw new IllegalArgumentException(
+            s"graft_store: unknown named argument '$name' (only asOf)")
+        longArg(value, "asOf")
+      case e => longArg(e, "asOf")
+    }
+    // the read plan is fully resolvable here (the file list is log
+    // metadata, not catalog state), so the TVF returns the same
+    // LogicalRelation the Scala API builds — already analyzed
+    graft.sources.TsStore.load(SparkSession.active, path, asOf = asOf)
+      .queryExecution.logical
+  }
+
+  /** Registration triple for `SparkSessionExtensions.injectTableFunction`. */
+  def registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_store"),
+      new ExpressionInfo(StoreTvf.getClass.getName, "graft_store"),
+      build)
+}

@@ -320,6 +320,31 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), merged(base, deltas: _*))
   }
 
+  test("graft_store TVF: SQL live and time-travel reads equal the API, dead files invisible") {
+    val (dir, base) = freshStore()
+    val d1 = delta(10, 1000.0)
+    val v = TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    // live SQL read == the API's manifest-aware read (a plain
+    // parquet.`path` read would resurrect the replaced chunks)
+    same(spark.sql(s"SELECT * FROM graft_store('$dir')"), merged(base, d1))
+    // positional and named-argument time travel both hit the version
+    same(spark.sql(s"SELECT * FROM graft_store('$dir', ${v - 1})"), base)
+    same(spark.sql(s"SELECT * FROM graft_store('$dir', asOf => ${v - 1})"), base)
+    // composes like any relation: predicates/projections prune as usual
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_store('$dir') WHERE event_type = 'purchase'")
+      .first().getLong(0) ===
+      merged(base, d1).filter(col("event_type") === "purchase").count())
+    // loud errors: unknown named arg, non-literal version, bad arity
+    def fails(sql: String, msg: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(msg), s"wrong error for $sql: ${e.getMessage}")
+    }
+    fails(s"SELECT * FROM graft_store('$dir', nope => 1)", "unknown named argument")
+    fails(s"SELECT * FROM graft_store()", "graft_store expects")
+  }
+
   test("writer-safe vacuum: an active lease protects a mid-commit writer; aged garbage still reclaims") {
     val (dir, _) = freshStore()
     // make genuine garbage: an upsert's replaced chunks, AGED past the
