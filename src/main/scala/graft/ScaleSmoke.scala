@@ -28,8 +28,11 @@ object ScaleSmoke {
     "llm_dup_clusters", "llm_dup_clusters_lsh",
     "llm_ann_lsh", "llm_ann_ivf_indexed", "llm_ann_ivf_add",
     "llm_cms_counts", "stream_ingest", "write_upsert_pruned",
-    "write_upsert_timetravel", "ts_ewm_vol", "ts_ewm_corr",
-    "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc")
+    "write_upsert_timetravel", "write_delete", "ts_ewm_vol", "ts_ewm_corr",
+    "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc",
+    // the heavy fact-fact TPC-H analogs: their 10x ratios turn bench
+    // excursions on a busy box into one-line adjudications
+    "q7_volume", "q5_local_supplier", "q8_market_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +69,25 @@ object ScaleSmoke {
       .withColumn("vec_id", col("vec_id") + col("__rep") * 10000000L)
       .drop("__rep")
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    // TPC-H analog FACT tables: replicate lineitem+orders with offset
+    // orderkeys (each replica's lineitems join only their own orders);
+    // dimensions are shared unchanged — 10x facts over the same dims is
+    // exactly how a warehouse grows, and it stresses the fact-fact
+    // equi-join shuffles the q5/q7/q8 plans are built around
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("*"), rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * 1000000000L)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("*"), rep)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * 1000000000L)
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
+    }
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
