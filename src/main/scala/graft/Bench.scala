@@ -40,11 +40,17 @@ object Bench {
       em.select(graft.functions.VectorOps.cosine(col("embedding"), col("embedding")),
         graft.functions.VectorOps.lshBucket(col("embedding"))).count()
       li.limit(5000).write.mode("overwrite").parquet("/tmp/graft_bench_warm")
-    } catch { case _: Throwable => () }
+    } catch {
+      // warm-up is best-effort, but say so — a silently-broken warm-up
+      // would skew the first timed query of each family
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up failed (timings may include JIT): $e")
+    }
     // dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and times the full surface
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -54,13 +60,23 @@ object Bench {
       // scan time, measuring nothing). toRdd materializes each query's
       // full output rows — the honest per-operator cost.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch {
+        // an erroring query must not masquerade as a timing — record it,
+        // report it, and fail the run (CORRECTNESS is the real gate, but
+        // a bench total that silently includes broken queries misleads)
+        case scala.util.control.NonFatal(e) =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.filterNot { case (k, _) => failed.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

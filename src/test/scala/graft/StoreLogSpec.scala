@@ -320,6 +320,86 @@ class StoreLogSpec extends AnyFunSuite {
     same(TsStore.read(spark, dir), merged(base, deltas: _*))
   }
 
+  test("delete racing a DISJOINT-partition upsert: both commit (rebase), both effects applied") {
+    val (dir, base) = freshStore()
+    StoreLog.ensure(dir)
+    val delPred = col("event_type") === "purchase" && col("event_id") % 3 === 0
+    val dClick = events.filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 2000.0).as("value"), lit(2L).as("version")).localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future(TsStore.delete(spark, dir, delPred, tsCol = "ts",
+        uidCols = Seq("event_type"))),
+      Future(TsStore.upsert(spark, dir, dClick, keyCols = Seq("event_id"),
+        versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))))
+    val versions = Await.result(Future.sequence(fs), 5.minutes)
+    assert(versions.toSet.size === 2, s"writers shared a version: $versions")
+    // disjoint partitions → both serialized: clicks upserted AND the
+    // purchase slice deleted, regardless of commit order
+    same(TsStore.read(spark, dir), merged(base, dClick).filter(not(delPred)))
+  }
+
+  test("delete racing a SAME-partition upsert: never a mixed state, loser aborts cleanly") {
+    val (dir, base) = freshStore()
+    StoreLog.ensure(dir)
+    val delPred = col("event_type") === "purchase" && col("event_id") % 3 === 0
+    val d1 = delta(10, 1000.0).localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq(
+      Future(TsStore.delete(spark, dir, delPred, tsCol = "ts",
+        uidCols = Seq("event_type"))).map(v => Right(("del", v)))
+        .recover { case c: StoreLog.CommitConflict => Left("del") },
+      Future(TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+        versionCol = "version", tsCol = "ts", uidCols = Seq("event_type")))
+        .map(v => Right(("ups", v)))
+        .recover { case c: StoreLog.CommitConflict => Left("ups") })), 5.minutes)
+    val winners = results.collect { case Right((who, _)) => who }
+    assert(winners.nonEmpty, "at least one writer must commit")
+    // the store equals SOME serialization of exactly the committed ops —
+    // fully-old-or-fully-new per op, never a row mix; an aborted op's
+    // adopted files must not survive (no dead-looking orphans beyond the
+    // winner's replaced chunks are ever readable)
+    def apply(ops: Seq[String]): org.apache.spark.sql.DataFrame =
+      ops.foldLeft(base) {
+        case (df, "del") => df.filter(not(delPred))
+        case (df, "ups") => merged(df, d1)
+      }
+    val got = TsStore.read(spark, dir)
+    val ok = winners.permutations.exists { perm =>
+      val exp = apply(perm)
+      got.select(cols.map(col) :+ col("version"): _*)
+        .except(exp.select(cols.map(col) :+ col("version"): _*)).isEmpty &&
+      exp.select(cols.map(col) :+ col("version"): _*)
+        .except(got.select(cols.map(col) :+ col("version"): _*)).isEmpty
+    }
+    assert(ok, s"store is not any serialization of the committed ops $winners")
+  }
+
+  test("graft_store TVF reads partition-prune exactly like the API") {
+    val (dir, _) = freshStore()
+    TsStore.upsert(spark, dir, delta(10, 1000.0), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(
+        s"SELECT * FROM graft_store('$dir') WHERE event_type = 'purchase'")
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val live = StoreLog.latest(dir).get.files.count(_.startsWith("event_type=purchase/"))
+      assert(filesRead === live,
+        s"TVF read $filesRead files; the purchase partition has $live live files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("graft_store TVF: SQL live and time-travel reads equal the API, dead files invisible") {
     val (dir, base) = freshStore()
     val d1 = delta(10, 1000.0)
