@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.TsStore
 
 /** Model-based check of the manifest-committed store: a seeded random
-  * sequence of upserts and appends runs against BOTH the real store and
+  * sequence of upserts, row-level deletes and appends runs against BOTH
+  * the real store and
   * a driver-side reference map; after every committed version the
   * store's read must equal the model, and at the end sampled historic
   * versions must time-travel to their recorded model states (across
@@ -70,7 +71,8 @@ class StoreModelSpec extends AnyFunSuite {
     val history = scala.collection.mutable.Map.empty[Long, Map[Long, Rec]]
 
     for (step <- 1 to 25) {
-      if (rnd.nextDouble() < 0.7) {
+      val roll = rnd.nextDouble()
+      if (roll < 0.55) {
         // upsert: a random mix of updates to existing ids and inserts,
         // all at one fresh version (strictly increasing — ties would
         // make the model's winner depend on the hash tie-break)
@@ -84,6 +86,16 @@ class StoreModelSpec extends AnyFunSuite {
         val v = TsStore.upsert(spark, dir, df(delta), keyCols = Seq("id"),
           versionCol = "version", tsCol = "ts", uidCols = Seq("part"))
         model = model ++ delta.map(r => r.id -> r)
+        history(v) = model
+      } else if (roll < 0.75 && model.nonEmpty) {
+        // row-level delete: a random live-id subset (the takedown verb
+        // joins the random mix — file-granular copy-on-write must track
+        // the model exactly, and every version stays time-travelable)
+        val victims = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(8)).toSet
+        val v = TsStore.delete(spark, dir,
+          org.apache.spark.sql.functions.col("id").isin(victims.toSeq: _*),
+          tsCol = "ts", uidCols = Seq("part"))
+        model = model -- victims
         history(v) = model
       } else {
         // append: brand-new ids only (an append is NOT a merge — a
