@@ -69,11 +69,11 @@ object TsStore {
     * fine for the handful of series a normal batch carries. Caller
     * guarantees `rows` non-empty.
     */
-  private def uidPredicate(rows: Seq[org.apache.spark.sql.Row],
-                           uidCols: Seq[String]): Column =
-    if (uidCols.sizeIs == 1) col(uidCols.head).isin(rows.map(_.get(0)): _*)
+  private[graft] def keyPredicate(rows: Seq[org.apache.spark.sql.Row],
+                                  keyCols: Seq[String]): Column =
+    if (keyCols.sizeIs == 1) col(keyCols.head).isin(rows.map(_.get(0)): _*)
     else rows.map { r =>
-      uidCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
+      keyCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
     }.reduce(_ || _)
 
   def overlappingSeries(spark: SparkSession, path: String, incoming: DataFrame,
@@ -89,7 +89,7 @@ object TsStore {
     val stored =
       try load(spark, path)
       catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
-    val uidPred = uidPredicate(inExt.toSeq, uidCols)
+    val uidPred = keyPredicate(inExt.toSeq, uidCols)
     // keys compare as STRINGS: partition-column type inference can read
     // a numeric-looking string uid back as int ("123" → 123), and the
     // driver-side map lookup must not silently miss the overlap for it.
@@ -305,7 +305,7 @@ object TsStore {
     // columns the same way (schema evolution; older partitions surface
     // them as null through mergeSchema reads). Same-name type conflicts
     // still fail loudly in unionByName.
-    base.filter(uidPredicate(touched.toSeq, uidCols))
+    base.filter(keyPredicate(touched.toSeq, uidCols))
       .withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)), allowMissingColumns = true)
       .transform(dedupLatest(keyCols, versionCol))

@@ -52,4 +52,47 @@ object StoreIngest {
       .trigger(trigger)
       .start()
   }
+
+  /** CDC ingest — the takedown-feed twin of [[start]]: the stream
+    * carries an `opCol` whose value `'D'` marks a delete of that row's
+    * key; every other row merges latest-wins like [[start]]. Per
+    * micro-batch: ONE manifest-committed upsert for the non-delete
+    * rows, then ONE file-granular [[TsStore.delete]] for the delete
+    * keys (collected driver-side — bounded by the batch's takedown
+    * count), so a key both updated and deleted within a batch ends
+    * deleted. Re-delivery converges: replayed upserts map onto the same
+    * winners and a replayed delete matches nothing — a batch replayed
+    * from its start may transiently resurrect a key its later delete
+    * removes again, i.e. at-least-once inside the batch, exactly-once
+    * at batch completion (pinned in StreamingSpec by a mid-stream
+    * checkpoint-marker crash).
+    *
+    * This is the GDPR/decontamination shape at 100 TB: takedowns arrive
+    * as a feed, each lands as one atomic manifest version, deleted rows
+    * stay auditable via `asOf` until vacuum.
+    */
+  def startCdc(stream: DataFrame, path: String, opCol: String,
+               keyCols: Seq[String], versionCol: String,
+               tsCol: String, uidCols: Seq[String],
+               checkpoint: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val ups = batch.filter(col(opCol) =!= "D").drop(opCol)
+        if (!ups.isEmpty)
+          TsStore.upsert(batch.sparkSession, path, ups,
+            keyCols = keyCols, versionCol = versionCol,
+            tsCol = tsCol, uidCols = uidCols)
+        val delKeys = batch.filter(col(opCol) === "D")
+          .select(keyCols.map(col): _*).distinct().collect().toSeq
+        if (delKeys.nonEmpty)
+          TsStore.delete(batch.sparkSession, path,
+            TsStore.keyPredicate(delKeys, keyCols),
+            tsCol = tsCol, uidCols = uidCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

@@ -188,6 +188,43 @@ object Streams {
         "CAST(1 AS BIGINT) AS version FROM events ORDER BY event_id"),
       "streaming ingest into the store: readStream → foreachBatch upsert → read back"),
 
+    "stream_cdc" -> DeclaredQuery(
+      // CDC/takedown-feed ingest, oracle-gated end-to-end: the landed
+      // feed carries every event as an upsert PLUS a delete row for
+      // each event_id % 13 == 0 — the GDPR-erasure shape. One
+      // AvailableNow batch applies the upserts as one manifest commit
+      // and the takedowns as one file-granular delete commit (deletes
+      // win within a batch); the oracle is events WHERE NOT the
+      // takedown predicate, so a resurrected or leaked row breaks the
+      // hash. StreamingSpec separately drives the multi-batch and
+      // re-delivery (crash) behavior of the same path.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_cdc_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val base = Tables.events(s, d).select(cols.map(col): _*)
+          .withColumn("version", lit(1L))
+        base.withColumn("op", lit("U"))
+          .unionByName(base.filter(col("event_id") % 13 === 0)
+            .withColumn("version", lit(2L)).withColumn("op", lit("D")))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val src = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING, version BIGINT, op STRING")
+          .parquet(s"$root/src")
+        val q = StoreIngest.startCdc(src, s"$root/store", opCol = "op",
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"),
+          checkpoint = s"$root/ckpt")
+        q.awaitTermination()
+        graft.sources.TsStore.read(s, s"$root/store")
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props, " +
+        "CAST(1 AS BIGINT) AS version FROM events " +
+        "WHERE NOT (event_id % 13 = 0) ORDER BY event_id"),
+      "CDC ingest: a takedown feed of upserts + deletes applied as manifest commits"),
+
     "stream_tumbling" -> DeclaredQuery(
       (s, d) => tumblingAgg(Tables.events(s, d))
         .orderBy(col("win_start"), col("event_type")),

@@ -328,6 +328,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC ingest: multi-batch upserts+takedowns, time-travel audit, re-delivered batch converges") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    def startCdc() = StoreIngest.startCdc(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    // batch 0: three inserts
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L, "U"),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 2.0, 1L, "U"),
+        (ts("2024-01-01 10:02:00"), "view", 3L, 3.0, 1L, "U"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    // batch 1: update key 2, TAKE DOWN key 1, insert key 4
+    Seq((ts("2024-01-01 10:03:00"), "click", 2L, 9.0, 2L, "U"),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:04:00"), "signup", 4L, 4.0, 1L, "U"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q1 = startCdc(); q1.awaitTermination()
+    def state(asOf: Option[Long] = None): Set[(Long, Double)] =
+      TsStore.read(spark, store, asOf = asOf)
+        .select("event_id", "value").as[(Long, Double)].collect().toSet
+    assert(state() === Set((2L, 9.0), (3L, 3.0), (4L, 4.0)),
+      s"CDC end state wrong: ${state()}")
+    // the takedown is an audit-able manifest version: the pre-delete
+    // version still shows key 1 (until vacuum)
+    val versions = TsStore.versions(store)
+    assert(versions.last >= 4L, s"expected upsert+delete commits, got $versions")
+    assert(state(asOf = Some(versions.last - 1)).contains((1L, 1.0)),
+      "pre-takedown version lost the deleted key")
+    // crash window: batch 1's commit marker is lost → re-delivery of the
+    // whole batch (upserts replayed, takedown replayed) must converge
+    val marker = new java.io.File(s"$ckpt/commits/1")
+    assert(marker.exists(), "test setup: expected commit marker for batch 1")
+    assert(marker.delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = startCdc(); q2.awaitTermination()
+    assert(state() === Set((2L, 9.0), (3L, 3.0), (4L, 4.0)),
+      s"re-delivered CDC batch corrupted the store: ${state()}")
+  }
+
   test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
     import spark.implicits._
     import graft.streaming.StoreIngest
