@@ -261,6 +261,23 @@ class Bundles(spark: SparkSession, basePath: String,
       keyCols = UidCol +: keyCols, versionCol = versionCol, tsCol = tsCol,
       uidCols = Seq(UidCol), checkpoint = checkpoint)
 
+  /** CDC/takedown-feed ingest into a collection — the facade over
+    * [[graft.streaming.StoreIngest.startCdc]]: rows whose `opCol` is
+    * `'D'` delete their (series, key) through one file-granular manifest
+    * commit per batch; everything else merges latest-wins like
+    * [[ingest]]. `keyCols` are PER-SERIES keys (the series id is
+    * prepended). Returns the running query.
+    */
+  def ingestCdc(stream: DataFrame, uidCol: String, opCol: String,
+                keyCols: Seq[String], versionCol: String,
+                checkpoint: String,
+                collection: String = defaultCollection,
+                tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StoreIngest.startCdc(
+      stream.withColumnRenamed(uidCol, UidCol), dir(collection), opCol = opCol,
+      keyCols = UidCol +: keyCols, versionCol = versionCol, tsCol = tsCol,
+      uidCols = Seq(UidCol), checkpoint = checkpoint)
+
   /** Per-series row counts and time extents ≙ `list_uids`. */
   def listUids(collection: String = defaultCollection,
                tsCol: String = "ts"): DataFrame =

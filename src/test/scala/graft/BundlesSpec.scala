@@ -328,6 +328,30 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").count() === 2)
   }
 
+  test("facade CDC ingest: a takedown feed deletes one series' ticks, others merge") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bcdc").toString
+    val ct = new Bundles(spark, s"$root/db")
+    Seq(("aapl", ts("2024-01-01 09:30:00"), 100.0, 1L, "U"),
+        ("msft", ts("2024-01-01 09:30:00"), 50.0, 1L, "U"),
+        ("aapl", ts("2024-01-01 09:31:00"), 101.0, 1L, "U"),
+        ("aapl", ts("2024-01-01 09:30:00"), 0.0, 2L, "D")) // takedown of one tick
+      .toDF("sym", "ts", "price", "version", "op")
+      .write.mode("append").parquet(s"$root/src")
+    val q = ct.ingestCdc(
+      spark.readStream
+        .schema("sym STRING, ts TIMESTAMP, price DOUBLE, version LONG, op STRING")
+        .parquet(s"$root/src"),
+      uidCol = "sym", opCol = "op", keyCols = Seq("ts"), versionCol = "version",
+      checkpoint = s"$root/ckpt")
+    q.awaitTermination()
+    assert(ct.read("aapl").select("price").as[Double].collect().toSeq === Seq(101.0))
+    assert(ct.read("msft").count() === 1)
+    // the takedown is time-travelable until vacuum
+    val v = ct.versions().last
+    assert(ct.readAsOf("aapl", v - 1).count() === 2)
+  }
+
   test("facade streaming ingest: a landed feed becomes series in the collection") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_bingest").toString
