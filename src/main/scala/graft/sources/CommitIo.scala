@@ -122,6 +122,7 @@ object CommitIo {
 
     override def replaceAtomic(path: String, bytes: Array[Byte]): Unit = {
       val target = p(path)
+      Files.createDirectories(target.getParent)
       val tmp = Files.createTempFile(target.getParent, ".ckpt_", ".tmp")
       try {
         Files.write(tmp, bytes)

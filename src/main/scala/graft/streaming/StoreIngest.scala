@@ -78,13 +78,16 @@ object StoreIngest {
                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        import org.apache.spark.sql.functions.col
-        val ups = batch.filter(col(opCol) =!= "D").drop(opCol)
+        import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+        // null op = upsert: a bare `op =!= 'D'` is null-valued on null
+        // ops and would silently DROP those rows from both branches
+        val isDelete = coalesce(col(opCol) === "D", lit(false))
+        val ups = batch.filter(not(isDelete)).drop(opCol)
         if (!ups.isEmpty)
           TsStore.upsert(batch.sparkSession, path, ups,
             keyCols = keyCols, versionCol = versionCol,
             tsCol = tsCol, uidCols = uidCols)
-        val delKeys = batch.filter(col(opCol) === "D")
+        val delKeys = batch.filter(isDelete)
           .select(keyCols.map(col): _*).distinct().collect().toSeq
         if (delKeys.nonEmpty)
           TsStore.delete(batch.sparkSession, path,

@@ -340,10 +340,11 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
       store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
       tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
-    // batch 0: three inserts
+    // batch 0: three inserts — one with a NULL op (must default to
+    // upsert, not silently vanish from both branches)
     Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L, "U"),
         (ts("2024-01-01 10:01:00"), "click", 2L, 2.0, 1L, "U"),
-        (ts("2024-01-01 10:02:00"), "view", 3L, 3.0, 1L, "U"))
+        (ts("2024-01-01 10:02:00"), "view", 3L, 3.0, 1L, null.asInstanceOf[String]))
       .toDF("ts", "event_type", "event_id", "value", "version", "op")
       .repartition(1).write.mode("append").parquet(src)
     // batch 1: update key 2, TAKE DOWN key 1, insert key 4
