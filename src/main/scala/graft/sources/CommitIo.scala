@@ -89,18 +89,36 @@ object CommitIo {
     if (StoreLog.isLocal(path)) Some(Local)
     else {
       val scheme = path.takeWhile(_ != ':')
-      if (HadoopCasSchemes.contains(scheme)) Some(new Hadoop(hadoopConf()))
-      else None
+      if (!HadoopCasSchemes.contains(scheme)) None
+      else {
+        // one Hadoop impl per Configuration instance: forPath runs per
+        // primitive on the metadata path (a delta-chain read makes
+        // dozens of calls), and constructing a fresh Configuration
+        // re-parses the XML resources every time
+        val conf = hadoopConf()
+        val cached = hadoopCache
+        if (cached != null && (cached._1 eq conf)) Some(cached._2)
+        else {
+          val h = new Hadoop(conf)
+          hadoopCache = (conf, h)
+          Some(h)
+        }
+      }
     }
 
+  @volatile private var hadoopCache
+    : (org.apache.hadoop.conf.Configuration, Hadoop) = null
+
+  private lazy val fallbackConf = new org.apache.hadoop.conf.Configuration()
+
   /** The active session's Hadoop configuration when one exists (so user
-    * fs.* settings apply), a default Configuration otherwise — StoreLog
+    * fs.* settings apply), a shared default otherwise — StoreLog
     * maintenance entry points (vacuum) run without a SparkSession.
     */
   private def hadoopConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .getOrElse(fallbackConf)
 
   /** java.nio implementation for plain local paths — link(2) CAS. */
   object Local extends CommitIo {
@@ -230,9 +248,11 @@ object CommitIo {
         fc.rename(tmp, target, Options.Rename.NONE)
         true
       } catch {
+        // ONLY target-exists is a CAS loss; a ParentNotDirectoryException
+        // or any other rename failure is a real layout/config error and
+        // must surface, not masquerade as "concurrent writer won"
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.ParentNotDirectoryException => false
+             _: java.nio.file.FileAlreadyExistsException => false
       } finally {
         if (fc.util().exists(tmp)) fc.delete(tmp, false)
       }

@@ -203,6 +203,11 @@ object IvfIndex {
     */
   def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val assigned = assignAgainst(spark, dir, delta).localCheckpoint()
+    // an empty delta (an incremental pipeline whose batch matched no new
+    // vectors) is a no-op at the current version — and must not reach
+    // the guard, whose min/max extent would be null
+    if (assigned.isEmpty)
+      return StoreLog.ensure(s"$dir/cells").version
     // Loud guard on the pruned MERGE's partition-immutability contract:
     // a re-added vec_id whose embedding moved it to a DIFFERENT cell
     // would leave its stale row live in the old cell's partition (the

@@ -333,31 +333,73 @@ object StoreLog {
   def vacuum(path: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fsio = io(path)
-    val now = System.currentTimeMillis()
-    // writer leases FIRST, versions after: a writer that commits before
-    // this point is in the version listing below (its files are live);
-    // one that commits after it still holds its fresh lease here (the
-    // lease is released only post-commit), so its adopted files get the
-    // young-file protection. This ordering is what closes the
-    // check-then-reclaim race. Stale leases (crashed writers) expire by
-    // mtime and are reclaimed now.
-    val leases = fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
-    val (stale, active) = leases.partition(n =>
-      now - fsio.mtimeMs(s"${logDir(path)}/$n") >= WriterLeaseMs)
-    stale.foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
-    val writerActive = active.nonEmpty
-    val versions = listVersions(path)
-    if (versions.isEmpty) return 0
-    val retained = versions.takeRight(retainVersions)
-    val live: Set[String] =
-      retained.flatMap(v => read(path, v).files).toSet
-    // while a writer is live, a dead-looking YOUNG file may be its
-    // adopted-but-uncommitted output (mtime = adopt time, stamped by
-    // adoptStaged) — spare those; genuinely replaced chunks age past
-    // the lease window and reclaim on the next pass
-    val deleted = listDataFiles(path).filterNot(live).filter { f =>
-      !writerActive || now - fsio.mtimeMs(s"$path/$f") >= WriterLeaseMs
+    // mtime of a path that may vanish mid-vacuum (a released lease, an
+    // aborting writer's adopted file) — concurrency vacuum now claims
+    // to survive, so a missing path must not crash the pass
+    def mtimeOpt(p: String): Option[Long] =
+      try { if (fsio.exists(p)) Some(fsio.mtimeMs(p)) else None }
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => None }
+    def freshLeases(now: Long): Seq[String] =
+      fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
+        .filter(n => mtimeOpt(s"${logDir(path)}/$n")
+          .exists(m => now - m < WriterLeaseMs))
+    // reclaim crashed writers' expired leases up front
+    locally {
+      val now = System.currentTimeMillis()
+      fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
+        .filter(n => mtimeOpt(s"${logDir(path)}/$n")
+          .forall(m => now - m >= WriterLeaseMs))
+        .foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
     }
+    if (listVersions(path).isEmpty) return 0
+    // Candidate collection must be SOUND against live writers. A writer
+    // holds its lease from before adoptStaged until after its commit,
+    // so after candidates are listed, ONE recheck decides every case:
+    //   - adopted after the data listing → not a candidate at all;
+    //   - adopted before it, not yet committed → its lease is still
+    //     fresh at the recheck → young candidates are spared;
+    //   - committed since the version listing → latestVersion moved →
+    //     recompute (bounded retries), because the files became LIVE.
+    // A candidate that is BOTH old and dead under a stable version is
+    // genuinely garbage whatever writers do next (new adoptions are
+    // never old, new commits would bump the version again next round).
+    var versions: Seq[Long] = Seq.empty
+    var deleted: Seq[String] = Seq.empty
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val vBefore = listVersions(path)
+      val retained = vBefore.takeRight(retainVersions)
+      val live: Set[String] = retained.flatMap(v => read(path, v).files).toSet
+      val candidates = listDataFiles(path).filterNot(live)
+      val now = System.currentTimeMillis()
+      val writerActive = freshLeases(now).nonEmpty
+      if (listVersions(path) == vBefore) {
+        versions = vBefore
+        deleted = candidates.filter { f =>
+          // while a writer is live, a dead-looking YOUNG file may be
+          // its adopted-but-uncommitted output (mtime = adopt time,
+          // stamped by adoptStaged) — spare those; genuinely replaced
+          // chunks age past the lease window and reclaim next pass
+          !writerActive ||
+            mtimeOpt(s"$path/$f").forall(m => now - m >= WriterLeaseMs)
+        }
+        done = true
+      } else {
+        attempt += 1
+        if (attempt > 5) {
+          // continuous commit churn: fall back to age-only reclaim —
+          // always safe (new adoptions are never old), never livelocks
+          versions = listVersions(path)
+          val retained2 = versions.takeRight(retainVersions)
+          val live2: Set[String] = retained2.flatMap(v => read(path, v).files).toSet
+          deleted = listDataFiles(path).filterNot(live2).filter(f =>
+            mtimeOpt(s"$path/$f").forall(m => now - m >= WriterLeaseMs))
+          done = true
+        }
+      }
+    }
+    val retained = versions.takeRight(retainVersions)
     deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
     // the oldest retained version may be a DELTA whose checkpoint
     // ancestor is about to be dropped — rewrite it as a checkpoint
@@ -382,17 +424,19 @@ object StoreLog {
     val txnCutoffMs = System.currentTimeMillis() - 60L * 60 * 1000
     fsio.list(path)
       .filter(e => e.isDir && e.name.startsWith("_graft_txn_") &&
-        fsio.mtimeMs(s"$path/${e.name}") < txnCutoffMs)
+        mtimeOpt(s"$path/${e.name}").exists(_ < txnCutoffMs))
       .foreach(e => fsio.deleteDir(s"$path/${e.name}"))
     // prune now-empty partition directories so discovery doesn't surface
-    // phantom empty partitions
-    def pruneEmpty(dir: String): Unit = {
-      fsio.list(dir).filter(_.isDir).foreach(e => pruneEmpty(s"$dir/${e.name}"))
-      fsio.deleteDirIfEmpty(dir)
+    // phantom empty partitions — but never delete HIDDEN names (another
+    // tool's marker/staging dir nested in a partition is not ours to
+    // reclaim; only _graft_txn_* above and the log are)
+    def pruneEmpty(dir: String, name: String): Unit = {
+      fsio.list(dir).filter(_.isDir).foreach(e => pruneEmpty(s"$dir/${e.name}", e.name))
+      if (!hiddenName(name)) fsio.deleteDirIfEmpty(dir)
     }
     fsio.list(path)
       .filter(e => e.isDir && !hiddenName(e.name))
-      .foreach(e => pruneEmpty(s"$path/${e.name}"))
+      .foreach(e => pruneEmpty(s"$path/${e.name}", e.name))
     deleted.size
   }
 

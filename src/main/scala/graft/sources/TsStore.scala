@@ -343,6 +343,48 @@ object TsStore {
       .filter(col("__rn") === 1).drop("__rn", "__src")
   }
 
+  /** The leased adopt-then-commit retry scaffold shared by [[upsert]]
+    * and [[delete]]: renew the lease, try the CAS commit, and on a loss
+    * walk every intervening commit — abort (deleting the adopted files)
+    * if any makes a rebase `unsound`, otherwise retry on the winner's
+    * snapshot. `newFiles` recomputes the commit's file list from the
+    * rebased parent; `unsound(s, prevFiles)` sees each intervening
+    * snapshot with its parent's file set (so append detection works)
+    * and returns the abort reason if the rebase cannot serialize.
+    */
+  private def commitWithRebase(path: String, lease: StoreLog.WriterLease,
+      base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
+      newFiles: StoreLog.Snapshot => Seq[String],
+      unsound: (StoreLog.Snapshot, Set[String]) => Option[String]): Long = {
+    def abort(why: String): Nothing = {
+      StoreLog.deleteDataFiles(path, moved)
+      throw new StoreLog.CommitConflict(why)
+    }
+    var expected = base
+    var attempts = 0
+    var done = -1L
+    while (done < 0) {
+      lease.renew()
+      try done = StoreLog.commit(path, expected.version, replaced,
+        newFiles(expected), parent = Some(expected))
+      catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1
+          if (attempts > 20)
+            abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+          val cur = StoreLog.latest(path).getOrElse(throw c)
+          var prevFiles = expected.files.toSet
+          ((expected.version + 1) to cur.version).foreach { v =>
+            val snap = StoreLog.read(path, v)
+            unsound(snap, prevFiles).foreach(abort)
+            prevFiles = snap.files.toSet
+          }
+          expected = cur
+      }
+    }
+    done
+  }
+
   /** Partition-pruned MERGE (latest-wins upsert) into a TsStore layout —
     * the incremental-maintenance write path, CRASH-ATOMIC and
     * cross-process safe via the [[StoreLog]] manifest. The naive MERGE
@@ -421,38 +463,17 @@ object TsStore {
         f.substring(0, i)
       }.toSet
       def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
-      def abort(why: String): Nothing = {
-        StoreLog.deleteDataFiles(path, moved)
-        throw new StoreLog.CommitConflict(why)
-      }
-      var expected = base
-      var attempts = 0
-      var done = -1L
-      while (done < 0) {
-        lease.renew()
-        try done = StoreLog.commit(path, expected.version, prefixes.toSeq,
-          expected.files.filterNot(under) ++ moved, parent = Some(expected))
-        catch {
-          case c: StoreLog.CommitConflict =>
-            attempts += 1
-            if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
-            val cur = StoreLog.latest(path).getOrElse(throw c)
-            // rebase is sound ONLY if no intervening commit touched our
-            // partitions — neither replaced them nor appended files under
-            // them; otherwise our merge used a stale base for those rows
-            var prevFiles = expected.files.toSet
-            ((expected.version + 1) to cur.version).foreach { v =>
-              val s = StoreLog.read(path, v)
-              if (s.replaced.exists(prefixes.contains) ||
-                  (s.files.toSet -- prevFiles).exists(under))
-                abort(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
-                  s"(now v${cur.version}) — re-run the upsert against the new base")
-              prevFiles = s.files.toSet
-            }
-            expected = cur
-        }
-      }
-      done
+      // rebase is sound ONLY if no intervening commit touched our
+      // partitions — neither replaced them nor appended files under
+      // them; otherwise our merge used a stale base for those rows
+      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
+        newFiles = exp => exp.files.filterNot(under) ++ moved,
+        unsound = (s, prev) =>
+          if (s.replaced.exists(prefixes.contains) ||
+              (s.files.toSet -- prev).exists(under))
+            Some(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
+              "— re-run the upsert against the new base")
+          else None)
     }
   }
 
@@ -540,35 +561,16 @@ object TsStore {
       val moved =
         try StoreLog.adoptStaged(path, staging)
         finally StoreLog.deleteStaging(staging)
-      def abort(why: String): Nothing = {
-        StoreLog.deleteDataFiles(path, moved)
-        throw new StoreLog.CommitConflict(why)
-      }
-      var expected = base
-      var attempts = 0
-      var done = -1L
-      while (done < 0) {
-        lease.renew()
-        try done = StoreLog.commit(path, expected.version, prefixes.toSeq,
-          expected.files.filterNot(affectedSet) ++ moved, parent = Some(expected))
-        catch {
-          case c: StoreLog.CommitConflict =>
-            attempts += 1
-            if (attempts > 20) abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
-            val cur = StoreLog.latest(path).getOrElse(throw c)
-            // rebase is sound unless an intervening commit REPLACED one of
-            // our partitions (our affected files may no longer be live);
-            // pure appends under them serialize after this delete cleanly
-            ((expected.version + 1) to cur.version).foreach { v =>
-              val s = StoreLog.read(path, v)
-              if (s.replaced.exists(prefixes.contains))
-                abort(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
-                  s"(now v${cur.version}) — re-run the delete against the new base")
-            }
-            expected = cur
-        }
-      }
-      done
+      // rebase is sound unless an intervening commit REPLACED one of
+      // our partitions (our affected files may no longer be live);
+      // pure appends under them serialize after this delete cleanly
+      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
+        newFiles = exp => exp.files.filterNot(affectedSet) ++ moved,
+        unsound = (s, _) =>
+          if (s.replaced.exists(prefixes.contains))
+            Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
+              "— re-run the delete against the new base")
+          else None)
     }
   }
 

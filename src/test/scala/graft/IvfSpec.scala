@@ -116,6 +116,19 @@ class IvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("change cell"))
   }
 
+  test("add() with an empty delta is a version-stable no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    IvfIndex.build(emb, dir, k = 8)
+    val before = TsStore.load(spark, s"$dir/cells").count()
+    // an incremental pipeline whose batch matched no new vectors: must
+    // return the current version without touching the store (a null
+    // min/max extent must never reach the migration guard)
+    val v1 = IvfIndex.add(spark, dir, emb.filter(col("vec_id") < 0))
+    val v2 = IvfIndex.add(spark, dir, emb.filter(col("vec_id") < 0))
+    assert(v1 === v2, "empty adds must not burn versions")
+    assert(TsStore.load(spark, s"$dir/cells").count() === before)
+  }
+
   test("the add guard scan is bounded by the delta's id extent, not the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
     IvfIndex.build(emb, dir, k = 8)
