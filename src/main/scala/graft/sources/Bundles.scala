@@ -301,21 +301,19 @@ class Bundles(spark: SparkSession, basePath: String,
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
     val partPrefix = s"$UidCol=$esc"
     if (StoreLog.canLog(dir(collection)) && StoreLog.exists(dir(collection))) {
-      var attempts = 0
-      while (true) {
-        val snap = StoreLog.latest(dir(collection)).get
-        if (!snap.files.exists(_.startsWith(partPrefix + "/"))) return false
-        val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
-        try {
-          StoreLog.commit(dir(collection), snap.version, Seq(partPrefix), kept,
-            parent = Some(snap))
-          return true
-        } catch {
-          case c: StoreLog.CommitConflict =>
-            attempts += 1; if (attempts > 20) throw c
-        }
+      val snap = StoreLog.latest(dir(collection)).get
+      if (!snap.files.exists(_.startsWith(partPrefix + "/"))) return false
+      // the shared leased commit scaffold: no adopted files, and a
+      // rebase is always sound — whatever an intervening commit did to
+      // the partition, dropping the WHOLE series (recomputed from the
+      // rebased parent's file list) serializes after it
+      StoreLog.withWriterLease(dir(collection)) { lease =>
+        TsStore.commitWithRebase(dir(collection), lease, snap,
+          moved = Seq.empty, replaced = Seq(partPrefix),
+          newFiles = exp => exp.files.filterNot(_.startsWith(partPrefix + "/")),
+          unsound = (_, _) => None)
       }
-      throw new IllegalStateException("unreachable: dropSeries commit loop exited")
+      true
     } else {
       val p = new org.apache.hadoop.fs.Path(s"${dir(collection)}/$partPrefix")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -377,7 +375,11 @@ class Bundles(spark: SparkSession, basePath: String,
             finally StoreLog.deleteStaging(staging)
           val replaced = snap.files.filter(_.contains("/"))
             .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
-          try StoreLog.commit(dir(collection), v, replaced, moved)
+          // a parentless commit would silently reset a store's
+          // configured per-store checkpoint cadence to the default —
+          // carry the snapshot's interval through the full listing
+          try StoreLog.commit(dir(collection), v, replaced, moved,
+            interval = Some(snap.checkpointInterval))
           catch {
             case c: StoreLog.CommitConflict =>
               StoreLog.deleteDataFiles(dir(collection), moved)

@@ -88,7 +88,8 @@ object CommitIo {
   def forPath(path: String): Option[CommitIo] =
     if (StoreLog.isLocal(path)) Some(Local)
     else {
-      val scheme = path.takeWhile(_ != ':')
+      // RFC 3986: schemes are case-insensitive, and Hadoop accepts both
+      val scheme = path.takeWhile(_ != ':').toLowerCase
       if (!HadoopCasSchemes.contains(scheme)) None
       else {
         // one Hadoop impl per Configuration instance: forPath runs per
@@ -169,7 +170,14 @@ object CommitIo {
     override def move(src: String, dst: String): Unit = {
       val d = p(dst)
       Files.createDirectories(d.getParent)
-      Files.move(p(src), d, StandardCopyOption.ATOMIC_MOVE)
+      // a concurrent vacuum's empty-dir prune can delete the just-created
+      // parent before the move lands — recreate and retry once
+      try Files.move(p(src), d, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          Files.createDirectories(d.getParent)
+          Files.move(p(src), d, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
 
     override def deleteFile(path: String): Unit = { Files.deleteIfExists(p(path)); () }
@@ -186,7 +194,10 @@ object CommitIo {
 
     override def deleteDirIfEmpty(path: String): Unit = {
       val d = p(path)
-      if (Files.isDirectory(d) && list(path).isEmpty) Files.deleteIfExists(d)
+      // check-then-delete races a writer creating the partition's first
+      // file — losing the race is fine (the dir is simply kept)
+      try { if (Files.isDirectory(d) && list(path).isEmpty) Files.deleteIfExists(d) }
+      catch { case _: java.nio.file.DirectoryNotEmptyException | _: java.io.IOException => () }
       ()
     }
 
@@ -299,7 +310,12 @@ object CommitIo {
       val s = hp(src); val d = hp(dst)
       val f = fs(d)
       f.mkdirs(d.getParent)
-      require(f.rename(s, d), s"CommitIo.Hadoop: could not move $s to $d")
+      // retry once: a concurrent vacuum's empty-dir prune can take the
+      // just-created parent before the rename lands
+      if (!f.rename(s, d)) {
+        f.mkdirs(d.getParent)
+        require(f.rename(s, d), s"CommitIo.Hadoop: could not move $s to $d")
+      }
     }
 
     override def deleteFile(path: String): Unit = {
@@ -324,8 +340,10 @@ object CommitIo {
     override def deleteDirIfEmpty(path: String): Unit = {
       val p = hp(path)
       val f = fs(p)
-      if (f.exists(p) && f.getFileStatus(p).isDirectory &&
-          f.listStatus(p).isEmpty) f.delete(p, false)
+      try {
+        if (f.exists(p) && f.getFileStatus(p).isDirectory &&
+            f.listStatus(p).isEmpty) f.delete(p, false)
+      } catch { case _: java.io.IOException => () /* lost the race — keep it */ }
       ()
     }
 

@@ -101,9 +101,17 @@ object StoreLog {
       s"${logDir(path)}/.lease_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     private val fsio = io(path)
     fsio.replaceAtomic(file, Array[Byte]('1'))
-    /** Refresh the lease's mtime (called per commit attempt). */
+    /** Refresh the lease's mtime (called per commit attempt). A lease
+      * that expired and was reclaimed by a concurrent vacuum mid-renew
+      * is recreated — the touch's missing-file failure falls through to
+      * the rewrite.
+      */
     def renew(): Unit =
-      if (fsio.exists(file)) fsio.touch(file) else fsio.replaceAtomic(file, Array[Byte]('1'))
+      try { if (fsio.exists(file)) fsio.touch(file) else fsio.replaceAtomic(file, Array[Byte]('1')) }
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          fsio.replaceAtomic(file, Array[Byte]('1'))
+      }
     private[StoreLog] def release(): Unit = fsio.deleteFile(file)
   }
 
@@ -458,11 +466,13 @@ object StoreLog {
       }
     walk(stagingDir, "")
     staged.result().map { rel =>
+      // stamp the ADOPT time BEFORE the move (which preserves mtime):
+      // the vacuum lease's young-file protection must date from when
+      // the file becomes a garbage-lookalike in a partition dir, and a
+      // touch-after-move would leave a descheduling window in which a
+      // long-staged file still carries its old staging mtime
+      fsio.touch(s"$stagingDir/$rel")
       fsio.move(s"$stagingDir/$rel", s"$path/$rel")
-      // stamp the ADOPT time: a move preserves the staging write's
-      // mtime, but the vacuum lease's young-file protection must date
-      // from when the file became adoptable garbage-lookalike
-      fsio.touch(s"$path/$rel")
       rel
     }.sorted
   }

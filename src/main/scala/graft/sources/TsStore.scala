@@ -352,7 +352,7 @@ object TsStore {
     * snapshot with its parent's file set (so append detection works)
     * and returns the abort reason if the rebase cannot serialize.
     */
-  private def commitWithRebase(path: String, lease: StoreLog.WriterLease,
+  private[sources] def commitWithRebase(path: String, lease: StoreLog.WriterLease,
       base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
       newFiles: StoreLog.Snapshot => Seq[String],
       unsound: (StoreLog.Snapshot, Set[String]) => Option[String]): Long = {
@@ -375,7 +375,15 @@ object TsStore {
           val cur = StoreLog.latest(path).getOrElse(throw c)
           var prevFiles = expected.files.toSet
           ((expected.version + 1) to cur.version).foreach { v =>
-            val snap = StoreLog.read(path, v)
+            // a concurrent vacuum may have pruned the intervening
+            // manifests out from under the walk — that is a clean
+            // conflict (adopted files cleaned up, caller re-runs),
+            // not a raw missing-manifest error
+            val snap =
+              try StoreLog.read(path, v)
+              catch { case _: IllegalArgumentException =>
+                abort(s"manifest v$v pruned by a concurrent vacuum at $path " +
+                  "— re-run against the new base") }
             unsound(snap, prevFiles).foreach(abort)
             prevFiles = snap.files.toSet
           }
@@ -528,10 +536,31 @@ object TsStore {
     def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
     val affected: Seq[String] =
       try {
+        // O(scanned + manifest), not a nested suffix scan: probe the
+        // manifest SET with each raw path's trailing components (rel
+        // depth is partition-dirs + filename, a small constant). Every
+        // match is collected, so a pathological layout where a shallow
+        // rel is also a deeper rel's suffix over-matches and trips the
+        // size require below — loud, exactly like the old behavior.
+        val relSet = base.files.toSet
+        val maxDepth = base.files.iterator.map(_.count(_ == '/')).max + 1
         val rawPaths = affectedUris.map(u => new java.net.URI(u).getPath).toSeq
-        val hit = base.files.filter(f => rawPaths.exists(_.endsWith("/" + f)))
+        val hitSet = scala.collection.mutable.LinkedHashSet[String]()
+        rawPaths.foreach { raw =>
+          var idx = raw.length
+          var d = 0
+          while (d < maxDepth && idx > 0) {
+            idx = raw.lastIndexOf('/', idx - 1)
+            if (idx >= 0) {
+              val cand = raw.substring(idx + 1)
+              if (relSet.contains(cand)) hitSet += cand
+            }
+            d += 1
+          }
+        }
+        val hit = base.files.filter(hitSet.contains)
         require(hit.size == rawPaths.size,
-          s"delete matched ${rawPaths.size} scan files but only ${hit.size} " +
+          s"delete matched ${rawPaths.size} scan files but ${hit.size} " +
             s"manifest entries at $path — scan outside the live snapshot?")
         hit
       } catch {

@@ -382,6 +382,9 @@ class BundlesSpec extends AnyFunSuite {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_lcompact").toString
     val ct = new Bundles(spark, base)
+    // non-default checkpoint cadence: maintenance commits must PRESERVE
+    // it (a parentless full-listing commit would silently reset it)
+    graft.sources.StoreLog.ensure(s"$base/default", checkpointInterval = 3)
     for (i <- 0 until 3)
       ct.write("aapl", Seq((ts(s"2024-01-01 09:3$i:00"), 100.0 + i, 1L))
         .toDF("ts", "price", "version"))
@@ -400,9 +403,13 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").collect().toSet === liveBefore)
     assert(ct.read("msft").count() === 1)
     assert(ct.readAsOf("aapl", v).collect().toSet === liveBefore)
+    assert(graft.sources.StoreLog.latest(s"$base/default").get.checkpointInterval === 3,
+      "compactSeries reset the store's checkpoint interval")
     // whole-collection compaction: same protocol, one more version
     val (_, afterAll) = ct.compact()
     assert(ct.versions().last === v + 2)
+    assert(graft.sources.StoreLog.latest(s"$base/default").get.checkpointInterval === 3,
+      "compact reset the store's checkpoint interval")
     assert(afterAll >= 2) // >= one file per series
     assert(ct.read("aapl").collect().toSet === liveBefore)
     assert(ct.read("msft").count() === 1)
