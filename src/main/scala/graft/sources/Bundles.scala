@@ -234,8 +234,8 @@ class Bundles(spark: SparkSession, basePath: String,
     TsStore.versions(dir(collection))
 
   /** Reclaim replaced chunks beyond the newest `retainVersions`
-    * manifests (shrinks the [[readAsOf]] window; never run concurrently
-    * with writers). Returns files deleted.
+    * manifests (shrinks the [[readAsOf]] window; safe against live
+    * writers — see [[TsStore.vacuum]]). Returns files deleted.
     */
   def vacuum(collection: String = defaultCollection,
              retainVersions: Int = 1): Int =

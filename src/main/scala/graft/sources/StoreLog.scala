@@ -38,10 +38,11 @@ import scala.jdk.CollectionConverters._
   *
   * Scale note: only checkpoints are O(live files); the commit hot path
   * (upserts, appends, single-series compaction) writes deltas. Readers
-  * are safe against concurrent COMMITS at any time; [[vacuum]] must not
-  * run concurrently with writers, and a reader racing vacuum may need
-  * the one retry [[read]] performs (the rewrite-then-delete ordering
-  * guarantees retained versions stay resolvable).
+  * are safe against concurrent COMMITS at any time; [[vacuum]] is safe
+  * against live WRITERS via the [[WriterLease]] protocol (round 9), and
+  * a reader racing vacuum may need the one retry [[read]] performs (the
+  * rewrite-then-delete ordering guarantees retained versions stay
+  * resolvable).
   */
 object StoreLog {
 

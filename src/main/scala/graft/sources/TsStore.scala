@@ -634,8 +634,10 @@ object TsStore {
 
   /** Reclaim space: drop files no retained manifest references and
     * manifests beyond the newest `retainVersions` — the time-travel
-    * window shrinks accordingly. MUST NOT run concurrently with writers
-    * (staged-but-uncommitted files are unreferenced by construction).
+    * window shrinks accordingly. Safe to run against live writers: the
+    * adopt→commit danger window is covered by the writer-lease protocol
+    * (see [[StoreLog.vacuum]]); a writer stalled past the lease window
+    * without renewal loses that protection, by declaration.
     */
   def vacuum(path: String, retainVersions: Int = 1): Int =
     StoreLog.vacuum(path, retainVersions)
