@@ -714,6 +714,39 @@ class StoreLogSpec extends AnyFunSuite {
     assert(StoreLog.read(dir, v).replaced.forall(_.contains("09%3A30")))
   }
 
+  test("TsStore end to end on a viewfs:// path: the full protocol through the HDFS-contract branch") {
+    // the strongest non-file-scheme proof available without a NameNode:
+    // Spark writes/reads through ViewFileSystem, adoption renames via
+    // the Hadoop FS API, and every manifest publish takes the
+    // FileContext.rename(Rename.NONE) CAS — the exact branch an HDFS
+    // deployment runs, end to end rather than per-primitive
+    val backing = Files.createTempDirectory("graft_viewfs_e2e")
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.viewfs.mounttable.graftstore.link./data", backing.toUri.toString)
+    // the store must live BELOW the mount point: the mount root itself
+    // is ViewFs-internal (read-only), and an Overwrite write deletes
+    // its own target directory
+    val dir = "viewfs://graftstore/data/store"
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val d1 = delta(10, 1000.0)
+    val v = TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    assert(v === 2L, s"expected ensure()=v1 + upsert()=v2, got v$v")
+    same(TsStore.read(spark, dir), merged(base, d1))
+    same(TsStore.read(spark, dir, asOf = Some(1L)), base)
+    // delete through the same branch
+    val pred = col("event_type") === "purchase" && col("event_id") % 4 === 0
+    TsStore.delete(spark, dir, pred, tsCol = "ts", uidCols = Seq("event_type"))
+    same(TsStore.read(spark, dir), merged(base, d1).filter(not(pred)))
+    // vacuum (checkpoint rewrite via FileContext rename OVERWRITE)
+    assert(TsStore.vacuum(dir) > 0)
+    same(TsStore.read(spark, dir), merged(base, d1).filter(not(pred)))
+    assertThrows[IllegalArgumentException] {
+      TsStore.read(spark, dir, asOf = Some(1L)).collect()
+    }
+  }
+
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
     import spark.implicits._
     // partition values with spaces/colons: Spark's path rendering
