@@ -478,6 +478,45 @@ class StoreLogSpec extends AnyFunSuite {
     assert(!Files.exists(crashed), "stale lease of a crashed writer not reclaimed")
   }
 
+  test("randomized manifest chains: every version resolves exactly across cadences and vacuum") {
+    // pure-metadata breadth for the delta/checkpoint core: three seeded
+    // chains with random checkpoint intervals and random add/remove
+    // sets per commit — every committed version must resolve to its
+    // exact recorded file list, before and after a random-retention
+    // vacuum (whose oldest-retained rewrite must keep the chain whole)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"graft_chain$trial").toString
+      val interval = 1 + rnd.nextInt(5)
+      StoreLog.ensure(dir, checkpointInterval = interval)
+      var files = Set.empty[String]
+      var expected = Map(1L -> files)
+      var cur = StoreLog.latest(dir).get
+      for (i <- 2 to 30) {
+        val adds = (0 until 1 + rnd.nextInt(3))
+          .map(j => s"p=${rnd.nextInt(5)}/f_${i}_$j.parquet").toSet
+        val removes = rnd.shuffle(files.toSeq).take(rnd.nextInt(3)).toSet
+        files = files -- removes ++ adds
+        val v = StoreLog.commit(dir, cur.version, Seq.empty, files.toSeq,
+          parent = Some(cur))
+        cur = StoreLog.read(dir, v)
+        expected += v -> files
+        assert(cur.files.toSet === files, s"trial $trial v$v (interval $interval)")
+        assert(cur.checkpointInterval === interval)
+      }
+      expected.foreach { case (v, fs) =>
+        assert(StoreLog.read(dir, v).files.toSet === fs,
+          s"trial $trial: v$v resolved wrong (interval $interval)")
+      }
+      val retain = 1 + rnd.nextInt(5)
+      StoreLog.vacuum(dir, retain)
+      val vs = StoreLog.listVersions(dir)
+      assert(vs === (1L to 30L).takeRight(retain))
+      vs.foreach(v => assert(StoreLog.read(dir, v).files.toSet === expected(v),
+        s"trial $trial: post-vacuum v$v diverged (retain $retain)"))
+    }
+  }
+
   test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
     val (dir, base) = freshStore()
     StoreLog.ensure(dir, checkpointInterval = 3) // v1 checkpoint, interval recorded
