@@ -196,6 +196,23 @@ object Llm {
     "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
     "ORDER BY q_id, rnk"
 
+  /** [[IvfOracleSql]] with the removed ids excluded from the INDEX side
+    * only (queries still come from the base table) — the oracle for the
+    * remove-then-probe maintenance path.
+    */
+  private val IvfRemoveOracleSql: String =
+    s"WITH $IvfAssignCtes, " +
+    "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1 AND vec_id % 37 <> 0), " +
+    "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
+    "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
+    "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
+    s"${CosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
+    "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
+    "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
+    "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
+    "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
+    "ORDER BY q_id, rnk"
+
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,
     * unlike [[jaccardDupPairs]]): shingle → 64-slot MinHash signature →
@@ -1098,6 +1115,30 @@ object Llm {
       },
       Some(IvfOracleSql),
       "incremental IVF: build on half the corpus, add() the rest, probe == one-shot build"),
+
+    "llm_ann_ivf_remove" -> DeclaredQuery(
+      // Index-side takedown, oracle-gated: build the full index, REMOVE
+      // every 37th vector (IvfIndex.remove = file-granular manifest
+      // delete on the cells table — only the chunks holding matches are
+      // rewritten, removed vectors stay probeable asOf prior versions
+      // until vacuum), then probe. The oracle recomputes the IVF result
+      // with the removed ids excluded from the index side only, so a
+      // resurrected neighbor, a lost survivor, or a mis-celled rewrite
+      // breaks the hash. With build/add/probe this completes the index
+      // maintenance verbs a 100 TB serving corpus needs.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val e = Tables.embeddings(s, d)
+        val dir = graft.Q.scratchDir(s"ivf_rm_${new java.io.File(d).getName}")
+        IvfIndex.build(e, dir, K)
+        IvfIndex.remove(s, dir, col("vec_id") % 37 === 0)
+        val queries = e.filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        IvfIndex.probe(s, dir, queries, NProbe, TopK)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(IvfRemoveOracleSql),
+      "index takedown: remove vectors via a manifest delete, probe == index rebuilt without them"),
 
     "llm_ngram_freq" -> DeclaredQuery(
       // n-gram language-model statistics: per-source top-3 bigrams by

@@ -224,6 +224,21 @@ object IvfIndex {
       versionCol = "vec_id", tsCol = "vec_id", uidCols = Seq("cell"))
   }
 
+  /** Remove vectors from a persisted index — the takedown verb for the
+    * index side, completing the build/add/probe/remove maintenance set:
+    * a file-granular [[TsStore.delete]] on the cells table, so only the
+    * chunks that contain matching vectors are rewritten and the removal
+    * is ONE manifest commit (removed vectors stay probeable `asOf`
+    * prior versions until vacuum — the audit window a training-corpus
+    * takedown needs). Centroids are untouched: IVF centroids are a
+    * routing structure, not a summary that must shrink — removing
+    * members only thins (or empties) cells. Returns the cells table's
+    * committed manifest version.
+    */
+  def remove(spark: SparkSession, dir: String, pred: Column): Long =
+    TsStore.delete(spark, s"$dir/cells", pred,
+      tsCol = "vec_id", uidCols = Seq("cell"))
+
   /** Assign a delta against the PERSISTED centroids (the [[add]] path's
     * first step, exposed for specs).
     */

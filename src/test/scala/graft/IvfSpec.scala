@@ -129,6 +129,37 @@ class IvfSpec extends AnyFunSuite {
     assert(TsStore.load(spark, s"$dir/cells").count() === before)
   }
 
+  test("remove() takes a vector out of the probe result, touching only its cell's chunks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rm").toString
+    IvfIndex.build(emb, dir, k = 8)
+    val q = emb.filter(col("vec_id") === 20L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = IvfIndex.probe(spark, dir, q, nprobe = 1, topK = 1)
+      .select("nbr_id").first().getLong(0)
+    val cells = TsStore.load(spark, s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touched = cells(top)
+    def partFiles(cell: Long): Set[String] = {
+      val d = new java.io.File(s"$dir/cells/cell=$cell")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val untouched = (0L until 8L).filterNot(_ == touched)
+    val before = untouched.map(c => c -> partFiles(c)).toMap
+    val v = IvfIndex.remove(spark, dir, col("vec_id") === top)
+    // the former top neighbor is gone from the live probe...
+    val newTop = IvfIndex.probe(spark, dir, q, nprobe = 1, topK = 3)
+      .select("nbr_id").collect().map(_.getLong(0))
+    assert(!newTop.contains(top), s"removed vector $top still probeable: ${newTop.toSeq}")
+    // ...only its cell's chunks were rewritten...
+    untouched.foreach(c => assert(partFiles(c) === before(c),
+      s"remove() rewrote files in untouched cell $c"))
+    // ...and it stays auditable at the pre-remove version until vacuum
+    assert(TsStore.read(spark, s"$dir/cells", tsCol = "vec_id", asOf = Some(v - 1))
+      .filter(col("vec_id") === top).count() === 1)
+  }
+
   test("the add guard scan is bounded by the delta's id extent, not the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
     IvfIndex.build(emb, dir, k = 8)
