@@ -183,9 +183,14 @@ object Llm {
     * access-path change, never a semantics change, and sharing the SQL
     * pins that.
     */
-  private val IvfOracleSql: String =
+  /** ONE spelling of the IVF probe oracle, parameterized by the
+    * index-side cells filter (`""` = the full index) — the remove
+    * oracle must never drift from the build/add/indexed one on the
+    * probe window, scoring or tie-breaks.
+    */
+  private def ivfOracle(cellsPred: String): String =
     s"WITH $IvfAssignCtes, " +
-    "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1), " +
+    s"cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1$cellsPred), " +
     "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
     "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
     "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
@@ -196,22 +201,13 @@ object Llm {
     "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
     "ORDER BY q_id, rnk"
 
+  private val IvfOracleSql: String = ivfOracle("")
+
   /** [[IvfOracleSql]] with the removed ids excluded from the INDEX side
     * only (queries still come from the base table) — the oracle for the
     * remove-then-probe maintenance path.
     */
-  private val IvfRemoveOracleSql: String =
-    s"WITH $IvfAssignCtes, " +
-    "cells AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1 AND vec_id % 37 <> 0), " +
-    "probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM a " +
-    "WHERE vec_id >= 16 AND vec_id < 24 AND rn <= 2), " +
-    "scored AS (SELECT p.q_id, c.vec_id AS nbr_id, " +
-    s"${CosSql("qe.embedding", "ne.embedding")} + 0.0 AS cos " +
-    "FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id " +
-    "JOIN embeddings qe ON qe.vec_id = p.q_id JOIN embeddings ne ON ne.vec_id = c.vec_id) " +
-    "SELECT q_id, nbr_id, cos, CAST(row_number() OVER (PARTITION BY q_id " +
-    "ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM scored QUALIFY rnk <= 3 " +
-    "ORDER BY q_id, rnk"
+  private val IvfRemoveOracleSql: String = ivfOracle(" AND vec_id % 37 <> 0")
 
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,

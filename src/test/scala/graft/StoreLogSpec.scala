@@ -712,6 +712,7 @@ class StoreLogSpec extends AnyFunSuite {
     val backing = Files.createTempDirectory("graft_viewfs")
     spark.sparkContext.hadoopConfiguration.set(
       "fs.viewfs.mounttable.graftcas.link./store", backing.toUri.toString)
+    try {
     val dir = "viewfs://graftcas/store"
     assert(StoreLog.canLog(dir))
     assert(StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet")) === 1L)
@@ -730,6 +731,8 @@ class StoreLogSpec extends AnyFunSuite {
     StoreLog.vacuum(dir, retainVersions = 1)
     assert(StoreLog.listVersions(dir) === Seq(2L))
     assert(StoreLog.read(dir, 2L).files === Seq("a.parquet", "p=1/b.parquet"))
+    } finally spark.sparkContext.hadoopConfiguration.unset(
+      "fs.viewfs.mounttable.graftcas.link./store")
   }
 
   test("delete on a TIMESTAMP-partitioned store: URI-decoded file matching survives escaped paths") {
@@ -762,6 +765,7 @@ class StoreLogSpec extends AnyFunSuite {
     val backing = Files.createTempDirectory("graft_viewfs_e2e")
     spark.sparkContext.hadoopConfiguration.set(
       "fs.viewfs.mounttable.graftstore.link./data", backing.toUri.toString)
+    try {
     // the store must live BELOW the mount point: the mount root itself
     // is ViewFs-internal (read-only), and an Overwrite write deletes
     // its own target directory
@@ -784,6 +788,8 @@ class StoreLogSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       TsStore.read(spark, dir, asOf = Some(1L)).collect()
     }
+    } finally spark.sparkContext.hadoopConfiguration.unset(
+      "fs.viewfs.mounttable.graftstore.link./data")
   }
 
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {
