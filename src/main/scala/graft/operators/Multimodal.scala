@@ -116,6 +116,39 @@ object Multimodal {
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
       "multimodal assembly: documents ⋈ embeddings, text + vector summary"),
 
+    "mm_binary_source" -> DeclaredQuery(
+      // RAW-FILE multimodal ingest — the missing first step of the
+      // binary pipeline: media lands as FILES (images/audio dumped by a
+      // crawler), and Spark's binaryFile source turns a directory of
+      // them into (path, length, content) rows without any decode. Here
+      // a deterministic landing zone is derived from the documents
+      // fixture (each doc's UTF-8 bytes as one .bin file, 200 files),
+      // read back via format("binaryFile"), keyed by the id parsed from
+      // the path, and byte-verified: length and md5(content) must equal
+      // the oracle's octet_length/md5 over the source text. At 100 TB
+      // the same plan shape carries pathGlobFilter/recursiveFileLookup
+      // partitioned crawls, and content flows as an opaque binary
+      // column into the mm_* decode/dedup stages.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("binsrc_")
+        Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select("doc_id", "text").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(root)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length, " +
+        "md5(text) AS digest FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+      "raw-file multimodal ingest: a landed media directory through the binaryFile source, byte-verified"),
+
     "mm_meta" -> DeclaredQuery(
       // Metadata extraction over the opaque binary payload — pure SQL
       // expressions (the oracle-checkable twin of decodeStub).
