@@ -76,9 +76,22 @@ object CommitIo {
 
   /** Schemes whose [[Hadoop]] impl has an honest atomic no-overwrite
     * publish. `file` qualifies because the impl delegates that one
-    * operation to link(2) (see [[Hadoop.publishIfAbsent]]).
+    * operation to link(2) (see [[Hadoop.publishIfAbsent]]). `webhdfs`
+    * does NOT: stock Hadoop ships no AbstractFileSystem binding for it,
+    * so the FileContext the publish needs cannot even be constructed —
+    * claiming it would fail at the first commit instead of degrading to
+    * the unlogged write path as [[forPath]] promises.
     */
-  private val HadoopCasSchemes = Set("file", "hdfs", "viewfs", "webhdfs", "ofs")
+  private val HadoopCasSchemes = Set("file", "hdfs", "viewfs", "ofs")
+
+  /** Hadoop conf key naming ADDITIONAL schemes whose
+    * `FileContext.rename(Rename.NONE)` the operator asserts is atomic
+    * no-overwrite (comma-separated). An HCFS that honors the NameNode
+    * rename contract but isn't in the built-in set opts in here; the
+    * scheme must ship an `AbstractFileSystem` binding
+    * (`fs.AbstractFileSystem.<scheme>.impl`) or the first commit fails.
+    */
+  private[graft] val ExtraCasSchemesKey = "graft.commitio.extra.cas.schemes"
 
   /** Resolve the backend for a path: plain (scheme-less) paths take the
     * java.nio impl; `file:`/HDFS-like URIs take the Hadoop impl; schemes
@@ -90,7 +103,9 @@ object CommitIo {
     else {
       // RFC 3986: schemes are case-insensitive, and Hadoop accepts both
       val scheme = path.takeWhile(_ != ':').toLowerCase
-      if (!HadoopCasSchemes.contains(scheme)) None
+      lazy val extra = hadoopConf()
+        .getTrimmedStrings(ExtraCasSchemesKey).map(_.toLowerCase).toSet
+      if (!HadoopCasSchemes.contains(scheme) && !extra.contains(scheme)) None
       else {
         // one Hadoop impl per Configuration instance: forPath runs per
         // primitive on the metadata path (a delta-chain read makes
@@ -226,8 +241,34 @@ object CommitIo {
 
     private def hp(s: String) = new HPath(s)
     private def fs(p: HPath) = p.getFileSystem(conf)
-    private def isLocalScheme(p: HPath): Boolean =
-      Option(fs(p).getUri.getScheme).forall(_ == "file")
+
+    /** The path `p` rewritten onto its BACKING local filesystem when the
+      * operations at `p` would actually execute over RawLocalFs — either
+      * because the scheme is `file` itself, or because a mount-table
+      * scheme (viewfs) resolves there. The distinction matters for the
+      * two atomicity-critical operations: a viewfs mount backed by
+      * `file:` takes the same check-then-act `FileContext.rename` as a
+      * bare local path would (ViewFs delegates to ChRootedFs over
+      * RawLocalFs, whose rename(2) overwrites), so it needs the link(2)
+      * publish just as much. Resolution goes through the PARENT
+      * directory (created first) because `FileSystem.resolvePath`
+      * requires an existing path and the publish target does not exist
+      * yet by definition. Returns None for non-local backends (hdfs —
+      * where the NameNode rename contract holds) and when resolution
+      * itself fails (then the FileContext branch surfaces the real
+      * error).
+      */
+    private[graft] def resolveLocal(p: HPath): Option[HPath] = {
+      val f = fs(p)
+      if (Option(f.getUri.getScheme).forall(_ == "file")) return Some(p)
+      try {
+        f.mkdirs(p.getParent)
+        val rp = f.resolvePath(p.getParent)
+        if (Option(rp.toUri.getScheme).contains("file"))
+          Some(new HPath(rp, p.getName))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Stage bytes to a hidden temp file next to `target` through the
       * FileContext API (raw — no checksum shadow files; the subsequent
@@ -247,11 +288,14 @@ object CommitIo {
 
     override def publishIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
       val target = hp(path)
-      if (isLocalScheme(target)) {
-        // local backend: link(2) is the only atomic fail-if-exists the
-        // OS offers — see the class doc
-        fs(target).mkdirs(target.getParent)
-        return Local.publishIfAbsent(target.toUri.getPath, bytes)
+      resolveLocal(target) match {
+        case Some(local) =>
+          // local backend (bare file: or a viewfs mount resolving to
+          // one): link(2) is the only atomic fail-if-exists the OS
+          // offers — see the class doc
+          fs(target).mkdirs(target.getParent)
+          return Local.publishIfAbsent(local.toUri.getPath, bytes)
+        case None => ()
       }
       val fc = FileContext.getFileContext(target.toUri, conf)
       val tmp = stage(fc, target, bytes, "commit_")
@@ -271,13 +315,19 @@ object CommitIo {
 
     override def replaceAtomic(path: String, bytes: Array[Byte]): Unit = {
       val target = hp(path)
-      if (isLocalScheme(target)) {
-        Local.replaceAtomic(target.toUri.getPath, bytes)
-        // drop a stale checksum shadow — the rewritten manifest no
-        // longer matches it, and Hadoop's local reads verify crc files
-        val crc = new HPath(target.getParent, s".${target.getName}.crc")
-        if (fs(target).exists(crc)) fs(target).delete(crc, false)
-        return
+      resolveLocal(target) match {
+        case Some(local) =>
+          // drop a stale checksum shadow BEFORE the replace: a reader
+          // racing the other order would pair the new manifest with the
+          // old .crc and fail with a ChecksumException; with the crc
+          // gone first, Hadoop's checksummed local reads simply skip
+          // verification for the window (nothing recreates the crc —
+          // every manifest write here is raw)
+          val crc = new HPath(target.getParent, s".${target.getName}.crc")
+          if (fs(target).exists(crc)) fs(target).delete(crc, false)
+          Local.replaceAtomic(local.toUri.getPath, bytes)
+          return
+        case None => ()
       }
       val fc = FileContext.getFileContext(target.toUri, conf)
       val tmp = stage(fc, target, bytes, "ckpt_")

@@ -184,8 +184,14 @@ object StoreLog {
     // version as a checkpoint — so re-walking from the requested
     // version sees the rewritten (now self-contained) manifest. Reads
     // of versions vacuum actually DROPPED still fail, as they should.
+    // IOException is retried too: a checksummed local-FS reader racing
+    // the checkpoint rewrite can transiently see a manifest/crc
+    // mismatch (ChecksumException) or a mid-swap read failure.
     try readResolve(path, version)
-    catch { case _: IllegalArgumentException => readResolve(path, version) }
+    catch {
+      case _: IllegalArgumentException | _: java.io.IOException |
+           _: java.io.UncheckedIOException => readResolve(path, version)
+    }
   }
 
   private def readResolve(path: String, version: Long): Snapshot = {
@@ -352,12 +358,15 @@ object StoreLog {
       fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
         .filter(n => mtimeOpt(s"${logDir(path)}/$n")
           .exists(m => now - m < WriterLeaseMs))
-    // reclaim crashed writers' expired leases up front
+    // reclaim crashed writers' expired leases up front — only leases
+    // whose age is READABLE and past the window; an unreadable mtime
+    // (transient IO error, or the lease released mid-check) is left
+    // alone rather than treated as expired
     locally {
       val now = System.currentTimeMillis()
       fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
         .filter(n => mtimeOpt(s"${logDir(path)}/$n")
-          .forall(m => now - m >= WriterLeaseMs))
+          .exists(m => now - m >= WriterLeaseMs))
         .foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
     }
     if (listVersions(path).isEmpty) return 0
@@ -388,22 +397,29 @@ object StoreLog {
         deleted = candidates.filter { f =>
           // while a writer is live, a dead-looking YOUNG file may be
           // its adopted-but-uncommitted output (mtime = adopt time,
-          // stamped by adoptStaged) — spare those; genuinely replaced
-          // chunks age past the lease window and reclaim next pass
+          // stamped by adoptStaged) — spare those, and treat an
+          // UNREADABLE mtime as young too (a transient mtime-read
+          // failure on a live writer's freshly adopted file must not
+          // delete it; a genuinely dead file reclaims next pass once
+          // its age is readable). Without a live writer a missing
+          // mtime just means the file already vanished — deleting is
+          // a quiet no-op.
           !writerActive ||
-            mtimeOpt(s"$path/$f").forall(m => now - m >= WriterLeaseMs)
+            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs)
         }
         done = true
       } else {
         attempt += 1
         if (attempt > 5) {
           // continuous commit churn: fall back to age-only reclaim —
-          // always safe (new adoptions are never old), never livelocks
+          // always safe (new adoptions are never old), never livelocks.
+          // Writers are by definition active here, so an unreadable
+          // mtime counts as young (same rule as the leased path above).
           versions = listVersions(path)
           val retained2 = versions.takeRight(retainVersions)
           val live2: Set[String] = retained2.flatMap(v => read(path, v).files).toSet
           deleted = listDataFiles(path).filterNot(live2).filter(f =>
-            mtimeOpt(s"$path/$f").forall(m => now - m >= WriterLeaseMs))
+            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs))
           done = true
         }
       }

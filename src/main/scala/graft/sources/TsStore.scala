@@ -69,12 +69,44 @@ object TsStore {
     * fine for the handful of series a normal batch carries. Caller
     * guarantees `rows` non-empty.
     */
+  /** Balanced OR over disjuncts: a left-nested `reduce(_ || _)` builds a
+    * Column tree as DEEP as the key count, and the ColumnNode→Expression
+    * conversion recurses it — a 1000-key takedown chunk overflows the
+    * stack before the plan even exists. Balancing keeps depth at
+    * log2(n), so the chunk caps bound plan WIDTH and nothing bounds
+    * depth but the logarithm.
+    */
+  private def orBalanced(cs: IndexedSeq[Column]): Column =
+    if (cs.sizeIs == 1) cs.head
+    else {
+      val (a, b) = cs.splitAt(cs.size / 2)
+      orBalanced(a) || orBalanced(b)
+    }
+
   private[graft] def keyPredicate(rows: Seq[org.apache.spark.sql.Row],
                                   keyCols: Seq[String]): Column =
     if (keyCols.sizeIs == 1) col(keyCols.head).isin(rows.map(_.get(0)): _*)
-    else rows.map { r =>
+    else orBalanced(rows.toIndexedSeq.map { r =>
       keyCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
-    }.reduce(_ || _)
+    })
+
+  /** VERSIONED takedown predicate: each row is (key components…,
+    * delete-version), and a stored row matches when its key equals one
+    * of them AND its `versionCol` is <= that key's delete version —
+    * delete-wins-ties, reinserts-at-higher-versions survive (the CDC
+    * in-batch order resolution; see
+    * [[graft.streaming.StoreIngest.startCdc]]). Plan size is O(rows):
+    * callers chunk large key sets
+    * ([[graft.streaming.StoreIngest.MaxKeysPerDeletePass]]).
+    */
+  private[graft] def versionedKeyPredicate(rows: Seq[org.apache.spark.sql.Row],
+                                           keyCols: Seq[String],
+                                           versionCol: String): Column =
+    orBalanced(rows.toIndexedSeq.map { r =>
+      val keyEq = keyCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
+      keyEq && col(versionCol) <= lit(r.get(keyCols.size))
+    })
 
   def overlappingSeries(spark: SparkSession, path: String, incoming: DataFrame,
                         tsCol: String, uidCols: Seq[String]): Seq[String] = {

@@ -53,18 +53,37 @@ object StoreIngest {
       .start()
   }
 
+  /** Cap on how many takedown keys one [[TsStore.delete]] pass inlines
+    * as literals. A million-key takedown batch must not build a
+    * million-literal predicate off the driver collect — the plan's size
+    * (and the analyzer's walk over it) would be unbounded by anything
+    * but the feed. Keys beyond the cap run as additional file-granular
+    * delete passes: each pass is its own atomic, auditable manifest
+    * version, each plan stays O(cap), and passes are per-key
+    * independent so a crash between them re-converges on re-delivery
+    * exactly like a whole-batch replay.
+    */
+  private[graft] val MaxKeysPerDeletePass = 1000
+
   /** CDC ingest — the takedown-feed twin of [[start]]: the stream
     * carries an `opCol` whose value `'D'` marks a delete of that row's
-    * key; every other row merges latest-wins like [[start]]. Per
-    * micro-batch: ONE manifest-committed upsert for the non-delete
-    * rows, then ONE file-granular [[TsStore.delete]] for the delete
-    * keys (collected driver-side — bounded by the batch's takedown
-    * count), so a key both updated and deleted within a batch ends
-    * deleted. Re-delivery converges: replayed upserts map onto the same
-    * winners and a replayed delete matches nothing — a batch replayed
-    * from its start may transiently resurrect a key its later delete
-    * removes again, i.e. at-least-once inside the batch, exactly-once
-    * at batch completion (pinned in StreamingSpec by a mid-stream
+    * key; every other row merges latest-wins like [[start]]. A
+    * DataFrame has no recoverable arrival order, so within a batch the
+    * delete-vs-upsert race is resolved by VERSION, same as the merge
+    * itself: a delete at version v removes rows with `versionCol <= v`
+    * (the store's current rows included), while an upsert of the same
+    * key at a HIGHER version — a reinsert after the delete — survives
+    * both the upsert filter and the delete's rewrite. On a version tie
+    * the delete wins. Per micro-batch: ONE manifest-committed upsert
+    * for the surviving non-delete rows, then the takedown keys
+    * (collected driver-side — bounded by the batch's takedown count)
+    * applied in [[MaxKeysPerDeletePass]]-key file-granular delete
+    * passes. A delete row carrying a NULL key component is rejected
+    * loudly — `===` can never match it, so it would otherwise silently
+    * no-op. Re-delivery converges: replayed upserts map onto the same
+    * winners and a replayed versioned delete removes only what it
+    * removed before — at-least-once inside the batch, exactly-once at
+    * batch completion (pinned in StreamingSpec by a mid-stream
     * checkpoint-marker crash).
     *
     * This is the GDPR/decontamination shape at 100 TB: takedowns arrive
@@ -78,21 +97,40 @@ object StoreIngest {
                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+        import org.apache.spark.sql.functions.{coalesce, col, lit, max, not}
         // null op = upsert: a bare `op =!= 'D'` is null-valued on null
         // ops and would silently DROP those rows from both branches
         val isDelete = coalesce(col(opCol) === "D", lit(false))
-        val ups = batch.filter(not(isDelete)).drop(opCol)
+        // per-key highest delete version — one driver-side collect
+        // serves the null-key validation, the upsert supersession
+        // filter, and the delete passes
+        val delMax = batch.filter(isDelete)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col(versionCol)).as("__del_v"))
+        val delKeys = delMax.collect().toSeq
+        delKeys.foreach { r =>
+          keyCols.indices.foreach(i => require(!r.isNullAt(i),
+            s"CDC delete row with null key component '${keyCols(i)}' — " +
+              "a null key can never match a stored row; fix the feed"))
+        }
+        val ups0 = batch.filter(not(isDelete)).drop(opCol)
+        // drop upsert rows a same-key delete supersedes (version <= the
+        // delete's); a left join against the tiny delete-key set keeps
+        // this fully distributed — no literal plans on the upsert side
+        val ups =
+          if (delKeys.isEmpty) ups0
+          else ups0.join(delMax.hint("broadcast"), keyCols, "left_outer")
+            .filter(col("__del_v").isNull || col(versionCol) > col("__del_v"))
+            .drop("__del_v")
         if (!ups.isEmpty)
           TsStore.upsert(batch.sparkSession, path, ups,
             keyCols = keyCols, versionCol = versionCol,
             tsCol = tsCol, uidCols = uidCols)
-        val delKeys = batch.filter(isDelete)
-          .select(keyCols.map(col): _*).distinct().collect().toSeq
-        if (delKeys.nonEmpty)
+        delKeys.grouped(MaxKeysPerDeletePass).foreach { chunk =>
           TsStore.delete(batch.sparkSession, path,
-            TsStore.keyPredicate(delKeys, keyCols),
+            TsStore.versionedKeyPredicate(chunk, keyCols, versionCol),
             tsCol = tsCol, uidCols = uidCols)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -332,15 +332,23 @@ class BundlesSpec extends AnyFunSuite {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_bcdc").toString
     val ct = new Bundles(spark, s"$root/db")
+    // batch 0 lands the ticks; batch 1 takes one down — the takedown of
+    // STORED data must be its own auditable manifest version. (A
+    // same-batch insert+takedown never lands at all — version-resolved
+    // supersession, pinned in StreamingSpec — so the audit shape needs
+    // two batches.)
     Seq(("aapl", ts("2024-01-01 09:30:00"), 100.0, 1L, "U"),
         ("msft", ts("2024-01-01 09:30:00"), 50.0, 1L, "U"),
-        ("aapl", ts("2024-01-01 09:31:00"), 101.0, 1L, "U"),
-        ("aapl", ts("2024-01-01 09:30:00"), 0.0, 2L, "D")) // takedown of one tick
+        ("aapl", ts("2024-01-01 09:31:00"), 101.0, 1L, "U"))
       .toDF("sym", "ts", "price", "version", "op")
-      .write.mode("append").parquet(s"$root/src")
+      .repartition(1).write.mode("append").parquet(s"$root/src")
+    Seq(("aapl", ts("2024-01-01 09:30:00"), 0.0, 2L, "D")) // takedown of one tick
+      .toDF("sym", "ts", "price", "version", "op")
+      .repartition(1).write.mode("append").parquet(s"$root/src")
     val q = ct.ingestCdc(
       spark.readStream
         .schema("sym STRING, ts TIMESTAMP, price DOUBLE, version LONG, op STRING")
+        .option("maxFilesPerTrigger", 1)
         .parquet(s"$root/src"),
       uidCol = "sym", opCol = "op", keyCols = Seq("ts"), versionCol = "version",
       checkpoint = s"$root/ckpt")

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{StoreLog, Tables, TsStore}
+import graft.sources.{CommitIo, StoreLog, Tables, TsStore}
 
 /** The manifest commit protocol: crash atomicity (readers see fully-old
   * or fully-new, never a mix), cross-process-style conflict detection
@@ -704,18 +704,30 @@ class StoreLogSpec extends AnyFunSuite {
       "surviving manifest is not one writer's intact content")
   }
 
-  test("the FileContext rename-no-overwrite branch commits on a non-file scheme (viewfs)") {
-    // viewfs mounts resolve in-process with no daemon, and its scheme is
-    // not 'file' — so this drives the EXACT code path an HDFS deployment
-    // would use: FileContext.create staging + rename(Rename.NONE) CAS +
-    // rename(OVERWRITE) for vacuum's checkpoint rewrite.
+  test("a viewfs mount backed by file: reroutes the publish to link(2) — and the protocol still holds") {
+    // A viewfs-over-file rename(Rename.NONE) is CHECK-THEN-ACT over
+    // RawLocalFs (rename(2) overwrites) — the same hazard bare file:
+    // has. resolveLocal must see through the mount table and take the
+    // link(2) publish; the full commit/CAS/vacuum protocol must be
+    // unchanged by the rerouting.
     val backing = Files.createTempDirectory("graft_viewfs")
     spark.sparkContext.hadoopConfiguration.set(
       "fs.viewfs.mounttable.graftcas.link./store", backing.toUri.toString)
     try {
     val dir = "viewfs://graftcas/store"
     assert(StoreLog.canLog(dir))
+    // pin the rerouting itself: the mount's backing filesystem is file:,
+    // so resolveLocal rewrites the path onto it
+    val hio = CommitIo.forPath(dir).get.asInstanceOf[CommitIo.Hadoop]
+    val resolved = hio.resolveLocal(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_log/v00000001.json"))
+    assert(resolved.isDefined, "viewfs-over-file must resolve to the local backend")
+    assert(resolved.get.toUri.getPath.startsWith(backing.toString),
+      s"resolved ${resolved.get} should land in the backing dir $backing")
     assert(StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet")) === 1L)
+    // the publish went through link(2) on the BACKING path — the
+    // manifest is physically there
+    assert(Files.exists(backing.resolve("_graft_log/v00000001.json")))
     // CAS loss through the rename branch
     val e = intercept[StoreLog.CommitConflict] {
       StoreLog.commit(dir, 0L, Seq.empty, Seq("b.parquet"))
@@ -733,6 +745,89 @@ class StoreLogSpec extends AnyFunSuite {
     assert(StoreLog.read(dir, 2L).files === Seq("a.parquet", "p=1/b.parquet"))
     } finally spark.sparkContext.hadoopConfiguration.unset(
       "fs.viewfs.mounttable.graftcas.link./store")
+  }
+
+  test("the FileContext rename-no-overwrite branch commits on a non-local scheme (mocknn)") {
+    // mocknn is local disk masquerading as a non-file scheme with an
+    // AbstractFileSystem binding whose no-overwrite rename honors the
+    // NameNode contract (MockNnFs) — so this drives the EXACT code path
+    // an HDFS deployment would use: FileContext.create staging +
+    // rename(Rename.NONE) CAS + rename(OVERWRITE) for vacuum's
+    // checkpoint rewrite, with no link(2) rerouting possible.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocknn.impl", classOf[MockNnFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.mocknn.impl", classOf[MockNnFs].getName)
+    conf.set(CommitIo.ExtraCasSchemesKey, "mocknn")
+    val backing = Files.createTempDirectory("graft_mocknn")
+    try {
+    val dir = s"mocknn://$backing/store"
+    assert(StoreLog.canLog(dir))
+    // no rerouting: the scheme resolves to mocknn, not file
+    val hio = CommitIo.forPath(dir).get.asInstanceOf[CommitIo.Hadoop]
+    assert(hio.resolveLocal(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_log/vx.json")).isEmpty,
+      "mocknn must NOT reroute to the link(2) publish")
+    assert(StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet")) === 1L)
+    // CAS loss through the rename branch
+    val e = intercept[StoreLog.CommitConflict] {
+      StoreLog.commit(dir, 0L, Seq.empty, Seq("b.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    val snap1 = StoreLog.read(dir, 1L)
+    assert(snap1.files === Seq("a.parquet"))
+    StoreLog.commit(dir, 1L, Seq("p=1"), Seq("a.parquet", "p=1/b.parquet"),
+      parent = Some(snap1))
+    assert(StoreLog.latest(dir).get.files === Seq("a.parquet", "p=1/b.parquet"))
+    // v2 was a delta; vacuum must rewrite it as a checkpoint through
+    // FileContext rename(OVERWRITE) and drop v1
+    StoreLog.vacuum(dir, retainVersions = 1)
+    assert(StoreLog.listVersions(dir) === Seq(2L))
+    assert(StoreLog.read(dir, 2L).files === Seq("a.parquet", "p=1/b.parquet"))
+    } finally {
+      conf.unset("fs.mocknn.impl")
+      conf.unset("fs.AbstractFileSystem.mocknn.impl")
+      conf.unset(CommitIo.ExtraCasSchemesKey)
+    }
+  }
+
+  test("racing publishes through the FileContext rename branch: exactly one winner (mocknn)") {
+    // 8 threads race publishIfAbsent on the same manifest version
+    // through FileContext.rename(Rename.NONE) over MockNnFs, whose
+    // rename is atomic-no-overwrite by construction (the NameNode
+    // contract, emulated in-process). Exactly one must win and the
+    // winner's bytes must survive intact.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocknn.impl", classOf[MockNnFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.mocknn.impl", classOf[MockNnFs].getName)
+    conf.set(CommitIo.ExtraCasSchemesKey, "mocknn")
+    val backing = Files.createTempDirectory("graft_mocknn_race")
+    try {
+    val target = s"mocknn://$backing/store/_graft_log/v00000001.json"
+    val hio = CommitIo.forPath(target).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          gate.await()
+          hio.publishIfAbsent(target, s"writer-$i".getBytes)
+        }
+      })
+    }
+    gate.countDown()
+    val results = wins.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.count(identity) === 1,
+      s"expected exactly one CAS winner, got ${results.count(identity)}")
+    val surviving = new String(Files.readAllBytes(
+      backing.resolve("store/_graft_log/v00000001.json")))
+    assert(surviving.matches("writer-\\d"),
+      "surviving manifest is not one writer's intact content")
+    } finally {
+      conf.unset("fs.mocknn.impl")
+      conf.unset("fs.AbstractFileSystem.mocknn.impl")
+      conf.unset(CommitIo.ExtraCasSchemesKey)
+    }
   }
 
   test("delete on a TIMESTAMP-partitioned store: URI-decoded file matching survives escaped paths") {
@@ -756,12 +851,13 @@ class StoreLogSpec extends AnyFunSuite {
     assert(StoreLog.read(dir, v).replaced.forall(_.contains("09%3A30")))
   }
 
-  test("TsStore end to end on a viewfs:// path: the full protocol through the HDFS-contract branch") {
-    // the strongest non-file-scheme proof available without a NameNode:
-    // Spark writes/reads through ViewFileSystem, adoption renames via
-    // the Hadoop FS API, and every manifest publish takes the
-    // FileContext.rename(Rename.NONE) CAS — the exact branch an HDFS
-    // deployment runs, end to end rather than per-primitive
+  test("TsStore end to end on a viewfs:// path: Spark IO through the mount, publishes rerouted to link(2)") {
+    // Spark writes/reads through ViewFileSystem and adoption renames via
+    // the Hadoop FS API; the manifest publishes resolve the file-backed
+    // mount and take link(2) (a viewfs-over-file FileContext rename is
+    // check-then-act — see resolveLocal). The full-protocol FileContext
+    // coverage lives in the mocknn e2e test below, where no rerouting
+    // is possible.
     val backing = Files.createTempDirectory("graft_viewfs_e2e")
     spark.sparkContext.hadoopConfiguration.set(
       "fs.viewfs.mounttable.graftstore.link./data", backing.toUri.toString)
@@ -790,6 +886,45 @@ class StoreLogSpec extends AnyFunSuite {
     }
     } finally spark.sparkContext.hadoopConfiguration.unset(
       "fs.viewfs.mounttable.graftstore.link./data")
+  }
+
+  test("TsStore end to end on a mocknn:// path: the full protocol through the HDFS-contract branch") {
+    // the strongest non-local proof available without a NameNode: Spark
+    // writes/reads through MockNnFileSystem, adoption renames via the
+    // Hadoop FS API, and every manifest publish takes the
+    // FileContext.rename(Rename.NONE) CAS (mocknn cannot reroute to
+    // link(2) — its scheme never resolves to file:) — the exact branch
+    // an HDFS deployment runs, end to end rather than per-primitive
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocknn.impl", classOf[MockNnFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.mocknn.impl", classOf[MockNnFs].getName)
+    conf.set(CommitIo.ExtraCasSchemesKey, "mocknn")
+    val backing = Files.createTempDirectory("graft_mocknn_e2e")
+    try {
+    val dir = s"mocknn://$backing/store"
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val d1 = delta(10, 1000.0)
+    val v = TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    assert(v === 2L, s"expected ensure()=v1 + upsert()=v2, got v$v")
+    same(TsStore.read(spark, dir), merged(base, d1))
+    same(TsStore.read(spark, dir, asOf = Some(1L)), base)
+    // delete through the same branch
+    val pred = col("event_type") === "purchase" && col("event_id") % 4 === 0
+    TsStore.delete(spark, dir, pred, tsCol = "ts", uidCols = Seq("event_type"))
+    same(TsStore.read(spark, dir), merged(base, d1).filter(not(pred)))
+    // vacuum (checkpoint rewrite via FileContext rename OVERWRITE)
+    assert(TsStore.vacuum(dir) > 0)
+    same(TsStore.read(spark, dir), merged(base, d1).filter(not(pred)))
+    assertThrows[IllegalArgumentException] {
+      TsStore.read(spark, dir, asOf = Some(1L)).collect()
+    }
+    } finally {
+      conf.unset("fs.mocknn.impl")
+      conf.unset("fs.AbstractFileSystem.mocknn.impl")
+      conf.unset(CommitIo.ExtraCasSchemesKey)
+    }
   }
 
   test("upsert on a TIMESTAMP-partitioned store replaces rows, never duplicates them") {

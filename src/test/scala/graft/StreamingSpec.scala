@@ -376,6 +376,111 @@ class StreamingSpec extends AnyFunSuite {
       s"re-delivered CDC batch corrupted the store: ${state()}")
   }
 
+  test("CDC in-batch order: version resolves delete-vs-upsert; reinserts above the delete survive") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    // a DataFrame batch has no recoverable arrival order, so the
+    // delete/upsert race within one batch resolves by VERSION: an
+    // upsert at version <= a same-key delete's version is superseded
+    // (including a tie — delete wins); an upsert ABOVE it is a
+    // reinsert-after-delete and must survive both branches
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_ord").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    // ONE batch carrying, per key:
+    //   key 1: U@v1 then D@v2            → deleted
+    //   key 2: D@v2 then U@v3 (reinsert) → survives at v3
+    //   key 3: U@v2 and D@v2 (tie)       → delete wins
+    //   key 4: plain U@v1                → survives
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L, "U"),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:01:00"), "view", 2L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:01:00"), "view", 2L, 22.0, 3L, "U"),
+        (ts("2024-01-01 10:02:00"), "view", 3L, 3.0, 2L, "U"),
+        (ts("2024-01-01 10:02:00"), "view", 3L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:03:00"), "view", 4L, 4.0, 1L, "U"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q = StoreIngest.startCdc(
+      spark.readStream.schema(schema).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    q.awaitTermination()
+    val got = TsStore.read(spark, store)
+      .select("event_id", "value").as[(Long, Double)].collect().toSet
+    assert(got === Set((2L, 22.0), (4L, 4.0)),
+      s"version-resolved CDC batch produced the wrong state: $got")
+  }
+
+  test("CDC rejects a delete row with a null key component loudly") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    // === never matches null — a null-keyed delete would silently no-op,
+    // which for a takedown feed means a GDPR request that LOOKS applied
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_null").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    Seq((ts("2024-01-01 10:00:00"), "view", java.lang.Long.valueOf(1L), 1.0, 1L, "U"),
+        (ts("2024-01-01 10:01:00"), "view", null.asInstanceOf[java.lang.Long], 0.0, 2L, "D"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q = StoreIngest.startCdc(
+      spark.readStream.schema(schema).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("null key component") ||
+      Option(e.getCause).exists(_.getMessage.contains("null key component")),
+      s"expected the loud null-key reject, got: ${e.getMessage.take(400)}")
+  }
+
+  test("CDC chunks a large takedown batch into bounded delete passes, each its own version") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    // a takedown batch larger than MaxKeysPerDeletePass must not build
+    // one giant literal plan: it runs ceil(n/cap) file-granular delete
+    // passes, each an atomic auditable manifest version, and the end
+    // state equals the whole-batch semantics
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_big").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val cap = StoreIngest.MaxKeysPerDeletePass
+    val nDel = cap + 7 // 2 passes
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    // batch 0: insert nDel + 50 keys
+    (0 until nDel + 50).map { i =>
+      (new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 1000L),
+        "view", i.toLong, i * 1.0, 1L, "U")
+    }.toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    // batch 1: take down the first nDel keys
+    (0 until nDel).map { i =>
+      (new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 1000L),
+        "view", i.toLong, 0.0, 2L, "D")
+    }.toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q = StoreIngest.startCdc(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    q.awaitTermination()
+    val survivors = TsStore.read(spark, store)
+      .select("event_id").as[Long].collect().toSet
+    assert(survivors === (nDel until nDel + 50).map(_.toLong).toSet,
+      s"chunked takedown missed keys: ${survivors.size} survivors")
+    // version audit: ensure + insert-upsert + (batch-1 passes) — the
+    // takedown landed as exactly TWO delete versions (ceil(1007/1000))
+    val versions = TsStore.versions(store)
+    assert(versions.size === 4,
+      s"expected ensure+upsert+2 chunked delete versions, got $versions")
+  }
+
   test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
     import spark.implicits._
     import graft.streaming.StoreIngest
