@@ -379,7 +379,8 @@ class Bundles(spark: SparkSession, basePath: String,
           // configured per-store checkpoint cadence to the default —
           // carry the snapshot's interval through the full listing
           try StoreLog.commit(dir(collection), v, replaced, moved,
-            interval = Some(snap.checkpointInterval))
+            interval = Some(snap.checkpointInterval),
+            addStats = FileStats.forFiles(dir(collection), moved))
           catch {
             case c: StoreLog.CommitConflict =>
               StoreLog.deleteDataFiles(dir(collection), moved)
@@ -481,7 +482,8 @@ class Bundles(spark: SparkSession, basePath: String,
             s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
           val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
           try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved,
-            parent = Some(snap))
+            parent = Some(snap),
+            addStats = FileStats.forFiles(dir(collection), moved))
           catch {
             case c: StoreLog.CommitConflict =>
               StoreLog.deleteDataFiles(dir(collection), moved)

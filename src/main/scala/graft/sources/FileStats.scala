@@ -1,0 +1,319 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+/** Per-file column statistics carried in the [[StoreLog]] manifest — the
+  * planner's index over the store's own files, the role Delta/Iceberg
+  * give their per-file min/max records. Without them every manifest-aware
+  * read knows only file NAMES: a ts-slice must open every live footer in
+  * the touched partitions, and a delete-by-key must SCAN every live file
+  * to find matches. With them, [[TsStore.read]] and [[TsStore.delete]]
+  * build the candidate file list driver-side BEFORE Spark opens a single
+  * footer — O(manifest) metadata work instead of O(store) IO.
+  *
+  * Collection is free-riding: the committing writer just PRODUCED the
+  * files, so their parquet footers are hot; [[forFiles]] reads min/max
+  * straight out of the row-group metadata (no data pages, no Spark job).
+  *
+  * Pruning ([[mayMatch]]) is CONSERVATIVE by construction: a file is
+  * dropped only when its recorded bounds prove no row can satisfy the
+  * predicate. Unrecognized predicate shapes, columns without stats,
+  * type-tag mismatches (a micros timestamp bound never compares against
+  * an NTZ literal), and stat-less legacy manifests all keep the file.
+  * Strings compare by UNSIGNED UTF-8 byte order — the ordering parquet
+  * used to compute the bounds (java String order diverges above the BMP,
+  * and a wrong prune here is a silently-incomplete DELETE).
+  */
+object FileStats {
+
+  /** One column's bounds. `tag` pins the VALUE SEMANTICS, not just the
+    * storage type, so unit/zone mismatches can never compare:
+    * "i" integral (Long), "f" floating (Double), "s" UTF-8 string,
+    * "ts" instant micros (Long), "tn" local-datetime micros (Long),
+    * "d" date days (Long).
+    */
+  final case class ColStat(tag: String, min: Any, max: Any)
+
+  type FileStatsMap = Map[String, ColStat]
+
+  /** Cap on columns recorded per file (schema order) — bounds manifest
+    * growth on wide tables; later columns simply never prune.
+    */
+  val MaxStatsCols = 24
+
+  /** Strings longer than this are not recorded: truncating a MAX bound
+    * requires rounding UP in byte order (fiddly and rarely useful), and
+    * long strings (document text) are poor prune keys anyway.
+    */
+  val MaxStringLen = 64
+
+  // ---------------------------------------------------------------- write
+
+  /** Read per-file column bounds from the parquet footers of
+    * store-relative `rels` (driver-side, metadata-only; cost is
+    * O(committed files), the same budget as the manifest delta that
+    * names them). A column is recorded only when EVERY row group carries
+    * usable stats for it; files that fail to open are skipped (the
+    * manifest simply carries no stats for them — reads stay correct,
+    * just unpruned).
+    */
+  def forFiles(path: String, rels: Seq[String]): Map[String, FileStatsMap] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    rels.flatMap { rel =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new HPath(s"$path/$rel"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fs = fromFooter(reader.getFooter)
+          if (fs.isEmpty) None else Some(rel -> fs)
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+  }
+
+  private def fromFooter(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): FileStatsMap = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = footer.getFileMetaData.getSchema
+    val blocks = footer.getBlocks.asScala.toSeq
+    if (blocks.isEmpty) return Map.empty
+    // eligible TOP-LEVEL primitive fields, schema order, capped
+    val eligible: Seq[(String, String)] = schema.getFields.asScala.toSeq.flatMap { f =>
+      if (!f.isPrimitive) None
+      else {
+        val p = f.asPrimitiveType()
+        val tag = (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+          case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(if (t.isAdjustedToUTC) "ts" else "tn")
+          case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
+          case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => Some("d")
+          case (INT32 | INT64, _) => Some("i")
+          case (FLOAT | DOUBLE, _) => Some("f")
+          case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => Some("s")
+          case _ => None
+        }
+        tag.map(t => f.getName -> t)
+      }
+    }.take(MaxStatsCols)
+    eligible.flatMap { case (name, tag) =>
+      // per row group: usable stats or the column is dropped for the file
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala
+          .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else convert(tag, st)
+          }
+      }
+      if (perBlock.exists(_.isEmpty)) None
+      else {
+        val vals = perBlock.flatten
+        val lo = vals.map(_._1).reduce((a, b) => if (cmp(tag, a, b) <= 0) a else b)
+        val hi = vals.map(_._2).reduce((a, b) => if (cmp(tag, a, b) >= 0) a else b)
+        Some(name -> ColStat(tag, lo, hi))
+      }
+    }.toMap
+  }
+
+  /** One row group's (min, max) in domain form, or None if unusable. */
+  private def convert(tag: String,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] =
+    (tag, st) match {
+      case (_, s: org.apache.parquet.column.statistics.LongStatistics) =>
+        Some((s.getMin, s.getMax))
+      case (_, s: org.apache.parquet.column.statistics.IntStatistics) =>
+        Some((s.getMin.toLong, s.getMax.toLong))
+      case (_, s: org.apache.parquet.column.statistics.DoubleStatistics) =>
+        Some((s.getMin, s.getMax))
+      case (_, s: org.apache.parquet.column.statistics.FloatStatistics) =>
+        Some((s.getMin.toDouble, s.getMax.toDouble))
+      case ("s", s: org.apache.parquet.column.statistics.BinaryStatistics) =>
+        val mn = s.genericGetMin.toStringUsingUTF8
+        val mx = s.genericGetMax.toStringUsingUTF8
+        if (mn.length > MaxStringLen || mx.length > MaxStringLen) None
+        else Some((mn, mx))
+      case _ => None
+    }
+
+  // ----------------------------------------------------------------- json
+
+  private[sources] def toJson(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      fs: FileStatsMap): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = mapper.createObjectNode()
+    fs.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+      val a = mapper.createArrayNode()
+      a.add(cs.tag)
+      cs.tag match {
+        case "f" => a.add(cs.min.asInstanceOf[Double]); a.add(cs.max.asInstanceOf[Double])
+        case "s" => a.add(cs.min.asInstanceOf[String]); a.add(cs.max.asInstanceOf[String])
+        case _   => a.add(cs.min.asInstanceOf[Long]); a.add(cs.max.asInstanceOf[Long])
+      }
+      o.set[com.fasterxml.jackson.databind.JsonNode](name, a)
+    }
+    o
+  }
+
+  private[sources] def fromJson(
+      n: com.fasterxml.jackson.databind.JsonNode): FileStatsMap =
+    n.properties().asScala.map { e =>
+      val a = e.getValue
+      val tag = a.get(0).asText()
+      val (mn, mx): (Any, Any) = tag match {
+        case "f" => (a.get(1).asDouble(), a.get(2).asDouble())
+        case "s" => (a.get(1).asText(), a.get(2).asText())
+        case _   => (a.get(1).asLong(), a.get(2).asLong())
+      }
+      e.getKey -> ColStat(tag, mn, mx)
+    }.toMap
+
+  // ---------------------------------------------------------------- prune
+
+  /** Domain compare within one tag. Strings: unsigned UTF-8 byte order
+    * (parquet's own), via UTF8String whose compareTo IS that order.
+    */
+  private def cmp(tag: String, a: Any, b: Any): Int = tag match {
+    case "f" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "s" =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** A predicate literal's EXTERNAL value (what `lit(x)` carries in the
+    * ColumnNode tree) lowered into a stat column's domain, or None when
+    * the semantics don't line up (then the file is kept). Numeric
+    * widening: an integral bound compared against a fractional literal
+    * (or vice versa) compares as Double — exactly what Spark's own
+    * analysis would coerce to.
+    */
+  private def lower(tag: String, v: Any): Option[(String, Any)] = (tag, v) match {
+    case ("i", x: Byte) => Some(("i", x.toLong))
+    case ("i", x: Short) => Some(("i", x.toLong))
+    case ("i", x: Int) => Some(("i", x.toLong))
+    case ("i", x: Long) => Some(("i", x))
+    case ("i", x: Float) => Some(("f", x.toDouble))
+    case ("i", x: Double) => Some(("f", x))
+    case ("f", x: Number) if x.isInstanceOf[Byte] || x.isInstanceOf[Short] ||
+        x.isInstanceOf[Integer] || x.isInstanceOf[java.lang.Long] ||
+        x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] =>
+      Some(("f", x.doubleValue()))
+    case ("ts", t: java.sql.Timestamp) =>
+      Some(("ts", t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L))
+    case ("ts", t: java.time.Instant) =>
+      Some(("ts", t.getEpochSecond * 1000000L + t.getNano / 1000L))
+    case ("tn", t: java.time.LocalDateTime) =>
+      Some(("tn", t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L))
+    case ("d", d: java.sql.Date) => Some(("d", d.toLocalDate.toEpochDay))
+    case ("d", d: java.time.LocalDate) => Some(("d", d.toEpochDay))
+    case ("s", s: String) => Some(("s", s))
+    case _ => None
+  }
+
+  /** Conservative may-any-row-match over one file's recorded bounds,
+    * walking the UNCONVERTED ColumnNode tree (`col("a") === lit(1)`
+    * builds `UnresolvedFunction("=", …)`; the catalyst Expression exists
+    * only after analysis). Sound under nulls: parquet min/max cover
+    * non-null values only, and every recognized comparison is
+    * null-rejecting — a null row never satisfies it, so bounds that
+    * exclude all non-null rows exclude the file. `!` and any
+    * unrecognized shape return true (keep).
+    */
+  def mayMatch(stats: FileStatsMap,
+               node: org.apache.spark.sql.GraftShim.PNode): Boolean = {
+    import org.apache.spark.sql.GraftShim.PNode
+
+    def colName(n: PNode): Option[String] = n match {
+      case PNode.Attr(name) => Some(name)
+      case _ => None
+    }
+    def litVal(n: PNode): Option[Any] = n match {
+      case PNode.Lit(v) => Some(v)
+      case _ => None
+    }
+    // bound check for `col op value`; op encoded as the range test
+    def rangeTest(c: String, v: Any)(
+        test: (String, ColStat, Any) => Boolean): Boolean =
+      stats.get(c) match {
+        case None => true
+        case Some(cs) => lower(cs.tag, v) match {
+          case None => true
+          case Some((effTag, lv)) =>
+            // integral bounds vs fractional literal: widen the bounds too
+            val (lo, hi) =
+              if (effTag == "f" && cs.tag == "i")
+                (cs.min.asInstanceOf[Long].toDouble: Any,
+                 cs.max.asInstanceOf[Long].toDouble: Any)
+              else (cs.min, cs.max)
+            test(effTag, ColStat(effTag, lo, hi), lv)
+        }
+      }
+    def eq(c: String, v: Any): Boolean = rangeTest(c, v) { (t, cs, lv) =>
+      cmp(t, cs.min, lv) <= 0 && cmp(t, cs.max, lv) >= 0
+    }
+    // `attr op lit` (or flipped): dispatch to the right bound test
+    def binary(fn: String, args: Seq[PNode]): Option[Boolean] = {
+      val (c, v, flip) = (colName(args(0)), litVal(args(1))) match {
+        case (Some(c0), Some(v0)) => (c0, v0, false)
+        case _ => (colName(args(1)), litVal(args(0))) match {
+          case (Some(c1), Some(v1)) => (c1, v1, true)
+          case _ => return None
+        }
+      }
+      val op = if (!flip) fn else fn match {
+        case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+        case other => other
+      }
+      Some(op match {
+        case "=" | "==" => if (v == null) false else eq(c, v)
+        case "<=>" => if (v == null) true else eq(c, v)
+        case "<" => if (v == null) false
+          else rangeTest(c, v)((t, cs, lv) => cmp(t, cs.min, lv) < 0)
+        case "<=" => if (v == null) false
+          else rangeTest(c, v)((t, cs, lv) => cmp(t, cs.min, lv) <= 0)
+        case ">" => if (v == null) false
+          else rangeTest(c, v)((t, cs, lv) => cmp(t, cs.max, lv) > 0)
+        case ">=" => if (v == null) false
+          else rangeTest(c, v)((t, cs, lv) => cmp(t, cs.max, lv) >= 0)
+        case _ => true
+      })
+    }
+    node match {
+      case PNode.Fn(name, args) => (name, args) match {
+        case ("and", Seq(a, b)) => mayMatch(stats, a) && mayMatch(stats, b)
+        case ("or", Seq(a, b)) => mayMatch(stats, a) || mayMatch(stats, b)
+        case ("in", attr +: rest) if colName(attr).isDefined &&
+            rest.forall(litVal(_).isDefined) =>
+          val c = colName(attr).get
+          rest.exists { l =>
+            val v = litVal(l).get
+            v != null && eq(c, v)
+          }
+        case (fn @ ("=" | "==" | "<=>" | "<" | "<=" | ">" | ">="), as)
+            if as.size == 2 =>
+          binary(fn, as).getOrElse(true)
+        case _ => true
+      }
+      case PNode.Lit(v) if v == false => false
+      case _ => true
+    }
+  }
+
+  /** Prune `files` to those that MAY hold a row matching `pred`. Files
+    * without recorded stats are kept; so is everything when the
+    * predicate has no prunable shape.
+    */
+  def prune(files: Seq[String], stats: Map[String, FileStatsMap],
+            pred: org.apache.spark.sql.Column): Seq[String] = {
+    if (stats.isEmpty) return files
+    val node = org.apache.spark.sql.GraftShim.predTree(pred)
+    files.filter(f => stats.get(f).forall(fs => mayMatch(fs, node)))
+  }
+}

@@ -48,7 +48,8 @@ object StoreLog {
 
   final case class Snapshot(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String],
-                            checkpointInterval: Int = CheckpointInterval)
+                            checkpointInterval: Int = CheckpointInterval,
+                            stats: Map[String, FileStats.FileStatsMap] = Map.empty)
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -194,15 +195,22 @@ object StoreLog {
     }
   }
 
+  private def statsOf(n: JsonNode): Map[String, FileStats.FileStatsMap] =
+    if (!n.has("stats")) Map.empty
+    else n.get("stats").properties().asScala
+      .map(e => e.getKey -> FileStats.fromJson(e.getValue)).toMap
+
   private def readResolve(path: String, version: Long): Snapshot = {
     val root = readRaw(path, version)
-    val files =
-      if (root.has("files")) strings(root.get("files"))
+    val (files, stats) =
+      if (root.has("files")) (strings(root.get("files")), statsOf(root))
       else {
         // walk raw manifests down to the checkpoint ancestor collecting
         // the deltas, then apply them FORWARD over one mutable set —
         // one checkpoint parse + one final sort, not a full Snapshot
-        // materialization per chain level
+        // materialization per chain level. Stats ride the same walk:
+        // removed files drop theirs, added files bring theirs (absent
+        // entries stay absent — stat-less files are legal).
         var v = version - 1
         var deltas = List(root) // newest-last after the walk below
         var node = readRaw(path, v)
@@ -212,16 +220,22 @@ object StoreLog {
           node = readRaw(path, v)
         }
         val acc = scala.collection.mutable.Set[String](strings(node.get("files")): _*)
+        val sAcc = scala.collection.mutable.Map[String, FileStats.FileStatsMap](
+          statsOf(node).toSeq: _*)
         deltas.foreach { d =>
-          acc --= strings(d.get("remove"))
+          val rm = strings(d.get("remove"))
+          acc --= rm
+          sAcc --= rm
           acc ++= strings(d.get("add"))
+          sAcc ++= statsOf(d)
         }
-        acc.toSeq.sorted
+        (acc.toSeq.sorted, sAcc.toMap)
       }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
       strings(root.get("replaced")), files,
       if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
-      else CheckpointInterval)
+      else CheckpointInterval,
+      stats)
   }
 
   def latest(path: String): Option[Snapshot] =
@@ -234,7 +248,8 @@ object StoreLog {
   private def manifestBytes(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String],
                             parentFiles: Option[Seq[String]],
-                            checkpointInterval: Int): Array[Byte] = {
+                            checkpointInterval: Int,
+                            stats: Map[String, FileStats.FileStatsMap]): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -242,14 +257,28 @@ object StoreLog {
     def arr(xs: Seq[String]): ArrayNode = {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
+    def setStats(forFiles: Seq[String]): Unit = {
+      val present = forFiles.filter(stats.contains).sorted
+      if (present.nonEmpty) {
+        val o = mapper.createObjectNode()
+        present.foreach(f => o.set[JsonNode](f, FileStats.toJson(mapper, stats(f))))
+        root.set[JsonNode]("stats", o)
+      }
+    }
     root.set[JsonNode]("replaced", arr(replaced.sorted))
     parentFiles match {
       case Some(prev) =>
         val next = files.toSet; val prevSet = prev.toSet
-        root.set[JsonNode]("add", arr((next -- prevSet).toSeq.sorted))
+        val added = (next -- prevSet).toSeq.sorted
+        root.set[JsonNode]("add", arr(added))
         root.set[JsonNode]("remove", arr((prevSet -- next).toSeq.sorted))
+        // a delta carries stats for its ADDED files only — O(commit)
+        setStats(added)
       case None =>
         root.set[JsonNode]("files", arr(files.sorted))
+        // a checkpoint re-embeds every live file's stats so the chain
+        // below it can be vacuumed away without losing the index
+        setStats(files)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -268,7 +297,8 @@ object StoreLog {
     */
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
              files: Seq[String], parent: Option[Snapshot] = None,
-             interval: Option[Int] = None): Long = {
+             interval: Option[Int] = None,
+             addStats: Map[String, FileStats.FileStatsMap] = Map.empty): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
@@ -276,7 +306,13 @@ object StoreLog {
       .getOrElse(CheckpointInterval)
     require(eff >= 1, s"checkpoint interval must be >= 1, got $eff")
     val asDelta = parent.filter(_ => v % eff != 0).map(_.files)
-    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files, asDelta, eff)
+    // the stats index for the commit: surviving parent entries plus the
+    // new files' (addStats wins on collision — a rewritten path is the
+    // new file). A delta only serializes the ADDED slice; a checkpoint
+    // embeds the whole map.
+    val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
+    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
+      asDelta, eff, allStats)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -436,7 +472,8 @@ object StoreLog {
       fsio.replaceAtomic(verFile(path, oldest),
         manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None,
-          checkpointInterval = snap.checkpointInterval))
+          checkpointInterval = snap.checkpointInterval,
+          stats = snap.stats))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))

@@ -238,6 +238,7 @@ object TsStore {
         val moved =
           try StoreLog.adoptStaged(path, staging)
           finally StoreLog.deleteStaging(staging)
+        val movedStats = FileStats.forFiles(path, moved)
         var committed = false
         var attempts = 0
         while (!committed) {
@@ -245,7 +246,7 @@ object TsStore {
           val cur = StoreLog.ensure(path)
           try {
             StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
-              parent = Some(cur))
+              parent = Some(cur), addStats = movedStats)
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -392,13 +393,17 @@ object TsStore {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
     }
+    // footer-read the new files' column bounds ONCE, outside the retry
+    // loop — the commit they ride into carries the planner's index for
+    // them (see FileStats)
+    val movedStats = FileStats.forFiles(path, moved)
     var expected = base
     var attempts = 0
     var done = -1L
     while (done < 0) {
       lease.renew()
       try done = StoreLog.commit(path, expected.version, replaced,
-        newFiles(expected), parent = Some(expected))
+        newFiles(expected), parent = Some(expected), addStats = movedStats)
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -547,8 +552,17 @@ object TsStore {
     require(uidCols.nonEmpty, "delete needs the store's partition columns")
     val base = StoreLog.ensure(path)
     if (base.files.isEmpty) return base.version
-    val live = load(spark, path, mergeSchema = true)
-    // which live files hold matching rows — the copy-on-write unit.
+    // the FIND side of the copy-on-write: manifest-stat pruning first
+    // (a delete by merge key on a stat-carrying store opens only the
+    // files whose recorded key bounds admit a match — the CDC takedown
+    // path's scale fix), then a predicate-pushed scan over what's left.
+    // Pruning is conservative; stat-less files are always candidates.
+    val candidates = FileStats.prune(base.files, base.stats, pred)
+    if (candidates.isEmpty) return base.version
+    def readFiles(fs: Seq[String]) =
+      spark.read.option("mergeSchema", true).option("basePath", path)
+        .parquet(fs.map(f => s"$path/$f"): _*)
+    // which candidate files hold matching rows — the copy-on-write unit.
     // input_file_name() yields the scan's URL-ENCODED file URI; decoding
     // it ONCE recovers the raw on-disk path byte-for-byte (Spark encoded
     // the on-disk path once), so a suffix match against the manifest's
@@ -561,9 +575,20 @@ object TsStore {
     // only rewrites extra files' survivors), just wider IO. Driver
     // cost: one string per affected file, the budget of a manifest
     // delta.
-    val affectedUris = live.filter(pred)
-      .select(input_file_name().as("__f"))
-      .distinct().collect().map(_.getString(0))
+    def findAffected(fs: Seq[String]): Array[String] =
+      readFiles(fs).filter(pred)
+        .select(input_file_name().as("__f"))
+        .distinct().collect().map(_.getString(0))
+    val affectedUris =
+      try findAffected(candidates)
+      catch {
+        // a predicate column may exist only in pruned-away files'
+        // schemas (schema evolution) — resolve over the full live set
+        // instead; those extra files' rows are null on it and can't
+        // match, so the result is identical, just unpruned
+        case _: org.apache.spark.sql.AnalysisException =>
+          findAffected(base.files)
+      }
     if (affectedUris.isEmpty) return base.version
     def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
     val affected: Seq[String] =
@@ -645,7 +670,7 @@ object TsStore {
     * is what [[upsertPlan]]'s empty-base catch keys on.
     */
   def load(spark: SparkSession, path: String, mergeSchema: Boolean = false,
-           asOf: Option[Long] = None): DataFrame = {
+           asOf: Option[Long] = None, prune: Option[Column] = None): DataFrame = {
     val snap =
       if (!StoreLog.canLog(path)) {
         require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
@@ -653,8 +678,20 @@ object TsStore {
       } else asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
     snap match {
       case Some(s) =>
+        // manifest-stat pruning: drop files whose recorded column bounds
+        // prove no row can match `prune` — BEFORE Spark opens a footer.
+        // The caller still applies the predicate to the rows (pruning is
+        // conservative, file-level). An all-pruned list keeps one file:
+        // a zero-path parquet read cannot even infer the schema, and the
+        // row filter drops everything anyway.
+        val files = prune match {
+          case Some(p) =>
+            val kept = FileStats.prune(s.files, s.stats, p)
+            if (kept.isEmpty) s.files.take(1) else kept
+          case None => s.files
+        }
         spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
-          .parquet(s.files.map(f => s"$path/$f"): _*)
+          .parquet(files.map(f => s"$path/$f"): _*)
       case None =>
         spark.read.option("mergeSchema", mergeSchema).parquet(path)
     }
@@ -697,13 +734,19 @@ object TsStore {
     // that actually evolved. `asOf` time-travels a LOGGED store to the
     // named manifest version (upserted-away rows come back; requires the
     // version inside the vacuum retention window).
-    var df = load(spark, path, mergeSchema, asOf)
-    uid.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
-    start.foreach(s => df = df.filter(col(tsCol) >= lit(s)))
-    end.foreach(e => df = df.filter(col(tsCol) <= lit(e)))
-    // metadata key/values ≙ corintick's **meta kwargs on read: plain
-    // equality predicates on attribute columns, pushed to the scan.
-    meta.foreach { case (c, v) => df = df.filter(col(c) === lit(v)) }
+    val preds: Seq[Column] =
+      uid.map { case (c, v) => col(c) === lit(v) }.toSeq ++
+      start.map(s => col(tsCol) >= lit(s)) ++
+      end.map(e => col(tsCol) <= lit(e)) ++
+      // metadata key/values ≙ corintick's **meta kwargs on read: plain
+      // equality predicates on attribute columns, pushed to the scan.
+      meta.map { case (c, v) => col(c) === lit(v) }
+    // the same predicates prune FILES via the manifest's recorded bounds
+    // (a ts-slice on a many-file store opens only time-overlapping
+    // files) and then filter ROWS on what remains
+    var df = load(spark, path, mergeSchema, asOf,
+      prune = preds.reduceOption(_ && _))
+    preds.foreach(p => df = df.filter(p))
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     df
   }

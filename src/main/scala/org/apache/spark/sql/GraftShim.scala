@@ -15,6 +15,31 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A Column's unconverted ColumnNode tree — what `col("a") === lit(1)`
+    * actually builds (`UnresolvedFunction("=", …)`; the catalyst
+    * Expression only exists after analysis) — re-expressed as a neutral
+    * ADT, because the ColumnNode trait itself is `private[sql]`.
+    * Manifest-stat pruning (graft.sources.FileStats) walks this.
+    */
+  sealed trait PNode
+  object PNode {
+    final case class Fn(name: String, args: Seq[PNode]) extends PNode
+    final case class Attr(name: String) extends PNode
+    final case class Lit(value: Any) extends PNode
+    case object Opaque extends PNode
+  }
+
+  def predTree(c: Column): PNode = conv(c.node)
+
+  private def conv(n: internal.ColumnNode): PNode = n match {
+    case f: internal.UnresolvedFunction =>
+      PNode.Fn(f.functionName, f.arguments.map(conv))
+    case a: internal.UnresolvedAttribute if a.nameParts.size == 1 =>
+      PNode.Attr(a.nameParts.head)
+    case l: internal.Literal => PNode.Lit(l.value)
+    case _ => PNode.Opaque
+  }
+
   /** Wrap a custom LogicalPlan into a DataFrame (classic sessions). */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
