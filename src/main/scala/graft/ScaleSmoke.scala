@@ -50,8 +50,9 @@ object ScaleSmoke {
     val scaled = Q.scratchDir(s"scale_${reps}x_${new java.io.File(sfDir).getName}")
     val rep = explode(sequence(lit(0L), lit(reps - 1L))).as("__rep")
 
-    // events: RAW nanos read (no µs conversion) so the scaled file keeps
-    // the int64 ts column both Tables.events paths expect
+    // events: RAW read (no ts normalization) so the scaled file keeps the
+    // fixture's physical ts spelling (int64 nanos or µs timestamp) —
+    // Tables.events normalizes either at load time
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("*"), rep)

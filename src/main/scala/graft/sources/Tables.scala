@@ -20,16 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos via the legacy conf
-    * and truncate to µs — the exact conversion DuckDB 1.0 applies when it
-    * reads the same file, so both engines see identical timestamps.
-    * (`ts div 1000` is integer division: no double rounding at 2^60 ns.)
+  /** events.ts normalization. The fixture has shipped with two physical
+    * spellings of the column:
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    *    (PARQUET_TYPE_ILLEGAL) — read the raw int64 nanos via the legacy
+    *    conf and truncate to µs, the exact conversion DuckDB applies when
+    *    it reads the same file (`ts div 1000` is integer division: no
+    *    double rounding at 2^60 ns);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+    *    reads as TIMESTAMP_NTZ — cast to TIMESTAMP (session tz is pinned
+    *    UTC everywhere, so the epoch-µs value is preserved bit-for-bit
+    *    and matches DuckDB's naive-timestamp read).
+    * Both paths yield the same TimestampType column, so every downstream
+    * operator and oracle is schema-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Time-sliced events read with the range predicate applied to the RAW
@@ -44,6 +59,7 @@ object Tables {
     */
   def eventsSliced(s: SparkSession, d: String, startUtc: String, endUtc: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.col
     def us(x: String): Long = {
       // epoch-micros derived from (second, nano) directly — toEpochMilli
       // would silently truncate sub-millisecond bound components.
@@ -51,10 +67,23 @@ object Tables {
         .toInstant(java.time.ZoneOffset.UTC)
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
-    val c = org.apache.spark.sql.functions.col("ts")
-    table(s, d, "events")
-      .filter(c >= us(startUtc) * 1000L && c < (us(endUtc) + 1L) * 1000L)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.filter(col("ts") >= us(startUtc) * 1000L && col("ts") < (us(endUtc) + 1L) * 1000L)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // Native µs timestamp: filter on the RAW column with literals of its
+        // own type (NTZ literals for an NTZ column) so the range predicate
+        // pushes into the parquet scan (row-group min/max skipping), THEN
+        // normalize to TimestampType.
+        val tsType = df.schema("ts").dataType
+        def bound(x: String) = org.apache.spark.sql.functions
+          .lit(java.time.LocalDateTime.parse(x.replace(' ', 'T'))).cast(tsType)
+        val sliced = df.filter(col("ts") >= bound(startUtc) && col("ts") <= bound(endUtc))
+        if (tsType == org.apache.spark.sql.types.TimestampType) sliced
+        else sliced.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

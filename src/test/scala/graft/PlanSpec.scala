@@ -23,10 +23,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
   }
 
-  test("ts_slice pushes the raw-nanos range to the parquet scan (row-group skipping)") {
+  test("ts_slice pushes the ts range to the parquet scan (row-group skipping)") {
+    // schema-agnostic: the raw-nanos fixture pushes [>=, <) on the int64
+    // column; the µs-timestamp fixture pushes [>=, <=] on the NTZ column.
+    // Either way BOTH bounds must reach the scan as PushedFilters.
     val p = plan("ts_slice")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      (pushed.contains("LessThan(ts") || pushed.contains("LessThanOrEqual(ts")), pushed)
   }
 
   test("projection is pruned at the scan (ts_slice_proj reads 3 columns, not props)") {
