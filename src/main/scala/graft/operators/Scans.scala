@@ -296,6 +296,55 @@ object Scans {
       (s, d) => TsStore.listSeries(Tables.events(s, d), uidCol = "user_id"),
       Some("SELECT user_id, count(*) AS n_rows, min(ts) AS ts_min, max(ts) AS ts_max " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
-      "series catalog ≙ corintick list_uids")
+      "series catalog ≙ corintick list_uids"),
+
+    "store_changes" -> DeclaredQuery(
+      // Incremental (change-feed) READ over the manifest chain: write the
+      // store, upsert one series (updates + inserts, v2), delete a keyed
+      // slice of ANOTHER series (v3), then ask "what changed from v1 to
+      // v3, by key". TsStore.changes diffs the two manifests' file lists
+      // — only the window's added/replaced files are read, so the cost
+      // scales with what the commits wrote, not the store — and
+      // classifies rows insert/update/delete via (key, version)
+      // anti-joins that cancel carried-over copy-on-write survivors.
+      // The oracle reconstructs the same diff from the base table: the
+      // upsert's rows (update where the key existed, insert where it
+      // didn't) plus the deleted slice's pre-delete rows.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("changes", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(Tables.events(s, d)
+            .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        val v2 = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        val v3 = TsStore.delete(s, dir,
+          col("event_type") === "click" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.changes(s, dir, v2 - 1, v3,
+            keyCols = Seq("event_id"), versionCol = "version")
+          .select((cols :+ "version" :+ "change_type").map(col): _*)
+          .orderBy(col("event_id"), col("change_type"))
+      },
+      Some("WITH upd AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, " +
+        "CAST(2 AS BIGINT) AS version, 'update' AS change_type FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 10 = 0), " +
+        "ins AS (SELECT event_id + 10000000 AS event_id, ts, user_id, event_type, value, " +
+        "CAST(2 AS BIGINT) AS version, 'insert' AS change_type FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 97 = 0), " +
+        "del AS (SELECT event_id, ts, user_id, event_type, value, " +
+        "CAST(1 AS BIGINT) AS version, 'delete' AS change_type FROM events " +
+        "WHERE event_type = 'click' AND event_id % 7 = 0) " +
+        "SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins " +
+        "UNION ALL SELECT * FROM del) ORDER BY event_id, change_type"),
+      "change-feed read: manifest-diff CDC between two store versions (insert/update/delete by key)")
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.sources.TsStore
 
@@ -51,6 +51,35 @@ object StoreIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** Store-to-store incremental sync: tail `srcPath`'s manifest through
+    * the [[graft.sources.StoreChangeSource]] streaming source (one
+    * micro-batch per upstream commit, reading only each commit's added
+    * files) and apply every batch to `dstPath` with the same
+    * latest-wins, manifest-committed upsert as [[start]]. Carried-over
+    * copy-on-write survivors and re-delivered batches map onto the same
+    * winners, so the downstream store CONVERGES to the upstream live
+    * view (deletions excepted — see the source's doc; propagate
+    * takedowns by running the CDC feed into both stores).
+    *
+    * This is how a 100 TB training-data pipeline chains stages without
+    * full recompute: each downstream stage's per-cycle cost is its
+    * upstream's commit footprint, and the streaming checkpoint carries
+    * the consumer's position (a manifest version) across restarts.
+    */
+  def follow(spark: SparkSession, srcPath: String, dstPath: String,
+             keyCols: Seq[String], versionCol: String,
+             tsCol: String, uidCols: Seq[String],
+             checkpoint: String,
+             trigger: Trigger = Trigger.AvailableNow(),
+             startingVersion: Long = 1L): StreamingQuery = {
+    val feed = spark.readStream.format("graft-store-changes")
+      .option("path", srcPath)
+      .option("startingVersion", startingVersion)
+      .load()
+      .drop(graft.sources.StoreChangeSource.VersionCol)
+    start(feed, dstPath, keyCols, versionCol, tsCol, uidCols, checkpoint, trigger)
   }
 
   /** Cap on how many takedown keys one [[TsStore.delete]] pass inlines

@@ -225,6 +225,56 @@ object Streams {
         "WHERE NOT (event_id % 13 = 0) ORDER BY event_id"),
       "CDC ingest: a takedown feed of upserts + deletes applied as manifest commits"),
 
+    "stream_follow" -> DeclaredQuery(
+      // Store-CHAIN incremental sync, oracle-gated end-to-end: an
+      // upstream store takes a write + an upsert (two manifest
+      // versions), then StoreIngest.follow tails it through the
+      // graft-store-changes STREAMING SOURCE — one micro-batch per
+      // upstream commit, each reading only that commit's added files —
+      // and applies every batch to a downstream store with the same
+      // latest-wins upsert. The declared result is the DOWNSTREAM live
+      // view; the oracle is the merged upstream view (write_upsert's),
+      // so a dropped batch, a re-applied file that changed outcomes, or
+      // a leaked dead file all break the hash. StreamingSpec separately
+      // pins the per-version batch cadence and checkpointed restart.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_follow_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        graft.sources.TsStore.write(base, s"$root/src",
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(Tables.events(s, d)
+            .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        graft.sources.TsStore.upsert(s, s"$root/src", delta,
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val q = StoreIngest.follow(s, s"$root/src", s"$root/dst",
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"),
+          checkpoint = s"$root/ckpt")
+        q.awaitTermination()
+        graft.sources.TsStore.read(s, s"$root/dst")
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("WITH base AS (SELECT event_id, ts, user_id, event_type, value, 1 AS version, 0 AS src FROM events), " +
+        "delta AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, 2 AS version, 1 AS src " +
+        "FROM events WHERE event_type = 'purchase' AND event_id % 10 = 0 " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value, 2, 1 " +
+        "FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0), " +
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), " +
+        "m AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC, src DESC) AS rn FROM u) " +
+        "SELECT event_id, ts, user_id, event_type, value, CAST(version AS BIGINT) AS version " +
+        "FROM m WHERE rn = 1 ORDER BY event_id"),
+      "store-chain sync: tail a store's manifest as a streaming source, apply per-commit batches downstream"),
+
     "stream_tumbling" -> DeclaredQuery(
       (s, d) => tumblingAgg(Tables.events(s, d))
         .orderBy(col("win_start"), col("event_type")),

@@ -48,4 +48,12 @@ object GraftShim {
   /** The analyzed plan of a DataFrame (for embedding as a child). */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Session-scoped Hadoop conf (sessionState.newHadoopConf is
+    * private[sql]) — carries per-session overrides (test viewfs mounts,
+    * SQL-conf-propagated parquet options) that the bare
+    * sparkContext.hadoopConfiguration lacks.
+    */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 }

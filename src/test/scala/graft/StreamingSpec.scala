@@ -520,4 +520,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((1L, 9.0, 2L), (2L, 2.0, 1L), (3L, 3.0, 1L)),
       s"replayed batch corrupted the store: $out")
   }
+
+  test("store-as-source: follow() consumes one micro-batch per manifest version, incrementally") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.TsStore
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val root = java.nio.file.Files.createTempDirectory("graft_follow").toString
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    def df(rows: Seq[(Long, String, String, Double, Long)]) =
+      rows.toDF("event_id", "ts_s", "event_type", "value", "version")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // upstream store: 3 versions (ensure + two upserts across partitions)
+    TsStore.write(df(Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0, 1L),
+      (2L, "2024-01-01 10:01:00", "a", 2.0, 1L),
+      (3L, "2024-01-01 10:02:00", "b", 3.0, 1L))),
+      src, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.upsert(spark, src, df(Seq(
+      (2L, "2024-01-01 10:01:00", "a", 20.0, 2L),   // update
+      (4L, "2024-01-01 10:03:00", "b", 4.0, 2L))),  // insert
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.upsert(spark, src, df(Seq(
+      (5L, "2024-01-01 10:04:00", "c", 5.0, 3L))),  // new partition
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(TsStore.versions(src) === (1L to 3L))
+    def runFollow() = StoreIngest.follow(spark, src, dst,
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    val q1 = runFollow(); q1.awaitTermination()
+    def liveSet(path: String) = TsStore.read(spark, path)
+      .select("event_id", "value", "version")
+      .as[(Long, Double, Long)].collect().toSet
+    // downstream converges to the upstream live view...
+    assert(liveSet(dst) === liveSet(src))
+    assert(liveSet(dst) === Set((1L, 1.0, 1L), (2L, 20.0, 2L),
+      (3L, 3.0, 1L), (4L, 4.0, 2L), (5L, 5.0, 3L)))
+    // ...consumed ONE MICRO-BATCH PER UPSTREAM VERSION (dst manifest:
+    // ensure + one committed upsert per consumed version), and each
+    // batch read only that version's added files — v2's batch carries
+    // the update+insert, not a re-read of v1's full view
+    assert(TsStore.versions(dst) === (1L to 4L))
+    assert(TsStore.read(spark, dst, asOf = Some(2L)).count() === 3) // v1's rows
+    assert(TsStore.read(spark, dst, asOf = Some(3L)).count() === 4) // + v2's insert
+    // a NEW upstream commit after the first run: the checkpoint resumes
+    // from the stored version offset and consumes exactly the new batch
+    TsStore.upsert(spark, src, df(Seq(
+      (1L, "2024-01-01 10:00:00", "a", 10.0, 4L))),  // update key 1
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val q2 = runFollow(); q2.awaitTermination()
+    assert(liveSet(dst) === liveSet(src))
+    assert(TsStore.versions(dst) === (1L to 5L),
+      "restart must consume ONLY the new upstream version, not re-apply the history")
+  }
 }

@@ -229,4 +229,50 @@ class TsStoreSpec extends AnyFunSuite {
     assert(expected.except(got).count() === 0)
     delta.unpersist()
   }
+
+  test("changes classifies insert/update/delete by key and cancels carried-over survivors") {
+    val dir = Files.createTempDirectory("graft_changes").toString
+    def df(rows: Seq[(Long, String, String, Double, Long)]) =
+      rows.toDF("event_id", "ts_s", "event_type", "value", "version")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val base = df(Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0, 1L),
+      (2L, "2024-01-01 10:01:00", "a", 2.0, 1L),
+      (3L, "2024-01-01 10:02:00", "b", 3.0, 1L),
+      (4L, "2024-01-01 10:03:00", "b", 4.0, 1L)))
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    // v1 = ensure, v2 = upsert (update key 2, insert key 5 into 'a')
+    val v2 = TsStore.upsert(spark, dir, df(Seq(
+      (2L, "2024-01-01 10:01:00", "a", 20.0, 2L),
+      (5L, "2024-01-01 10:04:00", "a", 5.0, 2L))),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    // v3 = delete key 3 from 'b'
+    val v3 = TsStore.delete(spark, dir, col("event_id") === 3L,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert((v2, v3) === (2L, 3L))
+    val ch = TsStore.changes(spark, dir, 1L, 3L,
+        keyCols = Seq("event_id"), versionCol = "version")
+      .select("event_id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet
+    // carried-over survivors (keys 1 in 'a', 4 in 'b') must NOT appear
+    assert(ch === Set((2L, 2L, "update"), (5L, 2L, "insert"), (3L, 1L, "delete")))
+    // sub-window: v2→v3 sees only the delete
+    val ch23 = TsStore.changes(spark, dir, 2L, 3L,
+        keyCols = Seq("event_id"), versionCol = "version")
+      .select("event_id", "change_type").as[(Long, String)].collect().toSet
+    assert(ch23 === Set((3L, "delete")))
+    // pure-append window: a logged append commits v4; every row an insert
+    TsStore.write(df(Seq((6L, "2024-01-02 10:00:00", "c", 6.0, 1L))), dir,
+      tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    val ch34 = TsStore.changes(spark, dir, 3L, 4L,
+        keyCols = Seq("event_id"), versionCol = "version")
+      .select("event_id", "change_type").as[(Long, String)].collect().toSet
+    assert(ch34 === Set((6L, "insert")))
+    // empty window: no changes between a version and itself
+    assert(TsStore.changes(spark, dir, 4L, 4L,
+      keyCols = Seq("event_id"), versionCol = "version").count() === 0)
+  }
 }
