@@ -49,7 +49,8 @@ object StoreLog {
   final case class Snapshot(version: Long, timestampMs: Long,
                             replaced: Seq[String], files: Seq[String],
                             checkpointInterval: Int = CheckpointInterval,
-                            stats: Map[String, FileStats.FileStatsMap] = Map.empty)
+                            stats: Map[String, FileStats.FileStatsMap] = Map.empty,
+                            tag: Option[String] = None)
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -235,8 +236,24 @@ object StoreLog {
       strings(root.get("replaced")), files,
       if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
       else CheckpointInterval,
-      stats)
+      stats,
+      if (root.has("tag")) Some(root.get("tag").asText()) else None)
   }
+
+  /** Scan the newest `lookback` manifests for a commit carrying `tag` —
+    * the idempotent-replay check behind tagged commits (the public
+    * Delta/Iceberg txn-appId design): a re-delivered streaming batch
+    * finds its own earlier commit and skips. Raw manifest parses only
+    * (no chain resolution), so the cost is O(lookback) small JSON reads.
+    * The window bounds the check deliberately: re-delivery only ever
+    * replays the most recent batches, and manifests beyond the vacuum
+    * retention are gone anyway.
+    */
+  def findTag(path: String, tag: String, lookback: Int = 100): Option[Long] =
+    listVersions(path).reverse.take(lookback).find { v =>
+      val n = readRaw(path, v)
+      n.has("tag") && n.get("tag").asText() == tag
+    }
 
   def latest(path: String): Option[Snapshot] =
     latestVersion(path).map(read(path, _))
@@ -249,11 +266,13 @@ object StoreLog {
                             replaced: Seq[String], files: Seq[String],
                             parentFiles: Option[Seq[String]],
                             checkpointInterval: Int,
-                            stats: Map[String, FileStats.FileStatsMap]): Array[Byte] = {
+                            stats: Map[String, FileStats.FileStatsMap],
+                            tag: Option[String] = None): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
     root.put("checkpointInterval", checkpointInterval)
+    tag.foreach(root.put("tag", _))
     def arr(xs: Seq[String]): ArrayNode = {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
@@ -298,7 +317,8 @@ object StoreLog {
   def commit(path: String, expectedVersion: Long, replaced: Seq[String],
              files: Seq[String], parent: Option[Snapshot] = None,
              interval: Option[Int] = None,
-             addStats: Map[String, FileStats.FileStatsMap] = Map.empty): Long = {
+             addStats: Map[String, FileStats.FileStatsMap] = Map.empty,
+             tag: Option[String] = None): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
@@ -312,7 +332,7 @@ object StoreLog {
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
-      asDelta, eff, allStats)
+      asDelta, eff, allStats, tag)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -473,7 +493,7 @@ object StoreLog {
         manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
-          stats = snap.stats))
+          stats = snap.stats, tag = snap.tag))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))

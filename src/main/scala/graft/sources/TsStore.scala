@@ -188,7 +188,8 @@ object TsStore {
             codec: String = "zstd",
             overlapPolicy: OverlapPolicy = OverlapPolicy.Warn,
             rowGroupBytes: Long = 16L << 20,
-            maxRecordsPerFile: Long = 8L << 20): Unit = {
+            maxRecordsPerFile: Long = 8L << 20,
+            commitTag: Option[String] = None): Unit = {
     // write-time overlap guard (reference behavior): appending a chunk
     // whose time range intersects what's stored for the same series is
     // almost always a double-write that silently duplicates rows. The
@@ -246,7 +247,7 @@ object TsStore {
           val cur = StoreLog.ensure(path)
           try {
             StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
-              parent = Some(cur), addStats = movedStats)
+              parent = Some(cur), addStats = movedStats, tag = commitTag)
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -656,6 +657,65 @@ object TsStore {
           if (s.replaced.exists(prefixes.contains))
             Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
               "— re-run the delete against the new base")
+          else None)
+    }
+  }
+
+  /** Compact the named partition DIRECTORIES of a logged store: rewrite
+    * each prefix's live files into range-sorted chunks (one pruned read +
+    * one staged write per call) and swap them in ONE CAS-committed
+    * manifest version — the small-file maintenance verb for the
+    * streaming-ingest regime, where every micro-batch lands its own file
+    * set. Replaced chunks stay readable `asOf` pre-compaction versions
+    * until [[vacuum]], like every other commit.
+    *
+    * Concurrency: a concurrent APPEND under a touched prefix serializes
+    * cleanly (its files are not in the replace set and survive the
+    * rebase); a concurrent commit that REPLACED a touched prefix aborts
+    * with [[StoreLog.CommitConflict]] — the compaction's rewrite was
+    * computed from files that are no longer live, and re-committing it
+    * would resurrect replaced rows. Compaction is a maintenance op:
+    * callers (e.g. [[graft.streaming.StoreIngest]]'s auto-compact) just
+    * skip an aborted pass and retry on a later cadence.
+    *
+    * Returns the committed version, or the current one when every prefix
+    * is already compact (nothing staged, nothing committed).
+    */
+  def compactPartitions(spark: SparkSession, path: String, prefixes: Seq[String],
+                        tsCol: String, uidCols: Seq[String],
+                        maxFilesPerPartition: Int = 1,
+                        codec: String = "zstd",
+                        rowGroupBytes: Long = 16L << 20,
+                        maxRecordsPerFile: Long = 8L << 20): Long = {
+    require(prefixes.nonEmpty, "compactPartitions needs at least one partition prefix")
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val base = StoreLog.ensure(path)
+    // only prefixes actually OVER the target are rewritten — an
+    // already-compact partition costs nothing
+    val byPrefix = prefixes.map { p =>
+      p -> base.files.filter(_.startsWith(p + "/"))
+    }.filter(_._2.size > maxFilesPerPartition)
+    if (byPrefix.isEmpty) return base.version
+    val targets = byPrefix.flatMap(_._2)
+    val targetSet = targets.toSet
+    val touched = byPrefix.map(_._1)
+    val rows = spark.read.option("mergeSchema", true).option("basePath", path)
+      .parquet(targets.map(f => s"$path/$f"): _*)
+    val staging = txnDir(path)
+    val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
+    writeFiles(rows.repartitionByRange(rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*),
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
+      commitWithRebase(path, lease, base, moved, touched,
+        newFiles = exp => exp.files.filterNot(targetSet) ++ moved,
+        unsound = (s, _) =>
+          if (s.replaced.exists(touched.contains))
+            Some(s"concurrent writer replaced ${touched.mkString(",")} at $path " +
+              "— skip this compaction pass and retry later")
           else None)
     }
   }

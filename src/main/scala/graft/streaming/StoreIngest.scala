@@ -38,14 +38,97 @@ object StoreIngest {
             tsCol: String, uidCols: Seq[String],
             checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            checkpointInterval: Option[Int] = None): StreamingQuery = {
+            checkpointInterval: Option[Int] = None,
+            autoCompactFilesPerPartition: Option[Int] = None): StreamingQuery = {
     checkpointInterval.foreach(i => graft.sources.StoreLog.ensure(path, i))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           TsStore.upsert(batch.sparkSession, path, batch,
             keyCols = keyCols, versionCol = versionCol,
             tsCol = tsCol, uidCols = uidCols)
+          autoCompactFilesPerPartition.foreach(cap =>
+            autoCompact(batch.sparkSession, path, cap, tsCol, uidCols))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The auto-compaction policy behind `autoCompactFilesPerPartition`:
+    * after each batch's upsert, read the LATEST manifest (driver-side
+    * metadata only), count live files per partition directory, and
+    * compact every partition over the cap as ONE additional
+    * CAS-committed maintenance txn ([[TsStore.compactPartitions]]).
+    * This closes the small-file loop streaming ingest opens — steady
+    * ingest accretes one file set per micro-batch, and without a bound
+    * the per-partition file count (and with it planning cost and read
+    * amplification) grows with feed age, not data size. A compaction
+    * losing its CAS to a concurrent writer is SKIPPED (the next batch
+    * re-checks the same counts); ingest itself never fails on it.
+    */
+  private def autoCompact(spark: SparkSession, path: String, cap: Int,
+                          tsCol: String, uidCols: Seq[String]): Unit = {
+    require(cap >= 1, s"autoCompactFilesPerPartition must be >= 1, got $cap")
+    graft.sources.StoreLog.latest(path).foreach { snap =>
+      val over = snap.files.groupBy { f =>
+        val i = f.lastIndexOf('/')
+        if (i > 0) f.substring(0, i) else ""
+      }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq.sorted
+      if (over.nonEmpty)
+        try TsStore.compactPartitions(spark, path, over, tsCol, uidCols,
+          maxFilesPerPartition = cap) : Unit
+        catch { case _: graft.sources.StoreLog.CommitConflict => () }
+    }
+  }
+
+  /** Append-only streaming ingest — the O(batch) write path for
+    * IMMUTABLE feeds (tick data, event logs, crawl output). [[start]]'s
+    * upsert gives latest-wins merge semantics but pays a rewrite of
+    * every touched partition per batch; an append-only feed needs
+    * neither merge nor rewrite, so each micro-batch lands as ONE
+    * manifest-committed file addition (`TsStore.write(Append)` through
+    * the staged-txn path) whose IO is the batch's own bytes, whatever
+    * the partition has accumulated.
+    *
+    * Exactly-once WITHOUT keys: an append cannot rely on latest-wins
+    * idempotency, so each batch's commit carries a TAG
+    * (`<feedId>-<batchId>`, the public Delta/Iceberg txn-appId design)
+    * and a re-delivered batch finds its tag in the recent manifest
+    * chain ([[graft.sources.StoreLog.findTag]]) and skips — replays
+    * become no-ops instead of duplicate rows (pinned in StreamingSpec
+    * by the same commit-marker crash drill as the upsert path).
+    *
+    * This is exactly where steady ingest ACCRETES small files (one set
+    * per batch, forever), so `autoCompactFilesPerPartition` defaults ON
+    * here: partitions over the cap are compacted as their own
+    * CAS-committed maintenance txns right after the batch commit.
+    * `feedId` must be unique per logical feed writing the store (two
+    * feeds sharing an id would dedup each other's batches).
+    */
+  def startAppend(stream: DataFrame, path: String,
+                  tsCol: String, uidCols: Seq[String],
+                  checkpoint: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  checkpointInterval: Option[Int] = None,
+                  autoCompactFilesPerPartition: Option[Int] = Some(8),
+                  feedId: String = "feed"): StreamingQuery = {
+    graft.sources.StoreLog.ensure(path,
+      checkpointInterval.getOrElse(graft.sources.StoreLog.CheckpointInterval))
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val tag = s"$feedId-$batchId"
+        if (!batch.isEmpty &&
+            graft.sources.StoreLog.findTag(path, tag).isEmpty) {
+          TsStore.write(batch, path, tsCol = tsCol, uidCols = uidCols,
+            mode = org.apache.spark.sql.SaveMode.Append,
+            overlapPolicy = TsStore.OverlapPolicy.Allow,
+            commitTag = Some(tag))
+          autoCompactFilesPerPartition.foreach(cap =>
+            autoCompact(batch.sparkSession, path, cap, tsCol, uidCols))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

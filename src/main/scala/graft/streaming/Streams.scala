@@ -275,6 +275,37 @@ object Streams {
         "FROM m WHERE rn = 1 ORDER BY event_id"),
       "store-chain sync: tail a store's manifest as a streaming source, apply per-commit batches downstream"),
 
+    "stream_append" -> DeclaredQuery(
+      // Append-only ingest, oracle-gated end-to-end: the O(batch) write
+      // path for immutable feeds — each micro-batch lands as ONE tagged
+      // manifest-committed file addition (no merge, no partition
+      // rewrite), and the auto-compact policy bounds the small files
+      // the append regime accretes. The landed feed is the events
+      // table; the oracle is the same table — a dropped batch, a
+      // double-applied replay, or a compaction losing rows breaks the
+      // hash. StreamingSpec separately drives the multi-batch cadence,
+      // the cap bound, and the tagged re-delivery no-op.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_append_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        Tables.events(s, d).select(cols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$root/src")
+        val src = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .parquet(s"$root/src")
+        val q = StoreIngest.startAppend(src, s"$root/store",
+          tsCol = "ts", uidCols = Seq("event_type"),
+          checkpoint = s"$root/ckpt")
+        q.awaitTermination()
+        graft.sources.TsStore.read(s, s"$root/store")
+          .select(cols.map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props " +
+        "FROM events ORDER BY event_id"),
+      "append-only ingest: tagged O(batch) manifest commits + auto-compaction"),
+
     "stream_tumbling" -> DeclaredQuery(
       (s, d) => tumblingAgg(Tables.events(s, d))
         .orderBy(col("win_start"), col("event_type")),

@@ -576,4 +576,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(TsStore.versions(dst) === (1L to 5L),
       "restart must consume ONLY the new upstream version, not re-apply the history")
   }
+
+  test("append ingest auto-compacts partitions over the cap; a re-delivered batch is a tagged no-op") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.{StoreLog, TsStore}
+    // the small-file regime auto-compact exists for: an APPEND-ONLY feed
+    // lands one file set per micro-batch forever (no merge rewrite to
+    // collapse them), so without the policy a partition's live-file
+    // count grows with feed age. With the cap, every batch commit is
+    // followed by a maintenance compaction of any partition over it.
+    val root = java.nio.file.Files.createTempDirectory("graft_autocompact").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE"
+    // every batch writes BOTH partitions → 14 appended files per
+    // partition over the run if nothing compacts
+    (0 until 14).foreach { i =>
+      (0 until 4).map { j =>
+        (new Timestamp(ts("2024-01-01 10:00:00").getTime + (i * 4 + j) * 60000L),
+          if (j % 2 == 0) "view" else "click", (i * 10 + j).toLong, i * 1.0 + j)
+      }.toDF("ts", "event_type", "event_id", "value")
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val cap = 3
+    def run() = {
+      val q = StoreIngest.startAppend(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store, tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt,
+        autoCompactFilesPerPartition = Some(cap))
+      q.awaitTermination()
+    }
+    run()
+    // live file count per partition stays bounded by the cap
+    val perPart = StoreLog.latest(store).get.files
+      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+    assert(perPart.keySet === Set("event_type=view", "event_type=click"))
+    assert(perPart.values.forall(_ <= cap),
+      s"auto-compact left a partition over the cap: $perPart")
+    // no rows lost or duplicated by any compaction pass
+    assert(TsStore.read(spark, store).count() === 56)
+    assert(TsStore.read(spark, store).select("event_id").distinct().count() === 56)
+    // the chain interleaves tagged ingest commits with compaction
+    // commits, and every retained version still resolves
+    val versions = TsStore.versions(store)
+    assert(versions.size > 15,
+      s"expected compaction commits interleaved with the 14 tagged appends: $versions")
+    // v1 is ensure's empty snapshot (zero files — unreadable by design);
+    // every later version must resolve
+    versions.filter(_ > 1).foreach(v => TsStore.read(spark, store, asOf = Some(v)).count())
+    // crash drill: lose the LAST batch's checkpoint commit marker — the
+    // restart re-delivers it, the tag check finds its earlier commit,
+    // and the append is SKIPPED (append replays cannot rely on
+    // latest-wins; the tag is what makes them exactly-once)
+    val lastBatch = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).map(_.getName.toLong).max
+    assert(new java.io.File(s"$ckpt/commits/$lastBatch").delete())
+    new java.io.File(s"$ckpt/commits/.$lastBatch.crc").delete()
+    run()
+    assert(TsStore.read(spark, store).count() === 56,
+      "re-delivered append batch must dedup via its commit tag")
+  }
+
+  test("compaction racing concurrent upserts serializes or aborts cleanly — rows never lost") {
+    import spark.implicits._
+    import graft.sources.{StoreLog, TsStore}
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_race").toString
+    def df(rows: Seq[(Long, String, String, Double, Long)]) =
+      rows.toDF("event_id", "ts_s", "event_type", "value", "version")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    TsStore.write(df((0L until 20L).map(i =>
+      (i, "2024-01-01 10:00:00", if (i % 2 == 0) "a" else "b", i * 1.0, 1L))),
+      dir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(dir)
+    // fragment partition 'a' so there is something to compact
+    (1 to 4).foreach { k =>
+      TsStore.upsert(spark, dir, df(Seq(
+        (100L + k, "2024-01-01 10:30:00", "a", k * 10.0, 1L))),
+        keyCols = Seq("event_id"), versionCol = "version",
+        tsCol = "ts", uidCols = Seq("event_type"))
+    }
+    // race: one thread upserts into 'a' (rebases or wins), the other
+    // compacts 'a' (serializes after a winner or aborts on conflict —
+    // never resurrects replaced rows, never drops concurrent commits)
+    @volatile var compactOutcome: Either[Throwable, Long] = Left(new RuntimeException("not run"))
+    val upserter = new Thread(() => {
+      (5 to 8).foreach { k =>
+        TsStore.upsert(spark, dir, df(Seq(
+          (100L + k, "2024-01-01 10:40:00", "a", k * 10.0, 1L))),
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"))
+      }
+    })
+    val compactor = new Thread(() => {
+      compactOutcome =
+        try Right(TsStore.compactPartitions(spark, dir, Seq("event_type=a"),
+          tsCol = "ts", uidCols = Seq("event_type")))
+        catch { case c: StoreLog.CommitConflict => Left(c) }
+    })
+    upserter.start(); compactor.start()
+    upserter.join(120000); compactor.join(120000)
+    // every upsert must have landed (upserts rebase past compactions);
+    // the compaction either committed or aborted cleanly
+    val ids = TsStore.read(spark, dir).select("event_id")
+      .as[Long].collect().toSet
+    val expected = (0L until 20L).toSet ++ (1 to 8).map(k => 100L + k)
+    assert(ids === expected,
+      s"race lost rows: missing=${expected -- ids} extra=${ids -- expected} (compaction=$compactOutcome)")
+    // a committed compaction must also have left 'a' readable asOf both
+    // sides of its commit
+    compactOutcome.foreach { v =>
+      assert(TsStore.read(spark, dir, asOf = Some(v)).count() > 0)
+      assert(TsStore.read(spark, dir, asOf = Some(v - 1)).count() > 0)
+    }
+  }
 }
