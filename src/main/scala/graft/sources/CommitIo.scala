@@ -93,14 +93,29 @@ object CommitIo {
     */
   private[graft] val ExtraCasSchemesKey = "graft.commitio.extra.cas.schemes"
 
-  /** Resolve the backend for a path: plain (scheme-less) paths take the
-    * java.nio impl; `file:`/HDFS-like URIs take the Hadoop impl; schemes
-    * without an atomic publish primitive get None — the caller must not
-    * run the commit protocol there.
+  /** Registered per-scheme backends — the plug-in point for commit
+    * implementations beyond the built-ins (e.g. a [[CondPutIo]] over a
+    * vendor object-store client). Registration wins over the built-in
+    * resolution for its scheme.
+    */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitIo]()
+
+  def register(scheme: String, io: CommitIo): Unit = {
+    registered.put(scheme.toLowerCase, io); ()
+  }
+
+  def unregister(scheme: String): Unit = { registered.remove(scheme.toLowerCase); () }
+
+  /** Resolve the backend for a path: registered schemes first, then
+    * plain (scheme-less) paths take the java.nio impl and `file:`/
+    * HDFS-like URIs the Hadoop impl; schemes without an atomic publish
+    * primitive get None — the caller must not run the commit protocol
+    * there.
     */
   def forPath(path: String): Option[CommitIo] =
     if (StoreLog.isLocal(path)) Some(Local)
-    else {
+    else Option(registered.get(path.takeWhile(_ != ':').toLowerCase)).orElse {
       // RFC 3986: schemes are case-insensitive, and Hadoop accepts both
       val scheme = path.takeWhile(_ != ':').toLowerCase
       lazy val extra = hadoopConf()

@@ -25,17 +25,25 @@ class StoreModelSpec extends AnyFunSuite {
   private val Rec = ModelRec
 
   test("25 random upserts/appends track the reference model; sampled versions time-travel") {
-    run(Files.createTempDirectory("graft_model").toString)
+    StoreModelCheck.run(spark, Files.createTempDirectory("graft_model").toString)
   }
 
   test("the same model check holds through the Hadoop CommitIo on a file:-scheme path") {
     // identical op sequence, but every manifest/list/move/delete runs
     // through CommitIo.Hadoop (file: URI) instead of the java.nio impl —
     // the seam's strongest equivalence proof
-    run("file:" + Files.createTempDirectory("graft_model_hfs").toString)
+    StoreModelCheck.run(spark, "file:" + Files.createTempDirectory("graft_model_hfs").toString)
   }
+}
 
-  private def run(dir: String): Unit = {
+/** The model sequence itself, shared by every backend's spec (local,
+  * Hadoop `file:`, conditional-PUT `mocks3:` — StoreObjectIoSpec):
+  * one implementation, three commit planes.
+  */
+object StoreModelCheck extends org.scalatest.Assertions {
+  private type Rec = ModelRec
+  private val Rec = ModelRec
+  def run(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     def part(id: Long) = s"p${id % 4}"
