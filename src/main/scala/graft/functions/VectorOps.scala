@@ -40,6 +40,20 @@ object VectorOps {
     */
   def cosine(a: Column, b: Column): Column = ofExpr(FloatVecCosine(toExpr(a), toExpr(b)))
 
+  /** Symmetric int8 codes of a float vector as ONE binary value (byte
+    * per dimension — the quantized IVF cells' storage form; scale is
+    * `array_max(|x|)/127`, llm_quantize's spelling).
+    */
+  def int8Encode(a: Column, scale: Column): Column =
+    ofExpr(graft.functions.expressions.FloatVecInt8Encode(toExpr(a), toExpr(scale)))
+
+  /** Cosine of a float query against int8 codes — scale-free (the
+    * per-vector scale cancels in cosine), so approximate scoring reads
+    * ONLY the codes column.
+    */
+  def int8Cosine(q: Column, codes: Column): Column =
+    ofExpr(graft.functions.expressions.FloatVecInt8Cosine(toExpr(q), toExpr(codes)))
+
   /** HOF spellings (interpreted lambdas, NOT codegen'd) — kept as the
     * numeric cross-check twin for VecExprsSpec and the measured perf
     * comparison in SURVEY §6.

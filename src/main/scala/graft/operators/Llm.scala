@@ -1084,6 +1084,32 @@ object Llm {
       Some(IvfOracleSql),
       "persisted IVF index: cell-partitioned inverted lists, pruned 2-probe, top-3"),
 
+    "llm_ann_ivf_quantized" -> DeclaredQuery(
+      // The QUANTIZED persisted index — llm_quantize's symmetric int8
+      // path wired into the cells table: codes are ONE binary value
+      // (byte/dim, 4× smaller than the float column) plus a per-vector
+      // scale. Probing runs two passes: approximate scoring over the
+      // CODES column only (the scale cancels in cosine, and parquet's
+      // columnar layout keeps the float pages unread — IvfSpec pins the
+      // codes-only ReadSchema), then an EXACT float rerank of the
+      // surviving rerankFactor×topK pool through an id-bounded read
+      // that reaches row-group stats on the vec_id-sorted chunks. Same
+      // oracle as the float index: the rerank's scores/ordering are
+      // exact, and the pool bound doesn't bite at this fixture (parity
+      // also pinned in IvfSpec against the float path).
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val dir = graft.Q.scratchDir(s"ivf_q_${new java.io.File(d).getName}")
+        IvfIndex.build(Tables.embeddings(s, d), dir, K, quantized = true)
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        IvfIndex.probe(s, dir, queries, NProbe, TopK)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(IvfOracleSql),
+      "quantized IVF: int8-coded cells (4x less probe IO), exact float rerank of the pool"),
+
     "llm_ann_ivf_add" -> DeclaredQuery(
       // INCREMENTAL index maintenance, oracle-gated end-to-end: build
       // the index over only the FIRST HALF of the corpus, then

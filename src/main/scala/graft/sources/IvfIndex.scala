@@ -160,8 +160,21 @@ object IvfIndex {
     * identical either way — training quality is orthogonal to the
     * access path.
     */
+  /** Quantized-cells columns: int8 codes (binary, byte/dim — 4× smaller
+    * than the float column) + the per-vector scale, llm_quantize's
+    * symmetric spelling. Added alongside `embedding` so the exact-rerank
+    * read stays inside the index; parquet's columnar layout means the
+    * approximate scoring scan never reads the float pages.
+    */
+  private def withQuantCols(df: DataFrame): DataFrame =
+    df.withColumn("__s",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("q_code", VectorOps.int8Encode(col("embedding"), col("__s")))
+      .withColumn("q_scale", col("__s").cast("float"))
+      .drop("__s")
+
   def build(embeddings: DataFrame, dir: String, k: Int,
-            lloydRounds: Int = 0): Unit = {
+            lloydRounds: Int = 0, quantized: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("embedding"))
     var cents = seedCentroids(e, k)
@@ -181,9 +194,17 @@ object IvfIndex {
       .toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    TsStore.write(withCell(e, cents), s"$dir/cells", tsCol = "vec_id",
+    val cells = withCell(e, cents)
+    TsStore.write(if (quantized) withQuantCols(cells) else cells,
+      s"$dir/cells", tsCol = "vec_id",
       uidCols = Seq("cell"), overlapPolicy = TsStore.OverlapPolicy.Allow)
   }
+
+  /** Whether a persisted index carries quantized cells (schema probe —
+    * one footer read through the manifest-aware load).
+    */
+  private def isQuantized(spark: SparkSession, dir: String): Boolean =
+    TsStore.load(spark, s"$dir/cells").schema.fieldNames.contains("q_code")
 
   private def loadCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Float])] =
     spark.read.parquet(s"$dir/centroids")
@@ -202,7 +223,11 @@ object IvfIndex {
     * manifest version.
     */
   def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
-    val assigned = assignAgainst(spark, dir, delta).localCheckpoint()
+    val assigned0 = assignAgainst(spark, dir, delta)
+    // a quantized index's delta must carry the same code columns, or the
+    // merged rows would probe as null scores
+    val assigned = (if (isQuantized(spark, dir)) withQuantCols(assigned0) else assigned0)
+      .localCheckpoint()
     // an empty delta (an incremental pipeline whose batch matched no new
     // vectors) is a no-op at the current version — and must not reach
     // the guard, whose min/max extent would be null
@@ -278,7 +303,7 @@ object IvfIndex {
     * tie-breaks.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            nprobe: Int, topK: Int): DataFrame = {
+            nprobe: Int, topK: Int, rerankFactor: Int = 4): DataFrame = {
     val cents = loadCentroids(spark, dir)
     val q = queries.toDF("q_id", "q_emb")
     val probes =
@@ -303,12 +328,51 @@ object IvfIndex {
       .collect().map(_.get(0)).toSeq
     val cells = TsStore.load(spark, s"$dir/cells")
       .filter(col("cell").isin(probedCells: _*))
-    val scored = broadcast(probes).join(cells, "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nbr_id"),
-        round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topK)
+    if (cells.schema.fieldNames.contains("q_code") && rerankFactor >= 1) {
+      // QUANTIZED cells: two passes.
+      //   1. approximate scoring over the int8 CODES column only — the
+      //      per-vector scale cancels in cosine, and parquet's columnar
+      //      layout means this scan reads ~1 byte/dim instead of 4 (the
+      //      float pages are never touched; pinned by ReadSchema in
+      //      IvfSpec). Top rerankFactor×topK candidates per query
+      //      survive.
+      //   2. EXACT float rerank of the surviving pool: the pool's ids
+      //      (bounded driver-side by queries × rerankFactor × topK, the
+      //      serving-batch budget) bound a second cells read — vec_id
+      //      IN-list over the vec_id-sorted chunks reaches row-group
+      //      stats, so the float pages read are the POOL's, not the
+      //      probed cells'. Returned scores are exact cosines, ordered
+      //      and tie-broken identically to the float path; the pool
+      //      bound is the standard quantized-ANN recall tradeoff
+      //      (IvfSpec pins full parity with the float path on the
+      //      fixture).
+      val approx = broadcast(probes)
+        .join(cells.select(col("cell"), col("vec_id"), col("q_code")), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_emb"), col("vec_id").as("nbr_id"),
+          VectorOps.int8Cosine(col("q_emb"), col("q_code")).as("acos"))
+      val wA = Window.partitionBy("q_id").orderBy(desc("acos"), asc("nbr_id"))
+      val pool = approx.withColumn("__rn", row_number().over(wA))
+        .filter(col("__rn") <= topK * rerankFactor)
+        .select(col("q_id"), col("q_emb"), col("nbr_id"))
+      val ids = pool.select("nbr_id").distinct().collect().map(_.getLong(0)).toSeq
+      val idPred = col("vec_id").isin(ids: _*)
+      val embs = TsStore.load(spark, s"$dir/cells", prune = Some(idPred))
+        .filter(col("cell").isin(probedCells: _*) && idPred)
+        .select(col("vec_id").as("nbr_id"), col("embedding"))
+      val scored = broadcast(pool).join(embs, "nbr_id")
+        .select(col("q_id"), col("nbr_id"),
+          round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= topK)
+    } else {
+      val scored = broadcast(probes).join(cells, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr_id"),
+          round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= topK)
+    }
   }
 }

@@ -204,4 +204,41 @@ class IvfSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] { IvfIndex.add(spark, dir, moved) }
     assert(e2.getMessage.contains("change cell"))
   }
+
+  test("quantized cells: probe parity with the float index; scoring scan reads codes, not floats") {
+    import spark.implicits._
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    IvfIndex.build(emb, dirF, k = 16)
+    IvfIndex.build(emb, dirQ, k = 16, quantized = true)
+    // quantized cells carry binary codes + scale; the code column is ~4×
+    // smaller than the float column it shadows
+    val cellsQ = TsStore.load(spark, s"$dirQ/cells")
+    assert(cellsQ.schema.fieldNames.toSet.contains("q_code"))
+    assert(cellsQ.schema("q_code").dataType === org.apache.spark.sql.types.BinaryType)
+    val dims = cellsQ.select(org.apache.spark.sql.functions.length(col("q_code")).cast("long"))
+      .distinct().as[Long].collect().toSet
+    assert(dims === Set(64L), s"codes must be one byte per dimension, got lengths $dims")
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def result(dir: String, rerank: Int) =
+      IvfIndex.probe(spark, dir, queries, nprobe = 2, topK = 5, rerankFactor = rerank)
+        .select("q_id", "nbr_id", "cos", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // parity pin: the quantized two-pass probe returns EXACTLY the float
+    // path's neighbors, scores and ranks on the fixture (exact rerank;
+    // the pool bound is the only approximation and it doesn't bite here)
+    val f = result(dirF, 4)
+    assert(f === result(dirQ, 4), "quantized probe diverged from the float path")
+    // rerankFactor <= 0 forces the float path even on a quantized index
+    assert(f === result(dirQ, 0))
+    // IO pin: the approximate scoring pass reads the CODES column and
+    // never the float embeddings — visible as a scan whose ReadSchema
+    // carries q_code without embedding
+    val plan = IvfIndex.probe(spark, dirQ, queries, nprobe = 2, topK = 5)
+      .queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanLines.exists(l => l.contains("q_code") && !l.contains("embedding")),
+      s"no codes-only scan found:\n${scanLines.mkString("\n")}")
+  }
 }
