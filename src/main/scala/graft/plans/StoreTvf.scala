@@ -55,7 +55,13 @@ object StoreTvf {
     }
     // the read plan is fully resolvable here (the file list is log
     // metadata, not catalog state), so the TVF returns the same
-    // LogicalRelation the Scala API builds — already analyzed
+    // LogicalRelation the Scala API builds — already analyzed.
+    // SNAPSHOT-AT-PARSE semantics: the manifest is resolved when the
+    // statement is parsed, so a long-cached plan (a SQL VIEW over
+    // graft_store('p')) pins whatever version was live at definition.
+    // For `asOf => v` that is exactly right (a committed version is
+    // immutable); a live-read view over a store that keeps committing
+    // should be re-created (or the query re-issued) to see new versions.
     graft.sources.TsStore.load(SparkSession.active, path, asOf = asOf)
       .queryExecution.logical
   }

@@ -591,41 +591,7 @@ object TsStore {
           findAffected(base.files)
       }
     if (affectedUris.isEmpty) return base.version
-    def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
-    val affected: Seq[String] =
-      try {
-        // O(scanned + manifest), not a nested suffix scan: probe the
-        // manifest SET with each raw path's trailing components (rel
-        // depth is partition-dirs + filename, a small constant). Every
-        // match is collected, so a pathological layout where a shallow
-        // rel is also a deeper rel's suffix over-matches and trips the
-        // size require below — loud, exactly like the old behavior.
-        val relSet = base.files.toSet
-        val maxDepth = base.files.iterator.map(_.count(_ == '/')).max + 1
-        val rawPaths = affectedUris.map(u => new java.net.URI(u).getPath).toSeq
-        val hitSet = scala.collection.mutable.LinkedHashSet[String]()
-        rawPaths.foreach { raw =>
-          var idx = raw.length
-          var d = 0
-          while (d < maxDepth && idx > 0) {
-            idx = raw.lastIndexOf('/', idx - 1)
-            if (idx >= 0) {
-              val cand = raw.substring(idx + 1)
-              if (relSet.contains(cand)) hitSet += cand
-            }
-            d += 1
-          }
-        }
-        val hit = base.files.filter(hitSet.contains)
-        require(hit.size == rawPaths.size,
-          s"delete matched ${rawPaths.size} scan files but ${hit.size} " +
-            s"manifest entries at $path — scan outside the live snapshot?")
-        hit
-      } catch {
-        case _: java.net.URISyntaxException =>
-          val names = affectedUris.map(nameOf).toSet
-          base.files.filter(f => names.contains(nameOf(f)))
-      }
+    val affected = matchManifest(path, base, affectedUris)
     val affectedSet = affected.toSet
     // conflict unit = the affected files' partition directories, read
     // off the manifest's own paths (never re-rendered from values)
@@ -651,6 +617,143 @@ object TsStore {
       // rebase is sound unless an intervening commit REPLACED one of
       // our partitions (our affected files may no longer be live);
       // pure appends under them serialize after this delete cleanly
+      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
+        newFiles = exp => exp.files.filterNot(affectedSet) ++ moved,
+        unsound = (s, _) =>
+          if (s.replaced.exists(prefixes.contains))
+            Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
+              "— re-run the delete against the new base")
+          else None)
+    }
+  }
+
+  /** Map the find scan's `input_file_name()` URIs back to manifest
+    * entries — shared by [[delete]] and [[deleteKeys]]. O(scanned +
+    * manifest), not a nested suffix scan: probe the manifest SET with
+    * each raw path's trailing components (rel depth is partition-dirs +
+    * filename, a small constant). Decoding the URL-encoded URI once
+    * recovers the on-disk path byte-for-byte, so the suffix match is
+    * exact even for escaped partition values; a file-NAME key alone
+    * would NOT be sound (one write job reuses `part-00000-<jobuuid>`
+    * across every partition directory it writes). A pathological layout
+    * where a shallow rel is also a deeper rel's suffix over-matches and
+    * trips the size require — loud. On an unparseable URI, fall back to
+    * the name-key SUPERSET — correctness-safe (extra files' survivors
+    * are rewritten unchanged), just wider IO.
+    */
+  private def matchManifest(path: String, base: StoreLog.Snapshot,
+                            affectedUris: Array[String]): Seq[String] = {
+    def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+    try {
+      val relSet = base.files.toSet
+      val maxDepth = base.files.iterator.map(_.count(_ == '/')).max + 1
+      val rawPaths = affectedUris.map(u => new java.net.URI(u).getPath).toSeq
+      val hitSet = scala.collection.mutable.LinkedHashSet[String]()
+      rawPaths.foreach { raw =>
+        var idx = raw.length
+        var d = 0
+        while (d < maxDepth && idx > 0) {
+          idx = raw.lastIndexOf('/', idx - 1)
+          if (idx >= 0) {
+            val cand = raw.substring(idx + 1)
+            if (relSet.contains(cand)) hitSet += cand
+          }
+          d += 1
+        }
+      }
+      val hit = base.files.filter(hitSet.contains)
+      require(hit.size == rawPaths.size,
+        s"delete matched ${rawPaths.size} scan files but ${hit.size} " +
+          s"manifest entries at $path — scan outside the live snapshot?")
+      hit
+    } catch {
+      case _: java.net.URISyntaxException =>
+        val names = affectedUris.map(nameOf).toSet
+        base.files.filter(f => names.contains(nameOf(f)))
+    }
+  }
+
+  /** Join-based bulk takedown — [[delete]]'s large-batch twin: remove
+    * every stored row whose merge key appears in `keys` with
+    * `versionCol <= ` that key's `deleteVersionCol` (the same
+    * delete-wins-ties / reinserts-survive version resolution as the CDC
+    * predicate path). The key set is a DATAFRAME, broadcast into the
+    * find scan and the survivor rewrite as an ordinary join — plan size
+    * is O(1) in the key count, so a million-key takedown batch builds
+    * the same plan a ten-key one does (the literal IN-list path is
+    * bounded by [[graft.streaming.StoreIngest.MaxKeysPerDeletePass]];
+    * this is what runs above it). One FILE-GRANULAR copy-on-write pass,
+    * ONE manifest commit; deleted rows stay readable `asOf` until
+    * [[vacuum]]. For single-column keys the find scan is additionally
+    * manifest-stat-pruned by the key set's [min, max] extent (a
+    * driver-side aggregate over the broadcast-sized key frame).
+    * Returns the committed version.
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 keyCols: Seq[String], deleteVersionCol: String,
+                 versionCol: String, tsCol: String, uidCols: Seq[String],
+                 codec: String = "zstd",
+                 rowGroupBytes: Long = 16L << 20,
+                 maxRecordsPerFile: Long = 8L << 20): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs the store's merge-key columns")
+    require(uidCols.nonEmpty, "deleteKeys needs the store's partition columns")
+    val base = StoreLog.ensure(path)
+    if (base.files.isEmpty) return base.version
+    // one row per key, highest delete version wins (same resolution the
+    // chunked predicate applies per key)
+    val k = keys.groupBy(keyCols.map(col): _*)
+      .agg(max(col(deleteVersionCol)).as("__del_v"))
+      .localCheckpoint() // evaluated 3× below (extent, find, rewrite)
+    if (k.isEmpty) return base.version
+    // manifest-stat prune of the FIND scan by the keys' extent —
+    // effective when the key correlates with the chunk sort order
+    // (vec_id-keyed indexes, id-ordered feeds); conservative otherwise
+    val candidates =
+      if (keyCols.sizeIs == 1) {
+        val ext = k.agg(min(col(keyCols.head)).as("lo"),
+          max(col(keyCols.head)).as("hi")).first()
+        FileStats.prune(base.files, base.stats,
+          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
+      } else base.files
+    if (candidates.isEmpty) return base.version
+    def readFiles(fs: Seq[String]) =
+      spark.read.option("mergeSchema", true).option("basePath", path)
+        .parquet(fs.map(f => s"$path/$f"): _*)
+    def findAffected(fs: Seq[String]): Array[String] =
+      readFiles(fs).join(broadcast(k), keyCols, "inner")
+        .filter(col(versionCol) <= col("__del_v"))
+        .select(input_file_name().as("__f"))
+        .distinct().collect().map(_.getString(0))
+    val affectedUris =
+      try findAffected(candidates)
+      catch {
+        // a key/version column may exist only in pruned-away files'
+        // schemas (schema evolution) — resolve over the full live set
+        case _: org.apache.spark.sql.AnalysisException => findAffected(base.files)
+      }
+    if (affectedUris.isEmpty) return base.version
+    val affected = matchManifest(path, base, affectedUris)
+    val affectedSet = affected.toSet
+    val prefixes: Set[String] = affected.map { f =>
+      val i = f.lastIndexOf('/')
+      require(i > 0, s"live file '$f' is not under a partition directory")
+      f.substring(0, i)
+    }.toSet
+    // survivors: rows with no matching delete key, or reinserted ABOVE
+    // the key's delete version
+    val survivors = readFiles(affected)
+      .join(broadcast(k), keyCols, "left_outer")
+      .filter(col("__del_v").isNull || col(versionCol) > col("__del_v"))
+      .drop("__del_v")
+    val staging = txnDir(path)
+    val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
+    writeFiles(survivors.repartitionByRange(rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*),
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
       commitWithRebase(path, lease, base, moved, prefixes.toSeq,
         newFiles = exp => exp.files.filterNot(affectedSet) ++ moved,
         unsound = (s, _) =>

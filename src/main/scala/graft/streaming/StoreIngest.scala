@@ -169,11 +169,11 @@ object StoreIngest {
     * as literals. A million-key takedown batch must not build a
     * million-literal predicate off the driver collect — the plan's size
     * (and the analyzer's walk over it) would be unbounded by anything
-    * but the feed. Keys beyond the cap run as additional file-granular
-    * delete passes: each pass is its own atomic, auditable manifest
-    * version, each plan stays O(cap), and passes are per-key
-    * independent so a crash between them re-converges on re-delivery
-    * exactly like a whole-batch replay.
+    * but the feed. Batches over the cap switch to the join-based
+    * anti-merge ([[TsStore.deleteKeys]]): the key set rides as DATA
+    * (broadcast into the find scan and the survivor rewrite), so the
+    * plan stays O(1) whatever the batch size, and the whole takedown is
+    * ONE file-granular pass and one manifest commit.
     */
   private[graft] val MaxKeysPerDeletePass = 1000
 
@@ -187,10 +187,10 @@ object StoreIngest {
     * key at a HIGHER version — a reinsert after the delete — survives
     * both the upsert filter and the delete's rewrite. On a version tie
     * the delete wins. Per micro-batch: ONE manifest-committed upsert
-    * for the surviving non-delete rows, then the takedown keys
-    * (collected driver-side — bounded by the batch's takedown count)
-    * applied in [[MaxKeysPerDeletePass]]-key file-granular delete
-    * passes. A delete row carrying a NULL key component is rejected
+    * for the surviving non-delete rows, then ONE takedown commit — a
+    * literal-predicate delete up to [[MaxKeysPerDeletePass]] keys, the
+    * join-based [[TsStore.deleteKeys]] anti-merge above it (plan size
+    * O(1) in the key count). A delete row carrying a NULL key component is rejected
     * loudly — `===` can never match it, so it would otherwise silently
     * no-op. Re-delivery converges: replayed upserts map onto the same
     * winners and a replayed versioned delete removes only what it
@@ -238,10 +238,21 @@ object StoreIngest {
           TsStore.upsert(batch.sparkSession, path, ups,
             keyCols = keyCols, versionCol = versionCol,
             tsCol = tsCol, uidCols = uidCols)
-        delKeys.grouped(MaxKeysPerDeletePass).foreach { chunk =>
-          TsStore.delete(batch.sparkSession, path,
-            TsStore.versionedKeyPredicate(chunk, keyCols, versionCol),
-            tsCol = tsCol, uidCols = uidCols)
+        // small takedowns inline as one literal-predicate delete pass
+        // (no broadcast job); anything larger runs as ONE join-based
+        // anti-merge (TsStore.deleteKeys) — plan size O(1) in the key
+        // count, one find scan + one rewrite + one manifest commit
+        // instead of keys/cap passes each rescanning the candidates
+        if (delKeys.nonEmpty) {
+          if (delKeys.size <= MaxKeysPerDeletePass)
+            TsStore.delete(batch.sparkSession, path,
+              TsStore.versionedKeyPredicate(delKeys, keyCols, versionCol),
+              tsCol = tsCol, uidCols = uidCols)
+          else
+            TsStore.deleteKeys(batch.sparkSession, path, delMax,
+              keyCols = keyCols, deleteVersionCol = "__del_v",
+              versionCol = versionCol, tsCol = tsCol, uidCols = uidCols)
+          ()
         }
         ()
       }

@@ -439,18 +439,19 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the loud null-key reject, got: ${e.getMessage.take(400)}")
   }
 
-  test("CDC chunks a large takedown batch into bounded delete passes, each its own version") {
+  test("CDC runs a large takedown batch as ONE join-based delete pass with a bounded plan") {
     import spark.implicits._
     import graft.streaming.StoreIngest
     import graft.sources.TsStore
     // a takedown batch larger than MaxKeysPerDeletePass must not build
-    // one giant literal plan: it runs ceil(n/cap) file-granular delete
-    // passes, each an atomic auditable manifest version, and the end
-    // state equals the whole-batch semantics
+    // one giant literal plan: it runs as ONE join-based anti-merge
+    // (TsStore.deleteKeys — the key set broadcast as data, plan size
+    // O(1) in the key count), a single atomic manifest version whose
+    // end state equals the whole-batch semantics
     val root = java.nio.file.Files.createTempDirectory("graft_cdc_big").toString
     val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
     val cap = StoreIngest.MaxKeysPerDeletePass
-    val nDel = cap + 7 // 2 passes
+    val nDel = cap + 7 // over the literal-path cap → the join path
     val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
       "version LONG, op STRING"
     // batch 0: insert nDel + 50 keys
@@ -473,12 +474,12 @@ class StreamingSpec extends AnyFunSuite {
     val survivors = TsStore.read(spark, store)
       .select("event_id").as[Long].collect().toSet
     assert(survivors === (nDel until nDel + 50).map(_.toLong).toSet,
-      s"chunked takedown missed keys: ${survivors.size} survivors")
-    // version audit: ensure + insert-upsert + (batch-1 passes) — the
-    // takedown landed as exactly TWO delete versions (ceil(1007/1000))
+      s"join-based takedown missed keys: ${survivors.size} survivors")
+    // version audit: ensure + insert-upsert + ONE join-based delete
+    // commit for the whole 1007-key batch
     val versions = TsStore.versions(store)
-    assert(versions.size === 4,
-      s"expected ensure+upsert+2 chunked delete versions, got $versions")
+    assert(versions.size === 3,
+      s"expected ensure+upsert+1 join-based delete version, got $versions")
   }
 
   test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
