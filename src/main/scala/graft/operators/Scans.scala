@@ -345,6 +345,33 @@ object Scans {
         "WHERE event_type = 'click' AND event_id % 7 = 0) " +
         "SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins " +
         "UNION ALL SELECT * FROM del) ORDER BY event_id, change_type"),
-      "change-feed read: manifest-diff CDC between two store versions (insert/update/delete by key)")
+      "change-feed read: manifest-diff CDC between two store versions (insert/update/delete by key)"),
+
+    "store_zorder" -> DeclaredQuery(
+      // Multi-dimensional clustering rewrite (the Delta OPTIMIZE ZORDER /
+      // Iceberg sort-order-rewrite role): the store lands ts-sorted in
+      // deliberately small chunks — tight ts bounds per file, USELESS
+      // user_id/value bounds — then one TsStore.zorder pass rewrites the
+      // live set clustered on the interleaved quantile-bucket bits of
+      // (user_id, value). After the rewrite every file is local in BOTH
+      // dimensions, so the same manifest-stat pruning that serves
+      // ts-slices engages for user/value predicates too (ZorderSpec pins
+      // the kept-file drop and per-file bound tightness). The rewrite
+      // only MOVES rows, so the oracle is a plain filter on the fixture.
+      (s, d) => {
+        val dir = sinkDir("zorder", d)
+        TsStore.write(Tables.events(s, d), dir, tsCol = "ts",
+          uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
+        TsStore.zorder(s, dir, clusterCols = Seq("user_id", "value"),
+          uidCols = Seq("event_type"))
+        val pred = col("user_id").between(3, 7) && col("value") <= 120.0
+        TsStore.load(s, dir, prune = Some(pred)).filter(pred)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE user_id BETWEEN 3 AND 7 AND value <= 120.0 ORDER BY event_id"),
+      "z-order clustering rewrite: multi-dimensional file locality, manifest-stat pruning on non-sort keys")
   )
 }

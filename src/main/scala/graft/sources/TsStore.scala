@@ -823,6 +823,91 @@ object TsStore {
     }
   }
 
+  /** Z-ORDER the live files of a logged store: rewrite them clustered on
+    * the interleaved-bit Morton value of `clusterCols` (equi-depth
+    * quantile buckets — [[graft.functions.ZOrder]]) and swap the whole
+    * set in ONE CAS-committed manifest version. The multi-dimensional
+    * layout verb (Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order
+    * rewrite): a store written range-sorted on (uid, ts) carries tight
+    * per-file bounds on ts alone — a query keyed on ANY other column
+    * (a user id, a merge key, a metric range) prunes nothing and scans
+    * the store. After z-ordering on k columns, every file is local in
+    * ALL k dimensions, so [[FileStats]] manifest pruning and parquet
+    * row-group stats both engage for any of them (~N^((k-1)/k) of the
+    * files admit a point predicate instead of all N).
+    *
+    * Scale shape: one `approxQuantile` sampling pass (driver gets
+    * O(buckets) literals per column), then ONE shuffle
+    * (`repartitionByRange` on the Z value) and a sorted write — the
+    * same IO budget as a full compaction, which this also is (small
+    * files collapse into `maxRecordsPerFile`-bounded chunks). Replaced
+    * chunks stay readable `asOf` pre-rewrite versions until [[vacuum]].
+    *
+    * Concurrency mirrors [[compactPartitions]]: a concurrent APPEND
+    * serializes cleanly (its files survive the rebase un-replaced); a
+    * concurrent commit that REPLACED a touched partition aborts with
+    * [[StoreLog.CommitConflict]] — rewriting its dead files would
+    * resurrect replaced rows. Z-order is a maintenance op; callers skip
+    * an aborted pass and retry later.
+    *
+    * Returns the committed version (the store's current version when it
+    * has no live files).
+    */
+  def zorder(spark: SparkSession, path: String, clusterCols: Seq[String],
+             uidCols: Seq[String],
+             buckets: Int = 256,
+             codec: String = "zstd",
+             rowGroupBytes: Long = 16L << 20,
+             maxRecordsPerFile: Long = 8L << 20,
+             numChunks: Int = 0): Long = {
+    require(clusterCols.nonEmpty, "zorder needs at least one cluster column")
+    require(uidCols.nonEmpty, "zorder needs the store's partition columns")
+    val base = StoreLog.ensure(path)
+    if (base.files.isEmpty) return base.version
+    val targetSet = base.files.toSet
+    val prefixes: Seq[String] = base.files.map { f =>
+      val i = f.lastIndexOf('/')
+      require(i > 0, s"live file '$f' is not under a partition directory")
+      f.substring(0, i)
+    }.distinct
+    val rows = spark.read.option("mergeSchema", true).option("basePath", path)
+      .parquet(base.files.map(f => s"$path/$f"): _*)
+    val bs = graft.functions.ZOrder.boundaries(rows, clusterCols, buckets)
+    val z = graft.functions.ZOrder.zValue(bs, clusterCols)
+    // Explicit partition count (AQE would coalesce a default-count range
+    // exchange, collapsing locality into giant tasks), and the sort key
+    // leads with the PARTITION columns: the dynamic-partition writer's
+    // required ordering is then already satisfied, so it inserts no
+    // re-sort of its own — a partition-cols-only re-sort is not stable
+    // and would scramble the z runs inside each output file. The count
+    // is footer-only on parquet (no data pages).
+    val n =
+      if (numChunks > 0) numChunks
+      else math.max(1, math.ceil(rows.count().toDouble / maxRecordsPerFile).toInt)
+    val clustered = {
+      val withZ = rows.withColumn("__z", z)
+      val keys = uidCols.map(col) :+ col("__z")
+      withZ.repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("__z")
+    }
+    val staging = txnDir(path)
+    writeFiles(clustered, staging, uidCols, SaveMode.Overwrite, codec,
+      rowGroupBytes, maxRecordsPerFile)
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
+      commitWithRebase(path, lease, base, moved, prefixes,
+        newFiles = exp => exp.files.filterNot(targetSet) ++ moved,
+        unsound = (s, _) =>
+          if (s.replaced.exists(prefixes.contains))
+            Some(s"concurrent writer replaced a partition under $path " +
+              "— skip this zorder pass and retry later")
+          else None)
+    }
+  }
+
   /** Change-feed read between two committed manifest versions — "what
     * changed from v_a to v_b, by merge key". The incremental-consumption
     * primitive a store CHAIN needs: a downstream stage applies the diff

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrder
+import graft.sources.{FileStats, StoreLog, Tables, TsStore}
+
+/** Z-order clustering rewrite: content preservation, time travel, and —
+  * the point of the verb — that manifest-stat pruning engages on the
+  * cluster columns afterwards.
+  */
+class ZorderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("zValue interleaves bucket ranks monotonically per dimension") {
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i.toLong, (63 - i).toLong)).toDF("a", "b")
+    val bs = ZOrder.boundaries(df, Seq("a", "b"), 8)
+    assert(bs("a").length === 7 && bs("b").length === 7)
+    val z = df.withColumn("z", ZOrder.zValue(bs, Seq("a", "b")))
+    // holding b's bucket fixed, z grows with a's bucket (and vice versa):
+    // check the two extreme corners and that z is bounded by the bit budget
+    val rows = z.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zMax = rows.map(_._3).max
+    assert(zMax < (1L << 6), s"2 dims x 3 bits must fit in 6 bits, got $zMax")
+    // a=0,b=63 and a=63,b=0 land in opposite bucket corners, so their z
+    // values share no high bit pattern with the a=63,b=63-style corner
+    val z00 = rows.find(r => r._1 === 0L).get._3  // a=0  → b=63: buckets (0,7)
+    val z63 = rows.find(r => r._1 === 63L).get._3 // a=63 → b=0 : buckets (7,0)
+    assert(z00 !== z63)
+  }
+
+  test("zorder preserves content, compacts, and time-travels") {
+    val events = Tables.events(spark, TestSpark.sf001)
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    TsStore.write(events, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 100)
+    val pre = StoreLog.ensure(dir)
+    val v = TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"))
+    val post = StoreLog.latest(dir).get
+    assert(post.version === v && v > pre.version)
+    // full content identical
+    val back = TsStore.load(spark, dir).select(cols.map(col): _*)
+    val src = events.select(cols.map(col): _*)
+    assert(back.count() === src.count())
+    assert(back.except(src).count() === 0 && src.except(back).count() === 0)
+    // rewrite replaced every pre-zorder live file
+    assert(post.files.toSet.intersect(pre.files.toSet).isEmpty)
+    // pre-zorder version still readable asOf
+    val old = TsStore.load(spark, dir, asOf = Some(pre.version))
+    assert(old.count() === src.count())
+  }
+
+  test("manifest-stat pruning engages on the cluster columns after zorder") {
+    val events = Tables.events(spark, TestSpark.sf01)
+    val dir = Files.createTempDirectory("graft_zprune").toString
+    // ts-sorted landing in many small chunks: user_id bounds per file are
+    // the full domain, so a user_id predicate prunes nothing
+    TsStore.write(events, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 50)
+    val pred = col("user_id") === 3L
+    val pre = StoreLog.ensure(dir)
+    val keptBefore = FileStats.prune(pre.files, pre.stats, pred).size
+    assert(pre.files.size >= 16, s"fixture too small: ${pre.files.size} files")
+    assert(keptBefore === pre.files.size,
+      "ts-sorted layout should NOT prune on user_id (bounds span the domain)")
+    TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"), maxRecordsPerFile = 50)
+    val post = StoreLog.latest(dir).get
+    val keptAfter = FileStats.prune(post.files, post.stats, pred).size
+    assert(post.files.size >= 16, s"rewrite collapsed too far: ${post.files.size}")
+    assert(keptAfter * 2 <= post.files.size,
+      s"zorder must make user_id prunable: kept $keptAfter of ${post.files.size}")
+    // and the pruned read still returns exactly the right rows
+    val got = TsStore.load(spark, dir, prune = Some(pred)).filter(pred)
+    val want = events.filter(pred)
+    assert(got.count() === want.count())
+    assert(got.select(cols.map(col): _*).except(want.select(cols.map(col): _*)).count() === 0)
+  }
+
+  test("zorder on a value-range predicate prunes too (second dimension)") {
+    val events = Tables.events(spark, TestSpark.sf01)
+    val dir = Files.createTempDirectory("graft_zdim2").toString
+    TsStore.write(events, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 50)
+    TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"), maxRecordsPerFile = 50)
+    val post = StoreLog.latest(dir).get
+    val pred = col("value") > lit(300.0)
+    val kept = FileStats.prune(post.files, post.stats, pred).size
+    assert(kept * 2 <= post.files.size,
+      s"value-range predicate should prune z-ordered files: $kept of ${post.files.size}")
+  }
+}
