@@ -104,6 +104,48 @@ object Joins {
         "AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE " +
         "ORDER BY purchase_id, view_id")),
 
+    "join_interval" -> DeclaredQuery(
+      // Interval-overlap join WITHOUT an equi key — the case join_range's
+      // user_id prefix can't cover. Naively this is a cross product with
+      // a range residual (BroadcastNestedLoop — never finishes at
+      // 100 TB). The scale spelling MANUFACTURES the equi key: chop time
+      // into fixed W-width buckets, explode each interval onto the
+      // buckets it covers (≤ 2 here, intervals are W long), equi-join on
+      // the bucket, and keep a pair only in the FIRST bucket both share
+      // (bucket == greatest(start_a, start_b) div W) — each overlapping
+      // pair surfaces exactly once with NO distinct/dedup shuffle. One
+      // equi shuffle on a dense integer key; skew = real temporal
+      // hotspots, handled by AQE like any other key.
+      (s, d) => {
+        val W = 600000000L // 10 minutes in micros
+        val e = Tables.events(s, d)
+        def ivals(t: String, p: String) = e.filter(col("event_type") === t)
+          .select(col("event_id").as(s"${p}_id"),
+            unix_micros(col("ts")).as(s"${p}_s"),
+            (unix_micros(col("ts")) + W).as(s"${p}_e"))
+        def chopped(df: org.apache.spark.sql.DataFrame, p: String) =
+          df.withColumn("bucket",
+            explode(sequence(expr(s"${p}_s div ${W}L"), expr(s"(${p}_e - 1) div ${W}L"))))
+        val a = chopped(ivals("purchase", "a"), "a")
+        val b = chopped(ivals("error", "b"), "b")
+        a.join(b, a("bucket") === b("bucket") &&
+            col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+            a("bucket") === expr(s"greatest(a_s, b_s) div ${W}L"))
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+              .as("overlap_us"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("SELECT p.event_id AS a_id, e2.event_id AS b_id, " +
+        "least(epoch_us(p.ts), epoch_us(e2.ts)) + 600000000 - " +
+        "greatest(epoch_us(p.ts), epoch_us(e2.ts)) AS overlap_us " +
+        "FROM events p JOIN events e2 ON p.event_type = 'purchase' " +
+        "AND e2.event_type = 'error' " +
+        "AND epoch_us(p.ts) < epoch_us(e2.ts) + 600000000 " +
+        "AND epoch_us(e2.ts) < epoch_us(p.ts) + 600000000 " +
+        "ORDER BY a_id, b_id"),
+      "interval-overlap join with no equi key: bucket-chopped into an equi join, first-shared-bucket dedup"),
+
     "q3_shipping" -> DeclaredQuery(
       // TPC-H Q3-shaped composite: 3-table join → grouped revenue →
       // top-10. The plan is the full-pipeline showcase: both dimension

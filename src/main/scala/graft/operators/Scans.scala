@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.DeclaredQuery
-import graft.sources.{Tables, TsStore}
+import graft.sources.{MatView, Tables, TsStore}
 
 /** §2.1 — scans / sources / sinks: the reference's own queryable surface
   * (time-range slice, column projection, metadata filter, chunked write,
@@ -372,6 +372,98 @@ object Scans {
       },
       Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
         "WHERE user_id BETWEEN 3 AND 7 AND value <= 120.0 ORDER BY event_id"),
-      "z-order clustering rewrite: multi-dimensional file locality, manifest-stat pruning on non-sort keys")
+      "z-order clustering rewrite: multi-dimensional file locality, manifest-stat pruning on non-sort keys"),
+
+    "store_schema_evolution" -> DeclaredQuery(
+      // Schema evolution through the store's MERGE: the upsert delta is
+      // WIDER than the base (adds a `score` column) and touches only the
+      // purchase partition. upsertPlan takes the UNION of the two schemas
+      // (base read mergeSchema, unionByName allowMissingColumns), so the
+      // rewritten partition carries the new column while the four
+      // untouched partitions keep their old footprint — a
+      // mergeSchema=true read surfaces score as null for them. No
+      // table-format DDL, no full-store rewrite: at 100 TB adding a
+      // column costs exactly the partitions the delta touches. The
+      // arithmetic (value*2, value+0.5) is exact IEEE on both engines.
+      (s, d) => {
+        val dir = sinkDir("schemaevo", d)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), lit(1L).as("version"))
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 2.0).as("value"), lit(2L).as("version"),
+            (col("value") + 0.5).as("score"))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.load(s, dir, mergeSchema = true)
+          .select(col("event_id"), col("value"), col("score"), col("version"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN value * 2.0 ELSE value END AS value, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN value + 0.5 END AS score, " +
+        "CAST(CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN 2 ELSE 1 END AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "schema evolution: a wider upsert delta adds a column to touched partitions only; mergeSchema reads surface it as null elsewhere"),
+
+    "store_incremental_view" -> DeclaredQuery(
+      // Incremental materialized-view maintenance over the change feed
+      // (the Delta-CDF-consumer / IVM role): a per-user (sum, count)
+      // aggregate view follows the store through the SAME lifecycle as
+      // store_changes — base write, upsert (updates + inserts), keyed
+      // delete — applying only each window's change rows (with update
+      // PREIMAGES, so an updated key subtracts its old measure before
+      // adding the new one) instead of recomputing the aggregate. The
+      // measure is an exact scaled integer (round(value*1e4)), so
+      // +/− application is associative and the incremental result is
+      // BIT-equal to the full recompute the oracle runs. Per-refresh
+      // cost: the upstream commits' file diff + the touched groups —
+      // never the store, never the whole view.
+      (s, d) => {
+        val dir = sinkDir("ivm_store", d)
+        val vdir = sinkDir("ivm_view", d)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), lit(1L).as("version"))
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        graft.sources.StoreLog.ensure(dir)
+        val measure = round(col("value") * 10000).cast("long")
+        MatView.init(s, dir, vdir, groupCols = Seq("user_id"), measureE4 = measure)
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(Tables.events(s, d)
+            .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        MatView.refresh(s, dir, vdir, storeKeyCols = Seq("event_id"),
+          storeVersionCol = "version", groupCols = Seq("user_id"),
+          measureE4 = measure)
+        TsStore.delete(s, dir,
+          col("event_type") === "click" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        MatView.refresh(s, dir, vdir, storeKeyCols = Seq("event_id"),
+          storeVersionCol = "version", groupCols = Seq("user_id"),
+          measureE4 = measure)
+        MatView.read(s, vdir, Seq("user_id")).orderBy(col("user_id"))
+      },
+      Some("WITH fin AS (SELECT event_id, user_id, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 10 = 0 " +
+        "THEN value + 1000.0 ELSE value END AS value " +
+        "FROM events WHERE NOT (event_type = 'click' AND event_id % 7 = 0) " +
+        "UNION ALL SELECT event_id + 10000000, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 97 = 0) " +
+        "SELECT user_id, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4, " +
+        "count(*) AS cnt FROM fin GROUP BY user_id ORDER BY user_id"),
+      "incrementally-maintained materialized aggregate: change-feed deltas with update preimages, exact integer measures")
   )
 }

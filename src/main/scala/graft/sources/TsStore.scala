@@ -937,10 +937,16 @@ object TsStore {
     * changes (a rewrite that changes a payload without bumping the
     * version is indistinguishable from a carried-over row and is
     * reported as unchanged).
+    *
+    * `preimages = true` additionally emits each updated key's OLD row as
+    * `update_preimage` (the Delta CDF role) — what an incremental
+    * aggregate consumer needs to SUBTRACT before adding the new row
+    * ([[MatView]]); without it, updates are only additively visible.
     */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long,
               keyCols: Seq[String], versionCol: String,
-              mergeSchema: Boolean = false): DataFrame = {
+              mergeSchema: Boolean = false,
+              preimages: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "changes needs the store's merge-key columns")
     require(fromV <= toV, s"changes needs fromV <= toV, got $fromV > $toV")
     val fromSnap = StoreLog.read(path, fromV)
@@ -978,7 +984,17 @@ object TsStore {
         val newKeys = n.select(keyCols.map(col): _*).distinct()
         val deletes = o.as("n").join(newKeys.as("o"), keyEq, "left_anti")
           .withColumn("change_type", lit("delete"))
-        inserts.unionByName(updates).unionByName(deletes)
+        val base = inserts.unionByName(updates).unionByName(deletes)
+        if (!preimages) base
+        else {
+          // an updated key's OLD row: on the old side, not a carried-over
+          // survivor (pair anti-join), key still live on the new side
+          val oldFresh = o.as("n").join(n.as("o"),
+            keyEq && col(s"n.$versionCol") <=> col(s"o.$versionCol"), "left_anti")
+          val updatePre = oldFresh.as("n").join(newKeys.as("o"), keyEq, "left_semi")
+            .withColumn("change_type", lit("update_preimage"))
+          base.unionByName(updatePre)
+        }
     }
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{MatView, StoreLog, Tables, TsStore}
+
+/** Incremental materialized-view maintenance: change-feed application
+  * (with update preimages) must equal a full recompute at every step,
+  * refresh must be idempotent, and a group netting to zero must vanish
+  * from reads without a second commit.
+  */
+class MatViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val measure = round(col("value") * 10000).cast("long")
+
+  private def fullRecompute(storePath: String) =
+    TsStore.load(spark, storePath).groupBy("user_id")
+      .agg(sum(measure).cast("long").as("sum_e4"), count(lit(1)).as("cnt"))
+
+  private def viewEqualsRecompute(storePath: String, viewPath: String): Unit = {
+    val got = MatView.read(spark, viewPath, Seq("user_id"))
+    val want = fullRecompute(storePath)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("changes(preimages) emits the old row for every update and only updates") {
+    val dir = Files.createTempDirectory("graft_pre").toString
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val v1 = StoreLog.ensure(dir).version
+    val delta = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 5.0).as("value"), lit(2L).as("version"))
+    val nUpd = delta.count()
+    val v2 = TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val ch = TsStore.changes(spark, dir, v1, v2, Seq("event_id"), "version",
+      preimages = true)
+    val byType = ch.groupBy("change_type").count().as[(String, Long)].collect().toMap
+    assert(byType.getOrElse("update", 0L) === nUpd)
+    assert(byType.getOrElse("update_preimage", 0L) === nUpd)
+    assert(byType.getOrElse("insert", 0L) === 0L)
+    assert(byType.getOrElse("delete", 0L) === 0L)
+    // each preimage carries the OLD payload (version 1, original value)
+    val pre = ch.filter(col("change_type") === "update_preimage")
+    assert(pre.filter(col("version") =!= 1L).count() === 0)
+    val joined = pre.select(col("event_id"), col("value").as("old_v"))
+      .join(ch.filter(col("change_type") === "update")
+        .select(col("event_id"), col("value").as("new_v")), "event_id")
+    assert(joined.filter(abs(col("new_v") - col("old_v") - 5.0) > 1e-9).count() === 0)
+  }
+
+  test("view tracks the store through upsert and delete, step by step") {
+    val sdir = Files.createTempDirectory("graft_mv_s").toString
+    val vdir = Files.createTempDirectory("graft_mv_v").toString
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    viewEqualsRecompute(sdir, vdir)
+    // window 1: updates + inserts
+    val delta = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 100.0).as("value"), lit(2L).as("version"))
+      .unionByName(Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_id") % 101 === 0)
+        .select((col("event_id") + 5000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+    TsStore.upsert(spark, sdir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val a1 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    viewEqualsRecompute(sdir, vdir)
+    // refresh is idempotent on an empty window
+    val a2 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    assert(a2 === a1)
+    viewEqualsRecompute(sdir, vdir)
+    // window 2: keyed delete
+    TsStore.delete(spark, sdir,
+      col("event_type") === "click" && col("event_id") % 3 === 0,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    viewEqualsRecompute(sdir, vdir)
+  }
+
+  test("a group netting to zero disappears from reads (cnt=0 tombstone)") {
+    val sdir = Files.createTempDirectory("graft_mv0_s").toString
+    val vdir = Files.createTempDirectory("graft_mv0_v").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 10.0, 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "a", 20.0, 1L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 9L, "a", 30.0, 1L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "version")
+    TsStore.write(rows, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    assert(MatView.read(spark, vdir, Seq("user_id")).count() === 2)
+    // delete every user-7 row: the group must vanish from reads
+    TsStore.delete(spark, sdir, col("user_id") === 7L,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    val got = MatView.read(spark, vdir, Seq("user_id"))
+    assert(got.count() === 1)
+    assert(got.select("user_id").as[Long].head() === 9L)
+    // the tombstone row still exists in the raw view (one-commit refresh)
+    assert(TsStore.load(spark, vdir).filter(col("cnt") === 0).count() === 1)
+  }
+}
