@@ -50,7 +50,8 @@ object StoreLog {
                             replaced: Seq[String], files: Seq[String],
                             checkpointInterval: Int = CheckpointInterval,
                             stats: Map[String, FileStats.FileStatsMap] = Map.empty,
-                            tag: Option[String] = None)
+                            tag: Option[String] = None,
+                            bloomCols: Seq[String] = Nil)
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -237,7 +238,8 @@ object StoreLog {
       if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
       else CheckpointInterval,
       stats,
-      if (root.has("tag")) Some(root.get("tag").asText()) else None)
+      if (root.has("tag")) Some(root.get("tag").asText()) else None,
+      if (root.has("bloomCols")) strings(root.get("bloomCols")) else Nil)
   }
 
   /** Scan the newest `lookback` manifests for a commit carrying `tag` —
@@ -267,7 +269,8 @@ object StoreLog {
                             parentFiles: Option[Seq[String]],
                             checkpointInterval: Int,
                             stats: Map[String, FileStats.FileStatsMap],
-                            tag: Option[String] = None): Array[Byte] = {
+                            tag: Option[String] = None,
+                            bloomCols: Seq[String] = Nil): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -276,6 +279,7 @@ object StoreLog {
     def arr(xs: Seq[String]): ArrayNode = {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
+    if (bloomCols.nonEmpty) root.set[JsonNode]("bloomCols", arr(bloomCols))
     def setStats(forFiles: Seq[String]): Unit = {
       val present = forFiles.filter(stats.contains).sorted
       if (present.nonEmpty) {
@@ -318,13 +322,18 @@ object StoreLog {
              files: Seq[String], parent: Option[Snapshot] = None,
              interval: Option[Int] = None,
              addStats: Map[String, FileStats.FileStatsMap] = Map.empty,
-             tag: Option[String] = None): Long = {
+             tag: Option[String] = None,
+             bloomCols: Option[Seq[String]] = None): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
     val eff = interval.orElse(parent.map(_.checkpointInterval))
       .getOrElse(CheckpointInterval)
     require(eff >= 1, s"checkpoint interval must be >= 1, got $eff")
+    // bloomCols is a per-store property like the interval: set at
+    // creation, inherited from the parent on every later commit so
+    // every rewrite path keeps writing the same per-column blooms
+    val effBlooms = bloomCols.orElse(parent.map(_.bloomCols)).getOrElse(Nil)
     val asDelta = parent.filter(_ => v % eff != 0).map(_.files)
     // the stats index for the commit: surviving parent entries plus the
     // new files' (addStats wins on collision — a rewritten path is the
@@ -332,7 +341,7 @@ object StoreLog {
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
-      asDelta, eff, allStats, tag)
+      asDelta, eff, allStats, tag, effBlooms)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -364,11 +373,13 @@ object StoreLog {
     * hidden), so the loser just adopts the winner's identical v1.
     */
   def ensure(path: String,
-             checkpointInterval: Int = CheckpointInterval): Snapshot =
+             checkpointInterval: Int = CheckpointInterval,
+             bloomCols: Seq[String] = Nil): Snapshot =
     latest(path).getOrElse {
       try {
         commit(path, 0L, Seq.empty, listDataFiles(path),
-          interval = Some(checkpointInterval)); ()
+          interval = Some(checkpointInterval),
+          bloomCols = if (bloomCols.nonEmpty) Some(bloomCols) else None); ()
       }
       catch { case _: CommitConflict => () }
       latest(path).get
@@ -493,7 +504,7 @@ object StoreLog {
         manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
-          stats = snap.stats, tag = snap.tag))
+          stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))

@@ -189,7 +189,8 @@ object TsStore {
             overlapPolicy: OverlapPolicy = OverlapPolicy.Warn,
             rowGroupBytes: Long = 16L << 20,
             maxRecordsPerFile: Long = 8L << 20,
-            commitTag: Option[String] = None): Unit = {
+            commitTag: Option[String] = None,
+            bloomKeys: Seq[String] = Nil): Unit = {
     // write-time overlap guard (reference behavior): appending a chunk
     // whose time range intersects what's stored for the same series is
     // almost always a double-write that silently duplicates rows. The
@@ -225,7 +226,12 @@ object TsStore {
       // an overwrite is a NEW store — a stale manifest naming deleted
       // files must not survive it
       if (StoreLog.canLog(path)) StoreLog.delete(path)
-      writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
+      writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes,
+        maxRecordsPerFile, bloomKeys)
+      // record the bloom columns as a store property so every later
+      // rewrite (upsert/delete/compact/zorder) keeps writing them
+      if (bloomKeys.nonEmpty && StoreLog.canLog(path))
+        StoreLog.ensure(path, bloomCols = bloomKeys)
     } else if (StoreLog.canLog(path) && StoreLog.exists(path)) {
       // logged store: appended files must be NAMED by a manifest commit
       // or manifest readers never see them. Stage to a txn-private dir,
@@ -233,8 +239,11 @@ object TsStore {
       // file ADDITION serializes after any concurrent commit, so a CAS
       // loss always rebases onto the winner's file list.
       val staging = txnDir(path)
+      val appendBlooms =
+        if (bloomKeys.nonEmpty) bloomKeys
+        else StoreLog.latest(path).map(_.bloomCols).getOrElse(Nil)
       writeFiles(sorted, staging, uidCols, SaveMode.Overwrite, codec,
-        rowGroupBytes, maxRecordsPerFile)
+        rowGroupBytes, maxRecordsPerFile, appendBlooms)
       StoreLog.withWriterLease(path) { lease =>
         val moved =
           try StoreLog.adoptStaged(path, staging)
@@ -255,7 +264,8 @@ object TsStore {
           }
         }
       }
-    } else writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes, maxRecordsPerFile)
+    } else writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes,
+      maxRecordsPerFile, bloomKeys)
   }
 
   private[sources] def txnDir(path: String): String =
@@ -274,12 +284,24 @@ object TsStore {
     */
   private def writeFiles(sorted: DataFrame, path: String, uidCols: Seq[String],
                          mode: SaveMode, codec: String,
-                         rowGroupBytes: Long, maxRecordsPerFile: Long): Unit = {
+                         rowGroupBytes: Long, maxRecordsPerFile: Long,
+                         bloomCols: Seq[String] = Nil): Unit = {
     // zstd default ≙ the reference's LZ4 column blobs: better ratio than
     // snappy at similar scan speed — at 100 TB the ratio IS the IO budget.
-    val writer = sorted.write.mode(mode).option("compression", codec)
+    var writer = sorted.write.mode(mode).option("compression", codec)
       .option("parquet.block.size", rowGroupBytes)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    // Per-column parquet BLOOM FILTERS (opt-in): min/max row-group stats
+    // only skip on RANGE-correlated keys — a merge key uncorrelated with
+    // the (uid, ts) sort order has full-domain bounds in every row
+    // group, so a point/IN takedown probe reads everything. A bloom
+    // answers "definitely absent" per row group regardless of ordering;
+    // Spark's parquet reader consults it for = and IN pushed predicates.
+    // A few KB per row group buys skipping the ~16 MB group — the right
+    // trade wherever keyed deletes land (see upsert's bloomKeys).
+    bloomCols.foreach { c =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     val sess = sorted.sparkSession
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     TsStore.synchronized {
@@ -491,7 +513,8 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     writeFiles(merged.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
-      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,
+      maxRecordsPerFile, base.bloomCols)
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)
@@ -609,7 +632,8 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     writeFiles(survivors.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
-      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,
+      maxRecordsPerFile, base.bloomCols)
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)
@@ -749,7 +773,8 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     writeFiles(survivors.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
-      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,
+      maxRecordsPerFile, base.bloomCols)
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)
@@ -808,7 +833,8 @@ object TsStore {
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     writeFiles(rows.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
-      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes, maxRecordsPerFile)
+      staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,
+      maxRecordsPerFile, base.bloomCols)
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)
@@ -893,7 +919,7 @@ object TsStore {
     }
     val staging = txnDir(path)
     writeFiles(clustered, staging, uidCols, SaveMode.Overwrite, codec,
-      rowGroupBytes, maxRecordsPerFile)
+      rowGroupBytes, maxRecordsPerFile, base.bloomCols)
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)

@@ -206,7 +206,15 @@ object StoreIngest {
                keyCols: Seq[String], versionCol: String,
                tsCol: String, uidCols: Seq[String],
                checkpoint: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow(),
+               bloomKeys: Seq[String] = Nil): StreamingQuery = {
+    // a takedown feed probes by MERGE KEY — per-column parquet blooms on
+    // those keys let the per-batch find scan skip row groups even where
+    // min/max bounds can't (keys uncorrelated with the ts sort order).
+    // Recorded as a store property BEFORE the first batch so every
+    // upsert/delete rewrite inherits it.
+    if (bloomKeys.nonEmpty)
+      graft.sources.StoreLog.ensure(path, bloomCols = bloomKeys)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         import org.apache.spark.sql.functions.{coalesce, col, lit, max, not}
@@ -259,4 +267,5 @@ object StoreIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 }

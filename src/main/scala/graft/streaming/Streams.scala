@@ -214,7 +214,7 @@ object Streams {
         val q = StoreIngest.startCdc(src, s"$root/store", opCol = "op",
           keyCols = Seq("event_id"), versionCol = "version",
           tsCol = "ts", uidCols = Seq("event_type"),
-          checkpoint = s"$root/ckpt")
+          checkpoint = s"$root/ckpt", bloomKeys = Seq("event_id"))
         q.awaitTermination()
         graft.sources.TsStore.read(s, s"$root/store")
           .select((cols :+ "version").map(col): _*)
