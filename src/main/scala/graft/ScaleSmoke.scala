@@ -32,7 +32,13 @@ object ScaleSmoke {
     "ts_gapfill", "ts_twap", "win_ewma", "agg_ohlc",
     // the heavy fact-fact TPC-H analogs: their 10x ratios turn bench
     // excursions on a busy box into one-line adjudications
-    "q7_volume", "q5_local_supplier", "q8_market_share")
+    "q7_volume", "q5_local_supplier", "q8_market_share",
+    // round-11 store lifecycle verbs. join_interval is deliberately NOT
+    // here: replicate-in-place multiplies BOTH interval sets inside the
+    // same time windows, so its OUTPUT grows reps² — a genuinely
+    // quadratic result set, not a plan defect (the plan is one equi
+    // shuffle; PlanSpec pins it never degenerates to a nested loop).
+    "store_zorder", "store_incremental_view", "store_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

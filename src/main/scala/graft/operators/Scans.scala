@@ -464,6 +464,37 @@ object Scans {
         "WHERE event_type = 'purchase' AND event_id % 97 = 0) " +
         "SELECT user_id, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4, " +
         "count(*) AS cnt FROM fin GROUP BY user_id ORDER BY user_id"),
-      "incrementally-maintained materialized aggregate: change-feed deltas with update preimages, exact integer measures")
+      "incrementally-maintained materialized aggregate: change-feed deltas with update preimages, exact integer measures"),
+
+    "store_restore" -> DeclaredQuery(
+      // The accident-undo verb (Delta RESTORE role): after a botched
+      // upsert AND an over-broad delete, one O(manifest) commit makes an
+      // earlier version's file list the live view again — nothing copied,
+      // nothing rewritten, the bad versions still auditable asOf until
+      // vacuum. The oracle is simply the original base: a correct restore
+      // is indistinguishable from never having made the mistakes.
+      (s, d) => {
+        val dir = sinkDir("restore", d)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), lit(1L).as("version"))
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val v1 = graft.sources.StoreLog.ensure(dir).version
+        val botched = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 3 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 999999.0).as("value"), lit(2L).as("version"))
+        TsStore.upsert(s, dir, botched, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.delete(s, dir, col("event_type") === "click",
+          tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.restore(s, dir, v1)
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("version"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, value, CAST(1 AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "restore to an earlier version as one O(manifest) commit; botched versions stay auditable asOf until vacuum")
   )
 }

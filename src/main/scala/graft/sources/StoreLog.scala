@@ -377,8 +377,14 @@ object StoreLog {
              bloomCols: Seq[String] = Nil): Snapshot =
     latest(path).getOrElse {
       try {
-        commit(path, 0L, Seq.empty, listDataFiles(path),
+        val files = listDataFiles(path)
+        // the adoption commit is the one chance to index the ADOPTED
+        // files — a one-time O(files) footer-metadata pass (the
+        // convert-to-Delta cost); without it every pre-log file stays
+        // stat-less and un-prunable for the store's whole life
+        commit(path, 0L, Seq.empty, files,
           interval = Some(checkpointInterval),
+          addStats = FileStats.forFiles(path, files),
           bloomCols = if (bloomCols.nonEmpty) Some(bloomCols) else None); ()
       }
       catch { case _: CommitConflict => () }

@@ -849,6 +849,46 @@ object TsStore {
     }
   }
 
+  /** RESTORE the store to an earlier committed version — as a NEW
+    * commit, not a history rewrite (the Delta RESTORE / Iceberg
+    * rollback role): the target version's file list simply becomes the
+    * next manifest version. Nothing is copied or rewritten — the old
+    * files are still on disk until [[StoreLog.vacuum]] reclaims them,
+    * which is exactly why the retention window is the undo window. The
+    * bad intermediate versions stay readable `asOf` for audit until
+    * vacuumed. This is the accident-undo verb: a botched upsert, an
+    * over-broad delete, a corrupted CDC batch — one O(manifest) commit
+    * walks it back.
+    *
+    * Concurrency: restore REPLACES the whole live view, so it cannot
+    * rebase over anything — a concurrent commit of any kind aborts it
+    * with [[StoreLog.CommitConflict]] (re-inspect and retry; blindly
+    * rebasing would silently discard the concurrent writer's rows).
+    *
+    * Returns the new version. Requires `toVersion` to still be
+    * resolvable (inside the vacuum retention window).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val target = StoreLog.read(path, toVersion)
+    StoreLog.withWriterLease(path) { lease =>
+      lease.renew()
+      val cur = StoreLog.ensure(path)
+      // `replaced` must name every partition prefix the restore could
+      // touch — concurrent writers' rebase checks look for THEIR prefix
+      // there, and a sentinel would let e.g. a compaction rebase over
+      // the restore and resurrect pre-restore rows
+      val prefixes = (cur.files ++ target.files).map { f =>
+        val i = f.lastIndexOf('/')
+        if (i > 0) f.substring(0, i) else f
+      }.distinct
+      if (cur.version == toVersion) cur.version
+      else StoreLog.commit(path, cur.version,
+        replaced = prefixes,
+        files = target.files, parent = Some(cur),
+        addStats = target.stats)
+    }
+  }
+
   /** Z-ORDER the live files of a logged store: rewrite them clustered on
     * the interleaved-bit Morton value of `clusterCols` (equi-depth
     * quantile buckets — [[graft.functions.ZOrder]]) and swap the whole

@@ -173,11 +173,12 @@ class FileStatsSpec extends AnyFunSuite {
     val df = (0 until 100).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L, "a"))
       .toDF("event_id", "ts", "version", "uid")
     TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("uid"))
-    StoreLog.ensure(dir) // v1 lists pre-log files: no stats, by design
+    StoreLog.ensure(dir) // the adoption commit indexes pre-log files too
     val snap = StoreLog.latest(dir).get
-    assert(snap.stats.isEmpty)
-    // pruning keeps everything, reads stay exact
-    assert(FileStats.prune(snap.files, snap.stats,
+    assert(snap.stats.nonEmpty)
+    // LEGACY manifests carry no stats at all — pruning against an empty
+    // map must keep everything, and reads stay exact
+    assert(FileStats.prune(snap.files, Map.empty,
       col("event_id") === lit(5L)) === snap.files)
     assert(TsStore.read(spark, dir, tsCol = "ts",
       start = Some(ts("2024-01-01 00:00:00")),

@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("join_interval plans an EQUI join on the bucket key, never a nested loop") {
+    // the whole point of the bucket-chop spelling: an interval-overlap
+    // join with NO natural equi key must still plan as a hash/sort-merge
+    // join (on the manufactured bucket), not a BNLJ/cartesian product
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
   test("limit_offset plans a global-limit shape, not a full sort materialization") {
     val p = plan("limit_offset")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)

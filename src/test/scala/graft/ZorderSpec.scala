@@ -68,8 +68,10 @@ class ZorderSpec extends AnyFunSuite {
     val pre = StoreLog.ensure(dir)
     val keptBefore = FileStats.prune(pre.files, pre.stats, pred).size
     assert(pre.files.size >= 16, s"fixture too small: ${pre.files.size} files")
-    assert(keptBefore === pre.files.size,
-      "ts-sorted layout should NOT prune on user_id (bounds span the domain)")
+    // ts-sorted layout barely prunes on user_id (most small files still
+    // span most of the uid domain by chance)
+    assert(keptBefore * 2 >= pre.files.size,
+      s"unexpectedly prunable before zorder: $keptBefore of ${pre.files.size}")
     TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
       uidCols = Seq("event_type"), maxRecordsPerFile = 50)
     val post = StoreLog.latest(dir).get
@@ -77,6 +79,8 @@ class ZorderSpec extends AnyFunSuite {
     assert(post.files.size >= 16, s"rewrite collapsed too far: ${post.files.size}")
     assert(keptAfter * 2 <= post.files.size,
       s"zorder must make user_id prunable: kept $keptAfter of ${post.files.size}")
+    assert(keptAfter * 2 <= keptBefore,
+      s"zorder must at least halve the kept set: $keptBefore -> $keptAfter")
     // and the pruned read still returns exactly the right rows
     val got = TsStore.load(spark, dir, prune = Some(pred)).filter(pred)
     val want = events.filter(pred)
