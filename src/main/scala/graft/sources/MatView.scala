@@ -91,13 +91,18 @@ object MatView {
     if (buckets.isEmpty) return lastApplied
     val old = view.filter(col(BucketCol).isin(buckets: _*))
       .select((groupCols.map(col) :+ col("sum_e4") :+ col("cnt")): _*)
-    val merged = withBucket.join(old, groupCols, "left_outer")
-      .select((groupCols.map(col) :+
-        (coalesce(col("sum_e4"), lit(0L)) + col("d_sum")).as("sum_e4") :+
-        (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt") :+
+    // null-SAFE key equality: a null group value is a legitimate group
+    // (the change aggregate and the upsert window both treat it as one);
+    // plain `=` would never rejoin it to its old state and the view
+    // would fork a fresh row per refresh
+    val joinCond = groupCols.map(c => withBucket(c) <=> old(c)).reduce(_ && _)
+    val merged = withBucket.join(old, joinCond, "left_outer")
+      .select((groupCols.map(withBucket(_)) :+
+        (coalesce(old("sum_e4"), lit(0L)) + col("d_sum")).as("sum_e4") :+
+        (coalesce(old("cnt"), lit(0L)) + col("d_cnt")).as("cnt") :+
         lit(storeV).as(AppliedCol) :+
         to_timestamp(lit(0)).as("ts") :+
-        col(BucketCol)): _*)
+        withBucket(BucketCol)): _*)
     TsStore.upsert(spark, viewPath, merged, keyCols = groupCols,
       versionCol = AppliedCol, tsCol = "ts", uidCols = Seq(BucketCol))
     storeV

@@ -97,6 +97,32 @@ class MatViewSpec extends AnyFunSuite {
     viewEqualsRecompute(sdir, vdir)
   }
 
+  test("a NULL group key accumulates as one group across refreshes") {
+    val sdir = Files.createTempDirectory("graft_mvn_s").toString
+    val vdir = Files.createTempDirectory("graft_mvn_v").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, Option(7L), "a", 10.0, 1L),
+      (2L, t0, Option.empty[Long], "a", 20.0, 1L),
+      (3L, t0, Option.empty[Long], "a", 30.0, 1L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "version")
+    TsStore.write(rows, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    val delta = Seq((4L, t0, Option.empty[Long], "a", 40.0, 2L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "version")
+    TsStore.upsert(spark, sdir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    val got = MatView.read(spark, vdir, Seq("user_id"))
+    assert(got.count() === 2, "null must stay ONE group, not fork per refresh")
+    val nullRow = got.filter(col("user_id").isNull).collect()
+    assert(nullRow.length === 1)
+    assert(nullRow.head.getAs[Long]("sum_e4") === 900000L) // (20+30+40)*1e4
+    assert(nullRow.head.getAs[Long]("cnt") === 3L)
+  }
+
   test("a group netting to zero disappears from reads (cnt=0 tombstone)") {
     val sdir = Files.createTempDirectory("graft_mv0_s").toString
     val vdir = Files.createTempDirectory("graft_mv0_v").toString
