@@ -43,6 +43,10 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    // dev-only subset filter (comma-separated name prefixes), same
+    // convention as Verify's 3rd arg / Bench's SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,17 +105,21 @@ object ScaleSmoke {
       Registry.all(name).fn(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    val selected = only match {
+      case Some(ps) => Queries.filter(q => ps.exists(q.startsWith))
+      case None => Queries
+    }
     // base pass first (doubles as JIT warmup for the scaled pass — the
     // bias, if any, makes ratios LOOK worse, never better)
-    val base = Queries.map(q => q -> time(q, sfDir)).toMap
-    val big = Queries.map(q => q -> time(q, scaled)).toMap
-    val rows = Queries.map { q =>
+    val base = selected.map(q => q -> time(q, sfDir)).toMap
+    val big = selected.map(q => q -> time(q, scaled)).toMap
+    val rows = selected.map { q =>
       val r = big(q) / base(q)
       f"""{"query":"$q","base_sec":${base(q)}%.2f,"x${reps}_sec":${big(q)}%.2f,"ratio":$r%.1f}"""
     }
     println(rows.mkString("[", ",\n", "]"))
-    val worst = Queries.maxBy(q => big(q) / base(q))
-    val flagged = Queries.filter(q => big(q) / base(q) > reps * 1.8)
+    val worst = selected.maxBy(q => big(q) / base(q))
+    val flagged = selected.filter(q => big(q) / base(q) > reps * 1.8)
     println(f"SUMMARY reps=$reps worst=$worst ratio=${big(worst) / base(worst)}%.1f " +
       s"superlinear=${if (flagged.isEmpty) "none" else flagged.mkString(",")}")
     spark.stop()

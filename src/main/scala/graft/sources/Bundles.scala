@@ -241,6 +241,38 @@ class Bundles(spark: SparkSession, basePath: String,
              retainVersions: Int = 1): Int =
     TsStore.vacuum(dir(collection), retainVersions)
 
+  /** Restore a collection to an earlier committed version — one
+    * O(manifest) commit, nothing rewritten; the walked-back versions
+    * stay readable via [[readAsOf]] until [[vacuum]] (see
+    * [[TsStore.restore]]). The undo verb for a botched upsert/delete.
+    */
+  def restore(version: Long, collection: String = defaultCollection): Long =
+    TsStore.restore(spark, dir(collection), version)
+
+  /** Z-order the collection's live chunks on `clusterCols` (see
+    * [[TsStore.zorder]]): after the rewrite, per-file bounds are tight
+    * in every cluster dimension, so reads keyed on non-ts columns prune
+    * files the (uid, ts) sort order never served. A maintenance verb —
+    * run it on whatever cadence the workload's read patterns warrant.
+    */
+  def zorder(clusterCols: Seq[String],
+             collection: String = defaultCollection): Long =
+    TsStore.zorder(spark, dir(collection), clusterCols, uidCols = Seq(UidCol))
+
+  /** Change-feed read between two collection versions, classified by
+    * per-series key (the series id is prepended, as in [[upsert]]):
+    * insert/update/delete rows plus `update_preimage` when `preimages`
+    * — what a downstream incremental consumer applies instead of
+    * re-reading the live view (see [[TsStore.changes]]).
+    */
+  def changes(fromV: Long, toV: Long, keyCols: Seq[String],
+              versionCol: String = "version",
+              collection: String = defaultCollection,
+              preimages: Boolean = false): DataFrame =
+    TsStore.changes(spark, dir(collection), fromV, toV,
+      keyCols = UidCol +: keyCols, versionCol = versionCol,
+      preimages = preimages)
+
   /** Streaming ingest into a collection — the facade over
     * [[graft.streaming.StoreIngest]]: the stream's `uidCol` column
     * becomes the series id (renamed to the collection's partition

@@ -276,6 +276,49 @@ class BundlesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { ct.readAsOf("aapl", v - 1).collect() }
   }
 
+  test("facade restore + changes: one commit undoes a bad upsert; the feed explains it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_brestore").toString
+    val ct = new Bundles(spark, base)
+    ct.write("aapl", Seq((ts("2024-01-01 09:30:00"), 100.0, 1L),
+      (ts("2024-01-01 09:31:00"), 101.0, 1L)).toDF("ts", "price", "version"))
+    graft.sources.StoreLog.ensure(s"$base/default")
+    val v1 = ct.versions().last
+    val v2 = ct.upsert("aapl",
+      Seq((ts("2024-01-01 09:31:00"), -1.0, 2L)).toDF("ts", "price", "version"),
+      keyCols = Seq("ts"), versionCol = "version")
+    // the change feed names the bad tick, with its preimage
+    val ch = ct.changes(v1, v2, keyCols = Seq("ts"), preimages = true)
+    assert(ch.filter(col("change_type") === "update" && col("price") === -1.0).count() === 1)
+    assert(ch.filter(col("change_type") === "update_preimage" &&
+      col("price") === 101.0).count() === 1)
+    val v3 = ct.restore(v1)
+    assert(v3 > v2)
+    assert(ct.read("aapl").filter(col("price") === -1.0).count() === 0)
+    assert(ct.read("aapl").filter(col("price") === 101.0).count() === 1)
+    // the bad version remains auditable until vacuum
+    assert(ct.readAsOf("aapl", v2).filter(col("price") === -1.0).count() === 1)
+  }
+
+  test("facade zorder: a price-keyed read prunes after clustering") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bzorder").toString
+    val ct = new Bundles(spark, base)
+    val rows = (0 until 2000).map { i =>
+      (new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 60000L),
+        (i % 37).toDouble, 1L)
+    }
+    ct.write("aapl", rows.toDF("ts", "price", "version"))
+    graft.sources.StoreLog.ensure(s"$base/default")
+    val v = ct.zorder(Seq("price"))
+    assert(ct.versions().last === v)
+    val snap = graft.sources.StoreLog.latest(s"$base/default").get
+    val kept = graft.sources.FileStats.prune(snap.files, snap.stats,
+      col("price") === lit(5.0))
+    assert(kept.size < snap.files.size || snap.files.size === 1)
+    assert(ct.read("aapl").count() === 2000)
+  }
+
   test("dropSeries on a LOGGED collection commits a manifest version, never bricks reads") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bdrop_logged").toString
