@@ -252,6 +252,44 @@ object Aggregates {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       "statistical aggregates: stddev/variance/correlation/covariance"),
 
+    "agg_skew" -> DeclaredQuery(
+      // Higher moments (skewness, excess kurtosis) WITHOUT the engines'
+      // built-ins: Spark's skewness() is the population g1 while DuckDB's
+      // is the bias-corrected sample G1 — they can never hash-match. Both
+      // sides instead aggregate EXACT integer power sums (quantity is
+      // integral, s4 ≤ 50^4·n ≪ 2^63) and derive the moments with the
+      // SAME double spelling, so the floats are bit-identical before the
+      // defensive 6dp rounding. Map-side partial sums of longs — the
+      // cheapest possible two-phase aggregate at any scale.
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(sum(q).as("s1"), sum(q * q).as("s2"),
+            sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            expr("round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*pow(CAST(s1 AS DOUBLE)/n, 3.0)) " +
+              "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 6)").as("skew"),
+            expr("round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6.0*pow(CAST(s1 AS DOUBLE)/n, 2.0)*(CAST(s2 AS DOUBLE)/n) - 3.0*pow(CAST(s1 AS DOUBLE)/n, 4.0)) " +
+              "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0) - 3.0, 6)").as("kurt"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH m AS (SELECT l_returnflag, " +
+        "sum(CAST(l_quantity AS BIGINT)) AS s1, " +
+        "sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2, " +
+        "sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3, " +
+        "sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, " +
+        "round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*pow(CAST(s1 AS DOUBLE)/n, 3.0)) " +
+        "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 6) + 0.0 AS skew, " +
+        "round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6.0*pow(CAST(s1 AS DOUBLE)/n, 2.0)*(CAST(s2 AS DOUBLE)/n) - 3.0*pow(CAST(s1 AS DOUBLE)/n, 4.0)) " +
+        "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0) - 3.0, 6) + 0.0 AS kurt, " +
+        "n FROM m ORDER BY l_returnflag"),
+      "skewness + excess kurtosis from exact integer power sums (engine built-ins use incompatible estimators)"),
+
     "agg_vwap" -> DeclaredQuery(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_partkey")

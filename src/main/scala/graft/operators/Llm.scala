@@ -1321,6 +1321,51 @@ object Llm {
         "FROM t JOIN fp USING (tok) GROUP BY doc_id ORDER BY doc_id"),
       "unigram LM quality score: per-doc mean log-probability"),
 
+    "llm_bigram_score" -> DeclaredQuery(
+      // Bigram LM scoring with Laplace smoothing — the stronger
+      // perplexity-proxy filter one rung above llm_unigram_score:
+      // per-doc mean ln((c(a,b)+1) / (c(a)+V)) under the corpus's own
+      // bigram counts. Scale shape: bigrams come from zip_with over the
+      // already-materialized token array (no positional self-join), the
+      // doc↔bigram-count join shuffles once on the dense (a,b) key, the
+      // CONTEXT table is vocabulary-sized and broadcasts, and V is a
+      // one-row broadcast cross join. Docs under 2 tokens drop out on
+      // both sides (slice guards mirrored). O(1)-magnitude summands +
+      // 6dp rounding absorb partial-sum order noise, as in the unigram
+      // precedent.
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"), toks.as("__toks"))
+        val bi = t.filter(size(col("__toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(__toks, 1, size(__toks)-1), " +
+              "slice(__toks, 2, size(__toks)-1), (x, y) -> struct(x AS a, y AS b))"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+        val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val ca = cab.groupBy("a").agg(sum(col("cab")).as("ca"))
+        val vDf = t.select(explode(col("__toks")).as("tok"))
+          .agg(countDistinct(col("tok")).as("v"))
+        bi.join(cab, Seq("a", "b"))
+          .join(broadcast(ca), Seq("a"))
+          .crossJoin(broadcast(vDf))
+          .groupBy("doc_id")
+          .agg(round(avg(log((col("cab") + lit(1.0)) /
+            (col("ca") + col("v")).cast("double"))), 6).as("score"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents), " +
+        "bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a, " +
+        "unnest(toks[2:len(toks)]) AS b FROM t WHERE len(toks) >= 2), " +
+        "u AS (SELECT unnest(toks) AS tok FROM t), " +
+        "cab AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b), " +
+        "ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a), " +
+        "v AS (SELECT count(DISTINCT tok) AS v FROM u) " +
+        "SELECT doc_id, round(avg(ln((cab + 1.0) / CAST(ca + v AS DOUBLE))), 6) AS score, " +
+        "count(*) AS n_bigrams FROM bi JOIN cab USING (a, b) JOIN ca USING (a) " +
+        "CROSS JOIN v GROUP BY doc_id ORDER BY doc_id"),
+      "bigram LM quality score: Laplace-smoothed mean log-probability per doc"),
+
     "llm_corpus_clean" -> DeclaredQuery(
       // The end-to-end corpus-cleaning pipeline in ONE declared query:
       // quality gate (length bounds + stopword-ratio floor) → exact dedup
