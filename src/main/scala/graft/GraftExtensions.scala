@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.expressions.SigAggs.registrations.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.plans.AsofTvf.registration)
     ext.injectTableFunction(graft.plans.StoreTvf.registration)
+    ext.injectTableFunction(graft.plans.StoreChangesTvf.registration)
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDotToNormSq)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -495,6 +495,49 @@ object Scans {
       },
       Some("SELECT event_id, user_id, value, CAST(1 AS BIGINT) AS version " +
         "FROM events ORDER BY event_id"),
-      "restore to an earlier version as one O(manifest) commit; botched versions stay auditable asOf until vacuum")
+      "restore to an earlier version as one O(manifest) commit; botched versions stay auditable asOf until vacuum"),
+
+    "store_sql_changes" -> DeclaredQuery(
+      // SQL face of the change feed: the same lifecycle as store_changes
+      // (base write, upsert with updates + inserts, keyed delete) but the
+      // CDC read is issued as warehouse SQL through the
+      // graft_store_changes table-valued function — the Delta
+      // `table_changes()` role. Same manifest-diff plan underneath (only
+      // the window's added/replaced files are read), same oracle.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("sqlchanges", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(Tables.events(s, d)
+            .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        val v2 = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        val v3 = TsStore.delete(s, dir,
+          col("event_type") === "click" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value, version, change_type " +
+          s"FROM graft_store_changes('$dir', ${v2 - 1}, $v3, 'event_id', 'version') " +
+          "ORDER BY event_id, change_type")
+      },
+      Some("WITH upd AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, " +
+        "CAST(2 AS BIGINT) AS version, 'update' AS change_type FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 10 = 0), " +
+        "ins AS (SELECT event_id + 10000000 AS event_id, ts, user_id, event_type, value, " +
+        "CAST(2 AS BIGINT) AS version, 'insert' AS change_type FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 97 = 0), " +
+        "del AS (SELECT event_id, ts, user_id, event_type, value, " +
+        "CAST(1 AS BIGINT) AS version, 'delete' AS change_type FROM events " +
+        "WHERE event_type = 'click' AND event_id % 7 = 0) " +
+        "SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins " +
+        "UNION ALL SELECT * FROM del) ORDER BY event_id, change_type"),
+      "SQL face of CDC: the graft_store_changes TVF (the table_changes() role) over the same lifecycle as store_changes")
   )
 }

@@ -72,3 +72,66 @@ object StoreTvf {
       new ExpressionInfo(StoreTvf.getClass.getName, "graft_store"),
       build)
 }
+
+/** SQL face of the change feed ([[graft.sources.TsStore.changes]]) — the
+  * CDC read a warehouse user issues between two committed versions:
+  *
+  * {{{
+  *   SELECT * FROM graft_store_changes('/data/ticks/default', 1, 3,
+  *                                     'event_id', 'version')
+  *   -- with update preimages (the Delta CDF shape):
+  *   SELECT * FROM graft_store_changes('/data/ticks/default', 1, 3,
+  *                                     'event_id', 'version', true)
+  * }}}
+  *
+  * `keys` is a comma-separated merge-key column list. Same
+  * snapshot-at-parse semantics as `graft_store` — both versions are
+  * commit ids, immutable by construction, so a cached plan stays right.
+  * Only the window's added/replaced files are read (the diff is plan
+  * metadata, not a scan).
+  */
+object StoreChangesTvf {
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, _: StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_store_changes: $what must be a string literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_store_changes: $what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_store_changes: $what must be a boolean literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 5 || args.length > 6)
+      throw new IllegalArgumentException(
+        "graft_store_changes expects (path, fromV, toV, keys, versionCol" +
+          s"[, preimages]) — got ${args.length} args")
+    val path = strArg(args(0), "path")
+    val fromV = longArg(args(1), "fromV")
+    val toV = longArg(args(2), "toV")
+    val keys = strArg(args(3), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (keys.isEmpty)
+      throw new IllegalArgumentException(
+        "graft_store_changes: keys must name at least one merge-key column")
+    val versionCol = strArg(args(4), "versionCol")
+    val preimages = args.drop(5).headOption.exists(boolArg(_, "preimages"))
+    graft.sources.TsStore.changes(SparkSession.active, path, fromV, toV,
+        keyCols = keys, versionCol = versionCol, preimages = preimages)
+      .queryExecution.logical
+  }
+
+  def registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_store_changes"),
+      new ExpressionInfo(StoreChangesTvf.getClass.getName, "graft_store_changes"),
+      build)
+}

@@ -425,6 +425,38 @@ class StoreLogSpec extends AnyFunSuite {
     fails(s"SELECT * FROM graft_store()", "graft_store expects")
   }
 
+  test("graft_store_changes TVF: the SQL change feed equals the API, loud arg errors") {
+    val (dir, _) = freshStore()
+    val v1 = StoreLog.ensure(dir).version
+    val d1 = delta(10, 1000.0)
+    val v2 = TsStore.upsert(spark, dir, d1, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val api = TsStore.changes(spark, dir, v1, v2,
+      keyCols = Seq("event_id"), versionCol = "version", preimages = true)
+    val sqlFeed = spark.sql(
+      s"SELECT * FROM graft_store_changes('$dir', $v1, $v2, 'event_id', 'version', true)")
+    assert(sqlFeed.count() === api.count())
+    assert(sqlFeed.except(api).count() === 0 && api.except(sqlFeed).count() === 0)
+    // default (no preimages) drops exactly the preimage rows
+    val noPre = spark.sql(
+      s"SELECT * FROM graft_store_changes('$dir', $v1, $v2, 'event_id', 'version')")
+    assert(noPre.filter(col("change_type") === "update_preimage").count() === 0)
+    assert(noPre.count() === api.filter(col("change_type") =!= "update_preimage").count())
+    // composes like any relation
+    assert(spark.sql(s"SELECT count(*) FROM graft_store_changes('$dir', $v1, $v2, " +
+      "'event_id', 'version') WHERE change_type = 'update'").first().getLong(0) ===
+      d1.count())
+    def fails(sql: String, msg: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(msg), s"wrong error for $sql: ${e.getMessage}")
+    }
+    fails(s"SELECT * FROM graft_store_changes('$dir')", "graft_store_changes expects")
+    fails(s"SELECT * FROM graft_store_changes('$dir', $v1, $v2, '', 'version')",
+      "at least one merge-key column")
+    fails(s"SELECT * FROM graft_store_changes('$dir', $v1, $v2, 'event_id', 'version', 'yes')",
+      "must be a boolean literal")
+  }
+
   test("writer-safe vacuum: an active lease protects a mid-commit writer; aged garbage still reclaims") {
     val (dir, _) = freshStore()
     // make genuine garbage: an upsert's replaced chunks, AGED past the
