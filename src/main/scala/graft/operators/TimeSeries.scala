@@ -593,6 +593,44 @@ object TimeSeries {
         "GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
       "5-minute bar resampling (epoch-floor bucketing)"),
 
+    "ts_volume_bars" -> DeclaredQuery(
+      // Volume-bar construction — the event-driven bar family (volume/
+      // dollar bars) finance pipelines use instead of clock bars: a new
+      // bar opens every V units of traded value. Inherently sequential
+      // PER INSTRUMENT, so the window partitions by the instrument
+      // (user_id here plays the symbol) — thousands of independent
+      // partitions at scale, one window pass + one hash aggregate, no
+      // global sort. The cumulative volume runs in EXACT e4-scaled longs
+      // (a double cumsum would drift with partition merge order); bar id
+      // = pre-trade cumulative volume div V, so a trade that crosses the
+      // boundary opens the new bar on both engines identically.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 10000).cast("long").as("v_e4"))
+          .withColumn("cum", sum(col("v_e4")).over(w))
+          .withColumn("bar", expr("(cum - v_e4) div 5000000L"))
+          .groupBy("user_id", "bar")
+          .agg(count(lit(1)).as("n"), sum(col("v_e4")).as("vol_e4"),
+            min(col("ts")).as("ts_open"), max(col("ts")).as("ts_close"))
+          .orderBy(col("user_id"), col("bar"))
+      },
+      Some("WITH t AS (SELECT user_id, ts, event_id, " +
+        "CAST(round(value * 10000) AS BIGINT) AS v_e4 FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, v_e4, CAST(sum(v_e4) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum FROM t) " +
+        "SELECT user_id, (cum - v_e4) // 5000000 AS bar, count(*) AS n, " +
+        "CAST(sum(v_e4) AS BIGINT) AS vol_e4, min(ts) AS ts_open, max(ts) AS ts_close " +
+        "FROM c GROUP BY user_id, (cum - v_e4) // 5000000 " +
+        "ORDER BY user_id, bar"),
+      "event-driven volume bars: exact integer cumulative volume, per-instrument windows"),
+
     "ts_sessionize" -> DeclaredQuery(
       // Batch sessionization — the classic clickstream/telemetry shape: a
       // session breaks when a series goes quiet for > 12h. Session ids

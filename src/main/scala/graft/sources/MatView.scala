@@ -116,4 +116,36 @@ object MatView {
     TsStore.load(spark, viewPath)
       .filter(col("cnt") > 0)
       .select((groupCols.map(col) :+ col("sum_e4") :+ col("cnt")): _*)
+
+  /** CONTINUOUS maintenance: tail the upstream store's commit stream
+    * (the `graft-store-changes` source — one micro-batch per manifest
+    * version) and run [[refresh]] on each batch. The batch CONTENT is
+    * deliberately ignored: the stream is the commit-cadence trigger,
+    * while refresh diffs the manifest from its own resume point — so a
+    * re-delivered batch (crash window) is a no-op by refresh's
+    * idempotence, and a refresh that runs ahead of its trigger (the
+    * store committed again meanwhile) just makes the next batches
+    * no-ops. Exactly-once falls out of the view's own applied-version
+    * bookkeeping; the checkpoint only bounds re-reads of the source.
+    * Call [[init]] before starting. The view lags the store by at most
+    * one trigger interval.
+    */
+  def follow(spark: SparkSession, storePath: String, viewPath: String,
+             storeKeyCols: Seq[String], storeVersionCol: String,
+             groupCols: Seq[String], measureE4: Column,
+             checkpoint: String,
+             nBuckets: Int = 16,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-store-changes").load(storePath)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        refresh(spark, storePath, viewPath, storeKeyCols, storeVersionCol,
+          groupCols, measureE4, nBuckets)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

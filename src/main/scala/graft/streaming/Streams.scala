@@ -396,6 +396,59 @@ object Streams {
         "AND v.event_type = 'view' AND v.user_id = p.user_id " +
         "AND v.ts >= p.ts - INTERVAL 240 MINUTE AND v.ts <= p.ts " +
         "ORDER BY p_id, v_id"),
-      "stream-stream interval join (batch twin: bounded-range equi join)")
+      "stream-stream interval join (batch twin: bounded-range equi join)"),
+
+    "stream_matview" -> DeclaredQuery(
+      // CONTINUOUSLY-maintained materialized view: the upstream store
+      // takes the same lifecycle as store_incremental_view (base write,
+      // upsert with updates + inserts, keyed delete — three manifest
+      // versions), but the view is refreshed by MatView.follow tailing
+      // the commit STREAM (graft-store-changes source, one micro-batch
+      // per version) instead of explicit refresh calls. The batch
+      // content is only the trigger; refresh diffs the manifest from
+      // the view's own applied-version resume point, so re-delivered
+      // or coalesced batches converge identically. Oracle = the full
+      // recompute over the final state — same as the batch IVM query,
+      // so the two maintenance modes can never drift apart.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_matview_")
+        val dir = s"$root/store"; val vdir = s"$root/view"
+        val base = graft.sources.Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), lit(1L).as("version"))
+        graft.sources.TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        graft.sources.StoreLog.ensure(dir)
+        val measure = round(col("value") * 10000).cast("long")
+        graft.sources.MatView.init(s, dir, vdir,
+          groupCols = Seq("user_id"), measureE4 = measure)
+        val delta = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") + 1000.0).as("value"), lit(2L).as("version"))
+          .unionByName(graft.sources.Tables.events(s, d)
+            .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"), lit(2L).as("version")))
+        graft.sources.TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        graft.sources.TsStore.delete(s, dir,
+          col("event_type") === "click" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val q = graft.sources.MatView.follow(s, dir, vdir,
+          storeKeyCols = Seq("event_id"), storeVersionCol = "version",
+          groupCols = Seq("user_id"), measureE4 = measure,
+          checkpoint = s"$root/ckpt")
+        q.awaitTermination()
+        graft.sources.MatView.read(s, vdir, Seq("user_id")).orderBy(col("user_id"))
+      },
+      Some("WITH fin AS (SELECT event_id, user_id, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 10 = 0 " +
+        "THEN value + 1000.0 ELSE value END AS value " +
+        "FROM events WHERE NOT (event_type = 'click' AND event_id % 7 = 0) " +
+        "UNION ALL SELECT event_id + 10000000, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 97 = 0) " +
+        "SELECT user_id, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_e4, " +
+        "count(*) AS cnt FROM fin GROUP BY user_id ORDER BY user_id"),
+      "continuously-maintained materialized view: MatView.follow tails the commit stream")
   )
 }

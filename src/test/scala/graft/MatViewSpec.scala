@@ -97,6 +97,48 @@ class MatViewSpec extends AnyFunSuite {
     viewEqualsRecompute(sdir, vdir)
   }
 
+  test("follow maintains the view off the commit stream; a re-run is a no-op") {
+    val root = Files.createTempDirectory("graft_mvf").toString
+    val sdir = s"$root/store"; val vdir = s"$root/view"
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    // three more upstream versions: two upserts + one delete
+    def up(mod: Int, bump: Double, v: Long) = TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "purchase" && col("event_id") % mod === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + bump).as("value"), lit(v).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    up(5, 10.0, 2L); up(3, 20.0, 3L)
+    TsStore.delete(spark, sdir, col("event_type") === "view" && col("event_id") % 4 === 0,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val q1 = MatView.follow(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure, checkpoint = s"$root/ckpt")
+    q1.awaitTermination()
+    viewEqualsRecompute(sdir, vdir)
+    val vAfter = StoreLog.latest(vdir).get.version
+    // a second AvailableNow run on the same checkpoint sees no new
+    // upstream commits: no view commit, state unchanged
+    val q2 = MatView.follow(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure, checkpoint = s"$root/ckpt")
+    q2.awaitTermination()
+    assert(StoreLog.latest(vdir).get.version === vAfter)
+    viewEqualsRecompute(sdir, vdir)
+    // and a FRESH checkpoint (full source replay) is still a no-op: the
+    // view's own applied-version bookkeeping, not the checkpoint, is
+    // what makes re-delivery converge
+    val q3 = MatView.follow(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure, checkpoint = s"$root/ckpt2")
+    q3.awaitTermination()
+    assert(StoreLog.latest(vdir).get.version === vAfter)
+    viewEqualsRecompute(sdir, vdir)
+  }
+
   test("a NULL group key accumulates as one group across refreshes") {
     val sdir = Files.createTempDirectory("graft_mvn_s").toString
     val vdir = Files.createTempDirectory("graft_mvn_v").toString
