@@ -212,7 +212,11 @@ object StoreIngest {
     // those keys let the per-batch find scan skip row groups even where
     // min/max bounds can't (keys uncorrelated with the ts sort order).
     // Recorded as a store property BEFORE the first batch so every
-    // upsert/delete rewrite inherits it.
+    // upsert/delete rewrite inherits it. Like checkpointInterval, the
+    // property is set at store CREATION only — on an existing store the
+    // manifest's recorded bloomCols win (ensure returns the live
+    // snapshot untouched), so a mismatched arg here cannot silently
+    // fork the store's layout contract.
     if (bloomKeys.nonEmpty)
       graft.sources.StoreLog.ensure(path, bloomCols = bloomKeys)
     stream.writeStream

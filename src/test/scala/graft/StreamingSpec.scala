@@ -691,4 +691,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(TsStore.read(spark, dir, asOf = Some(v - 1)).count() > 0)
     }
   }
+
+  test("CROSS-PROCESS follow: a second JVM tails the store and resumes its checkpoint") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{StoreLog, Tables, TsStore}
+    val root = java.nio.file.Files.createTempDirectory("graft_xfollow")
+    val src = s"$root/src"; val dst = s"$root/dst"; val ckpt = s"$root/ckpt"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val events = Tables.events(spark, TestSpark.sf001)
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, src, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(src)
+    def delta(mod: Int, bump: Double, v: Long) = events
+      .filter(col("event_type") === "purchase" && col("event_id") % mod === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + bump).as("value"), lit(v).as("version"))
+    TsStore.upsert(spark, src, delta(10, 1000.0, 2L), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(pk => Seq("--add-opens", s"$pk=ALL-UNNAMED"))
+    def runChild(): Unit = {
+      val pr = new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
+        Seq("graft.XProcFollowMain", src, dst, ckpt)): _*)
+        .redirectErrorStream(true).start()
+      val done = pr.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) pr.destroyForcibly()
+      val out = new String(pr.getInputStream.readAllBytes())
+      assert(done, s"child JVM did not finish: ${out.takeRight(2000)}")
+      assert(pr.exitValue() === 0, s"child failed (${pr.exitValue()}): ${out.takeRight(2000)}")
+    }
+    def merged(deltas: org.apache.spark.sql.DataFrame*) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(desc("version"), desc("__src"))
+      deltas.zipWithIndex.map { case (d, i) => d.withColumn("__src", lit(i + 1)) }
+        .foldLeft(base.withColumn("__src", lit(0)))(_ unionByName _)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__src")
+    }
+    def same(want: org.apache.spark.sql.DataFrame): Unit = {
+      val got = TsStore.load(spark, dst).select(cols.map(col) :+ col("version"): _*)
+      val w = want.select(cols.map(col) :+ col("version"): _*)
+      assert(got.count() === w.count())
+      assert(got.except(w).count() === 0 && w.except(got).count() === 0)
+    }
+    // first child run: downstream converges to the upstream live view
+    runChild()
+    same(merged(delta(10, 1000.0, 2L)))
+    val dstVAfter1 = StoreLog.latest(dst).get.version
+    // parent commits one more version; the second child run — same
+    // checkpoint, fresh JVM — must consume ONLY the new commit (a full
+    // replay would add one downstream version per upstream batch)
+    TsStore.upsert(spark, src, delta(9, 7.0, 3L), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    runChild()
+    same(merged(delta(10, 1000.0, 2L), delta(9, 7.0, 3L)))
+    val dstVAfter2 = StoreLog.latest(dst).get.version
+    assert(dstVAfter2 - dstVAfter1 === 1,
+      s"cross-process checkpoint resume must apply exactly the ONE new " +
+        s"upstream commit, got ${dstVAfter2 - dstVAfter1} downstream commits")
+  }
 }
