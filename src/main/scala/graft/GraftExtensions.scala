@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.expressions.VecExprs.registrations.foreach(ext.injectFunction)
     ext.injectFunction(graft.functions.expressions.EwmaWin.registration)
+    ext.injectFunction(graft.functions.expressions.CusumWin.registration)
     graft.functions.expressions.SigAggs.registrations.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.plans.AsofTvf.registration)
     ext.injectTableFunction(graft.plans.StoreTvf.registration)

@@ -593,6 +593,37 @@ object TimeSeries {
         "GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
       "5-minute bar resampling (epoch-floor bucketing)"),
 
+    "ts_cusum" -> DeclaredQuery(
+      // One-sided CUSUM drift detection per instrument — the Page
+      // changepoint statistic over purchase values via the native Cusum
+      // AggregateWindowFunction (expressions/CusumWin.scala): max(0,
+      // s + (x − drift)) has NO prefix-sum closed form (unlike EWMA's
+      // geometric weights), so the running-frame window recurrence is
+      // the only O(n) spelling. Alarm = statistic over threshold. Both
+      // engines execute literally greatest(0, s + (x − 55)) in binary64,
+      // so 6dp-rounded outputs hash-match; the oracle is one recursive
+      // CTE over per-user row numbers (the win_ewma recipe).
+      (s, d) => {
+        val c = graft.functions.expressions.CusumWin.cusumOver(col("value"), 55.0,
+          partitionBy = Seq(col("user_id")), orderBy = Seq(col("ts"), col("event_id")))
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), round(c, 6).as("cusum"),
+            (c > 200.0).as("alarm"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("WITH RECURSIVE base AS (SELECT user_id, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "r AS (SELECT user_id, event_id, rn, " +
+        "greatest(0.0, 0.0 + (value - 55.0)) AS s FROM base WHERE rn = 1 " +
+        "UNION ALL SELECT b.user_id, b.event_id, b.rn, " +
+        "greatest(0.0, r.s + (b.value - 55.0)) " +
+        "FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1) " +
+        "SELECT user_id, event_id, round(s, 6) AS cusum, s > 200.0 AS alarm " +
+        "FROM r ORDER BY user_id, event_id"),
+      "per-instrument CUSUM changepoint statistic (native running window recurrence, no closed form)"),
+
     "ts_volume_bars" -> DeclaredQuery(
       // Volume-bar construction — the event-driven bar family (volume/
       // dollar bars) finance pipelines use instead of clock bars: a new

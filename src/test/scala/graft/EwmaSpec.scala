@@ -81,6 +81,45 @@ class EwmaSpec extends AnyFunSuite {
     assert(sqlRows.nonEmpty && sqlRows.toSeq === dfRows.toSeq)
   }
 
+  test("cusum: bit-equal to a driver loop; SQL graft_cusum matches the API") {
+    import graft.functions.expressions.CusumWin
+    val ev = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase").limit(500)
+    ev.createOrReplaceTempView("cusum_ev")
+    val got = ev.select(col("user_id"), col("event_id"), col("value"),
+        CusumWin.cusumOver(col("value"), 55.0,
+          partitionBy = Seq(col("user_id")),
+          orderBy = Seq(col("ts"), col("event_id"))).as("s"))
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long, Double, Double)].collect()
+    // driver-computed recurrence over the same per-user order
+    val expected = scala.collection.mutable.Map[(Long, Long), Double]()
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy("user_id", "ts", "event_id").collect()
+      .groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        var s = 0.0
+        rows.foreach { r =>
+          s = math.max(0.0, s + (r.getDouble(3) - 55.0))
+          expected((r.getLong(0), r.getLong(2))) = s
+        }
+      }
+    got.foreach { case (u, id, _, s) =>
+      assert(s === expected((u, id)), s"cusum mismatch at ($u, $id)")
+      assert(s >= 0.0)
+    }
+    val sqlRows = spark.sql(
+      "SELECT event_id, round(graft_cusum(value, 55.0) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s " +
+        "FROM cusum_ev ORDER BY event_id")
+      .as[(Long, Double)].collect()
+    val apiRows = got.sortBy(_._2).map(r => (r._2, math.rint(r._4 * 1e6) / 1e6))
+    assert(sqlRows.nonEmpty && sqlRows.length === apiRows.length)
+    sqlRows.zip(apiRows).foreach { case ((i1, s1), (i2, s2)) =>
+      assert(i1 === i2 && math.abs(s1 - s2) < 1e-9)
+    }
+  }
+
   test("alpha outside (0, 1] is rejected at construction") {
     assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 0.0))
     assertThrows[IllegalArgumentException](EwmaWin.ewma(col("v"), 1.5))
