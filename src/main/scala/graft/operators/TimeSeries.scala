@@ -593,6 +593,44 @@ object TimeSeries {
         "GROUP BY 1, 2 ORDER BY bar_ts, event_type"),
       "5-minute bar resampling (epoch-floor bucketing)"),
 
+    "ts_atr" -> DeclaredQuery(
+      // Average True Range over 1-hour bars per instrument class — the
+      // volatility companion to ts_bollinger/ts_rsi: TR = greatest(
+      // high−low, |high−prev_close|, |low−prev_close|) (first bar falls
+      // back to high−low), ATR = 14-bar rolling mean. One hash aggregate
+      // to bars (bar count is span-bounded, not row-bounded), then two
+      // window passes over the tiny bar table sharing one (type) sort.
+      // O(1)-magnitude arithmetic + 6dp rounding absorb the engines'
+      // different frame-summation orders (the win_movavg precedent).
+      (s, d) => {
+        val bars = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bar_ts"), col("event_type"))
+          .agg(graft.Q.ohlcAggs(col("ts"), col("event_id"), col("value")).head,
+            graft.Q.ohlcAggs(col("ts"), col("event_id"), col("value")).tail: _*)
+        val wLag = Window.partitionBy("event_type").orderBy("bar_ts")
+        val wAtr = wLag.rowsBetween(-13, Window.currentRow)
+        bars
+          .withColumn("prev_c", lag(col("close"), 1).over(wLag))
+          .withColumn("tr", when(col("prev_c").isNull, col("high") - col("low"))
+            .otherwise(greatest(col("high") - col("low"),
+              abs(col("high") - col("prev_c")), abs(col("low") - col("prev_c")))))
+          .select(col("bar_ts"), col("event_type"), round(col("tr"), 6).as("tr"),
+            round(avg(col("tr")).over(wAtr), 6).as("atr"))
+          .orderBy(col("bar_ts"), col("event_type"))
+      },
+      Some("WITH bars AS (SELECT date_trunc('hour', ts) AS bar_ts, event_type, " +
+        "max(value) AS high, min(value) AS low, " +
+        "last(value ORDER BY ts, event_id) AS close FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT bar_ts, event_type, high, low, " +
+        "lag(close, 1) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev_c FROM bars), " +
+        "tr AS (SELECT bar_ts, event_type, CASE WHEN prev_c IS NULL THEN high - low " +
+        "ELSE greatest(high - low, abs(high - prev_c), abs(low - prev_c)) END AS tr FROM t) " +
+        "SELECT bar_ts, event_type, round(tr, 6) AS tr, " +
+        "round(avg(tr) OVER (PARTITION BY event_type ORDER BY bar_ts " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr " +
+        "FROM tr ORDER BY bar_ts, event_type"),
+      "average true range: OHLC bars, true-range lag arithmetic, 14-bar rolling mean"),
+
     "ts_cusum" -> DeclaredQuery(
       // One-sided CUSUM drift detection per instrument — the Page
       // changepoint statistic over purchase values via the native Cusum

@@ -57,6 +57,53 @@ class RestoreSpec extends AnyFunSuite {
     assert(TsStore.load(spark, dir).filter(col("event_type") === "click").count() === 0)
   }
 
+  test("restore racing an append: append always lands; restore wins or aborts cleanly") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sf001)
+    val dir = Files.createTempDirectory("graft_restore_race").toString
+    val base = events.select((cols.map(col) :+ lit(1L).as("version")): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val v1 = StoreLog.ensure(dir).version
+    TsStore.upsert(spark, dir,
+      base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") + 500.0).withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val appended = (0 until 5).map(i =>
+      (900000L + i, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 1L,
+        "raced", 1.0, 3L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "version")
+    @volatile var restoreOutcome: Either[Throwable, Long] = Left(new Exception("unset"))
+    val tRestore = new Thread(() => {
+      restoreOutcome =
+        try Right(TsStore.restore(spark, dir, v1))
+        catch { case e: Throwable => Left(e) }
+    })
+    val tAppend = new Thread(() =>
+      TsStore.write(appended, dir, tsCol = "ts", uidCols = Seq("event_type"),
+        mode = org.apache.spark.sql.SaveMode.Append,
+        overlapPolicy = TsStore.OverlapPolicy.Allow))
+    tRestore.start(); tAppend.start()
+    tRestore.join(120000); tAppend.join(120000)
+    // the append is a pure file addition with a rebase loop — it may
+    // never be lost, whatever the restore did
+    val live = TsStore.load(spark, dir)
+    assert(live.filter(col("event_type") === "raced").count() === 5,
+      "append lost in the race")
+    restoreOutcome match {
+      case Right(v) =>
+        // restore committed: purchases are back at their v1 values
+        assert(v > v1)
+        assert(live.filter(col("value") > 1000.0 && col("event_type") === "purchase")
+          .count() === 0, "restore committed but v2 rows are still live")
+      case Left(_: StoreLog.CommitConflict) =>
+        // clean abort: the v2 state (plus the append) is intact
+        assert(live.filter(col("event_type") === "purchase" && col("version") === 2L)
+          .count() > 0)
+      case Left(e) => fail(s"restore died with a non-conflict error: $e")
+    }
+  }
+
   test("vacuum after restore reclaims the bad versions' files, live view intact") {
     val events = Tables.events(spark, TestSpark.sf001)
     val dir = Files.createTempDirectory("graft_restore_vac").toString
