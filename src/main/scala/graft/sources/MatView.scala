@@ -51,7 +51,10 @@ object MatView {
            groupCols: Seq[String], measureE4: Column,
            nBuckets: Int = 16): Long = {
     val storeV = StoreLog.ensure(storePath).version
-    val live = TsStore.load(spark, storePath)
+    // read the SNAPSHOT at the recorded version, not the live view: a
+    // commit landing between the two would be baked into the aggregate
+    // yet fall inside the next refresh's window — double-counted
+    val live = TsStore.load(spark, storePath, asOf = Some(storeV))
     val agg = live.groupBy(groupCols.map(col): _*)
       .agg(sum(measureE4).cast("long").as("sum_e4"), count(lit(1)).as("cnt"))
       .withColumn(AppliedCol, lit(storeV))
