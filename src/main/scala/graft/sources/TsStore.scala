@@ -849,6 +849,50 @@ object TsStore {
     }
   }
 
+  /** Store observability — the DESCRIBE DETAIL role: one row per LIVE
+    * file of the (optionally `asOf`-versioned) manifest, with its
+    * partition directory, on-disk size, and the manifest's recorded
+    * per-column bounds (stringified, tagged with the stat's value
+    * semantics — see [[FileStats.ColStat]]). Driver-side metadata only:
+    * the manifest names the files, one FileSystem status call each for
+    * the size — O(live files), no data pages, no Spark job until the
+    * caller acts on the frame. The operational companion to the
+    * maintenance verbs: "which partitions are fragmented" feeds
+    * [[compactPartitions]], "which files' bounds are wide" feeds
+    * [[zorder]], "what does this version hold" feeds [[restore]].
+    */
+  def detail(spark: SparkSession, path: String,
+             asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val snap = asOf.map(v => StoreLog.read(path, v))
+      .orElse(StoreLog.latest(path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"detail needs a logged store; '$path' has no manifest"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = snap.files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$f")
+      val bytes =
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      val i = f.lastIndexOf('/')
+      val part = if (i > 0) f.substring(0, i) else ""
+      val stats = snap.stats.getOrElse(f, Map.empty).map { case (c, cs) =>
+        c -> org.apache.spark.sql.Row(cs.tag, String.valueOf(cs.min), String.valueOf(cs.max))
+      }
+      org.apache.spark.sql.Row(f, part, bytes, stats)
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("stats", MapType(StringType, StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("min", StringType, nullable = false),
+        StructField("max", StringType, nullable = false)))))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** RESTORE the store to an earlier committed version — as a NEW
     * commit, not a history rewrite (the Delta RESTORE / Iceberg
     * rollback role): the target version's file list simply becomes the

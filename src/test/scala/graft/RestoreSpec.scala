@@ -57,6 +57,36 @@ class RestoreSpec extends AnyFunSuite {
     assert(TsStore.load(spark, dir).filter(col("event_type") === "click").count() === 0)
   }
 
+  test("detail reports live files, sizes, partitions, and recorded bounds") {
+    val events = Tables.events(spark, TestSpark.sf001)
+    val dir = Files.createTempDirectory("graft_detail").toString
+    val base = events.select((cols.map(col) :+ lit(1L).as("version")): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val v1 = StoreLog.ensure(dir).version
+    val d = TsStore.detail(spark, dir).collect()
+    val snap = StoreLog.latest(dir).get
+    assert(d.length === snap.files.size)
+    d.foreach { r =>
+      val f = r.getString(0)
+      assert(snap.files.contains(f))
+      assert(r.getString(1).startsWith("event_type="))
+      assert(r.getLong(2) === new java.io.File(s"$dir/$f").length())
+      val stats = r.getMap[String, org.apache.spark.sql.Row](3)
+      assert(stats.contains("ts"), s"$f missing recorded ts bounds")
+      val ts = stats("ts")
+      assert(ts.getString(0) === "ts" && ts.getString(1).toLong <= ts.getString(2).toLong)
+    }
+    // after an upsert, detail(asOf = v1) still describes the old set
+    TsStore.upsert(spark, dir,
+      base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") + 1.0).withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val old = TsStore.detail(spark, dir, asOf = Some(v1)).collect().map(_.getString(0)).toSet
+    assert(old === snap.files.toSet)
+    assert(TsStore.detail(spark, dir).collect().map(_.getString(0)).toSet !== old)
+  }
+
   test("restore racing an append: append always lands; restore wins or aborts cleanly") {
     import spark.implicits._
     val events = Tables.events(spark, TestSpark.sf001)
