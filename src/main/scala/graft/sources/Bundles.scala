@@ -241,6 +241,14 @@ class Bundles(spark: SparkSession, basePath: String,
              retainVersions: Int = 1): Int =
     TsStore.vacuum(dir(collection), retainVersions)
 
+  /** One row per live chunk of the collection with its partition,
+    * on-disk size, and recorded column bounds (see [[TsStore.detail]])
+    * — the observability feed for compaction/zorder/restore decisions.
+    */
+  def detail(collection: String = defaultCollection,
+             asOf: Option[Long] = None): DataFrame =
+    TsStore.detail(spark, dir(collection), asOf)
+
   /** Restore a collection to an earlier committed version — one
     * O(manifest) commit, nothing rewritten; the walked-back versions
     * stay readable via [[readAsOf]] until [[vacuum]] (see

@@ -317,6 +317,10 @@ class BundlesSpec extends AnyFunSuite {
       col("price") === lit(5.0))
     assert(kept.size < snap.files.size || snap.files.size === 1)
     assert(ct.read("aapl").count() === 2000)
+    // the observability feed describes the same live set
+    val d = ct.detail().collect()
+    assert(d.map(_.getString(0)).toSet === snap.files.toSet)
+    assert(d.forall(_.getLong(2) > 0))
   }
 
   test("dropSeries on a LOGGED collection commits a manifest version, never bricks reads") {
