@@ -538,6 +538,32 @@ object Scans {
         "WHERE event_type = 'click' AND event_id % 7 = 0) " +
         "SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins " +
         "UNION ALL SELECT * FROM del) ORDER BY event_id, change_type"),
-      "SQL face of CDC: the graft_store_changes TVF (the table_changes() role) over the same lifecycle as store_changes")
+      "SQL face of CDC: the graft_store_changes TVF (the table_changes() role) over the same lifecycle as store_changes"),
+
+    "store_null_audit" -> DeclaredQuery(
+      // The data-quality audit scan: "find the rows violating a
+      // NOT NULL expectation" over a stored corpus. The manifest now
+      // records per-column NULL COUNTS next to the min/max bounds, so
+      // `IS NULL` pruning skips every file recorded null-free before a
+      // footer is opened (FileStatsSpec pins the skip; at 100 TB the
+      // audit costs the dirty files, not the store). Here the planted
+      // nulls cross partitions (every 11th event), so the result is the
+      // full violating set.
+      (s, d) => {
+        val dir = sinkDir("nullaudit", d)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            when(col("event_id") % 11 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("v_q"))
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        graft.sources.StoreLog.ensure(dir)
+        val pred = col("v_q").isNull
+        TsStore.load(s, dir, prune = Some(pred)).filter(pred)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE event_id % 11 = 0 ORDER BY event_id"),
+      "NOT NULL violation audit over the store: manifest null counts prune clean files before any footer opens")
   )
 }

@@ -30,9 +30,13 @@ object FileStats {
     * storage type, so unit/zone mismatches can never compare:
     * "i" integral (Long), "f" floating (Double), "s" UTF-8 string,
     * "ts" instant micros (Long), "tn" local-datetime micros (Long),
-    * "d" date days (Long).
+    * "d" date days (Long). `nulls`/`rows` (−1 = unknown, e.g. a legacy
+    * manifest) let `IS NULL` prune files with zero nulls — the
+    * data-quality audit scan ("find the violating rows") skips every
+    * clean file without opening it.
     */
-  final case class ColStat(tag: String, min: Any, max: Any)
+  final case class ColStat(tag: String, min: Any, max: Any,
+                           nulls: Long = -1L, rows: Long = -1L)
 
   type FileStatsMap = Map[String, ColStat]
 
@@ -117,7 +121,18 @@ object FileStats {
         val vals = perBlock.flatten
         val lo = vals.map(_._1).reduce((a, b) => if (cmp(tag, a, b) <= 0) a else b)
         val hi = vals.map(_._2).reduce((a, b) => if (cmp(tag, a, b) >= 0) a else b)
-        Some(name -> ColStat(tag, lo, hi))
+        // null counts: known only when EVERY row group reports one
+        val perBlockNulls = blocks.map { b =>
+          b.getColumns.asScala
+            .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name)
+            .map(_.getStatistics)
+            .filter(st => st != null && !st.isEmpty && st.isNumNullsSet)
+            .map(_.getNumNulls)
+        }
+        val nulls =
+          if (perBlockNulls.exists(_.isEmpty)) -1L else perBlockNulls.flatten.sum
+        val rows = blocks.map(_.getRowCount).sum
+        Some(name -> ColStat(tag, lo, hi, nulls, rows))
       }
     }.toMap
   }
@@ -155,6 +170,7 @@ object FileStats {
         case "s" => a.add(cs.min.asInstanceOf[String]); a.add(cs.max.asInstanceOf[String])
         case _   => a.add(cs.min.asInstanceOf[Long]); a.add(cs.max.asInstanceOf[Long])
       }
+      if (cs.rows >= 0) { a.add(cs.nulls); a.add(cs.rows) }
       o.set[com.fasterxml.jackson.databind.JsonNode](name, a)
     }
     o
@@ -170,7 +186,10 @@ object FileStats {
         case "s" => (a.get(1).asText(), a.get(2).asText())
         case _   => (a.get(1).asLong(), a.get(2).asLong())
       }
-      e.getKey -> ColStat(tag, mn, mx)
+      // legacy 3-element arrays parse with unknown null counts
+      val (nulls, rows) =
+        if (a.size() >= 5) (a.get(3).asLong(), a.get(4).asLong()) else (-1L, -1L)
+      e.getKey -> ColStat(tag, mn, mx, nulls, rows)
     }.toMap
 
   // ---------------------------------------------------------------- prune
@@ -288,6 +307,15 @@ object FileStats {
     node match {
       case PNode.Fn(name, args) => (name, args) match {
         case ("and", Seq(a, b)) => mayMatch(stats, a) && mayMatch(stats, b)
+        // IS NULL can't match a file recorded null-free; IS NOT NULL
+        // always may (an all-null column is never recorded — it has no
+        // min/max — so its absence keeps the file, conservatively)
+        case (n, Seq(attr)) if n.equalsIgnoreCase("isnull") &&
+            colName(attr).isDefined =>
+          stats.get(colName(attr).get) match {
+            case Some(cs) if cs.nulls == 0L => false
+            case _ => true
+          }
         case ("or", Seq(a, b)) => mayMatch(stats, a) || mayMatch(stats, b)
         case ("in", attr +: rest) if colName(attr).isDefined &&
             rest.forall(litVal(_).isDefined) =>

@@ -167,6 +167,39 @@ class FileStatsSpec extends AnyFunSuite {
     assert(!FileStats.mayMatch(stats, e(col("id") === lit(null))))
   }
 
+  test("IS NULL prunes files recorded null-free; null counts ride the manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_nullstat").toString
+    val clean = (0 until 60).map(i => (i.toLong, ts("2024-01-01 10:00:00"), Option(i.toDouble), "a"))
+    val dirty = (0 until 60).map(i => (100L + i, ts("2024-01-01 10:00:00"),
+      if (i % 3 == 0) None else Option(i.toDouble), "b"))
+    val df = (clean ++ dirty).toDF("event_id", "ts", "v", "uid")
+    TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("uid"))
+    StoreLog.ensure(dir)
+    val snap = StoreLog.latest(dir).get
+    val aFiles = snap.files.filter(_.startsWith("uid=a/"))
+    val bFiles = snap.files.filter(_.startsWith("uid=b/"))
+    assert(aFiles.nonEmpty && bFiles.nonEmpty)
+    aFiles.foreach { f =>
+      val cs = snap.stats(f)("v")
+      assert(cs.nulls === 0L && cs.rows === 60L, s"$f: $cs")
+    }
+    bFiles.foreach { f =>
+      val cs = snap.stats(f)("v")
+      assert(cs.nulls === 20L && cs.rows === 60L, s"$f: $cs")
+    }
+    // the DQ audit scan: "find the violating rows" skips the clean file
+    val kept = FileStats.prune(snap.files, snap.stats, col("v").isNull)
+    assert(kept.toSet === bFiles.toSet,
+      s"IS NULL must prune the null-free files: kept $kept")
+    // IS NOT NULL stays conservative (recorded columns always have values)
+    assert(FileStats.prune(snap.files, snap.stats, col("v").isNotNull)
+      === snap.files)
+    // and the pruned read returns exactly the right rows
+    assert(TsStore.load(spark, dir, prune = Some(col("v").isNull))
+      .filter(col("v").isNull).count() === 20L)
+  }
+
   test("stat-less manifests keep full-scan behavior (legacy compatibility)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_nostat").toString
