@@ -564,6 +564,48 @@ object Scans {
       },
       Some("SELECT event_id, user_id, event_type FROM events " +
         "WHERE event_id % 11 = 0 ORDER BY event_id"),
-      "NOT NULL violation audit over the store: manifest null counts prune clean files before any footer opens")
+      "NOT NULL violation audit over the store: manifest null counts prune clean files before any footer opens"),
+
+    "store_fast_count" -> DeclaredQuery(
+      // count(*) answered from the MANIFEST alone (the Delta numRecords
+      // role): every stat-carrying file records its row count at commit
+      // time, so the store's cardinality — per version — is a driver-side
+      // sum with zero file IO and zero Spark jobs. The lifecycle makes
+      // it earn the claim: after an upsert AND a keyed delete, the
+      // manifest count at EACH version must equal the oracle's
+      // arithmetic. countAt returns None (→ loud failure here, never a
+      // guess) if any live file lacks stats.
+      (s, d) => {
+        import s.implicits._
+        val dir = sinkDir("fastcount", d)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), lit(1L).as("version"))
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val v1 = graft.sources.StoreLog.ensure(dir).version
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value"), lit(2L).as("version"))
+        val v2 = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        val v3 = TsStore.delete(s, dir,
+          col("event_type") === "click" && col("event_id") % 7 === 0,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        def cnt(v: Long): Long = TsStore.countAt(dir, asOf = Some(v))
+          .getOrElse(sys.error(s"manifest count unavailable at v$v"))
+        Seq(("v_base", cnt(v1)), ("v_upsert", cnt(v2)), ("v_delete", cnt(v3)))
+          .toDF("step", "cnt").orderBy(col("step"))
+      },
+      Some("WITH b AS (SELECT count(*) AS n FROM events), " +
+        "i AS (SELECT count(*) AS n FROM events " +
+        "WHERE event_type = 'purchase' AND event_id % 97 = 0), " +
+        "x AS (SELECT count(*) AS n FROM events " +
+        "WHERE event_type = 'click' AND event_id % 7 = 0) " +
+        "SELECT 'v_base' AS step, b.n AS cnt FROM b " +
+        "UNION ALL SELECT 'v_upsert', b.n + i.n FROM b, i " +
+        "UNION ALL SELECT 'v_delete', b.n + i.n - x.n FROM b, i, x " +
+        "ORDER BY step"),
+      "count(*) per store version from the manifest's recorded row counts — zero IO, zero jobs")
   )
 }

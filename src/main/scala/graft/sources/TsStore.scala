@@ -849,6 +849,27 @@ object TsStore {
     }
   }
 
+  /** Exact row count of the (optionally `asOf`-versioned) live view from
+    * the MANIFEST alone — zero file IO, zero Spark jobs (the Delta
+    * "numRecords in the transaction log" role): every stat-carrying file
+    * records its row count, so the total is a driver-side sum. `None`
+    * when any live file lacks recorded stats (legacy commits, adopted
+    * files whose footers failed to read) — the caller falls back to a
+    * scan; NEVER a guess. At 100 TB this is the difference between a
+    * metadata lookup and a cluster job for the most common question a
+    * store is asked.
+    */
+  def countAt(path: String, asOf: Option[Long] = None): Option[Long] = {
+    val snap = asOf.map(v => StoreLog.read(path, v))
+      .orElse(StoreLog.latest(path))
+      .getOrElse(return None)
+    val per = snap.files.map { f =>
+      snap.stats.get(f)
+        .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
   /** Store observability — the DESCRIBE DETAIL role: one row per LIVE
     * file of the (optionally `asOf`-versioned) manifest, with its
     * partition directory, on-disk size, and the manifest's recorded
