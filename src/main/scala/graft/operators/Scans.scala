@@ -606,6 +606,27 @@ object Scans {
         "UNION ALL SELECT 'v_upsert', b.n + i.n FROM b, i " +
         "UNION ALL SELECT 'v_delete', b.n + i.n - x.n FROM b, i, x " +
         "ORDER BY step"),
-      "count(*) per store version from the manifest's recorded row counts — zero IO, zero jobs")
+      "count(*) per store version from the manifest's recorded row counts — zero IO, zero jobs"),
+
+    "store_catalog_fast" -> DeclaredQuery(
+      // The series catalog (corintick list_uids — uid, row count, time
+      // extent) answered from the MANIFEST alone: per partition value,
+      // summed recorded row counts and the hull of the recorded ts
+      // bounds. catalog_list computes the same catalog by SCANNING; this
+      // is the zero-IO twin a 100 TB store actually serves lookups from,
+      // and the same oracle gates both. catalogAt returns None (→ loud
+      // failure, never a guess) if any live file lacks stats.
+      (s, d) => {
+        val dir = sinkDir("fastcat", d)
+        TsStore.write(Tables.events(s, d), dir, tsCol = "ts",
+          uidCols = Seq("event_type"))
+        graft.sources.StoreLog.ensure(dir)
+        TsStore.catalogAt(s, dir, uidCol = "event_type")
+          .getOrElse(sys.error("manifest catalog unavailable"))
+          .orderBy(col("event_type"))
+      },
+      Some("SELECT event_type, count(*) AS n_rows, min(ts) AS ts_min, " +
+        "max(ts) AS ts_max FROM events GROUP BY event_type ORDER BY event_type"),
+      "series catalog (uid, rows, time extent) from the manifest's recorded bounds — zero IO")
   )
 }

@@ -870,6 +870,46 @@ object TsStore {
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
+  /** The series catalog from the MANIFEST alone — corintick's
+    * `(uid, start, end)` index answered without touching a data file:
+    * per partition-directory value, the summed row count and the
+    * min/max of the recorded `tsCol` bounds. `None` when any live file
+    * lacks the needed stats (legacy commits — fall back to
+    * [[listSeries]] over a scan; never a guess). The list_uids question
+    * a 100 TB store answers hundreds of times a day, for the cost of a
+    * manifest read.
+    */
+  def catalogAt(spark: SparkSession, path: String, uidCol: String,
+                tsCol: String = "ts",
+                asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val snap = asOf.map(v => StoreLog.read(path, v))
+      .orElse(StoreLog.latest(path)).getOrElse(return None)
+    val per = snap.files.map { f =>
+      val i = f.indexOf('/')
+      val j = f.indexOf('=')
+      if (i <= 0 || j <= 0 || j >= i || f.substring(0, j) != uidCol) None
+      else snap.stats.get(f).flatMap { fs =>
+        for {
+          ts <- fs.get(tsCol)
+          if (ts.tag == "ts" || ts.tag == "tn") && ts.rows >= 0
+        } yield (ExternalCatalogUtils.unescapePathName(f.substring(j + 1, i)),
+          ts.rows, ts.min.asInstanceOf[Long], ts.max.asInstanceOf[Long])
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val rows = per.flatten
+      .groupBy(_._1).toSeq
+      .map { case (uid, fs) =>
+        (uid, fs.map(_._2).sum, fs.map(_._3).min, fs.map(_._4).max)
+      }
+    val df = spark.createDataFrame(rows)
+      .toDF(uidCol, "n_rows", "__min_us", "__max_us")
+    Some(df.select(col(uidCol), col("n_rows"),
+      timestamp_micros(col("__min_us")).as("ts_min"),
+      timestamp_micros(col("__max_us")).as("ts_max")))
+  }
+
   /** Store observability — the DESCRIBE DETAIL role: one row per LIVE
     * file of the (optionally `asOf`-versioned) manifest, with its
     * partition directory, on-disk size, and the manifest's recorded
