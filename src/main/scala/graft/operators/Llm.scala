@@ -209,6 +209,12 @@ object Llm {
     */
   private val IvfRemoveOracleSql: String = ivfOracle(" AND vec_id % 37 <> 0")
 
+  /** [[IvfOracleSql]] with the index side scoped to even-label vectors —
+    * the filtered-search oracle (pre-filter: top-k over the allowed set).
+    */
+  private val IvfFilteredOracleSql: String = ivfOracle(
+    " AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
+
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,
     * unlike [[jaccardDupPairs]]): shingle → 64-slot MinHash signature →
@@ -1083,6 +1089,32 @@ object Llm {
       },
       Some(IvfOracleSql),
       "persisted IVF index: cell-partitioned inverted lists, pruned 2-probe, top-3"),
+
+    "llm_ann_ivf_filtered" -> DeclaredQuery(
+      // FILTERED vector search — the retrieval-with-constraints shape
+      // (tenant/language/license scoping, hard-negative mining by label):
+      // the index stores PAYLOAD columns next to the vectors
+      // (build(payloadCols)), and probe applies the predicate to the
+      // candidates BEFORE ranking — pre-filter semantics, so the top-k
+      // is over the allowed set (a post-filter returns < k whenever
+      // allowed matches rank low, the classic filtered-ANN pitfall). The
+      // payload rides the inverted lists, so filtering costs zero extra
+      // joins; the oracle is the IVF oracle with the same label scope on
+      // the index side.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val dir = graft.Q.scratchDir(s"ivf_flt_${new java.io.File(d).getName}")
+        IvfIndex.build(Tables.embeddings(s, d), dir, K,
+          payloadCols = Seq("label"))
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        IvfIndex.probe(s, dir, queries, NProbe, TopK,
+            filter = Some(col("label") % 2 === 0))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(IvfFilteredOracleSql),
+      "filtered vector search: payload columns in the inverted lists, pre-filter before top-k"),
 
     "llm_ann_ivf_quantized" -> DeclaredQuery(
       // The QUANTIZED persisted index — llm_quantize's symmetric int8

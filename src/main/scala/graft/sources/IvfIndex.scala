@@ -98,13 +98,14 @@ object IvfIndex {
   private[graft] def assignByJoin(e: DataFrame,
                                   cents: Seq[(Int, Array[Float])]): DataFrame = {
     val cdf = centroidsDf(e.sparkSession, cents)
+    val others = e.columns.filterNot(Set("vec_id", "embedding")).map(col).toSeq
     e.join(broadcast(cdf))
-      .select(col("vec_id"), col("embedding"),
-        joinRankStruct(col("embedding")).as("s"))
-      .groupBy(col("vec_id"), col("embedding"))
+      .select((Seq(col("vec_id"), col("embedding")) ++ others :+
+        joinRankStruct(col("embedding")).as("s")): _*)
+      .groupBy((col("vec_id") +: col("embedding") +: others): _*)
       .agg(max(col("s")).as("s"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("s").getField("nid")).cast("long").as("cell"))
+      .select((Seq(col("vec_id"), col("embedding")) ++ others :+
+        (-col("s").getField("nid")).cast("long").as("cell")): _*)
   }
 
   /** Literal-expression nearest-cell assignment (the oracle-portable
@@ -112,7 +113,8 @@ object IvfIndex {
     */
   private[graft] def assignLiteral(e: DataFrame,
                                    cents: Seq[(Int, Array[Float])]): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
+    // payload columns (filtered-search attributes) pass through untouched
+    e.select(col("*"),
       (-rankedCells(col("embedding"), cents)(0).getField("nid"))
         .cast("long").as("cell"))
 
@@ -174,9 +176,14 @@ object IvfIndex {
       .drop("__s")
 
   def build(embeddings: DataFrame, dir: String, k: Int,
-            lloydRounds: Int = 0, quantized: Boolean = false): Unit = {
+            lloydRounds: Int = 0, quantized: Boolean = false,
+            payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
-    val e = embeddings.select(col("vec_id"), col("embedding"))
+    // payload columns ride the inverted lists so probes can PRE-filter
+    // candidates on them (filtered vector search) — stored once, next to
+    // the vectors they describe, never joined back at query time
+    val e = embeddings.select(
+      (Seq(col("vec_id"), col("embedding")) ++ payloadCols.map(col)): _*)
     var cents = seedCentroids(e, k)
     for (_ <- 0 until lloydRounds) {
       val means = withCell(e, cents)
@@ -303,7 +310,8 @@ object IvfIndex {
     * tie-breaks.
     */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            nprobe: Int, topK: Int, rerankFactor: Int = 4): DataFrame = {
+            nprobe: Int, topK: Int, rerankFactor: Int = 4,
+            filter: Option[Column] = None): DataFrame = {
     val cents = loadCentroids(spark, dir)
     val q = queries.toDF("q_id", "q_emb")
     val probes =
@@ -326,8 +334,14 @@ object IvfIndex {
     // plan-time partition pruning — a join on cell would scan every list
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.get(0)).toSeq
-    val cells = TsStore.load(spark, s"$dir/cells")
+    // PRE-filter semantics: candidates failing the payload predicate are
+    // dropped BEFORE ranking, so the top-k is over the allowed set (a
+    // post-filter would silently return < k whenever matches rank low —
+    // the classic filtered-vector-search pitfall). The predicate pushes
+    // into the probed cells scan like any other.
+    val cells0 = TsStore.load(spark, s"$dir/cells")
       .filter(col("cell").isin(probedCells: _*))
+    val cells = filter.map(cells0.filter).getOrElse(cells0)
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
     if (cells.schema.fieldNames.contains("q_code") && rerankFactor >= 1) {
       // QUANTIZED cells: two passes.
