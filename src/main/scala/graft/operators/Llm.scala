@@ -215,6 +215,23 @@ object Llm {
   private val IvfFilteredOracleSql: String = ivfOracle(
     " AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
 
+  /** Recall@3 of the IVF result against exact brute-force top-3 — the
+    * whole [[IvfOracleSql]] as a subquery on the approx side, the
+    * llm_sim_topk shape on the exact side, hits joined per (q_id, nbr).
+    */
+  private val IvfRecallOracleSql: String =
+    s"WITH ivf AS (SELECT q_id, nbr_id FROM (${ivfOracle("")})), " +
+    "exactq AS (SELECT qe.vec_id AS q_id, ne.vec_id AS nbr_id, " +
+    s"round(${CosSql("qe.embedding", "ne.embedding")}, 6) + 0.0 AS cos " +
+    "FROM embeddings qe JOIN embeddings ne ON ne.vec_id <> qe.vec_id " +
+    "WHERE qe.vec_id >= 16 AND qe.vec_id < 24), " +
+    "exact AS (SELECT q_id, nbr_id, row_number() OVER (PARTITION BY q_id " +
+    "ORDER BY cos DESC, nbr_id) AS rnk FROM exactq QUALIFY rnk <= 3) " +
+    "SELECT e.q_id, CAST(count(i.nbr_id) AS BIGINT) AS n_hit, " +
+    "round(count(i.nbr_id) / 3.0, 6) AS recall " +
+    "FROM exact e LEFT JOIN ivf i ON i.q_id = e.q_id AND i.nbr_id = e.nbr_id " +
+    "GROUP BY e.q_id ORDER BY e.q_id"
+
   /** MinHash+LSH verified near-dup pairs over any `(doc_id, text)` frame —
     * the 100 TB dup edge source (no id-locality or same-source assumption,
     * unlike [[jaccardDupPairs]]): shingle → 64-slot MinHash signature →
@@ -1115,6 +1132,47 @@ object Llm {
       },
       Some(IvfFilteredOracleSql),
       "filtered vector search: payload columns in the inverted lists, pre-filter before top-k"),
+
+    "llm_ann_recall_eval" -> DeclaredQuery(
+      // The ANN EVALUATION harness — recall@k of the persisted IVF index
+      // against exact search, per query: the metric every index tuning
+      // loop (k, nprobe, quantization) optimizes. Exact side = brute
+      // force over the corpus with the query batch broadcast (the
+      // llm_sim_topk shape — one corpus scan); approx side = the
+      // persisted index probe (partition-pruned cells read); hits join
+      // on (q_id, nbr_id). Both sides rank on 6dp-rounded cosines with
+      // id tie-breaks, so the top-k SETS are engine-identical and recall
+      // is exact arithmetic. At 100 TB the exact side is the expensive
+      // one — run on a sample, exactly as here (8 queries).
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val dir = graft.Q.scratchDir(s"ivf_rec_${new java.io.File(d).getName}")
+        IvfIndex.build(Tables.embeddings(s, d), dir, K)
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val approx = IvfIndex.probe(s, dir, queries, NProbe, TopK)
+          .select(col("q_id"), col("nbr_id"))
+        val wE = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
+        val exact = broadcast(queries)
+          .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nbr_id"),
+            round(graft.functions.VectorOps.cosine(col("q_emb"), col("embedding")), 6)
+              .as("cos"))
+          .withColumn("rnk", row_number().over(wE))
+          .filter(col("rnk") <= TopK)
+          .select(col("q_id"), col("nbr_id"))
+        exact.join(approx.withColumn("__hit", lit(1)),
+            Seq("q_id", "nbr_id"), "left_outer")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+            round(sum(coalesce(col("__hit"), lit(0))) / lit(TopK.toDouble), 6)
+              .as("recall"))
+          .orderBy(col("q_id"))
+      },
+      Some(IvfRecallOracleSql),
+      "ANN evaluation harness: per-query recall@3 of the IVF index vs exact search"),
 
     "llm_ann_ivf_quantized" -> DeclaredQuery(
       // The QUANTIZED persisted index — llm_quantize's symmetric int8
