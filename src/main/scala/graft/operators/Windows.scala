@@ -61,6 +61,47 @@ object Windows {
         "SELECT user_id, event_id, round(e, 6) AS ewma FROM r ORDER BY user_id, event_id"),
       "per-user EWMA of tick values (native running window recurrence)"),
 
+    "win_rolling_slope" -> DeclaredQuery(
+      // Rolling regression slope — the trend detector over the last 10
+      // ticks per series: least-squares slope from windowed sufficient
+      // statistics (n, Σx, Σy, Σxy, Σx²) with x = the row ordinal, so
+      // Σx and Σx² are EXACT small integers and the denominator
+      // n·Σx²−(Σx)² is exact (825 for every full 10-row frame) —
+      // nullif guards the single-row frames. ONE window pass computes
+      // all five statistics over one (user) sort; O(1)-magnitude
+      // numerators + 6dp rounding absorb the engines' different
+      // frame-summation orders (the win_movavg precedent).
+      (s, d) => {
+        val wRn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wF = wRn.rowsBetween(-9, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("x", row_number().over(wRn).cast("double"))
+          .withColumn("n", count(lit(1)).over(wF).cast("double"))
+          .withColumn("sx", sum(col("x")).over(wF))
+          .withColumn("sy", sum(col("value")).over(wF))
+          .withColumn("sxy", sum(col("x") * col("value")).over(wF))
+          .withColumn("sx2", sum(col("x") * col("x")).over(wF))
+          .select(col("user_id"), col("event_id"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              nullif(col("n") * col("sx2") - col("sx") * col("sx"), lit(0.0)), 6)
+              .as("slope"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("WITH t AS (SELECT user_id, event_id, value, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS DOUBLE) AS x FROM events), " +
+        "w AS (SELECT user_id, event_id, " +
+        "CAST(count(*) OVER fr AS DOUBLE) AS n, " +
+        "sum(x) OVER fr AS sx, sum(value) OVER fr AS sy, " +
+        "sum(x * value) OVER fr AS sxy, sum(x * x) OVER fr AS sx2 " +
+        "FROM t WINDOW fr AS (PARTITION BY user_id ORDER BY x " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, event_id, " +
+        "round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0.0), 6) + 0.0 AS slope " +
+        "FROM w ORDER BY user_id, event_id"),
+      "rolling least-squares slope from windowed sufficient statistics (exact integer denominator)"),
+
     "win_cume" -> DeclaredQuery(
       // Distribution functions: percent_rank / cume_dist. The window
       // ORDER BY carries the unique c_custkey tie-break so both engines

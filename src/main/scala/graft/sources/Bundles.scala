@@ -241,6 +241,15 @@ class Bundles(spark: SparkSession, basePath: String,
              retainVersions: Int = 1): Int =
     TsStore.vacuum(dir(collection), retainVersions)
 
+  /** The series catalog from the MANIFEST alone — [[listUids]] without
+    * touching a data file (uid, row count, time extent from the
+    * recorded per-chunk bounds; see [[TsStore.catalogAt]]). `None` when
+    * any live chunk lacks stats — fall back to [[listUids]].
+    */
+  def listUidsFast(collection: String = defaultCollection,
+                   tsCol: String = "ts"): Option[DataFrame] =
+    TsStore.catalogAt(spark, dir(collection), UidCol, tsCol)
+
   /** One row per live chunk of the collection with its partition,
     * on-disk size, and recorded column bounds (see [[TsStore.detail]])
     * — the observability feed for compaction/zorder/restore decisions.

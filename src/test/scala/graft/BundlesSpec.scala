@@ -321,6 +321,13 @@ class BundlesSpec extends AnyFunSuite {
     val d = ct.detail().collect()
     assert(d.map(_.getString(0)).toSet === snap.files.toSet)
     assert(d.forall(_.getLong(2) > 0))
+    // the zero-IO catalog agrees with the scanning one
+    val fast = ct.listUidsFast().get.collect()
+    assert(fast.length === 1)
+    assert(fast.head.getString(0) === "aapl" && fast.head.getLong(1) === 2000L)
+    val slow = ct.listUids().collect().head
+    assert(fast.head.getTimestamp(2) === slow.getTimestamp(2) &&
+      fast.head.getTimestamp(3) === slow.getTimestamp(3))
   }
 
   test("dropSeries on a LOGGED collection commits a manifest version, never bricks reads") {
