@@ -69,6 +69,14 @@ object MatView {
     * Returns the upstream version now reflected (unchanged when the
     * window is empty). Idempotent: re-running after a crash re-derives
     * the same delta or finds the window empty.
+    *
+    * Concurrent refreshers CONVERGE: two racers read the same view
+    * snapshot and derive the same merged rows, so whichever commits
+    * first wins and the loser either commits identical content or
+    * aborts with [[StoreLog.CommitConflict]] when its touched
+    * partitions were replaced under it (the upsert's rebase rule) —
+    * treat like any maintenance conflict: skip, the other racer already
+    * applied the window (MatViewSpec pins the race).
     */
   def refresh(spark: SparkSession, storePath: String, viewPath: String,
               storeKeyCols: Seq[String], storeVersionCol: String,

@@ -165,6 +165,42 @@ class MatViewSpec extends AnyFunSuite {
     assert(nullRow.head.getAs[Long]("cnt") === 3L)
   }
 
+  test("two concurrent refreshers converge: winner applies, loser no-ops or aborts clean") {
+    val sdir = Files.createTempDirectory("graft_mvr_s").toString
+    val vdir = Files.createTempDirectory("graft_mvr_v").toString
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "purchase" && col("event_id") % 4 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + 33.0).as("value"), lit(2L).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = (0 until 2).map(_ => new Thread(() =>
+      outcomes.add(
+        try Right(MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+          Seq("user_id"), measure))
+        catch { case e: Throwable => Left(e) })))
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    import scala.jdk.CollectionConverters._
+    val os = outcomes.asScala.toSeq
+    assert(os.size === 2)
+    // at least one racer applied; a loser may only fail with the clean
+    // maintenance conflict
+    assert(os.exists(_.isRight), s"both refreshers failed: $os")
+    os.collect { case Left(e) => e }.foreach {
+      case _: StoreLog.CommitConflict => ()
+      case e => fail(s"refresh race died with a non-conflict error: $e")
+    }
+    viewEqualsRecompute(sdir, vdir)
+  }
+
   test("a group netting to zero disappears from reads (cnt=0 tombstone)") {
     val sdir = Files.createTempDirectory("graft_mv0_s").toString
     val vdir = Files.createTempDirectory("graft_mv0_v").toString
