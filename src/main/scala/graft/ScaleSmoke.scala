@@ -38,7 +38,10 @@ object ScaleSmoke {
     // same time windows, so its OUTPUT grows reps² — a genuinely
     // quadratic result set, not a plan defect (the plan is one equi
     // shuffle; PlanSpec pins it never degenerates to a nested loop).
-    "store_zorder", "store_incremental_view", "store_restore")
+    "store_zorder", "store_incremental_view", "store_restore",
+    // round-11 later batches: filtered/eval ANN, the window recurrences
+    "llm_ann_ivf_filtered", "llm_ann_recall_eval", "ts_cusum",
+    "ts_volume_bars", "win_rolling_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
