@@ -205,6 +205,37 @@ class IvfSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("change cell"))
   }
 
+  test("filtered probe: pre-filter parity across the float and quantized paths") {
+    import spark.implicits._
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ivf_ff").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft_ivf_fq").toString
+    val embL = Tables.embeddings(spark, TestSpark.sf001)
+    IvfIndex.build(embL, dirF, k = 16, payloadCols = Seq("label"))
+    IvfIndex.build(embL, dirQ, k = 16, quantized = true, payloadCols = Seq("label"))
+    val queries = embL.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val flt = Some(col("label") % 2 === 0)
+    def res(dir: String, rerank: Int) =
+      IvfIndex.probe(spark, dir, queries, nprobe = 2, topK = 5,
+          rerankFactor = rerank, filter = flt)
+        .select("q_id", "nbr_id", "cos", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val f = res(dirF, 4)
+    assert(f.nonEmpty)
+    // every returned neighbor satisfies the payload predicate
+    val allowed = embL.filter(col("label") % 2 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(f.forall(r => allowed.contains(r._2)), "a filtered-out neighbor leaked")
+    // quantized two-pass filtered probe returns the exact same result
+    assert(f === res(dirQ, 4), "quantized filtered probe diverged from float")
+    // and the filtered set differs from the unfiltered one (the filter
+    // actually bites on the fixture)
+    val unf = IvfIndex.probe(spark, dirF, queries, nprobe = 2, topK = 5)
+      .select("q_id", "nbr_id", "cos", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(f !== unf)
+  }
+
   test("quantized cells: probe parity with the float index; scoring scan reads codes, not floats") {
     import spark.implicits._
     val dirF = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
