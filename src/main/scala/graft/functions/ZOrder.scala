@@ -80,11 +80,15 @@ object ZOrder {
       if (cuts.isEmpty) lit(0L)
       else {
         val v = col(c).cast("double")
-        val rank = aggregate(lit(cuts), lit(0L),
+        // the fold alone would silently rank a null FIRST (null >= b
+        // falls to otherwise(0)); the explicit isNull branch pins the
+        // documented contract — nulls cluster LAST, past every cut.
+        val fold = aggregate(lit(cuts), lit(0L),
           (acc, b) => acc + when(v >= b, 1L).otherwise(0L))
+        val rank = when(v.isNull, lit(cuts.length.toLong)).otherwise(fold)
         val n = cuts.length + 1 // ranks 0..cuts.length
         // scale 0..n-1 onto 0..2^bits-1 so every column fills the width
-        (coalesce(rank, lit((n - 1).toLong)).cast("long") * scale / n).cast("long")
+        (rank.cast("long") * scale / n).cast("long")
       }
     }
     val terms = for {

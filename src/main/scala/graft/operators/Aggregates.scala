@@ -269,10 +269,12 @@ object Aggregates {
             sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"),
             count(lit(1)).as("n"))
           .select(col("l_returnflag"),
+            // nullif guards the zero-variance group (constant quantity):
+            // pow(0, 1.5) = 0.0 would raise DIVIDE_BY_ZERO under ANSI.
             expr("round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*pow(CAST(s1 AS DOUBLE)/n, 3.0)) " +
-              "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 6)").as("skew"),
+              "/ nullif(pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 0.0), 6)").as("skew"),
             expr("round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6.0*pow(CAST(s1 AS DOUBLE)/n, 2.0)*(CAST(s2 AS DOUBLE)/n) - 3.0*pow(CAST(s1 AS DOUBLE)/n, 4.0)) " +
-              "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0) - 3.0, 6)").as("kurt"),
+              "/ nullif(pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0), 0.0) - 3.0, 6)").as("kurt"),
             col("n"))
           .orderBy("l_returnflag")
       },
@@ -284,9 +286,9 @@ object Aggregates {
         "count(*) AS n FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, " +
         "round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2.0*pow(CAST(s1 AS DOUBLE)/n, 3.0)) " +
-        "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 6) + 0.0 AS skew, " +
+        "/ nullif(pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 1.5), 0.0), 6) + 0.0 AS skew, " +
         "round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6.0*pow(CAST(s1 AS DOUBLE)/n, 2.0)*(CAST(s2 AS DOUBLE)/n) - 3.0*pow(CAST(s1 AS DOUBLE)/n, 4.0)) " +
-        "/ pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0) - 3.0, 6) + 0.0 AS kurt, " +
+        "/ nullif(pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2.0), 2.0), 0.0) - 3.0, 6) + 0.0 AS kurt, " +
         "n FROM m ORDER BY l_returnflag"),
       "skewness + excess kurtosis from exact integer power sums (engine built-ins use incompatible estimators)"),
 

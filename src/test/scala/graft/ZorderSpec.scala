@@ -35,6 +35,19 @@ class ZorderSpec extends AnyFunSuite {
     assert(z00 !== z63)
   }
 
+  test("zValue ranks nulls LAST, past every non-null bucket") {
+    import spark.implicits._
+    val df = (0 until 32).map(i => (i.toLong, Some(i.toLong)))
+      .toDF("a", "b")
+      .union(Seq((32L, Option.empty[Long])).toDF("a", "b"))
+    val bs = ZOrder.boundaries(df, Seq("b"), 8)
+    val z = df.withColumn("z", ZOrder.zValue(bs, Seq("b")))
+    val nullZ = z.filter(col("b").isNull).select("z").as[Long].head()
+    val maxNonNull = z.filter(col("b").isNotNull).agg(max("z")).as[Long].head()
+    assert(nullZ >= maxNonNull,
+      s"null must cluster last: nullZ=$nullZ maxNonNull=$maxNonNull")
+  }
+
   test("zorder preserves content, compacts, and time-travels") {
     val events = Tables.events(spark, TestSpark.sf001)
     val dir = Files.createTempDirectory("graft_zorder").toString
