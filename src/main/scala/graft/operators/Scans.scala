@@ -627,6 +627,98 @@ object Scans {
       },
       Some("SELECT event_type, count(*) AS n_rows, min(ts) AS ts_min, " +
         "max(ts) AS ts_max FROM events GROUP BY event_type ORDER BY event_type"),
-      "series catalog (uid, rows, time extent) from the manifest's recorded bounds — zero IO")
+      "series catalog (uid, rows, time extent) from the manifest's recorded bounds — zero IO"),
+
+    "store_dsv2_read" -> DeclaredQuery(
+      // The store as a first-class DSv2 source: `spark.read
+      // .format("graft")` plans the LIVE manifest view through
+      // GraftTableProvider — dead pre-upsert chunks invisible, pushed
+      // filters pruning files via partition values + manifest stats
+      // before the vectorized parquet reader opens anything
+      // (GraftTableSpec pins the plannedFiles subset). The oracle gates
+      // the merged content: purchase keys divisible by 5 carry the
+      // delta's tripled value at version 2, everything else the base.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("dsv2_read", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        s.read.format("graft").load(dir)
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN value * 3.0 ELSE value END AS value, " +
+        "CAST(CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN 2 ELSE 1 END AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "DSv2 read of the live manifest view via spark.read.format(graft)"),
+
+    "store_dsv2_timetravel" -> DeclaredQuery(
+      // Time travel through the DSv2 option face: .option("asOf", v)
+      // resolves the named manifest version at plan time — the same id
+      // space as the Scala asOf and the graft_store TVF, now reachable
+      // from the standard reader API. Oracle = the unmerged base.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("dsv2_tt", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        val v = TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        s.read.format("graft").option("asOf", v - 1).load(dir)
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, CAST(1 AS BIGINT) AS version " +
+        "FROM events ORDER BY event_id"),
+      "DSv2 time travel via spark.read.format(graft).option(asOf, v)"),
+
+    "store_sql_catalog" -> DeclaredQuery(
+      // The NAMED-TABLE face: a GraftCatalog registered under
+      // spark.sql.catalog.<name> maps identifiers onto store
+      // directories, so the full DDL/DML lifecycle — CREATE TABLE ...
+      // USING graft PARTITIONED BY, INSERT INTO, SELECT — runs from
+      // pure SQL with no path in sight (the door every BI/SQL user
+      // walks through; VERSION AS OF is pinned in GraftTableSpec). The
+      // catalog name carries the scale-factor suffix because Spark
+      // caches catalog instances per name and each sf needs its own
+      // root.
+      (s, d) => {
+        val root = sinkDir("cat_root", d)
+        val cat = s"graftcat_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_cat_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_cat_src")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value " +
+        "FROM events ORDER BY event_id"),
+      "named-table catalog: CREATE TABLE USING graft + INSERT INTO + SELECT, pure SQL")
   )
 }

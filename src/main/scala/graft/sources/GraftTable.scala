@@ -1,0 +1,559 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The versioned store as a first-class DSv2 BATCH source — the SQL/
+  * DataFrame face the TVFs ([[graft.plans.StoreTvf]]) only approximate:
+  *
+  * {{{
+  *   spark.read.format("graft").load(path)                    // live view
+  *   spark.read.format("graft").option("asOf", 3).load(path)  // time travel
+  * }}}
+  *
+  * and, through [[GraftCatalog]], a NAMED catalog face:
+  *
+  * {{{
+  *   SET spark.sql.catalog.g = graft.sources.GraftCatalog
+  *   SET spark.sql.catalog.g.root = /data/stores
+  *   CREATE TABLE g.ns.ticks (ts TIMESTAMP, uid STRING, px DOUBLE)
+  *     USING graft PARTITIONED BY (uid)
+  *   INSERT INTO g.ns.ticks SELECT ...
+  *   SELECT * FROM g.ns.ticks VERSION AS OF 3
+  * }}}
+  *
+  * Scale design (what makes this the 100 TB read path, not a facade):
+  * the scan plans from DRIVER-SIDE manifest metadata only — the live (or
+  * `asOf`) file list and its recorded per-file column bounds
+  * ([[FileStats]]). Pushed filters engage THREE pruning tiers before an
+  * executor touches a byte: (1) partition-value pruning — each file's
+  * `name=value` directory segments become synthetic per-file bounds, so
+  * a uid predicate drops whole partitions at plan time; (2) manifest-
+  * stat pruning — the same [[FileStats.mayMatch]] walk the Scala
+  * `TsStore.load(prune=)` path uses, dropping files whose recorded
+  * bounds exclude the predicate; (3) parquet row-group skipping — the
+  * surviving filters ride into Spark's own vectorized parquet reader
+  * (the identical `ParquetFileFormat` machinery `FileSourceScanExec`
+  * ships), which also consults the store's bloom filters. Column
+  * pruning flows through `pruneColumns` into the reader's required
+  * schema. Reported statistics (manifest row counts + file sizes) feed
+  * the planner's broadcast decision for free.
+  *
+  * The reference never had a catalog face at all (corintick addresses
+  * collections by name inside MongoDB); this is the table-format role
+  * (Delta/Iceberg `CREATE TABLE ... USING`), re-expressed over the
+  * [[StoreLog]] manifest.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.resolveSchema(SparkSession.active, GraftTable.pathOf(options),
+      GraftTable.asOfOf(options))
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    GraftTable.partCols(GraftTable.pathOf(options))
+      .map(Expressions.identity).toArray
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = GraftTable.pathOf(opts)
+    new GraftTable(path, GraftTable.asOfOf(opts), schema,
+      partitioning.flatMap(GraftTable.identityCol).toSeq,
+      Option(opts.get("tsCol")).getOrElse("ts"))
+  }
+}
+
+object GraftTable {
+  /** Per-store manifest property keys the catalog face records at CREATE
+    * TABLE so an EMPTY store still knows its schema and write layout.
+    * Once data files exist, the files are authoritative for the schema.
+    */
+  val SchemaProp = "graft.schema"
+  val TsColProp = "graft.tsCol"
+  val UidsProp = "graft.uids"
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft needs a store path: .load(dir) or LOCATION / catalog root")
+    p
+  }
+
+  private[sources] def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asOf")).map(_.toLong)
+
+  private[sources] def identityCol(t: Transform): Option[String] =
+    if (t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1)
+      Some(t.references.head.fieldNames.head)
+    else None
+
+  /** The store's schema: inferred from the (possibly `asOf`-versioned)
+    * live files when any exist, else the declared [[SchemaProp]] a
+    * catalog CREATE TABLE recorded (the empty-table case).
+    */
+  private[sources] def resolveSchema(spark: SparkSession, path: String,
+                                     asOf: Option[Long]): StructType = {
+    val snap =
+      if (StoreLog.canLog(path))
+        asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+      else None
+    snap match {
+      case Some(s) if s.files.isEmpty =>
+        s.props.get(SchemaProp).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalArgumentException(
+            s"store at $path has no data files and no declared schema"))
+      case _ => TsStore.load(spark, path, asOf = asOf).schema
+    }
+  }
+
+  /** Partition column names of the store's file layout (empty for an
+    * unpartitioned or empty store; an empty store falls back to the
+    * declared [[UidsProp]]).
+    */
+  private[sources] def partCols(path: String): Seq[String] = {
+    val snap = if (StoreLog.canLog(path)) StoreLog.latest(path) else None
+    snap match {
+      case Some(s) if s.files.nonEmpty =>
+        StoreChangeSource.partitionColsOf(s.files.head)
+      case Some(s) =>
+        s.props.get(UidsProp).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      case None => Seq.empty
+    }
+  }
+
+  /** v1 `Filter` → `Column` for the manifest-stat prune. Partial on
+    * purpose: an untranslatable subtree collapses to None, and AND keeps
+    * its translatable side (sound — dropping a conjunct only widens the
+    * kept file set); OR must translate whole or not at all.
+    */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.And(l, r) => (filterColumn(l), filterColumn(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (one @ Some(_), None) => one
+      case (None, one) => one
+    }
+    case sources.Or(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) }
+      yield a || b
+    case _ => None
+  }
+
+  /** Synthetic [[FileStats.ColStat]] bounds for one file's partition-
+    * directory values — a partition value is a point interval, so the
+    * SAME conservative `mayMatch` walk that prunes on data-column bounds
+    * prunes on partition columns too (tier 1 of the scan's pruning).
+    * Null partitions and unsupported types record nothing (kept).
+    */
+  private[sources] def partPseudoStats(rel: String,
+      schema: StructType): FileStats.FileStatsMap = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val segs = rel.split('/').dropRight(1).toSeq.takeWhile(_.contains('='))
+      .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').drop(1))
+    segs.flatMap { case (name, rawEsc) =>
+      val raw = ExternalCatalogUtils.unescapePathName(rawEsc)
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+      else schema.fields.find(_.name == name).flatMap { f =>
+        try f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val v = raw.toLong
+            Some(name -> FileStats.ColStat("i", v, v, nulls = 0L))
+          case FloatType | DoubleType =>
+            val v = raw.toDouble
+            Some(name -> FileStats.ColStat("f", v, v, nulls = 0L))
+          case StringType =>
+            Some(name -> FileStats.ColStat("s", raw, raw, nulls = 0L))
+          case DateType =>
+            val v = java.time.LocalDate.parse(raw).toEpochDay
+            Some(name -> FileStats.ColStat("d", v, v, nulls = 0L))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }.toMap
+  }
+}
+
+/** One store (live or at a pinned version) as a DSv2 [[Table]]. */
+class GraftTable(val path: String, asOf: Option[Long],
+                 declaredSchema: StructType, declaredParts: Seq[String],
+                 tsCol: String)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    asOf.fold(s"graft:$path")(v => s"graft:$path@v$v")
+
+  override def schema(): StructType = declaredSchema
+
+  override def partitioning(): Array[Transform] = {
+    val ps = if (declaredParts.nonEmpty) declaredParts else GraftTable.partCols(path)
+    ps.map(Expressions.identity).toArray
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, path, asOf, declaredSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to a time-travel view of $path")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              val uids =
+                if (declaredParts.nonEmpty) declaredParts
+                else GraftTable.partCols(path)
+              val mode =
+                if (overwrite || ov) SaveMode.Overwrite else SaveMode.Append
+              // catalog metadata (schema/tsCol/uids props) must survive
+              // an INSERT OVERWRITE's log reset
+              val savedProps =
+                if (mode == SaveMode.Overwrite && StoreLog.canLog(path))
+                  StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
+                else Map.empty[String, String]
+              TsStore.write(data, path, tsCol = tsCol, uidCols = uids,
+                mode = mode, overlapPolicy = TsStore.OverlapPolicy.Allow)
+              if (savedProps.nonEmpty && StoreLog.canLog(path)) {
+                val cur = StoreLog.ensure(path)
+                StoreLog.commit(path, cur.version, Seq.empty, cur.files,
+                  parent = Some(cur), setProps = savedProps)
+              }
+            }
+          }
+      }
+    }
+  }
+}
+
+/** Pushdown-aware scan builder: column pruning narrows the parquet
+  * required schema; pushed v1 filters drive the three pruning tiers
+  * (partition values, manifest stats, parquet row groups). Every filter
+  * is returned as residual — file-level pruning is conservative, so
+  * Spark re-evaluates the predicate on the surviving rows.
+  */
+class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
+                       fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftTable.filterColumn(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, path, asOf, fullSchema, required, pushed)
+}
+
+/** The planned scan: file list + stats from the manifest (driver-side
+  * metadata only), one [[InputPartition]] per surviving file, read
+  * through Spark's own vectorized parquet reader with the pushed
+  * filters and pruned schema.
+  */
+class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
+                fullSchema: StructType, required: StructType,
+                pushed: Array[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  // live (or asOf) snapshot; an unlogged directory degrades to a plain
+  // listing with no stats (every file kept, still a correct read)
+  private lazy val snap: StoreLog.Snapshot =
+    if (StoreLog.canLog(path))
+      asOf.map(v => StoreLog.read(path, v))
+        .orElse(StoreLog.latest(path))
+        .getOrElse(StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path)))
+    else {
+      require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
+      StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
+    }
+
+  private val partColNames: Seq[String] = GraftTable.partCols(path)
+  private val partSchema = StructType(
+    fullSchema.fields.filter(f => partColNames.contains(f.name)))
+  private val dataSchema = StructType(
+    fullSchema.fields.filterNot(f => partColNames.contains(f.name)))
+  private val requiredData = StructType(
+    required.fields.filterNot(f => partColNames.contains(f.name)))
+
+  // reader output = required data columns ++ ALL partition columns (the
+  // partition values are driver metadata — appending them costs nothing)
+  override def readSchema(): StructType =
+    StructType(requiredData.fields ++ partSchema.fields)
+
+  /** Files surviving partition-value + manifest-stat pruning — exposed
+    * for the spec's plan pin (the DSv2 twin of PushedFilters).
+    */
+  lazy val plannedFiles: Seq[String] = {
+    val pred = pushed.flatMap(GraftTable.filterColumn)
+      .reduceOption(_ && _)
+    pred match {
+      case None => snap.files
+      case Some(p) =>
+        val node = org.apache.spark.sql.GraftShim.predTree(p)
+        val kept = snap.files.filter { f =>
+          val stats = snap.stats.getOrElse(f, Map.empty) ++
+            GraftTable.partPseudoStats(f, fullSchema)
+          stats.isEmpty || FileStats.mayMatch(stats, node)
+        }
+        // zero-file scans are legal in DSv2 (empty partition array)
+        kept
+    }
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    plannedFiles.map { rel =>
+      val p = new HPath(s"$path/$rel")
+      val len = fs.getFileStatus(p).getLen
+      StoreChangeInputPartition(PartitionedFile(
+        StoreChangeSource.partitionValues(rel, partSchema, 0L),
+        SparkPath.fromPath(p), 0L, len, Array.empty, 0L, len))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // only data-column filters reach the parquet reader (partition
+    // columns aren't in the data pages); row-group stats + the store's
+    // bloom filters both engage underneath
+    val dataCols = dataSchema.fieldNames.toSet
+    val dataFilters = pushed.filter(_.references.forall(dataCols.contains)).toSeq
+    val readerFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(spark, dataSchema, partSchema, requiredData,
+        dataFilters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
+    new StoreChangeReaderFactory(readerFunc)
+  }
+
+  /** Manifest-derived stats for the planner: row count is exact when
+    * every surviving file carries recorded counts ([[TsStore.countAt]]'s
+    * budget); size is the surviving files' on-disk bytes. Both are
+    * pruning-aware — a selective scan reports the small number that
+    * makes it broadcast-eligible.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val (rowsOpt, bytes) = {
+      val per = plannedFiles.map { f =>
+        snap.stats.get(f)
+          .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+      }
+      val rows = if (per.isEmpty || per.exists(_.isEmpty)) None
+                 else Some(per.flatten.sum)
+      val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sz = plannedFiles.map { f =>
+        try fs.getFileStatus(new HPath(s"$path/$f")).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+      (rows, sz)
+    }
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong =
+      rowsOpt.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+  }
+}
+
+/** A named-table catalog over a directory of stores — `CREATE TABLE
+  * g.ns.t USING graft` / `INSERT INTO` / `SELECT ... VERSION AS OF v`.
+  * Identifier ↔ path mapping is structural (`root/ns.../name`), so the
+  * catalog needs no metastore: the [[StoreLog]] manifest under each
+  * table directory IS the table metadata (schema/tsCol/uids recorded as
+  * manifest props at CREATE; files authoritative once data lands).
+  * `TIMESTAMP AS OF` resolves against manifest commit times.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.root = <directory>")
+  }
+
+  override def name(): String = catName
+
+  private def io: CommitIo = CommitIo.forPath(root).getOrElse(
+    throw new IllegalArgumentException(
+      s"catalog root '$root' has no commit backend"))
+
+  private def pathOf(ident: Identifier): String =
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def nsPath(ns: Seq[String]): String = (root +: ns).mkString("/")
+
+  private def isStore(p: String): Boolean = io.isDir(StoreLog.logDir(p))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace.toSeq)
+    if (!io.isDir(p)) throw new NoSuchNamespaceException(namespace)
+    io.list(p).filter(e => e.isDir && isStore(s"$p/${e.name}"))
+      .map(e => Identifier.of(namespace, e.name)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isStore(pathOf(ident))
+
+  private def tableAt(path: String, asOf: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val props = StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
+    // the declared schema (recorded at CREATE) is the catalog contract —
+    // partition-value INFERENCE could silently narrow a declared LONG
+    // uid to INT; fall back to inference only for adopted stores that
+    // predate the catalog
+    val schema = props.get(GraftTable.SchemaProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(GraftTable.resolveSchema(spark, path, asOf))
+    val uids = props.get(GraftTable.UidsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(GraftTable.partCols(path))
+    new GraftTable(path, asOf, schema, uids,
+      props.getOrElse(GraftTable.TsColProp, "ts"))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!isStore(p)) throw new NoSuchTableException(ident)
+    tableAt(p, None)
+  }
+
+  /** `VERSION AS OF v` — the manifest version, same id space as the
+    * Scala `asOf` and the `graft_store` TVF.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!isStore(p)) throw new NoSuchTableException(ident)
+    tableAt(p, Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF t` — the newest version committed at or before the
+    * instant (micros since epoch, Spark's unit for this call).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    if (!isStore(p)) throw new NoSuchTableException(ident)
+    val ms = timestampMicros / 1000L
+    val v = StoreLog.listVersions(p).reverse
+      .find(v => StoreLog.read(p, v).timestampMs <= ms)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of ${ident.name} committed at or before $ms ms"))
+    tableAt(p, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (isStore(p)) throw new TableAlreadyExistsException(ident)
+    val uids = partitions.toSeq.flatMap(GraftTable.identityCol)
+    require(uids.size == partitions.length,
+      "graft tables support identity partition transforms only")
+    val props = properties.asScala
+    val tsCol = props.get("tsCol").orElse(props.get("option.tsCol")).getOrElse("ts")
+    require(schema.fieldNames.contains(tsCol),
+      s"graft table needs its time column '$tsCol' in the schema " +
+        "(override with TBLPROPERTIES('tsCol'='...'))")
+    // v1 = an EMPTY committed manifest carrying the declared metadata;
+    // the first INSERT appends through the ordinary logged write path
+    StoreLog.commit(p, 0L, Seq.empty, Seq.empty,
+      setProps = Map(
+        GraftTable.SchemaProp -> schema.json,
+        GraftTable.TsColProp -> tsCol) ++
+        (if (uids.nonEmpty) Map(GraftTable.UidsProp -> uids.mkString(",")) else Map.empty))
+    tableAt(p, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution flows through writes")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!isStore(p)) false
+    else { io.deleteDir(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    io.list(root).filter(e => e.isDir && !isStore(s"$root/${e.name}"))
+      .map(e => Array(e.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace.toSeq)
+    if (!io.isDir(p)) throw new NoSuchNamespaceException(namespace)
+    io.list(p).filter(e => e.isDir && !isStore(s"$p/${e.name}"))
+      .map(e => namespace :+ e.name).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || io.isDir(nsPath(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    // directories materialize on first table creation; nothing to record
+    val marker = s"${nsPath(namespace.toSeq)}/.ns"
+    io.replaceAtomic(marker, Array[Byte]('1'))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace.toSeq)
+    if (!io.isDir(p)) false
+    else if (cascade) { io.deleteDir(p); true }
+    else if (io.list(p).forall(e => !e.isDir)) { io.deleteDir(p); true }
+    else throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+  }
+}

@@ -19,13 +19,29 @@ import org.apache.spark.sql.functions._
   * window's commit footprint + the touched groups — never the store,
   * never the whole view.
   *
-  * Exactly-once without a side channel: every view row carries the
-  * upstream version its last write applied (`applied_v`, the view
-  * store's own merge version), so the resume point is
-  * `max(applied_v)` over the view — a crashed refresh either committed
-  * (the max moved) or didn't (re-run re-derives the identical delta).
-  * A group whose count reaches zero keeps a `cnt = 0` row (filtered by
-  * [[read]]) so the refresh stays ONE commit, not an upsert + delete.
+  * Exactly-once without a side channel: the upstream version the view
+  * reflects rides the view store's own manifest as a per-store property
+  * ([[AppliedProp]]), written in the SAME commit as the refresh upsert
+  * — so the resume point is an O(1) manifest read, never a view scan,
+  * and a crashed refresh either committed (the property moved) or
+  * didn't (re-run re-derives the identical delta). Every view row also
+  * carries `applied_v` (the view store's merge version); a pre-upgrade
+  * view without the property falls back to `max(applied_v)` over one
+  * scan, and the property rides its next refresh commit. A group whose
+  * count reaches zero keeps a `cnt = 0` row (filtered by [[read]]) so
+  * the refresh stays ONE commit, not an upsert + delete.
+  *
+  * Refreshes are SERIALIZED by a lock under the view's log directory:
+  * two refreshers reading the upstream at DIFFERENT versions could
+  * otherwise interleave unsoundly (racer A applies window (3,5]'s
+  * insert of key k; racer B's wider (3,9] window — read before A
+  * committed — sees k inserted-then-deleted as a cancelled no-change,
+  * both commit on disjoint buckets, and the resume point jumps to 9
+  * with k's compensating delete skipped forever). Under the lock each
+  * refresh derives its window from the LAST COMMITTED resume point, so
+  * windows never overlap. A contended refresh waits briefly, then
+  * throws the clean [[StoreLog.CommitConflict]] maintenance signal; a
+  * crashed holder's lock expires by age.
   *
   * Scale shape: the view is partitioned by a hash bucket of the group
   * key (stable per key, so upserts partition-prune), the change feed is
@@ -38,8 +54,64 @@ object MatView {
   val AppliedCol = "applied_v"
   val BucketCol = "__bucket"
 
+  /** Manifest property carrying the upstream version the view reflects
+    * — the O(1) resume point (the checkpointInterval/bloomCols
+    * mechanism; written in the same commit as the refresh upsert).
+    */
+  val AppliedProp = "graft.matview.applied_v"
+
+  /** How long a contended [[refresh]] waits for the refresh lock before
+    * throwing [[StoreLog.CommitConflict]]; a crashed holder's lock
+    * expires after [[LockStaleMs]] by mtime.
+    */
+  val LockWaitMs: Long = 60L * 1000
+  val LockStaleMs: Long = 10L * 60 * 1000
+
   private def bucketOf(groupCols: Seq[String], nBuckets: Int): Column =
     pmod(hash(groupCols.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** The upstream version the view currently reflects: the manifest
+    * property when present (zero data IO, zero jobs), else one
+    * O(view) scan of the per-row `applied_v` max (pre-upgrade views —
+    * the property rides their next refresh commit).
+    */
+  def lastApplied(spark: SparkSession, viewPath: String): Long = {
+    val snap = StoreLog.ensure(viewPath)
+    snap.props.get(AppliedProp).map(_.toLong).getOrElse {
+      TsStore.load(spark, viewPath)
+        .agg(coalesce(max(col(AppliedCol)), lit(0L))).first().getLong(0)
+    }
+  }
+
+  /** Serialize view maintenance: acquire `.refresh_lock` under the
+    * view's log directory (publish-if-absent CAS — dot-prefixed, so the
+    * version listing and vacuum's lease scan never see it), run `body`,
+    * release. A stale lock (crashed holder) expires by mtime; a
+    * contended acquire waits up to [[LockWaitMs]] then throws the
+    * maintenance-conflict signal callers already handle.
+    */
+  private def withRefreshLock[T](viewPath: String)(body: => T): T = {
+    val io = CommitIo.forPath(viewPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"matview needs a loggable view path; '$viewPath' has no commit backend"))
+    val lock = s"${StoreLog.logDir(viewPath)}/.refresh_lock"
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var acquired = io.publishIfAbsent(lock, Array[Byte]('1'))
+    while (!acquired) {
+      val stale =
+        try io.exists(lock) &&
+          System.currentTimeMillis() - io.mtimeMs(lock) > LockStaleMs
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (stale) io.deleteFile(lock)
+      else if (System.currentTimeMillis() > deadline)
+        throw new StoreLog.CommitConflict(
+          s"matview refresh lock held at $viewPath — another maintainer " +
+            "is refreshing; retry later")
+      else Thread.sleep(100)
+      acquired = io.publishIfAbsent(lock, Array[Byte]('1'))
+    }
+    try body finally io.deleteFile(lock)
+  }
 
   /** Build the view from a FULL aggregate of the upstream live state —
     * the one-time base case. Records the upstream version it reflects;
@@ -61,62 +133,90 @@ object MatView {
       .withColumn("ts", to_timestamp(lit(0)))
       .withColumn(BucketCol, bucketOf(groupCols, nBuckets))
     TsStore.write(agg, viewPath, tsCol = "ts", uidCols = Seq(BucketCol))
-    StoreLog.ensure(viewPath)
+    // record the resume point as a manifest property right away (one
+    // metadata-only commit) so the first refresh is already O(1)
+    val cur = StoreLog.ensure(viewPath)
+    StoreLog.commit(viewPath, cur.version, Seq.empty, cur.files,
+      parent = Some(cur), setProps = Map(AppliedProp -> storeV.toString))
     storeV
   }
 
   /** Apply the upstream window `(lastApplied, current]` to the view.
     * Returns the upstream version now reflected (unchanged when the
-    * window is empty). Idempotent: re-running after a crash re-derives
-    * the same delta or finds the window empty.
+    * window is empty — decided from MANIFEST METADATA alone: an
+    * up-to-date view costs two manifest reads, zero data files, zero
+    * jobs; MatViewSpec pins the zero-job path). Idempotent: re-running
+    * after a crash re-derives the same delta or finds the window empty.
     *
-    * Concurrent refreshers CONVERGE: two racers read the same view
-    * snapshot and derive the same merged rows, so whichever commits
-    * first wins and the loser either commits identical content or
-    * aborts with [[StoreLog.CommitConflict]] when its touched
-    * partitions were replaced under it (the upsert's rebase rule) —
-    * treat like any maintenance conflict: skip, the other racer already
-    * applied the window (MatViewSpec pins the race).
+    * Refreshes SERIALIZE on the view's refresh lock (see the class
+    * doc): each refresh derives its window from the last COMMITTED
+    * resume point, so two maintainers' windows can never overlap — the
+    * unsound different-version interleaving is structurally excluded.
+    * A contended refresh throws [[StoreLog.CommitConflict]] after a
+    * bounded wait; callers treat it like any maintenance conflict
+    * (skip — the holder is applying the window; MatViewSpec pins both
+    * the race and the held-lock signal).
     */
   def refresh(spark: SparkSession, storePath: String, viewPath: String,
               storeKeyCols: Seq[String], storeVersionCol: String,
               groupCols: Seq[String], measureE4: Column,
               nBuckets: Int = 16): Long = {
     val storeV = StoreLog.ensure(storePath).version
-    val view = TsStore.load(spark, viewPath)
-    val lastApplied = view.agg(coalesce(max(col(AppliedCol)), lit(0L)))
-      .first().getLong(0)
-    if (storeV <= lastApplied) return lastApplied
-    val ch = TsStore.changes(spark, storePath, lastApplied, storeV,
-      storeKeyCols, storeVersionCol, preimages = true)
-    val sign = when(col("change_type").isin("insert", "update"), 1L)
-      .otherwise(-1L) // delete | update_preimage
-    val delta = ch.groupBy(groupCols.map(col): _*)
-      .agg(sum(sign * measureE4).cast("long").as("d_sum"),
-        sum(sign).as("d_cnt"))
-    // old state for EXACTLY the touched groups: bucket partition pruning
-    // bounds the view read, the join is delta-sized
-    val withBucket = delta.withColumn(BucketCol, bucketOf(groupCols, nBuckets))
-    val buckets = withBucket.select(BucketCol).distinct().collect()
-      .map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return lastApplied
-    val old = view.filter(col(BucketCol).isin(buckets: _*))
-      .select((groupCols.map(col) :+ col("sum_e4") :+ col("cnt")): _*)
-    // null-SAFE key equality: a null group value is a legitimate group
-    // (the change aggregate and the upsert window both treat it as one);
-    // plain `=` would never rejoin it to its old state and the view
-    // would fork a fresh row per refresh
-    val joinCond = groupCols.map(c => withBucket(c) <=> old(c)).reduce(_ && _)
-    val merged = withBucket.join(old, joinCond, "left_outer")
-      .select((groupCols.map(withBucket(_)) :+
-        (coalesce(old("sum_e4"), lit(0L)) + col("d_sum")).as("sum_e4") :+
-        (coalesce(old("cnt"), lit(0L)) + col("d_cnt")).as("cnt") :+
-        lit(storeV).as(AppliedCol) :+
-        to_timestamp(lit(0)).as("ts") :+
-        withBucket(BucketCol)): _*)
-    TsStore.upsert(spark, viewPath, merged, keyCols = groupCols,
-      versionCol = AppliedCol, tsCol = "ts", uidCols = Seq(BucketCol))
-    storeV
+    // lock-free fast path: an empty window is visible from the manifest
+    // property alone — no lock traffic, no data IO for the steady state
+    val quick = lastApplied(spark, viewPath)
+    if (storeV <= quick) return quick
+    withRefreshLock(viewPath) {
+      // re-derive UNDER the lock: the holder we waited on may have
+      // advanced the resume point past our pre-lock read
+      val last = lastApplied(spark, viewPath)
+      if (storeV <= last) last
+      else {
+        val view = TsStore.load(spark, viewPath)
+        val ch = TsStore.changes(spark, storePath, last, storeV,
+          storeKeyCols, storeVersionCol, preimages = true)
+        val sign = when(col("change_type").isin("insert", "update"), 1L)
+          .otherwise(-1L) // delete | update_preimage
+        val delta = ch.groupBy(groupCols.map(col): _*)
+          .agg(sum(sign * measureE4).cast("long").as("d_sum"),
+            sum(sign).as("d_cnt"))
+        // old state for EXACTLY the touched groups: bucket partition
+        // pruning bounds the view read, the join is delta-sized
+        val withBucket = delta.withColumn(BucketCol, bucketOf(groupCols, nBuckets))
+        val buckets = withBucket.select(BucketCol).distinct().collect()
+          .map(_.getInt(0)).toSeq
+        if (buckets.isEmpty) {
+          // the window's changes net to nothing (carried-over survivors
+          // only) — advance the resume point with a metadata-only
+          // commit so the window is never re-derived
+          val cur = StoreLog.ensure(viewPath)
+          StoreLog.commit(viewPath, cur.version, Seq.empty, cur.files,
+            parent = Some(cur), setProps = Map(AppliedProp -> storeV.toString))
+          storeV
+        } else {
+          val old = view.filter(col(BucketCol).isin(buckets: _*))
+            .select((groupCols.map(col) :+ col("sum_e4") :+ col("cnt")): _*)
+          // null-SAFE key equality: a null group value is a legitimate
+          // group (the change aggregate and the upsert window both treat
+          // it as one); plain `=` would never rejoin it to its old state
+          // and the view would fork a fresh row per refresh
+          val joinCond = groupCols.map(c => withBucket(c) <=> old(c)).reduce(_ && _)
+          val merged = withBucket.join(old, joinCond, "left_outer")
+            .select((groupCols.map(withBucket(_)) :+
+              (coalesce(old("sum_e4"), lit(0L)) + col("d_sum")).as("sum_e4") :+
+              (coalesce(old("cnt"), lit(0L)) + col("d_cnt")).as("cnt") :+
+              lit(storeV).as(AppliedCol) :+
+              to_timestamp(lit(0)).as("ts") :+
+              withBucket(BucketCol)): _*)
+          // the resume point rides the SAME manifest commit as the
+          // upserted rows — atomically exactly-once, O(1) to read back
+          TsStore.upsert(spark, viewPath, merged, keyCols = groupCols,
+            versionCol = AppliedCol, tsCol = "ts", uidCols = Seq(BucketCol),
+            setProps = Map(AppliedProp -> storeV.toString))
+          storeV
+        }
+      }
+    }
   }
 
   /** The view's live rows (groups whose count net to zero are dropped —

@@ -51,7 +51,8 @@ object StoreLog {
                             checkpointInterval: Int = CheckpointInterval,
                             stats: Map[String, FileStats.FileStatsMap] = Map.empty,
                             tag: Option[String] = None,
-                            bloomCols: Seq[String] = Nil)
+                            bloomCols: Seq[String] = Nil,
+                            props: Map[String, String] = Map.empty)
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -239,7 +240,11 @@ object StoreLog {
       else CheckpointInterval,
       stats,
       if (root.has("tag")) Some(root.get("tag").asText()) else None,
-      if (root.has("bloomCols")) strings(root.get("bloomCols")) else Nil)
+      if (root.has("bloomCols")) strings(root.get("bloomCols")) else Nil,
+      if (root.has("props"))
+        root.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty)
   }
 
   /** Scan the newest `lookback` manifests for a commit carrying `tag` —
@@ -270,7 +275,8 @@ object StoreLog {
                             checkpointInterval: Int,
                             stats: Map[String, FileStats.FileStatsMap],
                             tag: Option[String] = None,
-                            bloomCols: Seq[String] = Nil): Array[Byte] = {
+                            bloomCols: Seq[String] = Nil,
+                            props: Map[String, String] = Map.empty): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -280,6 +286,15 @@ object StoreLog {
       val a = mapper.createArrayNode(); xs.foreach(a.add); a
     }
     if (bloomCols.nonEmpty) root.set[JsonNode]("bloomCols", arr(bloomCols))
+    // per-store properties (small, so fully embedded in EVERY manifest —
+    // delta and checkpoint alike — like the interval and bloomCols):
+    // O(1)-readable metadata a caller would otherwise derive by scanning
+    // data (e.g. a MatView's applied-upstream-version resume point)
+    if (props.nonEmpty) {
+      val o = mapper.createObjectNode()
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      root.set[JsonNode]("props", o)
+    }
     def setStats(forFiles: Seq[String]): Unit = {
       val present = forFiles.filter(stats.contains).sorted
       if (present.nonEmpty) {
@@ -323,7 +338,8 @@ object StoreLog {
              interval: Option[Int] = None,
              addStats: Map[String, FileStats.FileStatsMap] = Map.empty,
              tag: Option[String] = None,
-             bloomCols: Option[Seq[String]] = None): Long = {
+             bloomCols: Option[Seq[String]] = None,
+             setProps: Map[String, String] = Map.empty): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
@@ -334,6 +350,10 @@ object StoreLog {
     // creation, inherited from the parent on every later commit so
     // every rewrite path keeps writing the same per-column blooms
     val effBlooms = bloomCols.orElse(parent.map(_.bloomCols)).getOrElse(Nil)
+    // properties inherit from the parent; setProps MERGES over them in
+    // this commit (an empty-string value deletes a key)
+    val effProps = (parent.map(_.props).getOrElse(Map.empty) ++ setProps)
+      .filter(_._2.nonEmpty)
     val asDelta = parent.filter(_ => v % eff != 0).map(_.files)
     // the stats index for the commit: surviving parent entries plus the
     // new files' (addStats wins on collision — a rewritten path is the
@@ -341,7 +361,7 @@ object StoreLog {
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
-      asDelta, eff, allStats, tag, effBlooms)
+      asDelta, eff, allStats, tag, effBlooms, effProps)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -510,7 +530,8 @@ object StoreLog {
         manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
-          stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols))
+          stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
+          props = snap.props))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))

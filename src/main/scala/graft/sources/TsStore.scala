@@ -411,7 +411,8 @@ object TsStore {
   private[sources] def commitWithRebase(path: String, lease: StoreLog.WriterLease,
       base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
       newFiles: StoreLog.Snapshot => Seq[String],
-      unsound: (StoreLog.Snapshot, Set[String]) => Option[String]): Long = {
+      unsound: (StoreLog.Snapshot, Set[String]) => Option[String],
+      setProps: Map[String, String] = Map.empty): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -426,7 +427,8 @@ object TsStore {
     while (done < 0) {
       lease.renew()
       try done = StoreLog.commit(path, expected.version, replaced,
-        newFiles(expected), parent = Some(expected), addStats = movedStats)
+        newFiles(expected), parent = Some(expected), addStats = movedStats,
+        setProps = setProps)
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -489,7 +491,8 @@ object TsStore {
              tsCol: String, uidCols: Seq[String],
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
-             maxRecordsPerFile: Long = 8L << 20): Long = {
+             maxRecordsPerFile: Long = 8L << 20,
+             setProps: Map[String, String] = Map.empty): Long = {
     // Pin the delta ONCE. The merge evaluates it three times (emptiness,
     // touched-partition collect, staging write); a nondeterministic
     // delta lineage (limit/sample/shuffled upstream) could otherwise
@@ -542,7 +545,8 @@ object TsStore {
               (s.files.toSet -- prev).exists(under))
             Some(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
               "— re-run the upsert against the new base")
-          else None)
+          else None,
+        setProps = setProps)
     }
   }
 

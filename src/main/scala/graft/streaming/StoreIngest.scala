@@ -225,25 +225,35 @@ object StoreIngest {
         // null op = upsert: a bare `op =!= 'D'` is null-valued on null
         // ops and would silently DROP those rows from both branches
         val isDelete = coalesce(col(opCol) === "D", lit(false))
-        // per-key highest delete version — one driver-side collect
-        // serves the null-key validation, the upsert supersession
-        // filter, and the delete passes
+        // per-key highest delete version. Pinned once (evaluated by the
+        // null audit, the route count, the supersession join and the
+        // takedown) — and NEVER collected whole: a million-key takedown
+        // batch must not materialize its key set on the driver.
         val delMax = batch.filter(isDelete)
           .groupBy(keyCols.map(col): _*)
           .agg(max(col(versionCol)).as("__del_v"))
-        val delKeys = delMax.collect().toSeq
-        delKeys.foreach { r =>
-          keyCols.indices.foreach(i => require(!r.isNullAt(i),
-            s"CDC delete row with null key component '${keyCols(i)}' — " +
-              "a null key can never match a stored row; fix the feed"))
-        }
+          .localCheckpoint()
+        // null-key audit, distributed: ship back at most ONE violating
+        // row (the error's evidence), whatever the batch size
+        val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+        val badKey = delMax.filter(nullKey).select(keyCols.map(col): _*).take(1)
+        require(badKey.isEmpty,
+          s"CDC delete row with null key component (${keyCols.mkString(",")} = " +
+            s"${badKey.headOption.getOrElse("")}) — a null key can never " +
+            "match a stored row; fix the feed")
+        // route on a LIMITED count: the driver learns min(keys, cap+1),
+        // never the batch's key cardinality
+        val delN = delMax.limit(MaxKeysPerDeletePass + 1).count()
+        val smallDelete = delN <= MaxKeysPerDeletePass
         val ups0 = batch.filter(not(isDelete)).drop(opCol)
         // drop upsert rows a same-key delete supersedes (version <= the
-        // delete's); a left join against the tiny delete-key set keeps
-        // this fully distributed — no literal plans on the upsert side
+        // delete's); the join keeps this fully distributed — broadcast
+        // is only HINTED when the key set is known small (over-cap sets
+        // are left to the planner/AQE, which sizes the build side)
         val ups =
-          if (delKeys.isEmpty) ups0
-          else ups0.join(delMax.hint("broadcast"), keyCols, "left_outer")
+          if (delN == 0) ups0
+          else ups0.join(if (smallDelete) delMax.hint("broadcast") else delMax,
+              keyCols, "left_outer")
             .filter(col("__del_v").isNull || col(versionCol) > col("__del_v"))
             .drop("__del_v")
         if (!ups.isEmpty)
@@ -251,14 +261,15 @@ object StoreIngest {
             keyCols = keyCols, versionCol = versionCol,
             tsCol = tsCol, uidCols = uidCols)
         // small takedowns inline as one literal-predicate delete pass
-        // (no broadcast job); anything larger runs as ONE join-based
-        // anti-merge (TsStore.deleteKeys) — plan size O(1) in the key
-        // count, one find scan + one rewrite + one manifest commit
-        // instead of keys/cap passes each rescanning the candidates
-        if (delKeys.nonEmpty) {
-          if (delKeys.size <= MaxKeysPerDeletePass)
+        // (no broadcast job) — the only point keys ever reach the
+        // driver, bounded by the cap. Anything larger runs as ONE
+        // join-based anti-merge (TsStore.deleteKeys): the key set rides
+        // as DATA, plan size O(1) in the key count, one find scan + one
+        // rewrite + one manifest commit.
+        if (delN > 0) {
+          if (smallDelete)
             TsStore.delete(batch.sparkSession, path,
-              TsStore.versionedKeyPredicate(delKeys, keyCols, versionCol),
+              TsStore.versionedKeyPredicate(delMax.collect().toSeq, keyCols, versionCol),
               tsCol = tsCol, uidCols = uidCols)
           else
             TsStore.deleteKeys(batch.sparkSession, path, delMax,

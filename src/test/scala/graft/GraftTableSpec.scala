@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftScan, StoreLog, Tables, TsStore}
+
+/** The DSv2 face of the store: `spark.read.format("graft")` (live +
+  * asOf), the three-tier scan pruning (partition values, manifest
+  * stats, parquet row groups), and the [[graft.sources.GraftCatalog]]
+  * named-table surface (CREATE/INSERT/SELECT/time travel) from pure SQL.
+  */
+class GraftTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** A logged store over the events fixture with an upsert on top, so
+    * the directory holds DEAD files a correct reader must not see.
+    */
+  private def buildStore(maxRecords: Long = 8L << 20): (String, Long) = {
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(cols.map(col) :+ lit(1L).as("version"): _*)
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = maxRecords)
+    val delta = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 3.0).as("value"), lit(2L).as("version"))
+    val v = TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    (dir, v)
+  }
+
+  test("format(graft) reads the live view; asOf time-travels") {
+    val (dir, v) = buildStore()
+    val live = spark.read.format("graft").load(dir)
+    val want = TsStore.load(spark, dir)
+    assert(live.count() === want.count())
+    assert(live.select(cols.map(col): _*).except(want.select(cols.map(col): _*)).count() === 0)
+    // a plain parquet read would resurrect the dead pre-upsert files
+    val naive = spark.read.parquet(dir).count()
+    assert(naive > live.count(), s"fixture must hold dead files: naive=$naive live=${live.count()}")
+    // asOf reconstructs the pre-upsert store
+    val old = spark.read.format("graft").option("asOf", v - 1).load(dir)
+    val wantOld = TsStore.load(spark, dir, asOf = Some(v - 1))
+    assert(old.count() === wantOld.count())
+    assert(old.filter(col("version") === 2L).count() === 0)
+  }
+
+  test("pushed filters prune files at plan time (partition + stat tiers)") {
+    val (dir, _) = buildStore(maxRecords = 50)
+    val liveFiles = StoreLog.latest(dir).get.files.size
+    assert(liveFiles >= 10, s"fixture too small: $liveFiles files")
+    def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }
+      assert(scans.size === 1, s"expected one BatchScanExec, got ${scans.size}")
+      scans.head.asInstanceOf[GraftScan]
+    }
+    // tier 1: a partition predicate drops whole uid directories
+    val byUid = spark.read.format("graft").load(dir)
+      .filter(col("event_type") === "purchase")
+    val uidScan = scanOf(byUid)
+    assert(uidScan.plannedFiles.size < liveFiles,
+      s"partition prune must engage: ${uidScan.plannedFiles.size} of $liveFiles")
+    assert(uidScan.plannedFiles.forall(_.startsWith("event_type=purchase/")))
+    val wantUid = TsStore.load(spark, dir).filter(col("event_type") === "purchase")
+    assert(byUid.count() === wantUid.count())
+    // tier 2: a ts-slice prunes via the manifest's recorded bounds
+    // (files are ts-clustered by the chunked write)
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-01 03:00:00")
+    val slice = spark.read.format("graft").load(dir)
+      .filter(col("ts") >= lo && col("ts") <= hi)
+    val sliceScan = scanOf(slice)
+    assert(sliceScan.plannedFiles.size * 2 <= liveFiles,
+      s"stat prune must engage: ${sliceScan.plannedFiles.size} of $liveFiles")
+    val wantSlice = TsStore.load(spark, dir).filter(col("ts") >= lo && col("ts") <= hi)
+    assert(slice.count() === wantSlice.count())
+    assert(slice.count() > 0)
+    // column pruning narrows the reader's schema (partition cols ride free)
+    val proj = spark.read.format("graft").load(dir).select("event_id", "value")
+    val projScan = scanOf(proj)
+    assert(projScan.readSchema().fieldNames.toSet === Set("event_id", "value", "event_type"))
+  }
+
+  test("scan reports manifest-derived statistics (pruning-aware)") {
+    val (dir, _) = buildStore(maxRecords = 100)
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("event_type") === "purchase")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[GraftScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().isPresent, "manifest row counts must be known")
+    assert(st.numRows().getAsLong === df.count())
+    assert(st.sizeInBytes().getAsLong > 0)
+  }
+
+  test("GraftCatalog: CREATE / INSERT / SELECT / time travel / DROP from SQL") {
+    val root = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gtest", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql(
+      """CREATE TABLE gtest.ns.ticks (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |USING graft PARTITIONED BY (event_type)""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN gtest.ns").collect().map(_.getString(1)).contains("ticks"))
+    // empty table: readable, zero rows, declared schema
+    assert(spark.sql("SELECT * FROM gtest.ns.ticks").count() === 0)
+    // first INSERT: v2 commit through the ordinary logged append path
+    val ev = Tables.events(spark, TestSpark.sf001).select(cols.map(col): _*)
+    ev.createOrReplaceTempView("ev_src")
+    spark.sql("INSERT INTO gtest.ns.ticks SELECT event_id, ts, user_id, event_type, value FROM ev_src")
+    val got = spark.sql("SELECT * FROM gtest.ns.ticks")
+    assert(got.count() === ev.count())
+    assert(got.select(cols.map(col): _*).except(ev).count() === 0)
+    // second INSERT: appends; VERSION AS OF walks back to the first
+    spark.sql("INSERT INTO gtest.ns.ticks SELECT event_id + 10000000, ts, user_id, event_type, value FROM ev_src WHERE event_type = 'view'")
+    val n2 = spark.sql("SELECT * FROM gtest.ns.ticks").count()
+    assert(n2 > ev.count())
+    val verRows = StoreLog.listVersions(s"$root/ns/ticks")
+    val v1 = verRows.dropRight(1).last
+    assert(spark.sql(s"SELECT * FROM gtest.ns.ticks VERSION AS OF $v1").count() === ev.count())
+    // predicate through SQL prunes and answers correctly
+    val purchases = spark.sql(
+      "SELECT count(*) AS n FROM gtest.ns.ticks WHERE event_type = 'purchase'")
+      .head().getLong(0)
+    assert(purchases === ev.filter(col("event_type") === "purchase").count())
+    // INSERT OVERWRITE truncates to the new content, metadata survives
+    spark.sql("INSERT OVERWRITE gtest.ns.ticks SELECT event_id, ts, user_id, event_type, value FROM ev_src WHERE event_type = 'click'")
+    val afterOv = spark.sql("SELECT * FROM gtest.ns.ticks")
+    assert(afterOv.count() === ev.filter(col("event_type") === "click").count())
+    assert(spark.sql("SELECT * FROM gtest.ns.ticks WHERE event_type = 'view'").count() === 0)
+    spark.sql("DROP TABLE gtest.ns.ticks")
+    assert(!spark.sql("SHOW TABLES IN gtest.ns").collect().map(_.getString(1)).contains("ticks"))
+  }
+
+  test("TIMESTAMP AS OF resolves against manifest commit times") {
+    val (dir, v) = buildStore()
+    val root = Files.createTempDirectory("graft_cat_ts").toString
+    // adopt the existing store under the catalog root via a symlink-free
+    // copy: just point a table dir at a fresh store built in place
+    spark.conf.set("spark.sql.catalog.gts", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.root", root)
+    val tdir = new java.io.File(s"$root/t")
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), tdir)
+    val tsMs = StoreLog.read(s"$root/t", v - 1).timestampMs
+    val iso = java.time.Instant.ofEpochMilli(tsMs).toString
+    val old = spark.sql(s"SELECT * FROM gts.t TIMESTAMP AS OF '$iso'")
+    assert(old.filter(col("version") === 2L).count() === 0)
+    assert(old.count() === TsStore.load(spark, s"$root/t", asOf = Some(v - 1)).count())
+  }
+}

@@ -201,6 +201,128 @@ class MatViewSpec extends AnyFunSuite {
     viewEqualsRecompute(sdir, vdir)
   }
 
+  test("empty-window refresh is O(1): manifest property, ZERO Spark jobs") {
+    val root = Files.createTempDirectory("graft_mvo1").toString
+    val sdir = s"$root/store"; val vdir = s"$root/view"
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    val v = MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    // the resume point is a manifest property after init
+    assert(StoreLog.latest(vdir).get.props(MatView.AppliedProp) === v.toString)
+    // an up-to-date view refreshes off manifest metadata alone: no job
+    // may start (no view data file read, no driver-side aggregate)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+        Seq("user_id"), measure)
+      assert(got === v)
+      Thread.sleep(500) // listener bus drain
+      assert(jobs === 0, s"empty-window refresh must run zero jobs, ran $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // after a real refresh the property advances WITH the upsert commit
+    TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "purchase" && col("event_id") % 6 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + 5.0).as("value"), lit(2L).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val v2 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    assert(v2 > v)
+    assert(StoreLog.latest(vdir).get.props(MatView.AppliedProp) === v2.toString)
+    viewEqualsRecompute(sdir, vdir)
+  }
+
+  test("pre-upgrade view (no property) falls back to the scan, then upgrades") {
+    val root = Files.createTempDirectory("graft_mvup").toString
+    val sdir = s"$root/store"; val vdir = s"$root/view"
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    // simulate a pre-upgrade view: delete the property (empty value)
+    val cur = StoreLog.latest(vdir).get
+    StoreLog.commit(vdir, cur.version, Seq.empty, cur.files,
+      parent = Some(cur), setProps = Map(MatView.AppliedProp -> ""))
+    assert(!StoreLog.latest(vdir).get.props.contains(MatView.AppliedProp))
+    // refresh still resumes correctly (per-row applied_v scan) ...
+    TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "click" && col("event_id") % 9 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") * 2.0).as("value"), lit(2L).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val v2 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    viewEqualsRecompute(sdir, vdir)
+    // ... and the property rides the refresh commit (upgraded in place)
+    assert(StoreLog.latest(vdir).get.props(MatView.AppliedProp) === v2.toString)
+  }
+
+  test("a held refresh lock rejects a second maintainer with the clean conflict") {
+    val root = Files.createTempDirectory("graft_mvlk").toString
+    val sdir = s"$root/store"; val vdir = s"$root/view"
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit(1L).as("version"))
+    TsStore.write(base, sdir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(sdir)
+    MatView.init(spark, sdir, vdir, Seq("user_id"), measure)
+    TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "purchase" && col("event_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + 1.0).as("value"), lit(2L).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    // plant a FRESH foreign lock: refresh must not proceed underneath a
+    // live maintainer — after the bounded wait it throws the same
+    // maintenance-conflict signal callers already skip on. (Patch the
+    // wait down via the lock's mtime: a lock aged past LockWaitMs but
+    // inside LockStaleMs still blocks, so use a short-lived thread.)
+    val lock = new java.io.File(s"${StoreLog.logDir(vdir)}/.refresh_lock")
+    assert(lock.createNewFile())
+    val t = new Thread(() => { Thread.sleep(3000); lock.delete(); () })
+    t.start()
+    // the refresh WAITS while the lock is held, then proceeds once the
+    // "maintainer" releases — serialized, window applied exactly once
+    val v2 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    t.join()
+    assert(v2 === StoreLog.latest(sdir).get.version)
+    viewEqualsRecompute(sdir, vdir)
+    // a stale lock (crashed holder) is reclaimed: age one past the
+    // expiry, give refresh a NON-EMPTY window (the fast path would
+    // otherwise return before ever touching the lock), and it must
+    // reclaim + apply without waiting out the stale holder
+    TsStore.upsert(spark, sdir,
+      Tables.events(spark, TestSpark.sf001)
+        .filter(col("event_type") === "view" && col("event_id") % 13 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") + 2.0).as("value"), lit(3L).as("version")),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - MatView.LockStaleMs - 60000))
+    val v3 = MatView.refresh(spark, sdir, vdir, Seq("event_id"), "version",
+      Seq("user_id"), measure)
+    assert(v3 > v2, "stale lock must be reclaimed, window applied")
+    viewEqualsRecompute(sdir, vdir)
+  }
+
   test("a group netting to zero disappears from reads (cnt=0 tombstone)") {
     val sdir = Files.createTempDirectory("graft_mv0_s").toString
     val vdir = Files.createTempDirectory("graft_mv0_v").toString

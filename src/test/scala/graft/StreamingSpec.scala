@@ -482,6 +482,38 @@ class StreamingSpec extends AnyFunSuite {
       s"expected ensure+upsert+1 join-based delete version, got $versions")
   }
 
+  test("CDC null-key audit stays DISTRIBUTED on an over-cap takedown batch") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    // the audit must reject a null key without collecting the key set:
+    // plant an over-cap batch whose violating row hides among cap+9
+    // valid keys — the reject fires off a take(1), the driver never
+    // holds the batch's key cardinality (the full-collect audit this
+    // replaces WOULD have materialized cap+10 rows here first)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_bignull").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val cap = StoreIngest.MaxKeysPerDeletePass
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    val rows = (0 until cap + 9).map { i =>
+      (new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 1000L),
+        "view", java.lang.Long.valueOf(i.toLong), 0.0, 2L, "D")
+    } :+ ((ts("2024-01-01 11:00:00"), "view",
+      null.asInstanceOf[java.lang.Long], 0.0, 2L, "D"))
+    rows.toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q = StoreIngest.startCdc(
+      spark.readStream.schema(schema).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("null key component") ||
+      Option(e.getCause).exists(_.getMessage.contains("null key component")),
+      s"expected the loud null-key reject, got: ${e.getMessage.take(400)}")
+  }
+
   test("store ingest: restart with a RE-DELIVERED batch converges to the exactly-once state") {
     import spark.implicits._
     import graft.streaming.StoreIngest
