@@ -105,27 +105,60 @@ object StoreLog {
     private[StoreLog] val file =
       s"${logDir(path)}/.lease_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     private val fsio = io(path)
-    fsio.replaceAtomic(file, Array[Byte]('1'))
-    /** Refresh the lease's mtime (called per commit attempt). A lease
-      * that expired and was reclaimed by a concurrent vacuum mid-renew
-      * is recreated — the touch's missing-file failure falls through to
-      * the rewrite.
+    // the lease CONTENT is its creation time: freshness is the file's
+    // mtime (renewed), but vacuum's adopted-file protection needs to
+    // know when the writer's danger window STARTED — everything the
+    // writer adopted is newer than this instant, however long it stalls
+    private val birth = System.currentTimeMillis().toString.getBytes("UTF-8")
+    fsio.replaceAtomic(file, birth)
+    /** Refresh the lease's mtime (called per commit attempt and by the
+      * [[withWriterLease]] heartbeat). A lease that expired and was
+      * reclaimed by a concurrent vacuum mid-renew is recreated — the
+      * touch's missing-file failure falls through to the rewrite.
       */
     def renew(): Unit =
-      try { if (fsio.exists(file)) fsio.touch(file) else fsio.replaceAtomic(file, Array[Byte]('1')) }
+      try { if (fsio.exists(file)) fsio.touch(file) else fsio.replaceAtomic(file, birth) }
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-          fsio.replaceAtomic(file, Array[Byte]('1'))
+          fsio.replaceAtomic(file, birth)
       }
     private[StoreLog] def release(): Unit = fsio.deleteFile(file)
   }
 
-  /** Run `body` under a writer lease (acquire → body → release). Every
-    * adopt-then-commit sequence must run inside one; see [[WriterLease]].
+  /** Heartbeat cadence for [[withWriterLease]]'s auto-renewal thread —
+    * well inside [[WriterLeaseMs]] so a writer stalled in a long merge
+    * (slow staging write, GC pause, big footer pass) keeps its lease
+    * fresh without any cooperation from the stalled code path. Test
+    * seam: specs shrink it to exercise renewal quickly.
+    */
+  @volatile private[graft] var LeaseHeartbeatMs: Long = WriterLeaseMs / 4
+
+  /** Run `body` under a writer lease (acquire → heartbeat-renewed body →
+    * release). Every adopt-then-commit sequence must run inside one; see
+    * [[WriterLease]]. The daemon heartbeat renews the lease on a fixed
+    * cadence so protection no longer depends on the body reaching its
+    * own renew() calls — a writer stalled past [[WriterLeaseMs]] used to
+    * lose vacuum protection by declaration; now only a KILLED writer
+    * (heartbeat died with it) expires.
     */
   def withWriterLease[T](path: String)(body: WriterLease => T): T = {
     val lease = new WriterLease(path)
-    try body(lease) finally lease.release()
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      // await returns false on timeout → renew and loop; true on release
+      while (!stop.await(LeaseHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try lease.renew()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, s"graft-lease-heartbeat-${lease.file.takeRight(8)}")
+    hb.setDaemon(true)
+    hb.start()
+    try body(lease)
+    finally {
+      stop.countDown()
+      hb.join(2000)
+      lease.release()
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -451,6 +484,19 @@ object StoreLog {
       fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
         .filter(n => mtimeOpt(s"${logDir(path)}/$n")
           .exists(m => now - m < WriterLeaseMs))
+    // the earliest CREATION time among fresh leases (lease content;
+    // mtime is renewal time): every file a live writer adopted is newer
+    // than its lease's birth, so files at or past the cutoff are a live
+    // writer's possible in-flight adoption HOWEVER long it has stalled —
+    // the heartbeat keeps the lease fresh, this keeps the files safe.
+    // Unparsable content (legacy '1' leases) reads as 0: maximally
+    // conservative while that lease stays fresh.
+    def leaseCutoff(fresh: Seq[String]): Long =
+      if (fresh.isEmpty) Long.MaxValue
+      else fresh.map { n =>
+        try new String(fsio.readBytes(s"${logDir(path)}/$n"), "UTF-8").trim.toLong
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }.min
     // reclaim crashed writers' expired leases up front — only leases
     // whose age is READABLE and past the window; an unreadable mtime
     // (transient IO error, or the lease released mid-check) is left
@@ -484,13 +530,19 @@ object StoreLog {
       val live: Set[String] = retained.flatMap(v => read(path, v).files).toSet
       val candidates = listDataFiles(path).filterNot(live)
       val now = System.currentTimeMillis()
-      val writerActive = freshLeases(now).nonEmpty
+      val fresh = freshLeases(now)
+      val writerActive = fresh.nonEmpty
+      val cutoff = leaseCutoff(fresh)
       if (listVersions(path) == vBefore) {
         versions = vBefore
         deleted = candidates.filter { f =>
-          // while a writer is live, a dead-looking YOUNG file may be
-          // its adopted-but-uncommitted output (mtime = adopt time,
-          // stamped by adoptStaged) — spare those, and treat an
+          // while a writer is live, a dead-looking file may be its
+          // adopted-but-uncommitted output (mtime = adopt time, stamped
+          // by adoptStaged) — spare every candidate stamped at or after
+          // the oldest fresh lease's BIRTH (a long-stalled writer's
+          // adoption can be arbitrarily old in wall-clock terms; the
+          // heartbeat vouches for it as long as the lease stays fresh),
+          // plus the young-age belt for clock skew, and treat an
           // UNREADABLE mtime as young too (a transient mtime-read
           // failure on a live writer's freshly adopted file must not
           // delete it; a genuinely dead file reclaims next pass once
@@ -498,7 +550,7 @@ object StoreLog {
           // mtime just means the file already vanished — deleting is
           // a quiet no-op.
           !writerActive ||
-            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs)
+            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs && m < cutoff)
         }
         done = true
       } else {
@@ -507,12 +559,14 @@ object StoreLog {
           // continuous commit churn: fall back to age-only reclaim —
           // always safe (new adoptions are never old), never livelocks.
           // Writers are by definition active here, so an unreadable
-          // mtime counts as young (same rule as the leased path above).
+          // mtime counts as young and the lease-birth cutoff applies
+          // (same rules as the leased path above).
           versions = listVersions(path)
           val retained2 = versions.takeRight(retainVersions)
           val live2: Set[String] = retained2.flatMap(v => read(path, v).files).toSet
+          val cutoff2 = leaseCutoff(freshLeases(now))
           deleted = listDataFiles(path).filterNot(live2).filter(f =>
-            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs))
+            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs && m < cutoff2))
           done = true
         }
       }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{CommitIo, StoreLog, Tables, TsStore}
@@ -508,6 +509,67 @@ class StoreLogSpec extends AnyFunSuite {
     Files.setLastModifiedTime(crashed, aged)
     TsStore.vacuum(dir)
     assert(!Files.exists(crashed), "stale lease of a crashed writer not reclaimed")
+  }
+
+  test("a STALLED writer's old adoption survives vacuum while its lease stays fresh") {
+    val (dir, _) = freshStore()
+    // genuine aged garbage beside the stall — vacuum must still take it
+    TsStore.upsert(spark, dir, delta(10, 1000.0), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val live = StoreLog.latest(dir).get.files.toSet
+    val dead = StoreLog.listDataFiles(dir).filterNot(live)
+    assert(dead.nonEmpty)
+    val now = System.currentTimeMillis()
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      now - 4 * StoreLog.WriterLeaseMs)
+    dead.foreach(f => Files.setLastModifiedTime(Paths.get(dir, f), aged))
+    // a writer stalled LONG past the lease window: its lease was born
+    // 3×WriterLeaseMs ago (content) but the heartbeat kept renewing
+    // (mtime fresh); its adoption happened 2×WriterLeaseMs ago — old by
+    // the age gate, AFTER the lease's birth. Pre-heartbeat vacuum would
+    // have deleted it by declaration; now the fresh lease vouches for
+    // everything adopted since its birth.
+    val donor = live.find(_.startsWith("event_type=purchase/")).get
+    val stalledRel = "event_type=purchase/part-stalledwriter.c000.zstd.parquet"
+    Files.copy(Paths.get(dir, donor), Paths.get(dir, stalledRel))
+    Files.setLastModifiedTime(Paths.get(dir, stalledRel),
+      java.nio.file.attribute.FileTime.fromMillis(now - 2 * StoreLog.WriterLeaseMs))
+    val lease = Paths.get(dir, "_graft_log", ".lease_stalledwriter")
+    Files.write(lease, (now - 3 * StoreLog.WriterLeaseMs).toString.getBytes("UTF-8"))
+    // mtime stays NOW — the heartbeat's renewal
+    val reclaimed = TsStore.vacuum(dir)
+    assert(reclaimed === dead.size,
+      s"vacuum must take the $aged-aged garbage: got $reclaimed of ${dead.size}")
+    assert(Files.exists(Paths.get(dir, stalledRel)),
+      "vacuum reclaimed a stalled-but-alive writer's adoption")
+    // the writer DIES (lease expires): the adoption is garbage now
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(now - 2 * StoreLog.WriterLeaseMs))
+    TsStore.vacuum(dir)
+    assert(!Files.exists(Paths.get(dir, stalledRel)),
+      "a dead stalled writer's old adoption must reclaim once its lease expires")
+  }
+
+  test("withWriterLease heartbeat renews the lease without body cooperation") {
+    val (dir, _) = freshStore()
+    val prev = StoreLog.LeaseHeartbeatMs
+    StoreLog.LeaseHeartbeatMs = 100L
+    try StoreLog.withWriterLease(dir) { _ =>
+      val leaseFile = Files.list(Paths.get(dir, "_graft_log")).iterator().asScala
+        .find(_.getFileName.toString.startsWith(".lease_")).get
+      // simulate elapsed time: age the lease far back; the heartbeat
+      // must re-freshen it while the body does nothing at all
+      Files.setLastModifiedTime(leaseFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - StoreLog.WriterLeaseMs))
+      Thread.sleep(700)
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(leaseFile).toMillis
+      assert(age < 10000, s"heartbeat did not renew: lease is ${age}ms old")
+      // and the birth time rides the content, not the mtime
+      val birth = new String(Files.readAllBytes(leaseFile), "UTF-8").trim.toLong
+      assert(birth <= System.currentTimeMillis() && birth > 0)
+    } finally StoreLog.LeaseHeartbeatMs = prev
   }
 
   test("randomized manifest chains: every version resolves exactly across cadences and vacuum") {
