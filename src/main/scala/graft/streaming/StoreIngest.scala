@@ -69,8 +69,8 @@ object StoreIngest {
     * losing its CAS to a concurrent writer is SKIPPED (the next batch
     * re-checks the same counts); ingest itself never fails on it.
     */
-  private def autoCompact(spark: SparkSession, path: String, cap: Int,
-                          tsCol: String, uidCols: Seq[String]): Unit = {
+  private[graft] def autoCompact(spark: SparkSession, path: String, cap: Int,
+                                 tsCol: String, uidCols: Seq[String]): Unit = {
     require(cap >= 1, s"autoCompactFilesPerPartition must be >= 1, got $cap")
     graft.sources.StoreLog.latest(path).foreach { snap =>
       val over = snap.files.groupBy { f =>

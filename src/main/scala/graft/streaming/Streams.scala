@@ -188,6 +188,41 @@ object Streams {
         "CAST(1 AS BIGINT) AS version FROM events ORDER BY event_id"),
       "streaming ingest into the store: readStream → foreachBatch upsert → read back"),
 
+    "stream_sink_native" -> DeclaredQuery(
+      // The NATIVE sink face of the same write path: `writeStream
+      // .format("graft-store")` — the registered v1 Sink seam, no
+      // user-written foreachBatch anywhere. mode=upsert runs the
+      // identical partition-pruned manifest-committed merge; the
+      // exactly-once story is unchanged (latest-wins on the data's
+      // versionCol; StreamingSpec pins the re-delivery drill through
+      // the sink, append mode's tag dedup included). Oracle = the
+      // events table, same gate as stream_ingest.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_sink_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        Tables.events(s, d).select(cols.map(col): _*)
+          .withColumn("version", lit(1L))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val q = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING, version BIGINT")
+          .parquet(s"$root/src")
+          .writeStream.format("graft-store")
+          .option("path", s"$root/store").option("mode", "upsert")
+          .option("keys", "event_id").option("versionCol", "version")
+          .option("tsCol", "ts").option("uids", "event_type")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sources.TsStore.read(s, s"$root/store")
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props, " +
+        "CAST(1 AS BIGINT) AS version FROM events ORDER BY event_id"),
+      "native streaming sink: writeStream.format(graft-store) → manifest-committed upsert → read back"),
+
     "stream_cdc" -> DeclaredQuery(
       // CDC/takedown-feed ingest, oracle-gated end-to-end: the landed
       // feed carries every event as an upsert PLUS a delete row for

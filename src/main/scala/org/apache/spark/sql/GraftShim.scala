@@ -49,6 +49,19 @@ object GraftShim {
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** A micro-batch sink's incoming frame re-wrapped as a plain BATCH
+    * DataFrame over the same physical rows (`isStreaming = false`) —
+    * what a v1 `Sink.addBatch` needs before handing the data to batch
+    * write paths that re-plan it (the established pattern of every
+    * table-format v1 sink; the raw incoming frame still carries the
+    * streaming flag and batch verbs refuse it).
+    */
+  def batchDf(data: Dataset[Row]): DataFrame = {
+    val d = data.asInstanceOf[classic.Dataset[Row]]
+    d.sparkSession.internalCreateDataFrame(
+      d.queryExecution.toRdd, d.schema, isStreaming = false)
+  }
+
   /** Session-scoped Hadoop conf (sessionState.newHadoopConf is
     * private[sql]) — carries per-session overrides (test viewfs mounts,
     * SQL-conf-propagated parquet options) that the bare

@@ -554,6 +554,79 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed batch corrupted the store: $out")
   }
 
+  test("NATIVE sink: writeStream.format(graft-store) upsert mode, re-delivered batch converges") {
+    import spark.implicits._
+    import graft.sources.TsStore
+    // the same crash drill as the foreachBatch ingest, but through the
+    // registered sink — no user-written foreachBatch anywhere
+    val root = java.nio.file.Files.createTempDirectory("graft_nsink").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, version LONG"
+    def start() = spark.readStream.schema(schema).parquet(src)
+      .writeStream.format("graft-store")
+      .option("path", store).option("mode", "upsert")
+      .option("keys", "event_id").option("versionCol", "version")
+      .option("tsCol", "ts").option("uids", "event_type")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 2.0, 1L))
+      .toDF("ts", "event_type", "event_id", "value", "version")
+      .write.mode("append").parquet(src)
+    val q1 = start(); q1.awaitTermination()
+    assert(TsStore.read(spark, store).count() === 2)
+    // crash window: store committed, checkpoint marker lost → replay
+    val marker = new java.io.File(s"$ckpt/commits/0")
+    assert(marker.exists() && marker.delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    Seq((ts("2024-01-01 10:02:00"), "view", 1L, 9.0, 2L),
+        (ts("2024-01-01 10:03:00"), "signup", 3L, 3.0, 1L))
+      .toDF("ts", "event_type", "event_id", "value", "version")
+      .write.mode("append").parquet(src)
+    val q2 = start(); q2.awaitTermination()
+    val out = TsStore.read(spark, store)
+      .select("event_id", "value", "version")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(out === Set((1L, 9.0, 2L), (2L, 2.0, 1L), (3L, 3.0, 1L)),
+      s"native-sink replay corrupted the store: $out")
+  }
+
+  test("NATIVE sink append mode: tagged commits dedup a re-delivered batch") {
+    import spark.implicits._
+    import graft.sources.TsStore
+    val root = java.nio.file.Files.createTempDirectory("graft_nsinka").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE"
+    def start() = spark.readStream.schema(schema).parquet(src)
+      .writeStream.format("graft-store")
+      .option("path", store)
+      .option("tsCol", "ts").option("uids", "event_type")
+      .option("feedId", "nsinka")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 2.0))
+      .toDF("ts", "event_type", "event_id", "value")
+      .write.mode("append").parquet(src)
+    val q1 = start(); q1.awaitTermination()
+    assert(TsStore.read(spark, store).count() === 2)
+    // replay batch 0: the append has no merge keys, so only the commit
+    // TAG stops the duplicate rows
+    val marker = new java.io.File(s"$ckpt/commits/0")
+    assert(marker.exists() && marker.delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    Seq((ts("2024-01-01 10:02:00"), "view", 3L, 3.0))
+      .toDF("ts", "event_type", "event_id", "value")
+      .write.mode("append").parquet(src)
+    val q2 = start(); q2.awaitTermination()
+    val ids = TsStore.read(spark, store)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L),
+      s"append replay must dedup on its commit tag: $ids")
+  }
+
   test("store-as-source: follow() consumes one micro-batch per manifest version, incrementally") {
     import spark.implicits._
     import graft.streaming.StoreIngest
