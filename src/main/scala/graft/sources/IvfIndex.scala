@@ -138,6 +138,88 @@ object IvfIndex {
     cents
   }
 
+  /** Sampled k-means++ training (the faiss-style train-on-sample path;
+    * "k-means++: the advantages of careful seeding", Arthur &
+    * Vassilvitskii, SODA 2007): a deterministic stride sample of the
+    * corpus (≤ ~`sampleCap` vectors, collected once — the same driver
+    * budget as the centroid table itself) is L2-normalized (spherical
+    * k-means, since the index ranks by cosine), seeded by D² sampling
+    * with a FIXED seed (determinism contract: same corpus + same seed =
+    * same index), then refined by `rounds` Lloyd iterations on the
+    * sample. Cell balance is what first-K seeding cannot give — K
+    * arbitrary early vectors can land in one dense region, leaving
+    * most cells near-empty and recall@nprobe poor; D² seeding spreads
+    * centroids across the data's actual modes (IvfSpec pins the
+    * recall@3 win over first-K on the fixture via the same harness
+    * `llm_ann_recall_eval` serves).
+    *
+    * Cost at 100 TB: ONE pruned scan collects the stride sample
+    * (vec_id % stride = 0 — no shuffle, no sort); everything after is
+    * driver-side over ≤ sampleCap rows. The distributed `lloydRounds`
+    * refinement in [[build]] composes on top when sample bias matters.
+    */
+  private[graft] def trainCentroids(e: DataFrame, k: Int,
+      sampleCap: Int = 2048, rounds: Int = 5,
+      seed: Long = 42L): Seq[(Int, Array[Float])] = {
+    val n = e.count()
+    val stride = math.max(1L, n / math.max(k.toLong, sampleCap.toLong))
+    val raw = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    require(raw.length >= k,
+      s"k-means++ needs >= $k sampled vectors, got ${raw.length} " +
+        s"(corpus $n, stride $stride) — lower k or raise sampleCap")
+    val xs: Array[Array[Double]] = raw.map { v =>
+      val d = v.map(_.toDouble)
+      val nm = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+      if (nm == 0.0) d else d.map(_ / nm)
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val chosen = scala.collection.mutable.ArrayBuffer(xs(rnd.nextInt(xs.length)))
+    // D² seeding; track the running min-distance so each round is O(n)
+    val d2 = xs.map(x => sq(x, chosen.head))
+    while (chosen.size < k) {
+      val total = d2.sum
+      val next =
+        if (total <= 0) xs(rnd.nextInt(xs.length)) // all-duplicate sample
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < xs.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          xs(i)
+        }
+      chosen += next
+      var i = 0
+      while (i < xs.length) {
+        val d = sq(xs(i), next); if (d < d2(i)) d2(i) = d; i += 1
+      }
+    }
+    var cents = chosen.toArray
+    val dims = xs.head.length
+    for (_ <- 0 until rounds) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bestD = sq(x, cents(0)); var c = 1
+        while (c < k) {
+          val d = sq(x, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += x(j); j += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // an emptied cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+  }
+
   /** Nearest-centroid cell assignment with deterministic first-`k` seed
     * centroids. Returns `(vec_id, embedding, cell)`; shared by [[build]]
     * and the SemDeDup-style `llm_semdedup` operator (cluster-then-dedup
@@ -177,14 +259,20 @@ object IvfIndex {
 
   def build(embeddings: DataFrame, dir: String, k: Int,
             lloydRounds: Int = 0, quantized: Boolean = false,
-            payloadCols: Seq[String] = Nil): Unit = {
+            payloadCols: Seq[String] = Nil,
+            train: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     // payload columns ride the inverted lists so probes can PRE-filter
     // candidates on them (filtered vector search) — stored once, next to
     // the vectors they describe, never joined back at query time
     val e = embeddings.select(
       (Seq(col("vec_id"), col("embedding")) ++ payloadCols.map(col)): _*)
-    var cents = seedCentroids(e, k)
+    // train=false (the declared default) keeps the oracle-portable
+    // first-K seeding; train=true runs sampled k-means++ + Lloyd on a
+    // driver-sized sample — better cell balance, hence better
+    // recall@nprobe, at the cost of oracle portability (the recall
+    // harness, not a SQL hash, is the trained path's gate)
+    var cents = if (train) trainCentroids(e, k) else seedCentroids(e, k)
     for (_ <- 0 until lloydRounds) {
       val means = withCell(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))

@@ -33,6 +33,48 @@ class IvfSpec extends AnyFunSuite {
     assert(api.except(join).count() === 0 && join.except(api).count() === 0)
   }
 
+  test("k-means++ training strictly improves recall@3 at nprobe=2 over first-K seeding") {
+    import spark.implicits._
+    // same corpus, same K, same probe budget — only the centroids
+    // differ. The recall harness is the same arithmetic the declared
+    // llm_ann_recall_eval runs: exact brute-force top-3 per query vs
+    // the index's top-3, rounded cosines, id tie-breaks.
+    val k = 16; val nprobe = 2; val topK = 3
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ivf_first").toString
+    val dirT = java.nio.file.Files.createTempDirectory("graft_ivf_train").toString
+    IvfIndex.build(emb, dirF, k = k)
+    IvfIndex.build(emb, dirT, k = k, train = true)
+    val queries = emb.filter(col("vec_id") % 7 === 0).limit(48)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val nq = queries.count()
+    // exact top-3 per query: brute force over the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
+    val exact = queries.join(emb)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        round(graft.functions.VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select("q_id", "nbr_id")
+    def recall(dir: String): Double = {
+      val got = IvfIndex.probe(spark, dir, queries, nprobe = nprobe, topK = topK)
+        .select("q_id", "nbr_id")
+      val hits = exact.join(got, Seq("q_id", "nbr_id"), "left_semi").count()
+      hits.toDouble / (nq * topK)
+    }
+    val rFirst = recall(dirF)
+    val rTrained = recall(dirT)
+    assert(rTrained > rFirst,
+      f"k-means++ must beat first-K on the fixture: trained=$rTrained%.3f first=$rFirst%.3f")
+    // determinism: a rebuild with the same seed produces the same index
+    val dirT2 = java.nio.file.Files.createTempDirectory("graft_ivf_train2").toString
+    IvfIndex.build(emb, dirT2, k = k, train = true)
+    val c1 = spark.read.parquet(s"$dirT/centroids").orderBy("vec_id").collect().toSeq
+    val c2 = spark.read.parquet(s"$dirT2/centroids").orderBy("vec_id").collect().toSeq
+    assert(c1 === c2, "trained centroids must be deterministic per corpus+seed")
+  }
+
   test("seeding fails loudly when the corpus lacks k distinct ids below k") {
     val renumbered = emb.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
     val e = intercept[IllegalArgumentException] { IvfIndex.assign(renumbered, 16).collect() }
