@@ -47,13 +47,20 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed (timings may include JIT): $e")
     }
-    // dev-only subset filter (comma-separated name prefixes); the driver
-    // sets no filter and times the full surface
+    // dev-only subset filters (comma-separated name prefixes); the
+    // driver sets neither and times the full surface. ONLY includes,
+    // EXCLUDE drops — together they support the per-family isolated
+    // protocol (store/stream lifecycle queries in their own JVM so
+    // their write traffic's GC/page-cache drag stays out of the
+    // set/sort readings; see BASELINE.md's isolated-protocol rows).
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val excl: Seq[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE").map(_.split(',').toSeq).getOrElse(Nil)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) && !excl.exists(name.startsWith) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count(), NOT count(): Dataset.count() lets the optimizer

@@ -143,19 +143,31 @@ object GraftTable {
     }
   }
 
+  /** Catalyst-INTERNAL literal values → external: the analyzer's own
+    * pushed filters carry external types, but RUNTIME filters (DPP's
+    * IN-sets) arrive with internal values (UTF8String, Decimal) — which
+    * neither `lit` nor the stat matcher's type dispatch recognize, so
+    * without this the runtime prune would silently keep everything.
+    */
+  private def external(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+
   /** v1 `Filter` → `Column` for the manifest-stat prune. Partial on
     * purpose: an untranslatable subtree collapses to None, and AND keeps
     * its translatable side (sound — dropping a conjunct only widens the
     * kept file set); OR must translate whole or not at all.
     */
   private[sources] def filterColumn(f: Filter): Option[Column] = f match {
-    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
-    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
-    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case sources.LessThan(a, v) => Some(col(a) < lit(v))
-    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sources.EqualTo(a, v) => Some(col(a) === lit(external(v)))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(external(v)))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(external(v)))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(external(v)))
+    case sources.LessThan(a, v) => Some(col(a) < lit(external(v)))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(external(v)))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq.map(external): _*))
     case sources.IsNull(a) => Some(col(a).isNull)
     case sources.And(l, r) => (filterColumn(l), filterColumn(r)) match {
       case (Some(a), Some(b)) => Some(a && b)
@@ -294,7 +306,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 fullSchema: StructType, required: StructType,
                 pushed: Array[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // live (or asOf) snapshot; an unlogged directory degrades to a plain
   // listing with no stats (every file kept, still a correct read)
@@ -321,11 +334,27 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   override def readSchema(): StructType =
     StructType(requiredData.fields ++ partSchema.fields)
 
-  /** Files surviving partition-value + manifest-stat pruning — exposed
-    * for the spec's plan pin (the DSv2 twin of PushedFilters).
+  /** DYNAMIC partition pruning (DSv2 runtime filtering): a join whose
+    * build side filters the store's partition column delivers its
+    * runtime IN-set here before execution — the same three-tier prune
+    * then drops whole uid directories the static filters couldn't name
+    * at plan time (the Delta/Iceberg DPP role; a dimension-filtered
+    * fact join reads only the surviving series).
     */
-  lazy val plannedFiles: Seq[String] = {
-    val pred = pushed.flatMap(GraftTable.filterColumn)
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partColNames.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  /** Files surviving partition-value + manifest-stat pruning — exposed
+    * for the spec's plan pin (the DSv2 twin of PushedFilters). A def,
+    * not a lazy val: runtime filters arrive after planning and must
+    * re-prune.
+    */
+  def plannedFiles: Seq[String] = {
+    val pred = (pushed ++ runtime).flatMap(GraftTable.filterColumn)
       .reduceOption(_ && _)
     pred match {
       case None => snap.files
@@ -360,12 +389,20 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // bloom filters both engage underneath
     val dataCols = dataSchema.fieldNames.toSet
     val dataFilters = pushed.filter(_.references.forall(dataCols.contains)).toSeq
-    val readerFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    // COLUMNAR when the projected schema allows it (atomic columns,
+    // vectorized reader on): the scan then feeds ColumnarBatches into
+    // whole-stage codegen exactly like a native parquet scan — the DSv2
+    // face must not cost a row-materialization the path it replaces
+    // never paid. Nested/map projections take the row path.
+    val columnar = fmt.supportBatch(spark, readSchema())
+    val readerFunc = fmt
       .buildReaderWithPartitionValues(spark, dataSchema, partSchema, requiredData,
         dataFilters,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-    new StoreChangeReaderFactory(readerFunc)
+    if (columnar) new GraftColumnarReaderFactory(readerFunc)
+    else new StoreChangeReaderFactory(readerFunc)
   }
 
   /** Manifest-derived stats for the planner: row count is exact when
@@ -392,6 +429,37 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
       rowsOpt.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+  }
+}
+
+/** Columnar twin of [[StoreChangeReaderFactory]]: the reader function
+  * was built with `returning_batch=true`, so it yields ColumnarBatches
+  * directly — handed to Spark unwrapped, the scan participates in
+  * whole-stage codegen's batch loop like FileSourceScanExec's.
+  */
+private[sources] class GraftColumnarReaderFactory(
+    readerFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow])
+  extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("columnar factory: use createColumnarReader")
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val file = partition.asInstanceOf[StoreChangeInputPartition].file
+    val batches = readerFunc(file).asInstanceOf[Iterator[ColumnarBatch]]
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { batch = batches.next(); true } else false
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
   }
 }
 

@@ -88,6 +88,52 @@ class GraftTableSpec extends AnyFunSuite {
     val proj = spark.read.format("graft").load(dir).select("event_id", "value")
     val projScan = scanOf(proj)
     assert(projScan.readSchema().fieldNames.toSet === Set("event_id", "value", "event_type"))
+    // an atomic-columns projection reads COLUMNAR (vectorized batches
+    // into whole-stage codegen, like a native parquet scan) and agrees
+    // with the row path's answer
+    val projPlan = proj.queryExecution.executedPlan
+    val colScan = projPlan.collect { case b: BatchScanExec => b }.head
+    assert(colScan.supportsColumnar, "pruned atomic projection must scan columnar")
+    val wantProj = TsStore.load(spark, dir).select("event_id", "value")
+    assert(proj.except(wantProj).count() === 0 && wantProj.except(proj).count() === 0)
+  }
+
+  test("runtime filtering (DPP): a dimension-filtered join re-prunes store partitions") {
+    import spark.implicits._
+    val (dir, _) = buildStore(maxRecords = 50)
+    val totalFiles = StoreLog.latest(dir).get.files.size
+    // the dim must be a real SCAN with a selective filter (a folded
+    // LocalRelation never triggers the planner's pruning-benefit check)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("purchase", 1), ("refund", 0), ("view", 0), ("click", 0))
+      .toDF("event_type", "flag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.format("graft").load(dir)
+    val joined = fact.join(dim.filter(col("flag") === 1), "event_type")
+    // execute THIS dataset's own plan (count() would build a separate
+    // execution whose scan instance is not the one inspected below)
+    val got = joined.collect().length.toLong
+    val want = TsStore.load(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(got === want)
+    // the scan object received the runtime IN-set and re-pruned: only
+    // the purchase partition's files survive in plannedFiles. AQE wraps
+    // executed stages in leaf QueryStageExec nodes — unwrap recursively.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n${joined.queryExecution.executedPlan}")
+    val gscan = scans.map(_.scan).collectFirst { case g: GraftScan => g }.get
+    assert(gscan.plannedFiles.nonEmpty &&
+      gscan.plannedFiles.forall(_.startsWith("event_type=purchase/")),
+      s"runtime filter must prune to the purchase partition: ${gscan.plannedFiles.take(3)}")
+    assert(gscan.plannedFiles.size < totalFiles)
   }
 
   test("scan reports manifest-derived statistics (pruning-aware)") {
