@@ -687,6 +687,39 @@ object Scans {
         "FROM events ORDER BY event_id"),
       "DSv2 time travel via spark.read.format(graft).option(asOf, v)"),
 
+    "store_sql_fast_agg" -> DeclaredQuery(
+      // Aggregate PUSHDOWN through the DSv2 scan: unfiltered COUNT /
+      // COUNT(col) / MIN / MAX over a graft table answer from the
+      // MANIFEST alone (GraftScanBuilder.pushAggregation — recorded
+      // per-file row counts, null counts and column bounds; zero file
+      // IO, a one-row scan). The store has lived through an upsert, so
+      // the stats answering here are the ones every rewrite path
+      // re-recorded — and the oracle computes the same aggregates from
+      // the raw table. GraftTableSpec pins the plan (GraftAggScan, no
+      // parquet partitions) and the refusal paths (filters, float
+      // min/max, missing stats).
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("dsv2_agg", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        s.read.format("graft").load(dir).createOrReplaceTempView("graft_agg_v")
+        s.sql("SELECT count(*) AS n, count(user_id) AS n_users, " +
+          "min(event_id) AS id_lo, max(event_id) AS id_hi, " +
+          "min(event_type) AS t_first, max(ts) AS ts_max FROM graft_agg_v")
+      },
+      Some("SELECT count(*) AS n, count(user_id) AS n_users, " +
+        "min(event_id) AS id_lo, max(event_id) AS id_hi, " +
+        "min(event_type) AS t_first, max(ts) AS ts_max FROM events"),
+      "DSv2 aggregate pushdown: COUNT/MIN/MAX from the manifest's recorded stats, zero file IO"),
+
     "store_sql_catalog" -> DeclaredQuery(
       // The NAMED-TABLE face: a GraftCatalog registered under
       // spark.sql.catalog.<name> maps identifiers onto store

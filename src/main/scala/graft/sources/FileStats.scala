@@ -213,6 +213,11 @@ object FileStats {
     * analysis would coerce to.
     */
   private def lower(tag: String, v: Any): Option[(String, Any)] = (tag, v) match {
+    // a NaN literal must never prune: parquet min/max EXCLUDE NaN rows,
+    // so bounds can't prove a NaN match absent (Spark's own parquet
+    // filter pushdown refuses NaN for the same reason)
+    case (_, x: Float) if x.isNaN => None
+    case (_, x: Double) if x.isNaN => None
     case ("i", x: Byte) => Some(("i", x.toLong))
     case ("i", x: Short) => Some(("i", x.toLong))
     case ("i", x: Int) => Some(("i", x.toLong))

@@ -275,11 +275,26 @@ class GraftTable(val path: String, asOf: Option[Long],
   * (partition values, manifest stats, parquet row groups). Every filter
   * is returned as residual — file-level pruning is conservative, so
   * Spark re-evaluates the predicate on the surviving rows.
+  *
+  * AGGREGATE pushdown answers unfiltered, ungrouped COUNT/MIN/MAX from
+  * the MANIFEST alone — `SELECT count(*) FROM t` on a billion-file
+  * store is a driver-side sum over recorded per-file row counts, zero
+  * file IO, zero Spark jobs beyond the one-row result (the
+  * `TsStore.countAt`/`catalogAt` role, now reachable from any SQL
+  * client through the standard scan interface). Served only when EVERY
+  * live file carries the needed stat — else the pushdown is refused
+  * and Spark computes normally; never a guess. MIN/MAX on float/double
+  * are refused on principle: parquet bounds exclude NaN rows, the same
+  * reason Spark's own parquet aggregate pushdown refuses them.
   */
 class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
                        fullSchema: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -294,8 +309,183 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, path, asOf, fullSchema, required, pushed)
+  // ----------------------------------------------------- agg pushdown
+
+  private lazy val aggSnap: Option[StoreLog.Snapshot] =
+    if (StoreLog.canLog(path))
+      asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+    else None
+
+  private lazy val partColNames: Seq[String] = GraftTable.partCols(path)
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  /** The per-file answer for one aggregate, or None when the manifest
+    * can't serve it for that file. Partition columns answer from the
+    * directory value (a point interval; a null partition contributes
+    * rows to COUNT(*) but nothing to MIN/MAX/COUNT(col)).
+    */
+  private def servable(fn: AggregateFunc): Boolean = fn match {
+    case _: CountStar =>
+      aggSnap.exists(_.files.forall(f => rowsOf(f).isDefined))
+    case c: Count if !c.isDistinct =>
+      colNameOf(c.column).exists { n =>
+        fullSchema.fieldNames.contains(n) && aggSnap.exists(_.files.forall(f =>
+          nonNullCountOf(f, n).isDefined))
+      }
+    case m: Min => minMaxServable(colNameOf(m.column))
+    case m: Max => minMaxServable(colNameOf(m.column))
+    case _ => false
+  }
+
+  private def minMaxServable(name: Option[String]): Boolean = name.exists { n =>
+    fullSchema.fields.find(_.name == n).exists { f =>
+      val okType = f.dataType match {
+        case FloatType | DoubleType => false // NaN-excluded bounds
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      okType && aggSnap.exists(_.files.forall(file => boundsOf(file, n).isDefined))
+    }
+  }
+
+  private def rowsOf(file: String): Option[Long] =
+    aggSnap.flatMap(_.stats.get(file))
+      .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+
+  /** Non-null count of `col` in `file`: data columns need recorded
+    * null counts; partition columns are all-or-nothing per file.
+    */
+  private def nonNullCountOf(file: String, colName: String): Option[Long] =
+    if (partColNames.contains(colName)) {
+      val isNull = !GraftTable.partPseudoStats(file, fullSchema).contains(colName)
+      rowsOf(file).map(r => if (isNull) 0L else r)
+    } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
+      .collect { case cs if cs.nulls >= 0 && cs.rows >= 0 => cs.rows - cs.nulls }
+
+  /** (min, max) bounds of `col` in `file` in manifest-domain form, or
+    * None when unrecorded. A null partition value yields an EMPTY
+    * contribution (Some with no values), distinct from unservable.
+    */
+  private def boundsOf(file: String, colName: String): Option[Seq[(Any, Any)]] =
+    if (partColNames.contains(colName)) {
+      Some(GraftTable.partPseudoStats(file, fullSchema).get(colName)
+        .map(cs => (cs.min, cs.max)).toSeq)
+    } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
+      .map(cs => Seq((cs.min, cs.max)))
+
+  private var aggPushed: Option[Aggregation] = None
+
+  private def canServe(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canServe(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (canServe(agg)) { aggPushed = Some(agg); true } else false
+
+  /** Manifest-domain value → the catalyst-internal value of `dt`. */
+  private def internalOf(v: Any, dt: DataType): Any = dt match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Long].toInt
+    case ShortType => v.asInstanceOf[Long].toShort
+    case ByteType => v.asInstanceOf[Long].toByte
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+    case DateType => v.asInstanceOf[Long].toInt // epoch days
+    case TimestampType | TimestampNTZType => v.asInstanceOf[Long] // micros
+    case other => throw new IllegalStateException(s"unservable agg type $other")
+  }
+
+  private def cmpDomain(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** The pushed aggregation's single result row + schema, computed from
+    * the manifest. Called only after canServe held.
+    */
+  private def aggResult(agg: Aggregation): (StructType, Array[Any]) = {
+    val snap = aggSnap.get
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += snap.files.map(f => rowsOf(f).get).sum
+      case c: Count =>
+        val n = colNameOf(c.column).get
+        fields += StructField(s"count($n)", LongType, nullable = false)
+        values += snap.files.map(f => nonNullCountOf(f, n).get).sum
+      case m: Min =>
+        val n = colNameOf(m.column).get
+        val dt = fullSchema.fields.find(_.name == n).get.dataType
+        fields += StructField(s"min($n)", dt)
+        val mins = snap.files.flatMap(f => boundsOf(f, n).get.map(_._1))
+        values += (if (mins.isEmpty) null
+                   else internalOf(mins.reduce((a, b) =>
+                     if (cmpDomain(dt, a, b) <= 0) a else b), dt))
+      case m: Max =>
+        val n = colNameOf(m.column).get
+        val dt = fullSchema.fields.find(_.name == n).get.dataType
+        fields += StructField(s"max($n)", dt)
+        val maxs = snap.files.flatMap(f => boundsOf(f, n).get.map(_._2))
+        values += (if (maxs.isEmpty) null
+                   else internalOf(maxs.reduce((a, b) =>
+                     if (cmpDomain(dt, a, b) >= 0) a else b), dt))
+      case other => throw new IllegalStateException(s"unservable aggregate $other")
+    }
+    (StructType(fields.result()), values.result().toArray)
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) =>
+      val (schema, row) = aggResult(agg)
+      new GraftAggScan(path, schema, row)
+    case None =>
+      new GraftScan(spark, path, asOf, fullSchema, required, pushed)
+  }
+}
+
+/** The one-row scan a completely-pushed aggregation returns: the value
+  * was computed from manifest metadata at plan time; execution ships a
+  * single InternalRow. Zero file IO — the whole point.
+  */
+class GraftAggScan(path: String, resultSchema: StructType, row: Array[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = resultSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest-agg:$path ${resultSchema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+private[sources] case class GraftAggPartition(row: Array[Any]) extends InputPartition
+
+private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vals = partition.asInstanceOf[GraftAggPartition].row
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** The planned scan: file list + stats from the manifest (driver-side

@@ -149,6 +149,49 @@ class GraftTableSpec extends AnyFunSuite {
     assert(st.sizeInBytes().getAsLong > 0)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from the manifest, zero file IO") {
+    import graft.sources.GraftAggScan
+    val (dir, v) = buildStore(maxRecords = 100)
+    val fact = spark.read.format("graft").load(dir)
+    fact.createOrReplaceTempView("agg_fact")
+    val df = spark.sql(
+      "SELECT count(*) AS n, count(user_id) AS nu, min(event_id) AS lo, " +
+        "max(event_id) AS hi, min(event_type) AS t0, max(ts) AS tmax FROM agg_fact")
+    // the plan is the one-row manifest scan — no parquet partitions
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.exists(_.isInstanceOf[GraftAggScan]),
+      s"expected the manifest agg scan, got: ${df.queryExecution.executedPlan}")
+    // values equal the computed answer
+    val want = TsStore.load(spark, dir)
+      .selectExpr("count(*)", "count(user_id)", "min(event_id)",
+        "max(event_id)", "min(event_type)", "max(ts)").head()
+    assert(df.head() === want)
+    // a FILTERED aggregate refuses the pushdown and still answers right
+    val filtered = spark.sql("SELECT count(*) AS n FROM agg_fact WHERE value > 100.0")
+    val fScans = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan }
+    assert(!fScans.exists(_.isInstanceOf[GraftAggScan]),
+      "a filtered aggregate must not answer from whole-file stats")
+    assert(filtered.head().getLong(0) ===
+      TsStore.load(spark, dir).filter(col("value") > 100.0).count())
+    // float MIN/MAX refuse on principle (NaN-excluded parquet bounds)
+    val fm = spark.sql("SELECT min(value) AS v FROM agg_fact")
+    assert(!fm.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+      .exists(_.isInstanceOf[GraftAggScan]))
+    assert(fm.head().getDouble(0) ===
+      TsStore.load(spark, dir).agg(min("value")).head().getDouble(0))
+    // time travel composes: count at the pre-upsert version
+    val old = spark.read.format("graft").option("asOf", v - 1).load(dir)
+    old.createOrReplaceTempView("agg_fact_old")
+    val oldCount = spark.sql("SELECT count(*) AS n FROM agg_fact_old")
+    assert(oldCount.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+      .exists(_.isInstanceOf[GraftAggScan]))
+    assert(oldCount.head().getLong(0) ===
+      TsStore.load(spark, dir, asOf = Some(v - 1)).count())
+  }
+
   test("GraftCatalog: CREATE / INSERT / SELECT / time travel / DROP from SQL") {
     val root = Files.createTempDirectory("graft_cat").toString
     spark.conf.set("spark.sql.catalog.gtest", classOf[graft.sources.GraftCatalog].getName)
