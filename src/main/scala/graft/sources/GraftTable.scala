@@ -79,7 +79,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val path = GraftTable.pathOf(opts)
     new GraftTable(path, GraftTable.asOfOf(opts), schema,
       partitioning.flatMap(GraftTable.identityCol).toSeq,
-      Option(opts.get("tsCol")).getOrElse("ts"))
+      Option(opts.get("tsCol")).getOrElse("ts"),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L))
   }
 }
 
@@ -213,10 +214,18 @@ object GraftTable {
   }
 }
 
-/** One store (live or at a pinned version) as a DSv2 [[Table]]. */
+/** One store (live or at a pinned version) as a DSv2 [[Table]]. Batch
+  * reads, batch writes, AND a streaming read: `readStream
+  * .format("graft").load(path)` tails the store's commit stream (one
+  * micro-batch per manifest version, each commit's added files only —
+  * the [[StoreChangeSource]] machinery under the table's OWN schema, no
+  * provenance column) — so `readStream → writeStream.format("graft-
+  * store")` is a full store-to-store incremental sync with zero user
+  * code.
+  */
 class GraftTable(val path: String, asOf: Option[Long],
                  declaredSchema: StructType, declaredParts: Seq[String],
-                 tsCol: String)
+                 tsCol: String, startingVersion: Long = 1L)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
@@ -230,11 +239,12 @@ class GraftTable(val path: String, asOf: Option[Long],
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, path, asOf, declaredSchema)
+    new GraftScanBuilder(SparkSession.active, path, asOf, declaredSchema,
+      startingVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to a time-travel view of $path")
@@ -288,7 +298,7 @@ class GraftTable(val path: String, asOf: Option[Long],
   * reason Spark's own parquet aggregate pushdown refuses them.
   */
 class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
-                       fullSchema: StructType)
+                       fullSchema: StructType, startingVersion: Long = 1L)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -451,7 +461,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       val (schema, row) = aggResult(agg)
       new GraftAggScan(path, schema, row)
     case None =>
-      new GraftScan(spark, path, asOf, fullSchema, required, pushed)
+      new GraftScan(spark, path, asOf, fullSchema, required, pushed,
+        startingVersion)
   }
 }
 
@@ -495,9 +506,22 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
   */
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 fullSchema: StructType, required: StructType,
-                pushed: Array[Filter])
+                pushed: Array[Filter], startingVersion: Long = 1L)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** The table as a STREAMING source: the commit-feed micro-batch
+    * stream under the (possibly pruned) table schema — each upstream
+    * manifest version becomes one batch of its added files' rows
+    * (at-least-once per key, exactly-once per file; a latest-wins
+    * downstream converges — see [[StoreChangeSource]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty, s"cannot stream a time-travel view of $path")
+    new StoreChangeStream(spark, readSchema(), path, startingVersion,
+      withVersionCol = false)
+  }
 
   // live (or asOf) snapshot; an unlogged directory degrades to a plain
   // listing with no stats (every file kept, still a correct read)

@@ -154,7 +154,8 @@ private[sources] case class StoreVersionOffset(version: Long) extends Offset {
 }
 
 private[sources] class StoreChangeStream(spark: SparkSession, schema: StructType,
-                                         path: String, startingVersion: Long)
+                                         path: String, startingVersion: Long,
+                                         withVersionCol: Boolean = true)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // split the source schema back into the reader's three parts: the uid
@@ -163,13 +164,18 @@ private[sources] class StoreChangeStream(spark: SparkSession, schema: StructType
   // is read from the parquet data pages. Result layout = data ++
   // partition — exactly `schema`'s order by construction (TsStore.load
   // appends inferred partition columns, sourceSchema appends VersionCol).
+  // `withVersionCol = false` is the table-as-stream face (readStream
+  // .format("graft")): same commit-feed semantics, the table's OWN
+  // schema (no provenance column appended).
   private val partCols: Seq[String] = StoreLog.latest(path) match {
     case Some(s) if s.files.nonEmpty => StoreChangeSource.partitionColsOf(s.files.head)
-    case _ => Seq.empty
+    case _ => GraftTable.partCols(path)
   }
   private val partSchema = StructType(
-    schema.fields.filter(f => partCols.contains(f.name)) :+
-      StructField(StoreChangeSource.VersionCol, LongType, nullable = false))
+    schema.fields.filter(f => partCols.contains(f.name)) ++
+      (if (withVersionCol)
+        Seq(StructField(StoreChangeSource.VersionCol, LongType, nullable = false))
+      else Seq.empty))
   private val dataSchema = StructType(schema.fields.filterNot(f =>
     partCols.contains(f.name) || f.name == StoreChangeSource.VersionCol))
 

@@ -627,6 +627,57 @@ class StreamingSpec extends AnyFunSuite {
       s"append replay must dedup on its commit tag: $ids")
   }
 
+  test("table-as-stream: readStream(graft) → writeStream(graft-store) syncs stores, zero user code") {
+    import spark.implicits._
+    import graft.sources.{StoreLog, TsStore}
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val root = java.nio.file.Files.createTempDirectory("graft_tstream").toString
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    def df(rows: Seq[(Long, String, String, Double, Long)]) =
+      rows.toDF("event_id", "ts_s", "event_type", "value", "version")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    TsStore.write(df(Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1.0, 1L),
+      (2L, "2024-01-01 10:01:00", "a", 2.0, 1L),
+      (3L, "2024-01-01 10:02:00", "b", 3.0, 1L))),
+      src, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(src)
+    TsStore.upsert(spark, src, df(Seq(
+      (2L, "2024-01-01 10:01:00", "a", 20.0, 2L),
+      (4L, "2024-01-01 10:03:00", "b", 4.0, 2L))),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    // the whole sync is two format() strings — no foreachBatch anywhere
+    def sync() = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft-store")
+      .option("path", dst).option("mode", "upsert")
+      .option("keys", "event_id").option("versionCol", "version")
+      .option("tsCol", "ts").option("uids", "event_type")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val q1 = sync(); q1.awaitTermination()
+    def state(path: String): Set[(Long, Double)] =
+      TsStore.read(spark, path).select("event_id", "value")
+        .as[(Long, Double)].collect().toSet
+    assert(state(dst) === state(src),
+      s"dst must converge to src: ${state(dst)} vs ${state(src)}")
+    assert(state(dst) === Set((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0)))
+    // a later upstream commit: the next run catches up INCREMENTALLY
+    // (the checkpoint carries the consumed manifest version)
+    val dstV = StoreLog.latest(dst).get.version
+    TsStore.upsert(spark, src, df(Seq(
+      (5L, "2024-01-01 10:04:00", "a", 5.0, 3L))),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val q2 = sync(); q2.awaitTermination()
+    assert(state(dst) === state(src))
+    assert(state(dst).contains((5L, 5.0)))
+    // one incremental batch → one more dst commit, not a re-sync
+    assert(StoreLog.latest(dst).get.version === dstV + 1,
+      "catch-up must be incremental, not a full replay")
+  }
+
   test("store-as-source: follow() consumes one micro-batch per manifest version, incrementally") {
     import spark.implicits._
     import graft.streaming.StoreIngest
