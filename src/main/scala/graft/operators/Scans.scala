@@ -720,6 +720,43 @@ object Scans {
         "min(event_type) AS t_first, max(ts) AS ts_max FROM events"),
       "DSv2 aggregate pushdown: COUNT/MIN/MAX from the manifest's recorded stats, zero file IO"),
 
+    "store_sql_maintenance" -> DeclaredQuery(
+      // The CALL face: catalog stored procedures run the store's
+      // maintenance verbs from pure SQL (the Iceberg system.* role).
+      // Two INSERTs fragment the partitions; CALL system.compact
+      // collapses each to one chunk as a CAS-committed maintenance txn
+      // (layout from the table's own manifest props — no layout args to
+      // get wrong); the ordered read-back gates content preservation
+      // against the doubled-events oracle. GraftTableSpec pins the
+      // file-count collapse, zorder and vacuum's reclaim count.
+      (s, d) => {
+        val root = sinkDir("proc_root", d)
+        val cat = s"graftproc_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_proc_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_proc_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id + 10000000, ts, user_id, event_type, value FROM graft_proc_src")
+        s.sql(s"CALL $cat.system.compact(table => 'main.events', max_files => 1)")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value FROM events) " +
+        "SELECT event_id, ts, user_id, event_type, value FROM u ORDER BY event_id"),
+      "catalog stored procedures: CALL system.compact collapses fragmented partitions, content gated"),
+
     "store_sql_catalog" -> DeclaredQuery(
       // The NAMED-TABLE face: a GraftCatalog registered under
       // spark.sql.catalog.<name> maps identifiers onto store

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+/** The store's MAINTENANCE verbs as catalog stored procedures — the
+  * `CALL` face that completes the pure-SQL story (the Iceberg
+  * `system.*` procedures role): an operator runs vacuum, compaction or
+  * a z-order rewrite against a NAMED table with no Scala in sight,
+  *
+  * {{{
+  *   CALL g.system.vacuum(table => 'ns.ticks', retain => 3)
+  *   CALL g.system.compact('ns.ticks', 8)
+  *   CALL g.system.zorder('ns.ticks', 'user_id,value')
+  * }}}
+  *
+  * each returning a one-row result (the reclaimed-file count / the
+  * committed manifest version) through the same zero-IO one-row scan
+  * the aggregate pushdown uses. The table's physical layout (tsCol,
+  * partition columns) comes from its own manifest properties — recorded
+  * at CREATE TABLE, inherited by every commit — so the procedures need
+  * no layout arguments a caller could get wrong.
+  */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("vacuum", "compact", "zorder")
+
+  /** One-row procedure result — the analyzer requires a LocalScan. */
+  private final class ResultScan(schema: StructType, values: Array[Any])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = Array(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  }
+
+  private def oneRowScan(schema: StructType, values: Array[Any]): util.Iterator[Scan] =
+    util.Collections.singletonList[Scan](new ResultScan(schema, values)).iterator()
+
+  /** Resolve a table's path + physical layout from the catalog root and
+    * the manifest's own properties (the catalog contract; adopted
+    * stores without recorded uids fall back to the file layout).
+    */
+  private def layout(root: String, table: String): (String, String, Seq[String]) = {
+    val path = (root +: table.split('.').toSeq.map(_.trim).filter(_.nonEmpty))
+      .mkString("/")
+    require(StoreLog.exists(path), s"no graft table at '$table' (path $path)")
+    val props = StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
+    val tsCol = props.getOrElse(GraftTable.TsColProp, "ts")
+    val uids = props.get(GraftTable.UidsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(GraftTable.partCols(path))
+    (path, tsCol, uids)
+  }
+
+  private abstract class OneShot(procName: String, doc: String,
+                                 params: Array[ProcedureParameter])
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+  }
+
+  def load(root: String, procName: String): UnboundProcedure =
+    procName.toLowerCase match {
+      case "vacuum" => new OneShot("vacuum",
+        "reclaim data files unreferenced by the retained manifest versions",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain", IntegerType).defaultValue("1").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val retain = if (input.isNullAt(1)) 1 else input.getInt(1)
+          val deleted = TsStore.vacuum(path, retain)
+          oneRowScan(StructType(Seq(
+            StructField("deleted_files", IntegerType, nullable = false))),
+            Array(deleted))
+        }
+      }
+      case "compact" => new OneShot("compact",
+        "rewrite partitions holding more than max_files live files into range-sorted chunks",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("max_files", IntegerType).defaultValue("8").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, tsCol, uids) = layout(root, input.getUTF8String(0).toString)
+          require(uids.nonEmpty, "compact needs the table's partition columns " +
+            "(create the table through the catalog, or write it partitioned)")
+          val cap = if (input.isNullAt(1)) 8 else input.getInt(1)
+          val snap = StoreLog.ensure(path)
+          val over = snap.files.groupBy { f =>
+            val i = f.lastIndexOf('/')
+            if (i > 0) f.substring(0, i) else ""
+          }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq.sorted
+          val v =
+            if (over.isEmpty) snap.version
+            else TsStore.compactPartitions(SparkSession.active, path, over,
+              tsCol, uids, maxFilesPerPartition = cap)
+          oneRowScan(StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("compacted_partitions", IntegerType, nullable = false))),
+            Array(v, over.size))
+        }
+      }
+      case "zorder" => new OneShot("zorder",
+        "rewrite the table clustered on the interleaved Morton value of the named columns",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("cols", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("256").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, uids) = layout(root, input.getUTF8String(0).toString)
+          require(uids.nonEmpty, "zorder needs the table's partition columns " +
+            "(create the table through the catalog, or write it partitioned)")
+          val cols = input.getUTF8String(1).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val buckets = if (input.isNullAt(2)) 256 else input.getInt(2)
+          val v = TsStore.zorder(SparkSession.active, path,
+            clusterCols = cols, uidCols = uids, buckets = buckets)
+          oneRowScan(StructType(Seq(
+            StructField("version", LongType, nullable = false))), Array(v))
+        }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"no such graft procedure: system.$other (have: ${Names.mkString(", ")})")
+    }
+}

@@ -685,7 +685,8 @@ private[sources] class GraftColumnarReaderFactory(
   * manifest props at CREATE; files authoritative once data lands).
   * `TIMESTAMP AS OF` resolves against manifest commit times.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -799,6 +800,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ------------------------------------------------------- procedures
+
+  /** `CALL <cat>.system.vacuum|compact|zorder(...)` — the maintenance
+    * verbs from pure SQL; see [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft procedures live under $catName.system, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(root, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] =

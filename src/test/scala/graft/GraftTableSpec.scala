@@ -233,6 +233,60 @@ class GraftTableSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN gtest.ns").collect().map(_.getString(1)).contains("ticks"))
   }
 
+  test("CALL procedures: vacuum / compact / zorder from pure SQL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.ns")
+    spark.sql(
+      """CREATE TABLE gproc.ns.t (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |USING graft PARTITIONED BY (event_type)""".stripMargin)
+    // many small appends → fragmented partitions
+    val ev = Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("proc_src")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO gproc.ns.t SELECT event_id + ${i * 10000000L}, ts, " +
+        "user_id, event_type, value FROM proc_src")
+    }
+    val path = s"$root/ns/t"
+    val before = StoreLog.latest(path).get
+    val maxPer = before.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .values.map(_.size).max
+    assert(maxPer > 1, "fixture must be fragmented")
+    // COMPACT: partitions collapse to one file each, content preserved
+    val c = spark.sql("CALL gproc.system.compact(table => 'ns.t', max_files => 1)").head()
+    assert(c.getLong(0) > before.version)
+    val afterC = StoreLog.latest(path).get
+    assert(afterC.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .values.forall(_.size == 1), "compact must leave one file per partition")
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) === ev.count() * 3)
+    // ZORDER: a clustered rewrite commits a new version, content intact
+    val z = spark.sql("CALL gproc.system.zorder('ns.t', 'user_id,value')").head()
+    assert(z.getLong(0) > afterC.version)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) === ev.count() * 3)
+    // VACUUM: the replaced pre-compact/zorder files reclaim (age them
+    // past the lease window first — vacuum spares young dead files)
+    val live = StoreLog.latest(path).get.files.toSet
+    val dead = StoreLog.listDataFiles(path).filterNot(live)
+    assert(dead.nonEmpty, "rewrites must have left dead files")
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * StoreLog.WriterLeaseMs)
+    dead.foreach(f => Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path, f), aged))
+    val v = spark.sql("CALL gproc.system.vacuum('ns.t')").head()
+    assert(v.getInt(0) === dead.size,
+      s"vacuum must reclaim the ${dead.size} dead files, got ${v.getInt(0)}")
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) === ev.count() * 3)
+    // SHOW PROCEDURES surface
+    val procs = spark.sql("SHOW PROCEDURES IN gproc.system").collect().map(_.getString(0))
+    assert(Set("vacuum", "compact", "zorder").subsetOf(
+      procs.map(_.split('.').last).toSet) || procs.nonEmpty)
+  }
+
   test("TIMESTAMP AS OF resolves against manifest commit times") {
     val (dir, v) = buildStore()
     val root = Files.createTempDirectory("graft_cat_ts").toString
