@@ -41,7 +41,14 @@ object ScaleSmoke {
     "store_zorder", "store_incremental_view", "store_restore",
     // round-11 later batches: filtered/eval ANN, the window recurrences
     "llm_ann_ivf_filtered", "llm_ann_recall_eval", "ts_cusum",
-    "ts_volume_bars", "win_rolling_slope")
+    "ts_volume_bars", "win_rolling_slope",
+    // round-12 DSv2 face: the provider read (three-tier prune +
+    // columnar), the catalog DDL/DML lifecycle, the native sink, the
+    // CALL-compact maintenance txn, and the manifest-only aggregate
+    // (whose cost must stay METADATA-bounded — a 10x corpus grows the
+    // store write, never the one-row agg answer)
+    "store_dsv2_read", "store_sql_catalog", "stream_sink_native",
+    "store_sql_maintenance", "store_sql_fast_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

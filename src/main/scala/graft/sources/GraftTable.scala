@@ -130,17 +130,22 @@ object GraftTable {
 
   /** Partition column names of the store's file layout (empty for an
     * unpartitioned or empty store; an empty store falls back to the
-    * declared [[UidsProp]]).
+    * declared [[UidsProp]], an UNLOGGED directory to its on-disk
+    * layout — without that last branch a plain partitioned directory
+    * read through format("graft") would treat its partition columns as
+    * data columns and surface them as null).
     */
   private[sources] def partCols(path: String): Seq[String] = {
-    val snap = if (StoreLog.canLog(path)) StoreLog.latest(path) else None
-    snap match {
+    if (!StoreLog.canLog(path)) return Seq.empty
+    StoreLog.latest(path) match {
       case Some(s) if s.files.nonEmpty =>
         StoreChangeSource.partitionColsOf(s.files.head)
       case Some(s) =>
         s.props.get(UidsProp).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-      case None => Seq.empty
+      case None =>
+        StoreLog.listDataFiles(path).headOption
+          .map(StoreChangeSource.partitionColsOf).getOrElse(Seq.empty)
     }
   }
 

@@ -52,6 +52,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(old.filter(col("version") === 2L).count() === 0)
   }
 
+  test("format(graft) on an UNLOGGED partitioned directory keeps its partition columns") {
+    // no manifest anywhere: the provider must still read the directory
+    // layout's partition columns as partition VALUES, not as absent
+    // data columns surfacing null
+    val dir = Files.createTempDirectory("graft_unlogged").toString + "/plain"
+    Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.partitionBy("event_type").parquet(dir)
+    assert(StoreLog.latest(dir).isEmpty, "fixture must be unlogged")
+    val got = spark.read.format("graft").load(dir)
+    assert(got.filter(col("event_type").isNull).count() === 0,
+      "partition values must come from the directory layout")
+    val want = spark.read.parquet(dir)
+    assert(got.count() === want.count())
+    assert(got.select("event_id", "event_type").except(
+      want.select("event_id", "event_type")).count() === 0)
+  }
+
   test("pushed filters prune files at plan time (partition + stat tiers)") {
     val (dir, _) = buildStore(maxRecords = 50)
     val liveFiles = StoreLog.latest(dir).get.files.size
