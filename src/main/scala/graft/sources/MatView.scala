@@ -95,8 +95,13 @@ object MatView {
       throw new IllegalArgumentException(
         s"matview needs a loggable view path; '$viewPath' has no commit backend"))
     val lock = s"${StoreLog.logDir(viewPath)}/.refresh_lock"
+    // the lock carries its holder's token: release deletes ONLY its own
+    // lock, so a holder that stalls past LockStaleMs, loses the lock to
+    // a stale takeover, and then finishes cannot delete its SUCCESSOR's
+    // lock (which would let a third maintainer in under the successor)
+    val token = java.util.UUID.randomUUID().toString.getBytes("UTF-8")
     val deadline = System.currentTimeMillis() + LockWaitMs
-    var acquired = io.publishIfAbsent(lock, Array[Byte]('1'))
+    var acquired = io.publishIfAbsent(lock, token)
     while (!acquired) {
       val stale =
         try io.exists(lock) &&
@@ -108,9 +113,14 @@ object MatView {
           s"matview refresh lock held at $viewPath — another maintainer " +
             "is refreshing; retry later")
       else Thread.sleep(100)
-      acquired = io.publishIfAbsent(lock, Array[Byte]('1'))
+      acquired = io.publishIfAbsent(lock, token)
     }
-    try body finally io.deleteFile(lock)
+    try body finally {
+      try {
+        if (io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), token))
+          io.deleteFile(lock)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Build the view from a FULL aggregate of the upstream live state —
