@@ -591,15 +591,45 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
 
   override def toBatch: Batch = this
 
+  /** Task layout = Spark's own: files SPLIT at `maxPartitionBytes`
+    * boundaries (a 10 GB chunk parallelizes across tasks — the parquet
+    * reader assigns each row group to the split holding its midpoint)
+    * and small files BIN-PACKED via `FilePartition.getFilePartitions`
+    * (openCostInBytes padding; 100k post-prune files do not become
+    * 100k tasks). File statuses resolve on a driver THREAD POOL —
+    * serial metadata RPCs against an object store would otherwise make
+    * listing the bottleneck the manifest exists to remove.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    plannedFiles.map { rel =>
-      val p = new HPath(s"$path/$rel")
-      val len = fs.getFileStatus(p).getLen
-      StoreChangeInputPartition(PartitionedFile(
-        StoreChangeSource.partitionValues(rel, partSchema, 0L),
-        SparkPath.fromPath(p), 0L, len, Array.empty, 0L, len))
-    }.toArray
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = plannedFiles
+    if (files.isEmpty) return Array.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, files.size))
+    val lens: Seq[(String, Long)] =
+      try files.map { rel =>
+        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+          override def call(): (String, Long) = {
+            val p = new HPath(s"$path/$rel")
+            rel -> p.getFileSystem(conf).getFileStatus(p).getLen
+          }
+        })
+      }.map(_.get())
+      finally pool.shutdown()
+    val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+      .maxSplitBytes(spark, lens.map(_._2).sum)
+    val splits: Seq[PartitionedFile] = lens.flatMap { case (rel, len) =>
+      val pv = StoreChangeSource.partitionValues(rel, partSchema, 0L)
+      val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
+      if (len == 0) Seq.empty
+      else (0L until len by maxSplit).map { off =>
+        PartitionedFile(pv, sp, off, math.min(maxSplit, len - off),
+          Array.empty, 0L, len)
+      }
+    }
+    org.apache.spark.sql.execution.datasources.FilePartition
+      .getFilePartitions(spark, splits, maxSplit)
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -670,8 +700,8 @@ private[sources] class GraftColumnarReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val file = partition.asInstanceOf[StoreChangeInputPartition].file
-    val batches = readerFunc(file).asInstanceOf[Iterator[ColumnarBatch]]
+    val batches = GraftColumnarReaderFactory.filesOf(partition).iterator
+      .flatMap(f => readerFunc(f).asInstanceOf[Iterator[ColumnarBatch]])
     new PartitionReader[ColumnarBatch] {
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
@@ -679,6 +709,17 @@ private[sources] class GraftColumnarReaderFactory(
       override def get(): ColumnarBatch = batch
       override def close(): Unit = if (batch != null) batch.close()
     }
+  }
+}
+
+private[sources] object GraftColumnarReaderFactory {
+  /** Both task shapes: the streaming source's one-file partition and
+    * the batch scan's split/bin-packed FilePartition.
+    */
+  def filesOf(p: InputPartition): Seq[PartitionedFile] = p match {
+    case s: StoreChangeInputPartition => Seq(s.file)
+    case f: org.apache.spark.sql.execution.datasources.FilePartition => f.files.toSeq
+    case other => throw new IllegalStateException(s"unexpected partition $other")
   }
 }
 

@@ -284,11 +284,12 @@ private[sources] class StoreChangeReaderFactory(
     readerFunc: PartitionedFile => Iterator[InternalRow])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[StoreChangeInputPartition].file
     // the reader yields ColumnarBatch (erased) when the vectorized path
-    // decides to return batches — unwrap to rows either way
+    // decides to return batches — unwrap to rows either way; a batch
+    // FilePartition concatenates its files'/splits' readers
     val rows: Iterator[InternalRow] =
-      readerFunc(file).asInstanceOf[Iterator[Any]].flatMap {
+      GraftColumnarReaderFactory.filesOf(partition).iterator
+        .flatMap(f => readerFunc(f).asInstanceOf[Iterator[Any]]).flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }

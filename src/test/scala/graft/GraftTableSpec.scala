@@ -154,6 +154,41 @@ class GraftTableSpec extends AnyFunSuite {
     assert(gscan.plannedFiles.size < totalFiles)
   }
 
+  test("task layout: small files bin-pack; a low split cap splits files — rows exact either way") {
+    val (dir, _) = buildStore(maxRecords = 50)
+    val liveFiles = StoreLog.latest(dir).get.files.size
+    assert(liveFiles >= 10)
+    val want = TsStore.load(spark, dir).count()
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputPartitions.size
+      }.head
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // BIN-PACK: with the open-cost padding out of the way (the
+      // fixture's files are KB-sized; at real scale the default 4MB
+      // padding is what bounds per-task open counts), Spark's own
+      // getFilePartitions packs the files into far fewer tasks —
+      // the 100k-post-prune-files-is-not-100k-tasks property
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val binned = partsOf(spark.read.format("graft").load(dir))
+      assert(binned < liveFiles, s"small files must bin-pack: $binned of $liveFiles")
+      assert(spark.read.format("graft").load(dir).count() === want)
+      // SPLIT: a tiny cap splits files into multiple tasks (the
+      // one-10GB-file-is-not-one-task property); the parquet reader's
+      // row-group-midpoint assignment keeps rows exactly-once
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+      val df = spark.read.format("graft").load(dir)
+      val split = partsOf(df)
+      assert(split > liveFiles, s"files must split under a 1k cap: $split vs $liveFiles")
+      assert(df.count() === want, "splits must cover every row exactly once")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("scan reports manifest-derived statistics (pruning-aware)") {
     val (dir, _) = buildStore(maxRecords = 100)
     val df = spark.read.format("graft").load(dir)
