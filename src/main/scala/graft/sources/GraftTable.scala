@@ -306,6 +306,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
                        fullSchema: StructType, startingVersion: Long = 1L)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min}
@@ -313,6 +314,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftTable.filterColumn(f).isDefined)
@@ -320,6 +322,16 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown (partial — Spark keeps its limit operator): an
+    * unfiltered `LIMIT n` plans only enough files for the manifest's
+    * recorded row counts to cover n, so `SELECT * FROM t LIMIT 10` on
+    * a million-file store opens a handful of files instead of listing
+    * and statusing them all. File truncation is sound because a bare
+    * limit accepts ANY n rows; with filters present every file stays
+    * (the filtered row count is unknowable from counts alone).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -467,7 +479,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       new GraftAggScan(path, schema, row)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
-        startingVersion)
+        startingVersion, limit)
   }
 }
 
@@ -511,7 +523,8 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
   */
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 fullSchema: StructType, required: StructType,
-                pushed: Array[Filter], startingVersion: Long = 1L)
+                pushed: Array[Filter], startingVersion: Long = 1L,
+                limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -576,6 +589,24 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val pred = (pushed ++ runtime).flatMap(GraftTable.filterColumn)
       .reduceOption(_ && _)
     pred match {
+      case None if limit.isDefined && (pushed ++ runtime).isEmpty =>
+        // bare LIMIT n: stop listing once recorded row counts cover n
+        // (files with unknown counts contribute 0 — conservative, the
+        // walk just keeps going)
+        val n = limit.get.toLong
+        var acc = 0L
+        val kept = Seq.newBuilder[String]
+        var done = false
+        snap.files.foreach { f =>
+          if (!done) {
+            kept += f
+            acc += snap.stats.get(f)
+              .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+              .getOrElse(0L)
+            if (acc >= n) done = true
+          }
+        }
+        kept.result()
       case None => snap.files
       case Some(p) =>
         val node = org.apache.spark.sql.GraftShim.predTree(p)

@@ -189,6 +189,30 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT pushdown plans only enough files to cover n (bare limit only)") {
+    val (dir, _) = buildStore(maxRecords = 50)
+    val liveFiles = StoreLog.latest(dir).get.files.size
+    assert(liveFiles >= 10)
+    def gscanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case g: GraftScan => g }.get
+    val df = spark.read.format("graft").load(dir).limit(7)
+    assert(df.count() === 7)
+    val planned = gscanOf(df).plannedFiles.size
+    assert(planned < liveFiles,
+      s"a bare LIMIT 7 must not plan all $liveFiles files: planned $planned")
+    // with a filter the truncation is UNSOUND (filtered row counts are
+    // unknowable from totals) — every partition-pruned candidate stays
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("event_type") === "purchase").limit(5)
+    assert(filtered.count() === 5)
+    val fPlanned = gscanOf(filtered).plannedFiles
+    val purchaseFiles = StoreLog.latest(dir).get.files
+      .count(_.startsWith("event_type=purchase/"))
+    assert(fPlanned.size === purchaseFiles,
+      s"filtered limit must keep every candidate: ${fPlanned.size} vs $purchaseFiles")
+  }
+
   test("scan reports manifest-derived statistics (pruning-aware)") {
     val (dir, _) = buildStore(maxRecords = 100)
     val df = spark.read.format("graft").load(dir)
