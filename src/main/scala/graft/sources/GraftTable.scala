@@ -307,6 +307,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min}
@@ -332,6 +333,42 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     * (the filtered row count is unknowable from counts alone).
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  private var topN: Option[GraftScan.TopN] = None
+
+  /** Both pushdowns are PARTIAL: the scan may return a superset, Spark
+    * keeps its limit/sort on top. (Explicit because the limit and topN
+    * traits both default this member.)
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown (partial — Spark keeps its sort): `ORDER BY ts
+    * DESC LIMIT n` — the reference's hottest question, "the latest n
+    * ticks" — plans only the files whose recorded bounds can hold the
+    * boundary (see [[GraftScan.plannedFiles]] for the covering-prefix
+    * rule and its null handling). Single sort key, non-floating type
+    * (float bounds exclude NaN, which Spark orders LARGEST — same
+    * refusal as the aggregate pushdown).
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (orders.length != 1) return false
+    val o = orders.head
+    val cOpt = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    cOpt.flatMap(c => fullSchema.fields.find(_.name == c)) match {
+      case Some(f) if !f.dataType.isInstanceOf[FloatType.type] &&
+          !f.dataType.isInstanceOf[DoubleType.type] =>
+        topN = Some(GraftScan.TopN(f.name,
+          o.direction() == SortDirection.DESCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -479,7 +516,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       new GraftAggScan(path, schema, row)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
-        startingVersion, limit)
+        startingVersion, limit, topN)
   }
 }
 
@@ -521,10 +558,17 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
   * through Spark's own vectorized parquet reader with the pushed
   * filters and pruned schema.
   */
+object GraftScan {
+  /** A pushed `ORDER BY col [DESC] LIMIT n`. */
+  final case class TopN(col: String, descending: Boolean,
+                        nullsFirst: Boolean, n: Int)
+}
+
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 fullSchema: StructType, required: StructType,
                 pushed: Array[Filter], startingVersion: Long = 1L,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                topN: Option[GraftScan.TopN] = None)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -585,10 +629,69 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     * not a lazy val: runtime filters arrive after planning and must
     * re-prune.
     */
+  /** TOP-N file pruning — the "latest n ticks" plan. Sound covering
+    * rule (shown for ASC; DESC mirrors on mins): order value-carrying
+    * files by max(c) ascending and take a prefix whose NON-NULL row
+    * counts sum to ≥ n; its last max T bounds the n-th smallest value
+    * (the prefix alone holds ≥ n rows ≤ T), so every top-n row lives
+    * in a file with min(c) ≤ T — keep exactly those. Nulls: with
+    * NULLS LAST the top-n are non-null whenever ≥ n non-null rows
+    * exist (the prefix check guarantees it) and all-null files can be
+    * dropped; NULLS FIRST is only sound when every file records ZERO
+    * nulls. Any file missing bounds/row/null counts, mixed stat tags,
+    * or a live filter ⇒ no pruning (every candidate stays).
+    */
+  private def topNPrune(files: Seq[String]): Option[Seq[String]] = {
+    val GraftScan.TopN(c, desc, nullsFirst, n) = topN.get
+    val isPart = partColNames.contains(c)
+    // (rel, tag, min, max, nonNullRows, nulls) — None on any gap
+    final case class FB(rel: String, tag: String, min: Any, max: Any,
+                        nonNull: Long, nulls: Long)
+    val fbs: Seq[Option[FB]] = files.map { f =>
+      val rows = snap.stats.get(f)
+        .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+      if (isPart) rows.map { r =>
+        GraftTable.partPseudoStats(f, fullSchema).get(c) match {
+          case Some(cs) => FB(f, cs.tag, cs.min, cs.max, r, 0L)
+          case None => FB(f, "", null, null, 0L, r) // null partition: all-null
+        }
+      } else for {
+        r <- rows
+        cs <- snap.stats.get(f).flatMap(_.get(c)) if cs.nulls >= 0
+      } yield FB(f, cs.tag, cs.min, cs.max, r - cs.nulls, cs.nulls)
+    }
+    if (fbs.exists(_.isEmpty)) return None
+    val all = fbs.flatten
+    val valued = all.filter(_.nonNull > 0)
+    if (valued.map(_.tag).distinct.sizeIs > 1) return None // mixed tags
+    if (nullsFirst && all.exists(_.nulls > 0)) return None
+    def cmpV(tag: String, a: Any, b: Any): Int = tag match {
+      case "s" => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
+      case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    }
+    val sorted =
+      if (desc) valued.sortWith((a, b) => cmpV(a.tag, a.min, b.min) > 0)
+      else valued.sortWith((a, b) => cmpV(a.tag, a.max, b.max) < 0)
+    var acc = 0L
+    var thr: Option[FB] = None
+    val it = sorted.iterator
+    while (acc < n && it.hasNext) { val f = it.next(); acc += f.nonNull; thr = Some(f) }
+    if (acc < n) None // not enough non-null rows to bound the boundary
+    else thr.map { t =>
+      if (desc) valued.filter(f => cmpV(f.tag, f.max, t.min) >= 0).map(_.rel)
+      else valued.filter(f => cmpV(f.tag, f.min, t.max) <= 0).map(_.rel)
+    }
+  }
+
   def plannedFiles: Seq[String] = {
     val pred = (pushed ++ runtime).flatMap(GraftTable.filterColumn)
       .reduceOption(_ && _)
     pred match {
+      case None if topN.isDefined && (pushed ++ runtime).isEmpty =>
+        topNPrune(snap.files).getOrElse(snap.files)
       case None if limit.isDefined && (pushed ++ runtime).isEmpty =>
         // bare LIMIT n: stop listing once recorded row counts cover n
         // (files with unknown counts contribute 0 — conservative, the

@@ -213,6 +213,65 @@ class GraftTableSpec extends AnyFunSuite {
       s"filtered limit must keep every candidate: ${fPlanned.size} vs $purchaseFiles")
   }
 
+  test("TopN pushdown: ORDER BY ts LIMIT n plans only the time-boundary files") {
+    import spark.implicits._
+    val (dir, _) = buildStore(maxRecords = 50)
+    val liveFiles = StoreLog.latest(dir).get.files.size
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(allScans)
+    }
+    // run the INSPECTED dataset itself (a derived .select would build a
+    // fresh execution whose scan never runs), then unwrap the stages
+    def run(df: org.apache.spark.sql.DataFrame): (Seq[java.sql.Timestamp], GraftScan) = {
+      val ts = df.collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+      val scan = allScans(df.queryExecution.executedPlan).map(_.scan)
+        .collectFirst { case g: GraftScan => g }
+        .getOrElse(fail(s"no GraftScan in:\n${df.queryExecution.executedPlan}"))
+      (ts, scan)
+    }
+    // "the latest 5 ticks" — the reference's hottest question
+    val (gotDesc, descScan) = run(spark.read.format("graft").load(dir)
+      .orderBy(col("ts").desc).limit(5))
+    val wantDesc = TsStore.load(spark, dir).orderBy(col("ts").desc).limit(5)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+    assert(gotDesc === wantDesc)
+    val descPlanned = descScan.plannedFiles.size
+    assert(descPlanned < liveFiles,
+      s"DESC top-5 must plan the tail files only: $descPlanned of $liveFiles")
+    // and the earliest 5
+    val (gotAsc, ascScan) = run(spark.read.format("graft").load(dir)
+      .orderBy(col("ts")).limit(5))
+    val wantAsc = TsStore.load(spark, dir).orderBy(col("ts")).limit(5)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+    assert(gotAsc === wantAsc)
+    assert(ascScan.plannedFiles.size < liveFiles)
+    // NULLS FIRST (the ASC default) with nulls present must NOT prune:
+    // a null row ranks before every value, and bounds know nothing of it
+    val ndir = Files.createTempDirectory("graft_topn_null").toString
+    val rows = (1 to 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        if (i % 7 == 0) None else Some(i.toLong), "a", i * 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    TsStore.write(rows, ndir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 20)
+    StoreLog.ensure(ndir)
+    val byUser = spark.read.format("graft").load(ndir)
+      .orderBy(col("user_id")).limit(3)
+    // top-3 under NULLS FIRST are null rows — correctness over everything
+    assert(byUser.collect().forall(_.isNullAt(byUser.schema.fieldIndex("user_id"))))
+    val nFiles = StoreLog.latest(ndir).get.files.size
+    val nScan = allScans(byUser.queryExecution.executedPlan).map(_.scan)
+      .collectFirst { case g: GraftScan => g }
+      .getOrElse(fail(s"no GraftScan in:\n${byUser.queryExecution.executedPlan}"))
+    assert(nScan.plannedFiles.size === nFiles,
+      "nulls-first top-n with recorded nulls must keep every file")
+  }
+
   test("scan reports manifest-derived statistics (pruning-aware)") {
     val (dir, _) = buildStore(maxRecords = 100)
     val df = spark.read.format("graft").load(dir)
