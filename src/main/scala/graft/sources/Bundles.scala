@@ -427,9 +427,10 @@ class Bundles(spark: SparkSession, basePath: String,
           // a parentless commit would silently reset a store's
           // configured per-store checkpoint cadence to the default —
           // carry the snapshot's interval through the full listing
+          val (mStats, mSizes) = FileStats.forFilesWithSizes(dir(collection), moved)
           try StoreLog.commit(dir(collection), v, replaced, moved,
             interval = Some(snap.checkpointInterval),
-            addStats = FileStats.forFiles(dir(collection), moved))
+            addStats = mStats, addSizes = mSizes)
           catch {
             case c: StoreLog.CommitConflict =>
               StoreLog.deleteDataFiles(dir(collection), moved)
@@ -530,9 +531,10 @@ class Bundles(spark: SparkSession, basePath: String,
           require(moved.forall(_.startsWith(partPrefix + "/")),
             s"compactSeries staged files outside $partPrefix: ${moved.take(3)}")
           val kept = snap.files.filterNot(_.startsWith(partPrefix + "/"))
+          val (mStats, mSizes) = FileStats.forFilesWithSizes(dir(collection), moved)
           try StoreLog.commit(dir(collection), v, Seq(partPrefix), kept ++ moved,
             parent = Some(snap),
-            addStats = FileStats.forFiles(dir(collection), moved))
+            addStats = mStats, addSizes = mSizes)
           catch {
             case c: StoreLog.CommitConflict =>
               StoreLog.deleteDataFiles(dir(collection), moved)

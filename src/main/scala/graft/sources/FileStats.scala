@@ -61,22 +61,36 @@ object FileStats {
     * manifest simply carries no stats for them — reads stay correct,
     * just unpruned).
     */
-  def forFiles(path: String, rels: Seq[String]): Map[String, FileStatsMap] = {
+  def forFiles(path: String, rels: Seq[String]): Map[String, FileStatsMap] =
+    forFilesWithSizes(path, rels)._1
+
+  /** [[forFiles]] plus each file's BYTE LENGTH — free-riding on the
+    * same footer open ([[org.apache.parquet.hadoop.util.HadoopInputFile]]
+    * stats the file to find the footer, so the length costs zero extra
+    * RPCs). Committed into the manifest as the `sizes` index, it lets
+    * scan planning and the planner's sizeInBytes answer metadata-only.
+    */
+  def forFilesWithSizes(path: String, rels: Seq[String])
+      : (Map[String, FileStatsMap], Map[String, Long]) = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    rels.flatMap { rel =>
+    val stats = Map.newBuilder[String, FileStatsMap]
+    val sizes = Map.newBuilder[String, Long]
+    rels.foreach { rel =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new HPath(s"$path/$rel"), conf)
+        sizes += rel -> in.getLength
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val fs = fromFooter(reader.getFooter)
-          if (fs.isEmpty) None else Some(rel -> fs)
+          if (fs.nonEmpty) stats += rel -> fs
         } finally reader.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }.toMap
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    (stats.result(), sizes.result())
   }
 
   private def fromFooter(
@@ -237,6 +251,15 @@ object FileStats {
         t.getNano / 1000L))
     case ("d", d: java.sql.Date) => Some(("d", d.toLocalDate.toEpochDay))
     case ("d", d: java.time.LocalDate) => Some(("d", d.toEpochDay))
+    // catalyst-INTERNAL temporal encodings: DPP's runtime IN-sets on
+    // date/timestamp partition columns arrive as Int epoch days / Long
+    // micros (the analyzer's pushed filters carry external types — a
+    // bare Int/Long against a temporal stat tag can only be internal).
+    // Without these, runtime partition pruning on time-typed columns
+    // silently keeps every file.
+    case ("d", x: Int) => Some(("d", x.toLong))
+    case ("ts", x: Long) => Some(("ts", x))
+    case ("tn", x: Long) => Some(("tn", x))
     case ("s", s: String) => Some(("s", s))
     case _ => None
   }

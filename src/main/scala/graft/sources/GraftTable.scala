@@ -185,6 +185,26 @@ object GraftTable {
     case _ => None
   }
 
+  /** One file's raw partition-directory value for column `name`:
+    * `None` = the path has no segment for the column at all;
+    * `Some(None)` = the `__HIVE_DEFAULT_PARTITION__` null;
+    * `Some(Some(raw))` = the unescaped value string. Distinguishing
+    * these matters for aggregate pushdown: a TYPE [[partPseudoStats]]
+    * cannot encode (timestamp/boolean/decimal partition columns) must
+    * read as "unservable — refuse the pushdown", never as "null
+    * partition" (which would silently answer COUNT(col)=0 and
+    * MIN/MAX=NULL).
+    */
+  private[sources] def partSegRaw(rel: String, name: String): Option[Option[String]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    rel.split('/').dropRight(1).toSeq.takeWhile(_.contains('='))
+      .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').drop(1))
+      .collectFirst { case (n, v) if n == name =>
+        val raw = ExternalCatalogUtils.unescapePathName(v)
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(raw)
+      }
+  }
+
   /** Synthetic [[FileStats.ColStat]] bounds for one file's partition-
     * directory values — a partition value is a point interval, so the
     * SAME conservative `mayMatch` walk that prunes on data-column bounds
@@ -423,23 +443,38 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
 
   /** Non-null count of `col` in `file`: data columns need recorded
-    * null counts; partition columns are all-or-nothing per file.
+    * null counts; partition columns are all-or-nothing per file — and
+    * "null" means ONLY the `__HIVE_DEFAULT_PARTITION__` segment. A
+    * missing segment is unservable, and a VALUE-carrying segment serves
+    * regardless of whether its type has a pseudo-stat encoding (a
+    * timestamp partition value is still non-null for COUNT purposes).
     */
   private def nonNullCountOf(file: String, colName: String): Option[Long] =
     if (partColNames.contains(colName)) {
-      val isNull = !GraftTable.partPseudoStats(file, fullSchema).contains(colName)
-      rowsOf(file).map(r => if (isNull) 0L else r)
+      GraftTable.partSegRaw(file, colName) match {
+        case None => None // no partition segment — unservable, refuse
+        case Some(None) => Some(0L) // the null partition: zero non-null rows
+        case Some(Some(_)) => rowsOf(file)
+      }
     } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
       .collect { case cs if cs.nulls >= 0 && cs.rows >= 0 => cs.rows - cs.nulls }
 
   /** (min, max) bounds of `col` in `file` in manifest-domain form, or
-    * None when unrecorded. A null partition value yields an EMPTY
-    * contribution (Some with no values), distinct from unservable.
+    * None when unservable. A null partition value yields an EMPTY
+    * contribution (Some with no values), distinct from unservable — but
+    * a VALUE whose type [[GraftTable.partPseudoStats]] cannot encode
+    * (timestamp/boolean/decimal) is unservable, so the pushdown is
+    * refused and Spark computes the MIN/MAX normally.
     */
   private def boundsOf(file: String, colName: String): Option[Seq[(Any, Any)]] =
     if (partColNames.contains(colName)) {
-      Some(GraftTable.partPseudoStats(file, fullSchema).get(colName)
-        .map(cs => (cs.min, cs.max)).toSeq)
+      GraftTable.partSegRaw(file, colName) match {
+        case None => None // no partition segment — unservable, refuse
+        case Some(None) => Some(Seq.empty) // null partition: empty contribution
+        case Some(Some(_)) =>
+          GraftTable.partPseudoStats(file, fullSchema).get(colName)
+            .map(cs => Seq((cs.min, cs.max))) // None = unencodable type, refuse
+      }
     } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
       .map(cs => Seq((cs.min, cs.max)))
 
@@ -725,31 +760,53 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
 
   override def toBatch: Batch = this
 
-  /** Task layout = Spark's own: files SPLIT at `maxPartitionBytes`
-    * boundaries (a 10 GB chunk parallelizes across tasks — the parquet
-    * reader assigns each row group to the split holding its midpoint)
-    * and small files BIN-PACKED via `FilePartition.getFilePartitions`
-    * (openCostInBytes padding; 100k post-prune files do not become
-    * 100k tasks). File statuses resolve on a driver THREAD POOL —
-    * serial metadata RPCs against an object store would otherwise make
-    * listing the bottleneck the manifest exists to remove.
+  /** File lengths for `files`: the manifest's recorded `sizes` first —
+    * ZERO metadata RPCs on a stats-complete store, however many files
+    * survive pruning — with a pooled getFileStatus fallback for
+    * unrecorded files only (pre-upgrade manifests, adopted stores),
+    * cached so split planning and `estimateStatistics` pay any fallback
+    * once between them. This is what retires the plan-time O(files)
+    * serial-status bottleneck on the million-file store the manifest
+    * exists to serve.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = plannedFiles
-    if (files.isEmpty) return Array.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, files.size))
-    val lens: Seq[(String, Long)] =
-      try files.map { rel =>
+  private val lenCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def lensFor(files: Seq[String]): Seq[(String, Long)] = {
+    val missing = files.filter(f =>
+      !snap.sizes.contains(f) && !lenCache.containsKey(f))
+    if (missing.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, missing.size))
+      try missing.map { rel =>
         pool.submit(new java.util.concurrent.Callable[(String, Long)] {
           override def call(): (String, Long) = {
             val p = new HPath(s"$path/$rel")
             rel -> p.getFileSystem(conf).getFileStatus(p).getLen
           }
         })
-      }.map(_.get())
+      }.foreach { fut =>
+        val (rel, len) = fut.get()
+        lenCache.put(rel, len); ()
+      }
       finally pool.shutdown()
+    }
+    files.map(f => f -> snap.sizes.getOrElse(f, lenCache.get(f).longValue()))
+  }
+
+  /** Task layout = Spark's own: files SPLIT at `maxPartitionBytes`
+    * boundaries (a 10 GB chunk parallelizes across tasks — the parquet
+    * reader assigns each row group to the split holding its midpoint)
+    * and small files BIN-PACKED via `FilePartition.getFilePartitions`
+    * (openCostInBytes padding; 100k post-prune files do not become
+    * 100k tasks). File lengths come from the MANIFEST ([[lensFor]]) —
+    * metadata-only planning; only unrecorded legacy files fall back to
+    * pooled status RPCs.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = plannedFiles
+    if (files.isEmpty) return Array.empty
+    val lens: Seq[(String, Long)] = lensFor(files)
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
     val splits: Seq[PartitionedFile] = lens.flatMap { case (rel, len) =>
@@ -790,23 +847,29 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
 
   /** Manifest-derived stats for the planner: row count is exact when
     * every surviving file carries recorded counts ([[TsStore.countAt]]'s
-    * budget); size is the surviving files' on-disk bytes. Both are
+    * budget); size is the surviving files' recorded byte lengths —
+    * metadata-only via [[lensFor]], shared with split planning so a
+    * stats-complete store pays ZERO status RPCs for either. Both are
     * pruning-aware — a selective scan reports the small number that
     * makes it broadcast-eligible.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val (rowsOpt, bytes) = {
-      val per = plannedFiles.map { f =>
+      val files = plannedFiles
+      val per = files.map { f =>
         snap.stats.get(f)
           .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
       }
       val rows = if (per.isEmpty || per.exists(_.isEmpty)) None
                  else Some(per.flatten.sum)
-      val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sz = plannedFiles.map { f =>
-        try fs.getFileStatus(new HPath(s"$path/$f")).getLen
-        catch { case scala.util.control.NonFatal(_) => 0L }
-      }.sum
+      val sz =
+        try lensFor(files).map(_._2).sum
+        catch {
+          // a fallback status that fails (file vanished mid-plan) must
+          // not kill statistics estimation — report what is recorded
+          case scala.util.control.NonFatal(_) =>
+            files.flatMap(snap.sizes.get).sum
+        }
       (rows, sz)
     }
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)

@@ -62,10 +62,19 @@ object MatView {
 
   /** How long a contended [[refresh]] waits for the refresh lock before
     * throwing [[StoreLog.CommitConflict]]; a crashed holder's lock
-    * expires after [[LockStaleMs]] by mtime.
+    * expires after [[LockStaleMs]] by mtime. A HEALTHY holder never
+    * expires: a daemon heartbeat touches the lock every
+    * [[LockHeartbeatMs]] while the body runs (the same renewal pattern
+    * as [[StoreLog.withWriterLease]]), so staleness means the holder's
+    * JVM died — not that its refresh was merely slow.
     */
   val LockWaitMs: Long = 60L * 1000
   val LockStaleMs: Long = 10L * 60 * 1000
+
+  /** Heartbeat cadence for the refresh lock — well inside
+    * [[LockStaleMs]]. Test seam: specs shrink it to exercise renewal.
+    */
+  @volatile private[graft] var LockHeartbeatMs: Long = LockStaleMs / 4
 
   private def bucketOf(groupCols: Seq[String], nBuckets: Int): Column =
     pmod(hash(groupCols.map(col): _*), lit(nBuckets)).cast("int")
@@ -86,11 +95,26 @@ object MatView {
   /** Serialize view maintenance: acquire `.refresh_lock` under the
     * view's log directory (publish-if-absent CAS — dot-prefixed, so the
     * version listing and vacuum's lease scan never see it), run `body`,
-    * release. A stale lock (crashed holder) expires by mtime; a
-    * contended acquire waits up to [[LockWaitMs]] then throws the
-    * maintenance-conflict signal callers already handle.
+    * release. A stale lock (DEAD holder — the heartbeat keeps a live
+    * one fresh) is taken over; a contended acquire waits up to
+    * [[LockWaitMs]] then throws the maintenance-conflict signal callers
+    * already handle.
+    *
+    * Two races a naive delete-then-publish takeover admits, both closed:
+    * (1) two waiters judge the same lock stale; A deletes + publishes,
+    * then B's queued delete removes A's FRESH lock and B publishes too —
+    * so the stale delete re-reads the lock and removes it only while its
+    * content still equals the bytes the staleness was measured on (a
+    * successor's token never matches); (2) the narrower interleaving
+    * where B's content check passes just before A publishes — so every
+    * successful publish is VERIFIED: after a short settle delay the
+    * holder re-reads the lock and proceeds only if it still carries its
+    * own token, retrying otherwise. `body` additionally receives an
+    * `owned()` check to call immediately before its commit — the last
+    * line of defense if a holder's JVM froze past [[LockStaleMs]] with
+    * the heartbeat thread frozen alongside it.
     */
-  private def withRefreshLock[T](viewPath: String)(body: => T): T = {
+  private[graft] def withRefreshLock[T](viewPath: String)(body: (() => Boolean) => T): T = {
     val io = CommitIo.forPath(viewPath).getOrElse(
       throw new IllegalArgumentException(
         s"matview needs a loggable view path; '$viewPath' has no commit backend"))
@@ -100,26 +124,60 @@ object MatView {
     // a stale takeover, and then finishes cannot delete its SUCCESSOR's
     // lock (which would let a third maintainer in under the successor)
     val token = java.util.UUID.randomUUID().toString.getBytes("UTF-8")
+    def owned(): Boolean =
+      try io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), token)
+      catch { case scala.util.control.NonFatal(_) => false }
     val deadline = System.currentTimeMillis() + LockWaitMs
-    var acquired = io.publishIfAbsent(lock, token)
+    var acquired = false
     while (!acquired) {
-      val stale =
-        try io.exists(lock) &&
-          System.currentTimeMillis() - io.mtimeMs(lock) > LockStaleMs
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (stale) io.deleteFile(lock)
-      else if (System.currentTimeMillis() > deadline)
-        throw new StoreLog.CommitConflict(
-          s"matview refresh lock held at $viewPath — another maintainer " +
-            "is refreshing; retry later")
-      else Thread.sleep(100)
-      acquired = io.publishIfAbsent(lock, token)
+      if (io.publishIfAbsent(lock, token)) {
+        // verified acquire: a racing waiter whose staleness read predates
+        // this publish may still delete it — give any such in-flight
+        // takeover a beat to land, then proceed only on our own token
+        Thread.sleep(50)
+        acquired = owned()
+      }
+      if (!acquired) {
+        // (content, staleness) observed together; the delete below is
+        // conditioned on the content still matching
+        val staleContent: Option[Array[Byte]] =
+          try {
+            if (io.exists(lock) &&
+                System.currentTimeMillis() - io.mtimeMs(lock) > LockStaleMs)
+              Some(io.readBytes(lock))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        staleContent match {
+          case Some(c) =>
+            try {
+              if (io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), c))
+                io.deleteFile(lock)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          case None =>
+            if (System.currentTimeMillis() > deadline)
+              throw new StoreLog.CommitConflict(
+                s"matview refresh lock held at $viewPath — another maintainer " +
+                  "is refreshing; retry later")
+            else Thread.sleep(100)
+        }
+      }
     }
-    try body finally {
-      try {
-        if (io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), token))
-          io.deleteFile(lock)
-      } catch { case scala.util.control.NonFatal(_) => () }
+    // heartbeat-renew while the body runs: a healthy refresh running
+    // longer than LockStaleMs must not be reclaimed as dead
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      while (!stop.await(LockHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try { if (owned()) io.touch(lock) }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, "graft-matview-lock-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try body(() => owned()) finally {
+      stop.countDown()
+      hb.join(2000)
+      try { if (owned()) io.deleteFile(lock) }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -176,7 +234,14 @@ object MatView {
     // property alone — no lock traffic, no data IO for the steady state
     val quick = lastApplied(spark, viewPath)
     if (storeV <= quick) return quick
-    withRefreshLock(viewPath) {
+    withRefreshLock(viewPath) { owned =>
+      // a commit computed under a lost lock (frozen JVM thawed past
+      // LockStaleMs, successor already refreshing) must not land — the
+      // successor's window overlaps ours
+      def assertOwned(): Unit =
+        if (!owned()) throw new StoreLog.CommitConflict(
+          s"matview refresh lock at $viewPath was lost mid-refresh " +
+            "(holder stalled past staleness; a successor took over) — retry")
       // re-derive UNDER the lock: the holder we waited on may have
       // advanced the resume point past our pre-lock read
       val last = lastApplied(spark, viewPath)
@@ -199,6 +264,7 @@ object MatView {
           // the window's changes net to nothing (carried-over survivors
           // only) — advance the resume point with a metadata-only
           // commit so the window is never re-derived
+          assertOwned()
           val cur = StoreLog.ensure(viewPath)
           StoreLog.commit(viewPath, cur.version, Seq.empty, cur.files,
             parent = Some(cur), setProps = Map(AppliedProp -> storeV.toString))
@@ -220,6 +286,7 @@ object MatView {
               withBucket(BucketCol)): _*)
           // the resume point rides the SAME manifest commit as the
           // upserted rows — atomically exactly-once, O(1) to read back
+          assertOwned()
           TsStore.upsert(spark, viewPath, merged, keyCols = groupCols,
             versionCol = AppliedCol, tsCol = "ts", uidCols = Seq(BucketCol),
             setProps = Map(AppliedProp -> storeV.toString))

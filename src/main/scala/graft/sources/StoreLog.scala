@@ -52,7 +52,8 @@ object StoreLog {
                             stats: Map[String, FileStats.FileStatsMap] = Map.empty,
                             tag: Option[String] = None,
                             bloomCols: Seq[String] = Nil,
-                            props: Map[String, String] = Map.empty)
+                            props: Map[String, String] = Map.empty,
+                            sizes: Map[String, Long] = Map.empty)
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -236,10 +237,15 @@ object StoreLog {
     else n.get("stats").properties().asScala
       .map(e => e.getKey -> FileStats.fromJson(e.getValue)).toMap
 
+  private def sizesOf(n: JsonNode): Map[String, Long] =
+    if (!n.has("sizes")) Map.empty
+    else n.get("sizes").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+
   private def readResolve(path: String, version: Long): Snapshot = {
     val root = readRaw(path, version)
-    val (files, stats) =
-      if (root.has("files")) (strings(root.get("files")), statsOf(root))
+    val (files, stats, sizes) =
+      if (root.has("files")) (strings(root.get("files")), statsOf(root), sizesOf(root))
       else {
         // walk raw manifests down to the checkpoint ancestor collecting
         // the deltas, then apply them FORWARD over one mutable set —
@@ -258,14 +264,17 @@ object StoreLog {
         val acc = scala.collection.mutable.Set[String](strings(node.get("files")): _*)
         val sAcc = scala.collection.mutable.Map[String, FileStats.FileStatsMap](
           statsOf(node).toSeq: _*)
+        val zAcc = scala.collection.mutable.Map[String, Long](sizesOf(node).toSeq: _*)
         deltas.foreach { d =>
           val rm = strings(d.get("remove"))
           acc --= rm
           sAcc --= rm
+          zAcc --= rm
           acc ++= strings(d.get("add"))
           sAcc ++= statsOf(d)
+          zAcc ++= sizesOf(d)
         }
-        (acc.toSeq.sorted, sAcc.toMap)
+        (acc.toSeq.sorted, sAcc.toMap, zAcc.toMap)
       }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
       strings(root.get("replaced")), files,
@@ -277,7 +286,8 @@ object StoreLog {
       if (root.has("props"))
         root.get("props").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
-      else Map.empty)
+      else Map.empty,
+      sizes)
   }
 
   /** Scan the newest `lookback` manifests for a commit carrying `tag` —
@@ -309,7 +319,8 @@ object StoreLog {
                             stats: Map[String, FileStats.FileStatsMap],
                             tag: Option[String] = None,
                             bloomCols: Seq[String] = Nil,
-                            props: Map[String, String] = Map.empty): Array[Byte] = {
+                            props: Map[String, String] = Map.empty,
+                            sizes: Map[String, Long] = Map.empty): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -336,6 +347,18 @@ object StoreLog {
         root.set[JsonNode]("stats", o)
       }
     }
+    // per-file byte lengths, recorded at commit (the committing writer
+    // just statted the files for their footers anyway) — so scan
+    // planning and the planner's sizeInBytes never pay a per-file
+    // getFileStatus RPC against a million-file store
+    def setSizes(forFiles: Seq[String]): Unit = {
+      val present = forFiles.filter(sizes.contains).sorted
+      if (present.nonEmpty) {
+        val o = mapper.createObjectNode()
+        present.foreach(f => o.put(f, sizes(f)))
+        root.set[JsonNode]("sizes", o)
+      }
+    }
     root.set[JsonNode]("replaced", arr(replaced.sorted))
     parentFiles match {
       case Some(prev) =>
@@ -343,13 +366,15 @@ object StoreLog {
         val added = (next -- prevSet).toSeq.sorted
         root.set[JsonNode]("add", arr(added))
         root.set[JsonNode]("remove", arr((prevSet -- next).toSeq.sorted))
-        // a delta carries stats for its ADDED files only — O(commit)
+        // a delta carries stats/sizes for its ADDED files only — O(commit)
         setStats(added)
+        setSizes(added)
       case None =>
         root.set[JsonNode]("files", arr(files.sorted))
         // a checkpoint re-embeds every live file's stats so the chain
         // below it can be vacuumed away without losing the index
         setStats(files)
+        setSizes(files)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -372,7 +397,8 @@ object StoreLog {
              addStats: Map[String, FileStats.FileStatsMap] = Map.empty,
              tag: Option[String] = None,
              bloomCols: Option[Seq[String]] = None,
-             setProps: Map[String, String] = Map.empty): Long = {
+             setProps: Map[String, String] = Map.empty,
+             addSizes: Map[String, Long] = Map.empty): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
@@ -393,8 +419,9 @@ object StoreLog {
     // new file). A delta only serializes the ADDED slice; a checkpoint
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
+    val allSizes = parent.map(_.sizes).getOrElse(Map.empty) ++ addSizes
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
-      asDelta, eff, allStats, tag, effBlooms, effProps)
+      asDelta, eff, allStats, tag, effBlooms, effProps, allSizes)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -435,9 +462,10 @@ object StoreLog {
         // files — a one-time O(files) footer-metadata pass (the
         // convert-to-Delta cost); without it every pre-log file stays
         // stat-less and un-prunable for the store's whole life
+        val (st, sz) = FileStats.forFilesWithSizes(path, files)
         commit(path, 0L, Seq.empty, files,
           interval = Some(checkpointInterval),
-          addStats = FileStats.forFiles(path, files),
+          addStats = st, addSizes = sz,
           bloomCols = if (bloomCols.nonEmpty) Some(bloomCols) else None); ()
       }
       catch { case _: CommitConflict => () }
@@ -585,7 +613,7 @@ object StoreLog {
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
           stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
-          props = snap.props))
+          props = snap.props, sizes = snap.sizes))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))

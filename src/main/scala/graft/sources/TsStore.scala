@@ -248,7 +248,7 @@ object TsStore {
         val moved =
           try StoreLog.adoptStaged(path, staging)
           finally StoreLog.deleteStaging(staging)
-        val movedStats = FileStats.forFiles(path, moved)
+        val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
         var committed = false
         var attempts = 0
         while (!committed) {
@@ -256,7 +256,8 @@ object TsStore {
           val cur = StoreLog.ensure(path)
           try {
             StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
-              parent = Some(cur), addStats = movedStats, tag = commitTag)
+              parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
+              tag = commitTag)
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -420,7 +421,7 @@ object TsStore {
     // footer-read the new files' column bounds ONCE, outside the retry
     // loop — the commit they ride into carries the planner's index for
     // them (see FileStats)
-    val movedStats = FileStats.forFiles(path, moved)
+    val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
     var expected = base
     var attempts = 0
     var done = -1L
@@ -428,7 +429,7 @@ object TsStore {
       lease.renew()
       try done = StoreLog.commit(path, expected.version, replaced,
         newFiles(expected), parent = Some(expected), addStats = movedStats,
-        setProps = setProps)
+        addSizes = movedSizes, setProps = setProps)
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -994,7 +995,7 @@ object TsStore {
       else StoreLog.commit(path, cur.version,
         replaced = prefixes,
         files = target.files, parent = Some(cur),
-        addStats = target.stats)
+        addStats = target.stats, addSizes = target.sizes)
     }
   }
 

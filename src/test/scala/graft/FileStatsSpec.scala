@@ -122,6 +122,26 @@ class FileStatsSpec extends AnyFunSuite {
       s"delete rewrote non-candidate files: ${removed -- candidates.toSet}")
   }
 
+  test("internal temporal literals (DPP runtime IN-sets) prune date/timestamp stats") {
+    import org.apache.spark.sql.GraftShim
+    def e(c: org.apache.spark.sql.Column) = GraftShim.predTree(c)
+    val stats: FileStats.FileStatsMap = Map(
+      "day" -> ColStat("d", 19000L, 19010L, 0L, 100L),
+      "t" -> ColStat("ts", 1000000L, 2000000L, 0L, 100L),
+      "tl" -> ColStat("tn", 1000000L, 2000000L, 0L, 100L))
+    // DPP delivers date partition values as catalyst-internal Int epoch
+    // days — they must compare against "d" bounds, not keep everything
+    assert(!FileStats.mayMatch(stats, e(col("day") === lit(18000))))
+    assert(FileStats.mayMatch(stats, e(col("day") === lit(19005))))
+    assert(!FileStats.mayMatch(stats, e(col("day").isin(18000, 18500))))
+    assert(FileStats.mayMatch(stats, e(col("day").isin(18000, 19001))))
+    // and timestamp values as internal Long micros, both ts and ntz
+    assert(!FileStats.mayMatch(stats, e(col("t") === lit(999999L))))
+    assert(FileStats.mayMatch(stats, e(col("t") === lit(1500000L))))
+    assert(!FileStats.mayMatch(stats, e(col("tl") === lit(2000001L))))
+    assert(FileStats.mayMatch(stats, e(col("tl") === lit(2000000L))))
+  }
+
   test("mayMatch: tags, composition, and the conservative defaults") {
     import org.apache.spark.sql.GraftShim
     def e(c: org.apache.spark.sql.Column) = GraftShim.predTree(c)

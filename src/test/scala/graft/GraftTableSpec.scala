@@ -328,6 +328,80 @@ class GraftTableSpec extends AnyFunSuite {
       TsStore.load(spark, dir, asOf = Some(v - 1)).count())
   }
 
+  test("scan planning is metadata-only: ZERO data-file status RPCs on a sizes-complete store") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.gcnt.impl", classOf[CountingLocalFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.gcnt.impl", classOf[CountingFs].getName)
+    conf.set(graft.sources.CommitIo.ExtraCasSchemesKey, "mocknn,gcnt")
+    val local = Files.createTempDirectory("graft_gcnt").toString
+    val dir = s"gcnt://$local/store"
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val snap = StoreLog.ensure(dir)
+    // an upsert so the manifest has lived through a delta commit too
+    val delta = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 3.0).as("value"), lit(2L).as("version"))
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    val cur = StoreLog.latest(dir).get
+    assert(cur.files.nonEmpty && cur.files.forall(cur.sizes.contains),
+      "store must be sizes-complete for this pin")
+    val schema = spark.read.format("graft").load(dir).schema
+    // planning from here on must touch ZERO data files' statuses: split
+    // math and sizeInBytes both come from the manifest's recorded sizes
+    val scan = new GraftScan(spark, dir, None, schema, schema, Array.empty)
+    val before = CountingLocalFileSystem.parquetStatusCalls.get()
+    val parts = scan.planInputPartitions()
+    val stats = scan.estimateStatistics()
+    val bytes = stats.sizeInBytes().getAsLong
+    val after = CountingLocalFileSystem.parquetStatusCalls.get()
+    assert(after === before,
+      s"planning must be metadata-only, saw ${after - before} status RPCs")
+    assert(parts.nonEmpty)
+    assert(bytes === cur.files.map(cur.sizes).sum)
+    assert(stats.numRows().getAsLong === TsStore.countAt(dir).get)
+    // the layout is REAL: reading those partitions yields the live rows
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() === TsStore.load(spark, dir).count())
+  }
+
+  test("aggregate pushdown REFUSES MIN/MAX on a timestamp partition column (no silent nulls)") {
+    import graft.sources.GraftAggScan
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_tspart").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), t("2024-01-01 00:00:00"), 1.0),
+      (2L, t("2024-01-01 00:01:00"), t("2024-01-01 00:00:00"), 2.0),
+      (3L, t("2024-01-02 00:00:00"), t("2024-01-02 00:00:00"), 3.0),
+      (4L, t("2024-01-03 00:00:00"), t("2024-01-03 00:00:00"), 4.0))
+      .toDF("id", "ts", "pt", "v")
+    TsStore.write(rows, dir, tsCol = "ts", uidCols = Seq("pt"))
+    StoreLog.ensure(dir)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("tspart_v")
+    def aggScan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan])
+    // MIN/MAX on the timestamp partition column: partPseudoStats has no
+    // encoding for it, so the pushdown must REFUSE (previously it
+    // answered NULL) — and the normal computation must be right
+    val mm = spark.sql("SELECT min(pt) AS lo, max(pt) AS hi, count(pt) AS c FROM tspart_v")
+    assert(!aggScan(mm), "timestamp partition MIN/MAX must refuse the manifest answer")
+    val got = mm.head()
+    assert(got.getTimestamp(0) === t("2024-01-01 00:00:00"))
+    assert(got.getTimestamp(1) === t("2024-01-03 00:00:00"))
+    assert(got.getLong(2) === 4L)
+    // COUNT(pt) alone IS servable — null-ness needs only the directory
+    // segment, which any partition type answers
+    val c = spark.sql("SELECT count(pt) AS c FROM tspart_v")
+    assert(aggScan(c), "COUNT(partition col) stays manifest-served")
+    assert(c.head().getLong(0) === 4L)
+  }
+
   test("GraftCatalog: CREATE / INSERT / SELECT / time travel / DROP from SQL") {
     val root = Files.createTempDirectory("graft_cat").toString
     spark.conf.set("spark.sql.catalog.gtest", classOf[graft.sources.GraftCatalog].getName)

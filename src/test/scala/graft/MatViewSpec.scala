@@ -323,6 +323,50 @@ class MatViewSpec extends AnyFunSuite {
     viewEqualsRecompute(sdir, vdir)
   }
 
+  test("refresh lock: heartbeat renews a long-running holder; owned() tracks loss; stale takeover is content-matched") {
+    val root = Files.createTempDirectory("graft_mvhb").toString
+    val vdir = s"$root/view"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(StoreLog.logDir(vdir)))
+    val lock = new java.io.File(s"${StoreLog.logDir(vdir)}/.refresh_lock")
+    // 1) heartbeat: a holder whose body outlives several heartbeat
+    // periods keeps the lock's mtime fresh — a healthy long refresh is
+    // never reclaimable as stale
+    val prevHb = MatView.LockHeartbeatMs
+    MatView.LockHeartbeatMs = 150L
+    try {
+      MatView.withRefreshLock(vdir) { owned =>
+        assert(owned(), "holder must own the lock it just acquired")
+        val m0 = lock.lastModified()
+        // age the lock artificially; the heartbeat must touch it back
+        assert(lock.setLastModified(m0 - 60000))
+        Thread.sleep(600)
+        assert(lock.lastModified() > m0 - 60000,
+          "heartbeat must renew the held lock's mtime while the body runs")
+        // 2) owned(): lose the lock to a foreign takeover mid-body —
+        // the pre-commit check must see it
+        assert(lock.delete())
+        java.nio.file.Files.write(lock.toPath, "foreign".getBytes("UTF-8"))
+        assert(!owned(), "a replaced lock must read as not-owned")
+      }
+    } finally MatView.LockHeartbeatMs = prevHb
+    // release must NOT have deleted the foreign successor's lock
+    assert(lock.exists(), "release deleted a lock it did not own")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8") === "foreign")
+    lock.delete()
+
+    // 3) content-matched stale delete: a STALE lock is taken over, and
+    // after the takeover the new holder's own token survives its body
+    java.nio.file.Files.write(lock.toPath, "crashed-holder".getBytes("UTF-8"))
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - MatView.LockStaleMs - 60000))
+    val ran = MatView.withRefreshLock(vdir) { owned =>
+      assert(owned()); 42
+    }
+    assert(ran === 42)
+    assert(!lock.exists(), "takeover holder must release its own lock")
+  }
+
   test("a group netting to zero disappears from reads (cnt=0 tombstone)") {
     val sdir = Files.createTempDirectory("graft_mv0_s").toString
     val vdir = Files.createTempDirectory("graft_mv0_v").toString

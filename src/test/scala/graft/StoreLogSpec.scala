@@ -112,6 +112,33 @@ class StoreLogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifests record per-file byte sizes; deltas carry them; vacuum's rewrite keeps them") {
+    val (dir, _) = freshStore()
+    StoreLog.ensure(dir)
+    def checkComplete(): Unit = {
+      val snap = StoreLog.latest(dir).get
+      assert(snap.files.nonEmpty)
+      snap.files.foreach { f =>
+        val actual = new java.io.File(s"$dir/$f").length()
+        assert(snap.sizes.get(f) === Some(actual),
+          s"recorded size for $f must equal the on-disk length")
+      }
+    }
+    checkComplete()
+    // an upsert's DELTA commit carries the new files' sizes; survivors
+    // keep theirs through the chain resolution
+    TsStore.upsert(spark, dir, delta(10, 5.0), keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    checkComplete()
+    // a keyed delete's rewrite re-records the rewritten files' sizes
+    TsStore.delete(spark, dir, col("event_type") === "click" && col("event_id") % 7 === 0,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    checkComplete()
+    // vacuum's oldest-retained checkpoint rewrite must not lose the index
+    TsStore.vacuum(dir, retainVersions = 1)
+    checkComplete()
+  }
+
   test("the commit primitive is atomic ACROSS PROCESSES: one hard link wins") {
     // the CAS is link(2) — a kernel-level fail-if-exists. Eight separate
     // OS processes race distinct sources onto one target; regardless of
