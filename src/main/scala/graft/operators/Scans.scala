@@ -789,6 +789,111 @@ object Scans {
       },
       Some("SELECT event_id, ts, user_id, event_type, value " +
         "FROM events ORDER BY event_id"),
-      "named-table catalog: CREATE TABLE USING graft + INSERT INTO + SELECT, pure SQL")
+      "named-table catalog: CREATE TABLE USING graft + INSERT INTO + SELECT, pure SQL"),
+
+    "store_sql_alter" -> DeclaredQuery(
+      // ALTER TABLE ADD COLUMN as a metadata-only manifest commit: the
+      // declared-schema property updates, no data file is touched, and
+      // rows written BEFORE the ALTER surface NULL for the new column
+      // (parquet null-fills absent fields) while a post-ALTER INSERT
+      // carries real values — the catalog-DDL face of the write-side
+      // schema-union evolution already pinned in TsStoreSpec.
+      (s, d) => {
+        val root = sinkDir("alter_root", d)
+        val cat = s"graftalt_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_alt_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_alt_src")
+        s.sql(s"ALTER TABLE $cat.main.events ADD COLUMN score DOUBLE")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id + 10000000, ts, user_id, event_type, value, " +
+          "value * 2.0 FROM graft_alt_src")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value, score " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, user_id, event_type, value, " +
+        "CAST(NULL AS DOUBLE) AS score FROM events " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value, " +
+        "value * 2.0 AS score FROM events) " +
+        "SELECT event_id, ts, user_id, event_type, value, score FROM u ORDER BY event_id"),
+      "ALTER TABLE ADD COLUMN: metadata-only schema evolution, old rows read back NULL"),
+
+    "store_sql_group_fast" -> DeclaredQuery(
+      // GROUPED aggregate pushdown: GROUP BY a partition column with
+      // COUNT/MIN/MAX answers from the MANIFEST alone — the group key is
+      // the directory value, the aggregates come from recorded per-file
+      // stats, zero file IO (store_catalog_fast's catalogAt role on the
+      // STANDARD scan interface, reachable from any SQL client).
+      // GraftTableSpec pins the plan (GraftAggScan) and the refusal for
+      // data-column grouping. The store lives through an upsert first so
+      // the stats answering are post-rewrite.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("dsv2_gagg", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val delta = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            (col("value") * 3.0).as("value"), lit(2L).as("version"))
+        TsStore.upsert(s, dir, delta, keyCols = Seq("event_id"),
+          versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+        s.read.format("graft").load(dir).createOrReplaceTempView("graft_gagg_v")
+        s.sql("SELECT event_type, count(*) AS n_rows, " +
+          "min(event_id) AS id_lo, max(event_id) AS id_hi, max(ts) AS ts_max " +
+          "FROM graft_gagg_v GROUP BY event_type ORDER BY event_type")
+      },
+      Some("SELECT event_type, count(*) AS n_rows, min(event_id) AS id_lo, " +
+        "max(event_id) AS id_hi, max(ts) AS ts_max " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      "grouped aggregate pushdown: GROUP BY partition column answered from the manifest, zero file IO"),
+
+    "store_sql_delete" -> DeclaredQuery(
+      // SQL row-level DML: DELETE FROM a graft catalog table
+      // (SupportsDelete → TsStore.delete's file-granular copy-on-write).
+      // The takedown verb through the door BI/SQL users walk through —
+      // only files holding matches are rewritten (GraftTableSpec pins
+      // the file granularity and that the pre-delete version stays
+      // readable VERSION AS OF), one atomic manifest commit, and the
+      // ordered read-back gates the exact SQL DELETE semantics against
+      // the oracle's NOT(pred) filter.
+      (s, d) => {
+        val root = sinkDir("del_root", d)
+        val cat = s"graftdel_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_del_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_del_src")
+        s.sql(s"DELETE FROM $cat.main.events " +
+          "WHERE event_type = 'click' AND event_id % 7 = 0")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE NOT (event_type = 'click' AND event_id % 7 = 0) " +
+        "ORDER BY event_id"),
+      "SQL DELETE FROM on a catalog table: file-granular copy-on-write, pre-delete versions time-travelable")
   )
 }

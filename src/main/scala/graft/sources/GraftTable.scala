@@ -185,6 +185,71 @@ object GraftTable {
     case _ => None
   }
 
+  /** DSv2 `Predicate`/expression → `Column`, EXACT or nothing — the
+    * DELETE translation. Unlike [[filterColumn]] (conservative pruning,
+    * where dropping an AND side only widens the kept set), a DELETE
+    * predicate must be translated in FULL: an approximated predicate
+    * would delete the wrong rows. Any untranslatable subtree refuses
+    * the whole predicate, and `canDeleteWhere` then refuses the
+    * operation loudly. Built with the PUBLIC Column DSL (not wrapped
+    * catalyst expressions) so the manifest-stat prune
+    * ([[org.apache.spark.sql.GraftShim.predTree]]) still sees the tree
+    * and the copy-on-write opens only candidate files.
+    */
+  private[sources] def v2Column(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[Column] = {
+    import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, Literal => V2Literal, NamedReference}
+    e match {
+      case l: V2Literal[_] =>
+        Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType)))
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(col(r.fieldNames.head))
+      case g: GeneralScalarExpression =>
+        val kids = g.children.toSeq
+        def bin(f: (Column, Column) => Column): Option[Column] =
+          if (kids.length == 2)
+            for { a <- v2Column(kids(0)); b <- v2Column(kids(1)) } yield f(a, b)
+          else None
+        def un(f: Column => Column): Option[Column] =
+          if (kids.length == 1) v2Column(kids.head).map(f) else None
+        g.name match {
+          case "ALWAYS_TRUE" => Some(lit(true))
+          case "ALWAYS_FALSE" => Some(lit(false))
+          case "AND" => bin(_ && _)
+          case "OR" => bin(_ || _)
+          case "NOT" => un(!_)
+          case "=" => bin(_ === _)
+          case "<>" | "!=" => bin(_ =!= _)
+          case "<=>" => bin(_ <=> _)
+          case "<" => bin(_ < _)
+          case "<=" => bin(_ <= _)
+          case ">" => bin(_ > _)
+          case ">=" => bin(_ >= _)
+          case "+" => bin(_ + _)
+          case "-" => if (kids.length == 1) un(c => org.apache.spark.sql.functions.negate(c)) else bin(_ - _)
+          case "*" => bin(_ * _)
+          case "/" => bin(_ / _)
+          case "%" => bin(_ % _)
+          case "ABS" => un(org.apache.spark.sql.functions.abs)
+          case "IS_NULL" => un(_.isNull)
+          case "IS_NOT_NULL" => un(_.isNotNull)
+          case "STARTS_WITH" => bin(_ startsWith _)
+          case "ENDS_WITH" => bin(_ endsWith _)
+          case "CONTAINS" => bin(_ contains _)
+          case "IN" if kids.nonEmpty =>
+            for {
+              h <- v2Column(kids.head)
+              rest <- kids.tail.foldLeft(Option(Seq.empty[Column])) {
+                case (acc, k) => for { a <- acc; c <- v2Column(k) } yield a :+ c
+              }
+            } yield h.isin(rest: _*)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** One file's raw partition-directory value for column `name`:
     * `None` = the path has no segment for the column at all;
     * `Some(None)` = the `__HIVE_DEFAULT_PARTITION__` null;
@@ -251,10 +316,43 @@ object GraftTable {
 class GraftTable(val path: String, asOf: Option[Long],
                  declaredSchema: StructType, declaredParts: Seq[String],
                  tsCol: String, startingVersion: Long = 1L)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def name(): String =
     asOf.fold(s"graft:$path")(v => s"graft:$path@v$v")
+
+  private def effectiveParts: Seq[String] =
+    if (declaredParts.nonEmpty) declaredParts else GraftTable.partCols(path)
+
+  /** SQL row-level DML: `DELETE FROM <table> WHERE ...` delegates to
+    * [[TsStore.delete]]'s FILE-GRANULAR copy-on-write — manifest-stat
+    * pruning finds the candidate files, only files actually holding
+    * matches are rewritten (their survivors), one atomic manifest
+    * commit, and every pre-delete version stays readable `VERSION AS
+    * OF` until vacuum. The translation is all-or-nothing
+    * ([[GraftTable.v2Column]]): a predicate this face cannot express
+    * EXACTLY refuses here, and Spark reports the unsupported DELETE
+    * instead of deleting the wrong rows.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    asOf.isEmpty && effectiveParts.nonEmpty &&
+      predicates.forall(p => GraftTable.v2Column(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(asOf.isEmpty, s"cannot DELETE from a time-travel view of $path")
+    val uids = effectiveParts
+    require(uids.nonEmpty,
+      s"DELETE needs a partitioned graft store at $path (copy-on-write " +
+        "rewrites are partition-scoped)")
+    val pred = predicates.toSeq.flatMap(p => GraftTable.v2Column(p))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TsStore.delete(SparkSession.active, path, pred, tsCol = tsCol,
+      uidCols = uids)
+    ()
+  }
 
   override def schema(): StructType = declaredSchema
 
@@ -480,9 +578,26 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 
   private var aggPushed: Option[Aggregation] = None
 
+  /** GROUP BY is servable when every grouping expression is a bare
+    * PARTITION column and every live file carries a directory segment
+    * for it — the group key is then pure driver metadata (`SELECT uid,
+    * count(*) ... GROUP BY uid` on a million-file store is a manifest
+    * walk, zero file IO: the `TsStore.catalogAt` role on the standard
+    * scan interface). Ungrouped aggregation is the empty case.
+    */
+  private def groupable(agg: Aggregation): Boolean = {
+    val names = agg.groupByExpressions.toSeq.map(colNameOf)
+    names.forall(_.isDefined) && {
+      val gs = names.flatten
+      gs.forall(partColNames.contains) &&
+        aggSnap.exists(_.files.forall(f =>
+          gs.forall(g => GraftTable.partSegRaw(f, g).isDefined)))
+    }
+  }
+
   private def canServe(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
+    pushed.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      groupable(agg) &&
       agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = canServe(agg)
@@ -509,26 +624,27 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
   }
 
-  /** The pushed aggregation's single result row + schema, computed from
-    * the manifest. Called only after canServe held.
+  /** The per-aggregate result fields and their values over `files` —
+    * one group's slice (the whole store when ungrouped). Called only
+    * after canServe held.
     */
-  private def aggResult(agg: Aggregation): (StructType, Array[Any]) = {
-    val snap = aggSnap.get
+  private def aggSlice(agg: Aggregation,
+                       files: Seq[String]): (Seq[StructField], Seq[Any]) = {
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     agg.aggregateExpressions.foreach {
       case _: CountStar =>
         fields += StructField("count(*)", LongType, nullable = false)
-        values += snap.files.map(f => rowsOf(f).get).sum
+        values += files.map(f => rowsOf(f).get).sum
       case c: Count =>
         val n = colNameOf(c.column).get
         fields += StructField(s"count($n)", LongType, nullable = false)
-        values += snap.files.map(f => nonNullCountOf(f, n).get).sum
+        values += files.map(f => nonNullCountOf(f, n).get).sum
       case m: Min =>
         val n = colNameOf(m.column).get
         val dt = fullSchema.fields.find(_.name == n).get.dataType
         fields += StructField(s"min($n)", dt)
-        val mins = snap.files.flatMap(f => boundsOf(f, n).get.map(_._1))
+        val mins = files.flatMap(f => boundsOf(f, n).get.map(_._1))
         values += (if (mins.isEmpty) null
                    else internalOf(mins.reduce((a, b) =>
                      if (cmpDomain(dt, a, b) <= 0) a else b), dt))
@@ -536,53 +652,98 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
         val n = colNameOf(m.column).get
         val dt = fullSchema.fields.find(_.name == n).get.dataType
         fields += StructField(s"max($n)", dt)
-        val maxs = snap.files.flatMap(f => boundsOf(f, n).get.map(_._2))
+        val maxs = files.flatMap(f => boundsOf(f, n).get.map(_._2))
         values += (if (maxs.isEmpty) null
                    else internalOf(maxs.reduce((a, b) =>
                      if (cmpDomain(dt, a, b) >= 0) a else b), dt))
       case other => throw new IllegalStateException(s"unservable aggregate $other")
     }
-    (StructType(fields.result()), values.result().toArray)
+    (fields.result(), values.result())
+  }
+
+  /** A raw partition-directory group value → catalyst-internal, via the
+    * same unescape + Cast the ordinary partitioned read uses
+    * ([[StoreChangeSource.partitionValues]]) — so a pushed GROUP BY
+    * groups exactly like the unpushed plan would.
+    */
+  private def groupInternal(raw: Option[String], f: StructField): Any = raw match {
+    case None => null
+    case Some(r) =>
+      if (f.dataType == StringType)
+        org.apache.spark.unsafe.types.UTF8String.fromString(r)
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r), StringType),
+        f.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval(null)
+  }
+
+  /** The pushed aggregation's result rows + schema, computed from the
+    * manifest alone: group the live FILES by their directory-encoded
+    * group values, aggregate each group's recorded stats. Ungrouped =
+    * one row over all files.
+    */
+  private def aggResultRows(agg: Aggregation): (StructType, Seq[Array[Any]]) = {
+    val snap = aggSnap.get
+    val groupNames = agg.groupByExpressions.toSeq.map(e => colNameOf(e).get)
+    val groupFields = groupNames.map(n => fullSchema.fields.find(_.name == n).get)
+    val aggSchema = aggSlice(agg, Seq.empty)._1 // schema is files-independent
+    val resultSchema = StructType(
+      groupFields.map(_.copy(nullable = true)) ++ aggSchema)
+    if (groupNames.isEmpty)
+      (resultSchema, Seq(aggSlice(agg, snap.files)._2.toArray))
+    else {
+      val byGroup = snap.files.groupBy(f =>
+        groupNames.map(g => GraftTable.partSegRaw(f, g).get))
+      val rows = byGroup.toSeq.map { case (gvals, files) =>
+        (gvals.zip(groupFields).map { case (r, f) => groupInternal(r, f) } ++
+          aggSlice(agg, files)._2).toArray
+      }
+      (resultSchema, rows)
+    }
   }
 
   override def build(): Scan = aggPushed match {
     case Some(agg) =>
-      val (schema, row) = aggResult(agg)
-      new GraftAggScan(path, schema, row)
+      val (schema, rows) = aggResultRows(agg)
+      new GraftAggScan(path, schema, rows)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
         startingVersion, limit, topN)
   }
 }
 
-/** The one-row scan a completely-pushed aggregation returns: the value
-  * was computed from manifest metadata at plan time; execution ships a
-  * single InternalRow. Zero file IO — the whole point.
+/** The scan a completely-pushed aggregation returns: values computed
+  * from manifest metadata at plan time; execution ships one InternalRow
+  * per group (one total when ungrouped). Zero file IO — the whole
+  * point. All rows ride a single partition: the row count is the
+  * store's distinct-partition-value count — metadata-scale by
+  * construction.
   */
-class GraftAggScan(path: String, resultSchema: StructType, row: Array[Any])
+class GraftAggScan(path: String, resultSchema: StructType, rows: Seq[Array[Any]])
   extends Scan with Batch {
   override def readSchema(): StructType = resultSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-manifest-agg:$path ${resultSchema.fieldNames.mkString(",")}"
+    s"graft-manifest-agg:$path ${resultSchema.fieldNames.mkString(",")} rows=${rows.size}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(row))
+    Array(GraftAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory
 }
 
-private[sources] case class GraftAggPartition(row: Array[Any]) extends InputPartition
+private[sources] case class GraftAggPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.PartitionReader
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val vals = partition.asInstanceOf[GraftAggPartition].row
+    val it = partition.asInstanceOf[GraftAggPartition].rows.iterator
     new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean = if (served) false else { served = true; true }
+      private var row: Array[Any] = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
       override def close(): Unit = ()
     }
   }
@@ -639,11 +800,24 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     fullSchema.fields.filterNot(f => partColNames.contains(f.name)))
   private val requiredData = StructType(
     required.fields.filterNot(f => partColNames.contains(f.name)))
+  private val requiredPart = StructType(
+    required.fields.filter(f => partColNames.contains(f.name)))
 
-  // reader output = required data columns ++ ALL partition columns (the
-  // partition values are driver metadata — appending them costs nothing)
-  override def readSchema(): StructType =
-    StructType(requiredData.fields ++ partSchema.fields)
+  // the parquet reader's natural layout: required data columns followed
+  // by the required partition columns (partition values are appended by
+  // the reader from driver metadata)
+  private val parquetOut = StructType(requiredData.fields ++ requiredPart.fields)
+
+  /** The scan answers EXACTLY the requested schema, in the requested
+    * ORDER. A scan that reorders (e.g. appends partition columns last
+    * when the table declares them mid-schema) forces Spark to wrap the
+    * relation in a restoring Project — harmless for SELECT but fatal
+    * for `DELETE FROM` (the DSv2 delete strategy requires a bare scan
+    * relation). The reader factories permute the parquet layout back
+    * ([[GraftColumnarReaderFactory]] reorders batch vectors — free;
+    * the row path projects).
+    */
+  override def readSchema(): StructType = required
 
   /** DYNAMIC partition pruning (DSv2 runtime filtering): a join whose
     * build side filters the store's partition column delivers its
@@ -654,8 +828,13 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     */
   @volatile private var runtime: Array[Filter] = Array.empty
 
+  // only partition columns IN THE SCAN OUTPUT are DPP-filterable: Spark
+  // resolves these refs against the scan's own attributes (a pruned-away
+  // partition column would fail resolution — and could never be a join
+  // key of this scan anyway)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partColNames.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    partColNames.filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
@@ -810,7 +989,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
     val splits: Seq[PartitionedFile] = lens.flatMap { case (rel, len) =>
-      val pv = StoreChangeSource.partitionValues(rel, partSchema, 0L)
+      val pv = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
       val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
       if (len == 0) Seq.empty
       else (0L until len by maxSplit).map { off =>
@@ -837,12 +1016,16 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // never paid. Nested/map projections take the row path.
     val columnar = fmt.supportBatch(spark, readSchema())
     val readerFunc = fmt
-      .buildReaderWithPartitionValues(spark, dataSchema, partSchema, requiredData,
+      .buildReaderWithPartitionValues(spark, dataSchema, requiredPart, requiredData,
         dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-    if (columnar) new GraftColumnarReaderFactory(readerFunc)
-    else new StoreChangeReaderFactory(readerFunc)
+    // permutation from the reader's (data ++ part) layout back to the
+    // REQUESTED column order (identity when partition columns trail)
+    val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
+    if (columnar) new GraftColumnarReaderFactory(readerFunc, perm)
+    else new StoreChangeReaderFactory(
+      GraftColumnarReaderFactory.permuteRows(readerFunc, perm, parquetOut))
   }
 
   /** Manifest-derived stats for the planner: row count is exact when
@@ -881,14 +1064,20 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
 /** Columnar twin of [[StoreChangeReaderFactory]]: the reader function
   * was built with `returning_batch=true`, so it yields ColumnarBatches
   * directly — handed to Spark unwrapped, the scan participates in
-  * whole-stage codegen's batch loop like FileSourceScanExec's.
+  * whole-stage codegen's batch loop like FileSourceScanExec's. `perm`
+  * reorders the batch's column VECTORS from the reader's (data ++
+  * partition) layout into the scan's declared order — a pointer
+  * shuffle per batch, zero data movement.
   */
 private[sources] class GraftColumnarReaderFactory(
-    readerFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow])
+    readerFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    perm: Array[Int])
   extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.PartitionReader
   import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val identity = perm.zipWithIndex.forall { case (p, i) => p == i }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -900,11 +1089,21 @@ private[sources] class GraftColumnarReaderFactory(
     val batches = GraftColumnarReaderFactory.filesOf(partition).iterator
       .flatMap(f => readerFunc(f).asInstanceOf[Iterator[ColumnarBatch]])
     new PartitionReader[ColumnarBatch] {
+      // the ORIGINAL batch owns the vectors — close that one, not the
+      // permuted view
+      private var src: ColumnarBatch = _
       private var batch: ColumnarBatch = _
       override def next(): Boolean =
-        if (batches.hasNext) { batch = batches.next(); true } else false
+        if (batches.hasNext) {
+          src = batches.next()
+          batch =
+            if (identity) src
+            else new ColumnarBatch(
+              perm.map(src.column(_)), src.numRows())
+          true
+        } else false
       override def get(): ColumnarBatch = batch
-      override def close(): Unit = if (batch != null) batch.close()
+      override def close(): Unit = if (src != null) src.close()
     }
   }
 }
@@ -917,6 +1116,23 @@ private[sources] object GraftColumnarReaderFactory {
     case s: StoreChangeInputPartition => Seq(s.file)
     case f: org.apache.spark.sql.execution.datasources.FilePartition => f.files.toSeq
     case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+
+  /** Row-path twin of the columnar permutation: project each row from
+    * `srcSchema` order into `perm`'s target order (identity = no-op).
+    * The projection is created per reader invocation (executor-side).
+    */
+  def permuteRows(
+      readerFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      perm: Array[Int], srcSchema: StructType)
+      : PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    if (perm.zipWithIndex.forall { case (p, i) => p == i }) readerFunc
+    else { file =>
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      val proj = UnsafeProjection.create(perm.map(i =>
+        BoundReference(i, srcSchema(i).dataType, srcSchema(i).nullable)))
+      readerFunc(file).map(proj)
+    }
   }
 }
 
@@ -1031,13 +1247,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableAt(p, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution flows through writes")
+  /** `ALTER TABLE ... ADD COLUMN` / `SET TBLPROPERTIES`: a metadata-only
+    * manifest commit updating the declared [[GraftTable.SchemaProp]] —
+    * no data files touched; old rows surface NULL for the new column
+    * (the parquet reader null-fills fields absent from a file's
+    * schema, the same union semantics the write-side evolution is
+    * spec-pinned on). Added columns must be top-level, nullable, and
+    * tail-positioned; everything else (drop/rename/retype) still
+    * refuses — those need data rewrites this catalog deliberately
+    * doesn't hide behind DDL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isStore(p)) throw new NoSuchTableException(ident)
+    val cur = StoreLog.latest(p).getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    var schema = cur.props.get(GraftTable.SchemaProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(GraftTable.resolveSchema(spark, p, None))
+    var props = Map.empty[String, String]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN supports top-level columns only")
+        val name = add.fieldNames.head
+        require(add.isNullable,
+          s"added column '$name' must be nullable — existing rows have no value for it")
+        require(add.position() == null,
+          "ALTER TABLE ADD COLUMN supports tail position only (FIRST/AFTER " +
+            "would reorder the declared schema under live readers)")
+        require(!schema.fieldNames.contains(name),
+          s"column '$name' already exists in ${ident.name}")
+        schema = schema.add(StructField(name, add.dataType, nullable = true,
+          metadata = Option(add.comment()).fold(Metadata.empty)(c =>
+            new MetadataBuilder().putString("comment", c).build())))
+      case sp: TableChange.SetProperty =>
+        require(!sp.property.startsWith("graft."),
+          s"property '${sp.property}' is managed by the store")
+        props += sp.property -> sp.value
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported; schema evolution " +
+          "beyond ADD COLUMN flows through writes")
+    }
+    StoreLog.commit(p, cur.version, Seq.empty, cur.files, parent = Some(cur),
+      setProps = props + (GraftTable.SchemaProp -> schema.json))
+    tableAt(p, None)
+  }
 
+  /** DROP TABLE is deliberately destructive (directory + full
+    * time-travel history — the table-format convention), but NEVER out
+    * from under a live writer: while any fresh writer lease exists the
+    * drop refuses loudly, the same handshake vacuum honors. A crashed
+    * writer's stale lease expires by mtime and stops blocking.
+    */
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)
     if (!isStore(p)) false
+    else if (StoreLog.hasFreshWriterLease(p))
+      throw new IllegalStateException(
+        s"cannot DROP ${ident.namespace.mkString(".")}.${ident.name}: a " +
+          "writer lease is fresh (live commit in flight) — retry after it " +
+          s"completes or expires (${StoreLog.WriterLeaseMs / 1000}s)")
     else { io.deleteDir(p); true }
   }
 

@@ -262,7 +262,13 @@ private[sources] class StoreChangeStream(spark: SparkSession, schema: StructType
         Seq.empty,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-    new StoreChangeReaderFactory(readerFunc)
+    // the reader emits (data ++ partition); permute back to the DECLARED
+    // schema order — a catalog table may declare its partition column
+    // mid-schema, and the stream's rows must match the schema it claims
+    val outSchema = StructType(dataSchema.fields ++ partSchema.fields)
+    val perm = schema.fieldNames.map(outSchema.fieldIndex)
+    new StoreChangeReaderFactory(
+      GraftColumnarReaderFactory.permuteRows(readerFunc, perm, outSchema))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -162,6 +162,28 @@ object StoreLog {
     }
   }
 
+  /** Whether any writer lease at `path` is still FRESH — the guard
+    * destructive verbs (DROP TABLE) check before removing the store: a
+    * live writer's staged/adopted files would vanish mid-commit, and
+    * even the store's own vacuum honors leases. An unreadable mtime
+    * counts as not-fresh only if the file vanished; transient errors
+    * read as fresh (conservative — refuse the drop, retry later).
+    */
+  def hasFreshWriterLease(path: String): Boolean = {
+    val fsio = io(path)
+    if (!fsio.isDir(logDir(path))) return false
+    val now = System.currentTimeMillis()
+    fsio.list(logDir(path)).map(_.name).filter(_.startsWith(".lease_"))
+      .exists { n =>
+        try now - fsio.mtimeMs(s"${logDir(path)}/$n") < WriterLeaseMs
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.FileNotFoundException => false
+          case _: java.io.IOException | _: java.io.UncheckedIOException => true
+        }
+      }
+  }
+
   private val mapper = new ObjectMapper()
 
   /** True for a plain (scheme-less) local filesystem path — these take

@@ -102,10 +102,12 @@ class GraftTableSpec extends AnyFunSuite {
     val wantSlice = TsStore.load(spark, dir).filter(col("ts") >= lo && col("ts") <= hi)
     assert(slice.count() === wantSlice.count())
     assert(slice.count() > 0)
-    // column pruning narrows the reader's schema (partition cols ride free)
+    // column pruning narrows the reader's schema to EXACTLY the request
+    // (requested order — a reordering scan would force a restoring
+    // Project and break the DSv2 DELETE strategy)
     val proj = spark.read.format("graft").load(dir).select("event_id", "value")
     val projScan = scanOf(proj)
-    assert(projScan.readSchema().fieldNames.toSet === Set("event_id", "value", "event_type"))
+    assert(projScan.readSchema().fieldNames.toSeq === Seq("event_id", "value"))
     // an atomic-columns projection reads COLUMNAR (vectorized batches
     // into whole-stage codegen, like a native parquet scan) and agrees
     // with the row path's answer
@@ -441,6 +443,156 @@ class GraftTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gtest.ns.ticks WHERE event_type = 'view'").count() === 0)
     spark.sql("DROP TABLE gtest.ns.ticks")
     assert(!spark.sql("SHOW TABLES IN gtest.ns").collect().map(_.getString(1)).contains("ticks"))
+  }
+
+  test("GROUPED aggregate pushdown: GROUP BY partition column answers from the manifest") {
+    import graft.sources.GraftAggScan
+    val (dir, _) = buildStore(maxRecords = 100)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("gagg_fact")
+    // AQE wraps stages in leaf QueryStageExec nodes — unwrap recursively
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansOf)
+    }
+    def aggScan(df: org.apache.spark.sql.DataFrame) =
+      scansOf(df.queryExecution.executedPlan).map(_.scan)
+        .exists(_.isInstanceOf[GraftAggScan])
+    val df = spark.sql(
+      "SELECT event_type, count(*) AS n, count(user_id) AS nu, " +
+        "min(event_id) AS lo, max(ts) AS tmax " +
+        "FROM gagg_fact GROUP BY event_type ORDER BY event_type")
+    assert(aggScan(df), s"grouped agg must be manifest-served: ${df.queryExecution.executedPlan}")
+    val want = TsStore.load(spark, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("user_id")).as("nu"),
+        min("event_id").as("lo"), max("ts").as("tmax"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq === want.collect().toSeq)
+    // grouping by a DATA column refuses (its values are not driver
+    // metadata) and still answers right
+    val byData = spark.sql(
+      "SELECT user_id, count(*) AS n FROM gagg_fact GROUP BY user_id ORDER BY user_id LIMIT 5")
+    assert(!aggScan(byData), "data-column grouping must not be manifest-served")
+    assert(byData.count() === 5)
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only; destructive changes refuse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_alt").toString
+    spark.conf.set("spark.sql.catalog.galt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS galt.ns")
+    spark.sql(
+      """CREATE TABLE galt.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), "a", 1.0), (2L, t("2024-01-01 00:01:00"), "b", 2.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("galt_src")
+    spark.sql("INSERT INTO galt.ns.t SELECT * FROM galt_src")
+    val tablePath = s"$root/ns/t"
+    val filesBefore = StoreLog.latest(tablePath).get.files
+    spark.sql("ALTER TABLE galt.ns.t ADD COLUMN score DOUBLE")
+    // metadata-only: same data files, new declared schema
+    assert(StoreLog.latest(tablePath).get.files === filesBefore,
+      "ALTER ADD COLUMN must not touch data files")
+    val widened = spark.sql("SELECT id, score FROM galt.ns.t ORDER BY id").collect()
+    assert(widened.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(widened.forall(_.isNullAt(1)), "pre-ALTER rows must read NULL")
+    // post-ALTER insert carries real values; old rows stay NULL
+    spark.sql("INSERT INTO galt.ns.t VALUES (3, TIMESTAMP '2024-01-02 00:00:00', 'a', 3.0, 9.5)")
+    val all = spark.sql("SELECT id, score FROM galt.ns.t ORDER BY id").collect()
+    assert(all.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+      === Seq(null, null, 9.5))
+    // refusals: NOT NULL, DROP, RENAME
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.ns.t ADD COLUMN bad INT NOT NULL") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN v") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t RENAME COLUMN v TO w") }
+    // the declared schema survives the refusals untouched
+    assert(spark.table("galt.ns.t").schema.fieldNames.toSeq ===
+      Seq("id", "ts", "k", "v", "score"))
+  }
+
+  test("DROP TABLE refuses while a writer lease is fresh; proceeds once it expires") {
+    val root = Files.createTempDirectory("graft_dropg").toString
+    spark.conf.set("spark.sql.catalog.gdrop", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdrop.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdrop.ns")
+    spark.sql(
+      """CREATE TABLE gdrop.ns.t (id BIGINT, ts TIMESTAMP, k STRING)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    val tablePath = s"$root/ns/t"
+    // a FRESH lease = a live writer mid-commit: DROP must refuse
+    val lease = new java.io.File(s"${StoreLog.logDir(tablePath)}/.lease_droptest")
+    java.nio.file.Files.write(lease.toPath,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    val e = intercept[Exception] { spark.sql("DROP TABLE gdrop.ns.t") }
+    def root0(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root0(t.getCause)
+    assert((e.getMessage + root0(e).getMessage).contains("lease"),
+      s"refusal must name the lease: ${e.getMessage}")
+    assert(new java.io.File(tablePath).exists(), "refused DROP must not delete anything")
+    // lease expired (crashed writer): DROP proceeds
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - StoreLog.WriterLeaseMs - 60000))
+    spark.sql("DROP TABLE gdrop.ns.t")
+    assert(!new java.io.File(tablePath).exists())
+  }
+
+  test("SQL DELETE FROM rewrites ONLY matching files; pre-delete version stays VERSION AS OF-readable") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_sqldel").toString
+    spark.conf.set("spark.sql.catalog.gdel", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdel.ns")
+    spark.sql(
+      """CREATE TABLE gdel.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two INSERTs → two files per partition, with DISJOINT id ranges so
+    // manifest stats can prove which file holds the victim
+    Seq.tabulate(10)(i => (i + 1L, t(s"2024-01-01 00:0${i % 10}:00"), if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdel_src1")
+    Seq.tabulate(10)(i => (i + 101L, t(s"2024-01-02 00:0${i % 10}:00"), if (i % 2 == 0) "a" else "b", i * 2.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdel_src2")
+    spark.sql("INSERT INTO gdel.ns.t SELECT * FROM gdel_src1")
+    spark.sql("INSERT INTO gdel.ns.t SELECT * FROM gdel_src2")
+    val tablePath = s"$root/ns/t"
+    val before = StoreLog.latest(tablePath).get
+    assert(before.files.count(_.startsWith("k=a/")) >= 2,
+      s"two inserts must leave >=2 files under k=a, got ${before.files}")
+    val vBefore = before.version
+    // the victim row lives in exactly ONE file (sorted writes → disjoint
+    // id ranges per file; stats prove which)
+    spark.sql("DELETE FROM gdel.ns.t WHERE k = 'a' AND id = 3")
+    val after = StoreLog.latest(tablePath).get
+    val removed = before.files.toSet -- after.files.toSet
+    val added = after.files.toSet -- before.files.toSet
+    assert(removed.size === 1, s"only the matching file may be rewritten, removed=$removed")
+    assert(removed.forall(_.startsWith("k=a/")) && added.forall(_.startsWith("k=a/")),
+      s"k=b files must be untouched: removed=$removed added=$added")
+    // file granularity: every OTHER k=a file survives identically
+    assert((before.files.toSet - removed.head).subsetOf(after.files.toSet))
+    // content: live view lost exactly the victim row
+    assert(spark.sql("SELECT count(*) FROM gdel.ns.t").head().getLong(0) === 19L)
+    assert(spark.sql("SELECT count(*) FROM gdel.ns.t WHERE id = 3").head().getLong(0) === 0L)
+    // time travel: the pre-delete version still shows it
+    assert(spark.sql(s"SELECT count(*) FROM gdel.ns.t VERSION AS OF $vBefore WHERE id = 3")
+      .head().getLong(0) === 1L)
+    // a DELETE with no matches commits nothing new
+    val vAfter = StoreLog.latest(tablePath).get.version
+    spark.sql("DELETE FROM gdel.ns.t WHERE id = 99999")
+    assert(StoreLog.latest(tablePath).get.version === vAfter,
+      "a no-match DELETE must not commit a new version")
+    // full-table DELETE (no WHERE) works through the same verb
+    spark.sql("DELETE FROM gdel.ns.t")
+    assert(spark.sql("SELECT count(*) FROM gdel.ns.t").head().getLong(0) === 0L)
+    spark.sql("DROP TABLE gdel.ns.t")
   }
 
   test("CALL procedures: vacuum / compact / zorder from pure SQL") {
