@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.types.StructType
+
+/** The NATIVE DSv2 batch write for `INSERT INTO` on a graft table —
+  * the write-side twin of the manifest-planned scan. What the V1
+  * `InsertableRelation` fallback could never do: declare the store's
+  * CANONICAL layout to Spark's planner via
+  * [[RequiresDistributionAndOrdering]], so the engine itself
+  * range-partitions and sorts the incoming rows by (uid..., ts) BEFORE
+  * any writer task runs — the same
+  * `repartitionByRange(uid, ts).sortWithinPartitions` shape
+  * [[TsStore.write]] builds by hand, now arriving for free on every
+  * SQL `INSERT INTO`. The resulting files carry the same tight
+  * per-file ts bounds (manifest stats) the Scala write path produces,
+  * which is what makes every later ts-slice prunable.
+  *
+  * Commit protocol: tasks write parquet into a txn-private staging
+  * directory (UUID-named files — no coordination needed); the driver's
+  * [[BatchWrite.commit]] adopts the staged files and publishes ONE
+  * manifest version under a writer lease, with the same CAS-rebase
+  * retry as the Scala append (pure file additions serialize after any
+  * concurrent commit). A crash before the publish leaves the previous
+  * version live — readers never see a partial INSERT.
+  */
+class GraftBatchWrite(path: String, writeSchema: StructType,
+                      uids: Seq[String], tsCol: String,
+                      truncate: Boolean = false)
+  extends Write with RequiresDistributionAndOrdering {
+
+  require(uids.forall(writeSchema.fieldNames.contains),
+    s"partition columns ${uids.mkString(",")} must be in the written schema")
+
+  private val orderCols: Seq[String] =
+    uids ++ (if (writeSchema.fieldNames.contains(tsCol) && !uids.contains(tsCol))
+      Seq(tsCol) else Seq.empty)
+
+  /** Range-partition by (uid..., ts): a globally ORDERED distribution —
+    * co-locates each series' time range AND splits a skewed series
+    * across tasks by time, exactly the Scala path's
+    * `repartitionByRange`. Clustered-by-uid would hotspot one task per
+    * hot series.
+    */
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(ordering)
+
+  override def requiredOrdering(): Array[SortOrder] = ordering
+
+  private def ordering: Array[SortOrder] =
+    orderCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: BatchWrite = {
+    val spark = SparkSession.active
+    val staging = TsStore.txnDir(path)
+    // parquet write setup = the Scala path's: micros timestamps (INT96
+    // has no stats), zstd, 16 MB row groups, the store's bloom columns
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val conf = job.getConfiguration
+    val dataSchema = StructType(
+      writeSchema.fields.filterNot(f => uids.contains(f.name)))
+    val factory = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map("compression" -> "zstd"), dataSchema)
+    // AFTER prepareWrite (which pins the session's value): INT64 micros,
+    // never INT96 — INT96 columns carry no parquet min/max stats, which
+    // would silently strip the manifest's ts index from every INSERT
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.setLong("parquet.block.size", 16L << 20)
+    val blooms =
+      if (StoreLog.canLog(path)) StoreLog.latest(path).map(_.bloomCols).getOrElse(Nil)
+      else Nil
+    blooms.foreach(c => conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
+    val maxRecords = spark.conf
+      .getOption("spark.graft.write.maxRecordsPerFile").map(_.toLong)
+      .getOrElse(8L << 20)
+    new GraftBatchWriteExec(path, staging, writeSchema, uids, tsCol,
+      factory, new GraftSerializableConf(conf), truncate, maxRecords)
+  }
+
+  override def description(): String = s"graft-native-write:$path"
+}
+
+/** Driver-side commit half of the native write. */
+private[sources] class GraftBatchWriteExec(path: String, staging: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: OutputWriterFactory, conf: GraftSerializableConf,
+    truncate: Boolean, maxRecordsPerFile: Long = 8L << 20)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(staging, writeSchema, uids, tsCol, factory, conf,
+      maxRecordsPerFile)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    StoreLog.withWriterLease(path) { lease =>
+      val moved =
+        try StoreLog.adoptStaged(path, staging)
+        finally StoreLog.deleteStaging(staging)
+      val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+      var committed = false
+      var attempts = 0
+      while (!committed) {
+        lease.renew()
+        val cur = StoreLog.ensure(path)
+        // an OVERWRITE is a versioned REPLACE: only the new files live,
+        // every touched partition named in `replaced` (concurrent
+        // writers' rebase checks look for theirs there — the restore
+        // pattern); an APPEND is a pure addition that rebases cleanly
+        val (replaced, files) =
+          if (truncate)
+            ((cur.files ++ moved).map { f =>
+              val i = f.lastIndexOf('/')
+              if (i > 0) f.substring(0, i) else f
+            }.distinct.sorted, moved)
+          else (Seq.empty[String], cur.files ++ moved)
+        try {
+          StoreLog.commit(path, cur.version, replaced, files,
+            parent = Some(cur), addStats = movedStats, addSizes = movedSizes)
+          committed = true
+        } catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1; if (attempts > 50) throw c
+        }
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StoreLog.deleteStaging(staging)
+}
+
+private[sources] case class GraftWriteTaskResult(files: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class GraftDataWriterFactory(staging: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: OutputWriterFactory, conf: GraftSerializableConf,
+    maxRecordsPerFile: Long)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(staging, writeSchema, uids, tsCol, factory,
+      conf.value, partitionId, taskId, maxRecordsPerFile)
+}
+
+/** One task's writer: rows arrive SORTED by (uid..., ts) (the Write's
+  * required ordering), so partition-directory transitions are detected
+  * by comparing consecutive uid keys — one open file at a time, rolled
+  * on key change or the max-records bound. Partition values become
+  * hive-style `name=value` path segments with Spark's own escaping and
+  * string rendering (UTC cast), so the layout is byte-identical to the
+  * dynamic-partition writer's.
+  */
+private[sources] class GraftDataWriter(staging: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: OutputWriterFactory, conf: Configuration,
+    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataSchema = StructType(
+    writeSchema.fields.filterNot(f => uids.contains(f.name)))
+  private val uidIdx = uids.map(writeSchema.fieldIndex)
+  private val tsIdx =
+    if (writeSchema.fieldNames.contains(tsCol)) writeSchema.fieldIndex(tsCol) else -1
+
+  private val keyProj = UnsafeProjection.create(uidIdx.map(i =>
+    BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)).toArray
+    .asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
+  private val dataProj = UnsafeProjection.create(
+    writeSchema.fields.zipWithIndex.filterNot { case (f, _) => uids.contains(f.name) }
+      .map { case (f, i) => BoundReference(i, f.dataType, f.nullable) }
+      .toArray.asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
+  // partition value rendering: Cast-to-string in UTC — the same
+  // expression Spark's dynamic-partition writer uses for path segments
+  private val segCasts = uidIdx.map { i =>
+    Cast(BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable),
+      org.apache.spark.sql.types.StringType, Some(java.time.ZoneOffset.UTC.getId))
+  }
+
+  private val taskUuid = java.util.UUID.randomUUID().toString.replace("-", "")
+  private val written = Seq.newBuilder[String]
+  private var currentKey: UnsafeRow = _
+  private var writer: OutputWriter = _
+  private var fileSeq = 0
+  private var recordsInFile = 0L
+
+  private def attemptContext(): TaskAttemptContextImpl = {
+    val attemptId = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    new TaskAttemptContextImpl(conf, attemptId)
+  }
+
+  private def partitionDir(row: InternalRow): String =
+    uids.zip(segCasts).map { case (name, cast) =>
+      val v = cast.eval(row)
+      val seg =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"$name=$seg"
+    }.mkString("/")
+
+  private def roll(row: InternalRow): Unit = {
+    closeCurrent()
+    val dir = if (uids.isEmpty) "" else partitionDir(row) + "/"
+    val rel = f"${dir}part-$partitionId%05d-$taskUuid-$fileSeq%03d.parquet"
+    fileSeq += 1
+    recordsInFile = 0L
+    writer = factory.newInstance(s"$staging/$rel", dataSchema, attemptContext())
+    written += rel
+  }
+
+  private def closeCurrent(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+
+  override def write(row: InternalRow): Unit = {
+    if (tsIdx >= 0 && row.isNullAt(tsIdx))
+      throw new IllegalArgumentException(
+        s"null $tsCol value — refusing write (the store's time column is mandatory)")
+    val key = keyProj(row)
+    if (currentKey == null || key != currentKey) {
+      currentKey = key.copy()
+      roll(row)
+    } else if (recordsInFile >= maxRecordsPerFile) roll(row)
+    writer.write(dataProj(row))
+    recordsInFile += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    GraftWriteTaskResult(written.result())
+  }
+
+  override def abort(): Unit = closeCurrent()
+
+  override def close(): Unit = closeCurrent()
+}
+
+/** Minimal serializable Hadoop-Configuration carrier (the Spark-internal
+  * one is `private[spark]`).
+  */
+private[sources] class GraftSerializableConf(@transient var value: Configuration)
+  extends Serializable {
+  @throws(classOf[IOException])
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws(classOf[IOException])
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

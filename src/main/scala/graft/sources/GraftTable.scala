@@ -363,41 +363,35 @@ class GraftTable(val path: String, asOf: Option[Long],
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, path, asOf, declaredSchema,
       startingVersion)
 
+  /** The NATIVE batch write ([[GraftBatchWrite]]):
+    * `RequiresDistributionAndOrdering` makes Spark range-partition +
+    * sort the rows by (uid..., ts) before the writer tasks run, so an
+    * INSERT produces the store's canonical clustered layout — tight
+    * per-file ts bounds in the manifest, the thing every later slice
+    * prunes on. `INSERT OVERWRITE` is a versioned REPLACE commit (new
+    * files, every partition named in `replaced`, props inherited) — the
+    * pre-overwrite versions stay `VERSION AS OF`-readable until vacuum,
+    * an upgrade over the old V1 fallback's whole-log reset.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to a time-travel view of $path")
+    require(StoreLog.canLog(path),
+      s"writes need a loggable store path; '$path' has no commit backend")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, ov: Boolean): Unit = {
-              val uids =
-                if (declaredParts.nonEmpty) declaredParts
-                else GraftTable.partCols(path)
-              val mode =
-                if (overwrite || ov) SaveMode.Overwrite else SaveMode.Append
-              // catalog metadata (schema/tsCol/uids props) must survive
-              // an INSERT OVERWRITE's log reset
-              val savedProps =
-                if (mode == SaveMode.Overwrite && StoreLog.canLog(path))
-                  StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
-                else Map.empty[String, String]
-              TsStore.write(data, path, tsCol = tsCol, uidCols = uids,
-                mode = mode, overlapPolicy = TsStore.OverlapPolicy.Allow)
-              if (savedProps.nonEmpty && StoreLog.canLog(path)) {
-                val cur = StoreLog.ensure(path)
-                StoreLog.commit(path, cur.version, Seq.empty, cur.files,
-                  parent = Some(cur), setProps = savedProps)
-              }
-            }
-          }
+      override def build(): Write = {
+        val uids =
+          if (declaredParts.nonEmpty) declaredParts
+          else GraftTable.partCols(path)
+        new GraftBatchWrite(path, info.schema(), uids, tsCol,
+          truncate = overwrite)
       }
     }
   }

@@ -479,6 +479,69 @@ class GraftTableSpec extends AnyFunSuite {
     assert(byData.count() === 5)
   }
 
+  test("native INSERT INTO produces the canonical layout: tight disjoint per-file ts bounds, like the Scala write") {
+    val root = Files.createTempDirectory("graft_nw").toString
+    spark.conf.set("spark.sql.catalog.gnw", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnw.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnw.ns")
+    spark.sql(
+      """CREATE TABLE gnw.ns.ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |USING graft PARTITIONED BY (event_type)""".stripMargin)
+    // a deliberately UNSORTED source: the engine must impose the layout
+    Tables.events(spark, TestSpark.sf001)
+      .select(cols.map(col): _*)
+      .orderBy(hash(col("event_id"))) // scrambled
+      .createOrReplaceTempView("gnw_src")
+    // small roll bound so the fixture splits partitions across files
+    spark.conf.set("spark.graft.write.maxRecordsPerFile", "80")
+    try spark.sql("INSERT INTO gnw.ns.ev SELECT * FROM gnw_src")
+    finally spark.conf.unset("spark.graft.write.maxRecordsPerFile")
+    val tablePath = s"$root/ns/ev"
+    val snap = StoreLog.latest(tablePath).get
+    assert(snap.files.nonEmpty)
+    // every file carries recorded ts bounds + sizes (the INSERT commits
+    // through the same stats machinery as the Scala append)
+    snap.files.foreach { f =>
+      assert(snap.stats.get(f).exists(_.contains("ts")),
+        s"INSERT'd file $f must carry ts stats")
+      assert(snap.sizes.contains(f), s"INSERT'd file $f must carry its size")
+    }
+    // canonical clustering: within each partition directory, the files'
+    // ts ranges are DISJOINT (boundary-equality allowed) — the
+    // repartitionByRange(uid, ts) + sort layout, imposed by the write's
+    // required distribution/ordering
+    val byDir = snap.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(byDir.exists(_._2.size > 1),
+      s"fixture must split at least one partition across files: ${byDir.view.mapValues(_.size).toMap}")
+    byDir.foreach { case (dir, files) =>
+      val ranges = files.map(f => snap.stats(f)("ts"))
+        .map(cs => (cs.min.asInstanceOf[Long], cs.max.asInstanceOf[Long]))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aHi), (bLo, _)) =>
+          assert(bLo >= aHi, s"overlapping ts ranges in $dir: $ranges")
+        case _ => ()
+      }
+    }
+    // content round-trips
+    val got = spark.sql("SELECT event_id, ts, user_id, event_type, value FROM gnw.ns.ev")
+    val want = Tables.events(spark, TestSpark.sf001).select(cols.map(col): _*)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    // INSERT OVERWRITE = versioned REPLACE: new content live, the
+    // pre-overwrite version still VERSION AS OF-readable, props intact
+    val vBefore = StoreLog.latest(tablePath).get.version
+    spark.sql("INSERT OVERWRITE gnw.ns.ev " +
+      "SELECT event_id, ts, user_id, event_type, value FROM gnw_src WHERE event_id % 2 = 0")
+    val evens = want.filter(col("event_id") % 2 === 0).count()
+    assert(spark.sql("SELECT count(*) FROM gnw.ns.ev").head().getLong(0) === evens)
+    assert(spark.sql(s"SELECT count(*) FROM gnw.ns.ev VERSION AS OF $vBefore")
+      .head().getLong(0) === want.count())
+    assert(StoreLog.latest(tablePath).get.props.contains(graft.sources.GraftTable.SchemaProp),
+      "catalog metadata must survive INSERT OVERWRITE")
+  }
+
   test("ALTER TABLE ADD COLUMN is metadata-only; destructive changes refuse") {
     val spark2 = spark
     import spark2.implicits._
