@@ -44,10 +44,6 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
   require(uids.forall(writeSchema.fieldNames.contains),
     s"partition columns ${uids.mkString(",")} must be in the written schema")
 
-  private val orderCols: Seq[String] =
-    uids ++ (if (writeSchema.fieldNames.contains(tsCol) && !uids.contains(tsCol))
-      Seq(tsCol) else Seq.empty)
-
   /** Range-partition by (uid..., ts): a globally ORDERED distribution —
     * co-locates each series' time range AND splits a skewed series
     * across tasks by time, exactly the Scala path's
@@ -55,19 +51,31 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
     * hot series.
     */
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(ordering)
+    Distributions.ordered(GraftBatchWrite.canonicalOrdering(writeSchema, uids, tsCol))
 
-  override def requiredOrdering(): Array[SortOrder] = ordering
-
-  private def ordering: Array[SortOrder] =
-    orderCols.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  override def requiredOrdering(): Array[SortOrder] =
+    GraftBatchWrite.canonicalOrdering(writeSchema, uids, tsCol)
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
     val staging = TsStore.txnDir(path)
-    // parquet write setup = the Scala path's: micros timestamps (INT96
-    // has no stats), zstd, 16 MB row groups, the store's bloom columns
+    val (factory, conf, maxRecords) =
+      GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
+    new GraftBatchWriteExec(path, staging, writeSchema, uids, tsCol,
+      factory, conf, truncate, maxRecords)
+  }
+
+  override def description(): String = s"graft-native-write:$path"
+}
+
+private[graft] object GraftBatchWrite {
+  /** Shared parquet write setup for the native batch AND streaming
+    * writes — the Scala path's geometry: micros timestamps (INT96 has
+    * no stats), zstd, 16 MB row groups, the store's bloom columns.
+    */
+  def parquetSetup(spark: SparkSession, path: String,
+                   writeSchema: StructType, uids: Seq[String])
+      : (OutputWriterFactory, GraftSerializableConf, Long) = {
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val conf = job.getConfiguration
     val dataSchema = StructType(
@@ -76,7 +84,7 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
       .prepareWrite(spark, job, Map("compression" -> "zstd"), dataSchema)
     // AFTER prepareWrite (which pins the session's value): INT64 micros,
     // never INT96 — INT96 columns carry no parquet min/max stats, which
-    // would silently strip the manifest's ts index from every INSERT
+    // would silently strip the manifest's ts index from every write
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     conf.setLong("parquet.block.size", 16L << 20)
     val blooms =
@@ -86,11 +94,20 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
     val maxRecords = spark.conf
       .getOption("spark.graft.write.maxRecordsPerFile").map(_.toLong)
       .getOrElse(8L << 20)
-    new GraftBatchWriteExec(path, staging, writeSchema, uids, tsCol,
-      factory, new GraftSerializableConf(conf), truncate, maxRecords)
+    (factory, new GraftSerializableConf(conf), maxRecords)
   }
 
-  override def description(): String = s"graft-native-write:$path"
+  /** The (uid..., ts) ascending sort — the store's canonical order,
+    * shared by the batch and streaming writes' distribution contracts.
+    */
+  def canonicalOrdering(writeSchema: StructType, uids: Seq[String],
+                        tsCol: String): Array[SortOrder] = {
+    val cols = uids ++
+      (if (writeSchema.fieldNames.contains(tsCol) && !uids.contains(tsCol))
+        Seq(tsCol) else Seq.empty)
+    cols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
 }
 
 /** Driver-side commit half of the native write. */
@@ -142,7 +159,7 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
     StoreLog.deleteStaging(staging)
 }
 
-private[sources] case class GraftWriteTaskResult(files: Seq[String])
+private[graft] case class GraftWriteTaskResult(files: Seq[String])
   extends WriterCommitMessage
 
 private[sources] class GraftDataWriterFactory(staging: String,
@@ -163,7 +180,7 @@ private[sources] class GraftDataWriterFactory(staging: String,
   * string rendering (UTC cast), so the layout is byte-identical to the
   * dynamic-partition writer's.
   */
-private[sources] class GraftDataWriter(staging: String,
+private[graft] class GraftDataWriter(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
     partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
@@ -247,10 +264,99 @@ private[sources] class GraftDataWriter(staging: String,
   override def close(): Unit = closeCurrent()
 }
 
+/** The STREAMING append writer: same staged parquet layout as
+  * [[GraftDataWriter]], but robust to UNSORTED input — a micro-batch
+  * engine may or may not honor the write's required ordering, so open
+  * writers are kept per partition directory in a map (bounded by the
+  * task's distinct uid values; with the ordering honored the map holds
+  * one entry). One file per (dir, roll) — rolls on the max-records
+  * bound.
+  */
+private[graft] class GraftHashedDataWriter(staging: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: OutputWriterFactory, conf: Configuration,
+    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataSchema = StructType(
+    writeSchema.fields.filterNot(f => uids.contains(f.name)))
+  private val uidIdx = uids.map(writeSchema.fieldIndex)
+  private val tsIdx =
+    if (writeSchema.fieldNames.contains(tsCol)) writeSchema.fieldIndex(tsCol) else -1
+  private val dataProj = UnsafeProjection.create(
+    writeSchema.fields.zipWithIndex.filterNot { case (f, _) => uids.contains(f.name) }
+      .map { case (f, i) => BoundReference(i, f.dataType, f.nullable) }
+      .toArray.asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
+  private val segCasts = uidIdx.map { i =>
+    Cast(BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable),
+      org.apache.spark.sql.types.StringType, Some(java.time.ZoneOffset.UTC.getId))
+  }
+
+  private val taskUuid = java.util.UUID.randomUUID().toString.replace("-", "")
+  private val written = Seq.newBuilder[String]
+  private final class Open(var writer: OutputWriter, var records: Long)
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String, Open]
+  private var fileSeq = 0
+
+  private def attemptContext(): TaskAttemptContextImpl = {
+    val attemptId = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    new TaskAttemptContextImpl(conf, attemptId)
+  }
+
+  private def partitionDir(row: InternalRow): String =
+    uids.zip(segCasts).map { case (name, cast) =>
+      val v = cast.eval(row)
+      val seg =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"$name=$seg"
+    }.mkString("/")
+
+  private def newWriter(dir: String): Open = {
+    val prefix = if (dir.isEmpty) "" else dir + "/"
+    val rel = f"${prefix}part-$partitionId%05d-$taskUuid-$fileSeq%03d.parquet"
+    fileSeq += 1
+    written += rel
+    new Open(factory.newInstance(s"$staging/$rel", dataSchema, attemptContext()), 0L)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (tsIdx >= 0 && row.isNullAt(tsIdx))
+      throw new IllegalArgumentException(
+        s"null $tsCol value — refusing write (the store's time column is mandatory)")
+    val dir = if (uids.isEmpty) "" else partitionDir(row)
+    val o = open.get(dir) match {
+      case Some(cur) if cur.records < maxRecordsPerFile => cur
+      case Some(cur) =>
+        cur.writer.close()
+        val fresh = newWriter(dir); open(dir) = fresh; fresh
+      case None =>
+        val fresh = newWriter(dir); open(dir) = fresh; fresh
+    }
+    o.writer.write(dataProj(row))
+    o.records += 1L
+  }
+
+  private def closeAll(): Unit = {
+    open.valuesIterator.foreach(o => o.writer.close())
+    open.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    GraftWriteTaskResult(written.result())
+  }
+
+  override def abort(): Unit = closeAll()
+
+  override def close(): Unit = closeAll()
+}
+
 /** Minimal serializable Hadoop-Configuration carrier (the Spark-internal
   * one is `private[spark]`).
   */
-private[sources] class GraftSerializableConf(@transient var value: Configuration)
+private[graft] class GraftSerializableConf(@transient var value: Configuration)
   extends Serializable {
   @throws(classOf[IOException])
   private def writeObject(out: ObjectOutputStream): Unit = {

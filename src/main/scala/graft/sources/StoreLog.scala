@@ -424,6 +424,11 @@ object StoreLog {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
+    // dedupe defensively: an ambiguous-success commit retry (the CAS
+    // landed but the writer saw a connection error) rebases onto its
+    // own version and re-appends its files — `cur.files ++ moved` then
+    // carries duplicates, which a CHECKPOINT would serialize verbatim
+    val fileList = files.distinct
     val eff = interval.orElse(parent.map(_.checkpointInterval))
       .getOrElse(CheckpointInterval)
     require(eff >= 1, s"checkpoint interval must be >= 1, got $eff")
@@ -442,7 +447,7 @@ object StoreLog {
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
     val allSizes = parent.map(_.sizes).getOrElse(Map.empty) ++ addSizes
-    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, files,
+    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, fileList,
       asDelta, eff, allStats, tag, effBlooms, effProps, allSizes)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(

@@ -269,7 +269,7 @@ object TsStore {
       maxRecordsPerFile, bloomKeys)
   }
 
-  private[sources] def txnDir(path: String): String =
+  private[graft] def txnDir(path: String): String =
     s"$path/_graft_txn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   /** The physical parquet write (shared by the plain and the staged-txn

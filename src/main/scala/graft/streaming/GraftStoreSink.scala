@@ -1,15 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
-import org.apache.spark.sql.streaming.OutputMode
+import java.util
 
-import graft.sources.{StoreLog, TsStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{SortOrder, Transform}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** The store as a NATIVE streaming sink — `writeStream.format("graft-
-  * store")` lands micro-batches as manifest-committed store writes with
-  * no user-written foreachBatch:
+import graft.sources.{CommitIo, FileStats, GraftBatchWrite, GraftDataWriter, GraftHashedDataWriter, GraftSerializableConf, StoreLog, TsStore}
+
+/** The store as a NATIVE DSv2 streaming sink — `writeStream
+  * .format("graft-store")` lands micro-batches as manifest-committed
+  * store writes with no user-written foreachBatch:
   *
   * {{{
   *   df.writeStream.format("graft-store")
@@ -24,107 +33,253 @@ import graft.sources.{StoreLog, TsStore}
   *     .start()
   * }}}
   *
-  * Exactly-once matches the [[StoreIngest]] contracts it wraps:
-  * `mode=append` tags each batch's manifest commit `<feedId>-<batchId>`
-  * and a re-delivered batch finds its tag ([[StoreLog.findTag]]) and
-  * skips — the public Delta/Iceberg txn-appId design; `mode=upsert`
-  * converges through latest-wins merge (re-delivered rows map onto the
-  * same winners), versioned by the DATA's `versionCol`. Both paths
-  * auto-compact partitions over `autoCompact` files (append defaults
-  * on — steady append ingest accretes one file set per batch forever;
-  * upsert rewrites its touched partitions and defaults off).
-  *
-  * Implementation note: the v1 `Sink.addBatch` seam (the one every
-  * table format shipped its streaming sink through before DSv2 write
-  * support matured) — one method per micro-batch, the incoming frame
-  * re-wrapped as a batch DataFrame before the store's ordinary logged
-  * write paths re-plan it. Options, not schema state: the sink is
-  * stateless, the store's manifest carries everything.
+  * A full DSv2 `SupportsWrite` table (STREAMING_WRITE capability) — the
+  * v1 `Sink.addBatch` seam is gone. APPEND mode participates in
+  * planning like the batch write: `RequiresDistributionAndOrdering`
+  * asks the engine to range-partition + sort each micro-batch by
+  * (uid..., ts), executor tasks stage parquet in the store's canonical
+  * layout, and the driver's epoch commit adopts + publishes ONE TAGGED
+  * manifest version (`<feedId>-<epochId>`); a re-delivered epoch finds
+  * its tag ([[StoreLog.findTag]]) and skips — the public
+  * Delta/Iceberg txn-appId design, now with zero per-batch re-planning.
+  * UPSERT mode stages each batch's rows distributedly, then the epoch
+  * commit runs the store's partition-pruned latest-wins merge
+  * ([[TsStore.upsert]]) — idempotent under re-delivery because versions
+  * come from the DATA. Both paths auto-compact partitions over
+  * `autoCompact` files (append defaults on — steady append ingest
+  * accretes one file set per batch forever; upsert rewrites its touched
+  * partitions and defaults off).
   */
-class GraftStoreSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class GraftStoreSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-store"
 
-  override def createSink(sqlContext: SQLContext,
-                          parameters: Map[String, String],
-                          partitionColumns: Seq[String],
-                          outputMode: OutputMode): Sink = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-store sink needs a store path: .option(\"path\", dir)"))
-    val tsCol = parameters.getOrElse("tsCol", "ts")
-    // .partitionBy(...) on the writer and .option("uids", ...) are the
-    // same declaration; the option wins when both appear
-    val uids = parameters.get("uids")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(partitionColumns)
-    val mode = parameters.getOrElse("mode", "append").toLowerCase
-    mode match {
-      case "append" =>
-        new GraftAppendSink(path, tsCol, uids,
-          feedId = parameters.getOrElse("feedId", "feed"),
-          autoCompact = parameters.get("autoCompact").map(_.toInt).orElse(Some(8)),
-          checkpointInterval = parameters.get("checkpointInterval").map(_.toInt))
-      case "upsert" =>
-        val keys = parameters.getOrElse("keys",
-          throw new IllegalArgumentException(
-            "graft-store upsert sink needs .option(\"keys\", \"k1,k2\")"))
-          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        new GraftUpsertSink(path, tsCol, uids, keys,
-          versionCol = parameters.getOrElse("versionCol",
-            throw new IllegalArgumentException(
-              "graft-store upsert sink needs .option(\"versionCol\", col)")),
-          autoCompact = parameters.get("autoCompact").map(_.toInt),
-          checkpointInterval = parameters.get("checkpointInterval").map(_.toInt))
-      case other => throw new IllegalArgumentException(
-        s"graft-store sink mode must be append|upsert, got '$other'")
-    }
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Write-only sink: the real write schema is the streaming QUERY's
+    * (delivered via `LogicalWriteInfo`); for the table-shape call,
+    * answer the existing store's schema when one exists, else an empty
+    * struct (nothing validates a sink table's schema against the
+    * query).
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftStoreSinkProvider.pathOf(options)
+    try TsStore.load(SparkSession.active, path).schema
+    catch { case scala.util.control.NonFatal(_) => new StructType() }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftSinkTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] object GraftStoreSinkProvider {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-store sink needs a store path: .option(\"path\", dir)")
+    p
   }
 }
 
-/** Append-only native sink: one TAGGED manifest commit per non-empty
-  * batch; re-delivered batches skip on their tag. The exactly-once
-  * mechanism is the MANIFEST's (findTag), not the checkpoint's — a
-  * fresh checkpoint replaying the source still converges.
-  */
-private[streaming] class GraftAppendSink(path: String, tsCol: String,
-    uids: Seq[String], feedId: String, autoCompact: Option[Int],
-    checkpointInterval: Option[Int]) extends Sink {
+private[streaming] class GraftSinkTable(declaredSchema: StructType,
+                                        options: CaseInsensitiveStringMap)
+  extends Table with SupportsWrite {
 
-  StoreLog.ensure(path,
-    checkpointInterval.getOrElse(StoreLog.CheckpointInterval))
+  private val path = GraftStoreSinkProvider.pathOf(options)
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val tag = s"$feedId-$batchId"
-    val df = org.apache.spark.sql.GraftShim.batchDf(data)
-    if (!df.isEmpty && StoreLog.findTag(path, tag).isEmpty) {
-      TsStore.write(df, path, tsCol = tsCol, uidCols = uids,
-        mode = SaveMode.Append,
-        overlapPolicy = TsStore.OverlapPolicy.Allow,
-        commitTag = Some(tag))
-      autoCompact.foreach(cap =>
-        StoreIngest.autoCompact(df.sparkSession, path, cap, tsCol, uids))
+  override def name(): String = s"graft-store-sink:$path"
+
+  override def schema(): StructType = declaredSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // Update-as-append: the store's upsert IS the update handler
+    // (latest-wins by the data's version column), and append mode takes
+    // whatever rows the engine emits — so Update output needs no
+    // special casing
+    new WriteBuilder with SupportsStreamingUpdateAsAppend {
+      override def build(): Write = {
+        val tsCol = Option(options.get("tsCol")).getOrElse("ts")
+        val uids = Option(options.get("uids"))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val autoCompactOpt = Option(options.get("autoCompact")).map(_.toInt)
+        val ckptInterval = Option(options.get("checkpointInterval")).map(_.toInt)
+        Option(options.get("mode")).getOrElse("append").toLowerCase match {
+          case "append" =>
+            new GraftStreamingAppendWrite(path, info.schema(), uids, tsCol,
+              feedId = Option(options.get("feedId")).getOrElse("feed"),
+              autoCompact = autoCompactOpt.orElse(Some(8)),
+              checkpointInterval = ckptInterval)
+          case "upsert" =>
+            val keys = Option(options.get("keys")).getOrElse(
+              throw new IllegalArgumentException(
+                "graft-store upsert sink needs .option(\"keys\", \"k1,k2\")"))
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            new GraftStreamingUpsertWrite(path, info.schema(), uids, tsCol, keys,
+              versionCol = Option(options.get("versionCol")).getOrElse(
+                throw new IllegalArgumentException(
+                  "graft-store upsert sink needs .option(\"versionCol\", col)")),
+              autoCompact = autoCompactOpt,
+              checkpointInterval = ckptInterval)
+          case other => throw new IllegalArgumentException(
+            s"graft-store sink mode must be append|upsert, got '$other'")
+        }
+      }
     }
-  }
 }
 
-/** Latest-wins upsert native sink: per batch one partition-pruned,
-  * manifest-committed MERGE ([[TsStore.upsert]]); idempotent under
-  * re-delivery because versions come from the data.
+/** Append-only streaming write: one TAGGED manifest commit per
+  * non-empty epoch; re-delivered epochs skip on their tag. The
+  * exactly-once mechanism is the MANIFEST's (findTag), not the
+  * checkpoint's — a fresh checkpoint replaying the source still
+  * converges. Declares the canonical (uid..., ts) distribution; the
+  * hashed task writer stays correct even if a given engine mode does
+  * not enforce it.
   */
-private[streaming] class GraftUpsertSink(path: String, tsCol: String,
-    uids: Seq[String], keys: Seq[String], versionCol: String,
-    autoCompact: Option[Int], checkpointInterval: Option[Int]) extends Sink {
+private[streaming] class GraftStreamingAppendWrite(path: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    feedId: String, autoCompact: Option[Int], checkpointInterval: Option[Int])
+  extends Write with RequiresDistributionAndOrdering {
 
-  checkpointInterval.foreach(i => StoreLog.ensure(path, i))
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(GraftBatchWrite.canonicalOrdering(writeSchema, uids, tsCol))
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val df = org.apache.spark.sql.GraftShim.batchDf(data)
-    if (!df.isEmpty) {
-      TsStore.upsert(df.sparkSession, path, df,
-        keyCols = keys, versionCol = versionCol,
-        tsCol = tsCol, uidCols = uids)
-      autoCompact.foreach(cap =>
-        StoreIngest.autoCompact(df.sparkSession, path, cap, tsCol, uids))
+  override def requiredOrdering(): Array[SortOrder] =
+    GraftBatchWrite.canonicalOrdering(writeSchema, uids, tsCol)
+
+  override def toStreaming: StreamingWrite = {
+    val spark = SparkSession.active
+    StoreLog.ensure(path,
+      checkpointInterval.getOrElse(StoreLog.CheckpointInterval))
+    val (factory, conf, maxRecords) =
+      GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
+    val stagingBase = TsStore.txnDir(path)
+    new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new GraftStreamingWriterFactory(stagingBase, writeSchema, uids, tsCol,
+          factory, conf, maxRecords, partitionedLayout = true)
+
+      override def commit(epochId: Long,
+                          messages: Array[WriterCommitMessage]): Unit = {
+        val staging = s"${stagingBase}_e$epochId"
+        val tag = s"$feedId-$epochId"
+        if (StoreLog.findTag(path, tag).isDefined) {
+          StoreLog.deleteStaging(staging) // re-delivered epoch: drop dup rows
+          return
+        }
+        var movedAny = false
+        StoreLog.withWriterLease(path) { lease =>
+          val moved =
+            try StoreLog.adoptStaged(path, staging)
+            finally StoreLog.deleteStaging(staging)
+          movedAny = moved.nonEmpty
+          if (moved.nonEmpty) {
+            val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+            var committed = false
+            var attempts = 0
+            while (!committed) {
+              lease.renew()
+              val cur = StoreLog.ensure(path)
+              try {
+                StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
+                  parent = Some(cur), addStats = movedStats,
+                  addSizes = movedSizes, tag = Some(tag))
+                committed = true
+              } catch {
+                case c: StoreLog.CommitConflict =>
+                  attempts += 1; if (attempts > 50) throw c
+              }
+            }
+          }
+        }
+        if (movedAny)
+          autoCompact.foreach(cap =>
+            StoreIngest.autoCompact(SparkSession.active, path, cap, tsCol, uids))
+      }
+
+      override def abort(epochId: Long,
+                         messages: Array[WriterCommitMessage]): Unit =
+        StoreLog.deleteStaging(s"${stagingBase}_e$epochId")
     }
+  }
+
+  override def description(): String = s"graft-store-append:$path"
+}
+
+/** Latest-wins upsert streaming write: tasks stage the epoch's rows as
+  * plain full-schema parquet (a distributed spill, no layout contract);
+  * the epoch commit reads the staged rows back and runs the store's
+  * partition-pruned, manifest-committed MERGE ([[TsStore.upsert]]).
+  * Idempotent under re-delivery because versions come from the data.
+  */
+private[streaming] class GraftStreamingUpsertWrite(path: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    keys: Seq[String], versionCol: String,
+    autoCompact: Option[Int], checkpointInterval: Option[Int]) extends Write {
+
+  override def toStreaming: StreamingWrite = {
+    val spark = SparkSession.active
+    checkpointInterval.foreach(i => StoreLog.ensure(path, i))
+    // staging is a flat row spill: ALL columns are data columns
+    val (factory, conf, maxRecords) =
+      GraftBatchWrite.parquetSetup(spark, path, writeSchema, Seq.empty)
+    val stagingBase = TsStore.txnDir(path)
+    new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new GraftStreamingWriterFactory(stagingBase, writeSchema, Seq.empty,
+          tsCol, factory, conf, maxRecords, partitionedLayout = false)
+
+      override def commit(epochId: Long,
+                          messages: Array[WriterCommitMessage]): Unit = {
+        val spark = SparkSession.active
+        val staging = s"${stagingBase}_e$epochId"
+        val hasRows = CommitIo.forPath(staging).exists(io =>
+          io.isDir(staging) && io.list(staging).exists(_.name.endsWith(".parquet")))
+        try {
+          if (hasRows) {
+            val batch = spark.read.schema(writeSchema).parquet(staging)
+            TsStore.upsert(spark, path, batch, keyCols = keys,
+              versionCol = versionCol, tsCol = tsCol, uidCols = uids)
+            autoCompact.foreach(cap =>
+              StoreIngest.autoCompact(spark, path, cap, tsCol, uids))
+          }
+        } finally StoreLog.deleteStaging(staging)
+      }
+
+      override def abort(epochId: Long,
+                         messages: Array[WriterCommitMessage]): Unit =
+        StoreLog.deleteStaging(s"${stagingBase}_e$epochId")
+    }
+  }
+
+  override def description(): String = s"graft-store-upsert:$path"
+}
+
+/** Per-epoch task writers: `partitionedLayout` = the append path's
+  * hive-style store layout ([[GraftHashedDataWriter]] — correct sorted
+  * or not); flat = the upsert path's row spill ([[GraftDataWriter]]
+  * with no partition columns — one rolled file per task).
+  */
+private[streaming] class GraftStreamingWriterFactory(stagingBase: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: GraftSerializableConf, maxRecordsPerFile: Long,
+    partitionedLayout: Boolean)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = s"${stagingBase}_e$epochId"
+    if (partitionedLayout)
+      new GraftHashedDataWriter(staging, writeSchema, uids, tsCol,
+        factory, conf.value, partitionId, taskId, maxRecordsPerFile)
+    else
+      new GraftDataWriter(staging, writeSchema, Seq.empty, tsCol,
+        factory, conf.value, partitionId, taskId, maxRecordsPerFile)
   }
 }

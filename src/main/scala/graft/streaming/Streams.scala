@@ -190,7 +190,8 @@ object Streams {
 
     "stream_sink_native" -> DeclaredQuery(
       // The NATIVE sink face of the same write path: `writeStream
-      // .format("graft-store")` — the registered v1 Sink seam, no
+      // .format("graft-store")` — a full DSv2 streaming write
+      // (SupportsWrite + STREAMING_WRITE, epoch commits), no
       // user-written foreachBatch anywhere. mode=upsert runs the
       // identical partition-pruned manifest-committed merge; the
       // exactly-once story is unchanged (latest-wins on the data's

@@ -43,6 +43,31 @@ object MockS3Http {
     /** Objects per list page — small so every real listing paginates. */
     val MaxKeys = 7
 
+    // ------------------------------------------------ fault injection
+    // One-shot counters (each burns one fault, the retry proceeds) plus
+    // a periodic knob — the failure modes a real object service throws
+    // at a commit protocol: throttling 503s, connections dying AFTER
+    // the server applied the effect (ambiguous success), and listings
+    // lagging behind writes (stale pages missing the newest key).
+    @volatile var fault503Puts: Int = 0
+    @volatile var faultAmbiguousPuts: Int = 0
+    @volatile var fault503Gets: Int = 0
+    @volatile var staleListDrops: Int = 0
+    /** Every Nth PUT (any kind) answers 503 — sustained throttling for
+      * the model check. 0 = off.
+      */
+    @volatile var fault503EveryNthPut: Int = 0
+    private val putSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+    private def takeFault(read: => Int, write: Int => Unit): Boolean =
+      synchronized { if (read > 0) { write(read - 1); true } else false }
+
+    private def putShould503(): Boolean = {
+      val n = fault503EveryNthPut
+      (n > 0 && putSeq.incrementAndGet() % n == 0) ||
+        takeFault(fault503Puts, fault503Puts = _)
+    }
+
     def port: Int = http.getAddress.getPort
     def base: String = s"http://127.0.0.1:$port"
 
@@ -100,6 +125,7 @@ object MockS3Http {
     }
 
     private def handleGet(ex: HttpExchange, f: NioPath): Unit = {
+      if (takeFault(fault503Gets, fault503Gets = _)) { respond(ex, 503); return }
       if (!Files.isRegularFile(f)) { respond(ex, 404); return }
       val bytes = Files.readAllBytes(f)
       val mtime = Files.getLastModifiedTime(f).toMillis
@@ -129,6 +155,7 @@ object MockS3Http {
     }
 
     private def handlePut(ex: HttpExchange, f: NioPath): Unit = {
+      if (putShould503()) { respond(ex, 503); return }
       val headers = ex.getRequestHeaders
       Option(headers.getFirst("x-amz-copy-source")) match {
         case Some(srcPath) =>
@@ -159,6 +186,12 @@ object MockS3Http {
             // the service-side CAS: create-exclusive, one winner per key
             try {
               Files.write(f, body, StandardOpenOption.CREATE_NEW)
+              if (takeFault(faultAmbiguousPuts, faultAmbiguousPuts = _)) {
+                // the effect LANDED but the response dies mid-flight —
+                // the client sees a connection error and must resolve
+                // the ambiguity itself (retry -> its own 412)
+                ex.close(); return
+              }
               ex.getResponseHeaders.set("ETag", s""""${md5(body)}"""")
               respond(ex, 200)
             } catch {
@@ -202,9 +235,14 @@ object MockS3Http {
               .toList.sorted
           } finally s.close()
         }
+      // stale page: a listing lagging behind writes is missing its
+      // NEWEST key (for manifest logs the lexicographic max IS the
+      // newest version)
+      val visible =
+        if (takeFault(staleListDrops, staleListDrops = _)) all.dropRight(1) else all
       // lexicographic pagination after the continuation token, exactly
       // MaxKeys per page — real listings always take the token loop
-      val after = token.fold(all)(t => all.dropWhile(_ <= t))
+      val after = token.fold(visible)(t => visible.dropWhile(_ <= t))
       val page = after.take(MaxKeys)
       val truncated = after.size > MaxKeys
       val xml = new StringBuilder
@@ -241,18 +279,67 @@ object MockS3Http {
       URI.create(s"$base$enc")
     }
 
-    private def send(rb: HttpRequest.Builder): HttpResponse[Array[Byte]] =
-      client.send(rb.build(), HttpResponse.BodyHandlers.ofByteArray())
+    private val MaxRetries = 4
+
+    /** The SDK retry policy every production object-store client ships:
+      * 503 (throttling) and connection errors back off and retry —
+      * every operation here is either naturally idempotent (GET, HEAD,
+      * LIST, DELETE, full PUT, COPY) or made safe by its condition
+      * (`If-None-Match` — see [[putIfNoneMatch]]'s ambiguity
+      * resolution). A request that keeps failing past the budget
+      * surfaces the last error.
+      */
+    private def send(rb: => HttpRequest.Builder): HttpResponse[Array[Byte]] = {
+      var attempt = 0
+      while (true) {
+        val r =
+          try client.send(rb.build(), HttpResponse.BodyHandlers.ofByteArray())
+          catch {
+            case e: IOException =>
+              if (attempt >= MaxRetries) throw e
+              null
+          }
+        if (r != null && r.statusCode() != 503) return r
+        if (r != null && attempt >= MaxRetries) return r
+        attempt += 1
+        Thread.sleep(10L << attempt)
+      }
+      throw new IllegalStateException("unreachable")
+    }
 
     override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
-      val r = send(HttpRequest.newBuilder(urlOf(key))
-        .header("If-None-Match", "*")
-        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)))
-      r.statusCode() match {
-        case 200 => true
-        case 412 => false
-        case c => throw new IOException(s"conditional PUT $key -> HTTP $c")
+      // AMBIGUOUS-SUCCESS resolution: a conditional PUT whose connection
+      // died mid-response may or may not have landed server-side. The
+      // retry then sees 412 — possibly from our OWN object. Disambiguate
+      // the way production commit clients do: read the object back and
+      // compare content; equal bytes = we won (and manifest bytes embed
+      // a writer timestamp, so two different writers' payloads for one
+      // version are never byte-equal in practice).
+      var sawConnError = false
+      var attempt = 0
+      while (true) {
+        val r =
+          try client.send(HttpRequest.newBuilder(urlOf(key))
+            .header("If-None-Match", "*")
+            .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+            HttpResponse.BodyHandlers.ofByteArray())
+          catch {
+            case e: IOException =>
+              if (attempt >= MaxRetries) throw e
+              sawConnError = true
+              null
+          }
+        if (r != null) r.statusCode() match {
+          case 200 => return true
+          case 412 =>
+            return sawConnError && java.util.Arrays.equals(get(key), bytes)
+          case 503 if attempt < MaxRetries => ()
+          case c => throw new IOException(s"conditional PUT $key -> HTTP $c")
+        }
+        attempt += 1
+        Thread.sleep(10L << attempt)
       }
+      throw new IllegalStateException("unreachable")
     }
 
     override def put(key: String, bytes: Array[Byte]): Unit = {

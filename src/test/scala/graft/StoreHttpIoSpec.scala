@@ -107,4 +107,62 @@ class StoreHttpIoSpec extends AnyFunSuite {
       StoreModelCheck.run(spark, dir)
     }
   }
+
+  test("faults: 503 storms retry through; an ambiguous mid-PUT drop resolves to the true winner") {
+    withS3Http {
+      // throttling storm: the conditional PUT retries through 3 straight
+      // 503s and still commits exactly once
+      server.fault503Puts = 3
+      val k1 = s"s3http:$root/fault/a.json"
+      assert(api.putIfNoneMatch(k1, "w1".getBytes),
+        "503s must be retried, not surfaced as a lost CAS")
+      assert(server.fault503Puts === 0, "all injected 503s must have fired")
+      assert(!api.putIfNoneMatch(k1, "w1b".getBytes)) // CAS still holds after
+      // ambiguous success: the object LANDS server-side but the response
+      // connection dies — the retry sees a 412 from its OWN object and
+      // must resolve by content readback: still the winner
+      server.faultAmbiguousPuts = 1
+      val k2 = s"s3http:$root/fault/b.json"
+      assert(api.putIfNoneMatch(k2, "w2".getBytes),
+        "an ambiguous success must resolve as won, not as a phantom CAS loss")
+      // a genuinely losing writer still loses (different content)
+      assert(!api.putIfNoneMatch(k2, "w3".getBytes))
+      assert(new String(api.get(k2)) === "w2")
+      // throttled GETs retry too
+      server.fault503Gets = 2
+      assert(new String(api.get(k2)) === "w2")
+      assert(server.fault503Gets === 0)
+      api.delete(k1); api.delete(k2)
+    }
+  }
+
+  test("stale listing: readers degrade to an OLDER consistent snapshot, never a torn one") {
+    withS3Http {
+      val dir = s"s3http:$root/stale"
+      val v1 = StoreLog.commit(dir, 0L, Seq.empty, Seq("a.parquet"))
+      val s1 = StoreLog.read(dir, v1)
+      StoreLog.commit(dir, v1, Seq.empty, Seq("a.parquet", "p=1/b.parquet"),
+        parent = Some(s1))
+      // a lagging listing is missing the NEWEST manifest: the reader
+      // resolves the previous version — complete and self-consistent
+      server.staleListDrops = 1
+      val stale = StoreLog.latest(dir).get
+      assert(stale.version === 1L, "stale listing must surface the older snapshot")
+      assert(stale.files === Seq("a.parquet"))
+      // once the listing converges the reader catches up
+      val fresh = StoreLog.latest(dir).get
+      assert(fresh.version === 2L)
+      assert(fresh.files === Seq("a.parquet", "p=1/b.parquet"))
+    }
+  }
+
+  test("model check holds under sustained 503 throttling (every 5th PUT) — no lost commit") {
+    withS3Http {
+      server.fault503EveryNthPut = 5
+      try {
+        val dir = s"s3http:$root/model_throttled"
+        StoreModelCheck.run(spark, dir)
+      } finally server.fault503EveryNthPut = 0
+    }
+  }
 }
