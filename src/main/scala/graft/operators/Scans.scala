@@ -791,6 +791,85 @@ object Scans {
         "FROM events ORDER BY event_id"),
       "named-table catalog: CREATE TABLE USING graft + INSERT INTO + SELECT, pure SQL"),
 
+    "store_sql_update" -> DeclaredQuery(
+      // SQL UPDATE via group-based COPY-ON-WRITE (SupportsRowLevelOps):
+      // Spark rewrites to a replace-data plan over the operation's
+      // file-prune-only scan; runtime group filtering narrows the read
+      // to files actually holding matches; the commit swaps exactly
+      // those files for their rewritten replacements — one atomic
+      // version, pre-update state time-travelable (GraftTableSpec pins
+      // file granularity, untouched-sibling survival, time travel).
+      (s, d) => {
+        val root = sinkDir("upd_root", d)
+        val cat = s"graftupd_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_upd_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_upd_src")
+        s.sql(s"UPDATE $cat.main.events SET value = value * 2.0 " +
+          "WHERE event_type = 'click' AND event_id % 7 = 0")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_type = 'click' AND event_id % 7 = 0 " +
+        "THEN value * 2.0 ELSE value END AS value " +
+        "FROM events ORDER BY event_id"),
+      "SQL UPDATE on a catalog table: copy-on-write replace of only the matching files"),
+
+    "store_sql_merge" -> DeclaredQuery(
+      // SQL MERGE INTO — the full upsert verb from pure SQL (matched
+      // UPDATE + not-matched INSERT in ONE atomic manifest commit),
+      // through the same copy-on-write row-level machinery as UPDATE:
+      // matched groups rewrite their files, inserted rows land as new
+      // files, runtime group filtering keeps untouched files untouched.
+      (s, d) => {
+        val root = sinkDir("mrg_root", d)
+        val cat = s"graftmrg_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_mrg_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_mrg_src")
+        s.sql(s"MERGE INTO $cat.main.events AS tg USING (" +
+          "SELECT event_id, ts, user_id, event_type, value * 3.0 AS value " +
+          "FROM graft_mrg_src WHERE event_type = 'purchase' AND event_id % 5 = 0 " +
+          "UNION ALL " +
+          "SELECT event_id + 10000000, ts, user_id, event_type, value " +
+          "FROM graft_mrg_src WHERE event_type = 'signup') AS s " +
+          "ON tg.event_id = s.event_id " +
+          "WHEN MATCHED THEN UPDATE SET value = s.value " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_type = 'purchase' AND event_id % 5 = 0 " +
+        "THEN value * 3.0 ELSE value END AS value FROM events " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value " +
+        "FROM events WHERE event_type = 'signup') " +
+        "SELECT event_id, ts, user_id, event_type, value FROM u ORDER BY event_id"),
+      "SQL MERGE INTO: matched update + not-matched insert, one atomic copy-on-write commit"),
+
     "store_sql_alter" -> DeclaredQuery(
       // ALTER TABLE ADD COLUMN as a metadata-only manifest commit: the
       // declared-schema property updates, no data file is touched, and

@@ -85,6 +85,21 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftTable {
+  /** The metadata column naming each row's store-relative data file —
+    * `SELECT _file, * FROM t` for provenance, and the GROUP identity
+    * the copy-on-write row-level operations (UPDATE/MERGE) replace on.
+    */
+  val FileColName = "_file"
+
+  val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileColName
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "store-relative path of the data file holding the row"
+    }
+
   /** Per-store manifest property keys the catalog face records at CREATE
     * TABLE so an EMPTY store still knows its schema and write layout.
     * Once data files exist, the files are authoritative for the schema.
@@ -160,6 +175,8 @@ object GraftTable {
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
     case other => other
   }
+
+  private[sources] def externalValue(v: Any): Any = external(v)
 
   /** v1 `Filter` → `Column` for the manifest-stat prune. Partial on
     * purpose: an untranslatable subtree collapses to None, and AND keeps
@@ -317,10 +334,29 @@ class GraftTable(val path: String, asOf: Option[Long],
                  declaredSchema: StructType, declaredParts: Seq[String],
                  tsCol: String, startingVersion: Long = 1L)
   extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     asOf.fold(s"graft:$path")(v => s"graft:$path@v$v")
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTable.FileMetaCol)
+
+  /** SQL `UPDATE` / `MERGE INTO` (and subquery DELETEs the metadata
+    * path refuses) via group-based COPY-ON-WRITE: see
+    * [[GraftRowLevelOperation]]. Simple translatable DELETEs still take
+    * the cheaper [[canDeleteWhere]] path (Spark's metadata-delete
+    * optimization re-routes them).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"cannot modify a time-travel view of $path")
+    () => new GraftRowLevelOperation(path, declaredSchema, effectiveParts,
+      tsCol, info.command())
+  }
 
   private def effectiveParts: Seq[String] =
     if (declaredParts.nonEmpty) declaredParts else GraftTable.partCols(path)
@@ -415,7 +451,8 @@ class GraftTable(val path: String, asOf: Option[Long],
   * reason Spark's own parquet aggregate pushdown refuses them.
   */
 class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
-                       fullSchema: StructType, startingVersion: Long = 1L)
+                       fullSchema: StructType, startingVersion: Long = 1L,
+                       rowLevel: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -444,7 +481,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     * limit accepts ANY n rows; with filters present every file stays
     * (the filtered row count is unknowable from counts alone).
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (rowLevel) false else { limit = Some(n); true }
 
   private var topN: Option[GraftScan.TopN] = None
 
@@ -465,7 +503,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-    if (orders.length != 1) return false
+    if (rowLevel || orders.length != 1) return false
     val o = orders.head
     val cOpt = o.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -590,7 +628,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   }
 
   private def canServe(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    !rowLevel && pushed.isEmpty && agg.aggregateExpressions.nonEmpty &&
       groupable(agg) &&
       agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
 
@@ -702,7 +740,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       new GraftAggScan(path, schema, rows)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
-        startingVersion, limit, topN)
+        startingVersion, limit, topN, fileOnlyFilters = rowLevel)
   }
 }
 
@@ -758,7 +796,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 fullSchema: StructType, required: StructType,
                 pushed: Array[Filter], startingVersion: Long = 1L,
                 limit: Option[Int] = None,
-                topN: Option[GraftScan.TopN] = None)
+                topN: Option[GraftScan.TopN] = None,
+                fileOnlyFilters: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -787,20 +826,38 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
     }
 
+  /** The snapshot this scan planned from — the row-level operations'
+    * conflict-detection base (their commit must abort if a concurrent
+    * writer replaced one of the scanned files' partitions since).
+    */
+  private[sources] def snapshot: StoreLog.Snapshot = snap
+
   private val partColNames: Seq[String] = GraftTable.partCols(path)
   private val partSchema = StructType(
     fullSchema.fields.filter(f => partColNames.contains(f.name)))
   private val dataSchema = StructType(
     fullSchema.fields.filterNot(f => partColNames.contains(f.name)))
+  // `_file` is the metadata column (the row's store-relative data file
+  // path — SupportsMetadataColumns): a per-file CONSTANT, delivered
+  // through the same driver-side mechanism as partition values, and the
+  // group identity the row-level operations (UPDATE/MERGE) replace on
+  private val wantsFile: Boolean =
+    required.fieldNames.contains(GraftTable.FileColName)
   private val requiredData = StructType(
-    required.fields.filterNot(f => partColNames.contains(f.name)))
+    required.fields.filterNot(f =>
+      partColNames.contains(f.name) || f.name == GraftTable.FileColName))
   private val requiredPart = StructType(
     required.fields.filter(f => partColNames.contains(f.name)))
+  // partition-value row layout handed to the reader: real partition
+  // columns, then the _file constant when requested
+  private val readerPartSchema = StructType(requiredPart.fields ++
+    (if (wantsFile) Seq(StructField(GraftTable.FileColName, StringType,
+      nullable = false)) else Seq.empty))
 
   // the parquet reader's natural layout: required data columns followed
   // by the required partition columns (partition values are appended by
   // the reader from driver metadata)
-  private val parquetOut = StructType(requiredData.fields ++ requiredPart.fields)
+  private val parquetOut = StructType(requiredData.fields ++ readerPartSchema.fields)
 
   /** The scan answers EXACTLY the requested schema, in the requested
     * ORDER. A scan that reorders (e.g. appends partition columns last
@@ -827,7 +884,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   // partition column would fail resolution — and could never be a join
   // key of this scan anyway)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partColNames.filter(required.fieldNames.contains)
+    (partColNames.filter(required.fieldNames.contains) ++
+      (if (wantsFile) Seq(GraftTable.FileColName) else Seq.empty))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
@@ -895,11 +953,27 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   }
 
   def plannedFiles: Seq[String] = {
-    val pred = (pushed ++ runtime).flatMap(GraftTable.filterColumn)
+    // `_file` filters (the row-level operations' runtime GROUP filter,
+    // or an explicit metadata predicate) name files DIRECTLY — apply
+    // them as a set intersection, everything else through stat pruning
+    val (fileFs, rest) = (pushed ++ runtime).partition(
+      _.references.toSeq == Seq(GraftTable.FileColName))
+    val allowed: Option[Set[String]] = {
+      val sets = fileFs.toSeq.flatMap {
+        case sources.In(_, vs) =>
+          Some(vs.toSeq.map(v => String.valueOf(GraftTable.externalValue(v))).toSet)
+        case sources.EqualTo(_, v) =>
+          Some(Set(String.valueOf(GraftTable.externalValue(v))))
+        case _ => None // unrecognized _file shape: keep everything
+      }
+      sets.reduceOption(_ intersect _)
+    }
+    val base0 = allowed.fold(snap.files)(a => snap.files.filter(a.contains))
+    val pred = rest.flatMap(GraftTable.filterColumn)
       .reduceOption(_ && _)
     pred match {
       case None if topN.isDefined && (pushed ++ runtime).isEmpty =>
-        topNPrune(snap.files).getOrElse(snap.files)
+        topNPrune(base0).getOrElse(base0)
       case None if limit.isDefined && (pushed ++ runtime).isEmpty =>
         // bare LIMIT n: stop listing once recorded row counts cover n
         // (files with unknown counts contribute 0 — conservative, the
@@ -908,7 +982,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
         var acc = 0L
         val kept = Seq.newBuilder[String]
         var done = false
-        snap.files.foreach { f =>
+        base0.foreach { f =>
           if (!done) {
             kept += f
             acc += snap.stats.get(f)
@@ -918,10 +992,10 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
           }
         }
         kept.result()
-      case None => snap.files
+      case None => base0
       case Some(p) =>
         val node = org.apache.spark.sql.GraftShim.predTree(p)
-        val kept = snap.files.filter { f =>
+        val kept = base0.filter { f =>
           val stats = snap.stats.getOrElse(f, Map.empty) ++
             GraftTable.partPseudoStats(f, fullSchema)
           stats.isEmpty || FileStats.mayMatch(stats, node)
@@ -983,7 +1057,17 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
     val splits: Seq[PartitionedFile] = lens.flatMap { case (rel, len) =>
-      val pv = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
+      val pvBase = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
+      val pv: org.apache.spark.sql.catalyst.InternalRow =
+        if (!wantsFile) pvBase
+        else {
+          val vals = new Array[Any](readerPartSchema.length)
+          (0 until requiredPart.length).foreach(i =>
+            vals(i) = pvBase.get(i, requiredPart(i).dataType))
+          vals(requiredPart.length) =
+            org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
       val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
       if (len == 0) Seq.empty
       else (0L until len by maxSplit).map { off =>
@@ -1001,7 +1085,13 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // columns aren't in the data pages); row-group stats + the store's
     // bloom filters both engage underneath
     val dataCols = dataSchema.fieldNames.toSet
-    val dataFilters = pushed.filter(_.references.forall(dataCols.contains)).toSeq
+    // row-level operation scans (UPDATE/MERGE replacement reads) must
+    // return EVERY row of the affected files: pushed filters prune
+    // FILES only there — a row-group skip inside an affected file would
+    // silently drop survivor rows from the rewritten replacement
+    val dataFilters =
+      if (fileOnlyFilters) Seq.empty
+      else pushed.filter(_.references.forall(dataCols.contains)).toSeq
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     // COLUMNAR when the projected schema allows it (atomic columns,
     // vectorized reader on): the scan then feeds ColumnarBatches into
@@ -1010,7 +1100,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // never paid. Nested/map projections take the row path.
     val columnar = fmt.supportBatch(spark, readSchema())
     val readerFunc = fmt
-      .buildReaderWithPartitionValues(spark, dataSchema, requiredPart, requiredData,
+      .buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema, requiredData,
         dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
