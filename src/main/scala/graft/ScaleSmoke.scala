@@ -48,7 +48,13 @@ object ScaleSmoke {
     // (whose cost must stay METADATA-bounded — a 10x corpus grows the
     // store write, never the one-row agg answer)
     "store_dsv2_read", "store_sql_catalog", "stream_sink_native",
-    "store_sql_maintenance", "store_sql_fast_agg")
+    "store_sql_maintenance", "store_sql_fast_agg",
+    // round-13 SQL DML: copy-on-write row-level verbs — their 10x cost
+    // must track the FILES holding matches (plus the fixture's own
+    // 10x INSERT), never the store; the grouped manifest aggregate
+    // stays metadata-bounded like its ungrouped twin
+    "store_sql_delete", "store_sql_update", "store_sql_merge",
+    "store_sql_group_fast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
