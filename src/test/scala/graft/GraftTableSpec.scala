@@ -711,6 +711,14 @@ class GraftTableSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gdml.ns.t WHERE id IN (SELECT id FROM gdml_merge_src WHERE v > 100)")
     assert(spark.sql("SELECT id FROM gdml.ns.t ORDER BY id").as[Long].collect().toSeq
       === Seq(1L, 3L, 4L, 9L))
+    // UPDATE may MOVE a row across partitions (the upsert contract
+    // forbids this; copy-on-write rewrites the row wherever its new
+    // partition value lands)
+    spark.sql("UPDATE gdml.ns.t SET k = 'b' WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t WHERE k = 'b'").head().getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t WHERE k = 'a'").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT id FROM gdml.ns.t ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L, 9L), "a partition-moving UPDATE must not lose or duplicate rows")
   }
 
   test("CALL procedures: vacuum / compact / zorder from pure SQL") {
