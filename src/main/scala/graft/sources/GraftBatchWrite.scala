@@ -122,9 +122,14 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
       maxRecordsPerFile)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // adopt ONLY the files the committed task attempts NAMED — the
+    // staging dir may also hold failed/speculative attempts' files
+    // (torn footers, duplicate rows); those die with the staging dir
+    val named = messages.toSeq.collect {
+      case GraftWriteTaskResult(fs) => fs }.flatten
     StoreLog.withWriterLease(path) { lease =>
       val moved =
-        try StoreLog.adoptStaged(path, staging)
+        try StoreLog.adoptStagedNamed(path, staging, named)
         finally StoreLog.deleteStaging(staging)
       val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
       var committed = false
@@ -172,30 +177,25 @@ private[sources] class GraftDataWriterFactory(staging: String,
       conf.value, partitionId, taskId, maxRecordsPerFile)
 }
 
-/** One task's writer: rows arrive SORTED by (uid..., ts) (the Write's
-  * required ordering), so partition-directory transitions are detected
-  * by comparing consecutive uid keys — one open file at a time, rolled
-  * on key change or the max-records bound. Partition values become
-  * hive-style `name=value` path segments with Spark's own escaping and
-  * string rendering (UTC cast), so the layout is byte-identical to the
-  * dynamic-partition writer's.
+/** Shared task-writer base: the projections, the hive-style
+  * `name=value` path rendering (Spark's own escaping and UTC string
+  * cast — byte-identical to the dynamic-partition writer's layout),
+  * the null-ts guard, file naming, and the commit message. Subclasses
+  * supply only the OPEN-FILE policy (sorted single-writer vs hashed
+  * map).
   */
-private[graft] class GraftDataWriter(staging: String,
+private[graft] abstract class GraftWriterBase(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
-    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+    partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val dataSchema = StructType(
+  protected val dataSchema = StructType(
     writeSchema.fields.filterNot(f => uids.contains(f.name)))
-  private val uidIdx = uids.map(writeSchema.fieldIndex)
+  protected val uidIdx = uids.map(writeSchema.fieldIndex)
   private val tsIdx =
     if (writeSchema.fieldNames.contains(tsCol)) writeSchema.fieldIndex(tsCol) else -1
-
-  private val keyProj = UnsafeProjection.create(uidIdx.map(i =>
-    BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)).toArray
-    .asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
-  private val dataProj = UnsafeProjection.create(
+  protected val dataProj = UnsafeProjection.create(
     writeSchema.fields.zipWithIndex.filterNot { case (f, _) => uids.contains(f.name) }
       .map { case (f, i) => BoundReference(i, f.dataType, f.nullable) }
       .toArray.asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
@@ -208,10 +208,7 @@ private[graft] class GraftDataWriter(staging: String,
 
   private val taskUuid = java.util.UUID.randomUUID().toString.replace("-", "")
   private val written = Seq.newBuilder[String]
-  private var currentKey: UnsafeRow = _
-  private var writer: OutputWriter = _
   private var fileSeq = 0
-  private var recordsInFile = 0L
 
   private def attemptContext(): TaskAttemptContextImpl = {
     val attemptId = new TaskAttemptID(
@@ -219,7 +216,7 @@ private[graft] class GraftDataWriter(staging: String,
     new TaskAttemptContextImpl(conf, attemptId)
   }
 
-  private def partitionDir(row: InternalRow): String =
+  protected def partitionDir(row: InternalRow): String =
     uids.zip(segCasts).map { case (name, cast) =>
       val v = cast.eval(row)
       val seg =
@@ -228,23 +225,60 @@ private[graft] class GraftDataWriter(staging: String,
       s"$name=$seg"
     }.mkString("/")
 
-  private def roll(row: InternalRow): Unit = {
-    closeCurrent()
-    val dir = if (uids.isEmpty) "" else partitionDir(row) + "/"
-    val rel = f"${dir}part-$partitionId%05d-$taskUuid-$fileSeq%03d.parquet"
+  /** Open the next uniquely-named file under `dir` ("" = staging root). */
+  protected def openWriter(dir: String): OutputWriter = {
+    val prefix = if (dir.isEmpty) "" else dir + "/"
+    val rel = f"${prefix}part-$partitionId%05d-$taskUuid-$fileSeq%03d.parquet"
     fileSeq += 1
-    recordsInFile = 0L
-    writer = factory.newInstance(s"$staging/$rel", dataSchema, attemptContext())
     written += rel
+    factory.newInstance(s"$staging/$rel", dataSchema, attemptContext())
   }
 
-  private def closeCurrent(): Unit =
-    if (writer != null) { writer.close(); writer = null }
-
-  override def write(row: InternalRow): Unit = {
+  protected def guardTs(row: InternalRow): Unit =
     if (tsIdx >= 0 && row.isNullAt(tsIdx))
       throw new IllegalArgumentException(
         s"null $tsCol value — refusing write (the store's time column is mandatory)")
+
+  protected def closeOpenWriters(): Unit
+
+  override def commit(): WriterCommitMessage = {
+    closeOpenWriters()
+    GraftWriteTaskResult(written.result())
+  }
+
+  override def abort(): Unit = closeOpenWriters()
+
+  override def close(): Unit = closeOpenWriters()
+}
+
+/** One task's writer for SORTED input: rows arrive ordered by
+  * (uid..., ts) (the Write's required ordering), so partition-directory
+  * transitions are detected by comparing consecutive uid keys — one
+  * open file at a time, rolled on key change or the max-records bound.
+  */
+private[graft] class GraftDataWriter(staging: String,
+    writeSchema: StructType, uids: Seq[String], tsCol: String,
+    factory: OutputWriterFactory, conf: Configuration,
+    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+  extends GraftWriterBase(staging, writeSchema, uids, tsCol, factory, conf,
+    partitionId, taskId) {
+
+  private val keyProj = UnsafeProjection.create(uidIdx.map(i =>
+    BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)).toArray
+    .asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
+
+  private var currentKey: UnsafeRow = _
+  private var writer: OutputWriter = _
+  private var recordsInFile = 0L
+
+  private def roll(row: InternalRow): Unit = {
+    closeOpenWriters()
+    writer = openWriter(if (uids.isEmpty) "" else partitionDir(row))
+    recordsInFile = 0L
+  }
+
+  override def write(row: InternalRow): Unit = {
+    guardTs(row)
     val key = keyProj(row)
     if (currentKey == null || key != currentKey) {
       currentKey = key.copy()
@@ -254,103 +288,46 @@ private[graft] class GraftDataWriter(staging: String,
     recordsInFile += 1L
   }
 
-  override def commit(): WriterCommitMessage = {
-    closeCurrent()
-    GraftWriteTaskResult(written.result())
-  }
-
-  override def abort(): Unit = closeCurrent()
-
-  override def close(): Unit = closeCurrent()
+  override protected def closeOpenWriters(): Unit =
+    if (writer != null) { writer.close(); writer = null }
 }
 
-/** The STREAMING append writer: same staged parquet layout as
-  * [[GraftDataWriter]], but robust to UNSORTED input — a micro-batch
-  * engine may or may not honor the write's required ordering, so open
-  * writers are kept per partition directory in a map (bounded by the
-  * task's distinct uid values; with the ordering honored the map holds
-  * one entry). One file per (dir, roll) — rolls on the max-records
-  * bound.
+/** The STREAMING append writer: same staged parquet layout, but robust
+  * to UNSORTED input — a micro-batch engine may or may not honor the
+  * write's required ordering, so open writers are kept per partition
+  * directory in a map (bounded by the task's distinct uid values; with
+  * the ordering honored the map holds one entry). Rolls on the
+  * max-records bound.
   */
 private[graft] class GraftHashedDataWriter(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
     partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
-  extends DataWriter[InternalRow] {
+  extends GraftWriterBase(staging, writeSchema, uids, tsCol, factory, conf,
+    partitionId, taskId) {
 
-  private val dataSchema = StructType(
-    writeSchema.fields.filterNot(f => uids.contains(f.name)))
-  private val uidIdx = uids.map(writeSchema.fieldIndex)
-  private val tsIdx =
-    if (writeSchema.fieldNames.contains(tsCol)) writeSchema.fieldIndex(tsCol) else -1
-  private val dataProj = UnsafeProjection.create(
-    writeSchema.fields.zipWithIndex.filterNot { case (f, _) => uids.contains(f.name) }
-      .map { case (f, i) => BoundReference(i, f.dataType, f.nullable) }
-      .toArray.asInstanceOf[Array[org.apache.spark.sql.catalyst.expressions.Expression]])
-  private val segCasts = uidIdx.map { i =>
-    Cast(BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable),
-      org.apache.spark.sql.types.StringType, Some(java.time.ZoneOffset.UTC.getId))
-  }
-
-  private val taskUuid = java.util.UUID.randomUUID().toString.replace("-", "")
-  private val written = Seq.newBuilder[String]
   private final class Open(var writer: OutputWriter, var records: Long)
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, Open]
-  private var fileSeq = 0
-
-  private def attemptContext(): TaskAttemptContextImpl = {
-    val attemptId = new TaskAttemptID(
-      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
-    new TaskAttemptContextImpl(conf, attemptId)
-  }
-
-  private def partitionDir(row: InternalRow): String =
-    uids.zip(segCasts).map { case (name, cast) =>
-      val v = cast.eval(row)
-      val seg =
-        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else ExternalCatalogUtils.escapePathName(v.toString)
-      s"$name=$seg"
-    }.mkString("/")
-
-  private def newWriter(dir: String): Open = {
-    val prefix = if (dir.isEmpty) "" else dir + "/"
-    val rel = f"${prefix}part-$partitionId%05d-$taskUuid-$fileSeq%03d.parquet"
-    fileSeq += 1
-    written += rel
-    new Open(factory.newInstance(s"$staging/$rel", dataSchema, attemptContext()), 0L)
-  }
 
   override def write(row: InternalRow): Unit = {
-    if (tsIdx >= 0 && row.isNullAt(tsIdx))
-      throw new IllegalArgumentException(
-        s"null $tsCol value — refusing write (the store's time column is mandatory)")
+    guardTs(row)
     val dir = if (uids.isEmpty) "" else partitionDir(row)
     val o = open.get(dir) match {
       case Some(cur) if cur.records < maxRecordsPerFile => cur
       case Some(cur) =>
         cur.writer.close()
-        val fresh = newWriter(dir); open(dir) = fresh; fresh
+        val fresh = new Open(openWriter(dir), 0L); open(dir) = fresh; fresh
       case None =>
-        val fresh = newWriter(dir); open(dir) = fresh; fresh
+        val fresh = new Open(openWriter(dir), 0L); open(dir) = fresh; fresh
     }
     o.writer.write(dataProj(row))
     o.records += 1L
   }
 
-  private def closeAll(): Unit = {
+  override protected def closeOpenWriters(): Unit = {
     open.valuesIterator.foreach(o => o.writer.close())
     open.clear()
   }
-
-  override def commit(): WriterCommitMessage = {
-    closeAll()
-    GraftWriteTaskResult(written.result())
-  }
-
-  override def abort(): Unit = closeAll()
-
-  override def close(): Unit = closeAll()
 }
 
 /** Minimal serializable Hadoop-Configuration carrier (the Spark-internal

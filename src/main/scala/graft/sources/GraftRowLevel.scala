@@ -98,6 +98,9 @@ private[sources] class GraftReplaceDataWrite(path: String,
           factory, conf, maxRecords)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // only the committed attempts' named files (see GraftBatchWrite)
+        val named = messages.toSeq.collect {
+          case GraftWriteTaskResult(fs) => fs }.flatten
         val scan = scanOf().getOrElse(throw new IllegalStateException(
           "row-level write committed without its operation scan"))
         // the files the replacement rows were COMPUTED from — evaluated
@@ -111,7 +114,7 @@ private[sources] class GraftReplaceDataWrite(path: String,
         }.distinct.sorted
         StoreLog.withWriterLease(path) { lease =>
           val moved =
-            try StoreLog.adoptStaged(path, staging)
+            try StoreLog.adoptStagedNamed(path, staging, named)
             finally StoreLog.deleteStaging(staging)
           if (removed.isEmpty && moved.isEmpty) ()
           else {

@@ -383,7 +383,12 @@ class GraftTable(val path: String, asOf: Option[Long],
     require(uids.nonEmpty,
       s"DELETE needs a partitioned graft store at $path (copy-on-write " +
         "rewrites are partition-scoped)")
-    val pred = predicates.toSeq.flatMap(p => GraftTable.v2Column(p))
+    // all-or-nothing even if invoked OUTSIDE the canDeleteWhere
+    // contract: silently dropping an untranslatable conjunct would
+    // widen the delete to a superset of the user's predicate
+    val pred = predicates.toSeq.map(p => GraftTable.v2Column(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate is not exactly translatable: $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
     TsStore.delete(SparkSession.active, path, pred, tsCol = tsCol,
       uidCols = uids)
@@ -532,6 +537,23 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 
   private lazy val partColNames: Seq[String] = GraftTable.partCols(path)
 
+  // ONE O(files x partCols) path-parse pass per builder, shared by the
+  // servability checks, the per-aggregate answers, and the grouping —
+  // canServe + pushAggregation + aggResultRows would otherwise re-split
+  // every live file's path once per aggregate per call (the
+  // metadata-scale path the manifest exists to keep cheap)
+  private lazy val segCache: Map[String, Map[String, Option[String]]] =
+    aggSnap.fold(Map.empty[String, Map[String, Option[String]]])(_.files.map(f =>
+      f -> partColNames.flatMap(c =>
+        GraftTable.partSegRaw(f, c).map(c -> _)).toMap).toMap)
+  private lazy val pseudoCache: Map[String, FileStats.FileStatsMap] =
+    aggSnap.fold(Map.empty[String, FileStats.FileStatsMap])(_.files.map(f =>
+      f -> GraftTable.partPseudoStats(f, fullSchema)).toMap)
+
+  /** Cached [[GraftTable.partSegRaw]]. */
+  private def segOf(file: String, col: String): Option[Option[String]] =
+    segCache.getOrElse(file, Map.empty).get(col)
+
   private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -581,7 +603,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     */
   private def nonNullCountOf(file: String, colName: String): Option[Long] =
     if (partColNames.contains(colName)) {
-      GraftTable.partSegRaw(file, colName) match {
+      segOf(file, colName) match {
         case None => None // no partition segment — unservable, refuse
         case Some(None) => Some(0L) // the null partition: zero non-null rows
         case Some(Some(_)) => rowsOf(file)
@@ -598,11 +620,11 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     */
   private def boundsOf(file: String, colName: String): Option[Seq[(Any, Any)]] =
     if (partColNames.contains(colName)) {
-      GraftTable.partSegRaw(file, colName) match {
+      segOf(file, colName) match {
         case None => None // no partition segment — unservable, refuse
         case Some(None) => Some(Seq.empty) // null partition: empty contribution
         case Some(Some(_)) =>
-          GraftTable.partPseudoStats(file, fullSchema).get(colName)
+          pseudoCache.getOrElse(file, Map.empty).get(colName)
             .map(cs => Seq((cs.min, cs.max))) // None = unencodable type, refuse
       }
     } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
@@ -623,7 +645,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       val gs = names.flatten
       gs.forall(partColNames.contains) &&
         aggSnap.exists(_.files.forall(f =>
-          gs.forall(g => GraftTable.partSegRaw(f, g).isDefined)))
+          gs.forall(g => segOf(f, g).isDefined)))
     }
   }
 
@@ -724,11 +746,17 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     if (groupNames.isEmpty)
       (resultSchema, Seq(aggSlice(agg, snap.files)._2.toArray))
     else {
-      val byGroup = snap.files.groupBy(f =>
-        groupNames.map(g => GraftTable.partSegRaw(f, g).get))
-      val rows = byGroup.toSeq.map { case (gvals, files) =>
-        (gvals.zip(groupFields).map { case (r, f) => groupInternal(r, f) } ++
-          aggSlice(agg, files)._2).toArray
+      // group by the CAST internal values, not the raw directory
+      // strings: an adopted layout may render one logical value two
+      // ways ("k=7" and "k=07"), and a complete pushdown must group
+      // exactly like the unpushed plan's Cast would
+      val keyed = snap.files.map { f =>
+        f -> groupNames.zip(groupFields).map { case (g, fld) =>
+          groupInternal(segOf(f, g).get, fld)
+        }
+      }
+      val rows = keyed.groupBy(_._2).toSeq.map { case (gvals, entries) =>
+        (gvals ++ aggSlice(agg, entries.map(_._1))._2).toArray
       }
       (resultSchema, rows)
     }

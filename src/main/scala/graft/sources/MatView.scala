@@ -136,8 +136,22 @@ object MatView {
         // takeover a beat to land, then proceed only on our own token
         Thread.sleep(50)
         acquired = owned()
+        // a TRANSIENT owned() failure must not orphan our published
+        // lock (it would block every refresher until staleness): if the
+        // lock still carries our token on a re-check, release it before
+        // looping; an unreadable lock is left for mtime expiry
+        if (!acquired) {
+          try {
+            if (io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), token))
+              io.deleteFile(lock)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
       if (!acquired) {
+        if (System.currentTimeMillis() > deadline)
+          throw new StoreLog.CommitConflict(
+            s"matview refresh lock held at $viewPath — another maintainer " +
+              "is refreshing; retry later")
         // (content, staleness) observed together; the delete below is
         // conditioned on the content still matching
         val staleContent: Option[Array[Byte]] =
@@ -153,12 +167,11 @@ object MatView {
               if (io.exists(lock) && java.util.Arrays.equals(io.readBytes(lock), c))
                 io.deleteFile(lock)
             } catch { case scala.util.control.NonFatal(_) => () }
+            // fall through to the next acquire attempt after a beat —
+            // never a tight spin even if the delete keeps failing
+            Thread.sleep(50)
           case None =>
-            if (System.currentTimeMillis() > deadline)
-              throw new StoreLog.CommitConflict(
-                s"matview refresh lock held at $viewPath — another maintainer " +
-                  "is refreshing; retry later")
-            else Thread.sleep(100)
+            Thread.sleep(100)
         }
       }
     }

@@ -686,7 +686,24 @@ object StoreLog {
         else if (e.name.endsWith(".parquet")) staged += s"$prefix${e.name}"
       }
     walk(stagingDir, "")
-    staged.result().map { rel =>
+    adoptFiles(path, stagingDir, staged.result())
+  }
+
+  /** [[adoptStaged]] restricted to the EXPLICITLY NAMED staged files —
+    * the DSv2 write paths' adopt: a distributed write's staging dir may
+    * hold files from FAILED or SPECULATIVE task attempts (torn footers,
+    * duplicate rows) alongside the committed attempts' output; only the
+    * files the tasks' WriterCommitMessages named may ever reach the
+    * manifest. Everything else dies with the staging dir.
+    */
+  def adoptStagedNamed(path: String, stagingDir: String,
+                       rels: Seq[String]): Seq[String] =
+    adoptFiles(path, stagingDir, rels)
+
+  private def adoptFiles(path: String, stagingDir: String,
+                         rels: Seq[String]): Seq[String] = {
+    val fsio = io(path)
+    rels.map { rel =>
       // stamp the ADOPT time BEFORE the move (which preserves mtime):
       // the vacuum lease's young-file protection must date from when
       // the file becomes a garbage-lookalike in a partition dir, and a

@@ -14,7 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{CommitIo, FileStats, GraftBatchWrite, GraftDataWriter, GraftHashedDataWriter, GraftSerializableConf, StoreLog, TsStore}
+import graft.sources.{CommitIo, FileStats, GraftBatchWrite, GraftDataWriter, GraftHashedDataWriter, GraftSerializableConf, GraftWriteTaskResult, StoreLog, TsStore}
 
 /** The store as a NATIVE DSv2 streaming sink — `writeStream
   * .format("graft-store")` lands micro-batches as manifest-committed
@@ -98,8 +98,13 @@ private[streaming] class GraftSinkTable(declaredSchema: StructType,
     // Update-as-append: the store's upsert IS the update handler
     // (latest-wins by the data's version column), and append mode takes
     // whatever rows the engine emits — so Update output needs no
-    // special casing
-    new WriteBuilder with SupportsStreamingUpdateAsAppend {
+    // special casing. Complete mode truncates: every epoch carries the
+    // FULL result, so the commit is a versioned replace-all (the v1
+    // sink accepted any OutputMode; this face must too).
+    new WriteBuilder with SupportsStreamingUpdateAsAppend
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceEachEpoch = false
+      override def truncate(): WriteBuilder = { replaceEachEpoch = true; this }
       override def build(): Write = {
         val tsCol = Option(options.get("tsCol")).getOrElse("ts")
         val uids = Option(options.get("uids"))
@@ -107,7 +112,14 @@ private[streaming] class GraftSinkTable(declaredSchema: StructType,
           .getOrElse(Seq.empty)
         val autoCompactOpt = Option(options.get("autoCompact")).map(_.toInt)
         val ckptInterval = Option(options.get("checkpointInterval")).map(_.toInt)
-        Option(options.get("mode")).getOrElse("append").toLowerCase match {
+        if (replaceEachEpoch)
+          // Complete output: keys/merge are moot — each epoch IS the
+          // whole table; land it as a canonical-layout replace commit
+          new GraftStreamingAppendWrite(path, info.schema(), uids, tsCol,
+            feedId = Option(options.get("feedId")).getOrElse("feed"),
+            autoCompact = None, checkpointInterval = ckptInterval,
+            replaceAll = true)
+        else Option(options.get("mode")).getOrElse("append").toLowerCase match {
           case "append" =>
             new GraftStreamingAppendWrite(path, info.schema(), uids, tsCol,
               feedId = Option(options.get("feedId")).getOrElse("feed"),
@@ -141,7 +153,8 @@ private[streaming] class GraftSinkTable(declaredSchema: StructType,
   */
 private[streaming] class GraftStreamingAppendWrite(path: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
-    feedId: String, autoCompact: Option[Int], checkpointInterval: Option[Int])
+    feedId: String, autoCompact: Option[Int], checkpointInterval: Option[Int],
+    replaceAll: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -167,14 +180,22 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                           messages: Array[WriterCommitMessage]): Unit = {
         val staging = s"${stagingBase}_e$epochId"
         val tag = s"$feedId-$epochId"
-        if (StoreLog.findTag(path, tag).isDefined) {
+        // the tag guard is the APPEND path's exactly-once (re-delivered
+        // rows would otherwise duplicate); a Complete-mode REPLACE is
+        // idempotent by construction — re-running an epoch replaces
+        // with the same content — and a fresh checkpoint restarts epoch
+        // numbering, so the tag must not dedupe across queries there
+        if (!replaceAll && StoreLog.findTag(path, tag).isDefined) {
           StoreLog.deleteStaging(staging) // re-delivered epoch: drop dup rows
           return
         }
+        // only the committed attempts' named files (see GraftBatchWrite)
+        val named = messages.toSeq.collect {
+          case GraftWriteTaskResult(fs) => fs }.flatten
         var movedAny = false
         StoreLog.withWriterLease(path) { lease =>
           val moved =
-            try StoreLog.adoptStaged(path, staging)
+            try StoreLog.adoptStagedNamed(path, staging, named)
             finally StoreLog.deleteStaging(staging)
           movedAny = moved.nonEmpty
           if (moved.nonEmpty) {
@@ -184,14 +205,34 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
             while (!committed) {
               lease.renew()
               val cur = StoreLog.ensure(path)
+              // Complete-mode epochs REPLACE the store (versioned, like
+              // INSERT OVERWRITE); append epochs are pure additions
+              val (replaced, files) =
+                if (replaceAll)
+                  ((cur.files ++ moved).map { f =>
+                    val i = f.lastIndexOf('/')
+                    if (i > 0) f.substring(0, i) else f
+                  }.distinct.sorted, moved)
+                else (Seq.empty[String], cur.files ++ moved)
               try {
-                StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
+                StoreLog.commit(path, cur.version, replaced, files,
                   parent = Some(cur), addStats = movedStats,
-                  addSizes = movedSizes, tag = Some(tag))
+                  addSizes = movedSizes,
+                  tag = if (replaceAll) None else Some(tag))
                 committed = true
               } catch {
                 case c: StoreLog.CommitConflict =>
-                  attempts += 1; if (attempts > 50) throw c
+                  // ZOMBIE-DRIVER race: a replacement driver may have
+                  // committed THIS epoch between our findTag check and
+                  // the CAS — re-check the tag before retrying, and
+                  // drop our now-redundant files if it landed
+                  if (!replaceAll && StoreLog.findTag(path, tag).isDefined) {
+                    StoreLog.deleteDataFiles(path, moved)
+                    movedAny = false
+                    committed = true
+                  } else {
+                    attempts += 1; if (attempts > 50) throw c
+                  }
               }
             }
           }
@@ -238,11 +279,15 @@ private[streaming] class GraftStreamingUpsertWrite(path: String,
                           messages: Array[WriterCommitMessage]): Unit = {
         val spark = SparkSession.active
         val staging = s"${stagingBase}_e$epochId"
-        val hasRows = CommitIo.forPath(staging).exists(io =>
-          io.isDir(staging) && io.list(staging).exists(_.name.endsWith(".parquet")))
+        // read ONLY the committed attempts' named files — the staging
+        // dir may hold failed/speculative attempts' torn or duplicate
+        // spill files (see GraftBatchWrite)
+        val named = messages.toSeq.collect {
+          case GraftWriteTaskResult(fs) => fs }.flatten
         try {
-          if (hasRows) {
-            val batch = spark.read.schema(writeSchema).parquet(staging)
+          if (named.nonEmpty) {
+            val batch = spark.read.schema(writeSchema)
+              .parquet(named.map(f => s"$staging/$f"): _*)
             TsStore.upsert(spark, path, batch, keyCols = keys,
               versionCol = versionCol, tsCol = tsCol, uidCols = uids)
             autoCompact.foreach(cap =>

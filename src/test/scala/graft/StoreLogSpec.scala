@@ -139,6 +139,22 @@ class StoreLogSpec extends AnyFunSuite {
     checkComplete()
   }
 
+  test("adoptStagedNamed moves ONLY the named files: failed-attempt leftovers die with staging") {
+    val dir = Files.createTempDirectory("graft_adopt").toString
+    val staging = s"$dir/_graft_txn_test"
+    Files.createDirectories(Paths.get(s"$staging/k=a"))
+    // the committed attempt's file + a torn speculative leftover
+    Files.write(Paths.get(s"$staging/k=a/good.parquet"), "g".getBytes)
+    Files.write(Paths.get(s"$staging/k=a/torn-attempt.parquet"), "t".getBytes)
+    val moved = StoreLog.adoptStagedNamed(dir, staging, Seq("k=a/good.parquet"))
+    assert(moved === Seq("k=a/good.parquet"))
+    assert(Files.exists(Paths.get(s"$dir/k=a/good.parquet")))
+    assert(!Files.exists(Paths.get(s"$dir/k=a/torn-attempt.parquet")),
+      "an un-named staging file must never reach the store")
+    StoreLog.deleteStaging(staging)
+    assert(!Files.exists(Paths.get(staging)))
+  }
+
   test("the commit primitive is atomic ACROSS PROCESSES: one hard link wins") {
     // the CAS is link(2) — a kernel-level fail-if-exists. Eight separate
     // OS processes race distinct sources onto one target; regardless of

@@ -627,6 +627,48 @@ class StreamingSpec extends AnyFunSuite {
       s"append replay must dedup on its commit tag: $ids")
   }
 
+  test("NATIVE sink Complete mode: each epoch REPLACES the store (versioned, time-travelable)") {
+    import spark.implicits._
+    import graft.sources.{StoreLog, TsStore}
+    val root = java.nio.file.Files.createTempDirectory("graft_nsinkc").toString
+    val (store, src) = (s"$root/store", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    // a streaming AGGREGATION in Complete mode: every epoch emits the
+    // FULL result, so the sink must land it as a replace, not an append
+    def run(ckpt: String) = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy($"event_type").count()
+        .writeStream.format("graft-store")
+        .outputMode("complete")
+        .option("path", store).option("uids", "event_type")
+        .option("feedId", "csink")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((ts("2024-01-01 10:00:00"), "view", 1.0), (ts("2024-01-01 10:01:00"), "view", 2.0),
+        (ts("2024-01-01 10:02:00"), "click", 3.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+    run(s"$root/ckpt1")
+    def state(): Map[String, Long] =
+      TsStore.read(spark, store).select("event_type", "count")
+        .as[(String, Long)].collect().toMap
+    assert(state() === Map("view" -> 2L, "click" -> 1L))
+    val v1 = StoreLog.latest(store).get.version
+    // more input; a FRESH checkpoint recomputes the whole aggregate —
+    // the new complete result must REPLACE, not accumulate
+    Seq((ts("2024-01-01 10:03:00"), "view", 4.0), (ts("2024-01-01 10:04:00"), "signup", 5.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+    run(s"$root/ckpt2")
+    assert(state() === Map("view" -> 3L, "click" -> 1L, "signup" -> 1L),
+      s"Complete mode must replace the store's content: ${state()}")
+    // the replace is VERSIONED: the first epoch's state stays readable
+    assert(TsStore.read(spark, store, asOf = Some(v1))
+      .select("event_type", "count").as[(String, Long)].collect().toMap
+      === Map("view" -> 2L, "click" -> 1L))
+  }
+
   test("table-as-stream: readStream(graft) → writeStream(graft-store) syncs stores, zero user code") {
     import spark.implicits._
     import graft.sources.{StoreLog, TsStore}
