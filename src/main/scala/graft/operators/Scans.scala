@@ -973,6 +973,75 @@ object Scans {
       Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
         "WHERE NOT (event_type = 'click' AND event_id % 7 = 0) " +
         "ORDER BY event_id"),
-      "SQL DELETE FROM on a catalog table: file-granular copy-on-write, pre-delete versions time-travelable")
+      "SQL DELETE FROM on a catalog table: file-granular copy-on-write, pre-delete versions time-travelable"),
+
+    "store_sql_drop_col" -> DeclaredQuery(
+      // ALTER TABLE DROP COLUMN as a metadata-only manifest commit: the
+      // column leaves the declared schema (readers stop requesting it —
+      // the parquet data becomes dead weight until the next rewrite),
+      // pre-drop versions still read it via time travel, and a
+      // post-drop INSERT writes the narrowed contract. GraftTableSpec
+      // pins the tombstone (re-ADD refuses) and the per-era history.
+      (s, d) => {
+        val root = sinkDir("dropc_root", d)
+        val cat = s"graftdc_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, score DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_dc_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value, value * 2.0 " +
+          "FROM graft_dc_src")
+        s.sql(s"ALTER TABLE $cat.main.events DROP COLUMN score")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id + 10000000, ts, user_id, event_type, value " +
+          "FROM graft_dc_src")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id, event_type, value " +
+        "FROM events) " +
+        "SELECT event_id, ts, user_id, event_type, value FROM u ORDER BY event_id"),
+      "ALTER TABLE DROP COLUMN: metadata-only narrowing, pre-drop eras stay time-travelable"),
+
+    "store_sql_rename" -> DeclaredQuery(
+      // ALTER TABLE RENAME TO: one directory move — manifest log, data
+      // files, and the whole time-travel history ride along because
+      // every recorded path is store-relative. GraftTableSpec pins the
+      // lease-guard refusal and the post-rename history read.
+      (s, d) => {
+        val root = sinkDir("ren_root", d)
+        val cat = s"graftren_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events_renamed")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_ren_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_ren_src")
+        s.sql(s"ALTER TABLE $cat.main.events RENAME TO main.events_renamed")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.events_renamed ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "ORDER BY event_id"),
+      "ALTER TABLE RENAME TO: directory move carrying the manifest history, lease-guarded")
   )
 }

@@ -107,6 +107,10 @@ object GraftTable {
   val SchemaProp = "graft.schema"
   val TsColProp = "graft.tsCol"
   val UidsProp = "graft.uids"
+  /** Tombstone prefix for DROPped column names: `graft.dropped.<name>`
+    * — blocks re-ADD while old files still physically carry the column.
+    */
+  val DroppedPropPrefix = "graft.dropped."
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -124,9 +128,12 @@ object GraftTable {
       Some(t.references.head.fieldNames.head)
     else None
 
-  /** The store's schema: inferred from the (possibly `asOf`-versioned)
-    * live files when any exist, else the declared [[SchemaProp]] a
-    * catalog CREATE TABLE recorded (the empty-table case).
+  /** The store's schema: the declared [[SchemaProp]] when the (possibly
+    * `asOf`-versioned) manifest carries one — the catalog contract,
+    * which both honors ALTER ADD/DROP COLUMN (the prop is per-manifest,
+    * so time travel reads the era's declaration) and protects declared
+    * types from partition-value-inference narrowing. Stores with no
+    * declaration (adopted / pure-Scala-API) infer from the live files.
     */
   private[sources] def resolveSchema(spark: SparkSession, path: String,
                                      asOf: Option[Long]): StructType = {
@@ -135,13 +142,39 @@ object GraftTable {
         asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
       else None
     snap match {
-      case Some(s) if s.files.isEmpty =>
+      case Some(s) =>
         s.props.get(SchemaProp).map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .getOrElse(throw new IllegalArgumentException(
-            s"store at $path has no data files and no declared schema"))
+          .getOrElse {
+            if (s.files.isEmpty) throw new IllegalArgumentException(
+              s"store at $path has no data files and no declared schema")
+            TsStore.load(spark, path, asOf = asOf).schema
+          }
       case _ => TsStore.load(spark, path, asOf = asOf).schema
     }
   }
+
+  /** Write-side evolution for a CATALOG-declared store: when the parent
+    * manifest declares a schema ([[SchemaProp]]) and the written frame
+    * carries columns beyond it, the declaration widens to the union in
+    * the SAME commit (new fields at tail, nullable) — so Scala-API
+    * writes and catalog DDL stay one coherent schema history. DROPped
+    * tombstones stay dropped: re-writing such a column leaves its data
+    * undeclared until a rewrite retires the old files. No declaration,
+    * no change — file-inferred stores stay file-authoritative.
+    */
+  private[graft] def widenedSchemaProp(parentProps: Map[String, String],
+                                       written: StructType): Map[String, String] =
+    parentProps.get(SchemaProp) match {
+      case None => Map.empty
+      case Some(j) =>
+        val declared = DataType.fromJson(j).asInstanceOf[StructType]
+        val have = declared.fieldNames.toSet
+        val extra = written.fields.filter(f => !have.contains(f.name) &&
+          !parentProps.contains(s"$DroppedPropPrefix${f.name}"))
+        if (extra.isEmpty) Map.empty
+        else Map(SchemaProp ->
+          StructType(declared.fields ++ extra.map(_.copy(nullable = true))).json)
+    }
 
   /** Partition column names of the store's file layout (empty for an
     * unpartitioned or empty store; an empty store falls back to the
@@ -1292,7 +1325,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def tableAt(path: String, asOf: Option[Long]): Table = {
     val spark = SparkSession.active
-    val props = StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
+    // props at the REQUESTED version: they are per-manifest, so a time
+    // travel reads the era's declared schema (pre-ALTER columns live)
+    val props = asOf.map(v => StoreLog.read(path, v))
+      .orElse(StoreLog.latest(path)).map(_.props).getOrElse(Map.empty)
     // the declared schema (recorded at CREATE) is the catalog contract —
     // partition-value INFERENCE could silently narrow a declared LONG
     // uid to INT; fall back to inference only for adopted stores that
@@ -1359,15 +1395,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableAt(p, None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN` / `SET TBLPROPERTIES`: a metadata-only
-    * manifest commit updating the declared [[GraftTable.SchemaProp]] —
-    * no data files touched; old rows surface NULL for the new column
-    * (the parquet reader null-fills fields absent from a file's
-    * schema, the same union semantics the write-side evolution is
-    * spec-pinned on). Added columns must be top-level, nullable, and
-    * tail-positioned; everything else (drop/rename/retype) still
-    * refuses — those need data rewrites this catalog deliberately
-    * doesn't hide behind DDL.
+  /** `ALTER TABLE ... ADD/DROP COLUMN` / `SET TBLPROPERTIES`: a
+    * metadata-only manifest commit updating the declared
+    * [[GraftTable.SchemaProp]] — no data files touched.
+    *
+    * ADD: old rows surface NULL for the new column (the parquet reader
+    * null-fills fields absent from a file's schema, the same union
+    * semantics the write-side evolution is spec-pinned on). Added
+    * columns must be top-level, nullable, and tail-positioned.
+    *
+    * DROP: the column disappears from the declared schema — readers
+    * never request it, so the data left in existing parquet files is
+    * simply dead weight until the next compact/zorder rewrite (and the
+    * PRE-drop versions still read it via time travel: props are
+    * per-manifest). The time column and partition columns refuse. A
+    * dropped name is tombstoned (`graft.dropped.<name>`) so a later
+    * ADD COLUMN of the same name refuses — old files still carry the
+    * physical column, and re-declaring it would either resurface stale
+    * values (same type) or crash the reader (retyped).
+    *
+    * Everything else (rename/retype) still refuses — those need data
+    * rewrites this catalog deliberately doesn't hide behind DDL.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -1377,6 +1425,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var schema = cur.props.get(GraftTable.SchemaProp)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(GraftTable.resolveSchema(spark, p, None))
+    val tsCol = cur.props.getOrElse(GraftTable.TsColProp, "ts")
+    val uids = cur.props.get(GraftTable.UidsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(GraftTable.partCols(p))
     var props = Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -1390,16 +1442,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "would reorder the declared schema under live readers)")
         require(!schema.fieldNames.contains(name),
           s"column '$name' already exists in ${ident.name}")
+        require(!cur.props.contains(s"${GraftTable.DroppedPropPrefix}$name") &&
+            !props.contains(s"${GraftTable.DroppedPropPrefix}$name"),
+          s"column '$name' was previously dropped from ${ident.name} and its " +
+            "data still lives in existing files — compact/zorder the store " +
+            "first, or pick a fresh name")
         schema = schema.add(StructField(name, add.dataType, nullable = true,
           metadata = Option(add.comment()).fold(Metadata.empty)(c =>
             new MetadataBuilder().putString("comment", c).build())))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames.head
+        if (!schema.fieldNames.contains(name)) {
+          if (!del.ifExists()) throw new IllegalArgumentException(
+            s"column '$name' does not exist in ${ident.name}")
+        } else {
+          require(name != tsCol,
+            s"cannot DROP the store's time column '$tsCol'")
+          require(!uids.contains(name),
+            s"cannot DROP partition column '$name' — the directory layout " +
+              "is built on it")
+          props += s"${GraftTable.DroppedPropPrefix}$name" -> "1"
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        }
       case sp: TableChange.SetProperty =>
         require(!sp.property.startsWith("graft."),
           s"property '${sp.property}' is managed by the store")
         props += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty =>
+        require(!rp.property.startsWith("graft."),
+          s"property '${rp.property}' is managed by the store")
+        props += rp.property -> "" // empty value deletes at commit
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported; schema evolution " +
-          "beyond ADD COLUMN flows through writes")
+          "beyond ADD/DROP COLUMN flows through writes")
     }
     StoreLog.commit(p, cur.version, Seq.empty, cur.files, parent = Some(cur),
       setProps = props + (GraftTable.SchemaProp -> schema.json))
@@ -1423,8 +1500,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { io.deleteDir(p); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE ... RENAME TO`: a directory move — the manifest log,
+    * data files, and full time-travel history ride along because every
+    * recorded path is store-RELATIVE. Refuses while a fresh writer
+    * lease exists (a mid-commit writer would land files in the old
+    * path), the same handshake DROP and vacuum honor. In-flight READERS
+    * of the old name see their files vanish — the caveat every
+    * path-addressed catalog shares; schedule renames like any other
+    * maintenance window.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = pathOf(oldIdent)
+    val to = pathOf(newIdent)
+    if (!isStore(from)) throw new NoSuchTableException(oldIdent)
+    if (io.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (StoreLog.hasFreshWriterLease(from))
+      throw new IllegalStateException(
+        s"cannot RENAME ${oldIdent.namespace.mkString(".")}.${oldIdent.name}: " +
+          "a writer lease is fresh (live commit in flight) — retry after it " +
+          s"completes or expires (${StoreLog.WriterLeaseMs / 1000}s)")
+    io.move(from, to)
+  }
 
   // ------------------------------------------------------- procedures
 

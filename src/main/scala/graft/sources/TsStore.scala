@@ -257,7 +257,8 @@ object TsStore {
           try {
             StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
               parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
-              tag = commitTag)
+              tag = commitTag,
+              setProps = GraftTable.widenedSchemaProp(cur.props, df.schema))
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -413,7 +414,7 @@ object TsStore {
       base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
       newFiles: StoreLog.Snapshot => Seq[String],
       unsound: (StoreLog.Snapshot, Set[String]) => Option[String],
-      setProps: Map[String, String] = Map.empty): Long = {
+      setProps: StoreLog.Snapshot => Map[String, String] = _ => Map.empty): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -429,7 +430,7 @@ object TsStore {
       lease.renew()
       try done = StoreLog.commit(path, expected.version, replaced,
         newFiles(expected), parent = Some(expected), addStats = movedStats,
-        addSizes = movedSizes, setProps = setProps)
+        addSizes = movedSizes, setProps = setProps(expected))
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -547,7 +548,11 @@ object TsStore {
             Some(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
               "— re-run the upsert against the new base")
           else None,
-        setProps = setProps)
+        // caller props + write-side schema widening for catalog-declared
+        // stores (recomputed per rebase — an intervening commit may have
+        // widened too, and the union must build on ITS declaration)
+        setProps = exp =>
+          GraftTable.widenedSchemaProp(exp.props, delta.schema) ++ setProps)
     }
   }
 

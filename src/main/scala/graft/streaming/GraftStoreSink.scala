@@ -218,7 +218,9 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                 StoreLog.commit(path, cur.version, replaced, files,
                   parent = Some(cur), addStats = movedStats,
                   addSizes = movedSizes,
-                  tag = if (replaceAll) None else Some(tag))
+                  tag = if (replaceAll) None else Some(tag),
+                  setProps = graft.sources.GraftTable
+                    .widenedSchemaProp(cur.props, writeSchema))
                 committed = true
               } catch {
                 case c: StoreLog.CommitConflict =>

@@ -570,14 +570,140 @@ class GraftTableSpec extends AnyFunSuite {
     val all = spark.sql("SELECT id, score FROM galt.ns.t ORDER BY id").collect()
     assert(all.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
       === Seq(null, null, 9.5))
-    // refusals: NOT NULL, DROP, RENAME
+    // refusals: NOT NULL, RENAME, DROP of the time/partition columns
     intercept[Exception] {
       spark.sql("ALTER TABLE galt.ns.t ADD COLUMN bad INT NOT NULL") }
-    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN v") }
     intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t RENAME COLUMN v TO w") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN ts") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN k") }
     // the declared schema survives the refusals untouched
     assert(spark.table("galt.ns.t").schema.fieldNames.toSeq ===
       Seq("id", "ts", "k", "v", "score"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, history keeps the era's schema, re-ADD refuses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_dropc").toString
+    spark.conf.set("spark.sql.catalog.gdc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdc.ns")
+    spark.sql(
+      """CREATE TABLE gdc.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE, score DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), "a", 1.0, 10.0),
+        (2L, t("2024-01-01 00:01:00"), "b", 2.0, 20.0))
+      .toDF("id", "ts", "k", "v", "score").createOrReplaceTempView("gdc_src")
+    spark.sql("INSERT INTO gdc.ns.t SELECT * FROM gdc_src")
+    val tablePath = s"$root/ns/t"
+    val vBefore = StoreLog.latest(tablePath).get.version
+    val filesBefore = StoreLog.latest(tablePath).get.files
+    spark.sql("ALTER TABLE gdc.ns.t DROP COLUMN score")
+    // metadata-only: data files untouched, column gone from the contract
+    assert(StoreLog.latest(tablePath).get.files === filesBefore)
+    assert(spark.table("gdc.ns.t").schema.fieldNames.toSeq === Seq("id", "ts", "k", "v"))
+    assert(spark.sql("SELECT * FROM gdc.ns.t").schema.fieldNames.toSeq
+      === Seq("id", "ts", "k", "v"))
+    // props are per-manifest: the PRE-drop version still declares (and reads) it
+    val hist = spark.sql(
+      s"SELECT id, score FROM gdc.ns.t VERSION AS OF $vBefore ORDER BY id").collect()
+    assert(hist.map(_.getDouble(1)).toSeq === Seq(10.0, 20.0),
+      "time travel must read the dropped column's era values")
+    // INSERT against the narrowed contract works
+    spark.sql("INSERT INTO gdc.ns.t VALUES (3, TIMESTAMP '2024-01-02 00:00:00', 'a', 3.0)")
+    assert(spark.sql("SELECT id FROM gdc.ns.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // re-ADD refuses: old files still physically carry the column
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gdc.ns.t ADD COLUMN score DOUBLE") }
+    def root0(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root0(t.getCause)
+    assert((e.getMessage + root0(e).getMessage).contains("dropped"),
+      s"re-ADD refusal must explain the tombstone: ${e.getMessage}")
+    // a DIFFERENT name is fine
+    spark.sql("ALTER TABLE gdc.ns.t ADD COLUMN score2 DOUBLE")
+    assert(spark.table("gdc.ns.t").schema.fieldNames.toSeq
+      === Seq("id", "ts", "k", "v", "score2"))
+  }
+
+  test("RENAME TABLE moves the store with its history; refuses under a fresh lease") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_ren").toString
+    spark.conf.set("spark.sql.catalog.gren", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gren.ns")
+    spark.sql(
+      """CREATE TABLE gren.ns.t (id BIGINT, ts TIMESTAMP, k STRING)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    spark.sql("INSERT INTO gren.ns.t VALUES (1, TIMESTAMP '2024-01-01 00:00:00', 'a')")
+    val vFirst = StoreLog.latest(s"$root/ns/t").get.version
+    spark.sql("INSERT INTO gren.ns.t VALUES (2, TIMESTAMP '2024-01-01 00:01:00', 'b')")
+    spark.sql("ALTER TABLE gren.ns.t RENAME TO ns.t2")
+    assert(spark.sql("SELECT id FROM gren.ns.t2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    intercept[Exception] { spark.table("gren.ns.t").collect() }
+    // the full time-travel history rode along (paths are store-relative)
+    assert(spark.sql(s"SELECT id FROM gren.ns.t2 VERSION AS OF $vFirst").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // refuses onto an existing table
+    spark.sql(
+      """CREATE TABLE gren.ns.other (id BIGINT, ts TIMESTAMP)
+        |USING graft""".stripMargin)
+    intercept[Exception] { spark.sql("ALTER TABLE gren.ns.t2 RENAME TO ns.other") }
+    // refuses while a writer lease is fresh (mid-commit writer)
+    val lease = new java.io.File(s"${StoreLog.logDir(s"$root/ns/t2")}/.lease_rentest")
+    java.nio.file.Files.write(lease.toPath,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    val e = intercept[Exception] { spark.sql("ALTER TABLE gren.ns.t2 RENAME TO ns.t3") }
+    def root0(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root0(t.getCause)
+    assert((e.getMessage + root0(e).getMessage).contains("lease"))
+    assert(new java.io.File(s"$root/ns/t2").exists(), "refused RENAME must not move")
+  }
+
+  test("Scala-API writes WIDEN a catalog-declared schema; dropped tombstones stay dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_widen").toString
+    spark.conf.set("spark.sql.catalog.gwid", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwid.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gwid.ns")
+    spark.sql(
+      """CREATE TABLE gwid.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    spark.sql("INSERT INTO gwid.ns.t VALUES (1, TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)")
+    val tablePath = s"$root/ns/t"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // an APPEND through the Scala API carries an extra column: the
+    // declared schema must widen in the same commit so catalog readers
+    // see the evolution (no stale narrow contract)
+    TsStore.write(
+      Seq((10L, t("2024-06-01 00:00:00"), "b", 10.0, "extra"))
+        .toDF("id", "ts", "k", "v", "w"),
+      tablePath, tsCol = "ts", uidCols = Seq("k"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(spark.table("gwid.ns.t").schema.fieldNames.toSeq
+      === Seq("id", "ts", "k", "v", "w"))
+    val rows = spark.sql("SELECT id, w FROM gwid.ns.t ORDER BY id").collect()
+    assert(rows.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+      === Seq(null, "extra"))
+    // format("graft") agrees with the catalog (declared schema preferred)
+    assert(spark.read.format("graft").load(tablePath).schema.fieldNames.toSeq
+      === Seq("id", "ts", "k", "v", "w"))
+    // after DROP COLUMN w, a Scala write carrying w must NOT resurface it
+    spark.sql("ALTER TABLE gwid.ns.t DROP COLUMN w")
+    TsStore.write(
+      Seq((20L, t("2024-07-01 00:00:00"), "c", 20.0, "zombie"))
+        .toDF("id", "ts", "k", "v", "w"),
+      tablePath, tsCol = "ts", uidCols = Seq("k"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(spark.table("gwid.ns.t").schema.fieldNames.toSeq
+      === Seq("id", "ts", "k", "v"),
+      "a dropped column must stay dropped through write-side widening")
   }
 
   test("DROP TABLE refuses while a writer lease is fresh; proceeds once it expires") {
