@@ -1042,6 +1042,69 @@ object Scans {
       },
       Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
         "ORDER BY event_id"),
-      "ALTER TABLE RENAME TO: directory move carrying the manifest history, lease-guarded")
+      "ALTER TABLE RENAME TO: directory move carrying the manifest history, lease-guarded"),
+
+    "store_sql_where_fast" -> DeclaredQuery(
+      // FILTERED aggregate pushdown: a WHERE made entirely of
+      // partition-column predicates is accepted residual-free (every
+      // row of a file shares its partition values, so file-level
+      // keep/drop IS the filter), which lets the grouped COUNT/MIN/MAX
+      // still answer from the MANIFEST alone — `WHERE uid IN (...)
+      // GROUP BY uid` on a million-file store stays zero file IO.
+      // GraftTableSpec pins the GraftAggScan plan, the A/B predicate
+      // parity, and the null-partition three-valued semantics.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d)
+          .select(cols.map(col) :+ lit(1L).as("version"): _*)
+        val dir = sinkDir("dsv2_wfast", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        s.read.format("graft").load(dir).createOrReplaceTempView("graft_wfast_v")
+        s.sql("SELECT event_type, count(*) AS n_rows, " +
+          "min(event_id) AS id_lo, max(event_id) AS id_hi " +
+          "FROM graft_wfast_v " +
+          "WHERE event_type IN ('purchase', 'view') OR event_type > 'signup' " +
+          "GROUP BY event_type ORDER BY event_type")
+      },
+      Some("SELECT event_type, count(*) AS n_rows, min(event_id) AS id_lo, " +
+        "max(event_id) AS id_hi FROM events " +
+        "WHERE event_type IN ('purchase', 'view') OR event_type > 'signup' " +
+        "GROUP BY event_type ORDER BY event_type"),
+      "filtered aggregate pushdown: partition-exact WHERE accepted residual-free, grouped agg stays manifest-only"),
+
+    "store_sql_history" -> DeclaredQuery(
+      // `CALL <cat>.system.history('ns.t')`: the commit audit from pure
+      // SQL — one row per retained manifest version (committed_at,
+      // n_files, replaced partitions, live bytes, tag). The declared
+      // read projects the DETERMINISTIC columns: the version sequence
+      // (CREATE=1, INSERT=2, DELETE=3) and each commit's
+      // replaced-partition count (the DELETE's copy-on-write touches
+      // exactly the one matching partition).
+      (s, d) => {
+        val root = sinkDir("hist_root", d)
+        val cat = s"grafthist_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_hist_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_hist_src")
+        s.sql(s"DELETE FROM $cat.main.events " +
+          "WHERE event_type = 'click' AND event_id % 7 = 0")
+        s.sql(s"CALL $cat.system.history('main.events')")
+          .select(col("version"), col("n_replaced"))
+          .orderBy("version")
+      },
+      Some("SELECT CAST(v AS BIGINT) AS version, CAST(r AS INTEGER) AS n_replaced " +
+        "FROM (VALUES (1, 0), (2, 0), (3, 1)) AS t(v, r) ORDER BY version"),
+      "CALL system.history: the commit audit (versions, replaced partitions) from pure SQL")
   )
 }

@@ -28,18 +28,22 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("vacuum", "compact", "zorder")
+  val Names: Seq[String] = Seq("vacuum", "compact", "zorder", "history")
 
-  /** One-row procedure result — the analyzer requires a LocalScan. */
-  private final class ResultScan(schema: StructType, values: Array[Any])
+  /** Procedure result rows — the analyzer requires a LocalScan. */
+  private final class ResultScan(schema: StructType, rowVals: Seq[Array[Any]])
     extends org.apache.spark.sql.connector.read.LocalScan {
     override def readSchema(): StructType = schema
-    override def rows(): Array[InternalRow] = Array(
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+    override def rows(): Array[InternalRow] = rowVals.map(v =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(v): InternalRow)
+      .toArray
   }
 
   private def oneRowScan(schema: StructType, values: Array[Any]): util.Iterator[Scan] =
-    util.Collections.singletonList[Scan](new ResultScan(schema, values)).iterator()
+    rowsScan(schema, Seq(values))
+
+  private def rowsScan(schema: StructType, rows: Seq[Array[Any]]): util.Iterator[Scan] =
+    util.Collections.singletonList[Scan](new ResultScan(schema, rows)).iterator()
 
   /** Resolve a table's path + physical layout from the catalog root and
     * the manifest's own properties (the catalog contract; adopted
@@ -125,6 +129,36 @@ object GraftProcedures {
             clusterCols = cols, uidCols = uids, buckets = buckets)
           oneRowScan(StructType(Seq(
             StructField("version", LongType, nullable = false))), Array(v))
+        }
+      }
+      case "history" => new OneShot("history",
+        "list the table's commit history: one row per retained manifest version",
+        Array(
+          ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          import org.apache.spark.unsafe.types.UTF8String
+          val rows = StoreLog.listVersions(path).sorted.map { v =>
+            val s = StoreLog.read(path, v)
+            val live = s.files.toSet
+            Array[Any](
+              v,
+              s.timestampMs * 1000L, // ms → internal micros
+              s.files.size,
+              s.replaced.size,
+              if (s.replaced.isEmpty) null
+              else UTF8String.fromString(s.replaced.mkString(",")),
+              s.sizes.collect { case (f, len) if live(f) => len }.sum,
+              s.tag.map(UTF8String.fromString).orNull)
+          }
+          rowsScan(StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("committed_at", TimestampType, nullable = false),
+            StructField("n_files", IntegerType, nullable = false),
+            StructField("n_replaced", IntegerType, nullable = false),
+            StructField("replaced", StringType),
+            StructField("total_bytes", LongType, nullable = false),
+            StructField("tag", StringType))), rows)
         }
       }
       case other => throw new UnsupportedOperationException(

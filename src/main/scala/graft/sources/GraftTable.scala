@@ -352,6 +352,157 @@ object GraftTable {
       }
     }.toMap
   }
+
+  /** Catalyst-INTERNAL partition value of `rel` for `field` — the value
+    * every row of the file surfaces for the column, produced by the
+    * SAME unescape + UTC-Cast the partitioned read uses, so comparisons
+    * against it are comparisons against the read's own answer. `None` =
+    * the path carries no segment for the column; `Some(null)` = the
+    * null partition (or a raw the Cast cannot parse — which the read
+    * surfaces as null too, keeping the two in lockstep).
+    */
+  private[sources] def partValueInternal(rel: String, field: StructField): Option[Any] =
+    partSegRaw(rel, field.name).map {
+      case None => null
+      case Some(raw) =>
+        if (field.dataType == StringType)
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        else org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw), StringType),
+          field.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval(null)
+    }
+}
+
+/** EXACT per-file evaluation of pushed v1 filters against partition
+  * values. Because every row of a file shares its partition values, a
+  * filter whose references are all partition columns decides the WHOLE
+  * file: true keeps it, false/unknown drops it (SQL keeps only
+  * predicate-TRUE rows, and the file's rows all evaluate alike). That
+  * exactness is what lets [[GraftScanBuilder]] accept such filters
+  * residual-free — which in turn unlocks aggregate pushdown under a
+  * WHERE clause (Spark only offers aggregates to a scan with no
+  * post-scan filters): `SELECT uid, count(*) FROM t WHERE uid IN (...)
+  * GROUP BY uid` on a million-file store stays a pure manifest walk.
+  *
+  * Shape/type support is deliberately closed-world: only types whose
+  * directory rendering roundtrips through the read-side Cast
+  * (string/integral/date/timestamp/boolean) and only decidable shapes.
+  * Anything else stays a residual filter — never a guess.
+  */
+private[sources] object PartPredEval {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def exactType(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** Decidable per-file from partition segments alone? `dtOf` answers
+    * only for PARTITION columns (None = data column → unsupported).
+    */
+  def supportedShape(f: Filter, dtOf: String => Option[DataType]): Boolean = {
+    def ordered(a: String) = dtOf(a).exists(t => exactType(t) && t != BooleanType)
+    f match {
+      case sources.EqualTo(a, _) => dtOf(a).exists(exactType)
+      case sources.EqualNullSafe(a, _) => dtOf(a).exists(exactType)
+      case sources.In(a, _) => dtOf(a).exists(exactType)
+      case sources.IsNull(a) => dtOf(a).isDefined
+      case sources.IsNotNull(a) => dtOf(a).isDefined
+      case sources.GreaterThan(a, _) => ordered(a)
+      case sources.GreaterThanOrEqual(a, _) => ordered(a)
+      case sources.LessThan(a, _) => ordered(a)
+      case sources.LessThanOrEqual(a, _) => ordered(a)
+      case sources.StringStartsWith(a, _) => dtOf(a).contains(StringType)
+      case sources.StringEndsWith(a, _) => dtOf(a).contains(StringType)
+      case sources.StringContains(a, _) => dtOf(a).contains(StringType)
+      case sources.And(l, r) => supportedShape(l, dtOf) && supportedShape(r, dtOf)
+      case sources.Or(l, r) => supportedShape(l, dtOf) && supportedShape(r, dtOf)
+      case sources.Not(c) => supportedShape(c, dtOf)
+      case _: sources.AlwaysTrue => true
+      case _: sources.AlwaysFalse => true
+      case _ => false
+    }
+  }
+
+  /** SQL tri-state compare of an internal value vs an EXTERNAL filter
+    * literal: None = null involved (unknown).
+    */
+  private def cmp(dt: DataType, value: Any, litEx: Any): Option[Int] = {
+    if (value == null || litEx == null) return None
+    val l = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(litEx)
+    if (l == null) return None
+    dt match {
+      case StringType =>
+        Some(value.asInstanceOf[UTF8String].compareTo(l.asInstanceOf[UTF8String]))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(
+          value.asInstanceOf[Boolean], l.asInstanceOf[Boolean]))
+      case _ =>
+        Some(java.lang.Long.compare(value.asInstanceOf[Number].longValue,
+          l.asInstanceOf[Number].longValue))
+    }
+  }
+
+  /** Tri-state evaluation: Some(true/false) definitive, None = SQL
+    * unknown (null semantics). Callers keep a file only on Some(true).
+    * Must be invoked only after [[supportedShape]] held — an
+    * unsupported node here is a logic error, not a refusal.
+    */
+  def eval(f: Filter, valueOf: String => Any,
+           dtOf: String => DataType): Option[Boolean] = {
+    def c(a: String, v: Any) = cmp(dtOf(a), valueOf(a), v)
+    def str(a: String, v: String)(op: (String, String) => Boolean): Option[Boolean] = {
+      val x = valueOf(a)
+      if (x == null || v == null) None
+      else Some(op(x.asInstanceOf[UTF8String].toString, v))
+    }
+    f match {
+      case sources.EqualTo(a, v) => c(a, v).map(_ == 0)
+      case sources.EqualNullSafe(a, v) =>
+        val x = valueOf(a)
+        val l = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v)
+        Some(if (x == null && l == null) true
+             else if (x == null || l == null) false
+             else cmp(dtOf(a), x, v).contains(0))
+      case sources.In(a, vs) =>
+        if (valueOf(a) == null) { if (vs.isEmpty) Some(false) else None }
+        else {
+          val cs = vs.toSeq.map(v => c(a, v))
+          if (cs.exists(_.contains(0))) Some(true)
+          else if (cs.exists(_.isEmpty)) None // null element, no match: unknown
+          else Some(false)
+        }
+      case sources.IsNull(a) => Some(valueOf(a) == null)
+      case sources.IsNotNull(a) => Some(valueOf(a) != null)
+      case sources.GreaterThan(a, v) => c(a, v).map(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) => c(a, v).map(_ >= 0)
+      case sources.LessThan(a, v) => c(a, v).map(_ < 0)
+      case sources.LessThanOrEqual(a, v) => c(a, v).map(_ <= 0)
+      case sources.StringStartsWith(a, v) => str(a, v)(_.startsWith(_))
+      case sources.StringEndsWith(a, v) => str(a, v)(_.endsWith(_))
+      case sources.StringContains(a, v) => str(a, v)(_.contains(_))
+      case sources.And(l, r) =>
+        (eval(l, valueOf, dtOf), eval(r, valueOf, dtOf)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case sources.Or(l, r) =>
+        (eval(l, valueOf, dtOf), eval(r, valueOf, dtOf)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case sources.Not(x) => eval(x, valueOf, dtOf).map(!_)
+      case _: sources.AlwaysTrue => Some(true)
+      case _: sources.AlwaysFalse => Some(false)
+      case other => throw new IllegalStateException(
+        s"PartPredEval.eval on unvalidated filter shape: $other")
+    }
+  }
 }
 
 /** One store (live or at a pinned version) as a DSv2 [[Table]]. Batch
@@ -503,10 +654,32 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  // filters accepted residual-free: partition-column-only predicates
+  // decided EXACTLY per file (see [[PartPredEval]])
+  private var exactPart: Array[Filter] = Array.empty
+  private var allFiltersExact: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftTable.filterColumn(f).isDefined)
-    filters
+    // row-level operation scans keep EVERYTHING residual: the
+    // replacement read needs all rows of affected files, and Spark
+    // re-evaluates the condition itself in the rewrite plan
+    if (rowLevel) { allFiltersExact = false; return filters }
+    val dtOf: String => Option[DataType] = n =>
+      if (partColNames.contains(n)) fullSchema.fields.find(_.name == n).map(_.dataType)
+      else None
+    // exact only when the predicate shape is closed-world decidable AND
+    // every live file carries a directory segment for every referenced
+    // column (so no file is ever undecidable at scan time)
+    val (ex, residual) = filters.partition { f =>
+      val refs = f.references.toSeq
+      refs.nonEmpty && aggSnap.isDefined &&
+        PartPredEval.supportedShape(f, dtOf) &&
+        refs.forall(c => aggSnap.exists(_.files.forall(file => segOf(file, c).isDefined)))
+    }
+    exactPart = ex
+    allFiltersExact = residual.isEmpty
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -682,8 +855,23 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     }
   }
 
+  /** Does the file survive the accepted partition-exact filters?
+    * (Acceptance guaranteed every live file carries the referenced
+    * segments, so evaluation is always decidable here.)
+    */
+  private def exactKeeps(file: String): Boolean = exactPart.isEmpty || {
+    def fld(n: String) = fullSchema.fields.find(_.name == n).get
+    val valueOf: String => Any = n => GraftTable.partValueInternal(file, fld(n)).get
+    val dtOf: String => DataType = n => fld(n).dataType
+    exactPart.forall(f => PartPredEval.eval(f, valueOf, dtOf).contains(true))
+  }
+
+  // a WHERE made entirely of partition-exact filters keeps the
+  // aggregate servable: the filter restricts the FILE set exactly, and
+  // the manifest answers over the survivors (any residual filter
+  // refuses — Spark would not offer the aggregation anyway)
   private def canServe(agg: Aggregation): Boolean =
-    !rowLevel && pushed.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    !rowLevel && allFiltersExact && agg.aggregateExpressions.nonEmpty &&
       groupable(agg) &&
       agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
 
@@ -771,19 +959,21 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     */
   private def aggResultRows(agg: Aggregation): (StructType, Seq[Array[Any]]) = {
     val snap = aggSnap.get
+    // the accepted WHERE restricts the aggregated file set exactly
+    val liveFiles = snap.files.filter(exactKeeps)
     val groupNames = agg.groupByExpressions.toSeq.map(e => colNameOf(e).get)
     val groupFields = groupNames.map(n => fullSchema.fields.find(_.name == n).get)
     val aggSchema = aggSlice(agg, Seq.empty)._1 // schema is files-independent
     val resultSchema = StructType(
       groupFields.map(_.copy(nullable = true)) ++ aggSchema)
     if (groupNames.isEmpty)
-      (resultSchema, Seq(aggSlice(agg, snap.files)._2.toArray))
+      (resultSchema, Seq(aggSlice(agg, liveFiles)._2.toArray))
     else {
       // group by the CAST internal values, not the raw directory
       // strings: an adopted layout may render one logical value two
       // ways ("k=7" and "k=07"), and a complete pushdown must group
       // exactly like the unpushed plan's Cast would
-      val keyed = snap.files.map { f =>
+      val keyed = liveFiles.map { f =>
         f -> groupNames.zip(groupFields).map { case (g, fld) =>
           groupInternal(segOf(f, g).get, fld)
         }
@@ -801,7 +991,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       new GraftAggScan(path, schema, rows)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
-        startingVersion, limit, topN, fileOnlyFilters = rowLevel)
+        startingVersion, limit, topN, fileOnlyFilters = rowLevel,
+        exactFilters = exactPart,
+        // accepting a filter residual-free binds the scan to the
+        // snapshot the acceptance was judged on (a newer commit could
+        // hold files the filter cannot decide) — snapshot isolation the
+        // plan wants anyway
+        pinnedSnap = if (exactPart.nonEmpty) aggSnap else None)
   }
 }
 
@@ -858,7 +1054,9 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 pushed: Array[Filter], startingVersion: Long = 1L,
                 limit: Option[Int] = None,
                 topN: Option[GraftScan.TopN] = None,
-                fileOnlyFilters: Boolean = false)
+                fileOnlyFilters: Boolean = false,
+                exactFilters: Array[Filter] = Array.empty,
+                pinnedSnap: Option[StoreLog.Snapshot] = None)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -876,8 +1074,10 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   }
 
   // live (or asOf) snapshot; an unlogged directory degrades to a plain
-  // listing with no stats (every file kept, still a correct read)
-  private lazy val snap: StoreLog.Snapshot =
+  // listing with no stats (every file kept, still a correct read). A
+  // builder that accepted exact partition filters PINS the snapshot its
+  // acceptance was judged on.
+  private lazy val snap: StoreLog.Snapshot = pinnedSnap.getOrElse {
     if (StoreLog.canLog(path))
       asOf.map(v => StoreLog.read(path, v))
         .orElse(StoreLog.latest(path))
@@ -886,6 +1086,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
       StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
     }
+  }
 
   /** The snapshot this scan planned from — the row-level operations'
     * conflict-detection base (their commit must abort if a concurrent
@@ -1017,7 +1218,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // `_file` filters (the row-level operations' runtime GROUP filter,
     // or an explicit metadata predicate) name files DIRECTLY — apply
     // them as a set intersection, everything else through stat pruning
-    val (fileFs, rest) = (pushed ++ runtime).partition(
+    val (fileFs, rest0) = (pushed ++ runtime).partition(
       _.references.toSeq == Seq(GraftTable.FileColName))
     val allowed: Option[Set[String]] = {
       val sets = fileFs.toSeq.flatMap {
@@ -1029,13 +1230,36 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       }
       sets.reduceOption(_ intersect _)
     }
-    val base0 = allowed.fold(snap.files)(a => snap.files.filter(a.contains))
+    val preExact = allowed.fold(snap.files)(a => snap.files.filter(a.contains))
+    // accepted partition-EXACT filters decide whole files — applied
+    // here definitively (they returned NO residual, so this is the only
+    // enforcement point; every row of a file shares its partition
+    // values, so file-level keep/drop IS row-level filter semantics)
+    val base0 =
+      if (exactFilters.isEmpty) preExact
+      else {
+        def fld(n: String) = fullSchema.fields.find(_.name == n).get
+        preExact.filter { f =>
+          val valueOf: String => Any = n =>
+            GraftTable.partValueInternal(f, fld(n)).getOrElse(
+              throw new IllegalStateException(
+                s"file '$f' lacks the partition segment for exact filter column '$n'"))
+          exactFilters.forall(flt =>
+            PartPredEval.eval(flt, valueOf, n => fld(n).dataType).contains(true))
+        }
+      }
+    // exact filters are fully enforced above — they must neither join
+    // the conservative stat prune nor disable the limit/topN prunes
+    // (which stay sound on the exactly-filtered file set)
+    val rest = rest0.filterNot(exactFilters.contains)
     val pred = rest.flatMap(GraftTable.filterColumn)
       .reduceOption(_ && _)
     pred match {
-      case None if topN.isDefined && (pushed ++ runtime).isEmpty =>
+      case None if topN.isDefined &&
+          (pushed ++ runtime).filterNot(exactFilters.contains).isEmpty =>
         topNPrune(base0).getOrElse(base0)
-      case None if limit.isDefined && (pushed ++ runtime).isEmpty =>
+      case None if limit.isDefined &&
+          (pushed ++ runtime).filterNot(exactFilters.contains).isEmpty =>
         // bare LIMIT n: stop listing once recorded row counts cover n
         // (files with unknown counts contribute 0 — conservative, the
         // walk just keeps going)

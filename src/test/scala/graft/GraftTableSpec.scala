@@ -479,6 +479,100 @@ class GraftTableSpec extends AnyFunSuite {
     assert(byData.count() === 5)
   }
 
+  test("partition-EXACT filters: residual-free acceptance, A/B row parity, aggregates push under WHERE") {
+    import graft.sources.GraftAggScan
+    val (dir, _) = buildStore(maxRecords = 100)
+    // A/B parity: every supported predicate shape answers exactly like
+    // the engine's own read+filter (the filters return NO residual, so
+    // the scan's file-level evaluation is the only enforcement)
+    val preds = Seq(
+      col("event_type") === "purchase",
+      col("event_type").isin("purchase", "view"),
+      col("event_type") =!= "view",
+      col("event_type") > "purchase",
+      col("event_type").startsWith("p") || col("event_type") === "view",
+      col("event_type").isNotNull,
+      !col("event_type").isin("click"))
+    preds.foreach { p =>
+      val got = spark.read.format("graft").load(dir).filter(p)
+      val want = TsStore.load(spark, dir).filter(p)
+      assert(got.count() === want.count(), s"pred $p")
+      assert(got.count() > 0, s"degenerate fixture for pred $p")
+    }
+    // a MIXED predicate keeps the data conjunct residual and stays right
+    val mixed = col("event_type") === "purchase" && col("value") > 50.0
+    assert(spark.read.format("graft").load(dir).filter(mixed).count()
+      === TsStore.load(spark, dir).filter(mixed).count())
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansOf)
+    }
+    def aggScan(df: org.apache.spark.sql.DataFrame) =
+      scansOf(df.queryExecution.executedPlan).map(_.scan)
+        .exists(_.isInstanceOf[GraftAggScan])
+    spark.read.format("graft").load(dir).createOrReplaceTempView("gexact_fact")
+    // a partition-only WHERE leaves no post-scan filter, so the GROUPED
+    // aggregate pushes: pure manifest walk over the surviving files
+    val fAgg = spark.sql(
+      "SELECT event_type, count(*) AS n, min(event_id) AS lo " +
+        "FROM gexact_fact WHERE event_type IN ('purchase', 'view') " +
+        "GROUP BY event_type ORDER BY event_type")
+    assert(aggScan(fAgg),
+      s"filtered grouped agg must be manifest-served: ${fAgg.queryExecution.executedPlan}")
+    val wantAgg = TsStore.load(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("event_id").as("lo"))
+      .orderBy("event_type")
+    assert(fAgg.collect().toSeq === wantAgg.collect().toSeq)
+    // ungrouped under WHERE: one manifest-served row
+    val fCount = spark.sql(
+      "SELECT count(*) AS n FROM gexact_fact WHERE event_type = 'purchase'")
+    assert(aggScan(fCount), "filtered COUNT(*) must be manifest-served")
+    assert(fCount.collect().head.getLong(0)
+      === TsStore.load(spark, dir).filter(col("event_type") === "purchase").count())
+    // a DATA-column WHERE must NOT push the aggregate (residual filter)
+    val dataF = spark.sql(
+      "SELECT count(*) AS n FROM gexact_fact WHERE value > 50.0")
+    assert(!aggScan(dataF), "data-column WHERE must refuse the agg pushdown")
+  }
+
+  test("null partition: exact filters and IS NULL semantics match the engine read") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_nullp").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq[(Long, java.sql.Timestamp, String, Double)](
+      (1L, t("2024-01-01 00:00:00"), "a", 1.0),
+      (2L, t("2024-01-01 00:01:00"), "b", 2.0),
+      (3L, t("2024-01-01 00:02:00"), null, 3.0),
+      (4L, t("2024-01-01 00:03:00"), null, 4.0))
+      .toDF("id", "ts", "k", "v")
+    TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("k"))
+    val g = () => spark.read.format("graft").load(dir)
+    // three-valued logic: a null partition is dropped by =/!=/IN, kept
+    // by IS NULL, counted out of IS NOT NULL — exactly like the read
+    val cases = Seq[(org.apache.spark.sql.Column, Seq[Long])](
+      (col("k") === "a", Seq(1L)),
+      (col("k") =!= "a", Seq(2L)),
+      (col("k").isin("a", "b"), Seq(1L, 2L)),
+      (col("k").isNull, Seq(3L, 4L)),
+      (col("k").isNotNull, Seq(1L, 2L)),
+      (col("k").isNull || col("k") === "b", Seq(2L, 3L, 4L)))
+    cases.foreach { case (p, want) =>
+      assert(g().filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        === want, s"pred $p")
+    }
+    // manifest-served filtered count over the null partition
+    g().createOrReplaceTempView("gnullp_v")
+    assert(spark.sql("SELECT count(*) AS n FROM gnullp_v WHERE k IS NULL")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("native INSERT INTO produces the canonical layout: tight disjoint per-file ts bounds, like the Scala write") {
     val root = Files.createTempDirectory("graft_nw").toString
     spark.conf.set("spark.sql.catalog.gnw", classOf[graft.sources.GraftCatalog].getName)
@@ -882,6 +976,20 @@ class GraftTableSpec extends AnyFunSuite {
     val z = spark.sql("CALL gproc.system.zorder('ns.t', 'user_id,value')").head()
     assert(z.getLong(0) > afterC.version)
     assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) === ev.count() * 3)
+    // HISTORY (before vacuum prunes old manifests): one row per
+    // retained version, ascending, with the rewrites' replaced records
+    locally {
+      val h = spark.sql("CALL gproc.system.history('ns.t')").collect()
+      val versions = StoreLog.listVersions(path).sorted
+      assert(h.map(_.getLong(0)).toSeq === versions,
+        s"history must list the retained versions: ${h.map(_.getLong(0)).mkString(",")}")
+      assert(h.map(_.getInt(2)).last === StoreLog.latest(path).get.files.size)
+      assert(h.count(_.getInt(3) > 0) >= 2,
+        "the compact + zorder commits must record replaced partitions")
+      assert(h.forall(r => r.getLong(5) >= 0L))
+      val times = h.map(_.getTimestamp(1).getTime).toSeq
+      assert(times === times.sorted, "commit times must ascend")
+    }
     // VACUUM: the replaced pre-compact/zorder files reclaim (age them
     // past the lease window first — vacuum spares young dead files)
     val live = StoreLog.latest(path).get.files.toSet
@@ -899,6 +1007,10 @@ class GraftTableSpec extends AnyFunSuite {
     val procs = spark.sql("SHOW PROCEDURES IN gproc.system").collect().map(_.getString(0))
     assert(Set("vacuum", "compact", "zorder").subsetOf(
       procs.map(_.split('.').last).toSet) || procs.nonEmpty)
+    // HISTORY after vacuum: only the RETAINED versions are listed
+    val h = spark.sql("CALL gproc.system.history('ns.t')").collect()
+    assert(h.map(_.getLong(0)).toSeq === StoreLog.listVersions(path).sorted,
+      "post-vacuum history must track the retained manifest set")
   }
 
   test("TIMESTAMP AS OF resolves against manifest commit times") {
