@@ -1105,6 +1105,42 @@ object Scans {
       },
       Some("SELECT CAST(v AS BIGINT) AS version, CAST(r AS INTEGER) AS n_replaced " +
         "FROM (VALUES (1, 0), (2, 0), (3, 1)) AS t(v, r) ORDER BY version"),
-      "CALL system.history: the commit audit (versions, replaced partitions) from pure SQL")
+      "CALL system.history: the commit audit (versions, replaced partitions) from pure SQL"),
+
+    "store_sql_partitions" -> DeclaredQuery(
+      // SHOW PARTITIONS + ALTER TABLE DROP PARTITION on the manifest's
+      // own metadata (SupportsPartitionManagement): listing is a
+      // driver-side walk over the live files' directory values, DROP
+      // PARTITION routes through the same versioned copy-on-write as
+      // SQL DELETE (pre-drop versions stay time-travelable —
+      // GraftTableSpec pins that, plus TRUNCATE TABLE as a versioned
+      // empty). The declared read is the partition listing AFTER the
+      // drop — the partition-management surface itself under the hash
+      // gate.
+      (s, d) => {
+        val root = sinkDir("pm_root", d)
+        val cat = s"graftpm_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_pm_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_pm_src")
+        s.sql(s"ALTER TABLE $cat.main.events DROP PARTITION (event_type = 'click')")
+        s.sql(s"SHOW PARTITIONS $cat.main.events")
+          .select(col("partition"))
+          .orderBy("partition")
+      },
+      Some("SELECT 'event_type=' || event_type AS partition FROM events " +
+        "WHERE event_type <> 'click' GROUP BY event_type ORDER BY partition"),
+      "SHOW PARTITIONS from the manifest; DROP PARTITION as versioned copy-on-write")
   )
 }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("vacuum", "compact", "zorder", "history")
+  val Names: Seq[String] = Seq("vacuum", "compact", "zorder", "history", "detail")
 
   /** Procedure result rows — the analyzer requires a LocalScan. */
   private final class ResultScan(schema: StructType, rowVals: Seq[Array[Any]])
@@ -159,6 +159,31 @@ object GraftProcedures {
             StructField("replaced", StringType),
             StructField("total_bytes", LongType, nullable = false),
             StructField("tag", StringType))), rows)
+        }
+      }
+      case "detail" => new OneShot("detail",
+        "DESCRIBE DETAIL over the manifest: one row per live data file " +
+          "(partition, bytes, recorded-stat column count), metadata only",
+        Array(
+          ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          import org.apache.spark.unsafe.types.UTF8String
+          val snap = StoreLog.latest(path).getOrElse(
+            throw new IllegalArgumentException(s"no manifest at $path"))
+          val rows = snap.files.sorted.map { f =>
+            val i = f.lastIndexOf('/')
+            Array[Any](
+              UTF8String.fromString(f),
+              UTF8String.fromString(if (i > 0) f.substring(0, i) else ""),
+              snap.sizes.getOrElse(f, -1L),
+              snap.stats.get(f).map(_.size).getOrElse(0))
+          }
+          rowsScan(StructType(Seq(
+            StructField("file", StringType, nullable = false),
+            StructField("partition", StringType, nullable = false),
+            StructField("bytes", LongType, nullable = false),
+            StructField("n_stat_cols", IntegerType, nullable = false))), rows)
         }
       }
       case other => throw new UnsupportedOperationException(

@@ -520,10 +520,99 @@ class GraftTable(val path: String, asOf: Option[Long],
   extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   override def name(): String =
     asOf.fold(s"graft:$path")(v => s"graft:$path@v$v")
+
+  // ------------------------------------------- partition management
+  // `SHOW PARTITIONS` / `ALTER TABLE ... DROP PARTITION` on the
+  // manifest's own metadata: listing is a driver-side walk over the
+  // live files' directory values (zero file IO, the catalogAt role on
+  // the standard partition API); DROP PARTITION routes through the
+  // same copy-on-write delete as SQL DELETE. Partitions MATERIALIZE
+  // through writes — ADD PARTITION has nothing sound to create (an
+  // empty directory is invisible to the manifest), so it refuses.
+
+  override def partitionSchema(): StructType =
+    StructType(effectiveParts.flatMap(n => declaredSchema.fields.find(_.name == n)))
+
+  private def liveSnap: Option[StoreLog.Snapshot] =
+    if (StoreLog.canLog(path))
+      asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+    else None
+
+  /** Distinct live partition tuples (catalyst-internal values), from
+    * manifest metadata alone.
+    */
+  private def partTuples(): Seq[Seq[Any]] = {
+    val fields = partitionSchema().fields
+    liveSnap.map(_.files).getOrElse(StoreLog.listDataFiles(path))
+      .map(f => fields.toSeq.map(fld =>
+        GraftTable.partValueInternal(f, fld).getOrElse(null)))
+      .distinct
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val fields = partitionSchema()
+    require(names.length == ident.numFields,
+      s"partition filter names (${names.length}) != values (${ident.numFields})")
+    val sel = names.toSeq.zipWithIndex.map { case (n, i) =>
+      val fi = fields.fieldIndex(n)
+      (fi, ident.get(i, fields(fi).dataType))
+    }
+    partTuples()
+      .filter(t => sel.forall { case (fi, want) =>
+        java.util.Objects.equals(t(fi), want) })
+      .map(t => new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(t.toArray): org.apache.spark.sql.catalyst.InternalRow)
+      .toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize through writes — INSERT rows carrying " +
+        "the partition value instead of ALTER TABLE ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no per-partition metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
+
+  /** `ALTER TABLE ... DROP PARTITION (k = v)`: the partition's rows go
+    * through the SAME versioned copy-on-write delete as SQL DELETE —
+    * the dropped data stays `VERSION AS OF`-readable until vacuum, and
+    * because the predicate names exactly one partition value the
+    * "rewrite" is a pure file-list removal (no survivor rows to copy).
+    */
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(asOf.isEmpty, s"cannot DROP PARTITION on a time-travel view of $path")
+    val fields = partitionSchema().fields
+    require(ident.numFields == fields.length,
+      s"DROP PARTITION needs all ${fields.length} partition values")
+    if (!partitionExists(ident)) return false
+    val pred = fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val v = ident.get(i, f.dataType)
+      if (v == null) col(f.name).isNull
+      else col(f.name) === lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, f.dataType))
+    }.reduce(_ && _)
+    TsStore.delete(SparkSession.active, path, pred, tsCol = tsCol,
+      uidCols = effectiveParts)
+    true
+  }
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(GraftTable.FileMetaCol)

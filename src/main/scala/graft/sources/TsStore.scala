@@ -941,10 +941,13 @@ object TsStore {
         s"detail needs a logged store; '$path' has no manifest"))
     val conf = spark.sparkContext.hadoopConfiguration
     val rows = snap.files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$f")
-      val bytes =
+      // manifest-recorded byte length first (zero RPCs on a
+      // sizes-complete store); status fallback for legacy files only
+      val bytes = snap.sizes.getOrElse(f, {
+        val p = new org.apache.hadoop.fs.Path(s"$path/$f")
         try p.getFileSystem(conf).getFileStatus(p).getLen
         catch { case scala.util.control.NonFatal(_) => -1L }
+      })
       val i = f.lastIndexOf('/')
       val part = if (i > 0) f.substring(0, i) else ""
       val stats = snap.stats.getOrElse(f, Map.empty).map { case (c, cs) =>

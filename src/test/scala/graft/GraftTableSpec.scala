@@ -1011,6 +1011,59 @@ class GraftTableSpec extends AnyFunSuite {
     val h = spark.sql("CALL gproc.system.history('ns.t')").collect()
     assert(h.map(_.getLong(0)).toSeq === StoreLog.listVersions(path).sorted,
       "post-vacuum history must track the retained manifest set")
+    // DETAIL: one row per live file, manifest-recorded bytes, no RPCs
+    val det = spark.sql("CALL gproc.system.detail('ns.t')").collect()
+    val snap = StoreLog.latest(path).get
+    assert(det.map(_.getString(0)).toSeq === snap.files.sorted)
+    assert(det.forall(r => r.getLong(2) > 0L),
+      "every live file must carry a manifest-recorded byte length")
+    assert(det.forall(r => r.getString(1).startsWith("event_type=")))
+  }
+
+  test("SHOW PARTITIONS / DROP PARTITION / TRUNCATE TABLE from pure SQL") {
+    val root = Files.createTempDirectory("graft_pm").toString
+    spark.conf.set("spark.sql.catalog.gpm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpm.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpm.ns")
+    spark.sql(
+      """CREATE TABLE gpm.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    spark.sql("INSERT INTO gpm.ns.t VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0), " +
+      "(2, TIMESTAMP '2024-01-01 00:01:00', 'b', 2.0), " +
+      "(3, TIMESTAMP '2024-01-01 00:02:00', 'c', 3.0), " +
+      "(4, TIMESTAMP '2024-01-01 00:03:00', 'b', 4.0)")
+    val tablePath = s"$root/ns/t"
+    // SHOW PARTITIONS: a pure manifest walk (zero file IO)
+    assert(spark.sql("SHOW PARTITIONS gpm.ns.t").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("k=a", "k=b", "k=c"))
+    assert(spark.sql("SHOW PARTITIONS gpm.ns.t PARTITION (k='b')").collect()
+      .map(_.getString(0)).toSeq === Seq("k=b"))
+    // DROP PARTITION: versioned copy-on-write — rows gone, history kept
+    val vBeforeDrop = StoreLog.latest(tablePath).get.version
+    spark.sql("ALTER TABLE gpm.ns.t DROP PARTITION (k = 'b')")
+    assert(spark.sql("SELECT id FROM gpm.ns.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(spark.sql("SHOW PARTITIONS gpm.ns.t").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("k=a", "k=c"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gpm.ns.t VERSION AS OF $vBeforeDrop").head().getLong(0) === 4L,
+      "the dropped partition must stay time-travelable")
+    // dropping a partition that is not there: IF EXISTS no-ops, bare raises
+    spark.sql("ALTER TABLE gpm.ns.t DROP IF EXISTS PARTITION (k = 'zzz')")
+    intercept[Exception] { spark.sql("ALTER TABLE gpm.ns.t DROP PARTITION (k = 'zzz')") }
+    // ADD PARTITION refuses: partitions materialize through writes
+    intercept[Exception] { spark.sql("ALTER TABLE gpm.ns.t ADD PARTITION (k = 'new')") }
+    // TRUNCATE: a versioned empty — count 0, pre-truncate history intact
+    val vBeforeTrunc = StoreLog.latest(tablePath).get.version
+    spark.sql("TRUNCATE TABLE gpm.ns.t")
+    assert(spark.sql("SELECT count(*) FROM gpm.ns.t").head().getLong(0) === 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gpm.ns.t VERSION AS OF $vBeforeTrunc").head().getLong(0) === 2L,
+      "TRUNCATE must be versioned, not a log reset")
+    // the table stays writable after TRUNCATE
+    spark.sql("INSERT INTO gpm.ns.t VALUES (9, TIMESTAMP '2024-02-01 00:00:00', 'z', 9.0)")
+    assert(spark.sql("SELECT id FROM gpm.ns.t").collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
   test("TIMESTAMP AS OF resolves against manifest commit times") {
