@@ -1141,6 +1141,68 @@ object Scans {
       },
       Some("SELECT 'event_type=' || event_type AS partition FROM events " +
         "WHERE event_type <> 'click' GROUP BY event_type ORDER BY partition"),
-      "SHOW PARTITIONS from the manifest; DROP PARTITION as versioned copy-on-write")
+      "SHOW PARTITIONS from the manifest; DROP PARTITION as versioned copy-on-write"),
+
+    "store_spj_join" -> DeclaredQuery(
+      // STORAGE-PARTITIONED JOIN (SupportsReportPartitioning +
+      // HasPartitionKey): two stores partitioned on the same key
+      // aggregate and join with ZERO exchanges — the scans report their
+      // directory partitioning as a KeyGroupedPartitioning, the
+      // group-bys ride the scan clustering, and the join co-locates.
+      // At 100 TB this is the difference between shuffling both fact
+      // tables and shuffling nothing. The body executes under graft's
+      // opt-in (spark.graft.scan.preserveDataGrouping — default off so
+      // low-cardinality partitioning never caps ordinary scans'
+      // parallelism at the key count), REQUIRES the executed plan to be
+      // exchange-free, then restores the session confs; the oracle
+      // gates the joined aggregates. SpjSpec pins the layout, pruning
+      // interplay, and the off-by-default contract.
+      (s, d) => {
+        val base = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val dirL = sinkDir("spj_l", d); val dirR = sinkDir("spj_r", d)
+        TsStore.write(base, dirL, tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.write(base.filter(col("event_id") % 3 === 0), dirR,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val confs = Seq(
+          graft.sources.GraftScan.PreserveGroupingKey -> "true",
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val l = s.read.format("graft").load(dirL).groupBy("event_type")
+            .agg(count(lit(1)).as("n_l"), sum(floor(col("value"))).as("v_l"))
+          val r = s.read.format("graft").load(dirR).groupBy("event_type")
+            .agg(count(lit(1)).as("n_r"), sum(floor(col("value"))).as("v_r"))
+          val j = l.join(r, "event_type")
+          val rows = j.collect() // execute WHILE the opt-in holds
+          def shuffled(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              shuffled(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              shuffled(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+            case other => other.children.exists(shuffled)
+          }
+          require(!shuffled(j.queryExecution.executedPlan),
+            "storage-partitioned join must plan zero exchanges")
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+            .orderBy("event_type")
+        } finally olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("SELECT l.event_type, l.n_l, l.v_l, r.n_r, r.v_r FROM " +
+        "(SELECT event_type, count(*) AS n_l, " +
+        "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_l " +
+        "FROM events GROUP BY event_type) l JOIN " +
+        "(SELECT event_type, count(*) AS n_r, " +
+        "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_r " +
+        "FROM events WHERE event_id % 3 = 0 GROUP BY event_type) r " +
+        "ON l.event_type = r.event_type ORDER BY l.event_type"),
+      "storage-partitioned join: co-located stores aggregate + join with zero exchanges")
   )
 }

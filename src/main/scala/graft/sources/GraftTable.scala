@@ -1136,6 +1136,9 @@ object GraftScan {
   /** A pushed `ORDER BY col [DESC] LIMIT n`. */
   final case class TopN(col: String, descending: Boolean,
                         nullsFirst: Boolean, n: Int)
+
+  /** Opt-in for the storage-partitioned (key-grouped) scan layout. */
+  val PreserveGroupingKey = "spark.graft.scan.preserveDataGrouping"
 }
 
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
@@ -1147,7 +1150,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 exactFilters: Array[Filter] = Array.empty,
                 pinnedSnap: Option[StoreLog.Snapshot] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** The table as a STREAMING source: the commit-feed micro-batch
     * stream under the (possibly pruned) table schema — each upstream
@@ -1430,28 +1434,89 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val lens: Seq[(String, Long)] = lensFor(files)
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
-    val splits: Seq[PartitionedFile] = lens.flatMap { case (rel, len) =>
-      val pvBase = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
-      val pv: org.apache.spark.sql.catalyst.InternalRow =
-        if (!wantsFile) pvBase
-        else {
-          val vals = new Array[Any](readerPartSchema.length)
-          (0 until requiredPart.length).foreach(i =>
-            vals(i) = pvBase.get(i, requiredPart(i).dataType))
-          vals(requiredPart.length) =
-            org.apache.spark.unsafe.types.UTF8String.fromString(rel)
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    def pack(ls: Seq[(String, Long)]): Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
+      val splits: Seq[PartitionedFile] = ls.flatMap { case (rel, len) =>
+        val pvBase = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
+        val pv: org.apache.spark.sql.catalyst.InternalRow =
+          if (!wantsFile) pvBase
+          else {
+            val vals = new Array[Any](readerPartSchema.length)
+            (0 until requiredPart.length).foreach(i =>
+              vals(i) = pvBase.get(i, requiredPart(i).dataType))
+            vals(requiredPart.length) =
+              org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
+        val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
+        if (len == 0) Seq.empty
+        else (0L until len by maxSplit).map { off =>
+          PartitionedFile(pv, sp, off, math.min(maxSplit, len - off),
+            Array.empty, 0L, len)
         }
-      val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
-      if (len == 0) Seq.empty
-      else (0L until len by maxSplit).map { off =>
-        PartitionedFile(pv, sp, off, math.min(maxSplit, len - off),
-          Array.empty, 0L, len)
       }
+      org.apache.spark.sql.execution.datasources.FilePartition
+        .getFilePartitions(spark, splits, maxSplit)
     }
-    org.apache.spark.sql.execution.datasources.FilePartition
-      .getFilePartitions(spark, splits, maxSplit)
-      .toArray[InputPartition]
+    if (!spjActive) return pack(lens).toArray[InputPartition]
+    // STORAGE-PARTITIONED layout: one task group per live partition key.
+    // Files of one key pack together and each emitted partition carries
+    // the key (HasPartitionKey) so Spark's KeyGroupedPartitionedScan can
+    // co-locate both sides of an equi-join on the partition columns
+    // without shuffling either. Split/bin-pack still runs WITHIN a key
+    // (Spark merges same-key partitions back into one task group; under
+    // partiallyClusteredDistribution the finer splits survive for skew).
+    val keySchema = StructType(partColNames.map(n => fullSchema(n)).toArray)
+    val groups = lens.groupBy { case (rel, _) =>
+      rel.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/")
+    }.toSeq.sortBy(_._1)
+    groups.flatMap { case (_, ls) =>
+      val key = StoreChangeSource.partitionValues(ls.head._1, keySchema, 0L)
+      pack(ls).map(fp => new GraftKeyedFilePartition(fp.index, fp.files, key))
+    }.zipWithIndex.map { case (p, i) =>
+      new GraftKeyedFilePartition(i, p.files, p.partitionKey())
+    }.toArray[InputPartition]
+  }
+
+  /** Storage-partitioned-join eligibility: the user opted in
+    * (`spark.graft.scan.preserveDataGrouping` — graft's own switch,
+    * because Spark 4 defaults `spark.sql.sources.v2.bucketing.enabled`
+    * ON and a key-grouped layout caps scan parallelism at the live key
+    * count, a regression for low-cardinality partitioning; same
+    * opt-in stance as Iceberg's preserve-data-grouping), Spark's v2
+    * bucketing is on, the store has partition columns, every one of
+    * them is in the scan output (Spark resolves the reported key
+    * transforms against the scan's own attributes), and this is not a
+    * row-level-operation scan (DML replacement reads must keep Spark's
+    * default layout — their group identity is `_file`, not the
+    * partition key). Every planned file of a logged store carries its
+    * partition segments, so the keyed layout is total when active.
+    */
+  private def spjActive: Boolean = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    conf.v2BucketingEnabled &&
+      conf.getConfString(GraftScan.PreserveGroupingKey, "false").toBoolean &&
+      partColNames.nonEmpty && !fileOnlyFilters &&
+      partColNames.forall(required.fieldNames.contains)
+  }
+
+  /** Report the store's directory partitioning as a key-grouped
+    * distribution (identity transform per partition column) when SPJ is
+    * active — the DSv2 contract that lets a join of two stores
+    * partitioned on the same key run with ZERO exchanges. The partition
+    * count is the number of live keys after pruning.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (!spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val keys = plannedFiles.map(
+        _.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/")).distinct
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partColNames.map(n => Expressions.identity(n)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        keys.size)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1517,6 +1582,22 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     override def numRows(): util.OptionalLong =
       rowsOpt.fold(util.OptionalLong.empty())(util.OptionalLong.of)
   }
+}
+
+/** A bin-packed file partition that also CARRIES its storage partition
+  * key ([[org.apache.spark.sql.connector.read.HasPartitionKey]]): the
+  * unit of Spark's storage-partitioned join. All files inside belong to
+  * one partition-directory key; `key` is that key's catalyst-internal
+  * row in partition-column order, matching the identity transforms the
+  * scan reports via `outputPartitioning`.
+  */
+private[sources] class GraftKeyedFilePartition(
+    index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** Columnar twin of [[StoreChangeReaderFactory]]: the reader function

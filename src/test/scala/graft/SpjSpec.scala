@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Tables, TsStore}
+
+/** Storage-partitioned joins: with `spark.sql.sources.v2.bucketing
+  * .enabled`, a graft scan reports its directory partitioning as a
+  * KeyGroupedPartitioning (identity transform per partition column) and
+  * plans one HasPartitionKey task group per live key — so an equi-join
+  * of two stores partitioned on the same key, and a group-by on the
+  * partition key, run with ZERO exchanges. At 100 TB that is the
+  * difference between shuffling both fact tables and shuffling nothing.
+  */
+class SpjSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case q: QueryStageExec => shuffles(q.plan)
+    case s: ShuffleExchangeLike =>
+      s +: s.children.flatMap(shuffles)
+    case other => other.children.flatMap(shuffles)
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Two independent stores over the events fixture, both partitioned
+    * by event_type (the join key).
+    */
+  private def buildStores(): (String, String) = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = Tables.events(spark, TestSpark.sf001).select(cols.map(col): _*)
+    val dirL = Files.createTempDirectory("graft_spj_l").toString
+    val dirR = Files.createTempDirectory("graft_spj_r").toString
+    // many small files per key: the stores must NOT collapse into a
+    // single scan partition (SinglePartition satisfies every
+    // distribution and would make the no-SPJ baseline shuffle-free too)
+    TsStore.write(base, dirL, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 200)
+    TsStore.write(base.filter(col("event_id") % 3 === 0), dirR,
+      tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 200)
+    (dirL, dirR)
+  }
+
+  // keep bin-packing from folding the small fixture into one task
+  private val splitConfs = Seq(
+    "spark.sql.files.maxPartitionBytes" -> "16384",
+    "spark.sql.files.openCostInBytes" -> "0")
+
+  private def joined(dirL: String, dirR: String): DataFrame = {
+    // sum(value) is NOT aggregate-pushdown-servable, so both sides stay
+    // real file scans — exactly the shape whose shuffles SPJ removes
+    val l = spark.read.format("graft").load(dirL)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_l"), sum(col("value").cast("long")).as("v_l"))
+    val r = spark.read.format("graft").load(dirR)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_r"), sum(col("value").cast("long")).as("v_r"))
+    // no orderBy: a global sort would add its own (legitimate) range
+    // exchange — the assertion targets the JOIN's exchanges
+    l.join(r, "event_type")
+  }
+
+  test("storage-partitioned join on the partition key plans zero shuffles") {
+    val (dirL, dirR) = buildStores()
+
+    // default layout first: the same query SHUFFLES both sides
+    var expected: Seq[org.apache.spark.sql.Row] = Nil
+    withConfs(splitConfs :+
+      ("spark.sql.autoBroadcastJoinThreshold" -> "-1"): _*) {
+      val df = joined(dirL, dirR)
+      expected = df.collect().toSeq.sortBy(_.getString(0))
+      assert(shuffles(df.queryExecution.executedPlan).nonEmpty,
+        "fixture must need exchanges without SPJ")
+    }
+    assert(expected.nonEmpty)
+
+    withConfs(splitConfs ++ Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"): _*) {
+      val df = joined(dirL, dirR)
+      val got = df.collect().toSeq.sortBy(_.getString(0))
+      assert(got === expected)
+      // the ENTIRE plan is exchange-free: scans are key-grouped, the
+      // aggregates ride the scan clustering, the join co-locates
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        s"SPJ plan must have no exchanges:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("group-by on the partition key aggregates without an exchange") {
+    val (dirL, _) = buildStores()
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.read.format("graft").load(dirL)
+        .groupBy("event_type").agg(sum(col("value").cast("long")).as("v"))
+      val got = df.collect()
+      assert(got.nonEmpty)
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        s"partition-key aggregation must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+    // and the same frame off-conf agrees
+    val off = spark.read.format("graft").load(dirL)
+      .groupBy("event_type").agg(sum(col("value").cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      val on = spark.read.format("graft").load(dirL)
+        .groupBy("event_type").agg(sum(col("value").cast("long")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(on === off)
+    }
+  }
+
+  test("SPJ layout survives pruning and stays correct under filters") {
+    val (dirL, dirR) = buildStores()
+    withConfs(splitConfs ++ Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"): _*) {
+      // a partition-exact filter drops whole keys on one side;
+      // pushPartValues re-aligns the sides without shuffling
+      val l = spark.read.format("graft").load(dirL)
+        .filter(col("event_type") =!= "purchase")
+        .groupBy("event_type").agg(count(lit(1)).as("n_l"))
+      val r = spark.read.format("graft").load(dirR)
+        .groupBy("event_type").agg(count(lit(1)).as("n_r"))
+      val df = l.join(r, "event_type")
+      val got = df.collect()
+      assert(got.nonEmpty && !got.exists(_.getString(0) == "purchase"))
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        s"pruned SPJ plan must stay exchange-free:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("data grouping stays OFF by default: bin-packed layout, no key cap") {
+    // Spark 4 defaults spark.sql.sources.v2.bucketing.enabled=true, so
+    // without graft's own opt-in every scan of a low-cardinality
+    // partitioning would cap its parallelism at the live key count —
+    // the default layout must stay bin-packed and UNKEYED
+    val (dirL, _) = buildStores()
+    val df = spark.read.format("graft").load(dirL).select("event_id", "event_type")
+    df.collect()
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val parts = scans(df.queryExecution.executedPlan).flatMap(_.inputPartitions)
+    assert(parts.nonEmpty)
+    assert(!parts.exists(_.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]),
+      "default layout must not be key-grouped")
+  }
+}
