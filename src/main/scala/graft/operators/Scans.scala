@@ -1203,6 +1203,106 @@ object Scans {
         "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_r " +
         "FROM events WHERE event_id % 3 = 0 GROUP BY event_type) r " +
         "ON l.event_type = r.event_type ORDER BY l.event_type"),
-      "storage-partitioned join: co-located stores aggregate + join with zero exchanges")
+      "storage-partitioned join: co-located stores aggregate + join with zero exchanges"),
+
+    "store_sql_ctas" -> DeclaredQuery(
+      // CREATE TABLE AS SELECT and REPLACE TABLE AS SELECT through the
+      // graft catalog: CTAS derives the table's schema + partitioning
+      // from the query and lands the data through the native DSv2
+      // batch write (canonical uid/ts layout, stats in the manifest);
+      // RTAS then swaps the definition wholesale — the standard
+      // "rebuild this derived table" verb. The declared read is the
+      // post-REPLACE content (purchases only); the pre-replace era is
+      // a separate store generation by design (REPLACE TABLE is a
+      // definition swap, not a data version).
+      (s, d) => {
+        val root = sinkDir("ctas_root", d)
+        val cat = s"graftctas_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.evsel")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_ctas_src")
+        s.sql(s"CREATE TABLE $cat.main.evsel USING graft " +
+          "PARTITIONED BY (event_type) AS " +
+          "SELECT event_id, ts, user_id, event_type, value " +
+          "FROM graft_ctas_src WHERE event_type IN ('purchase', 'click')")
+        s.sql(s"REPLACE TABLE $cat.main.evsel USING graft " +
+          "PARTITIONED BY (event_type) AS " +
+          "SELECT event_id, ts, user_id, event_type, value " +
+          "FROM graft_ctas_src WHERE event_type = 'purchase'")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.main.evsel ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY event_id"),
+      "CTAS + RTAS through the graft catalog: schema/partitioning from the query, native write"),
+
+    "store_sorted_window" -> DeclaredQuery(
+      // LAYOUT-ORDERED EXECUTION (SupportsReportOrdering + the
+      // graft.layout.tsSorted manifest contract): the store's written
+      // (uid, ts)-sorted layout is reported to Spark as per-partition
+      // ordering, so the per-uid windowed delta below — the shape every
+      // time-series feature pipeline is made of — plans with NO
+      // exchange and NO sort: scan → window → per-key aggregate,
+      // straight through. At 100 TB the sort this elides is a full
+      // spill-prone re-sort of every series on every read. The body
+      // self-pins the plan shape (requires zero exchanges AND zero
+      // sorts) under graft's opt-in, then restores the confs; SpjSpec
+      // pins the contract's lifecycle (set by sorted writes, cleared by
+      // zorder / streaming append). One row per (uid, ts) so lag() is
+      // deterministic on both engines.
+      (s, d) => {
+        val dedup = Tables.events(s, d)
+          .groupBy("event_type", "ts")
+          .agg(sum(floor(col("value"))).as("v"))
+        val dir = sinkDir("sorted_win", d)
+        TsStore.write(dedup, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val confs = Seq(
+          graft.sources.GraftScan.PreserveGroupingKey -> "true",
+          "spark.sql.sources.v2.bucketing.enabled" -> "true")
+        val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("ts")
+          val df = s.read.format("graft").load(dir)
+            .withColumn("delta", col("v") - lag(col("v"), 1).over(w))
+            .groupBy("event_type").agg(
+              count(lit(1)).as("n"),
+              sum(when(col("delta") > 0, col("delta"))).as("gains"),
+              sum(when(col("delta") < 0, -col("delta"))).as("losses"))
+          val rows = df.collect() // execute WHILE the opt-in holds
+          def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              bad(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              bad(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+            case _: org.apache.spark.sql.execution.SortExec => true
+            case other => other.children.exists(bad)
+          }
+          require(!bad(df.queryExecution.executedPlan),
+            "layout-ordered window must plan zero exchanges and zero sorts")
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+            .orderBy("event_type")
+        } finally olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("WITH d AS (SELECT event_type, ts, " +
+        "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events GROUP BY event_type, ts), " +
+        "w AS (SELECT event_type, " +
+        "v - lag(v) OVER (PARTITION BY event_type ORDER BY ts) AS delta FROM d) " +
+        "SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN delta > 0 THEN delta END) AS BIGINT) AS gains, " +
+        "CAST(sum(CASE WHEN delta < 0 THEN -delta END) AS BIGINT) AS losses " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
+      "layout-ordered per-uid window: the stored sort IS the execution sort — zero exchange, zero sort")
   )
 }

@@ -150,7 +150,13 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
           else (Seq.empty[String], cur.files ++ moved)
         try {
           StoreLog.commit(path, cur.version, replaced, files,
-            parent = Some(cur), addStats = movedStats, addSizes = movedSizes)
+            parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
+            // an OVERWRITE redefines the whole store with canonically
+            // sorted files — (re)establish the layout-order contract;
+            // an append's sorted additions just inherit the parent's
+            setProps =
+              if (truncate) Map(GraftTable.LayoutSortedProp -> "true")
+              else Map.empty)
           committed = true
         } catch {
           case c: StoreLog.CommitConflict =>

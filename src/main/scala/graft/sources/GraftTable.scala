@@ -111,6 +111,19 @@ object GraftTable {
     * — blocks re-ADD while old files still physically carry the column.
     */
   val DroppedPropPrefix = "graft.dropped."
+  /** Layout-order contract: "true" iff every live data file's rows are
+    * sorted by (partition cols..., tsCol) WITHIN the file and the whole
+    * store's provenance is known. Set true by whole-store sorted writes
+    * (TsStore.write Overwrite, INSERT OVERWRITE), INHERITED by every
+    * rewrite whose added files are canonically sorted (append, upsert,
+    * delete, compact, row-level DML — all RequiresDistributionAndOrdering
+    * or sortWithinPartitions paths), cleared to "false" by zorder (files
+    * become z-run-ordered) and the streaming append sink (hashed writer,
+    * arrival order). Absent = unknown = NOT sorted (adopted stores).
+    * The scan reports per-partition ordering only under this prop —
+    * a wrong claim would silently drop sorts the data needs.
+    */
+  val LayoutSortedProp = "graft.layout.tsSorted"
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -1151,7 +1164,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 pinnedSnap: Option[StoreLog.Snapshot] = None)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** The table as a STREAMING source: the commit-feed micro-batch
     * stream under the (possibly pruned) table schema — each upstream
@@ -1434,8 +1448,9 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val lens: Seq[(String, Long)] = lensFor(files)
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
-    def pack(ls: Seq[(String, Long)]): Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
-      val splits: Seq[PartitionedFile] = ls.flatMap { case (rel, len) =>
+    // splits in INPUT ORDER (per file: ascending offsets)
+    def splitsOf(ls: Seq[(String, Long)]): Seq[PartitionedFile] =
+      ls.flatMap { case (rel, len) =>
         val pvBase = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
         val pv: org.apache.spark.sql.catalyst.InternalRow =
           if (!wantsFile) pvBase
@@ -1454,9 +1469,9 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
             Array.empty, 0L, len)
         }
       }
+    def pack(ls: Seq[(String, Long)]): Seq[org.apache.spark.sql.execution.datasources.FilePartition] =
       org.apache.spark.sql.execution.datasources.FilePartition
-        .getFilePartitions(spark, splits, maxSplit)
-    }
+        .getFilePartitions(spark, splitsOf(ls), maxSplit)
     if (!spjActive) return pack(lens).toArray[InputPartition]
     // STORAGE-PARTITIONED layout: one task group per live partition key.
     // Files of one key pack together and each emitted partition carries
@@ -1465,11 +1480,24 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // without shuffling either. Split/bin-pack still runs WITHIN a key
     // (Spark merges same-key partitions back into one task group; under
     // partiallyClusteredDistribution the finer splits survive for skew).
+    // When the layout-order contract additionally holds ([[orderedOk]]),
+    // each key becomes exactly ONE partition whose files are enumerated
+    // in ascending ts order — the shape under which Spark honors the
+    // reported per-partition ordering (it refuses multi-split groups).
     val keySchema = StructType(partColNames.map(n => fullSchema(n)).toArray)
     val groups = lens.groupBy { case (rel, _) =>
       rel.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/")
     }.toSeq.sortBy(_._1)
-    groups.flatMap { case (_, ls) =>
+    if (orderedOk) {
+      val ts = snap.props.getOrElse(GraftTable.TsColProp, "ts")
+      groups.zipWithIndex.map { case ((_, ls), i) =>
+        val key = StoreChangeSource.partitionValues(ls.head._1, keySchema, 0L)
+        val inOrder = ls.sortBy { case (rel, _) =>
+          snap.stats(rel)(ts).min.asInstanceOf[Long]
+        }
+        new GraftKeyedFilePartition(i, splitsOf(inOrder).toArray, key)
+      }.toArray[InputPartition]
+    } else groups.flatMap { case (_, ls) =>
       val key = StoreChangeSource.partitionValues(ls.head._1, keySchema, 0L)
       pack(ls).map(fp => new GraftKeyedFilePartition(fp.index, fp.files, key))
     }.zipWithIndex.map { case (p, i) =>
@@ -1497,6 +1525,56 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       conf.getConfString(GraftScan.PreserveGroupingKey, "false").toBoolean &&
       partColNames.nonEmpty && !fileOnlyFilters &&
       partColNames.forall(required.fieldNames.contains)
+  }
+
+  /** Sort-elision eligibility: the store's layout-order contract holds
+    * ([[GraftTable.LayoutSortedProp]] — every live file internally
+    * (partCols, ts)-sorted), the ts column is a projected DATA column,
+    * and within every partition key the live files' recorded ts bounds
+    * are null-free and NON-OVERLAPPING (so concatenating files in
+    * ascending-min order is globally ts-sorted per key). Judged over
+    * ALL live files — a runtime-filter re-plan can only shrink the file
+    * set, never break an ordering that held on the superset — so the
+    * verdict cannot flip between `outputOrdering()` (logical planning)
+    * and the post-DPP `planInputPartitions()`.
+    */
+  private lazy val orderedOk: Boolean = {
+    val ts = snap.props.getOrElse(GraftTable.TsColProp, "ts")
+    snap.props.get(GraftTable.LayoutSortedProp).contains("true") &&
+      required.fieldNames.contains(ts) && !partColNames.contains(ts) &&
+      snap.files.nonEmpty &&
+      snap.files.groupBy(
+        _.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/"))
+        .values.forall { fs =>
+          val bounds = fs.map(f => snap.stats.get(f).flatMap(_.get(ts)).collect {
+            case cs if cs.nulls == 0 && cs.min != null && cs.max != null &&
+                (cs.tag == "ts" || cs.tag == "tn" || cs.tag == "i" || cs.tag == "d") =>
+              (cs.min.asInstanceOf[Long], cs.max.asInstanceOf[Long])
+          })
+          bounds.forall(_.isDefined) && {
+            val inOrder = bounds.flatten.sortBy(_._1)
+            inOrder.lazyZip(inOrder.drop(1)).forall {
+              case ((_, aMax), (bMin, _)) => bMin >= aMax
+            }
+          }
+        }
+  }
+
+  /** Report the canonical per-partition ordering — (partition cols...,
+    * ts) ascending — when the keyed layout is active and [[orderedOk]]
+    * proves it. With both in force, `ORDER BY uid, ts` reads and
+    * per-uid window functions (`PARTITION BY uid ORDER BY ts`) plan
+    * with NO exchange and NO sort: the store's written layout IS the
+    * execution layout. Partition columns are constant within a task, so
+    * leading with them is trivially sound.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (spjActive && orderedOk) {
+      val ts = snap.props.getOrElse(GraftTable.TsColProp, "ts")
+      (partColNames :+ ts).map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    } else Array.empty
   }
 
   /** Report the store's directory partitioning as a key-grouped
@@ -1784,7 +1862,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     StoreLog.commit(p, 0L, Seq.empty, Seq.empty,
       setProps = Map(
         GraftTable.SchemaProp -> schema.json,
-        GraftTable.TsColProp -> tsCol) ++
+        GraftTable.TsColProp -> tsCol,
+        // an empty store is trivially layout-ordered; sorted writes
+        // (INSERT via RequiresDistributionAndOrdering) inherit this,
+        // the unsorted paths (zorder, streaming append) clear it
+        GraftTable.LayoutSortedProp -> "true") ++
         (if (uids.nonEmpty) Map(GraftTable.UidsProp -> uids.mkString(",")) else Map.empty))
     tableAt(p, None)
   }

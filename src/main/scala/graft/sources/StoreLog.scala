@@ -481,7 +481,8 @@ object StoreLog {
     */
   def ensure(path: String,
              checkpointInterval: Int = CheckpointInterval,
-             bloomCols: Seq[String] = Nil): Snapshot =
+             bloomCols: Seq[String] = Nil,
+             props: Map[String, String] = Map.empty): Snapshot =
     latest(path).getOrElse {
       try {
         val files = listDataFiles(path)
@@ -493,7 +494,8 @@ object StoreLog {
         commit(path, 0L, Seq.empty, files,
           interval = Some(checkpointInterval),
           addStats = st, addSizes = sz,
-          bloomCols = if (bloomCols.nonEmpty) Some(bloomCols) else None); ()
+          bloomCols = if (bloomCols.nonEmpty) Some(bloomCols) else None,
+          setProps = props); ()
       }
       catch { case _: CommitConflict => () }
       latest(path).get

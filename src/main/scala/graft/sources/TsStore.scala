@@ -190,7 +190,8 @@ object TsStore {
             rowGroupBytes: Long = 16L << 20,
             maxRecordsPerFile: Long = 8L << 20,
             commitTag: Option[String] = None,
-            bloomKeys: Seq[String] = Nil): Unit = {
+            bloomKeys: Seq[String] = Nil,
+            checkpointInterval: Int = StoreLog.CheckpointInterval): Unit = {
     // write-time overlap guard (reference behavior): appending a chunk
     // whose time range intersects what's stored for the same series is
     // almost always a double-write that silently duplicates rows. The
@@ -228,10 +229,16 @@ object TsStore {
       if (StoreLog.canLog(path)) StoreLog.delete(path)
       writeFiles(sorted, path, uidCols, mode, codec, rowGroupBytes,
         maxRecordsPerFile, bloomKeys)
-      // record the bloom columns as a store property so every later
-      // rewrite (upsert/delete/compact/zorder) keeps writing them
-      if (bloomKeys.nonEmpty && StoreLog.canLog(path))
-        StoreLog.ensure(path, bloomCols = bloomKeys)
+      // adopt-commit the fresh store RIGHT HERE, while provenance is
+      // known: every file just written is (uid..., ts)-sorted, so the
+      // manifest records the layout-order contract (the scan's
+      // sort-elision license) plus the ts column and any bloom columns
+      // — properties later rewrites inherit or deliberately clear
+      if (StoreLog.canLog(path))
+        StoreLog.ensure(path, checkpointInterval = checkpointInterval,
+          bloomCols = bloomKeys,
+          props = Map(GraftTable.LayoutSortedProp -> "true",
+            GraftTable.TsColProp -> tsCol))
     } else if (StoreLog.canLog(path) && StoreLog.exists(path)) {
       // logged store: appended files must be NAMED by a manifest commit
       // or manifest readers never see them. Stage to a txn-private dir,
@@ -1088,7 +1095,10 @@ object TsStore {
           if (s.replaced.exists(prefixes.contains))
             Some(s"concurrent writer replaced a partition under $path " +
               "— skip this zorder pass and retry later")
-          else None)
+          else None,
+        // z-clustered files are ordered by the interleave rank, NOT by
+        // ts — the scan must stop claiming per-partition ts order
+        setProps = _ => Map(GraftTable.LayoutSortedProp -> "false"))
     }
   }
 

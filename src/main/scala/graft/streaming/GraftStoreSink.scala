@@ -220,7 +220,10 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                   addSizes = movedSizes,
                   tag = if (replaceAll) None else Some(tag),
                   setProps = graft.sources.GraftTable
-                    .widenedSchemaProp(cur.props, writeSchema))
+                    .widenedSchemaProp(cur.props, writeSchema) +
+                    // the hashed epoch writer lands rows in ARRIVAL
+                    // order — the store's layout-order contract is gone
+                    (graft.sources.GraftTable.LayoutSortedProp -> "false"))
                 committed = true
               } catch {
                 case c: StoreLog.CommitConflict =>

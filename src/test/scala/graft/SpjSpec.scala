@@ -140,17 +140,163 @@ class SpjSpec extends AnyFunSuite {
       graft.sources.GraftScan.PreserveGroupingKey -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1"): _*) {
       // a partition-exact filter drops whole keys on one side;
-      // pushPartValues re-aligns the sides without shuffling
+      // pushPartValues re-aligns the sides without shuffling. sum()
+      // keeps the aggregates UN-pushable — a bare count(*) would be
+      // answered by the manifest agg pushdown (zero IO, tiny unkeyed
+      // scan), which is the better plan but not the one under test
       val l = spark.read.format("graft").load(dirL)
         .filter(col("event_type") =!= "purchase")
-        .groupBy("event_type").agg(count(lit(1)).as("n_l"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_l"), sum(col("value").cast("long")).as("v_l"))
       val r = spark.read.format("graft").load(dirR)
-        .groupBy("event_type").agg(count(lit(1)).as("n_r"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_r"), sum(col("value").cast("long")).as("v_r"))
       val df = l.join(r, "event_type")
       val got = df.collect()
       assert(got.nonEmpty && !got.exists(_.getString(0) == "purchase"))
       assert(shuffles(df.queryExecution.executedPlan).isEmpty,
         s"pruned SPJ plan must stay exchange-free:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  private def sorts(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => sorts(a.executedPlan)
+    case q: QueryStageExec => sorts(q.plan)
+    case s: org.apache.spark.sql.execution.SortExec => s +: s.children.flatMap(sorts)
+    case other => other.children.flatMap(sorts)
+  }
+
+  test("layout-ordered scan: per-uid window plans zero exchanges AND zero sorts") {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = Tables.events(spark, TestSpark.sf001).select(cols.map(col): _*)
+    val dir = Files.createTempDirectory("graft_ord").toString
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 500)
+    assert(graft.sources.StoreLog.latest(dir).exists(
+      _.props.get("graft.layout.tsSorted").contains("true")),
+      "a fresh sorted write must record the layout-order contract")
+    def windowed() = {
+      import org.apache.spark.sql.expressions.Window
+      spark.read.format("graft").load(dir)
+        .withColumn("prev",
+          lag(col("value"), 1).over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")))
+    }
+    // ordering is (event_type, ts): a window ordered by (ts, event_id)
+    // still needs a sort for the tiebreaker — use ts alone for the pin
+    def tsOnly() = {
+      import org.apache.spark.sql.expressions.Window
+      // the checksum aggregate groups on the partition key so it rides
+      // the scan clustering — the WHOLE plan stays exchange-free
+      spark.read.format("graft").load(dir)
+        .withColumn("prev",
+          lag(col("value"), 1).over(
+            Window.partitionBy("event_type").orderBy("ts")))
+        .groupBy("event_type")
+        .agg(sum(col("prev").cast("long")).as("chk"), count(lit(1)).as("n"))
+    }
+    val off = windowed().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      val df = tsOnly()
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(shuffles(plan).isEmpty, s"ordered window must not shuffle:\n$plan")
+      assert(sorts(plan).isEmpty, s"ordered window must not sort:\n$plan")
+      // and the full result agrees with the default path
+      val on = windowed().groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(on === off)
+    }
+  }
+
+  test("zorder clears the layout-order contract; the window sorts again") {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = Tables.events(spark, TestSpark.sf001).select(cols.map(col): _*)
+    val dir = Files.createTempDirectory("graft_ord_z").toString
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 500)
+    TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"))
+    assert(graft.sources.StoreLog.latest(dir).exists(
+      _.props.get("graft.layout.tsSorted").contains("false")),
+      "zorder must clear the layout-order contract")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.read.format("graft").load(dir)
+        .withColumn("prev", lag(col("value"), 1).over(
+          Window.partitionBy("event_type").orderBy("ts")))
+        .select(sum(col("prev").cast("long")).as("chk"))
+      df.collect()
+      assert(sorts(df.queryExecution.executedPlan).nonEmpty,
+        "a z-clustered store must NOT claim ts order — the sort is required")
+    }
+  }
+
+  test("upsert INHERITS the layout-order contract; overlapping append refuses ordering by bounds") {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val base = Tables.events(spark, TestSpark.sf001)
+      .select(cols.map(col) :+ lit(1L).as("version"): _*)
+    val dir = Files.createTempDirectory("graft_ord_up").toString
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    val delta = base.filter(col("event_id") % 7 === 0)
+      .withColumn("version", lit(2L))
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    // the rewrite's files are canonically sorted — the contract survives
+    assert(graft.sources.StoreLog.latest(dir).exists(
+      _.props.get("graft.layout.tsSorted").contains("true")),
+      "a sorted rewrite must inherit the layout-order contract")
+    // an APPEND whose time range overlaps the stored one keeps the
+    // within-file contract but breaks cross-file non-overlap — the
+    // scan's bounds check must refuse the ordering claim (sort returns)
+    TsStore.write(base.limit(500), dir, tsCol = "ts",
+      uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(graft.sources.StoreLog.latest(dir).exists(
+      _.props.get("graft.layout.tsSorted").contains("true")))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.read.format("graft").load(dir)
+        .withColumn("prev", lag(col("value"), 1).over(
+          Window.partitionBy("event_type").orderBy("ts")))
+        .select(sum(col("prev").cast("long")).as("chk"))
+      df.collect()
+      assert(sorts(df.queryExecution.executedPlan).nonEmpty,
+        "overlapping file bounds must refuse the ordering claim")
+    }
+  }
+
+  test("one-sided shuffle: a plain frame aligns to the store's grouping") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled lets Spark shuffle
+    // ONLY the non-v2 side of a join into the store's key grouping —
+    // the 100 TB fact side stays unshuffled
+    val (dirL, _) = buildStores()
+    withConfs(splitConfs ++ Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"): _*) {
+      val l = spark.read.format("graft").load(dirL)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_l"), sum(col("value").cast("long")).as("v_l"))
+      val dim = spark.createDataFrame(Seq(
+        ("click", 1), ("purchase", 2), ("view", 3), ("signup", 4),
+        ("logout", 5), ("login", 6))).toDF("event_type", "rank_no")
+      val df = l.join(dim, "event_type")
+      val got = df.collect()
+      assert(got.nonEmpty)
+      val sh = shuffles(df.queryExecution.executedPlan)
+      // exactly the DIM side shuffles; the store side must not
+      assert(sh.size === 1, s"expected one exchange (dim side only):\n" +
+        s"${df.queryExecution.executedPlan}")
     }
   }
 

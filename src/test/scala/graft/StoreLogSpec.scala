@@ -262,10 +262,17 @@ class StoreLogSpec extends AnyFunSuite {
     TsStore.upsert(spark, dir, delta(10, 1000.0), keyCols = Seq("event_id"),
       versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
     assert(TsStore.versions(dir).nonEmpty)
-    // overwrite = a NEW store: the manifest must not survive, and the
-    // directory read must not double-count leftover dead files
+    // overwrite = a NEW store: the OLD manifest chain must not survive
+    // (a stale manifest naming deleted files would corrupt every read),
+    // and the directory read must not double-count leftover dead files.
+    // The overwrite adopt-commits its own fresh v1 — provenance is known
+    // at write time, so the new log starts life with the layout-order
+    // contract and the ts column recorded
     TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
-    assert(TsStore.versions(dir).isEmpty, "stale manifest survived an overwrite")
+    assert(TsStore.versions(dir) === Seq(1L),
+      "an overwrite must start a FRESH single-version log")
+    assert(StoreLog.latest(dir).exists(
+      _.props.get(graft.sources.GraftTable.LayoutSortedProp).contains("true")))
     same(TsStore.read(spark, dir), base)
   }
 
@@ -655,8 +662,12 @@ class StoreLogSpec extends AnyFunSuite {
   }
 
   test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
-    val (dir, base) = freshStore()
-    StoreLog.ensure(dir, checkpointInterval = 3) // v1 checkpoint, interval recorded
+    // interval is set at log CREATION — which now happens inside the
+    // overwrite write itself, so it rides the write call
+    val dir = Files.createTempDirectory("graft_log").toString
+    val base = events.select(cols.map(col) :+ lit(1L).as("version"): _*)
+    TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      checkpointInterval = 3) // v1 checkpoint, interval recorded
     val deltas = (1 to 8).map { i =>
       events.filter(col("event_id") % 50 === i)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
