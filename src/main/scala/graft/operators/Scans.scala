@@ -1303,6 +1303,74 @@ object Scans {
         "CAST(sum(CASE WHEN delta > 0 THEN delta END) AS BIGINT) AS gains, " +
         "CAST(sum(CASE WHEN delta < 0 THEN -delta END) AS BIGINT) AS losses " +
         "FROM w GROUP BY event_type ORDER BY event_type"),
-      "layout-ordered per-uid window: the stored sort IS the execution sort — zero exchange, zero sort")
+      "layout-ordered per-uid window: the stored sort IS the execution sort — zero exchange, zero sort"),
+
+    "store_sorted_asof" -> DeclaredQuery(
+      // CO-LOCATED AS-OF JOIN: the reference's flagship verb (align two
+      // tick series in time) over two ordered, co-partitioned stores —
+      // AsofJoinStrategy PROVES both sides are ordered graft scans with
+      // identical live key sets (Spark's own SPJ machinery is
+      // instanceof-gated to SMJ/SHJ, so the custom exec carries its own
+      // proof) and the merge pass zips the stores' partitions directly:
+      // ZERO exchanges, ZERO sorts, O(1) state per key. At 100 TB
+      // neither tick store moves — the layout they were written in is
+      // the layout they join in. Self-pins the plan; oracle = the
+      // correlated-subquery as-of over the same deduped series.
+      (s, d) => {
+        val dedup = Tables.events(s, d)
+          .groupBy("event_type", "ts")
+          .agg(sum(floor(col("value"))).as("v"))
+        val dirL = sinkDir("asof_l", d); val dirR = sinkDir("asof_r", d)
+        TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.write(
+          dedup.select(col("event_type"),
+            (col("ts") - expr("INTERVAL 90 SECONDS")).as("r_ts"),
+            col("v").as("r_v")),
+          dirR, tsCol = "r_ts", uidCols = Seq("event_type"))
+        val confs = Seq(
+          graft.sources.GraftScan.PreserveGroupingKey -> "true",
+          "spark.sql.sources.v2.bucketing.enabled" -> "true")
+        val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val l = s.read.format("graft").load(dirL)
+            .select("event_type", "ts", "v")
+          val r = s.read.format("graft").load(dirR)
+            .select(col("event_type").as("r_et"), col("r_ts"), col("r_v"))
+          val j = TimeSeries.asofJoinNative(l, r,
+            leftKeys = Seq("event_type"), rightKeys = Seq("r_et"),
+            leftTs = "ts", rightTs = "r_ts")
+          val out = j.select(col("event_type"), col("ts"), col("v"),
+            col("r_ts"), col("r_v"))
+          val rows = out.collect() // execute WHILE the opt-in holds
+          def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              bad(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              bad(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+            case _: org.apache.spark.sql.execution.SortExec => true
+            case other => other.children.exists(bad)
+          }
+          require(!bad(out.queryExecution.executedPlan),
+            "co-located as-of must plan zero exchanges and zero sorts")
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+            .orderBy("event_type", "ts")
+        } finally olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("WITH d AS (SELECT event_type, ts, " +
+        "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events GROUP BY event_type, ts), " +
+        "r AS (SELECT event_type, ts - INTERVAL 90 SECOND AS r_ts, v AS r_v FROM d) " +
+        "SELECT l.event_type, l.ts, l.v, " +
+        "(SELECT r.r_ts FROM r WHERE r.event_type = l.event_type " +
+        "AND r.r_ts <= l.ts ORDER BY r.r_ts DESC LIMIT 1) AS r_ts, " +
+        "(SELECT r.r_v FROM r WHERE r.event_type = l.event_type " +
+        "AND r.r_ts <= l.ts ORDER BY r.r_ts DESC LIMIT 1) AS r_v " +
+        "FROM d l ORDER BY l.event_type, l.ts"),
+      "co-located as-of join: two ordered stores zip their partitions — zero exchange, zero sort")
   )
 }

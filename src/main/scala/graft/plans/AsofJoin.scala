@@ -42,12 +42,74 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session. */
+/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; injected per session.
+  *
+  * CO-LOCATED detection: when both children resolve (through
+  * alias-only Projects/Filters) to ordered, key-grouped graft scans —
+  * join keys = the stores' partition columns in order, ts = their time
+  * columns, no tie-break — and the two scans' LIVE KEY-VALUE SETS are
+  * identical, the exec runs in coLocated mode: each side already plans
+  * one ts-ordered partition per key at matching indices, so the merge
+  * zips them with zero exchanges and zero sorts. Anything unprovable
+  * falls back to the ordinary clustered+sorted requirements.
+  */
 object AsofJoinStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+  /** Chase `a` down through alias-preserving nodes to the DSv2 scan
+    * relation and the scan-level column name it reads. Conservative:
+    * any node or expression shape outside Project/Filter/identity
+    * aliasing returns None (no co-location claim).
+    */
+  private def resolveAttr(p: LogicalPlan, a: Expression)
+      : Option[(DataSourceV2ScanRelation, String)] = a match {
+    case att: Attribute => p match {
+      case rel: DataSourceV2ScanRelation =>
+        rel.output.find(_.exprId == att.exprId).map(o => (rel, o.name))
+      case Project(list, child) =>
+        list.collectFirst {
+          case al: Alias if al.exprId == att.exprId &&
+              al.child.isInstanceOf[Attribute] => al.child.asInstanceOf[Attribute]
+          case o: Attribute if o.exprId == att.exprId => o
+        }.flatMap(resolveAttr(child, _))
+      case f: LFilter => resolveAttr(f.child, att)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The side's live key-value vectors IF it is a provably ordered
+    * keyed graft scan whose partition columns are exactly `keys` (in
+    * order) and whose time column is `ts`.
+    */
+  private def coSig(p: LogicalPlan, keys: Seq[Expression], ts: Expression)
+      : Option[Seq[Seq[String]]] = {
+    val resolved = (keys :+ ts).map(resolveAttr(p, _))
+    if (resolved.exists(_.isEmpty)) return None
+    val rels = resolved.flatten.map(_._1).distinct
+    if (rels.sizeIs != 1) return None
+    val names = resolved.flatten.map(_._2)
+    rels.head.scan match {
+      case g: graft.sources.GraftScan =>
+        g.coLocation.collect {
+          case (partCols, tsCol)
+              if names.init == partCols && names.last == tsCol =>
+            g.coKeyValues
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, tol, fwd, near) =>
+      val coLocated = tie.isEmpty && (for {
+        ls <- coSig(l, lk, lts)
+        rs <- coSig(r, rk, rts)
+      } yield ls == rs).getOrElse(false)
       AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, tol,
-        fwd, near) :: Nil
+        fwd, near, coLocated) :: Nil
     case _ => Nil
   }
 }
@@ -82,18 +144,34 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         rightTieBreak: Seq[Expression],
                         tolerance: Option[Long] = None,
                         forward: Boolean = false,
-                        nearest: Boolean = false) extends BinaryExecNode {
+                        nearest: Boolean = false,
+                        coLocated: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** `coLocated = true` is the storage-partitioned as-of: the STRATEGY
+    * proved both children are ordered graft scans over identical live
+    * key sets (keys = the stores' partition columns, ts = their time
+    * columns), so each side plans one ts-ordered partition per key with
+    * matching indices — the merge pass zips them directly, no exchange,
+    * no sort. Spark's own SPJ machinery cannot serve a custom join
+    * (EnsureRequirements instanceof-gates on SMJ/SHJ), hence the
+    * strategy-side proof; a partition-count mismatch (the proof's only
+    * runtime-visible failure mode) dies loudly in zipPartitions.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (coLocated)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    (rightKeys ++ (rightTs +: rightTieBreak))
-      .map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (coLocated) Seq(Nil, Nil)
+    else Seq(
+      (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+      (rightKeys ++ (rightTs +: rightTieBreak))
+        .map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =

@@ -1560,6 +1560,35 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
         }
   }
 
+  /** Co-located-execution contract for the custom as-of join: when the
+    * keyed layout AND the layout-order proof both hold, this scan will
+    * plan ONE ts-ordered partition per live key, so a binary operator
+    * whose two children expose IDENTICAL key-value sets may zip their
+    * partitions directly — no exchange, no sort. Spark's own
+    * storage-partitioned-join machinery is hard-gated to
+    * SortMergeJoin/ShuffledHashJoin (`EnsureRequirements
+    * .checkKeyGroupCompatible` instanceof-matches those two execs), so
+    * the as-of strategy must prove co-location itself; these two
+    * members are that proof's inputs. Alignment holds because BOTH
+    * sides' key groups are emitted sorted by the same raw-prefix
+    * ordering and Spark's group machinery treats each side identically.
+    */
+  private[graft] def coLocation: Option[(Seq[String], String)] =
+    if (spjActive && orderedOk)
+      Some((partColNames, snap.props.getOrElse(GraftTable.TsColProp, "ts")))
+    else None
+
+  /** The live key-value vectors (per partition column, raw escaped
+    * directory values) in emission order — equality across two scans is
+    * the co-location criterion. Computed from [[plannedFiles]], i.e.
+    * AFTER static pushdown, matching what planInputPartitions will key.
+    */
+  private[graft] def coKeyValues: Seq[Seq[String]] =
+    plannedFiles.map(
+      _.split('/').dropRight(1).takeWhile(_.contains('='))
+        .map(_.dropWhile(_ != '=').drop(1)).toSeq)
+      .distinct.sortBy(_.mkString("/"))
+
   /** Report the canonical per-partition ordering — (partition cols...,
     * ts) ascending — when the keyed layout is active and [[orderedOk]]
     * proves it. With both in force, `ORDER BY uid, ts` reads and

@@ -300,6 +300,93 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered stores feed the as-of exec with zero exchanges and zero sorts") {
+    // the flagship plan: AsofJoinExec requires exactly (keys, ts)
+    // clustering + ordering — two co-partitioned ordered stores satisfy
+    // both straight from their layout
+    val dedup = Tables.events(spark, TestSpark.sf001)
+      .groupBy("event_type", "ts")
+      .agg(sum(floor(col("value"))).as("v"))
+    val dirL = Files.createTempDirectory("graft_asof_l").toString
+    val dirR = Files.createTempDirectory("graft_asof_r").toString
+    TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.write(
+      dedup.select(col("event_type"),
+        (col("ts") - expr("INTERVAL 90 SECONDS")).as("r_ts"),
+        col("v").as("r_v")),
+      dirR, tsCol = "r_ts", uidCols = Seq("event_type"))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      val l = spark.read.format("graft").load(dirL)
+        .select("event_type", "ts", "v")
+      val r = spark.read.format("graft").load(dirR)
+        .select(col("event_type").as("r_et"), col("r_ts"), col("r_v"))
+      val j = graft.operators.TimeSeries.asofJoinNative(
+        l, r, leftKeys = Seq("event_type"), rightKeys = Seq("r_et"),
+        leftTs = "ts", rightTs = "r_ts")
+      val rows = j.collect()
+      assert(rows.nonEmpty)
+      val plan = j.queryExecution.executedPlan
+      assert(shuffles(plan).isEmpty, s"ordered as-of must not shuffle:\n$plan")
+      assert(sorts(plan).isEmpty, s"ordered as-of must not sort:\n$plan")
+      // correctness vs the default (shuffled + sorted) path
+      val defaults = withDefault {
+        graft.operators.TimeSeries.asofJoinNative(
+          l, r, leftKeys = Seq("event_type"), rightKeys = Seq("r_et"),
+          leftTs = "ts", rightTs = "r_ts").collect()
+      }
+      assert(rows.map(_.toString).sorted.toSeq === defaults.map(_.toString).sorted.toSeq)
+    }
+  }
+
+  // run `body` with the SPJ opt-ins temporarily OFF
+  private def withDefault[A](body: => A): A = {
+    val k = graft.sources.GraftScan.PreserveGroupingKey
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("catalog SQL: two named graft tables join shuffle-free under the opt-in") {
+    val root = Files.createTempDirectory("graft_spj_cat").toString
+    val cat = "graftspjcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("spj_cat_src")
+    Seq("ta", "tb").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.main.$t")
+      spark.sql(s"CREATE TABLE $cat.main.$t USING graft " +
+        "PARTITIONED BY (event_type) AS SELECT * FROM spj_cat_src" +
+        (if (t == "tb") " WHERE event_id % 2 = 0" else ""))
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        s"""SELECT l.event_type, l.v_l, r.v_r FROM
+           | (SELECT event_type, sum(CAST(value AS BIGINT)) AS v_l
+           |  FROM $cat.main.ta GROUP BY event_type) l
+           | JOIN
+           | (SELECT event_type, sum(CAST(value AS BIGINT)) AS v_r
+           |  FROM $cat.main.tb GROUP BY event_type) r
+           | ON l.event_type = r.event_type""".stripMargin)
+      val got = df.collect()
+      assert(got.nonEmpty)
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        s"catalog SQL join must be exchange-free under SPJ:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("data grouping stays OFF by default: bin-packed layout, no key cap") {
     // Spark 4 defaults spark.sql.sources.v2.bucketing.enabled=true, so
     // without graft's own opt-in every scan of a low-cardinality

@@ -625,6 +625,12 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(1L, 2L, 3L),
       s"append replay must dedup on its commit tag: $ids")
+    // the hashed epoch writer lands rows in arrival order — each append
+    // epoch must CLEAR the store's layout-order contract, or the scan
+    // would claim a per-partition ts order these files don't have
+    assert(graft.sources.StoreLog.latest(store).exists(
+      _.props.get(graft.sources.GraftTable.LayoutSortedProp).contains("false")),
+      "streaming append must clear graft.layout.tsSorted")
   }
 
   test("NATIVE sink Complete mode: each epoch REPLACES the store (versioned, time-travelable)") {
