@@ -1371,6 +1371,69 @@ object Scans {
         "(SELECT r.r_v FROM r WHERE r.event_type = l.event_type " +
         "AND r.r_ts <= l.ts ORDER BY r.r_ts DESC LIMIT 1) AS r_v " +
         "FROM d l ORDER BY l.event_type, l.ts"),
-      "co-located as-of join: two ordered stores zip their partitions — zero exchange, zero sort")
+      "co-located as-of join: two ordered stores zip their partitions — zero exchange, zero sort"),
+
+    "store_delete_vector" -> DeclaredQuery(
+      // MERGE-ON-READ delete (deletion vectors): the same takedown verb
+      // as write_delete, but NO data file moves — matching rows' parquet
+      // row indices land in per-file sidecars, one manifest commit
+      // associates them, the scan subtracts them, compaction later
+      // materializes. At 100 TB the write cost drops from O(affected
+      // files) rewrite IO to O(deleted rows) sidecar bytes — the
+      // difference between rewriting terabytes and writing kilobytes
+      // for a scattered GDPR takedown. Self-pins the merge-on-read
+      // contract: file set unchanged, vectors live, metadata count
+      // exact; oracle gates the visible rows: SELECT ... WHERE NOT pred.
+      (s, d) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val base = Tables.events(s, d).select(cols.map(col): _*)
+        val dir = sinkDir("delete_dv", d)
+        TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"))
+        val before = graft.sources.StoreLog.latest(dir).get.files
+        val pred = col("event_type") === "purchase" && col("event_id") % 7 === 0
+        TsStore.deleteVectors(s, dir, pred)
+        val snap = graft.sources.StoreLog.latest(dir).get
+        require(snap.files == before, "merge-on-read must not move data files")
+        require(snap.dvs.nonEmpty, "the delete must have committed vectors")
+        require(TsStore.countAt(dir).contains(
+          snap.files.flatMap(snap.liveRows).sum),
+          "metadata count must stay exact under vectors")
+        TsStore.read(s, dir).select(cols.map(col): _*).orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value " +
+        "FROM events WHERE NOT (event_type = 'purchase' AND event_id % 7 = 0) " +
+        "ORDER BY event_id"),
+      "merge-on-read DELETE: row positions to sidecars, no data file rewritten"),
+
+    "store_sql_delete_dv" -> DeclaredQuery(
+      // The dv takedown through the SQL door: a catalog table created
+      // with TBLPROPERTIES('delete.mode'='dv') routes DELETE FROM
+      // through deletion vectors — BI users get O(deleted rows)
+      // takedowns without knowing the mechanism exists. Read-back is a
+      // plain SELECT (the DSv2 scan subtracts positions row-exactly);
+      // the pre-delete version stays VERSION AS OF-readable.
+      (s, d) => {
+        val cat = "gdvq"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_dv_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("dv_sql_src")
+        s.sql(s"CREATE TABLE $cat.q.ev USING graft " +
+          "PARTITIONED BY (event_type) TBLPROPERTIES('delete.mode'='dv') " +
+          "AS SELECT * FROM dv_sql_src")
+        s.sql(s"DELETE FROM $cat.q.ev WHERE event_id % 11 = 3")
+        val snap = graft.sources.StoreLog.latest(
+          s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev").get
+        require(snap.dvs.nonEmpty, "dv-mode SQL DELETE must commit vectors")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value " +
+        "FROM events WHERE event_id % 11 <> 3 ORDER BY event_id"),
+      "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL")
   )
 }

@@ -676,8 +676,20 @@ class GraftTable(val path: String, asOf: Option[Long],
         throw new UnsupportedOperationException(
           s"DELETE predicate is not exactly translatable: $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    TsStore.delete(SparkSession.active, path, pred, tsCol = tsCol,
-      uidCols = uids)
+    // `TBLPROPERTIES('delete.mode'='dv')` routes DELETE through
+    // MERGE-ON-READ deletion vectors ([[TsStore.deleteVectors]]): no
+    // data file moves, write cost O(matching rows) — the takedown verb
+    // at 100 TB. TRUNCATE (an always-true predicate) stays
+    // copy-on-write either way: vectoring every row would write
+    // O(store) sidecars where the cow path is a pure file-list removal.
+    val dvMode = StoreLog.latest(path)
+      .exists(_.props.get("delete.mode").contains("dv"))
+    val truncating = predicates.forall(_.name() == "ALWAYS_TRUE")
+    if (dvMode && !truncating)
+      TsStore.deleteVectors(SparkSession.active, path, pred)
+    else
+      TsStore.delete(SparkSession.active, path, pred, tsCol = tsCol,
+        uidCols = uids)
     ()
   }
 
@@ -875,11 +887,16 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     */
   private def servable(fn: AggregateFunc): Boolean = fn match {
     case _: CountStar =>
-      aggSnap.exists(_.files.forall(f => rowsOf(f).isDefined))
+      // exact under deletion vectors: live rows = recorded − vectored
+      aggSnap.exists(_.files.forall(f => liveRowsOf(f).isDefined))
     case c: Count if !c.isDistinct =>
       colNameOf(c.column).exists { n =>
         fullSchema.fieldNames.contains(n) && aggSnap.exists(_.files.forall(f =>
-          nonNullCountOf(f, n).isDefined))
+          // a DATA column's recorded null count says nothing about
+          // WHICH rows a vector deleted — refuse the vectored file.
+          // A partition column counts its live rows exactly.
+          (partColNames.contains(n) || dvRowsOf(f) == 0L) &&
+            nonNullCountOf(f, n).isDefined))
       }
     case m: Min => minMaxServable(colNameOf(m.column))
     case m: Max => minMaxServable(colNameOf(m.column))
@@ -894,13 +911,28 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
              DateType | TimestampType | TimestampNTZType => true
         case _ => false
       }
-      okType && aggSnap.exists(_.files.forall(file => boundsOf(file, n).isDefined))
+      okType && aggSnap.exists(_.files.forall { file =>
+        // a vectored file's DATA bounds may belong to deleted rows;
+        // its constant PARTITION value still bounds exactly — unless
+        // the vector emptied the file (its value must then vanish
+        // from the result, which bounds can't express)
+        val dvOk =
+          if (dvRowsOf(file) == 0L) true
+          else partColNames.contains(n) && liveRowsOf(file).exists(_ > 0L)
+        dvOk && boundsOf(file, n).isDefined
+      })
     }
   }
 
   private def rowsOf(file: String): Option[Long] =
     aggSnap.flatMap(_.stats.get(file))
       .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+
+  private def dvRowsOf(file: String): Long =
+    aggSnap.flatMap(_.dvs.get(file)).map(_.rows).getOrElse(0L)
+
+  private def liveRowsOf(file: String): Option[Long] =
+    rowsOf(file).map(_ - dvRowsOf(file))
 
   /** Non-null count of `col` in `file`: data columns need recorded
     * null counts; partition columns are all-or-nothing per file — and
@@ -914,7 +946,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       segOf(file, colName) match {
         case None => None // no partition segment — unservable, refuse
         case Some(None) => Some(0L) // the null partition: zero non-null rows
-        case Some(Some(_)) => rowsOf(file)
+        case Some(Some(_)) => liveRowsOf(file)
       }
     } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
       .collect { case cs if cs.nulls >= 0 && cs.rows >= 0 => cs.rows - cs.nulls }
@@ -953,7 +985,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       val gs = names.flatten
       gs.forall(partColNames.contains) &&
         aggSnap.exists(_.files.forall(f =>
-          gs.forall(g => segOf(f, g).isDefined)))
+          gs.forall(g => segOf(f, g).isDefined))) &&
+        // a deletion vector that EMPTIED a file would make its group a
+        // phantom the unpushed plan never emits — require every
+        // vectored file provably non-empty (or ungrouped, where a zero
+        // contribution is exact)
+        (names.isEmpty || aggSnap.exists(_.dvs.keys.forall(f =>
+          liveRowsOf(f).exists(_ > 0L))))
     }
   }
 
@@ -1012,7 +1050,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     agg.aggregateExpressions.foreach {
       case _: CountStar =>
         fields += StructField("count(*)", LongType, nullable = false)
-        values += files.map(f => rowsOf(f).get).sum
+        values += files.map(f => liveRowsOf(f).get).sum
       case c: Count =>
         val n = colNameOf(c.column).get
         fields += StructField(s"count($n)", LongType, nullable = false)
@@ -1152,6 +1190,11 @@ object GraftScan {
 
   /** Opt-in for the storage-partitioned (key-grouped) scan layout. */
   val PreserveGroupingKey = "spark.graft.scan.preserveDataGrouping"
+
+  /** Task-constant metadata key carrying a vectored file's sidecar
+    * path on its [[PartitionedFile]]s (see [[GraftDvReaderFactory]]).
+    */
+  val DvMetaKey = "__graft_dv"
 }
 
 class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
@@ -1277,6 +1320,11 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     * or a live filter ⇒ no pruning (every candidate stays).
     */
   private def topNPrune(files: Seq[String]): Option[Seq[String]] = {
+    // a deletion-vectored file's recorded non-null counts OVERSTATE its
+    // live rows — the covering-prefix rule would pick too short a
+    // prefix and could drop files holding top-n rows. No pruning while
+    // vectors are live (compaction restores it).
+    if (files.exists(snap.dvs.contains)) return None
     val GraftScan.TopN(c, desc, nullsFirst, n) = topN.get
     val isPart = partColNames.contains(c)
     // (rel, tag, min, max, nonNullRows, nulls) — None on any gap
@@ -1377,9 +1425,9 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
         base0.foreach { f =>
           if (!done) {
             kept += f
-            acc += snap.stats.get(f)
-              .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
-              .getOrElse(0L)
+            // LIVE rows (recorded minus deletion-vector cardinality) —
+            // a vectored file must not overpromise its coverage
+            acc += snap.liveRows(f).getOrElse(0L)
             if (acc >= n) done = true
           }
         }
@@ -1448,7 +1496,10 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     val lens: Seq[(String, Long)] = lensFor(files)
     val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
       .maxSplitBytes(spark, lens.map(_._2).sum)
-    // splits in INPUT ORDER (per file: ascending offsets)
+    // splits in INPUT ORDER (per file: ascending offsets). A file with
+    // a live DELETION VECTOR carries its sidecar's absolute path as
+    // task-constant metadata — the reader factory dispatches on it
+    // (position-filtered row read) without any path re-derivation.
     def splitsOf(ls: Seq[(String, Long)]): Seq[PartitionedFile] =
       ls.flatMap { case (rel, len) =>
         val pvBase = StoreChangeSource.partitionValues(rel, requiredPart, 0L)
@@ -1463,10 +1514,14 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           }
         val sp = SparkPath.fromPath(new HPath(s"$path/$rel"))
+        val meta: Map[String, Any] = snap.dvs.get(rel) match {
+          case Some(e) => Map(GraftScan.DvMetaKey -> s"$path/${e.path}")
+          case None => Map.empty
+        }
         if (len == 0) Seq.empty
         else (0L until len by maxSplit).map { off =>
           PartitionedFile(pv, sp, off, math.min(maxSplit, len - off),
-            Array.empty, 0L, len)
+            Array.empty, 0L, len, meta)
         }
       }
     def pack(ls: Seq[(String, Long)]): Seq[org.apache.spark.sql.execution.datasources.FilePartition] =
@@ -1653,9 +1708,47 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // permutation from the reader's (data ++ part) layout back to the
     // REQUESTED column order (identity when partition columns trail)
     val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
-    if (columnar) new GraftColumnarReaderFactory(readerFunc, perm)
-    else new StoreChangeReaderFactory(
-      GraftColumnarReaderFactory.permuteRows(readerFunc, perm, parquetOut))
+    if (!plannedFiles.exists(snap.dvs.contains)) {
+      if (columnar) new GraftColumnarReaderFactory(readerFunc, perm)
+      else new StoreChangeReaderFactory(
+        GraftColumnarReaderFactory.permuteRows(readerFunc, perm, parquetOut))
+    } else {
+      // DELETION-VECTORED read: vectored files take a row-path read
+      // that additionally generates the PARQUET ROW INDEX (the
+      // `_tmp_metadata_row_index` mechanism — absolute under splits,
+      // row-group skips, and pushed filters), filters out the
+      // sidecar's positions, and projects to the requested order.
+      // Clean files keep the ordinary (columnar when possible) path —
+      // they were bin-packed into their own partitions above.
+      import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
+      val idxField = StructField(
+        PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+      val dvRequired = StructType(requiredData.fields :+ idxField)
+      val dvFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+        readerPartSchema, dvRequired, dataFilters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
+      // the dv reader's layout: requiredData ++ [rowIdx] ++ partitions
+      val idxOrdinal = requiredData.length
+      val dvOut = StructType(
+        (requiredData.fields :+ idxField) ++ readerPartSchema.fields)
+      val dvPerm: Array[Int] = required.fieldNames.map { n =>
+        val i = parquetOut.fieldIndex(n)
+        if (i < requiredData.length) i else i + 1 // skip the idx slot
+      }
+      val plainRow =
+        if (columnar)
+          fmt.buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema,
+            requiredData, dataFilters,
+            Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+            org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
+        else readerFunc
+      new GraftDvReaderFactory(
+        GraftColumnarReaderFactory.permuteRows(plainRow, perm, parquetOut),
+        dvFunc, idxOrdinal, dvPerm, dvOut,
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.GraftShim.sessionHadoopConf(spark)))
+    }
   }
 
   /** Manifest-derived stats for the planner: row count is exact when
@@ -1669,10 +1762,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val (rowsOpt, bytes) = {
       val files = plannedFiles
-      val per = files.map { f =>
-        snap.stats.get(f)
-          .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
-      }
+      val per = files.map(snap.liveRows) // exact under deletion vectors
       val rows = if (per.isEmpty || per.exists(_.isEmpty)) None
                  else Some(per.flatten.sum)
       val sz =
@@ -1778,6 +1868,73 @@ private[sources] object GraftColumnarReaderFactory {
       val proj = UnsafeProjection.create(perm.map(i =>
         BoundReference(i, srcSchema(i).dataType, srcSchema(i).nullable)))
       readerFunc(file).map(proj)
+    }
+  }
+}
+
+/** Reader factory for a scan whose planned files include DELETION
+  * VECTORS. Dispatch is per task-constant metadata
+  * ([[GraftScan.DvMetaKey]] on the [[PartitionedFile]]): a clean file
+  * reads the ordinary row path; a vectored file reads THROUGH the
+  * parquet row-index mechanism (`_tmp_metadata_row_index` — indices
+  * stay absolute under splits, row-group skips, and pushed filters),
+  * drops the sidecar's positions with a binary search per row, and
+  * projects the index column away into the requested order.
+  *
+  * The whole scan is row-based while any vector is live — Spark
+  * requires every partition of one scan to agree on columnar vs row
+  * (`DataSourceV2ScanExecBase.supportsColumnar`), so per-partition
+  * columnar dispatch is not an option. That is merge-on-read's
+  * temporary tax; compaction materializes the vectors and restores the
+  * columnar scan. The sidecar loads once per (split, file) on the
+  * executor — O(log d) per row after that, d = the file's deleted
+  * count.
+  */
+private[sources] class GraftDvReaderFactory(
+    plainRowFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dvFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    idxOrdinal: Int, dvPerm: Array[Int], dvOut: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private def dvPathOf(f: PartitionedFile): Option[String] =
+    f.otherConstantMetadataColumnValues.get(GraftScan.DvMetaKey)
+      .map(String.valueOf)
+
+  // Spark requires ALL of a scan's partitions to agree on columnar vs
+  // row (DataSourceV2ScanExecBase.supportsColumnar), so a scan with any
+  // live vector reads row-wise throughout — the temporary tax merge-on-
+  // read pays until compaction materializes the vectors
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("dv factory reads rows")
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows: Iterator[InternalRow] =
+      GraftColumnarReaderFactory.filesOf(partition).iterator.flatMap { f =>
+        dvPathOf(f) match {
+          case None => plainRowFunc(f)
+          case Some(dvAbs) =>
+            val deleted = Dv.read(sconf.value, dvAbs)
+            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+            val proj = UnsafeProjection.create(dvPerm.map(i =>
+              BoundReference(i, dvOut(i).dataType, dvOut(i).nullable)))
+            dvFunc(f)
+              .filterNot(r => Dv.contains(deleted, r.getLong(idxOrdinal)))
+              .map(proj)
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 }
@@ -1896,7 +2053,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (INSERT via RequiresDistributionAndOrdering) inherit this,
         // the unsorted paths (zorder, streaming append) clear it
         GraftTable.LayoutSortedProp -> "true") ++
-        (if (uids.nonEmpty) Map(GraftTable.UidsProp -> uids.mkString(",")) else Map.empty))
+        (if (uids.nonEmpty) Map(GraftTable.UidsProp -> uids.mkString(",")) else Map.empty) ++
+        // DELETE routing is a durable table property: 'dv' = merge-on-
+        // read deletion vectors, default = copy-on-write
+        props.get("delete.mode").map("delete.mode" -> _))
     tableAt(p, None)
   }
 

@@ -53,7 +53,17 @@ object StoreLog {
                             tag: Option[String] = None,
                             bloomCols: Seq[String] = Nil,
                             props: Map[String, String] = Map.empty,
-                            sizes: Map[String, Long] = Map.empty)
+                            sizes: Map[String, Long] = Map.empty,
+                            dvs: Map[String, Dv.Entry] = Map.empty) {
+    /** Live (post-deletion-vector) row count of `file`, when the
+      * manifest records its rows — the number every metadata-served
+      * count/limit path must use instead of the raw stat rows.
+      */
+    def liveRows(file: String): Option[Long] =
+      stats.get(file)
+        .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+        .map(_ - dvs.get(file).map(_.rows).getOrElse(0L))
+  }
 
   /** Every `interval`-th version is a CHECKPOINT (full live file
     * list); the versions between are DELTAS (add/remove lists vs the
@@ -264,10 +274,19 @@ object StoreLog {
     else n.get("sizes").properties().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap
 
+  // deletion-vector entries: { "<file>": {"p": "<dvRel>", "n": rows} }
+  private def dvsOf(n: JsonNode): Map[String, Dv.Entry] =
+    if (!n.has("dvs")) Map.empty
+    else n.get("dvs").properties().asScala
+      .map(e => e.getKey ->
+        Dv.Entry(e.getValue.get("p").asText(), e.getValue.get("n").asLong()))
+      .toMap
+
   private def readResolve(path: String, version: Long): Snapshot = {
     val root = readRaw(path, version)
-    val (files, stats, sizes) =
-      if (root.has("files")) (strings(root.get("files")), statsOf(root), sizesOf(root))
+    val (files, stats, sizes, dvs) =
+      if (root.has("files"))
+        (strings(root.get("files")), statsOf(root), sizesOf(root), dvsOf(root))
       else {
         // walk raw manifests down to the checkpoint ancestor collecting
         // the deltas, then apply them FORWARD over one mutable set —
@@ -287,16 +306,23 @@ object StoreLog {
         val sAcc = scala.collection.mutable.Map[String, FileStats.FileStatsMap](
           statsOf(node).toSeq: _*)
         val zAcc = scala.collection.mutable.Map[String, Long](sizesOf(node).toSeq: _*)
+        // dv entries ride deltas keyed by their DATA file: a removed
+        // file drops its vector with it (the replacement rewrote the
+        // survivors), a delta's `dvs` node overrides (a second delete
+        // against the same file swapped in the union sidecar)
+        val dAcc = scala.collection.mutable.Map[String, Dv.Entry](dvsOf(node).toSeq: _*)
         deltas.foreach { d =>
           val rm = strings(d.get("remove"))
           acc --= rm
           sAcc --= rm
           zAcc --= rm
+          dAcc --= rm
           acc ++= strings(d.get("add"))
           sAcc ++= statsOf(d)
           zAcc ++= sizesOf(d)
+          dAcc ++= dvsOf(d)
         }
-        (acc.toSeq.sorted, sAcc.toMap, zAcc.toMap)
+        (acc.toSeq.sorted, sAcc.toMap, zAcc.toMap, dAcc.toMap)
       }
     Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
       strings(root.get("replaced")), files,
@@ -309,7 +335,12 @@ object StoreLog {
         root.get("props").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty,
-      sizes)
+      sizes,
+      // a legacy checkpoint may carry dv entries for files a later
+      // writer removed without understanding dvs — prune to live
+      if (dvs.isEmpty) dvs else {
+        val live = files.toSet; dvs.filter { case (f, _) => live(f) }
+      })
   }
 
   /** Scan the newest `lookback` manifests for a commit carrying `tag` —
@@ -342,7 +373,9 @@ object StoreLog {
                             tag: Option[String] = None,
                             bloomCols: Seq[String] = Nil,
                             props: Map[String, String] = Map.empty,
-                            sizes: Map[String, Long] = Map.empty): Array[Byte] = {
+                            sizes: Map[String, Long] = Map.empty,
+                            dvs: Map[String, Dv.Entry] = Map.empty,
+                            dvChanges: Map[String, Dv.Entry] = Map.empty): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -381,6 +414,19 @@ object StoreLog {
         root.set[JsonNode]("sizes", o)
       }
     }
+    // deletion-vector entries — a delta serializes the COMMIT'S CHANGED
+    // entries (a dv change touches a file the add/remove lists never
+    // name), a checkpoint every live entry
+    def setDvs(entries: Map[String, Dv.Entry]): Unit =
+      if (entries.nonEmpty) {
+        val o = mapper.createObjectNode()
+        entries.toSeq.sortBy(_._1).foreach { case (f, e) =>
+          val v = mapper.createObjectNode()
+          v.put("p", e.path); v.put("n", e.rows)
+          o.set[JsonNode](f, v)
+        }
+        root.set[JsonNode]("dvs", o)
+      }
     root.set[JsonNode]("replaced", arr(replaced.sorted))
     parentFiles match {
       case Some(prev) =>
@@ -391,12 +437,14 @@ object StoreLog {
         // a delta carries stats/sizes for its ADDED files only — O(commit)
         setStats(added)
         setSizes(added)
+        setDvs(dvChanges)
       case None =>
         root.set[JsonNode]("files", arr(files.sorted))
         // a checkpoint re-embeds every live file's stats so the chain
         // below it can be vacuumed away without losing the index
         setStats(files)
         setSizes(files)
+        setDvs(dvs)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -420,7 +468,9 @@ object StoreLog {
              tag: Option[String] = None,
              bloomCols: Option[Seq[String]] = None,
              setProps: Map[String, String] = Map.empty,
-             addSizes: Map[String, Long] = Map.empty): Long = {
+             addSizes: Map[String, Long] = Map.empty,
+             addDvs: Map[String, Dv.Entry] = Map.empty,
+             resetDvs: Option[Map[String, Dv.Entry]] = None): Long = {
     val v = expectedVersion + 1
     parent.foreach(p => require(p.version == expectedVersion,
       s"parent snapshot v${p.version} does not match expectedVersion $expectedVersion"))
@@ -440,15 +490,28 @@ object StoreLog {
     // this commit (an empty-string value deletes a key)
     val effProps = (parent.map(_.props).getOrElse(Map.empty) ++ setProps)
       .filter(_._2.nonEmpty)
-    val asDelta = parent.filter(_ => v % eff != 0).map(_.files)
+    // `resetDvs` REPLACES the inherited dv state wholesale (the restore
+    // path: a rollback must resurrect the target version's vectors and
+    // shed newer ones even for files live in both) — a delta cannot
+    // express removing a live file's vector, so an exact reset forces a
+    // CHECKPOINT manifest. Ordinary commits inherit the parent's
+    // entries for surviving files and merge `addDvs` over them.
+    val asDelta =
+      if (resetDvs.isDefined) None
+      else parent.filter(_ => v % eff != 0).map(_.files)
     // the stats index for the commit: surviving parent entries plus the
     // new files' (addStats wins on collision — a rewritten path is the
     // new file). A delta only serializes the ADDED slice; a checkpoint
     // embeds the whole map.
     val allStats = parent.map(_.stats).getOrElse(Map.empty) ++ addStats
     val allSizes = parent.map(_.sizes).getOrElse(Map.empty) ++ addSizes
+    val liveSet = fileList.toSet
+    val allDvs = resetDvs.getOrElse(
+      (parent.map(_.dvs).getOrElse(Map.empty) ++ addDvs)
+        .filter { case (f, _) => liveSet(f) })
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, fileList,
-      asDelta, eff, allStats, tag, effBlooms, effProps, allSizes)
+      asDelta, eff, allStats, tag, effBlooms, effProps, allSizes,
+      dvs = allDvs, dvChanges = addDvs)
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
@@ -642,10 +705,33 @@ object StoreLog {
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
           stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
-          props = snap.props, sizes = snap.sizes))
+          props = snap.props, sizes = snap.sizes, dvs = snap.dvs))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))
+    // DELETION-VECTOR reclaim: sidecars under _graft_dv/ that no
+    // retained version references (orphaned by a union-rewrite, a
+    // materializing compaction, or a crashed delete) — same guards as
+    // data candidates: a live writer's freshly written sidecar (the
+    // pre-commit window) is spared by age + lease birth, exactly like
+    // an adopted-but-uncommitted data file
+    locally {
+      val dvDir = s"$path/${Dv.Dir}"
+      if (fsio.isDir(dvDir)) {
+        val referenced: Set[String] =
+          versions.takeRight(retainVersions)
+            .flatMap(v => read(path, v).dvs.values.map(_.path)).toSet
+        val now = System.currentTimeMillis()
+        val fresh = freshLeases(now)
+        val cutoff = leaseCutoff(fresh)
+        fsio.list(dvDir).filterNot(_.isDir)
+          .map(e => s"${Dv.Dir}/${e.name}")
+          .filterNot(referenced)
+          .filter(f => fresh.isEmpty ||
+            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs && m < cutoff))
+          .foreach(f => fsio.deleteFile(s"$path/$f"))
+      }
+    }
     // stale txn staging dirs (a writer that crashed before adopting its
     // staged files) are hidden from listDataFiles and from readers —
     // this is their one reclaim point. AGE-gated (mtime > 1h), the

@@ -421,7 +421,8 @@ object TsStore {
       base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
       newFiles: StoreLog.Snapshot => Seq[String],
       unsound: (StoreLog.Snapshot, Set[String]) => Option[String],
-      setProps: StoreLog.Snapshot => Map[String, String] = _ => Map.empty): Long = {
+      setProps: StoreLog.Snapshot => Map[String, String] = _ => Map.empty,
+      addDvs: Map[String, Dv.Entry] = Map.empty): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -437,7 +438,7 @@ object TsStore {
       lease.renew()
       try done = StoreLog.commit(path, expected.version, replaced,
         newFiles(expected), parent = Some(expected), addStats = movedStats,
-        addSizes = movedSizes, setProps = setProps(expected))
+        addSizes = movedSizes, setProps = setProps(expected), addDvs = addDvs)
       catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -601,8 +602,7 @@ object TsStore {
     val candidates = FileStats.prune(base.files, base.stats, pred)
     if (candidates.isEmpty) return base.version
     def readFiles(fs: Seq[String]) =
-      spark.read.option("mergeSchema", true).option("basePath", path)
-        .parquet(fs.map(f => s"$path/$f"): _*)
+      readFilesDv(spark, path, base, fs, mergeSchema = true)
     // which candidate files hold matching rows — the copy-on-write unit.
     // input_file_name() yields the scan's URL-ENCODED file URI; decoding
     // it ONCE recovers the raw on-disk path byte-for-byte (Spark encoded
@@ -642,8 +642,9 @@ object TsStore {
     }.toSet
     // rewrite ONLY the affected files' survivors. DELETE semantics:
     // rows where pred is TRUE go; null-pred rows stay (SQL DELETE).
-    val survivors = spark.read.option("basePath", path).option("mergeSchema", true)
-      .parquet(affected.map(f => s"$path/$f"): _*)
+    // Dv-aware read: a replacement of an already-vectored file must not
+    // resurrect its vectored rows (the new file carries no vector).
+    val survivors = readFilesDv(spark, path, base, affected, mergeSchema = true)
       .filter(!coalesce(pred, lit(false)))
     val staging = txnDir(path)
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
@@ -665,6 +666,96 @@ object TsStore {
             Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
               "— re-run the delete against the new base")
           else None)
+    }
+  }
+
+  /** MERGE-ON-READ delete — the deletion-vector twin of [[delete]]: no
+    * data file moves. Matching rows' PARQUET ROW INDICES are recorded
+    * in per-file sidecars ([[Dv]]) and one manifest commit associates
+    * each affected file with its (unioned) vector; readers subtract the
+    * positions, [[compactPartitions]]/[[zorder]]/any rewrite
+    * materializes them.
+    *
+    * Why it exists at 100 TB: copy-on-write IO is O(affected FILES) —
+    * a takedown of a few thousand rows scattered across a million
+    * 16 MB chunks rewrites terabytes. This path's write cost is
+    * O(matching rows): the find scan (manifest-stat pruned, predicate
+    * pushed) plus kilobyte sidecars, written DISTRIBUTED (one task
+    * group per affected file, executor-side sidecar IO; the driver
+    * sees only one (file, vector, count) row per affected file — the
+    * same O(commit-footprint) budget as a manifest delta).
+    *
+    * Semantics match [[delete]] exactly (rows where `pred` is TRUE go,
+    * null-pred rows stay; pre-delete versions stay readable `asOf`;
+    * concurrent replaces of a touched partition abort). Repeated
+    * vectored deletes against one file swap in the union sidecar, so a
+    * single manifest entry always fully describes a file's deletions.
+    *
+    * Returns the committed version (the base version when nothing
+    * matched).
+    */
+  def deleteVectors(spark: SparkSession, path: String, pred: Column): Long = {
+    val base = StoreLog.ensure(path)
+    if (base.files.isEmpty) return base.version
+    val candidates = FileStats.prune(base.files, base.stats, pred)
+    if (candidates.isEmpty) return base.version
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    // scan-rendered uri → (manifest rel, existing vector's abs path)
+    def uriMap(fs: Seq[String]): Map[String, (String, Option[String])] =
+      fs.map(f => Dv.absUri(conf, path, f) ->
+        (f, base.dvs.get(f).map(e => s"$path/${e.path}"))).toMap
+    import spark.implicits._
+    // (file uri, row position) of every matching LIVE row — dv-aware
+    // find, so an already-vectored row is never re-deleted (and a file
+    // whose only matches are already vectored is not touched again)
+    def matches(fs: Seq[String]) =
+      readFilesDv(spark, path, base, fs, mergeSchema = true, keepMeta = true)
+        .filter(pred).select(col("__file"), col("__pos")).as[(String, Long)]
+    StoreLog.withWriterLease(path) { lease =>
+      val (found, uris) =
+        try (matches(candidates), uriMap(candidates))
+        catch { // pred column only in pruned-away schemas — widen
+          case _: org.apache.spark.sql.AnalysisException =>
+            (matches(base.files), uriMap(base.files))
+        }
+      val urisB = spark.sparkContext.broadcast(uris)
+      // one task group per affected file: union the new positions with
+      // the file's existing vector and publish a fresh sidecar. A
+      // retried/speculative task writes an orphan sidecar — vacuumable
+      // garbage, exactly like an unadopted staged data file (the lease
+      // held here keeps vacuum off the fresh ones meanwhile).
+      val written: Array[(String, String, Long)] =
+        found.groupByKey(_._1).mapGroups { (uri, it) =>
+          val fresh = it.map(_._2).toArray
+          val old = urisB.value.get(uri).flatMap(_._2)
+            .map(Dv.read(sconf.value, _)).getOrElse(Array.empty[Long])
+          val rel = Dv.newRelPath()
+          val n = Dv.write(sconf.value, s"$path/$rel", old ++ fresh)
+          (uri, rel, n)
+        }.collect()
+      if (written.isEmpty) base.version
+      else {
+        val entries: Map[String, Dv.Entry] = written.map { case (uri, rel, n) =>
+          val (dataRel, _) = uris.getOrElse(uri, throw new IllegalStateException(
+            s"scan uri '$uri' matches no planned file of $path — " +
+              "Dv.absUri rendering diverged from the scan's"))
+          dataRel -> Dv.Entry(rel, n)
+        }.toMap
+        val prefixes = entries.keySet.map { f =>
+          val i = f.lastIndexOf('/')
+          require(i > 0, s"live file '$f' is not under a partition directory")
+          f.substring(0, i)
+        }.toSeq
+        commitWithRebase(path, lease, base, moved = Nil, replaced = prefixes,
+          newFiles = exp => exp.files,
+          unsound = (s, _) =>
+            if (s.replaced.exists(prefixes.contains))
+              Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
+                "— re-run the delete against the new base")
+            else None,
+          addDvs = entries)
+      }
     }
   }
 
@@ -758,8 +849,7 @@ object TsStore {
       } else base.files
     if (candidates.isEmpty) return base.version
     def readFiles(fs: Seq[String]) =
-      spark.read.option("mergeSchema", true).option("basePath", path)
-        .parquet(fs.map(f => s"$path/$f"): _*)
+      readFilesDv(spark, path, base, fs, mergeSchema = true)
     def findAffected(fs: Seq[String]): Array[String] =
       readFiles(fs).join(broadcast(k), keyCols, "inner")
         .filter(col(versionCol) <= col("__del_v"))
@@ -836,16 +926,22 @@ object TsStore {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
     val base = StoreLog.ensure(path)
     // only prefixes actually OVER the target are rewritten — an
-    // already-compact partition costs nothing
+    // already-compact partition costs nothing. A partition holding a
+    // DELETION-VECTORED file is compaction-worthy at any file count:
+    // materializing the vector (rewriting live rows, dropping the
+    // sidecar) is part of this verb's contract.
     val byPrefix = prefixes.map { p =>
       p -> base.files.filter(_.startsWith(p + "/"))
-    }.filter(_._2.size > maxFilesPerPartition)
+    }.filter { case (_, fs) =>
+      fs.size > maxFilesPerPartition || fs.exists(base.dvs.contains)
+    }
     if (byPrefix.isEmpty) return base.version
     val targets = byPrefix.flatMap(_._2)
     val targetSet = targets.toSet
     val touched = byPrefix.map(_._1)
-    val rows = spark.read.option("mergeSchema", true).option("basePath", path)
-      .parquet(targets.map(f => s"$path/$f"): _*)
+    // dv-aware: compaction MATERIALIZES deletion vectors — the rewrite
+    // reads only live rows and the replaced files' vectors die with them
+    val rows = readFilesDv(spark, path, base, targets, mergeSchema = true)
     val staging = txnDir(path)
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
     writeFiles(rows.repartitionByRange(rangeCols: _*)
@@ -880,10 +976,9 @@ object TsStore {
     val snap = asOf.map(v => StoreLog.read(path, v))
       .orElse(StoreLog.latest(path))
       .getOrElse(return None)
-    val per = snap.files.map { f =>
-      snap.stats.get(f)
-        .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
-    }
+    // LIVE rows: recorded per-file counts minus each file's recorded
+    // deletion-vector cardinality — still exact, still zero file IO
+    val per = snap.files.map(snap.liveRows)
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
@@ -902,6 +997,10 @@ object TsStore {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val snap = asOf.map(v => StoreLog.read(path, v))
       .orElse(StoreLog.latest(path)).getOrElse(return None)
+    // a vectored file's recorded counts OVERSTATE its live rows and its
+    // ts bounds may belong to deleted rows — refuse the metadata answer
+    // (callers fall back to listSeries over a dv-applied scan)
+    if (snap.dvs.nonEmpty) return None
     val per = snap.files.map { f =>
       val i = f.indexOf('/')
       val j = f.indexOf('=')
@@ -1010,7 +1109,12 @@ object TsStore {
       else StoreLog.commit(path, cur.version,
         replaced = prefixes,
         files = target.files, parent = Some(cur),
-        addStats = target.stats, addSizes = target.sizes)
+        addStats = target.stats, addSizes = target.sizes,
+        // the rollback must resurrect the TARGET's deletion-vector
+        // state exactly — shedding newer vectors even for files live in
+        // both versions (resetDvs forces the checkpoint that can
+        // express that)
+        resetDvs = Some(target.dvs))
     }
   }
 
@@ -1061,8 +1165,7 @@ object TsStore {
       require(i > 0, s"live file '$f' is not under a partition directory")
       f.substring(0, i)
     }.distinct
-    val rows = spark.read.option("mergeSchema", true).option("basePath", path)
-      .parquet(base.files.map(f => s"$path/$f"): _*)
+    val rows = readFilesDv(spark, path, base, base.files, mergeSchema = true)
     val bs = graft.functions.ZOrder.boundaries(rows, clusterCols, buckets)
     val z = graft.functions.ZOrder.zValue(bs, clusterCols)
     // Explicit partition count (AQE would coalesce a default-count range
@@ -1145,13 +1248,21 @@ object TsStore {
     require(fromV <= toV, s"changes needs fromV <= toV, got $fromV > $toV")
     val fromSnap = StoreLog.read(path, fromV)
     val toSnap = StoreLog.read(path, toV)
-    def readFiles(fs: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
-        .parquet(fs.map(f => s"$path/$f"): _*)
+    // each side reads through ITS OWN snapshot's deletion vectors, and a
+    // file whose dv CHANGED inside the window (a merge-on-read delete —
+    // no add/remove to diff) counts as replaced: read on BOTH sides, the
+    // (key, version) anti-joins below cancel the survivors and emit the
+    // newly-vectored rows as deletes
+    def readFrom(fs: Seq[String]): DataFrame =
+      readFilesDv(spark, path, fromSnap, fs, mergeSchema)
+    def readTo(fs: Seq[String]): DataFrame =
+      readFilesDv(spark, path, toSnap, fs, mergeSchema)
     val fromSet = fromSnap.files.toSet
     val toSet = toSnap.files.toSet
-    val newFiles = toSnap.files.filterNot(fromSet)
-    val goneFiles = fromSnap.files.filterNot(toSet)
+    val dvChanged = toSnap.files.filter(f =>
+      fromSet(f) && fromSnap.dvs.get(f) != toSnap.dvs.get(f))
+    val newFiles = toSnap.files.filterNot(fromSet) ++ dvChanged
+    val goneFiles = fromSnap.files.filterNot(toSet) ++ dvChanged
     // empty diff → empty frame with the store's schema + change_type
     if (newFiles.isEmpty && goneFiles.isEmpty)
       return load(spark, path, mergeSchema, asOf = Some(toV))
@@ -1160,13 +1271,13 @@ object TsStore {
     (newFiles, goneFiles) match {
       case (nf, Nil) =>
         // pure append window: every row in the added files is an insert
-        readFiles(nf).withColumn("change_type", lit("insert"))
+        readTo(nf).withColumn("change_type", lit("insert"))
       case (Nil, gf) =>
         // pure removal window: every removed-file row's key is gone
-        readFiles(gf).withColumn("change_type", lit("delete"))
+        readFrom(gf).withColumn("change_type", lit("delete"))
       case (nf, gf) =>
-        val n = readFiles(nf)
-        val o = readFiles(gf)
+        val n = readTo(nf)
+        val o = readFrom(gf)
         // carried-over survivors cancel on the (key, version) pair
         val fresh = n.as("n").join(o.as("o"),
           keyEq && col(s"n.$versionCol") <=> col(s"o.$versionCol"), "left_anti")
@@ -1189,6 +1300,60 @@ object TsStore {
             .withColumn("change_type", lit("update_preimage"))
           base.unionByName(updatePre)
         }
+    }
+  }
+
+  /** Read `files` of the store at `snap`, applying any DELETION VECTORS
+    * the snapshot associates with them — the one chokepoint every
+    * internal DataFrame read rides, so a vectored row can never
+    * resurrect through a rewrite, a CDC diff, or a maintenance pass.
+    *
+    * Clean files stream through the ordinary parquet scan (columnar,
+    * pushdown intact). Vectored files additionally read Spark's
+    * `_metadata` (file_path, row_index) and LEFT ANTI join the deleted
+    * (file, position) set — built DISTRIBUTED from the sidecars, and
+    * broadcast while the manifest-recorded total stays small, so the
+    * data side neither shuffles nor loses its columnar scan. Join keys
+    * use [[Dv.absUri]]'s rendering of each file (pinned equal to
+    * `_metadata.file_path` in DvSpec, escaped partition values
+    * included).
+    */
+  private[graft] def readFilesDv(spark: SparkSession, path: String,
+      snap: StoreLog.Snapshot, files: Seq[String],
+      mergeSchema: Boolean, keepMeta: Boolean = false): DataFrame = {
+    def plain(fs: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
+        .parquet(fs.map(f => s"$path/$f"): _*)
+    def withMetaCols(df: DataFrame) = df
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvd = files.filter(snap.dvs.contains)
+    if (dvd.isEmpty)
+      return if (keepMeta) withMetaCols(plain(files)) else plain(files)
+    val clean = files.filterNot(snap.dvs.contains)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val dvList: Seq[(String, String)] = dvd.map(f =>
+      (Dv.absUri(conf, path, f), s"$path/${snap.dvs(f).path}"))
+    import spark.implicits._
+    val posDf = spark.createDataset(dvList)
+      .flatMap { case (uri, dvAbs) =>
+        Dv.read(sconf.value, dvAbs).map(p => (uri, p)) }
+      .toDF("__dv_file", "__dv_pos")
+    val withMeta = withMetaCols(plain(dvd))
+    // the dv side's exact cardinality is manifest metadata — broadcast
+    // while it fits comfortably, shuffle only a genuinely huge backlog
+    // (which is compaction's cue anyway)
+    val totalDvRows = dvd.iterator.map(f => snap.dvs(f).rows).sum
+    val dvSide = if (totalDvRows <= 4L * 1000 * 1000) broadcast(posDf) else posDf
+    val filtered0 = withMeta.join(dvSide,
+        withMeta("__file") === dvSide("__dv_file") &&
+          withMeta("__pos") === dvSide("__dv_pos"), "left_anti")
+    val filtered = if (keepMeta) filtered0 else filtered0.drop("__file", "__pos")
+    if (clean.isEmpty) filtered
+    else {
+      val cleanDf = if (keepMeta) withMetaCols(plain(clean)) else plain(clean)
+      cleanDf.unionByName(filtered, allowMissingColumns = true)
     }
   }
 
@@ -1222,8 +1387,7 @@ object TsStore {
             if (kept.isEmpty) s.files.take(1) else kept
           case None => s.files
         }
-        spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
-          .parquet(files.map(f => s"$path/$f"): _*)
+        readFilesDv(spark, path, s, files, mergeSchema)
       case None =>
         spark.read.option("mergeSchema", mergeSchema).parquet(path)
     }

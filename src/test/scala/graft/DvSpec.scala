@@ -1,0 +1,283 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Dv, StoreLog, Tables, TsStore}
+
+/** Deletion vectors — merge-on-read DELETE (Dv.scala, TsStore
+  * .deleteVectors, readFilesDv). Pins the sidecar format, the
+  * scan-uri rendering contract, read/DML/CDC/maintenance interplay,
+  * and vacuum's dv reclaim.
+  */
+class DvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, TestSpark.sf001)
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft_dv").toString
+    TsStore.write(events.select(cols.map(col): _*), dir,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    dir
+  }
+
+  test("sidecar round-trip: sorted, deduplicated, binary-searchable") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = Files.createTempDirectory("graft_dvbin").toString + "/dv.bin"
+    val n = Dv.write(conf, p, Array(9L, 3L, 3L, 7L, 0L))
+    assert(n === 4)
+    val back = Dv.read(conf, p)
+    assert(back.toSeq === Seq(0L, 3L, 7L, 9L))
+    assert(Dv.contains(back, 7L) && !Dv.contains(back, 8L))
+  }
+
+  test("Dv.absUri renders exactly what the scan's _metadata.file_path carries") {
+    // escaped partition value (space + colon) — the rendering contract
+    // the anti-join and the delete's uri→rel mapping both stand on
+    val dir = Files.createTempDirectory("graft_dvuri").toString
+    val df = Seq(("k 1:a", 1L), ("k 1:a", 2L), ("plain", 3L))
+      .toDF("uid", "v")
+    df.write.partitionBy("uid").parquet(dir + "/t")
+    val snap = StoreLog.ensure(dir + "/t")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rendered = snap.files.map(f => Dv.absUri(conf, dir + "/t", f)).toSet
+    val scanSeen = spark.read.option("basePath", dir + "/t").parquet(dir + "/t")
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect().toSet
+    assert(rendered === scanSeen,
+      s"rendering diverged:\n  manifest: $rendered\n  scan:     $scanSeen")
+  }
+
+  test("deleteVectors matches copy-on-write delete row-for-row, moving no data file") {
+    val dvDir = freshStore(); val cowDir = freshStore()
+    val pred = col("event_id") % 7 === 0
+    val preFiles = StoreLog.latest(dvDir).get.files
+    val v = TsStore.deleteVectors(spark, dvDir, pred)
+    TsStore.delete(spark, cowDir, pred, tsCol = "ts", uidCols = Seq("event_type"))
+    val got = TsStore.load(spark, dvDir).select(cols.map(col): _*)
+    val want = TsStore.load(spark, cowDir).select(cols.map(col): _*)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    // merge-on-read: the data file set is UNCHANGED — only vectors landed
+    val snap = StoreLog.latest(dvDir).get
+    assert(snap.version === v)
+    assert(snap.files === preFiles, "deleteVectors must not move data files")
+    assert(snap.dvs.nonEmpty)
+    // every vector names a live file and records its cardinality
+    snap.dvs.foreach { case (f, e) =>
+      assert(snap.files.contains(f))
+      assert(e.path.startsWith(Dv.Dir + "/"))
+      assert(e.rows > 0)
+    }
+    // and the vectored total equals the deleted row count
+    val deleted = events.filter(pred).count()
+    assert(snap.dvs.values.map(_.rows).sum === deleted)
+  }
+
+  test("pre-delete version stays readable asOf; countAt subtracts vectors") {
+    val dir = freshStore()
+    val v0 = StoreLog.latest(dir).get.version
+    val total = events.count()
+    assert(TsStore.countAt(dir) === Some(total))
+    val pred = col("event_type") === "click" && col("event_id") % 3 === 0
+    val v1 = TsStore.deleteVectors(spark, dir, pred)
+    val kept = total - events.filter(pred).count()
+    // metadata count stays exact (recorded rows − vector rows)
+    assert(TsStore.countAt(dir) === Some(kept))
+    assert(TsStore.load(spark, dir).count() === kept)
+    // time travel below the delete sees every row again
+    assert(TsStore.load(spark, dir, asOf = Some(v0)).count() === total)
+    assert(TsStore.countAt(dir, asOf = Some(v0)) === Some(total))
+    assert(v1 === v0 + 1)
+  }
+
+  test("second vectored delete unions into one sidecar per file") {
+    val dir = freshStore()
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 0)
+    val mid = StoreLog.latest(dir).get
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 1)
+    val snap = StoreLog.latest(dir).get
+    // one entry per file — the union REPLACED the first vector where a
+    // file matched both predicates
+    val both = events.filter(col("event_id") % 5 <= 1).count()
+    assert(snap.dvs.values.map(_.rows).sum === both)
+    assert(TsStore.load(spark, dir).count() === events.count() - both)
+    // re-deleting already-vectored rows is a no-op commit
+    val v = TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 0)
+    assert(v === snap.version, "already-deleted rows must not commit again")
+    // a file vectored by BOTH passes had its first sidecar orphaned
+    assert(mid.dvs.nonEmpty)
+  }
+
+  test("copy-on-write delete of a vectored store does not resurrect vectored rows") {
+    val dir = freshStore()
+    TsStore.deleteVectors(spark, dir, col("event_id") % 4 === 0)
+    // a LATER cow delete rewrites affected files' survivors — which must
+    // already exclude the vectored rows, and the rewrite drops the dv
+    TsStore.delete(spark, dir, col("event_id") % 4 === 1,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val snap = StoreLog.latest(dir).get
+    assert(snap.dvs.isEmpty,
+      "the cow rewrite replaced every vectored file; vectors must drop with them")
+    val want = events.filter(col("event_id") % 4 >= 2).count()
+    assert(TsStore.load(spark, dir).count() === want)
+  }
+
+  test("compaction materializes vectors: rows preserved, vectors gone") {
+    val dir = freshStore()
+    val pred = col("event_id") % 6 === 2
+    TsStore.deleteVectors(spark, dir, pred)
+    val before = TsStore.load(spark, dir).select(cols.map(col): _*).collect()
+    val prefixes = StoreLog.latest(dir).get.files
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    TsStore.compactPartitions(spark, dir, prefixes,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val snap = StoreLog.latest(dir).get
+    assert(snap.dvs.isEmpty, "compaction must materialize deletion vectors")
+    val after = TsStore.load(spark, dir).select(cols.map(col): _*).collect()
+    assert(after.map(_.toString).sorted.toSeq === before.map(_.toString).sorted.toSeq)
+  }
+
+  test("restore resurrects the target version's exact vector state") {
+    val dir = freshStore()
+    val v0 = StoreLog.latest(dir).get.version      // no vectors
+    TsStore.deleteVectors(spark, dir, col("event_id") % 9 === 0)
+    val v1 = StoreLog.latest(dir).get.version      // vectored
+    TsStore.deleteVectors(spark, dir, col("event_id") % 9 === 1)
+    // roll back to the single-delete state: its vectors, not the union
+    TsStore.restore(spark, dir, v1)
+    val atV1 = StoreLog.read(dir, v1)
+    val cur = StoreLog.latest(dir).get
+    assert(cur.dvs === atV1.dvs)
+    assert(TsStore.load(spark, dir).count() ===
+      events.count() - events.filter(col("event_id") % 9 === 0).count())
+    // and all the way back to pristine
+    TsStore.restore(spark, dir, v0)
+    assert(StoreLog.latest(dir).get.dvs.isEmpty)
+    assert(TsStore.load(spark, dir).count() === events.count())
+  }
+
+  test("CDC: a vector-only window emits exactly the vectored rows as deletes") {
+    val dir = freshStore()
+    val v0 = StoreLog.latest(dir).get.version
+    val pred = col("event_type") === "view" && col("event_id") % 2 === 0
+    val v1 = TsStore.deleteVectors(spark, dir, pred)
+    val ch = TsStore.changes(spark, dir, v0, v1,
+      keyCols = Seq("event_id"), versionCol = "event_id")
+    assert(ch.filter(col("change_type") =!= "delete").count() === 0)
+    val got = ch.select("event_id").as[Long].collect().sorted.toSeq
+    val want = events.filter(pred).select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("vacuum reclaims orphaned sidecars, keeps referenced ones") {
+    val dir = freshStore()
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 0)
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 1) // unions → orphans pass 1
+    val fsio = new java.io.File(s"$dir/${Dv.Dir}")
+    val allDvs = fsio.listFiles().map(_.getName).toSet
+    val live = StoreLog.latest(dir).get.dvs.values.map(_.path.stripPrefix(Dv.Dir + "/")).toSet
+    assert(live.subsetOf(allDvs))
+    assert(allDvs.size > live.size, "the union pass must have orphaned sidecars")
+    // age the orphans past the lease window (vacuum guards young files)
+    allDvs.foreach { n =>
+      val f = new java.io.File(fsio, n)
+      f.setLastModified(System.currentTimeMillis() - 2 * StoreLog.WriterLeaseMs)
+    }
+    TsStore.vacuum(dir, retainVersions = 1)
+    val after = fsio.listFiles().map(_.getName).toSet
+    assert(after === live, s"vacuum must keep exactly the referenced sidecars: $after vs $live")
+    // the surviving store still reads correctly
+    val both = events.filter(col("event_id") % 5 <= 1).count()
+    assert(TsStore.load(spark, dir).count() === events.count() - both)
+  }
+
+  test("DSv2 scan applies vectors exactly") {
+    val dir = freshStore()
+    val pred = col("event_type") === "click" && col("event_id") % 2 === 0
+    TsStore.deleteVectors(spark, dir, pred)
+    val df = spark.read.format("graft").load(dir)
+      .select(cols.map(col): _*)
+    val rows = df.collect()
+    val want = events.filter(!pred).select(cols.map(col): _*).collect()
+    assert(rows.map(_.toString).sorted.toSeq === want.map(_.toString).sorted.toSeq)
+    // pushed data filters + row-group skips still apply THROUGH the
+    // vector: a selective read over the vectored partition is exact
+    val selective = spark.read.format("graft").load(dir)
+      .filter(col("event_type") === "click")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val wantSel = events.filter(col("event_type") === "click")
+      .filter(col("event_id") % 2 =!= 0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(selective === wantSel)
+  }
+
+  test("DSv2 metadata answers stay exact under vectors: COUNT subtracts, others refuse") {
+    val dir = freshStore()
+    TsStore.deleteVectors(spark, dir, col("event_id") % 3 === 0)
+    val live = events.filter(col("event_id") % 3 =!= 0)
+    val cnt = spark.read.format("graft").load(dir).agg(count(lit(1))).as[Long].head()
+    assert(cnt === live.count())
+    // min/max on a data column must NOT come from the manifest now —
+    // the value must still be correct (computed from live rows)
+    val mn = spark.read.format("graft").load(dir)
+      .agg(min(col("event_id"))).as[Long].head()
+    assert(mn === live.agg(min(col("event_id"))).as[Long].head())
+    // LIMIT over a vectored store still returns n rows (live-row math)
+    assert(spark.read.format("graft").load(dir).limit(50).count() === 50)
+  }
+
+  test("SQL DELETE routes through vectors under TBLPROPERTIES delete.mode=dv") {
+    val root = Files.createTempDirectory("graft_dvcat").toString
+    val cat = "graftdvcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    events.select(cols.map(col): _*).createOrReplaceTempView("dv_src")
+    spark.sql(s"CREATE TABLE $cat.main.t USING graft " +
+      "PARTITIONED BY (event_type) TBLPROPERTIES('delete.mode'='dv') " +
+      "AS SELECT * FROM dv_src")
+    val before = StoreLog.latest(s"$root/main/t").get.files
+    spark.sql(s"DELETE FROM $cat.main.t WHERE event_id % 11 = 3")
+    val snap = StoreLog.latest(s"$root/main/t").get
+    assert(snap.files === before, "dv-mode SQL DELETE must not move data files")
+    assert(snap.dvs.nonEmpty)
+    val got = spark.sql(s"SELECT count(*) AS n FROM $cat.main.t").as[Long].head()
+    assert(got === events.filter(col("event_id") % 11 =!= 3).count())
+    // the pre-delete version still reads whole
+    val v0 = snap.version - 1
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.t VERSION AS OF $v0")
+      .as[Long].head() === events.count())
+    // UPDATE on the vectored table reads through vectors (no resurrect)
+    spark.sql(s"UPDATE $cat.main.t SET value = value + 1 WHERE event_id % 11 = 4")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.t").as[Long].head() ===
+      events.filter(col("event_id") % 11 =!= 3).count())
+  }
+
+  test("upsert into a vectored store keeps vectored rows dead in untouched partitions") {
+    val dir = freshStore()
+    val pred = col("event_type") === "click"
+    TsStore.deleteVectors(spark, dir, pred)
+    // upsert touching a DIFFERENT partition: click's vectors survive
+    val delta = events.filter(col("event_type") === "view").limit(5)
+      .withColumn("value", col("value") + 1000.0)
+    TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+      versionCol = "event_id", tsCol = "ts", uidCols = Seq("event_type"))
+    val back = TsStore.load(spark, dir)
+    assert(back.filter(pred).count() === 0, "vectored rows must stay dead")
+    assert(StoreLog.latest(dir).get.dvs.nonEmpty)
+    // upsert REWRITING the vectored partition materializes its vectors
+    val delta2 = events.filter(pred).limit(3)
+      .withColumn("value", col("value") + 5000.0)
+    TsStore.upsert(spark, dir, delta2, keyCols = Seq("event_id"),
+      versionCol = "event_id", tsCol = "ts", uidCols = Seq("event_type"))
+    val after = TsStore.load(spark, dir)
+    // only the 3 re-upserted click rows exist in that partition now
+    assert(after.filter(pred).count() === 3)
+    assert(StoreLog.latest(dir).get.dvs.isEmpty)
+  }
+}
