@@ -54,7 +54,13 @@ object ScaleSmoke {
     // 10x INSERT), never the store; the grouped manifest aggregate
     // stays metadata-bounded like its ungrouped twin
     "store_sql_delete", "store_sql_update", "store_sql_merge",
-    "store_sql_group_fast")
+    "store_sql_group_fast",
+    // round-13 merge-on-read DML: the vectored verbs' 10x cost must
+    // track the MATCHING ROWS (find scan + sidecar bytes + appended
+    // rows), never the affected files — the exact asymmetry the mode
+    // exists to buy; the vectored read-back must track the live rows
+    "store_delete_vector", "store_sql_delete_dv", "store_sql_update_dv",
+    "store_sql_merge_dv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

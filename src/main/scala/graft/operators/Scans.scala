@@ -1413,7 +1413,10 @@ object Scans {
       // plain SELECT (the DSv2 scan subtracts positions row-exactly);
       // the pre-delete version stays VERSION AS OF-readable.
       (s, d) => {
-        val cat = "gdvq"
+        // catalog name embeds the data dir: Spark caches an initialized
+        // catalog per session, so a fixed name would pin the FIRST
+        // directory's root forever (ScaleSmoke drives two dirs)
+        val cat = s"gdvq_${new java.io.File(d).getName.replace('.', '_')}"
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.sources.GraftCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_dv_root", d))
@@ -1434,6 +1437,94 @@ object Scans {
       },
       Some("SELECT event_id, ts, user_id, event_type, value " +
         "FROM events WHERE event_id % 11 <> 3 ORDER BY event_id"),
-      "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL")
+      "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL"),
+
+    "store_sql_update_dv" -> DeclaredQuery(
+      // MERGE-ON-READ UPDATE (the delta row-level operation,
+      // SupportsDelta): the matched rows' physical identities
+      // (_file, _pos) become deletion-vector positions and the updated
+      // rows APPEND — zero data files rewritten, one atomic commit. At
+      // 100 TB an UPDATE touching a thousand rows scattered over a
+      // million files writes kilobytes of sidecar + a thousand new
+      // rows; even the copy-on-write path would rewrite a thousand
+      // whole files. Self-pins the no-rewrite contract (pre-update
+      // files all survive) before the content gate.
+      (s, d) => {
+        val cat = s"gduq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_dvu_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("dvu_sql_src")
+        s.sql(s"CREATE TABLE $cat.q.ev USING graft " +
+          "PARTITIONED BY (event_type) TBLPROPERTIES('delete.mode'='dv') " +
+          "AS SELECT * FROM dvu_sql_src")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val before = graft.sources.StoreLog.latest(path).get.files.toSet
+        s.sql(s"UPDATE $cat.q.ev SET value = value * 2 WHERE event_id % 13 = 5")
+        val snap = graft.sources.StoreLog.latest(path).get
+        require(before.subsetOf(snap.files.toSet),
+          "merge-on-read UPDATE must rewrite no data file")
+        require(snap.dvs.nonEmpty, "the old rows must be vectored")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_id % 13 = 5 THEN value * 2 ELSE value END AS value " +
+        "FROM events ORDER BY event_id"),
+      "SQL UPDATE as a delta operation: vector the old rows, append the new — no rewrites"),
+
+    "store_sql_merge_dv" -> DeclaredQuery(
+      // MERGE-ON-READ MERGE INTO: matched updates vector+append,
+      // not-matched rows append, ONE manifest commit — the CDC-apply
+      // verb (upsert a change batch into a 100 TB table) without
+      // rewriting a single file. The delta write clusters by
+      // (partition key, file) so each file's positions land together
+      // while fresh inserts spread by series key.
+      (s, d) => {
+        val cat = s"gdmq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_dvm_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("dvm_sql_src")
+        s.sql(s"CREATE TABLE $cat.q.ev USING graft " +
+          "PARTITIONED BY (event_type) TBLPROPERTIES('delete.mode'='dv') " +
+          "AS SELECT * FROM dvm_sql_src")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val before = graft.sources.StoreLog.latest(path).get
+        // change batch: updates for event_id % 17 = 2, inserts at offset ids
+        s.sql("SELECT event_id, ts, user_id, event_type, value * 3 AS value " +
+          "FROM dvm_sql_src WHERE event_id % 17 = 2 " +
+          "UNION ALL " +
+          "SELECT event_id + 100000000, ts, user_id, event_type, value " +
+          "FROM dvm_sql_src WHERE event_id % 509 = 1")
+          .createOrReplaceTempView("dvm_sql_delta")
+        s.sql(s"MERGE INTO $cat.q.ev AS t USING dvm_sql_delta AS c " +
+          "ON t.event_id = c.event_id " +
+          "WHEN MATCHED THEN UPDATE SET value = c.value " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        val snap = graft.sources.StoreLog.latest(path).get
+        require(snap.version == before.version + 1,
+          "MERGE must land as one atomic manifest commit")
+        require(before.files.toSet.subsetOf(snap.files.toSet),
+          "merge-on-read MERGE must rewrite no data file")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_id % 17 = 2 THEN value * 3 ELSE value END AS value " +
+        "FROM events " +
+        "UNION ALL " +
+        "SELECT event_id + 100000000, ts, user_id, event_type, value " +
+        "FROM events WHERE event_id % 509 = 1 " +
+        "ORDER BY event_id"),
+      "SQL MERGE INTO as a delta operation: the CDC-apply verb with zero file rewrites")
   )
 }

@@ -100,6 +100,25 @@ object GraftTable {
         "store-relative path of the data file holding the row"
     }
 
+  /** The metadata column carrying each row's PARQUET ROW INDEX within
+    * its data file — with [[FileColName]] it forms the physical row
+    * identity (stable under splits, row-group skips, and pushed
+    * filters), which is what the MERGE-ON-READ row-level operations
+    * use as their row ID: an UPDATE vector-deletes (file, pos) and
+    * appends the new row, rewriting nothing. Non-nullable by contract
+    * — Spark refuses nullable row ID attributes.
+    */
+  val PosColName = "_pos"
+
+  val PosMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = PosColName
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "parquet row index of the row within its data file"
+    }
+
   /** Per-store manifest property keys the catalog face records at CREATE
     * TABLE so an EMPTY store still knows its schema and write layout.
     * Once data files exist, the files are authoritative for the schema.
@@ -628,20 +647,32 @@ class GraftTable(val path: String, asOf: Option[Long],
   }
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftTable.FileMetaCol)
+    Array(GraftTable.FileMetaCol, GraftTable.PosMetaCol)
 
   /** SQL `UPDATE` / `MERGE INTO` (and subquery DELETEs the metadata
-    * path refuses) via group-based COPY-ON-WRITE: see
-    * [[GraftRowLevelOperation]]. Simple translatable DELETEs still take
-    * the cheaper [[canDeleteWhere]] path (Spark's metadata-delete
-    * optimization re-routes them).
+    * path refuses). Default is group-based COPY-ON-WRITE
+    * ([[GraftRowLevelOperation]]: rewrite the affected files'
+    * survivors). Under `TBLPROPERTIES('delete.mode'='dv')` the
+    * operation is DELTA-BASED merge-on-read instead
+    * ([[GraftDeltaRowLevelOperation]]): old rows become deletion-vector
+    * positions, new rows append — no data file rewrites, the same
+    * write-cost asymmetry the dv DELETE buys, now for every DML verb.
+    * Simple translatable DELETEs still take the cheaper
+    * [[canDeleteWhere]] path (Spark's metadata-delete optimization
+    * re-routes them).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot modify a time-travel view of $path")
-    () => new GraftRowLevelOperation(path, declaredSchema, effectiveParts,
-      tsCol, info.command())
+    val dvMode = StoreLog.latest(path)
+      .exists(_.props.get("delete.mode").contains("dv"))
+    if (dvMode)
+      () => new GraftDeltaRowLevelOperation(path, declaredSchema,
+        effectiveParts, tsCol, info.command())
+    else
+      () => new GraftRowLevelOperation(path, declaredSchema, effectiveParts,
+        tsCol, info.command())
   }
 
   private def effectiveParts: Seq[String] =
@@ -755,7 +786,8 @@ class GraftTable(val path: String, asOf: Option[Long],
   */
 class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
                        fullSchema: StructType, startingVersion: Long = 1L,
-                       rowLevel: Boolean = false)
+                       rowLevel: Boolean = false,
+                       rowLevelDelta: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -1132,7 +1164,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
         startingVersion, limit, topN, fileOnlyFilters = rowLevel,
-        exactFilters = exactPart,
+        exactFilters = exactPart, deltaPushFilters = rowLevelDelta,
         // accepting a filter residual-free binds the scan to the
         // snapshot the acceptance was judged on (a newer commit could
         // hold files the filter cannot decide) — snapshot isolation the
@@ -1204,7 +1236,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
                 topN: Option[GraftScan.TopN] = None,
                 fileOnlyFilters: Boolean = false,
                 exactFilters: Array[Filter] = Array.empty,
-                pinnedSnap: Option[StoreLog.Snapshot] = None)
+                pinnedSnap: Option[StoreLog.Snapshot] = None,
+                deltaPushFilters: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1255,9 +1288,16 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   // group identity the row-level operations (UPDATE/MERGE) replace on
   private val wantsFile: Boolean =
     required.fieldNames.contains(GraftTable.FileColName)
+  // `_pos` (the parquet row index) is neither a data column nor a
+  // partition constant: the reader GENERATES it through the row-index
+  // mechanism — requesting it forces the row-based index-carrying read
+  // for every planned file (the delta row-level operations' read shape)
+  private val wantsPos: Boolean =
+    required.fieldNames.contains(GraftTable.PosColName)
   private val requiredData = StructType(
     required.fields.filterNot(f =>
-      partColNames.contains(f.name) || f.name == GraftTable.FileColName))
+      partColNames.contains(f.name) || f.name == GraftTable.FileColName ||
+        f.name == GraftTable.PosColName))
   private val requiredPart = StructType(
     required.fields.filter(f => partColNames.contains(f.name)))
   // partition-value row layout handed to the reader: real partition
@@ -1690,8 +1730,13 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // return EVERY row of the affected files: pushed filters prune
     // FILES only there — a row-group skip inside an affected file would
     // silently drop survivor rows from the rewritten replacement
+    // DELTA row-level scans re-enable parquet data filters: unlike the
+    // group-replace read (which must return non-matching survivor rows
+    // of affected files), every row a delta plan consumes satisfies the
+    // pushed predicate — row-group skips can only drop rows the plan
+    // never wanted, and row indices stay absolute under skips
     val dataFilters =
-      if (fileOnlyFilters) Seq.empty
+      if (fileOnlyFilters && !deltaPushFilters) Seq.empty
       else pushed.filter(_.references.forall(dataCols.contains)).toSeq
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     // COLUMNAR when the projected schema allows it (atomic columns,
@@ -1699,16 +1744,16 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // whole-stage codegen exactly like a native parquet scan — the DSv2
     // face must not cost a row-materialization the path it replaces
     // never paid. Nested/map projections take the row path.
-    val columnar = fmt.supportBatch(spark, readSchema())
-    val readerFunc = fmt
+    val columnar = !wantsPos && fmt.supportBatch(spark, readSchema())
+    lazy val readerFunc = fmt
       .buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema, requiredData,
         dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-    // permutation from the reader's (data ++ part) layout back to the
-    // REQUESTED column order (identity when partition columns trail)
-    val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
-    if (!plannedFiles.exists(snap.dvs.contains)) {
+    if (!wantsPos && !plannedFiles.exists(snap.dvs.contains)) {
+      // permutation from the reader's (data ++ part) layout back to the
+      // REQUESTED column order (identity when partition columns trail)
+      val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
       if (columnar) new GraftColumnarReaderFactory(readerFunc, perm)
       else new StoreChangeReaderFactory(
         GraftColumnarReaderFactory.permuteRows(readerFunc, perm, parquetOut))
@@ -1733,21 +1778,32 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       val dvOut = StructType(
         (requiredData.fields :+ idxField) ++ readerPartSchema.fields)
       val dvPerm: Array[Int] = required.fieldNames.map { n =>
-        val i = parquetOut.fieldIndex(n)
-        if (i < requiredData.length) i else i + 1 // skip the idx slot
+        if (n == GraftTable.PosColName) idxOrdinal // `_pos` IS the row index
+        else {
+          val i = parquetOut.fieldIndex(n)
+          if (i < requiredData.length) i else i + 1 // skip the idx slot
+        }
       }
+      // with `_pos` requested, CLEAN files must ride the index-carrying
+      // reader too (their rows need positions just the same); without
+      // it they keep the cheaper plain row read
       val plainRow =
-        if (columnar)
-          fmt.buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema,
-            requiredData, dataFilters,
-            Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
-            org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-        else readerFunc
-      new GraftDvReaderFactory(
-        GraftColumnarReaderFactory.permuteRows(plainRow, perm, parquetOut),
-        dvFunc, idxOrdinal, dvPerm, dvOut,
+        if (wantsPos) null
+        else {
+          val base =
+            if (columnar)
+              fmt.buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema,
+                requiredData, dataFilters,
+                Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+                org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
+            else readerFunc
+          val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
+          GraftColumnarReaderFactory.permuteRows(base, perm, parquetOut)
+        }
+      new GraftDvReaderFactory(plainRow, dvFunc, idxOrdinal, dvPerm, dvOut,
         new org.apache.spark.util.SerializableConfiguration(
-          org.apache.spark.sql.GraftShim.sessionHadoopConf(spark)))
+          org.apache.spark.sql.GraftShim.sessionHadoopConf(spark)),
+        cleanViaIdx = wantsPos)
     }
   }
 
@@ -1894,7 +1950,8 @@ private[sources] class GraftDvReaderFactory(
     plainRowFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     dvFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     idxOrdinal: Int, dvPerm: Array[Int], dvOut: StructType,
-    sconf: org.apache.spark.util.SerializableConfiguration)
+    sconf: org.apache.spark.util.SerializableConfiguration,
+    cleanViaIdx: Boolean = false)
   extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.PartitionReader
@@ -1915,15 +1972,17 @@ private[sources] class GraftDvReaderFactory(
     throw new UnsupportedOperationException("dv factory reads rows")
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    def idxProj() = UnsafeProjection.create(dvPerm.map(i =>
+      BoundReference(i, dvOut(i).dataType, dvOut(i).nullable)))
     val rows: Iterator[InternalRow] =
       GraftColumnarReaderFactory.filesOf(partition).iterator.flatMap { f =>
         dvPathOf(f) match {
-          case None => plainRowFunc(f)
+          case None if !cleanViaIdx => plainRowFunc(f)
+          case None => dvFunc(f).map(idxProj()) // `_pos` requested: index read, no filter
           case Some(dvAbs) =>
             val deleted = Dv.read(sconf.value, dvAbs)
-            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-            val proj = UnsafeProjection.create(dvPerm.map(i =>
-              BoundReference(i, dvOut(i).dataType, dvOut(i).nullable)))
+            val proj = idxProj()
             dvFunc(f)
               .filterNot(r => Dv.contains(deleted, r.getLong(idxOrdinal)))
               .map(proj)

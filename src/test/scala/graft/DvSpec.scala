@@ -258,6 +258,122 @@ class DvSpec extends AnyFunSuite {
       events.filter(col("event_id") % 11 =!= 3).count())
   }
 
+  test("delta UPDATE under delete.mode=dv: vector + append, no data file rewritten") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_dvdelta").toString
+    spark.conf.set("spark.sql.catalog.gdvd", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvd.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvd.ns")
+    spark.sql(
+      """CREATE TABLE gdvd.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)
+        |TBLPROPERTIES('delete.mode'='dv')""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), "a", 1.0), (2L, t("2024-01-01 00:01:00"), "a", 2.0),
+        (3L, t("2024-01-01 00:02:00"), "b", 3.0), (4L, t("2024-01-01 00:03:00"), "b", 4.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdvd_src")
+    spark.sql("INSERT INTO gdvd.ns.t SELECT * FROM gdvd_src")
+    val tablePath = s"$root/ns/t"
+    // the (_file, _pos) physical row identity is queryable and matches
+    // the parquet row layout: positions are 0-based per file
+    val ids = spark.sql("SELECT _file, _pos, id FROM gdvd.ns.t")
+      .as[(String, Long, Long)].collect()
+    assert(ids.length === 4)
+    assert(ids.groupBy(_._1).values.forall(g =>
+      g.map(_._2).sorted.toSeq == (0L until g.length).toSeq),
+      s"per-file positions must be dense from 0: ${ids.toSeq}")
+    val before = StoreLog.latest(tablePath).get
+    spark.sql("UPDATE gdvd.ns.t SET v = v * 10 WHERE id = 2")
+    val after = StoreLog.latest(tablePath).get
+    assert(after.version === before.version + 1, "one atomic commit")
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "merge-on-read UPDATE must not remove or rewrite any data file")
+    val added = after.files.toSet -- before.files.toSet
+    assert(added.size === 1 && added.head.startsWith("k=a/"),
+      s"exactly the updated row appends, in its partition: $added")
+    assert(after.dvs.size === 1 && after.dvs.head._2.rows === 1L,
+      s"the old row becomes one vector position: ${after.dvs}")
+    assert(spark.sql("SELECT v FROM gdvd.ns.t WHERE id = 2").as[Double].head() === 20.0)
+    assert(spark.sql("SELECT count(*) FROM gdvd.ns.t").as[Long].head() === 4L)
+    // pre-update state stays time-travelable
+    assert(spark.sql(
+      s"SELECT v FROM gdvd.ns.t VERSION AS OF ${before.version} WHERE id = 2")
+      .as[Double].head() === 2.0)
+    // a second UPDATE touching the SAME original file unions its vector
+    spark.sql("UPDATE gdvd.ns.t SET v = v + 0.5 WHERE id = 1")
+    val after2 = StoreLog.latest(tablePath).get
+    assert(after2.dvs.values.map(_.rows).sum === 2L,
+      s"the original file's vector must union to 2 positions: ${after2.dvs}")
+    assert(spark.sql("SELECT id, v FROM gdvd.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 20.0), (3L, 3.0), (4L, 4.0)),
+      "no resurrection, no loss across chained merge-on-read updates")
+
+    // MERGE INTO: matched update + not-matched insert, one commit, still
+    // no file rewrites
+    Seq((3L, t("2024-01-02 00:00:00"), "b", 300.0),
+        (9L, t("2024-01-02 00:01:00"), "b", 9.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdvd_merge_src")
+    val preMerge = StoreLog.latest(tablePath).get
+    spark.sql("MERGE INTO gdvd.ns.t AS tg USING gdvd_merge_src AS s ON tg.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val postMerge = StoreLog.latest(tablePath).get
+    assert(postMerge.version === preMerge.version + 1)
+    assert(preMerge.files.toSet.subsetOf(postMerge.files.toSet),
+      "merge-on-read MERGE must not rewrite data files")
+    assert(spark.sql("SELECT id, v FROM gdvd.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 20.0), (3L, 300.0), (4L, 4.0), (9L, 9.0)))
+
+    // subquery DELETE (the metadata path cannot express it) rides the
+    // delta op too: vectors only, zero new data files
+    val preDel = StoreLog.latest(tablePath).get
+    spark.sql("DELETE FROM gdvd.ns.t WHERE id IN " +
+      "(SELECT id FROM gdvd_merge_src WHERE v > 100)")
+    val postDel = StoreLog.latest(tablePath).get
+    assert(postDel.files === preDel.files,
+      "a delta DELETE adds no data files and removes none")
+    assert(postDel.dvs.values.map(_.rows).sum === preDel.dvs.values.map(_.rows).sum + 1)
+    assert(spark.sql("SELECT id FROM gdvd.ns.t ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 4L, 9L))
+    // compaction materializes everything back to clean columnar files
+    spark.sql("CALL gdvd.system.compact(table => 'ns.t', max_files => 1)")
+    val compacted = StoreLog.latest(tablePath).get
+    assert(compacted.dvs.isEmpty, "compaction must materialize all vectors")
+    assert(spark.sql("SELECT id, v FROM gdvd.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 20.0), (4L, 4.0), (9L, 9.0)))
+  }
+
+  test("delta UPDATE moving a row across partitions lands it in the new partition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_dvmove").toString
+    spark.conf.set("spark.sql.catalog.gdvm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvm.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvm.ns")
+    spark.sql(
+      """CREATE TABLE gdvm.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)
+        |TBLPROPERTIES('delete.mode'='dv')""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), "a", 1.0),
+        (2L, t("2024-01-01 00:01:00"), "b", 2.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdvm_src")
+    spark.sql("INSERT INTO gdvm.ns.t SELECT * FROM gdvm_src")
+    spark.sql("UPDATE gdvm.ns.t SET k = 'b' WHERE id = 1")
+    val snap = StoreLog.latest(s"$root/ns/t").get
+    // the old row is vectored in k=a, the new one appended under k=b
+    assert(snap.dvs.keys.forall(_.startsWith("k=a/")), s"${snap.dvs}")
+    assert((snap.files.toSet -- snap.dvs.keySet).exists(_.startsWith("k=b/")))
+    assert(spark.sql("SELECT k, count(*) FROM gdvm.ns.t GROUP BY k ORDER BY k")
+      .as[(String, Long)].collect().toSeq === Seq(("b", 2L)))
+    assert(spark.sql("SELECT id FROM gdvm.ns.t ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L), "a partition-moving UPDATE must not lose or duplicate rows")
+  }
+
   test("upsert into a vectored store keeps vectored rows dead in untouched partitions") {
     val dir = freshStore()
     val pred = col("event_type") === "click"
