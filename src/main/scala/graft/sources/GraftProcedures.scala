@@ -163,7 +163,8 @@ object GraftProcedures {
       }
       case "detail" => new OneShot("detail",
         "DESCRIBE DETAIL over the manifest: one row per live data file " +
-          "(partition, bytes, recorded-stat column count), metadata only",
+          "(partition, bytes, recorded-stat column count, deletion-vector " +
+          "state), metadata only",
         Array(
           ProcedureParameter.in("table", StringType).build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -177,13 +178,20 @@ object GraftProcedures {
               UTF8String.fromString(f),
               UTF8String.fromString(if (i > 0) f.substring(0, i) else ""),
               snap.sizes.getOrElse(f, -1L),
-              snap.stats.get(f).map(_.size).getOrElse(0))
+              snap.stats.get(f).map(_.size).getOrElse(0),
+              // merge-on-read visibility: deleted-position count and
+              // exact live rows per file — the "is it time to compact"
+              // signal, answered without opening a single file
+              snap.dvs.get(f).map(_.rows).getOrElse(0L),
+              snap.liveRows(f).getOrElse(-1L))
           }
           rowsScan(StructType(Seq(
             StructField("file", StringType, nullable = false),
             StructField("partition", StringType, nullable = false),
             StructField("bytes", LongType, nullable = false),
-            StructField("n_stat_cols", IntegerType, nullable = false))), rows)
+            StructField("n_stat_cols", IntegerType, nullable = false),
+            StructField("dv_rows", LongType, nullable = false),
+            StructField("live_rows", LongType, nullable = false))), rows)
         }
       }
       case other => throw new UnsupportedOperationException(

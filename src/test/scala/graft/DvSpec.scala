@@ -374,6 +374,58 @@ class DvSpec extends AnyFunSuite {
       === Seq(1L, 2L), "a partition-moving UPDATE must not lose or duplicate rows")
   }
 
+  test("delete.mode flips via SET TBLPROPERTIES; detail and CDC see vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_dvflip").toString
+    spark.conf.set("spark.sql.catalog.gdvf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvf.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvf.ns")
+    spark.sql(
+      """CREATE TABLE gdvf.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), "a", 1.0),
+        (2L, t("2024-01-01 00:01:00"), "a", 2.0),
+        (3L, t("2024-01-01 00:02:00"), "b", 3.0))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdvf_src")
+    spark.sql("INSERT INTO gdvf.ns.t SELECT * FROM gdvf_src")
+    val path = s"$root/ns/t"
+    // cow by default: DELETE rewrites, no vectors
+    spark.sql("DELETE FROM gdvf.ns.t WHERE id = 3")
+    assert(StoreLog.latest(path).get.dvs.isEmpty, "default mode is copy-on-write")
+    // flip ON: the NEXT delete vectors
+    spark.sql("ALTER TABLE gdvf.ns.t SET TBLPROPERTIES('delete.mode'='dv')")
+    val preDv = StoreLog.latest(path).get.version
+    spark.sql("UPDATE gdvf.ns.t SET v = v + 10 WHERE id = 1")
+    val snap = StoreLog.latest(path).get
+    assert(snap.dvs.nonEmpty, "after the flip, UPDATE must ride the delta op")
+    // CDC across the delta-UPDATE window: exactly one update for the key
+    val ch = TsStore.changes(spark, path, preDv, snap.version,
+      keyCols = Seq("id"), versionCol = "v")
+      .select("id", "change_type").as[(Long, String)].collect().sorted
+    assert(ch.toSeq === Seq((1L, "update")),
+      s"a delta UPDATE must surface as exactly one CDC update, got ${ch.toSeq}")
+    // system.detail surfaces the merge-on-read state per file
+    val det = spark.sql("CALL gdvf.system.detail('ns.t')").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5)))
+    assert(det.exists { case (f, dvRows, _) => snap.dvs.contains(f) && dvRows === 1L },
+      s"detail must report the vectored file's position count: ${det.toSeq}")
+    assert(det.forall { case (f, dvRows, liveRows) =>
+      liveRows === snap.liveRows(f).getOrElse(-1L) && dvRows >= 0L })
+    // flip OFF: back to copy-on-write
+    spark.sql("ALTER TABLE gdvf.ns.t UNSET TBLPROPERTIES('delete.mode')")
+    val before = StoreLog.latest(path).get
+    spark.sql("UPDATE gdvf.ns.t SET v = v + 100 WHERE id = 2")
+    val after = StoreLog.latest(path).get
+    // cow may MATERIALIZE existing vectors (the rewritten file drops its
+    // entry) but must never add new ones
+    assert(after.dvs.values.map(_.rows).sum <= before.dvs.values.map(_.rows).sum,
+      "after UNSET, UPDATE must not add vectors (cow rewrites instead)")
+    assert(spark.sql("SELECT id, v FROM gdvf.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 11.0), (2L, 102.0)))
+  }
+
   test("upsert into a vectored store keeps vectored rows dead in untouched partitions") {
     val dir = freshStore()
     val pred = col("event_type") === "click"
