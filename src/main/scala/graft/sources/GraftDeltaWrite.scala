@@ -267,11 +267,30 @@ private[sources] class GraftDeltaDataWriter(staging: String,
   private var insertsOpened = false
   private val positions =
     scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private val frags = Seq.newBuilder[(String, String, Long)]
+  private var fragSeq = 0
+  private val flushRows = conf.value.getInt(
+    GraftDeltaDataWriter.FragmentFlushKey, GraftDeltaDataWriter.FragmentFlushRows)
+
+  private def flushFrag(file: String, buf: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    val rel = f"${Dv.Dir}%s/frag-$partitionId%05d-$taskId%d-$fragSeq%03d.bin"
+    fragSeq += 1
+    frags += ((file, rel, Dv.write(conf.value, s"$staging/$rel", buf.toArray)))
+  }
 
   private def recordDelete(id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString // copy — the id row is reused
-    positions.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-      id.getLong(1)
+    val buf = positions.getOrElseUpdate(file,
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    buf += id.getLong(1)
+    // bound task memory: a fully-deleted 8M-row file is 64 MB of
+    // positions, and a task may own MANY files — spill an over-cap
+    // buffer as its own fragment (the commit-side union merges
+    // multi-fragment files anyway)
+    if (buf.length >= flushRows) {
+      flushFrag(file, buf)
+      positions.remove(file)
+    }
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
@@ -292,17 +311,21 @@ private[sources] class GraftDeltaDataWriter(staging: String,
     val insertFiles =
       if (!insertsOpened) Seq.empty[String]
       else insertW.commit() match { case GraftWriteTaskResult(fs) => fs }
-    var n = 0
-    val frags = positions.toSeq.map { case (file, buf) =>
-      val rel = f"${Dv.Dir}%s/frag-$partitionId%05d-$taskId%d-$n%03d.bin"
-      n += 1
-      val count = Dv.write(conf.value, s"$staging/$rel", buf.toArray)
-      (file, rel, count)
-    }
-    GraftDeltaTaskResult(insertFiles, frags)
+    positions.foreach { case (file, buf) => flushFrag(file, buf) }
+    positions.clear()
+    GraftDeltaTaskResult(insertFiles, frags.result())
   }
 
   override def abort(): Unit = if (insertsOpened) insertW.abort()
 
   override def close(): Unit = if (insertsOpened) insertW.close()
+}
+
+private[graft] object GraftDeltaDataWriter {
+  /** Per-file position-buffer cap before an early fragment spill —
+    * 4M longs = 32 MB; the commit-side union reassembles. Test seam:
+    * the hadoop-conf key lowers it so specs can force the spill.
+    */
+  val FragmentFlushRows: Int = 4 << 20
+  val FragmentFlushKey = "graft.delta.fragFlushRows"
 }

@@ -426,6 +426,39 @@ class DvSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq === Seq((1L, 11.0), (2L, 102.0)))
   }
 
+  test("delta writer spills over-cap position buffers as fragments; union reassembles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft_dvspill").toString
+    spark.conf.set("spark.sql.catalog.gdvs", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvs.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvs.ns")
+    spark.sql(
+      """CREATE TABLE gdvs.ns.t (id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE)
+        |USING graft PARTITIONED BY (k)
+        |TBLPROPERTIES('delete.mode'='dv')""".stripMargin)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0L until 40L).map(i =>
+        (i, new java.sql.Timestamp(base + i * 60000L), "a", i.toDouble))
+      .toDF("id", "ts", "k", "v").createOrReplaceTempView("gdvs_src")
+    spark.sql("INSERT INTO gdvs.ns.t SELECT * FROM gdvs_src")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt(graft.sources.GraftDeltaDataWriter.FragmentFlushKey, 3)
+    try
+      // 20 deletes against files of one partition: with the cap at 3,
+      // every task spills multiple fragments per file and the commit's
+      // distributed union must reassemble ONE sidecar per file
+      spark.sql("DELETE FROM gdvs.ns.t WHERE id IN " +
+        "(SELECT id FROM gdvs_src WHERE id % 2 = 0)")
+    finally hconf.unset(graft.sources.GraftDeltaDataWriter.FragmentFlushKey)
+    val snap = StoreLog.latest(s"$root/ns/t").get
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.map(_.rows).sum === 20L,
+      s"every spilled position must survive the union: ${snap.dvs}")
+    assert(spark.sql("SELECT id FROM gdvs.ns.t ORDER BY id").as[Long].collect().toSeq
+      === (1L until 40L by 2).toSeq, "odd ids survive, even ids vectored")
+  }
+
   test("upsert into a vectored store keeps vectored rows dead in untouched partitions") {
     val dir = freshStore()
     val pred = col("event_type") === "click"
