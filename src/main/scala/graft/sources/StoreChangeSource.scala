@@ -37,9 +37,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * [[graft.streaming.StoreIngest.follow]]) converges to the upstream
   * live view: carried-over and re-delivered rows map onto the same
   * winners, so redundancy never changes the outcome. DELETIONS are not
-  * emitted (a removed file names no rows to read); propagate takedowns
-  * by running the same CDC feed into both stores, or with the batch
-  * [[TsStore.changes]] diff, which does classify deletes.
+  * emitted (a removed file names no rows to read; a MERGE-ON-READ
+  * delete — a deletion-vector-only commit — adds no file at all and
+  * yields an empty batch, the same append-only stance Delta's plain
+  * table stream takes); propagate takedowns by running the same CDC
+  * feed into both stores, or with the batch [[TsStore.changes]] diff,
+  * which classifies deletes and reads each window side through its own
+  * snapshot's vectors.
   *
   * Scale shape: offsets are manifest versions (a LONG); each batch plans
   * from driver-side manifest metadata only — the version window's
