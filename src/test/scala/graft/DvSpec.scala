@@ -459,6 +459,19 @@ class DvSpec extends AnyFunSuite {
       === (1L until 40L by 2).toSeq, "odd ids survive, even ids vectored")
   }
 
+  test("zorder of a vectored store materializes: live rows only, vectors gone") {
+    val dir = freshStore()
+    val pred = col("event_id") % 5 === 0
+    TsStore.deleteVectors(spark, dir, pred)
+    val expect = events.filter(!pred).count()
+    TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"))
+    val snap = StoreLog.latest(dir).get
+    assert(snap.dvs.isEmpty, "the clustered rewrite must shed every vector")
+    assert(TsStore.load(spark, dir).count() === expect,
+      "vectored rows stay dead through the rewrite; live rows all survive")
+  }
+
   test("upsert into a vectored store keeps vectored rows dead in untouched partitions") {
     val dir = freshStore()
     val pred = col("event_type") === "click"
