@@ -29,6 +29,37 @@ object Scans {
   private def sinkDir(prefix: String, d: String): String =
     graft.Q.scratchDir(s"${prefix}_${new java.io.File(d).getName}")
 
+  /** True if the physical plan contains a shuffle exchange (or, with
+    * `orSort`, a SortExec) anywhere — AQE wrappers unwrapped. The
+    * layout queries call this on an UNEXECUTED plan, which is sound
+    * for the zero-exchange proof: a plan with no exchange is a single
+    * AQE stage, so the pre-execution plan IS the plan that runs —
+    * there is no stage boundary at which AQE could re-plan one in.
+    */
+  private def planBreaks(p: org.apache.spark.sql.execution.SparkPlan,
+                         orSort: Boolean): Boolean = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      planBreaks(a.executedPlan, orSort)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      planBreaks(q.plan, orSort)
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+    case _: org.apache.spark.sql.execution.SortExec if orSort => true
+    case other => other.children.exists(c => planBreaks(c, orSort))
+  }
+
+  /** Execute `df` DISTRIBUTED — a parquet sink, never a driver-side
+    * collect — while the caller's session confs are in force, then
+    * return the sunk result as a fresh read. Executors stream their
+    * partitions straight to files; no full result ever materializes
+    * on the driver, however large the join output grows at scale.
+    */
+  private def sinkAndReload(s: org.apache.spark.sql.SparkSession,
+                            df: org.apache.spark.sql.DataFrame,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    df.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def defs: Seq[(String, DeclaredQuery)] = Seq(
     "scan_parquet" -> DeclaredQuery(
       // (l_orderkey, l_linenumber) is NOT unique in the fixture (~25% dup
@@ -1177,19 +1208,10 @@ object Scans {
           val r = s.read.format("graft").load(dirR).groupBy("event_type")
             .agg(count(lit(1)).as("n_r"), sum(floor(col("value"))).as("v_r"))
           val j = l.join(r, "event_type")
-          val rows = j.collect() // execute WHILE the opt-in holds
-          def shuffled(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              shuffled(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              shuffled(q.plan)
-            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-            case other => other.children.exists(shuffled)
-          }
-          require(!shuffled(j.queryExecution.executedPlan),
+          require(!planBreaks(j.queryExecution.executedPlan, orSort = false),
             "storage-partitioned join must plan zero exchanges")
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
-            .orderBy("event_type")
+          // execute WHILE the opt-in holds — distributed, to a sink
+          sinkAndReload(s, j, sinkDir("spj_out", d)).orderBy("event_type")
         } finally olds.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
@@ -1275,20 +1297,10 @@ object Scans {
               count(lit(1)).as("n"),
               sum(when(col("delta") > 0, col("delta"))).as("gains"),
               sum(when(col("delta") < 0, -col("delta"))).as("losses"))
-          val rows = df.collect() // execute WHILE the opt-in holds
-          def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              bad(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              bad(q.plan)
-            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-            case _: org.apache.spark.sql.execution.SortExec => true
-            case other => other.children.exists(bad)
-          }
-          require(!bad(df.queryExecution.executedPlan),
+          require(!planBreaks(df.queryExecution.executedPlan, orSort = true),
             "layout-ordered window must plan zero exchanges and zero sorts")
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-            .orderBy("event_type")
+          // execute WHILE the opt-in holds — distributed, to a sink
+          sinkAndReload(s, df, sinkDir("sorted_win_out", d)).orderBy("event_type")
         } finally olds.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
@@ -1342,19 +1354,12 @@ object Scans {
             leftTs = "ts", rightTs = "r_ts")
           val out = j.select(col("event_type"), col("ts"), col("v"),
             col("r_ts"), col("r_v"))
-          val rows = out.collect() // execute WHILE the opt-in holds
-          def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              bad(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              bad(q.plan)
-            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-            case _: org.apache.spark.sql.execution.SortExec => true
-            case other => other.children.exists(bad)
-          }
-          require(!bad(out.queryExecution.executedPlan),
+          require(!planBreaks(out.queryExecution.executedPlan, orSort = true),
             "co-located as-of must plan zero exchanges and zero sorts")
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          // execute WHILE the opt-in holds — distributed, to a sink:
+          // the join output is row-per-tick (unbounded at scale) and
+          // must never materialize on the driver
+          sinkAndReload(s, out, sinkDir("asof_out", d))
             .orderBy("event_type", "ts")
         } finally olds.foreach {
           case (k, Some(v)) => s.conf.set(k, v)

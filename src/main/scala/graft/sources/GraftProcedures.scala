@@ -88,20 +88,26 @@ object GraftProcedures {
         }
       }
       case "compact" => new OneShot("compact",
-        "rewrite partitions holding more than max_files live files into range-sorted chunks",
+        "rewrite partitions holding more than max_files live files — or whose " +
+          "deleted-row ratio is at least dv_ratio — into range-sorted chunks",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("max_files", IntegerType).defaultValue("8").build())) {
+          ProcedureParameter.in("max_files", IntegerType).defaultValue("8").build(),
+          ProcedureParameter.in("dv_ratio", DoubleType).defaultValue("0.2").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, tsCol, uids) = layout(root, input.getUTF8String(0).toString)
           require(uids.nonEmpty, "compact needs the table's partition columns " +
             "(create the table through the catalog, or write it partitioned)")
           val cap = if (input.isNullAt(1)) 8 else input.getInt(1)
+          val dvRatio = if (input.isNullAt(2)) 0.2 else input.getDouble(2)
           val snap = StoreLog.ensure(path)
-          val over = snap.files.groupBy { f =>
+          val overCap = snap.files.groupBy { f =>
             val i = f.lastIndexOf('/')
             if (i > 0) f.substring(0, i) else ""
-          }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq.sorted
+          }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
+          // dv-density cue: manifest-recorded cardinalities, zero IO
+          val over = (overCap ++ TsStore.dvDensePrefixes(snap, dvRatio))
+            .distinct.sorted
           val v =
             if (over.isEmpty) snap.version
             else TsStore.compactPartitions(SparkSession.active, path, over,

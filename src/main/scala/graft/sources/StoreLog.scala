@@ -718,17 +718,35 @@ object StoreLog {
     locally {
       val dvDir = s"$path/${Dv.Dir}"
       if (fsio.isDir(dvDir)) {
-        val referenced: Set[String] =
-          versions.takeRight(retainVersions)
-            .flatMap(v => read(path, v).dvs.values.map(_.path)).toSet
+        // The referenced set must come from a FRESH version listing
+        // taken here, with the same stability recheck the data-file
+        // candidate loop performs: `versions` was captured before the
+        // manifest prune, and a writer that committed a NEW version
+        // (naming a new sidecar) in that window would otherwise see its
+        // live sidecar judged unreferenced. Bounded retries; on churn
+        // the age gate below still makes deletion safe (a live writer's
+        // sidecar is younger than its lease's birth cutoff).
+        var referenced: Set[String] = Set.empty
+        var refTries = 0
+        var refStable = false
+        while (!refStable) {
+          val vs = listVersions(path)
+          referenced = vs.flatMap(v => read(path, v).dvs.values.map(_.path)).toSet
+          refTries += 1
+          refStable = listVersions(path) == vs || refTries > 5
+        }
         val now = System.currentTimeMillis()
-        val fresh = freshLeases(now)
-        val cutoff = leaseCutoff(fresh)
+        val cutoff = leaseCutoff(freshLeases(now))
         fsio.list(dvDir).filterNot(_.isDir)
           .map(e => s"${Dv.Dir}/${e.name}")
           .filterNot(referenced)
-          .filter(f => fresh.isEmpty ||
-            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs && m < cutoff))
+          // ALWAYS age + lease-birth gated (never skipped when no fresh
+          // lease exists): a writer may commit and RELEASE its lease
+          // between the listing above and this delete — its sidecar is
+          // young, so the age belt spares it; genuinely orphaned
+          // sidecars reclaim on a later pass once aged
+          .filter(f => mtimeOpt(s"$path/$f")
+            .exists(m => now - m >= WriterLeaseMs && m < cutoff))
           .foreach(f => fsio.deleteFile(s"$path/$f"))
       }
     }

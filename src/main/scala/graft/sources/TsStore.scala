@@ -962,6 +962,37 @@ object TsStore {
     }
   }
 
+  /** Partition prefixes whose DELETED-ROW RATIO — manifest-recorded
+    * deletion-vector cardinality over recorded file rows — is at or
+    * above `ratio`. Zero IO: both numbers live in the manifest, so the
+    * "has merge-on-read churn made this partition worth rewriting?"
+    * question is a driver-side sum, never a cluster job. This is the
+    * AUTO-compaction cue for dv density: without it a table absorbing
+    * steady dv DML pays the vectored read tax (and the per-file
+    * position filtering) until a human calls compact. A vectored file
+    * with NO recorded row count (legacy adopted files) makes its
+    * prefix's density unknowable — included conservatively, since the
+    * rewrite is exactly what retires the unknown.
+    */
+  def dvDensePrefixes(snap: StoreLog.Snapshot, ratio: Double): Seq[String] = {
+    if (snap.dvs.isEmpty || ratio <= 0) return Seq.empty
+    snap.files.groupBy { f =>
+      val i = f.lastIndexOf('/')
+      if (i > 0) f.substring(0, i) else ""
+    }.collect { case (p, fs) if p.nonEmpty &&
+        fs.exists(snap.dvs.contains) => (p, fs)
+    }.collect { case (p, fs)
+        if {
+          val dvRows = fs.iterator.map(f =>
+            snap.dvs.get(f).map(_.rows).getOrElse(0L)).sum
+          val recorded = fs.map(f => snap.liveRows(f)
+            .map(_ + snap.dvs.get(f).map(_.rows).getOrElse(0L)))
+          recorded.exists(_.isEmpty) ||
+            dvRows.toDouble >= ratio * recorded.flatten.sum
+        } => p
+    }.toSeq.sorted
+  }
+
   /** Exact row count of the (optionally `asOf`-versioned) live view from
     * the MANIFEST alone — zero file IO, zero Spark jobs (the Delta
     * "numRecords in the transaction log" role): every stat-carrying file
@@ -1333,22 +1364,40 @@ object TsStore {
     val clean = files.filterNot(snap.dvs.contains)
     val conf = spark.sparkContext.hadoopConfiguration
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val dvList: Seq[(String, String)] = dvd.map(f =>
-      (Dv.absUri(conf, path, f), s"$path/${snap.dvs(f).path}"))
     import spark.implicits._
+    // Integer file ids keep the anti-join's build side COMPACT: the
+    // broadcast rows carry (int fid, long pos) — ~20 B of unsafe row —
+    // instead of repeating each file's full absolute URI string per
+    // deleted position (hundreds of MB at the old 4M-row cap). The
+    // uri→fid attach is a broadcast of dvd.size TINY rows on the data
+    // side, which keeps the parquet scan columnar and shuffle-free.
+    val fidOf: Map[String, Int] = dvd.zipWithIndex.toMap
+    val dvList: Seq[(Int, String)] =
+      dvd.map(f => (fidOf(f), s"$path/${snap.dvs(f).path}"))
     val posDf = spark.createDataset(dvList)
-      .flatMap { case (uri, dvAbs) =>
-        Dv.read(sconf.value, dvAbs).map(p => (uri, p)) }
-      .toDF("__dv_file", "__dv_pos")
+      .flatMap { case (fid, dvAbs) =>
+        Dv.read(sconf.value, dvAbs).map(p => (fid, p)) }
+      .toDF("__dv_fid", "__dv_pos")
+    val fidDf = dvd.map(f => (Dv.absUri(conf, path, f), fidOf(f)))
+      .toDF("__uri", "__fid")
     val withMeta = withMetaCols(plain(dvd))
+    val withFid = withMeta
+      .join(broadcast(fidDf), withMeta("__file") === fidDf("__uri"), "inner")
+      .drop("__uri")
     // the dv side's exact cardinality is manifest metadata — broadcast
-    // while it fits comfortably, shuffle only a genuinely huge backlog
-    // (which is compaction's cue anyway)
+    // while the ESTIMATED BYTES fit under a configurable cap (default
+    // 32 MB ≈ 1.3M positions at ~24 B/row), shuffle a genuinely huge
+    // backlog (which is compaction's cue anyway) — never a fixed row
+    // count that can silently OOM the driver
     val totalDvRows = dvd.iterator.map(f => snap.dvs(f).rows).sum
-    val dvSide = if (totalDvRows <= 4L * 1000 * 1000) broadcast(posDf) else posDf
-    val filtered0 = withMeta.join(dvSide,
-        withMeta("__file") === dvSide("__dv_file") &&
-          withMeta("__pos") === dvSide("__dv_pos"), "left_anti")
+    val capBytes = spark.conf.getOption("spark.graft.dv.broadcastBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val dvSide =
+      if (totalDvRows * 24L <= capBytes) broadcast(posDf) else posDf
+    val filtered0 = withFid.join(dvSide,
+        withFid("__fid") === dvSide("__dv_fid") &&
+          withFid("__pos") === dvSide("__dv_pos"), "left_anti")
+      .drop("__fid")
     val filtered = if (keepMeta) filtered0 else filtered0.drop("__file", "__pos")
     if (clean.isEmpty) filtered
     else {

@@ -68,17 +68,28 @@ object StoreIngest {
     * amplification) grows with feed age, not data size. A compaction
     * losing its CAS to a concurrent writer is SKIPPED (the next batch
     * re-checks the same counts); ingest itself never fails on it.
+    *
+    * The same hook also fires on DELETION-VECTOR DENSITY
+    * ([[TsStore.dvDensePrefixes]], threshold `dvRatio`, default 20%):
+    * a store absorbing steady merge-on-read DML accumulates sidecars
+    * that tax every read until a rewrite materializes them — the
+    * manifest-recorded cardinalities make the trigger a zero-IO
+    * driver check, and compaction already materializes vectors by
+    * contract. `dvRatio <= 0` disables the density trigger.
     */
   private[graft] def autoCompact(spark: SparkSession, path: String, cap: Int,
-                                 tsCol: String, uidCols: Seq[String]): Unit = {
+                                 tsCol: String, uidCols: Seq[String],
+                                 dvRatio: Double = 0.2): Unit = {
     require(cap >= 1, s"autoCompactFilesPerPartition must be >= 1, got $cap")
     graft.sources.StoreLog.latest(path).foreach { snap =>
       val over = snap.files.groupBy { f =>
         val i = f.lastIndexOf('/')
         if (i > 0) f.substring(0, i) else ""
-      }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq.sorted
-      if (over.nonEmpty)
-        try TsStore.compactPartitions(spark, path, over, tsCol, uidCols,
+      }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
+      val dense = TsStore.dvDensePrefixes(snap, dvRatio)
+      val targets = (over ++ dense).distinct.sorted
+      if (targets.nonEmpty)
+        try TsStore.compactPartitions(spark, path, targets, tsCol, uidCols,
           maxFilesPerPartition = cap) : Unit
         catch { case _: graft.sources.StoreLog.CommitConflict => () }
     }

@@ -195,6 +195,65 @@ class DvSpec extends AnyFunSuite {
     assert(TsStore.load(spark, dir).count() === events.count() - both)
   }
 
+  test("dv-density auto-compaction: a dense partition compacts, sparse stays vectored") {
+    // the density trigger is a zero-IO manifest check — a partition
+    // whose deleted-row ratio crosses the threshold rewrites (vectors
+    // materialize, COUNT pushdown re-enables), one under it does not
+    val dir = freshStore()
+    // 'click' loses half its rows (dense); 'view' loses ~1/50 (sparse)
+    TsStore.deleteVectors(spark, dir,
+      col("event_type") === "click" && col("event_id") % 2 === 0)
+    TsStore.deleteVectors(spark, dir,
+      col("event_type") === "view" && col("event_id") % 50 === 0)
+    val snap = StoreLog.latest(dir).get
+    val dense = TsStore.dvDensePrefixes(snap, 0.2)
+    assert(dense === Seq("event_type=click"), s"got $dense")
+    val before = TsStore.load(spark, dir).count()
+    graft.streaming.StoreIngest.autoCompact(spark, dir, cap = 1000,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val after = StoreLog.latest(dir).get
+    assert(after.version === snap.version + 1,
+      "density compaction must land as its own CAS commit")
+    assert(!after.dvs.keys.exists(_.startsWith("event_type=click/")),
+      "the dense partition's vectors must be materialized away")
+    assert(after.dvs.keys.exists(_.startsWith("event_type=view/")),
+      "the sparse partition must keep its vectors (below the ratio)")
+    // row content unchanged; exact metadata count (COUNT pushdown's
+    // source) still matches the scan
+    assert(TsStore.load(spark, dir).count() === before)
+    assert(TsStore.countAt(dir) === Some(before))
+    // an idle second pass is a no-op (no dense prefixes left, cap huge)
+    graft.streaming.StoreIngest.autoCompact(spark, dir, cap = 1000,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(StoreLog.latest(dir).get.version === after.version)
+  }
+
+  test("vacuum spares a YOUNG orphaned sidecar even with no fresh lease") {
+    // The just-committed window: a writer can commit a new manifest
+    // (naming a new sidecar) and RELEASE its lease between vacuum's
+    // version capture and its dv-reclaim listing. The dv phase
+    // therefore always age-gates — a young sidecar survives the pass
+    // whatever the lease state, reclaiming later once aged.
+    val dir = freshStore()
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 0)
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 1) // union → orphan
+    val dvDir = new java.io.File(s"$dir/${Dv.Dir}")
+    val allDvs = dvDir.listFiles().map(_.getName).toSet
+    val live = StoreLog.latest(dir).get.dvs.values.map(_.path.stripPrefix(Dv.Dir + "/")).toSet
+    assert(allDvs.size > live.size, "the union pass must have orphaned sidecars")
+    // no fresh lease exists (deleteVectors released), sidecars are young
+    TsStore.vacuum(dir, retainVersions = 1)
+    assert(dvDir.listFiles().map(_.getName).toSet === allDvs,
+      "young sidecars must all survive the pass, orphaned or not")
+    // after aging, a second pass reclaims exactly the orphans
+    allDvs.foreach { n =>
+      new java.io.File(dvDir, n)
+        .setLastModified(System.currentTimeMillis() - 2 * StoreLog.WriterLeaseMs)
+    }
+    TsStore.vacuum(dir, retainVersions = 1)
+    assert(dvDir.listFiles().map(_.getName).toSet === live)
+  }
+
   test("DSv2 scan applies vectors exactly") {
     val dir = freshStore()
     val pred = col("event_type") === "click" && col("event_id") % 2 === 0

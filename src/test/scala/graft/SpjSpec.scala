@@ -387,6 +387,61 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL graft_asof over two catalog tables plans coLocated, zero exchanges/sorts") {
+    // the SQL face of the co-located as-of: the TVF's unresolved
+    // children resolve through the graft CATALOG, and the strategy's
+    // co-location proof (ordered keyed scans, identical live key sets)
+    // must hold from pure SQL exactly as it does from the Scala API
+    val root = Files.createTempDirectory("graft_asof_cat").toString
+    val cat = "graftasofcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    Tables.events(spark, TestSpark.sf001)
+      .groupBy("event_type", "ts")
+      .agg(sum(floor(col("value"))).as("v"))
+      .createOrReplaceTempView("asof_cat_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.al")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.ar")
+    spark.sql(s"CREATE TABLE $cat.main.al USING graft " +
+      "PARTITIONED BY (event_type) AS SELECT * FROM asof_cat_src")
+    spark.sql(s"CREATE TABLE $cat.main.ar USING graft " +
+      "PARTITIONED BY (event_type) TBLPROPERTIES ('tsCol'='r_ts') AS " +
+      "SELECT event_type, ts - INTERVAL 90 SECONDS AS r_ts, v AS r_v " +
+      "FROM asof_cat_src")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      val df = spark.sql(
+        s"SELECT * FROM graft_asof('$cat.main.al', '$cat.main.ar', " +
+          "'event_type', 'event_type', 'ts', 'r_ts')")
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val plan = df.queryExecution.executedPlan
+      def asofs(p: SparkPlan): Seq[graft.plans.AsofJoinExec] = p match {
+        case a: AdaptiveSparkPlanExec => asofs(a.executedPlan)
+        case q: QueryStageExec => asofs(q.plan)
+        case e: graft.plans.AsofJoinExec => e +: e.children.flatMap(asofs)
+        case other => other.children.flatMap(asofs)
+      }
+      val execs = asofs(plan)
+      assert(execs.nonEmpty, s"SQL graft_asof must plan AsofJoinExec:\n$plan")
+      assert(execs.forall(_.coLocated),
+        s"catalog-table as-of must prove co-location from SQL:\n$plan")
+      assert(shuffles(plan).isEmpty, s"SQL co-located as-of must not shuffle:\n$plan")
+      assert(sorts(plan).isEmpty, s"SQL co-located as-of must not sort:\n$plan")
+      // correctness vs the default (shuffled + sorted) path
+      val defaults = withDefault {
+        spark.sql(
+          s"SELECT * FROM graft_asof('$cat.main.al', '$cat.main.ar', " +
+            "'event_type', 'event_type', 'ts', 'r_ts')").collect()
+      }
+      assert(rows.map(_.toString).sorted.toSeq ===
+        defaults.map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("data grouping stays OFF by default: bin-packed layout, no key cap") {
     // Spark 4 defaults spark.sql.sources.v2.bucketing.enabled=true, so
     // without graft's own opt-in every scan of a low-cardinality
