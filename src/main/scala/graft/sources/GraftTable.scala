@@ -1750,21 +1750,54 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
         dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
-    if (!wantsPos && !plannedFiles.exists(snap.dvs.contains)) {
+    val anyDv = plannedFiles.exists(snap.dvs.contains)
+    if (!wantsPos && !anyDv) {
       // permutation from the reader's (data ++ part) layout back to the
       // REQUESTED column order (identity when partition columns trail)
       val perm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
       if (columnar) new GraftColumnarReaderFactory(readerFunc, perm)
       else new StoreChangeReaderFactory(
         GraftColumnarReaderFactory.permuteRows(readerFunc, perm, parquetOut))
+    } else if (!wantsPos && columnar && DvBatchFilter.copyable(required) && {
+      // the vectored files' batch read carries the row-index column —
+      // it must survive the same batch-support gate as the output
+      import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
+      fmt.supportBatch(spark, StructType(required.fields :+ StructField(
+        PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)))
+    }) {
+      // COLUMNAR deletion-vectored read: the scan stays vectorized
+      // while vectors are live — clean files pass batches through
+      // untouched, vectored files drop their sidecar's positions
+      // batch-side (see [[GraftDvColumnarReaderFactory]]). Without
+      // this branch ONE vectored file would de-vectorize every clean
+      // file of the table until compaction.
+      import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
+      val idxField = StructField(
+        PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+      val dvRequired = StructType(requiredData.fields :+ idxField)
+      val dvBatchFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+        readerPartSchema, dvRequired, dataFilters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "true"),
+        org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
+      val idxOrdinal = requiredData.length
+      val cleanPerm: Array[Int] = required.fieldNames.map(parquetOut.fieldIndex)
+      // vectored batches' layout: requiredData ++ [rowIdx] ++ partitions
+      val dvPerm: Array[Int] = required.fieldNames.map { n =>
+        val i = parquetOut.fieldIndex(n)
+        if (i < requiredData.length) i else i + 1 // skip the idx slot
+      }
+      new GraftDvColumnarReaderFactory(readerFunc, dvBatchFunc, idxOrdinal,
+        cleanPerm, dvPerm, required,
+        new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.GraftShim.sessionHadoopConf(spark)))
     } else {
-      // DELETION-VECTORED read: vectored files take a row-path read
-      // that additionally generates the PARQUET ROW INDEX (the
-      // `_tmp_metadata_row_index` mechanism — absolute under splits,
-      // row-group skips, and pushed filters), filters out the
-      // sidecar's positions, and projects to the requested order.
-      // Clean files keep the ordinary (columnar when possible) path —
-      // they were bin-packed into their own partitions above.
+      // ROW-path deletion-vectored read — only for the shapes the
+      // columnar dv branch above refuses: `_pos`-requesting row-level
+      // DML scans and nested-type projections. Vectored files read
+      // through the PARQUET ROW INDEX (the `_tmp_metadata_row_index`
+      // mechanism — absolute under splits, row-group skips, and
+      // pushed filters), filter out the sidecar's positions, and
+      // project to the requested order.
       import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
       val idxField = StructField(
         PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
@@ -1937,14 +1970,16 @@ private[sources] object GraftColumnarReaderFactory {
   * drops the sidecar's positions with a binary search per row, and
   * projects the index column away into the requested order.
   *
-  * The whole scan is row-based while any vector is live — Spark
-  * requires every partition of one scan to agree on columnar vs row
-  * (`DataSourceV2ScanExecBase.supportsColumnar`), so per-partition
-  * columnar dispatch is not an option. That is merge-on-read's
-  * temporary tax; compaction materializes the vectors and restores the
-  * columnar scan. The sidecar loads once per (split, file) on the
-  * executor — O(log d) per row after that, d = the file's deleted
-  * count.
+  * This ROW path serves only the shapes the columnar dv factory
+  * ([[GraftDvColumnarReaderFactory]]) can't: `_pos`-requesting
+  * row-level-DML scans (every row needs its index in the output) and
+  * projections with nested types (no cheap batch survivor-compaction).
+  * Ordinary scans stay columnar while vectors are live. Spark requires
+  * every partition of one scan to agree on columnar vs row
+  * (`DataSourceV2ScanExecBase.supportsColumnar`), so whichever factory
+  * is chosen serves ALL planned files. The sidecar loads once per
+  * (split, file) on the executor — O(log d) per row after that, d =
+  * the file's deleted count.
   */
 private[sources] class GraftDvReaderFactory(
     plainRowFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
@@ -1994,6 +2029,181 @@ private[sources] class GraftDvReaderFactory(
         if (rows.hasNext) { cur = rows.next(); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
+    }
+  }
+}
+
+/** Survivor-compaction of [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * under a deletion vector — the columnar dv read's per-batch kernel.
+  * Flat ATOMIC physical types only (what [[copyable]] admits): nested
+  * vectors (struct/array/map) have no per-row copy cheap enough to
+  * beat the row path, so scans projecting them keep it.
+  */
+private[sources] object DvBatchFilter {
+  import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  def copyable(schema: StructType): Boolean =
+    schema.fields.forall(f => f.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    })
+
+  /** Copy `src[i]` into `dst[j]`. `dst` rows are written in ascending
+    * j order (the contract variable-length writers require).
+    */
+  def copyValue(dt: DataType, src: ColumnVector, i: Int,
+                dst: WritableColumnVector, j: Int): Unit =
+    if (src.isNullAt(i)) dst.putNull(j)
+    else dt match {
+      case BooleanType => dst.putBoolean(j, src.getBoolean(i))
+      case ByteType => dst.putByte(j, src.getByte(i))
+      case ShortType => dst.putShort(j, src.getShort(i))
+      case IntegerType | DateType => dst.putInt(j, src.getInt(i))
+      case LongType | TimestampType | TimestampNTZType =>
+        dst.putLong(j, src.getLong(i))
+      case FloatType => dst.putFloat(j, src.getFloat(i))
+      case DoubleType => dst.putDouble(j, src.getDouble(i))
+      case StringType =>
+        val b = src.getUTF8String(i).getBytes
+        dst.putByteArray(j, b, 0, b.length): Unit
+      case BinaryType =>
+        val b = src.getBinary(i)
+        dst.putByteArray(j, b, 0, b.length): Unit
+      case d: DecimalType =>
+        dst.putDecimal(j, src.getDecimal(i, d.precision, d.scale), d.precision)
+      case other => throw new IllegalStateException(
+        s"DvBatchFilter admitted an uncopyable type $other")
+    }
+}
+
+/** COLUMNAR reader factory for a scan whose planned files include
+  * deletion vectors — the merge-on-read read tax, retired: without
+  * this, one vectored file forces the WHOLE scan (clean files
+  * included) onto the row path, because Spark requires every
+  * partition of one scan to agree on columnar vs row
+  * (`DataSourceV2ScanExecBase.supportsColumnar`). Here every file
+  * yields ColumnarBatches, so the scan stays vectorized + feeds
+  * whole-stage codegen's batch loop while vectors are live:
+  *
+  *  - CLEAN files ride the ordinary vectorized read; their batches
+  *    pass through untouched (a column-pointer permutation, zero data
+  *    movement) — clean-file throughput is unchanged by a takedown
+  *    elsewhere in the table.
+  *  - VECTORED files read through the parquet row-index mechanism
+  *    (`_tmp_metadata_row_index`, absolute under splits / row-group
+  *    skips / pushed filters) in BATCH mode. A batch whose index range
+  *    contains no deleted position — the overwhelming case when a
+  *    small takedown touches a huge file — also passes through as a
+  *    pointer permutation. Only batches that actually contain deleted
+  *    rows compact their survivors into fresh vectors
+  *    ([[DvBatchFilter]]), O(surviving rows) for O(dirty batches).
+  *
+  * The row-path [[GraftDvReaderFactory]] remains for the shapes batch
+  * reading can't serve: `_pos`-requesting row-level DML scans and
+  * projections with nested types.
+  */
+private[sources] class GraftDvColumnarReaderFactory(
+    cleanFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dvFunc: PartitionedFile => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    idxOrdinal: Int, cleanPerm: Array[Int], dvPerm: Array[Int],
+    outSchema: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("columnar dv factory: use createColumnarReader")
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    // one flat (dv positions, batch) stream across the partition's
+    // files — each file's batches paired with ITS sidecar (or null)
+    val batches: Iterator[(Array[Long], ColumnarBatch)] =
+      GraftColumnarReaderFactory.filesOf(partition).iterator.flatMap { f =>
+        f.otherConstantMetadataColumnValues.get(GraftScan.DvMetaKey)
+          .map(String.valueOf) match {
+          case None =>
+            cleanFunc(f).asInstanceOf[Iterator[ColumnarBatch]]
+              .map(b => (null: Array[Long], b))
+          case Some(dvAbs) =>
+            val deleted = Dv.read(sconf.value, dvAbs)
+            dvFunc(f).asInstanceOf[Iterator[ColumnarBatch]]
+              .map(b => (deleted, b))
+        }
+      }
+    new PartitionReader[ColumnarBatch] {
+      private var src: ColumnarBatch = _   // reader-owned (reused across next())
+      private var own: ColumnarBatch = _   // our compacted copy, when built
+      private var out: ColumnarBatch = _
+
+      private def passThrough(perm: Array[Int]): ColumnarBatch =
+        new ColumnarBatch(perm.map(src.column(_)), src.numRows())
+
+      /** First index at or after `key` in ascending `a`. */
+      private def lowerBound(a: Array[Long], key: Long): Int = {
+        val i = java.util.Arrays.binarySearch(a, key)
+        if (i >= 0) i else -i - 1
+      }
+
+      private def compact(deleted: Array[Long]): ColumnarBatch = {
+        val n = src.numRows()
+        val idx = src.column(idxOrdinal)
+        val cols = dvPerm.map(src.column(_))
+        if (own != null) { own.close(); own = null }
+        val fresh = outSchema.fields.map(f =>
+          new OnHeapColumnVector(math.max(n, 1), f.dataType))
+        var j = 0
+        var r = 0
+        while (r < n) {
+          val pos = idx.getLong(r)
+          if (!Dv.contains(deleted, pos)) {
+            var c = 0
+            while (c < cols.length) {
+              DvBatchFilter.copyValue(
+                outSchema.fields(c).dataType, cols(c), r, fresh(c), j)
+              c += 1
+            }
+            j += 1
+          }
+          r += 1
+        }
+        own = new ColumnarBatch(
+          fresh.map(v => v: ColumnVector).toArray, j)
+        own
+      }
+
+      override def next(): Boolean =
+        if (batches.hasNext) {
+          val (deleted, b) = batches.next()
+          src = b
+          out =
+            if (deleted == null) passThrough(cleanPerm)
+            else {
+              val n = b.numRows()
+              // dirty iff any deleted position falls inside the
+              // batch's (ascending) row-index range
+              val dirty = n > 0 && {
+                val idx = b.column(idxOrdinal)
+                val lo = lowerBound(deleted, idx.getLong(0))
+                lo < deleted.length && deleted(lo) <= idx.getLong(n - 1)
+              }
+              if (dirty) compact(deleted) else passThrough(dvPerm)
+            }
+          true
+        } else false
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = {
+        if (src != null) src.close()
+        if (own != null) own.close()
+      }
     }
   }
 }

@@ -195,6 +195,45 @@ class DvSpec extends AnyFunSuite {
     assert(TsStore.load(spark, dir).count() === events.count() - both)
   }
 
+  test("scan stays COLUMNAR with a live vector; values exact, clean files pass through") {
+    // the merge-on-read read tax, retired: one vectored file must NOT
+    // de-vectorize the table's scans — clean files keep their batch
+    // path untouched, vectored files drop positions batch-side
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val dir = freshStore()
+    // vector ONLY the 'click' partition — 'view'/'purchase' files stay clean
+    val pred = col("event_type") === "click" && col("event_id") % 3 === 0
+    TsStore.deleteVectors(spark, dir, pred)
+    val df = spark.read.format("graft").load(dir).select(cols.map(col): _*)
+    val got = df.collect()
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    assert(scan.forall(_.supportsColumnar),
+      "a dv scan over an atomic projection must STAY columnar")
+    // exactness across multi-batch files, clean and vectored alike
+    val want = events.filter(!pred).select(cols.map(col): _*).collect()
+    assert(got.map(_.toString).sorted.toSeq === want.map(_.toString).sorted.toSeq)
+    // a projection that keeps only clean-file-shaped columns is also
+    // columnar and exact (permutation paths: partition col leading)
+    val proj = spark.read.format("graft").load(dir)
+      .select("event_type", "value", "event_id")
+    val gotP = proj.collect()
+    assert(scans(proj.queryExecution.executedPlan).forall(_.supportsColumnar))
+    val wantP = events.filter(!pred)
+      .select("event_type", "value", "event_id").collect()
+    assert(gotP.map(_.toString).sorted.toSeq === wantP.map(_.toString).sorted.toSeq)
+    // the `_pos`-carrying row-level read shape still takes the row path
+    // (row indices per surviving row) — pinned via the delta DML specs
+  }
+
   test("dv-density auto-compaction: a dense partition compacts, sparse stays vectored") {
     // the density trigger is a zero-IO manifest check — a partition
     // whose deleted-row ratio crosses the threshold rewrites (vectors
