@@ -1044,6 +1044,50 @@ object Scans {
         "SELECT event_id, ts, user_id, event_type, value FROM u ORDER BY event_id"),
       "ALTER TABLE DROP COLUMN: metadata-only narrowing, pre-drop eras stay time-travelable"),
 
+    "store_sql_rename_col" -> DeclaredQuery(
+      // ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (column
+      // mapping, GraftTable.PhysicalKey): the renamed column keeps its
+      // original parquet name in every file ever written — old files
+      // never move, a post-rename INSERT writes the same physical
+      // schema, filters and aggregate pushdowns translate, and the
+      // pre-rename era still time-travels under its own name
+      // (RenameColSpec pins all of it). At 100 TB this is the
+      // difference between a metadata commit and a full-store rewrite
+      // for the most routine of schema edits.
+      (s, d) => {
+        val root = sinkDir("renc_root", d)
+        val cat = s"graftrc_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_rc_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, user_id, event_type, value FROM graft_rc_src")
+        s.sql(s"ALTER TABLE $cat.main.events RENAME COLUMN value TO amount")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id + 10000000, ts, user_id, event_type, amount * 2 " +
+          "FROM (SELECT event_id, ts, user_id, event_type, value AS amount " +
+          "FROM graft_rc_src)")
+        // read under the NEW name, filtered on it (translated pushdown),
+        // across both eras' files
+        s.sql(s"SELECT event_id, ts, user_id, event_type, amount " +
+          s"FROM $cat.main.events WHERE amount > 0 ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, user_id, event_type, value AS amount " +
+        "FROM events UNION ALL SELECT event_id + 10000000, ts, user_id, " +
+        "event_type, value * 2 AS amount FROM events) " +
+        "SELECT event_id, ts, user_id, event_type, amount FROM u " +
+        "WHERE amount > 0 ORDER BY event_id"),
+      "ALTER TABLE RENAME COLUMN: metadata-only column mapping — no file rewrites, translated reads"),
+
     "store_sql_rename" -> DeclaredQuery(
       // ALTER TABLE RENAME TO: one directory move — manifest log, data
       // files, and the whole time-travel history ride along because

@@ -37,8 +37,17 @@ object Dv {
     * and the number of positions it holds (`rows`) — recorded in the
     * manifest so COUNT(*) stays a metadata answer (live rows = recorded
     * rows − dv rows) without opening the sidecar.
+    *
+    * `nulls` (optional, per PHYSICAL column name): how many of the
+    * DELETED rows were null in that column — recorded by the DELETE
+    * verb, which has the matching rows in hand anyway. With it,
+    * COUNT(col) on a vectored file stays a metadata answer:
+    * live non-null = (rows − nulls) − (dvRows − dvNulls(col)).
+    * Absent (delta DML fragments, legacy commits) = unknowable —
+    * the pushdown refuses for that column, exact-or-refuse as always.
     */
-  final case class Entry(path: String, rows: Long)
+  final case class Entry(path: String, rows: Long,
+                         nulls: Map[String, Long] = Map.empty)
 
   val Dir = "_graft_dv"
   private val Magic = 0x47445631 // "GDV1"

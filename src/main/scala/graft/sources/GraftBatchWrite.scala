@@ -78,8 +78,20 @@ private[graft] object GraftBatchWrite {
       : (OutputWriterFactory, GraftSerializableConf, Long) = {
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val conf = job.getConfiguration
+    // COLUMN MAPPING: a renamed column writes its ORIGINAL parquet
+    // name ([[GraftTable.PhysicalKey]]) so every file of the store
+    // carries one stable physical schema — a pure field rename here
+    // (rows are positional), applied from the store's declared schema
+    val declared = if (StoreLog.canLog(path))
+      StoreLog.latest(path).flatMap(_.props.get(GraftTable.SchemaProp))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+      else None
+    val physSchema = declared.filter(GraftTable.hasRenames)
+      .map(d => GraftTable.toPhysical(writeSchema, d))
+      .getOrElse(writeSchema)
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => uids.contains(f.name)))
+      physSchema.fields.filterNot(f => uids.contains(f.name)))
     val factory = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .prepareWrite(spark, job, Map("compression" -> "zstd"), dataSchema)
     // AFTER prepareWrite (which pins the session's value): INT64 micros,

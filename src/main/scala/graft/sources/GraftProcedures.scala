@@ -128,8 +128,18 @@ object GraftProcedures {
           val (path, _, uids) = layout(root, input.getUTF8String(0).toString)
           require(uids.nonEmpty, "zorder needs the table's partition columns " +
             "(create the table through the catalog, or write it partitioned)")
+          // renamed columns arrive under their DECLARED names; the
+          // clustering rewrite operates on the files' physical names
+          val physOf: String => String = StoreLog.latest(path)
+            .flatMap(_.props.get(GraftTable.SchemaProp))
+            .map { j =>
+              val m = GraftTable.physMap(
+                org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[StructType])
+              (n: String) => m.getOrElse(n, n)
+            }.getOrElse(identity[String] _)
           val cols = input.getUTF8String(1).toString
-            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq.map(physOf)
           val buckets = if (input.isNullAt(2)) 256 else input.getInt(2)
           val v = TsStore.zorder(SparkSession.active, path,
             clusterCols = cols, uidCols = uids, buckets = buckets)

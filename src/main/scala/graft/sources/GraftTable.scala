@@ -144,6 +144,109 @@ object GraftTable {
     */
   val LayoutSortedProp = "graft.layout.tsSorted"
 
+  /** COLUMN MAPPING (the Delta column-mapping idea, re-derived for
+    * graft's manifest): a renamed column keeps writing and reading its
+    * ORIGINAL parquet column name — recorded as field metadata
+    * `graft.physical` inside [[SchemaProp]] — so every data file ever
+    * written carries one stable physical name per column, whatever the
+    * declared (logical) name says today. `ALTER TABLE RENAME COLUMN`
+    * is then a pure metadata commit: no file rewrite, no per-file era
+    * tracking, and the internal DataFrame machinery (mergeSchema
+    * reads, CDC, compaction, upsert) keeps operating on one coherent
+    * physical schema. Translation happens only at the DSv2 face:
+    * scans request physical names (positions carry the data, the
+    * declared order is preserved), writers rename their schema fields
+    * before parquet setup, and pushed filters/aggregates translate per
+    * name. Partition columns and the time column refuse renames — the
+    * directory layout and manifest props are built on them.
+    */
+  val PhysicalKey = "graft.physical"
+
+  /** The parquet column name `f`'s data lives under (its name unless a
+    * rename recorded an original).
+    */
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical→physical for every declared field; identity entries
+    * included so lookups can use `getOrElse(n, n)` uniformly.
+    */
+  def physMap(schema: StructType): Map[String, String] =
+    schema.fields.iterator.map(f => f.name -> physicalName(f)).toMap
+
+  /** Does any field carry a non-identity mapping? (The fast path for
+    * the overwhelmingly common never-renamed store.)
+    */
+  def hasRenames(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** `schema` with every field renamed to its physical name — what the
+    * parquet reader/writer sees. Field ORDER (and therefore row
+    * layout) is untouched.
+    */
+  def toPhysical(schema: StructType, declared: StructType): StructType =
+    if (!hasRenames(declared)) schema
+    else {
+      val m = physMap(declared)
+      StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    }
+
+  /** A pushed v1 filter with its attribute names translated
+    * logical→physical — what the parquet reader's row-group skipping
+    * must see for a renamed column. `None` drops the filter (safe:
+    * data filters are always residual — Spark re-applies the predicate
+    * above the scan; only the skip optimization is lost).
+    */
+  private[sources] def renameFilter(f: Filter,
+                                    m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    def n(a: String): String = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(n(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(n(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(n(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(n(a), v))
+      case LessThan(a, v) => Some(LessThan(n(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(n(a), v))
+      case In(a, vs) => Some(In(n(a), vs))
+      case IsNull(a) => Some(IsNull(n(a)))
+      case IsNotNull(a) => Some(IsNotNull(n(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(n(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(n(a), v))
+      case StringContains(a, v) => Some(StringContains(n(a), v))
+      case And(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield Or(a, b)
+      case Not(c) => renameFilter(c, m).map(Not)
+      case _: AlwaysTrue => Some(f)
+      case _: AlwaysFalse => Some(f)
+      case _ => None
+    }
+  }
+
+  /** A snapshot whose per-file stats are re-keyed physical→logical, so
+    * every stat consumer on the DSv2 face (file pruning, aggregate
+    * pushdown, null audits, ordering bounds) keeps thinking in the
+    * DECLARED names. Stats are recorded from written files' footers,
+    * i.e. under physical names.
+    */
+  def logicalSnap(snap: StoreLog.Snapshot, declared: StructType): StoreLog.Snapshot =
+    if (!hasRenames(declared)) snap
+    else {
+      val back: Map[String, String] =
+        declared.fields.iterator.map(f => physicalName(f) -> f.name).toMap
+      snap.copy(
+        stats = snap.stats.map { case (file, cols) =>
+          file -> cols.map { case (c, cs) => back.getOrElse(c, c) -> cs }
+        },
+        dvs = snap.dvs.map { case (file, e) =>
+          file -> e.copy(nulls =
+            e.nulls.map { case (c, k) => back.getOrElse(c, c) -> k })
+        })
+    }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -200,7 +303,12 @@ object GraftTable {
       case None => Map.empty
       case Some(j) =>
         val declared = DataType.fromJson(j).asInstanceOf[StructType]
-        val have = declared.fieldNames.toSet
+        // a column is "already declared" under its logical OR physical
+        // name: internal rewrites (compaction staging read-back, sink
+        // upsert) carry PHYSICAL frame names for renamed columns, and
+        // re-declaring those as new would fork the schema
+        val have = declared.fields.iterator
+          .flatMap(f => Seq(f.name, physicalName(f))).toSet
         val extra = written.fields.filter(f => !have.contains(f.name) &&
           !parentProps.contains(s"$DroppedPropPrefix${f.name}"))
         if (extra.isEmpty) Map.empty
@@ -279,22 +387,23 @@ object GraftTable {
     * and the copy-on-write opens only candidate files.
     */
   private[sources] def v2Column(
-      e: org.apache.spark.sql.connector.expressions.Expression): Option[Column] = {
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      nameOf: String => String = identity): Option[Column] = {
     import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, Literal => V2Literal, NamedReference}
     e match {
       case l: V2Literal[_] =>
         Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
           .convertToScala(l.value, l.dataType)))
       case r: NamedReference if r.fieldNames.length == 1 =>
-        Some(col(r.fieldNames.head))
+        Some(col(nameOf(r.fieldNames.head)))
       case g: GeneralScalarExpression =>
         val kids = g.children.toSeq
         def bin(f: (Column, Column) => Column): Option[Column] =
           if (kids.length == 2)
-            for { a <- v2Column(kids(0)); b <- v2Column(kids(1)) } yield f(a, b)
+            for { a <- v2Column(kids(0), nameOf); b <- v2Column(kids(1), nameOf) } yield f(a, b)
           else None
         def un(f: Column => Column): Option[Column] =
-          if (kids.length == 1) v2Column(kids.head).map(f) else None
+          if (kids.length == 1) v2Column(kids.head, nameOf).map(f) else None
         g.name match {
           case "ALWAYS_TRUE" => Some(lit(true))
           case "ALWAYS_FALSE" => Some(lit(false))
@@ -321,9 +430,9 @@ object GraftTable {
           case "CONTAINS" => bin(_ contains _)
           case "IN" if kids.nonEmpty =>
             for {
-              h <- v2Column(kids.head)
+              h <- v2Column(kids.head, nameOf)
               rest <- kids.tail.foldLeft(Option(Seq.empty[Column])) {
-                case (acc, k) => for { a <- acc; c <- v2Column(k) } yield a :+ c
+                case (acc, k) => for { a <- acc; c <- v2Column(k, nameOf) } yield a :+ c
               }
             } yield h.isin(rest: _*)
           case _ => None
@@ -703,7 +812,13 @@ class GraftTable(val path: String, asOf: Option[Long],
     // all-or-nothing even if invoked OUTSIDE the canDeleteWhere
     // contract: silently dropping an untranslatable conjunct would
     // widen the delete to a superset of the user's predicate
-    val pred = predicates.toSeq.map(p => GraftTable.v2Column(p).getOrElse(
+    // COLUMN MAPPING: the predicate arrives in DECLARED names; the
+    // TsStore paths below operate on the files' PHYSICAL names
+    val toPhys: String => String = {
+      val m = GraftTable.physMap(declaredSchema)
+      n => m.getOrElse(n, n)
+    }
+    val pred = predicates.toSeq.map(p => GraftTable.v2Column(p, toPhys).getOrElse(
         throw new UnsupportedOperationException(
           s"DELETE predicate is not exactly translatable: $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -883,9 +998,12 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   // ----------------------------------------------------- agg pushdown
 
   private lazy val aggSnap: Option[StoreLog.Snapshot] =
-    if (StoreLog.canLog(path))
+    (if (StoreLog.canLog(path))
       asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
-    else None
+    else None)
+      // renamed columns: stats are recorded under PHYSICAL names —
+      // re-key to the declared names every agg lookup below uses
+      .map(s => GraftTable.logicalSnap(s, fullSchema))
 
   private lazy val partColNames: Seq[String] = GraftTable.partCols(path)
 
@@ -924,10 +1042,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     case c: Count if !c.isDistinct =>
       colNameOf(c.column).exists { n =>
         fullSchema.fieldNames.contains(n) && aggSnap.exists(_.files.forall(f =>
-          // a DATA column's recorded null count says nothing about
-          // WHICH rows a vector deleted — refuse the vectored file.
-          // A partition column counts its live rows exactly.
-          (partColNames.contains(n) || dvRowsOf(f) == 0L) &&
+          // a DATA column on a vectored file is exact only when the
+          // vector RECORDS its deleted-null count ([[Dv.Entry.nulls]],
+          // written by the DELETE verb) — live non-null = (rows−nulls)
+          // − (dvRows−dvNulls). Delta/legacy vectors without counts
+          // refuse. A partition column counts its live rows exactly.
+          (partColNames.contains(n) || dvRowsOf(f) == 0L ||
+            dvNullsOf(f, n).isDefined) &&
             nonNullCountOf(f, n).isDefined))
       }
     case m: Min => minMaxServable(colNameOf(m.column))
@@ -963,6 +1084,12 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   private def dvRowsOf(file: String): Long =
     aggSnap.flatMap(_.dvs.get(file)).map(_.rows).getOrElse(0L)
 
+  /** The vector's recorded deleted-null count for `col` (logical name —
+    * aggSnap is re-keyed), or None when the vector doesn't know it.
+    */
+  private def dvNullsOf(file: String, col: String): Option[Long] =
+    aggSnap.flatMap(_.dvs.get(file)).flatMap(_.nulls.get(col))
+
   private def liveRowsOf(file: String): Option[Long] =
     rowsOf(file).map(_ - dvRowsOf(file))
 
@@ -982,6 +1109,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       }
     } else aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(colName))
       .collect { case cs if cs.nulls >= 0 && cs.rows >= 0 => cs.rows - cs.nulls }
+      .flatMap { nn =>
+        val dvr = dvRowsOf(file)
+        if (dvr == 0L) Some(nn)
+        // subtract the deleted NON-null rows — exact when the vector
+        // recorded its per-column deleted-null count
+        else dvNullsOf(file, colName).map(dn => nn - (dvr - dn))
+      }
 
   /** (min, max) bounds of `col` in `file` in manifest-domain form, or
     * None when unservable. A null partition value yields an EMPTY
@@ -1260,16 +1394,19 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
   // listing with no stats (every file kept, still a correct read). A
   // builder that accepted exact partition filters PINS the snapshot its
   // acceptance was judged on.
-  private lazy val snap: StoreLog.Snapshot = pinnedSnap.getOrElse {
-    if (StoreLog.canLog(path))
-      asOf.map(v => StoreLog.read(path, v))
-        .orElse(StoreLog.latest(path))
-        .getOrElse(StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path)))
-    else {
-      require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
-      StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
-    }
-  }
+  private lazy val snap: StoreLog.Snapshot = GraftTable.logicalSnap(
+    // renamed columns: stats re-keyed physical→logical so pruning,
+    // ordering bounds, and statistics all think in declared names
+    pinnedSnap.getOrElse {
+      if (StoreLog.canLog(path))
+        asOf.map(v => StoreLog.read(path, v))
+          .orElse(StoreLog.latest(path))
+          .getOrElse(StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path)))
+      else {
+        require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
+        StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
+      }
+    }, fullSchema)
 
   /** The snapshot this scan planned from — the row-level operations'
     * conflict-detection base (their commit must abort if a concurrent
@@ -1735,9 +1872,20 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // of affected files), every row a delta plan consumes satisfies the
     // pushed predicate — row-group skips can only drop rows the plan
     // never wanted, and row indices stay absolute under skips
-    val dataFilters =
+    val dataFilters0 =
       if (fileOnlyFilters && !deltaPushFilters) Seq.empty
       else pushed.filter(_.references.forall(dataCols.contains)).toSeq
+    // COLUMN MAPPING: the files carry PHYSICAL names — the reader's
+    // schemas and row-group filters translate; positions (and so the
+    // returned rows/batches) are unchanged, readSchema() stays logical
+    val physData = GraftTable.toPhysical(dataSchema, fullSchema)
+    val physRequiredData = GraftTable.toPhysical(requiredData, fullSchema)
+    val dataFilters =
+      if (!GraftTable.hasRenames(fullSchema)) dataFilters0
+      else {
+        val m = GraftTable.physMap(fullSchema)
+        dataFilters0.flatMap(GraftTable.renameFilter(_, m))
+      }
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     // COLUMNAR when the projected schema allows it (atomic columns,
     // vectorized reader on): the scan then feeds ColumnarBatches into
@@ -1746,7 +1894,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // never paid. Nested/map projections take the row path.
     val columnar = !wantsPos && fmt.supportBatch(spark, readSchema())
     lazy val readerFunc = fmt
-      .buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema, requiredData,
+      .buildReaderWithPartitionValues(spark, physData, readerPartSchema, physRequiredData,
         dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
@@ -1774,8 +1922,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
       val idxField = StructField(
         PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
-      val dvRequired = StructType(requiredData.fields :+ idxField)
-      val dvBatchFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+      val dvRequired = StructType(physRequiredData.fields :+ idxField)
+      val dvBatchFunc = fmt.buildReaderWithPartitionValues(spark, physData,
         readerPartSchema, dvRequired, dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "true"),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
@@ -1801,8 +1949,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
       val idxField = StructField(
         PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
-      val dvRequired = StructType(requiredData.fields :+ idxField)
-      val dvFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+      val dvRequired = StructType(physRequiredData.fields :+ idxField)
+      val dvFunc = fmt.buildReaderWithPartitionValues(spark, physData,
         readerPartSchema, dvRequired, dataFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
         org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
@@ -1825,8 +1973,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
         else {
           val base =
             if (columnar)
-              fmt.buildReaderWithPartitionValues(spark, dataSchema, readerPartSchema,
-                requiredData, dataFilters,
+              fmt.buildReaderWithPartitionValues(spark, physData, readerPartSchema,
+                physRequiredData, dataFilters,
                 Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
                 org.apache.spark.sql.GraftShim.sessionHadoopConf(spark))
             else readerFunc
@@ -2348,8 +2496,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * physical column, and re-declaring it would either resurface stale
     * values (same type) or crash the reader (retyped).
     *
-    * Everything else (rename/retype) still refuses — those need data
-    * rewrites this catalog deliberately doesn't hide behind DDL.
+    * RENAME COLUMN: metadata-only via COLUMN MAPPING — the declared
+    * name changes, the field keeps its original PARQUET name
+    * ([[GraftTable.PhysicalKey]]); reads and writes translate at the
+    * DSv2 face, old files never move, and pre-rename versions time
+    * travel under their era's name. The time and partition columns
+    * refuse (layout/props are keyed on them).
+    *
+    * Retype still refuses — that needs data rewrites this catalog
+    * deliberately doesn't hide behind DDL.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -2398,8 +2553,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot DROP partition column '$name' — the directory layout " +
               "is built on it")
           props += s"${GraftTable.DroppedPropPrefix}$name" -> "1"
+          // a renamed column's DATA lives under its physical name —
+          // tombstone that too, or a later ADD of the original name
+          // would resurface the dropped values from old files
+          val phys = GraftTable.physicalName(schema(name))
+          if (phys != name)
+            props += s"${GraftTable.DroppedPropPrefix}$phys" -> "1"
           schema = StructType(schema.fields.filterNot(_.name == name))
         }
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN supports top-level columns only")
+        val from = rn.fieldNames.head
+        val to = rn.newName
+        require(schema.fieldNames.contains(from),
+          s"column '$from' does not exist in ${ident.name}")
+        require(!schema.fieldNames.contains(to),
+          s"column '$to' already exists in ${ident.name}")
+        require(from != tsCol,
+          s"cannot RENAME the store's time column '$tsCol' — the manifest " +
+            "ts index and layout-order contract are keyed on it")
+        require(!uids.contains(from),
+          s"cannot RENAME partition column '$from' — the directory layout " +
+            "is built on it")
+        require(!cur.props.contains(s"${GraftTable.DroppedPropPrefix}$to") &&
+            !props.contains(s"${GraftTable.DroppedPropPrefix}$to"),
+          s"column '$to' was previously dropped from ${ident.name} and its " +
+            "data still lives in existing files — compact/zorder the store " +
+            "first, or pick a fresh name")
+        // metadata-only: the column keeps reading/writing its ORIGINAL
+        // parquet name (recorded once; renaming again, or back, keeps
+        // the same physical anchor) — see [[GraftTable.PhysicalKey]]
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != from) f
+          else {
+            val phys = GraftTable.physicalName(f)
+            val md = new MetadataBuilder().withMetadata(f.metadata)
+            if (phys == to) md.remove(GraftTable.PhysicalKey) // renamed back
+            else md.putString(GraftTable.PhysicalKey, phys)
+            f.copy(name = to, metadata = md.build())
+          }
+        })
       case sp: TableChange.SetProperty =>
         require(!sp.property.startsWith("graft."),
           s"property '${sp.property}' is managed by the store")

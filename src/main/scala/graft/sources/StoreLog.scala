@@ -274,12 +274,20 @@ object StoreLog {
     else n.get("sizes").properties().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap
 
-  // deletion-vector entries: { "<file>": {"p": "<dvRel>", "n": rows} }
+  // deletion-vector entries:
+  // { "<file>": {"p": "<dvRel>", "n": rows[, "nn": {col: deletedNulls}]} }
   private def dvsOf(n: JsonNode): Map[String, Dv.Entry] =
     if (!n.has("dvs")) Map.empty
     else n.get("dvs").properties().asScala
-      .map(e => e.getKey ->
-        Dv.Entry(e.getValue.get("p").asText(), e.getValue.get("n").asLong()))
+      .map { e =>
+        val nulls: Map[String, Long] =
+          if (!e.getValue.has("nn")) Map.empty
+          else e.getValue.get("nn").properties().asScala
+            .map(p => p.getKey -> p.getValue.asLong()).toMap
+        e.getKey ->
+          Dv.Entry(e.getValue.get("p").asText(), e.getValue.get("n").asLong(),
+            nulls)
+      }
       .toMap
 
   private def readResolve(path: String, version: Long): Snapshot = {
@@ -423,6 +431,11 @@ object StoreLog {
         entries.toSeq.sortBy(_._1).foreach { case (f, e) =>
           val v = mapper.createObjectNode()
           v.put("p", e.path); v.put("n", e.rows)
+          if (e.nulls.nonEmpty) {
+            val nn = mapper.createObjectNode()
+            e.nulls.toSeq.sortBy(_._1).foreach { case (c, k) => nn.put(c, k) }
+            v.set[JsonNode]("nn", nn)
+          }
           o.set[JsonNode](f, v)
         }
         root.set[JsonNode]("dvs", o)

@@ -706,12 +706,20 @@ object TsStore {
       fs.map(f => Dv.absUri(conf, path, f) ->
         (f, base.dvs.get(f).map(e => s"$path/${e.path}"))).toMap
     import spark.implicits._
-    // (file uri, row position) of every matching LIVE row — dv-aware
-    // find, so an already-vectored row is never re-deleted (and a file
-    // whose only matches are already vectored is not touched again)
-    def matches(fs: Seq[String]) =
-      readFilesDv(spark, path, base, fs, mergeSchema = true, keepMeta = true)
-        .filter(pred).select(col("__file"), col("__pos")).as[(String, Long)]
+    // (file uri, row position, per-column isnull) of every matching
+    // LIVE row — dv-aware find, so an already-vectored row is never
+    // re-deleted (and a file whose only matches are already vectored
+    // is not touched again). The null flags ride along so the commit
+    // can record DELETED-NULL counts per column ([[Dv.Entry.nulls]]),
+    // keeping COUNT(col) a metadata answer on vectored files.
+    def matches(fs: Seq[String]) = {
+      val df = readFilesDv(spark, path, base, fs, mergeSchema = true,
+        keepMeta = true).filter(pred)
+      val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos").toSeq
+      df.select(col("__file"), col("__pos"),
+          map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"))
+        .as[(String, Long, Map[String, Boolean])]
+    }
     StoreLog.withWriterLease(path) { lease =>
       val (found, uris) =
         try (matches(candidates), uriMap(candidates))
@@ -725,22 +733,39 @@ object TsStore {
       // retried/speculative task writes an orphan sidecar — vacuumable
       // garbage, exactly like an unadopted staged data file (the lease
       // held here keeps vacuum off the fresh ones meanwhile).
-      val written: Array[(String, String, Long)] =
+      val written: Array[(String, String, Long, Map[String, Long])] =
         found.groupByKey(_._1).mapGroups { (uri, it) =>
-          val fresh = it.map(_._2).toArray
+          val freshB = Array.newBuilder[Long]
+          val nc = scala.collection.mutable.HashMap.empty[String, Long]
+          var seeded = false
+          it.foreach { case (_, p, ns) =>
+            freshB += p
+            if (!seeded) { ns.keysIterator.foreach(c => nc(c) = 0L); seeded = true }
+            ns.foreach { case (c, isN) => if (isN) nc(c) = nc.getOrElse(c, 0L) + 1L }
+          }
+          val fresh = freshB.result()
           val old = urisB.value.get(uri).flatMap(_._2)
             .map(Dv.read(sconf.value, _)).getOrElse(Array.empty[Long])
           val rel = Dv.newRelPath()
           val n = Dv.write(sconf.value, s"$path/$rel", old ++ fresh)
-          (uri, rel, n)
+          (uri, rel, n, nc.toMap)
         }.collect()
       if (written.isEmpty) base.version
       else {
-        val entries: Map[String, Dv.Entry] = written.map { case (uri, rel, n) =>
+        val entries: Map[String, Dv.Entry] = written.map { case (uri, rel, n, nc) =>
           val (dataRel, _) = uris.getOrElse(uri, throw new IllegalStateException(
             s"scan uri '$uri' matches no planned file of $path — " +
               "Dv.absUri rendering diverged from the scan's"))
-          dataRel -> Dv.Entry(rel, n)
+          // union with a pre-existing vector: summed per-column counts
+          // where BOTH entries know them, dropped where either doesn't
+          // (a delta-DML or legacy entry without counts stays
+          // unknowable — exact-or-refuse)
+          val merged = base.dvs.get(dataRel) match {
+            case Some(old) if old.rows > 0 =>
+              nc.flatMap { case (c, k) => old.nulls.get(c).map(o => c -> (o + k)) }
+            case _ => nc
+          }
+          dataRel -> Dv.Entry(rel, n, merged)
         }.toMap
         val prefixes = entries.keySet.map { f =>
           val i = f.lastIndexOf('/')

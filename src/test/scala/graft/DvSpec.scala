@@ -328,6 +328,54 @@ class DvSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).limit(50).count() === 50)
   }
 
+  test("COUNT(col) stays a metadata answer on vectored files via recorded deleted-null counts") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    def aggScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan])
+    // a store with real nulls in user_id, then a vectored DELETE that
+    // removes a mix of null and non-null rows
+    val dir = Files.createTempDirectory("graft_dvnn").toString
+    val src = events.select(col("event_id"), col("ts"),
+      when(col("event_id") % 5 === 0, lit(null)).otherwise(col("user_id"))
+        .as("user_id"),
+      col("event_type"), col("value"))
+    TsStore.write(src, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.deleteVectors(spark, dir, col("event_id") % 3 === 0)
+    // the DELETE verb recorded per-column deleted-null counts
+    val snap = StoreLog.latest(dir).get
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.forall(_.nulls.contains("user_id")),
+      "deleteVectors must record deleted-null counts per column")
+    val t = spark.read.format("graft").load(dir)
+    t.createOrReplaceTempView("dvnn_t")
+    val cnt = spark.sql("SELECT count(user_id) AS n FROM dvnn_t")
+    assert(aggScan(cnt),
+      s"COUNT(col) under recorded dv stats must answer from the manifest:\n" +
+        cnt.queryExecution.executedPlan)
+    assert(cnt.head().getLong(0) ===
+      src.filter(col("event_id") % 3 =!= 0).agg(count(col("user_id")))
+        .head().getLong(0))
+    // a DELTA vector (UPDATE under delete.mode=dv) records no counts —
+    // COUNT(col) refuses the pushdown there and still answers right
+    val root = Files.createTempDirectory("graft_dvnn_cat").toString
+    spark.conf.set("spark.sql.catalog.gdvnn", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvnn.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvnn.ns")
+    src.createOrReplaceTempView("dvnn_src")
+    spark.sql("CREATE TABLE gdvnn.ns.t USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv') AS SELECT * FROM dvnn_src")
+    spark.sql("UPDATE gdvnn.ns.t SET value = value + 1 WHERE event_id % 7 = 0")
+    assert(StoreLog.latest(s"$root/ns/t").get.dvs.values.exists(_.nulls.isEmpty),
+      "delta vectors carry no null counts by design")
+    val cnt2 = spark.sql("SELECT count(user_id) AS n FROM gdvnn.ns.t")
+    assert(!aggScan(cnt2),
+      "a count-less vector must refuse the COUNT(col) pushdown")
+    assert(cnt2.head().getLong(0) ===
+      src.agg(count(col("user_id"))).head().getLong(0))
+  }
+
   test("SQL DELETE routes through vectors under TBLPROPERTIES delete.mode=dv") {
     val root = Files.createTempDirectory("graft_dvcat").toString
     val cat = "graftdvcat"

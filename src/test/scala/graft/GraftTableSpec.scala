@@ -664,10 +664,12 @@ class GraftTableSpec extends AnyFunSuite {
     val all = spark.sql("SELECT id, score FROM galt.ns.t ORDER BY id").collect()
     assert(all.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
       === Seq(null, null, 9.5))
-    // refusals: NOT NULL, RENAME, DROP of the time/partition columns
+    // refusals: NOT NULL, RENAME of the time column (data-column
+    // renames are supported via column mapping — RenameColSpec),
+    // DROP of the time/partition columns
     intercept[Exception] {
       spark.sql("ALTER TABLE galt.ns.t ADD COLUMN bad INT NOT NULL") }
-    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t RENAME COLUMN v TO w") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t RENAME COLUMN ts TO tstamp") }
     intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN ts") }
     intercept[Exception] { spark.sql("ALTER TABLE galt.ns.t DROP COLUMN k") }
     // the declared schema survives the refusals untouched
