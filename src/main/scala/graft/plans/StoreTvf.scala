@@ -18,12 +18,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *
   * A logged store's directory holds replaced (dead) chunks by design; a
   * plain `parquet.`/read of the path would resurrect them. This TVF is
-  * the SQL-side manifest-aware read: the live file list (or the `asOf`
-  * version's) comes from the store log, and the returned plan is the
-  * same pruned parquet relation the Scala path builds — partition
-  * pruning, row-group skipping and column pruning all apply unchanged.
-  * The builder runs at parse time, so arguments must be literals (the
-  * version is a commit id, not data).
+  * the SQL-side manifest-aware read: a logged store plans through the
+  * DSv2 `GraftTable` (the catalog's own relation) pinned at the parse-
+  * time version — partition pruning, manifest-stat file skipping,
+  * aggregate/limit pushdown, deletion-vector and renamed-column
+  * handling, and the opt-in partitioned/ordered layout reports all
+  * apply exactly as they do for a catalog table. The builder runs at
+  * parse time, so arguments must be literals (the version is a commit
+  * id, not data).
   */
 object StoreTvf {
 
@@ -53,17 +55,28 @@ object StoreTvf {
         longArg(value, "asOf")
       case e => longArg(e, "asOf")
     }
-    // the read plan is fully resolvable here (the file list is log
-    // metadata, not catalog state), so the TVF returns the same
-    // LogicalRelation the Scala API builds — already analyzed.
-    // SNAPSHOT-AT-PARSE semantics: the manifest is resolved when the
-    // statement is parsed, so a long-cached plan (a SQL VIEW over
-    // graft_store('p')) pins whatever version was live at definition.
-    // For `asOf => v` that is exactly right (a committed version is
-    // immutable); a live-read view over a store that keeps committing
-    // should be re-created (or the query re-issued) to see new versions.
-    graft.sources.TsStore.load(SparkSession.active, path, asOf = asOf)
-      .queryExecution.logical
+    // A LOGGED store returns the DSv2 relation — the same GraftTable
+    // the catalog serves — so the SQL TVF read gets everything the
+    // DSv2 face carries: manifest-stat file pruning, aggregate/limit
+    // pushdown, columnar deletion-vector reads, renamed-column
+    // translation, and (under the opt-in) the storage-partitioned /
+    // ordered layouts the co-located as-of and zero-shuffle plans are
+    // built on. SNAPSHOT-AT-PARSE semantics are kept by PINNING the
+    // version here: a live read resolves the manifest when the
+    // statement is parsed (a SQL VIEW over graft_store('p') pins
+    // whatever version was live at definition); `asOf => v` is
+    // immutable by construction. An unlogged directory keeps the
+    // plain parquet read (no manifest, nothing to pin).
+    val spark = SparkSession.active
+    if (graft.sources.StoreLog.canLog(path)) {
+      val pinned = asOf.orElse(
+        graft.sources.StoreLog.latest(path).map(_.version))
+      val reader = spark.read.format("graft")
+      pinned.foreach(v => reader.option("asOf", v))
+      reader.load(path).queryExecution.logical
+    } else
+      graft.sources.TsStore.load(spark, path, asOf = asOf)
+        .queryExecution.logical
   }
 
   /** Registration triple for `SparkSessionExtensions.injectTableFunction`. */

@@ -440,14 +440,18 @@ class StoreLogSpec extends AnyFunSuite {
       val df = spark.sql(
         s"SELECT * FROM graft_store('$dir') WHERE event_type = 'purchase'")
       df.collect()
+      // a logged store plans through the DSv2 GraftTable — the TVF gets
+      // the catalog face's pruning, not a bare parquet relation
       val scans = df.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }
-      assert(scans.nonEmpty)
-      val filesRead = scans.map(_.metrics("numFiles").value).sum
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collect { case g: graft.sources.GraftScan => g }
+      assert(scans.nonEmpty, "TVF over a logged store must plan the DSv2 scan")
+      val filesRead = scans.map(_.plannedFiles.size).sum
       val live = StoreLog.latest(dir).get.files.count(_.startsWith("event_type=purchase/"))
       assert(filesRead === live,
-        s"TVF read $filesRead files; the purchase partition has $live live files")
+        s"TVF planned $filesRead files; the purchase partition has $live live files")
+      assert(scans.forall(_.plannedFiles.forall(_.startsWith("event_type=purchase/"))))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
