@@ -442,6 +442,58 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL graft_asof over graft_store TVF views plans coLocated — no catalog needed") {
+    // the PATH-addressed SQL face: graft_store() now returns the DSv2
+    // relation, so the co-location proof holds for warehouse users who
+    // never registered a catalog — views over the TVF feed graft_asof
+    // the same ordered keyed scans the Scala API builds
+    val dedup = Tables.events(spark, TestSpark.sf001)
+      .groupBy("event_type", "ts")
+      .agg(sum(floor(col("value"))).as("v"))
+    val dirL = Files.createTempDirectory("graft_asof_tvf_l").toString
+    val dirR = Files.createTempDirectory("graft_asof_tvf_r").toString
+    TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.write(
+      dedup.select(col("event_type"),
+        (col("ts") - expr("INTERVAL 90 SECONDS")).as("r_ts"),
+        col("v").as("r_v")),
+      dirR, tsCol = "r_ts", uidCols = Seq("event_type"))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      graft.sources.GraftScan.PreserveGroupingKey -> "true") {
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW asof_tvf_l AS " +
+        s"SELECT * FROM graft_store('$dirL')")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW asof_tvf_r AS " +
+        s"SELECT * FROM graft_store('$dirR')")
+      val df = spark.sql(
+        "SELECT * FROM graft_asof('asof_tvf_l', 'asof_tvf_r', " +
+          "'event_type', 'event_type', 'ts', 'r_ts')")
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val plan = df.queryExecution.executedPlan
+      def asofs(p: SparkPlan): Seq[graft.plans.AsofJoinExec] = p match {
+        case a: AdaptiveSparkPlanExec => asofs(a.executedPlan)
+        case q: QueryStageExec => asofs(q.plan)
+        case e: graft.plans.AsofJoinExec => e +: e.children.flatMap(asofs)
+        case other => other.children.flatMap(asofs)
+      }
+      val execs = asofs(plan)
+      assert(execs.nonEmpty, s"TVF graft_asof must plan AsofJoinExec:\n$plan")
+      assert(execs.forall(_.coLocated),
+        s"TVF as-of must prove co-location from SQL:\n$plan")
+      assert(shuffles(plan).isEmpty, s"TVF co-located as-of must not shuffle:\n$plan")
+      assert(sorts(plan).isEmpty, s"TVF co-located as-of must not sort:\n$plan")
+      // correctness vs the default (shuffled + sorted) path
+      val defaults = withDefault {
+        spark.sql(
+          "SELECT * FROM graft_asof('asof_tvf_l', 'asof_tvf_r', " +
+            "'event_type', 'event_type', 'ts', 'r_ts')").collect()
+      }
+      assert(rows.map(_.toString).sorted.toSeq ===
+        defaults.map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("data grouping stays OFF by default: bin-packed layout, no key cap") {
     // Spark 4 defaults spark.sql.sources.v2.bucketing.enabled=true, so
     // without graft's own opt-in every scan of a low-cardinality
