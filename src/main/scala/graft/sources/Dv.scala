@@ -45,9 +45,53 @@ object Dv {
     * live non-null = (rows − nulls) − (dvRows − dvNulls(col)).
     * Absent (delta DML fragments, legacy commits) = unknowable —
     * the pushdown refuses for that column, exact-or-refuse as always.
+    *
+    * `bounds` (optional, per PHYSICAL column name): the DELETED rows'
+    * non-null (min, max) in the manifest stat domain
+    * ([[FileStats.ColStat]] tags) — also recorded by the DELETE verb.
+    * With it, MIN/MAX on a vectored file stays a metadata answer
+    * precisely when it is PROVABLE: live min = recorded file min iff
+    * deletedMin > fileMin (a min-attaining row must then survive), and
+    * symmetrically for max. An EMPTY bound ([[Bound.empty]]) means
+    * every deleted row was null in that column — deletion provably
+    * cannot move min/max at all. Absent = unknowable, refuse.
     */
   final case class Entry(path: String, rows: Long,
-                         nulls: Map[String, Long] = Map.empty)
+                         nulls: Map[String, Long] = Map.empty,
+                         bounds: Map[String, Bound] = Map.empty)
+
+  /** Deleted-row (min, max) for one column, in the SAME value domain as
+    * [[FileStats.ColStat]] (`tag` ∈ i/s/ts/d — float/double columns are
+    * never recorded: the MIN/MAX pushdown refuses them anyway for NaN
+    * bounds). `lo`/`hi` both None = no non-null deleted value.
+    */
+  final case class Bound(tag: String, lo: Option[Any], hi: Option[Any]) {
+    require(lo.isDefined == hi.isDefined, "half-open deleted bound")
+  }
+  object Bound {
+    def empty(tag: String): Bound = Bound(tag, None, None)
+  }
+
+  /** Stat-domain compare for bound values — the SAME orders the
+    * manifest stats use ([[FileStats]]): UTF8String binary order for
+    * "s", signed long for the long-domain tags.
+    */
+  def cmpBound(tag: String, a: Any, b: Any): Int = tag match {
+    case "s" =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case _ => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** The union vector's deleted bound: min/max across both (an empty
+    * bound is the identity — it deleted no non-null value).
+    */
+  def combineBounds(a: Bound, b: Bound): Bound =
+    if (a.lo.isEmpty) b
+    else if (b.lo.isEmpty) a
+    else Bound(a.tag,
+      Some(if (cmpBound(a.tag, a.lo.get, b.lo.get) <= 0) a.lo.get else b.lo.get),
+      Some(if (cmpBound(a.tag, a.hi.get, b.hi.get) >= 0) a.hi.get else b.hi.get))
 
   val Dir = "_graft_dv"
   private val Magic = 0x47445631 // "GDV1"

@@ -242,8 +242,9 @@ object GraftTable {
           file -> cols.map { case (c, cs) => back.getOrElse(c, c) -> cs }
         },
         dvs = snap.dvs.map { case (file, e) =>
-          file -> e.copy(nulls =
-            e.nulls.map { case (c, k) => back.getOrElse(c, c) -> k })
+          file -> e.copy(
+            nulls = e.nulls.map { case (c, k) => back.getOrElse(c, c) -> k },
+            bounds = e.bounds.map { case (c, b) => back.getOrElse(c, c) -> b })
         })
     }
 
@@ -1051,12 +1052,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
             dvNullsOf(f, n).isDefined) &&
             nonNullCountOf(f, n).isDefined))
       }
-    case m: Min => minMaxServable(colNameOf(m.column))
-    case m: Max => minMaxServable(colNameOf(m.column))
+    case m: Min => minMaxServable(colNameOf(m.column), isMin = true)
+    case m: Max => minMaxServable(colNameOf(m.column), isMin = false)
     case _ => false
   }
 
-  private def minMaxServable(name: Option[String]): Boolean = name.exists { n =>
+  private def minMaxServable(name: Option[String], isMin: Boolean): Boolean =
+    name.exists { n =>
     fullSchema.fields.find(_.name == n).exists { f =>
       val okType = f.dataType match {
         case FloatType | DoubleType => false // NaN-excluded bounds
@@ -1068,10 +1070,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
         // a vectored file's DATA bounds may belong to deleted rows;
         // its constant PARTITION value still bounds exactly — unless
         // the vector emptied the file (its value must then vanish
-        // from the result, which bounds can't express)
+        // from the result, which bounds can't express). A data column
+        // serves exactly when the vector PROVES the asked end intact
+        // ([[dvBoundIntact]]).
         val dvOk =
           if (dvRowsOf(file) == 0L) true
-          else partColNames.contains(n) && liveRowsOf(file).exists(_ > 0L)
+          else if (partColNames.contains(n)) liveRowsOf(file).exists(_ > 0L)
+          else dvBoundIntact(file, n, isMin)
         dvOk && boundsOf(file, n).isDefined
       })
     }
@@ -1089,6 +1094,26 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     */
   private def dvNullsOf(file: String, col: String): Option[Long] =
     aggSnap.flatMap(_.dvs.get(file)).flatMap(_.nulls.get(col))
+
+  /** A vectored file's recorded min (isMin) or max for DATA column `n`
+    * is provably the LIVE end: the vector recorded its deleted-row
+    * bounds ([[Dv.Entry.bounds]]), the stat domains match, and either
+    * no deleted row carried a non-null value (deletion can't move
+    * min/max) or every deleted value lies STRICTLY inside the recorded
+    * end — an end-attaining row must then have survived. Anything else
+    * (delta/legacy vectors, a deleted value AT the end, a domain
+    * mismatch) refuses: the end may have been deleted.
+    */
+  private def dvBoundIntact(file: String, n: String, isMin: Boolean): Boolean =
+    (for {
+      e <- aggSnap.flatMap(_.dvs.get(file))
+      b <- e.bounds.get(n)
+      cs <- aggSnap.flatMap(_.stats.get(file)).flatMap(_.get(n))
+      if cs.tag == b.tag
+    } yield b.lo.isEmpty ||
+      (if (isMin) Dv.cmpBound(b.tag, b.lo.get, cs.min) > 0
+       else Dv.cmpBound(b.tag, b.hi.get, cs.max) < 0)
+    ).getOrElse(false)
 
   private def liveRowsOf(file: String): Option[Long] =
     rowsOf(file).map(_ - dvRowsOf(file))

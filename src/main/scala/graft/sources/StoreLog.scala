@@ -275,7 +275,8 @@ object StoreLog {
       .map(e => e.getKey -> e.getValue.asLong()).toMap
 
   // deletion-vector entries:
-  // { "<file>": {"p": "<dvRel>", "n": rows[, "nn": {col: deletedNulls}]} }
+  // { "<file>": {"p": "<dvRel>", "n": rows[, "nn": {col: deletedNulls}]
+  //              [, "bb": {col: [tag, lo, hi] | [tag]}]} }
   private def dvsOf(n: JsonNode): Map[String, Dv.Entry] =
     if (!n.has("dvs")) Map.empty
     else n.get("dvs").properties().asScala
@@ -284,9 +285,23 @@ object StoreLog {
           if (!e.getValue.has("nn")) Map.empty
           else e.getValue.get("nn").properties().asScala
             .map(p => p.getKey -> p.getValue.asLong()).toMap
+        val bounds: Map[String, Dv.Bound] =
+          if (!e.getValue.has("bb")) Map.empty
+          else e.getValue.get("bb").properties().asScala
+            .map { p =>
+              val a = p.getValue
+              val tag = a.get(0).asText()
+              val b =
+                if (a.size() < 3) Dv.Bound.empty(tag)
+                else if (tag == "s")
+                  Dv.Bound(tag, Some(a.get(1).asText()), Some(a.get(2).asText()))
+                else
+                  Dv.Bound(tag, Some(a.get(1).asLong()), Some(a.get(2).asLong()))
+              p.getKey -> b
+            }.toMap
         e.getKey ->
           Dv.Entry(e.getValue.get("p").asText(), e.getValue.get("n").asLong(),
-            nulls)
+            nulls, bounds)
       }
       .toMap
 
@@ -435,6 +450,24 @@ object StoreLog {
             val nn = mapper.createObjectNode()
             e.nulls.toSeq.sortBy(_._1).foreach { case (c, k) => nn.put(c, k) }
             v.set[JsonNode]("nn", nn)
+          }
+          if (e.bounds.nonEmpty) {
+            val bb = mapper.createObjectNode()
+            e.bounds.toSeq.sortBy(_._1).foreach { case (c, b) =>
+              val a = mapper.createArrayNode()
+              a.add(b.tag)
+              b.lo.foreach { lo =>
+                if (b.tag == "s") {
+                  a.add(lo.asInstanceOf[String])
+                  a.add(b.hi.get.asInstanceOf[String])
+                } else {
+                  a.add(lo.asInstanceOf[Long])
+                  a.add(b.hi.get.asInstanceOf[Long])
+                }
+              }
+              bb.set[JsonNode](c, a)
+            }
+            v.set[JsonNode]("bb", bb)
           }
           o.set[JsonNode](f, v)
         }

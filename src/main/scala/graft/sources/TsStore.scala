@@ -706,22 +706,56 @@ object TsStore {
       fs.map(f => Dv.absUri(conf, path, f) ->
         (f, base.dvs.get(f).map(e => s"$path/${e.path}"))).toMap
     import spark.implicits._
-    // (file uri, row position, per-column isnull) of every matching
-    // LIVE row — dv-aware find, so an already-vectored row is never
-    // re-deleted (and a file whose only matches are already vectored
-    // is not touched again). The null flags ride along so the commit
-    // can record DELETED-NULL counts per column ([[Dv.Entry.nulls]]),
-    // keeping COUNT(col) a metadata answer on vectored files.
+    // (file uri, row position, per-column isnull, stat-domain values)
+    // of every matching LIVE row — dv-aware find, so an already-
+    // vectored row is never re-deleted (and a file whose only matches
+    // are already vectored is not touched again). The null flags and
+    // stat-domain values ride along so the commit can record per-column
+    // DELETED-NULL counts ([[Dv.Entry.nulls]], keeps COUNT(col) a
+    // metadata answer) and DELETED-ROW BOUNDS ([[Dv.Entry.bounds]],
+    // keeps MIN/MAX a metadata answer when provably intact). Value
+    // domains mirror the manifest stats exactly ([[FileStats.ColStat]]
+    // tags): integral→long, date→epoch days, timestamp→epoch micros,
+    // string as-is; float/double and NTZ are never recorded (the
+    // pushdown refuses them regardless).
     def matches(fs: Seq[String]) = {
       val df = readFilesDv(spark, path, base, fs, mergeSchema = true,
         keepMeta = true).filter(pred)
       val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos").toSeq
-      df.select(col("__file"), col("__pos"),
-          map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"))
-        .as[(String, Long, Map[String, Boolean])]
+      import org.apache.spark.sql.types._
+      val tags: Map[String, String] = df.schema.fields.iterator
+        .filter(f => dataCols.contains(f.name))
+        .flatMap { f =>
+          f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => Some(f.name -> "i")
+            case DateType => Some(f.name -> "d")
+            case TimestampType => Some(f.name -> "ts")
+            case StringType => Some(f.name -> "s")
+            case _ => None
+          }
+        }.toMap
+      val longDom = dataCols.filter(c => tags.get(c).exists(_ != "s"))
+      val strDom = dataCols.filter(c => tags.get(c).contains("s"))
+      def nonNullMap(entries: Seq[Column]): Column =
+        if (entries.isEmpty) map()
+        else map_filter(map(entries: _*), (_, v) => v.isNotNull)
+      val longVals = nonNullMap(longDom.flatMap { c =>
+        val v = tags(c) match {
+          case "d" => unix_date(col(c)).cast(LongType)
+          case "ts" => unix_micros(col(c))
+          case _ => col(c).cast(LongType)
+        }
+        Seq(lit(c), v)
+      })
+      val strVals = nonNullMap(strDom.flatMap(c => Seq(lit(c), col(c))))
+      val ds = df.select(col("__file"), col("__pos"),
+          map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"),
+          longVals.as("__dlong"), strVals.as("__dstr"))
+        .as[(String, Long, Map[String, Boolean], Map[String, Long], Map[String, String])]
+      (ds, tags)
     }
     StoreLog.withWriterLease(path) { lease =>
-      val (found, uris) =
+      val ((found, tags), uris) =
         try (matches(candidates), uriMap(candidates))
         catch { // pred column only in pruned-away schemas — widen
           case _: org.apache.spark.sql.AnalysisException =>
@@ -733,39 +767,80 @@ object TsStore {
       // retried/speculative task writes an orphan sidecar — vacuumable
       // garbage, exactly like an unadopted staged data file (the lease
       // held here keeps vacuum off the fresh ones meanwhile).
-      val written: Array[(String, String, Long, Map[String, Long])] =
+      val written: Array[(String, String, Long, Map[String, Long],
+          Map[String, Long], Map[String, Long],
+          Map[String, String], Map[String, String], Seq[String])] =
         found.groupByKey(_._1).mapGroups { (uri, it) =>
           val freshB = Array.newBuilder[Long]
           val nc = scala.collection.mutable.HashMap.empty[String, Long]
+          val lo = scala.collection.mutable.HashMap.empty[String, Long]
+          val hi = scala.collection.mutable.HashMap.empty[String, Long]
+          val slo = scala.collection.mutable.HashMap.empty[String, String]
+          val shi = scala.collection.mutable.HashMap.empty[String, String]
+          // string columns whose deleted values exceed the stat cap —
+          // a truncated MAX bound would need byte-order round-UP
+          // (FileStats refuses the same way), so the column's bound is
+          // dropped rather than guessed
+          val bad = scala.collection.mutable.HashSet.empty[String]
           var seeded = false
-          it.foreach { case (_, p, ns) =>
+          it.foreach { case (_, p, ns, dl, dsv) =>
             freshB += p
             if (!seeded) { ns.keysIterator.foreach(c => nc(c) = 0L); seeded = true }
             ns.foreach { case (c, isN) => if (isN) nc(c) = nc.getOrElse(c, 0L) + 1L }
+            dl.foreach { case (c, v) =>
+              if (!lo.contains(c) || v < lo(c)) lo(c) = v
+              if (!hi.contains(c) || v > hi(c)) hi(c) = v
+            }
+            dsv.foreach { case (c, v) =>
+              if (v.length > FileStats.MaxStringLen) { bad += c; slo.remove(c); shi.remove(c) }
+              else if (!bad.contains(c)) {
+                if (!slo.contains(c) || Dv.cmpBound("s", v, slo(c)) < 0) slo(c) = v
+                if (!shi.contains(c) || Dv.cmpBound("s", v, shi(c)) > 0) shi(c) = v
+              }
+            }
           }
           val fresh = freshB.result()
           val old = urisB.value.get(uri).flatMap(_._2)
             .map(Dv.read(sconf.value, _)).getOrElse(Array.empty[Long])
           val rel = Dv.newRelPath()
           val n = Dv.write(sconf.value, s"$path/$rel", old ++ fresh)
-          (uri, rel, n, nc.toMap)
+          (uri, rel, n, nc.toMap, lo.toMap, hi.toMap, slo.toMap, shi.toMap,
+            bad.toSeq)
         }.collect()
       if (written.isEmpty) base.version
       else {
-        val entries: Map[String, Dv.Entry] = written.map { case (uri, rel, n, nc) =>
+        val entries: Map[String, Dv.Entry] = written.map {
+          case (uri, rel, n, nc, lo, hi, slo, shi, bad) =>
           val (dataRel, _) = uris.getOrElse(uri, throw new IllegalStateException(
             s"scan uri '$uri' matches no planned file of $path — " +
               "Dv.absUri rendering diverged from the scan's"))
-          // union with a pre-existing vector: summed per-column counts
-          // where BOTH entries know them, dropped where either doesn't
-          // (a delta-DML or legacy entry without counts stays
-          // unknowable — exact-or-refuse)
-          val merged = base.dvs.get(dataRel) match {
-            case Some(old) if old.rows > 0 =>
-              nc.flatMap { case (c, k) => old.nulls.get(c).map(o => c -> (o + k)) }
-            case _ => nc
+          // this commit's deleted bounds: every stat-eligible column
+          // gets one — EMPTY when all its deleted values were null
+          // (deletion provably can't move min/max then)
+          val freshBounds: Map[String, Dv.Bound] = tags.flatMap { case (c, tag) =>
+            if (bad.contains(c)) None
+            else if (tag == "s")
+              Some(c -> slo.get(c).map(l => Dv.Bound(tag, Some(l), Some(shi(c))))
+                .getOrElse(Dv.Bound.empty(tag)))
+            else
+              Some(c -> lo.get(c).map(l => Dv.Bound(tag, Some(l), Some(hi(c))))
+                .getOrElse(Dv.Bound.empty(tag)))
           }
-          dataRel -> Dv.Entry(rel, n, merged)
+          // union with a pre-existing vector: summed counts / combined
+          // bounds where BOTH entries know them, dropped where either
+          // doesn't (a delta-DML or legacy entry without them stays
+          // unknowable — exact-or-refuse)
+          val (merged, mergedBounds) = base.dvs.get(dataRel) match {
+            case Some(old) if old.rows > 0 =>
+              (nc.flatMap { case (c, k) => old.nulls.get(c).map(o => c -> (o + k)) },
+               freshBounds.flatMap { case (c, b) =>
+                 old.bounds.get(c).collect {
+                   case ob if ob.tag == b.tag => c -> Dv.combineBounds(ob, b)
+                 }
+               })
+            case _ => (nc, freshBounds)
+          }
+          dataRel -> Dv.Entry(rel, n, merged, mergedBounds)
         }.toMap
         val prefixes = entries.keySet.map { f =>
           val i = f.lastIndexOf('/')

@@ -376,6 +376,68 @@ class DvSpec extends AnyFunSuite {
       src.agg(count(col("user_id"))).head().getLong(0))
   }
 
+  test("MIN/MAX stay metadata answers on vectored files when deleted bounds prove the end intact") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    def aggScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan])
+    // one partition, contiguous event_ids 100..1099 riding ascending ts
+    val dir = Files.createTempDirectory("graft_dvmm").toString
+    val src = spark.range(0, 1000).select(
+      (col("id") + 100).as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"),
+      lit("x").as("event_type"),
+      format_string("s%04d", col("id") + 100).as("tag"))
+    TsStore.write(src, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    // a MID-RANGE delete: every deleted value lies strictly inside the
+    // recorded file bounds, for the long, timestamp and string domains
+    TsStore.deleteVectors(spark, dir,
+      col("event_id") >= 300 && col("event_id") <= 500)
+    val snap = StoreLog.latest(dir).get
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.forall(e => e.bounds.contains("event_id") &&
+      e.bounds.contains("ts") && e.bounds.contains("tag")),
+      s"DELETE must record deleted-row bounds: ${snap.dvs.values.map(_.bounds)}")
+    val t = spark.read.format("graft").load(dir)
+    t.createOrReplaceTempView("dvmm_t")
+    val live = src.filter(!(col("event_id") >= 300 && col("event_id") <= 500))
+    for ((sqlCol, idx) <- Seq("event_id", "ts", "tag").zipWithIndex) {
+      val q = spark.sql(
+        s"SELECT min($sqlCol) AS lo, max($sqlCol) AS hi FROM dvmm_t")
+      assert(aggScan(q),
+        s"MIN/MAX($sqlCol) under intact dv bounds must answer from the manifest:\n" +
+          q.queryExecution.executedPlan)
+      val exp = live.agg(min(col(sqlCol)), max(col(sqlCol))).head()
+      assert(q.head() === exp, s"wrong $sqlCol bounds (idx $idx)")
+    }
+    // delete the min-attaining row: MIN refuses (the end may be gone),
+    // MAX still proves intact from the merged bounds — and both answers
+    // stay right either way
+    TsStore.deleteVectors(spark, dir, col("event_id") === 100)
+    val live2 = live.filter(col("event_id") =!= 100)
+    val qMin = spark.sql("SELECT min(event_id) AS lo FROM dvmm_t")
+    assert(!aggScan(qMin),
+      "a deleted end must refuse the MIN pushdown (bounds cannot prove it)")
+    assert(qMin.head().getLong(0) ===
+      live2.agg(min(col("event_id"))).head().getLong(0))
+    val qMax = spark.sql("SELECT max(event_id) AS hi FROM dvmm_t")
+    assert(aggScan(qMax), "MAX stays provable after a min-end delete")
+    assert(qMax.head().getLong(0) ===
+      live2.agg(max(col("event_id"))).head().getLong(0))
+    // an all-null-in-column delete is an EMPTY bound: provably harmless
+    val dir2 = Files.createTempDirectory("graft_dvmm2").toString
+    TsStore.write(src.select(col("event_id"), col("ts"), col("event_type"),
+        when(col("event_id") < 200, col("tag")).otherwise(lit(null)).as("tag")),
+      dir2, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.deleteVectors(spark, dir2, col("event_id") > 800) // tag all null there
+    spark.read.format("graft").load(dir2).createOrReplaceTempView("dvmm_t2")
+    val q2 = spark.sql("SELECT min(tag) AS lo, max(tag) AS hi FROM dvmm_t2")
+    assert(aggScan(q2),
+      "an all-null deleted column is an EMPTY bound — min/max provably intact")
+    assert(q2.head().getString(0) === "s0100" && q2.head().getString(1) === "s0199")
+  }
+
   test("SQL DELETE routes through vectors under TBLPROPERTIES delete.mode=dv") {
     val root = Files.createTempDirectory("graft_dvcat").toString
     val cat = "graftdvcat"
