@@ -2561,6 +2561,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"column '$name' was previously dropped from ${ident.name} and its " +
             "data still lives in existing files — compact/zorder the store " +
             "first, or pick a fresh name")
+        // a renamed column's DATA still lives under its original parquet
+        // name — declaring that name as a new column would alias two
+        // logical columns onto one physical one (old files' values
+        // would resurface in the "new" column)
+        require(!schema.fields.exists(f =>
+            f.name != name && GraftTable.physicalName(f) == name),
+          s"column name '$name' is the stored physical anchor of a renamed " +
+            s"column in ${ident.name} — old files still carry its data; " +
+            "pick a fresh name")
         schema = schema.add(StructField(name, add.dataType, nullable = true,
           metadata = Option(add.comment()).fold(Metadata.empty)(c =>
             new MetadataBuilder().putString("comment", c).build())))

@@ -200,12 +200,18 @@ object TsStore {
     // NOTE each pre-write job re-executes the incoming frame's lineage —
     // callers appending from an expensive upstream pipeline should
     // .cache() it or pass OverlapPolicy.Allow.
+    // a renamed store's files carry PHYSICAL names — translate an
+    // appended frame's declared names before anything touches it
+    // (an Overwrite REPLACES the store, declaration included, so the
+    // incoming names ARE the new physical schema: no translation)
+    val dfW = if (mode == SaveMode.Append) physicalFrame(df, physRenames(path))
+              else df
     val overlapChecked = mode == SaveMode.Append && uidCols.nonEmpty &&
       overlapPolicy != OverlapPolicy.Allow
     if (!overlapChecked)
-      require(validate(df, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
+      require(validate(dfW, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
     if (overlapChecked) {
-      val bad = overlappingSeries(df.sparkSession, path, df, tsCol, uidCols)
+      val bad = overlappingSeries(dfW.sparkSession, path, dfW, tsCol, uidCols)
       if (bad.nonEmpty) {
         val msg = s"append overlaps stored time ranges for ${bad.size} series " +
           s"(double-write?): ${bad.take(5).mkString("; ")}" +
@@ -217,7 +223,7 @@ object TsStore {
       }
     }
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
-    val sorted = df.repartitionByRange(rangeCols: _*)
+    val sorted = dfW.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     // Manifest handling applies to paths whose backend has an atomic
     // publish primitive (local, file:, HDFS-likes — CommitIo.forPath);
@@ -265,7 +271,7 @@ object TsStore {
             StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
               parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
               tag = commitTag,
-              setProps = GraftTable.widenedSchemaProp(cur.props, df.schema))
+              setProps = GraftTable.widenedSchemaProp(cur.props, dfW.schema))
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -279,6 +285,33 @@ object TsStore {
 
   private[graft] def txnDir(path: String): String =
     s"$path/_graft_txn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** logical→physical name map for the store's RENAMED columns only
+    * (empty on never-renamed stores — the overwhelmingly common case).
+    * See [[GraftTable.PhysicalKey]]: after ALTER TABLE RENAME COLUMN,
+    * the data keeps living under the original parquet name; every
+    * write path must land files carrying that one stable physical
+    * schema, or reads (which request physical names) would null out
+    * the new files' values.
+    */
+  private def physRenames(path: String): Map[String, String] =
+    (if (StoreLog.canLog(path)) StoreLog.latest(path) else None)
+      .flatMap(_.props.get(GraftTable.SchemaProp))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .filter(GraftTable.hasRenames)
+      .map(d => GraftTable.physMap(d).filter { case (l, p) => l != p })
+      .getOrElse(Map.empty)
+
+  /** `df` with renamed columns translated to their PHYSICAL parquet
+    * names — the Scala-path twin of the DSv2 writer's COLUMN MAPPING
+    * ([[GraftBatchWrite]]). Identity when `renames` is empty.
+    */
+  private def physicalFrame(df: DataFrame,
+                            renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.columns.foldLeft(df)((acc, c) =>
+      renames.get(c).map(p => acc.withColumnRenamed(c, p)).getOrElse(acc))
 
   /** The physical parquet write (shared by the plain and the staged-txn
     * paths). Timestamps MUST be INT64 micros, not the INT96 legacy type:
@@ -503,6 +536,13 @@ object TsStore {
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20,
              setProps: Map[String, String] = Map.empty): Long = {
+    // a renamed store's files (and upsertPlan's base read-back) carry
+    // PHYSICAL names — translate the user delta and its named columns
+    // (uid/ts columns refuse renames, so only keys/version can move)
+    val renames = physRenames(path)
+    val deltaW = physicalFrame(delta, renames)
+    val keyColsW = keyCols.map(c => renames.getOrElse(c, c))
+    val versionColW = renames.getOrElse(versionCol, versionCol)
     // Pin the delta ONCE. The merge evaluates it three times (emptiness,
     // touched-partition collect, staging write); a nondeterministic
     // delta lineage (limit/sample/shuffled upstream) could otherwise
@@ -510,10 +550,10 @@ object TsStore {
     // {A, B} at write time — the B partition, never merged with its
     // base rows, would then be swapped to delta rows only, silently
     // deleting base data. localCheckpoint is delta-sized.
-    val pinned = delta.localCheckpoint()
+    val pinned = deltaW.localCheckpoint()
     val base = StoreLog.ensure(path)
     if (pinned.isEmpty) return base.version
-    val merged = upsertPlan(spark, path, pinned, keyCols, versionCol, uidCols)
+    val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW, uidCols)
     // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
     // scan), not on the merge lineage: the base was validated at its own
     // write, so the merge can only carry a null ts the delta brought in.

@@ -141,4 +141,51 @@ class RenameColSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"ALTER TABLE $t ADD COLUMN value DOUBLE"))
   }
+
+  test("ADD COLUMN refuses a live renamed column's physical anchor") {
+    val (_, t) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    // 'value' is amount's physical parquet name — old files still carry
+    // it; declaring it as a new column would alias two logical columns
+    // onto one physical one
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMN value DOUBLE"))
+    assert(e.getMessage.contains("physical anchor"), e.getMessage)
+  }
+
+  test("Scala append and upsert on a renamed store land the physical schema") {
+    import graft.sources.TsStore
+    val (cat, t) = freshTable()
+    val path = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/main/t"
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    val src = Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // APPEND a frame carrying the DECLARED name: the write must
+    // translate to the physical parquet name or every appended row
+    // reads back NULL under the mapping
+    TsStore.write(
+      src.select((col("event_id") + 20000000L).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), (col("value") * 3).as("amount")),
+      path, tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    val appended = spark.sql(
+      s"SELECT count(*) FROM $t WHERE event_id >= 20000000 AND amount IS NOT NULL")
+      .head().getLong(0)
+    assert(appended === src.count(), "appended rows must read back under the rename")
+    // UPSERT a delta carrying the DECLARED name (and addressing keys by it)
+    val delta = src.limit(10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 100 + 7).as("amount"))
+    TsStore.upsert(spark, path, delta, keyCols = Seq("event_id"),
+      versionCol = "event_id", tsCol = "ts", uidCols = Seq("event_type"))
+    val ids = delta.select("event_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq
+    val got = spark.sql(
+      s"SELECT event_id, amount FROM $t WHERE event_id IN (${ids.mkString(",")})")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = delta.collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got === want, "upserted rows must read back under the rename")
+  }
 }
