@@ -1177,12 +1177,17 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
       gs.forall(partColNames.contains) &&
         aggSnap.exists(_.files.forall(f =>
           gs.forall(g => segOf(f, g).isDefined))) &&
-        // a deletion vector that EMPTIED a file would make its group a
-        // phantom the unpushed plan never emits — require every
-        // vectored file provably non-empty (or ungrouped, where a zero
-        // contribution is exact)
+        // a deletion vector that EMPTIED a file makes its group a
+        // phantom ONLY if the group's every other file is empty too —
+        // require each vectored file's live count KNOWN (recorded rows
+        // − recorded dv rows), and [[aggResultRows]] drops all-empty
+        // groups exactly as the unpushed plan would never emit them.
+        // (Per-aggregate servability still gates harder cases: an
+        // emptied file refuses MIN/MAX via [[dvBoundIntact]]/the
+        // partition liveness check, so only the COUNT family reaches a
+        // zero contribution — which is exact.)
         (names.isEmpty || aggSnap.exists(_.dvs.keys.forall(f =>
-          liveRowsOf(f).exists(_ > 0L))))
+          liveRowsOf(f).isDefined)))
     }
   }
 
@@ -1309,8 +1314,14 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
           groupInternal(segOf(f, g).get, fld)
         }
       }
-      val rows = keyed.groupBy(_._2).toSeq.map { case (gvals, entries) =>
-        (gvals ++ aggSlice(agg, entries.map(_._1))._2).toArray
+      val rows = keyed.groupBy(_._2).toSeq.flatMap { case (gvals, entries) =>
+        val fs = entries.map(_._1)
+        // a group whose every file was vectored empty never appears in
+        // the unpushed plan's output — drop it (groupable required the
+        // live counts known for every vectored file; a clean file with
+        // unknown rows conservatively keeps its group)
+        if (fs.forall(f => liveRowsOf(f).contains(0L))) None
+        else Some((gvals ++ aggSlice(agg, fs)._2).toArray)
       }
       (resultSchema, rows)
     }

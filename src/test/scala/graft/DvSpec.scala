@@ -438,6 +438,41 @@ class DvSpec extends AnyFunSuite {
     assert(q2.head().getString(0) === "s0100" && q2.head().getString(1) === "s0199")
   }
 
+  test("grouped COUNT pushdown survives a fully-vectored partition: group vanishes, rest exact") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansIn(p: SparkPlan): Seq[Any] = p match {
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: QueryStageExec => scansIn(q.plan)
+      case b: BatchScanExec => Seq(b.scan)
+      case other => other.children.flatMap(scansIn)
+    }
+    def aggScanDeep(df: org.apache.spark.sql.DataFrame): Boolean =
+      scansIn(df.queryExecution.executedPlan).exists(_.isInstanceOf[GraftAggScan])
+    val dir = freshStore()
+    // the GDPR-purge shape: every row of one partition vectored away,
+    // a handful elsewhere — the catalog query must stay a manifest walk
+    // and the purged group must NOT appear as a phantom
+    TsStore.deleteVectors(spark, dir,
+      col("event_type") === "purchase" || col("event_id") % 97 === 0)
+    val t = spark.read.format("graft").load(dir)
+    t.createOrReplaceTempView("dvgrp_t")
+    val q = spark.sql(
+      "SELECT event_type, count(*) AS n FROM dvgrp_t GROUP BY event_type ORDER BY event_type")
+    assert(aggScanDeep(q),
+      s"grouped COUNT(*) must stay a manifest answer through the purge:\n" +
+        q.queryExecution.executedPlan)
+    val live = events.filter(
+      !(col("event_type") === "purchase" || col("event_id") % 97 === 0))
+    val want = live.groupBy("event_type").count()
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq === want.toSeq)
+    assert(!q.collect().exists(_.getString(0) == "purchase"),
+      "a fully-vectored partition must vanish from the grouped result")
+  }
+
   test("SQL DELETE routes through vectors under TBLPROPERTIES delete.mode=dv") {
     val root = Files.createTempDirectory("graft_dvcat").toString
     val cat = "graftdvcat"
