@@ -1533,28 +1533,37 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     * or a live filter ⇒ no pruning (every candidate stays).
     */
   private def topNPrune(files: Seq[String]): Option[Seq[String]] = {
-    // a deletion-vectored file's recorded non-null counts OVERSTATE its
-    // live rows — the covering-prefix rule would pick too short a
-    // prefix and could drop files holding top-n rows. No pruning while
-    // vectors are live (compaction restores it).
-    if (files.exists(snap.dvs.contains)) return None
+    // Deletion vectors: a vectored file's counts must be LIVE or the
+    // covering-prefix rule would pick too short a prefix and drop files
+    // holding top-n rows. Recorded dv cardinality makes a PARTITION
+    // column's live count exact; a DATA column additionally needs the
+    // vector's per-column deleted-null count ([[Dv.Entry.nulls]]) —
+    // live non-null = (rows−nulls)−(dvRows−dvNulls). A vector without
+    // it refuses (no pruning; compaction restores it). The file BOUNDS
+    // may be stale under deletion, but that stays sound: the covering
+    // argument needs only "every live row is within its file's
+    // recorded bounds", and the keep test can only over-keep.
     val GraftScan.TopN(c, desc, nullsFirst, n) = topN.get
     val isPart = partColNames.contains(c)
-    // (rel, tag, min, max, nonNullRows, nulls) — None on any gap
+    // (rel, tag, min, max, LIVE nonNullRows, LIVE nulls) — None on any gap
     final case class FB(rel: String, tag: String, min: Any, max: Any,
                         nonNull: Long, nulls: Long)
     val fbs: Seq[Option[FB]] = files.map { f =>
       val rows = snap.stats.get(f)
         .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
+      val dvRows = snap.dvs.get(f).map(_.rows).getOrElse(0L)
       if (isPart) rows.map { r =>
         GraftTable.partPseudoStats(f, fullSchema).get(c) match {
-          case Some(cs) => FB(f, cs.tag, cs.min, cs.max, r, 0L)
-          case None => FB(f, "", null, null, 0L, r) // null partition: all-null
+          case Some(cs) => FB(f, cs.tag, cs.min, cs.max, r - dvRows, 0L)
+          case None => FB(f, "", null, null, 0L, r - dvRows) // null partition: all-null
         }
       } else for {
         r <- rows
         cs <- snap.stats.get(f).flatMap(_.get(c)) if cs.nulls >= 0
-      } yield FB(f, cs.tag, cs.min, cs.max, r - cs.nulls, cs.nulls)
+        dvNulls <- if (dvRows == 0L) Some(0L)
+                   else snap.dvs.get(f).flatMap(_.nulls.get(c))
+      } yield FB(f, cs.tag, cs.min, cs.max,
+        (r - cs.nulls) - (dvRows - dvNulls), cs.nulls - dvNulls)
     }
     if (fbs.exists(_.isEmpty)) return None
     val all = fbs.flatten

@@ -761,7 +761,13 @@ object TsStore {
     def matches(fs: Seq[String]) = {
       val df = readFilesDv(spark, path, base, fs, mergeSchema = true,
         keepMeta = true).filter(pred)
-      val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos").toSeq
+      // cap the recorded columns at the stats cap (schema order): the
+      // pushdowns can only use nulls/bounds alongside the file's
+      // MANIFEST STATS, which [[FileStats.MaxStatsCols]] bounds the
+      // same way — a 500-column table pays per-matched-row map cost
+      // for 24 columns, not 500
+      val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos")
+        .take(FileStats.MaxStatsCols).toSeq
       import org.apache.spark.sql.types._
       val tags: Map[String, String] = df.schema.fields.iterator
         .filter(f => dataCols.contains(f.name))

@@ -438,6 +438,39 @@ class DvSpec extends AnyFunSuite {
     assert(q2.head().getString(0) === "s0100" && q2.head().getString(1) === "s0199")
   }
 
+  test("TopN file prune stays live on a vectored store via live-count covering") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def gScans(p: SparkPlan): Seq[graft.sources.GraftScan] = p match {
+      case a: AdaptiveSparkPlanExec => gScans(a.executedPlan)
+      case q: QueryStageExec => gScans(q.plan)
+      case b: BatchScanExec => b.scan match {
+        case g: graft.sources.GraftScan => Seq(g); case _ => Nil }
+      case other => other.children.flatMap(gScans)
+    }
+    // several ts-disjoint files per partition — the shape TopN pruning
+    // exists for (one wide file per partition can never drop)
+    val dir = Files.createTempDirectory("graft_dvtopn").toString
+    TsStore.write(events.select(cols.map(col): _*), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 50)
+    // vector away a slice, then ask for the earliest rows: the covering
+    // prefix must use LIVE counts (recorded − dv, with recorded
+    // deleted-null counts for the data column) and still prune files
+    TsStore.deleteVectors(spark, dir, col("event_id") % 5 === 2)
+    val total = StoreLog.latest(dir).get.files.size
+    val df = spark.read.format("graft").load(dir).orderBy("ts").limit(50)
+    val got = df.collect()
+    val scan = gScans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    assert(scan.head.plannedFiles.size < total,
+      s"TopN must still prune under vectors: planned ${scan.head.plannedFiles.size} of $total")
+    val want = events.filter(col("event_id") % 5 =!= 2)
+      .orderBy("ts").limit(50).collect()
+    assert(got.map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted.toSeq ===
+      want.map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted.toSeq)
+  }
+
   test("grouped COUNT pushdown survives a fully-vectored partition: group vanishes, rest exact") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import graft.sources.GraftAggScan
