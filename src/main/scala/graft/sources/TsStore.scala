@@ -1174,11 +1174,16 @@ object TsStore {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val snap = asOf.map(v => StoreLog.read(path, v))
       .orElse(StoreLog.latest(path)).getOrElse(return None)
-    // a vectored file's recorded counts OVERSTATE its live rows and its
-    // ts bounds may belong to deleted rows — refuse the metadata answer
-    // (callers fall back to listSeries over a dv-applied scan)
-    if (snap.dvs.nonEmpty) return None
-    val per = snap.files.map { f =>
+    // deletion vectors: a vectored file's LIVE count is exact from the
+    // recorded cardinality; its ts bounds stay exact when the vector's
+    // recorded deleted-row bounds ([[Dv.Entry.bounds]]) prove both ends
+    // intact (every deleted ts strictly inside) — a fully-emptied file
+    // contributes its zero count and no bounds, and a uid whose every
+    // row is vectored away vanishes. A vector without recorded bounds
+    // refuses (callers fall back to listSeries over a dv-applied scan);
+    // never a guess.
+    // per-file: (uid, liveRows, Option[(minUs, maxUs)])
+    val per: Seq[Option[(String, Long, Option[(Long, Long)])]] = snap.files.map { f =>
       val i = f.indexOf('/')
       val j = f.indexOf('=')
       if (i <= 0 || j <= 0 || j >= i || f.substring(0, j) != uidCol) None
@@ -1186,15 +1191,29 @@ object TsStore {
         for {
           ts <- fs.get(tsCol)
           if (ts.tag == "ts" || ts.tag == "tn") && ts.rows >= 0
+          dvRows = snap.dvs.get(f).map(_.rows).getOrElse(0L)
+          live = ts.rows - dvRows
+          bounds <-
+            if (live == 0L) Some(None)
+            else if (dvRows == 0L)
+              Some(Some((ts.min.asInstanceOf[Long], ts.max.asInstanceOf[Long])))
+            else snap.dvs.get(f).flatMap(_.bounds.get(tsCol)).collect {
+              case b if b.tag == ts.tag &&
+                  (b.lo.isEmpty ||
+                    (Dv.cmpBound(b.tag, b.lo.get, ts.min) > 0 &&
+                     Dv.cmpBound(b.tag, b.hi.get, ts.max) < 0)) =>
+                Some((ts.min.asInstanceOf[Long], ts.max.asInstanceOf[Long]))
+            }
         } yield (ExternalCatalogUtils.unescapePathName(f.substring(j + 1, i)),
-          ts.rows, ts.min.asInstanceOf[Long], ts.max.asInstanceOf[Long])
+          live, bounds)
       }
     }
     if (per.exists(_.isEmpty)) return None
     val rows = per.flatten
       .groupBy(_._1).toSeq
-      .map { case (uid, fs) =>
-        (uid, fs.map(_._2).sum, fs.map(_._3).min, fs.map(_._4).max)
+      .collect { case (uid, fs) if fs.map(_._2).sum > 0 =>
+        val bs = fs.flatMap(_._3)
+        (uid, fs.map(_._2).sum, bs.map(_._1).min, bs.map(_._2).max)
       }
     val df = spark.createDataFrame(rows)
       .toDF(uidCol, "n_rows", "__min_us", "__max_us")

@@ -471,6 +471,37 @@ class DvSpec extends AnyFunSuite {
       want.map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted.toSeq)
   }
 
+  test("catalogAt stays a manifest answer under vectors with recorded bounds") {
+    // two series with ts riding event_id, one file each: a mid-range
+    // delete (bounds provably intact) plus a FULL purge of one series
+    val dir = Files.createTempDirectory("graft_dvcat2").toString
+    val src = spark.range(0, 2000).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) + (col("id") % 1000) * 60).as("ts"),
+      when(col("id") < 1000, "a").otherwise("b").as("event_type"),
+      (col("id") * 1.5).as("value"))
+    TsStore.write(src, dir, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.deleteVectors(spark, dir,
+      col("event_type") === "b" ||
+        (col("event_id") >= 300 && col("event_id") <= 400))
+    val cat = TsStore.catalogAt(spark, dir, uidCol = "event_type")
+    assert(cat.isDefined,
+      "recorded dv cardinality + bounds must keep the catalog metadata-only")
+    val got = cat.get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toMap
+    assert(!got.contains("b"), "a fully-purged series must vanish")
+    assert(got("a")._1 === 1000 - 101)
+    assert(got("a")._2 === 1700000000L * 1000) // min ts intact
+    assert(got("a")._3 === (1700000000L + 999 * 60) * 1000) // max ts intact
+    // deleting a file's EARLIEST row makes its ts bound unprovable —
+    // the catalog refuses rather than guesses
+    TsStore.deleteVectors(spark, dir,
+      col("event_type") === "a" && col("event_id") === 0)
+    assert(TsStore.catalogAt(spark, dir, uidCol = "event_type").isEmpty,
+      "a deleted ts end must refuse the metadata catalog")
+  }
+
   test("grouped COUNT pushdown survives a fully-vectored partition: group vanishes, rest exact") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import graft.sources.GraftAggScan
