@@ -60,7 +60,10 @@ object ScaleSmoke {
     // rows), never the affected files — the exact asymmetry the mode
     // exists to buy; the vectored read-back must track the live rows
     "store_delete_vector", "store_sql_delete_dv", "store_sql_update_dv",
-    "store_sql_merge_dv")
+    "store_sql_merge_dv",
+    // round-14: RENAME COLUMN is a metadata commit — its 10x cost must
+    // track the fixture's two INSERTs, never a rewrite of the store
+    "store_sql_rename_col")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
