@@ -153,6 +153,34 @@ class RenameColSpec extends AnyFunSuite {
     assert(e.getMessage.contains("physical anchor"), e.getMessage)
   }
 
+  test("dv DELETE on a renamed column keeps the COUNT pushdown exact under the new name") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    val (cat, t) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('delete.mode'='dv')")
+    // the DELETE predicate names the DECLARED column; the vector's
+    // per-column stats land under the PHYSICAL parquet name and the
+    // snapshot re-keys them back for every pushdown
+    spark.sql(s"DELETE FROM $t WHERE amount > 0 AND event_id % 7 = 0")
+    val path = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/main/t"
+    val snap = StoreLog.latest(path).get
+    assert(snap.dvs.nonEmpty, "delete.mode=dv must route through vectors")
+    assert(snap.dvs.values.forall(_.nulls.contains("value")),
+      "dv stats are recorded under the physical name")
+    val q = spark.sql(s"SELECT count(amount) AS n FROM $t")
+    val pushed = q.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .exists(_.isInstanceOf[GraftAggScan])
+    assert(pushed,
+      s"COUNT(renamed col) under dv stats must stay a manifest answer:\n" +
+        q.queryExecution.executedPlan)
+    val want = Tables.events(spark, TestSpark.sf001)
+      .filter(!(col("value") > 0 && col("event_id") % 7 === 0))
+      .agg(count(col("value"))).head().getLong(0)
+    assert(q.head().getLong(0) === want)
+  }
+
   test("Scala append and upsert on a renamed store land the physical schema") {
     import graft.sources.TsStore
     val (cat, t) = freshTable()
