@@ -2635,6 +2635,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"column '$to' was previously dropped from ${ident.name} and its " +
             "data still lives in existing files — compact/zorder the store " +
             "first, or pick a fresh name")
+        // the ADD COLUMN anchor guard's RENAME twin: landing on another
+        // column's stored physical anchor would alias two logical
+        // columns onto one parquet name — the write-side translation
+        // maps (logical→physical) and a duplicate target corrupts it
+        require(!schema.fields.exists(f =>
+            f.name != from && GraftTable.physicalName(f) == to),
+          s"column name '$to' is the stored physical anchor of a renamed " +
+            s"column in ${ident.name} — old files still carry its data; " +
+            "pick a fresh name")
         // metadata-only: the column keeps reading/writing its ORIGINAL
         // parquet name (recorded once; renaming again, or back, keeps
         // the same physical anchor) — see [[GraftTable.PhysicalKey]]

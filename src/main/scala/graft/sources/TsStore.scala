@@ -305,13 +305,17 @@ object TsStore {
 
   /** `df` with renamed columns translated to their PHYSICAL parquet
     * names — the Scala-path twin of the DSv2 writer's COLUMN MAPPING
-    * ([[GraftBatchWrite]]). Identity when `renames` is empty.
+    * ([[GraftBatchWrite]]). Identity when `renames` is empty. The
+    * mapping is applied SIMULTANEOUSLY (one select, like the writer's
+    * map-based [[GraftTable.toPhysical]]): a sequential
+    * withColumnRenamed fold would collide on swap-shaped rename sets
+    * ({amount→value, value→score} renames `amount` onto a still-live
+    * `value`, and the second step then renames BOTH).
     */
   private def physicalFrame(df: DataFrame,
                             renames: Map[String, String]): DataFrame =
     if (renames.isEmpty) df
-    else df.columns.foldLeft(df)((acc, c) =>
-      renames.get(c).map(p => acc.withColumnRenamed(c, p)).getOrElse(acc))
+    else df.select(df.columns.map(c => col(c).as(renames.getOrElse(c, c))): _*)
 
   /** The physical parquet write (shared by the plain and the staged-txn
     * paths). Timestamps MUST be INT64 micros, not the INT96 legacy type:
@@ -782,8 +786,13 @@ object TsStore {
         }.toMap
       val longDom = dataCols.filter(c => tags.get(c).exists(_ != "s"))
       val strDom = dataCols.filter(c => tags.get(c).contains("s"))
-      def nonNullMap(entries: Seq[Column]): Column =
-        if (entries.isEmpty) map()
+      // the empty fallbacks are TYPED literals: a bare functions.map()
+      // types as map<string,string>, and an NTZ-time store with no
+      // integral/date/ts column among the stat-capped set would then
+      // fail the Map[String,Long] decode below with a cannot-up-cast
+      // AnalysisException, aborting the DELETE
+      def nonNullMap(entries: Seq[Column], empty: Column): Column =
+        if (entries.isEmpty) empty
         else map_filter(map(entries: _*), (_, v) => v.isNotNull)
       val longVals = nonNullMap(longDom.flatMap { c =>
         val v = tags(c) match {
@@ -792,8 +801,9 @@ object TsStore {
           case _ => col(c).cast(LongType)
         }
         Seq(lit(c), v)
-      })
-      val strVals = nonNullMap(strDom.flatMap(c => Seq(lit(c), col(c))))
+      }, typedLit(Map.empty[String, Long]))
+      val strVals = nonNullMap(strDom.flatMap(c => Seq(lit(c), col(c))),
+        typedLit(Map.empty[String, String]))
       val ds = df.select(col("__file"), col("__pos"),
           map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"),
           longVals.as("__dlong"), strVals.as("__dstr"))
@@ -1546,8 +1556,22 @@ object TsStore {
     val fidDf = dvd.map(f => (Dv.absUri(conf, path, f), fidOf(f)))
       .toDF("__uri", "__fid")
     val withMeta = withMetaCols(plain(dvd))
+    // LEFT join + loud null-fid guard, not an inner join: if the scan's
+    // `_metadata.file_path` rendering ever diverged from [[Dv.absUri]]
+    // (the exact divergence the delete path guards with
+    // IllegalStateException), an inner join would silently DROP every
+    // live row of that file — strictly worse than the old anti-join's
+    // resurrect-deleted-rows failure mode. The guard rides the join key
+    // itself (evaluated per row, never pruned away), so divergence
+    // fails the read instead of corrupting it.
     val withFid = withMeta
-      .join(broadcast(fidDf), withMeta("__file") === fidDf("__uri"), "inner")
+      .join(broadcast(fidDf), withMeta("__file") === fidDf("__uri"), "left")
+      .withColumn("__fid",
+        when(col("__fid").isNotNull, col("__fid"))
+          .otherwise(raise_error(concat(
+            lit("graft dv read: scan file "), col("__file"),
+            lit(s" matches no vectored file of $path — Dv.absUri rendering " +
+              "diverged from the scan's")))))
       .drop("__uri")
     // the dv side's exact cardinality is manifest metadata — broadcast
     // while the ESTIMATED BYTES fit under a configurable cap (default

@@ -801,4 +801,25 @@ class DvSpec extends AnyFunSuite {
     assert(after.filter(pred).count() === 3)
     assert(StoreLog.latest(dir).get.dvs.isEmpty)
   }
+
+  test("dv DELETE on an NTZ-time store with no long-domain stat column") {
+    // NTZ timestamps and float/double columns are never stat-recorded in
+    // the long domain — the delete's stat maps must then fall back to
+    // TYPED empty literals (a bare map() types map<string,string> and
+    // fails the Map[String,Long] decode with cannot-up-cast)
+    val dir = Files.createTempDirectory("graft_dv_ntz").toString
+    val df = Seq(
+      ("a", "2024-01-01T00:00:00", "x", 1.5),
+      ("a", "2024-01-01T00:01:00", "y", 2.5),
+      ("b", "2024-01-01T00:02:00", "x", 3.5))
+      .toDF("uid", "ts_s", "name", "v")
+      .select(col("uid"), col("ts_s").cast("timestamp_ntz").as("ts"),
+        col("name"), col("v"))
+    TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("uid"))
+    val v = TsStore.deleteVectors(spark, dir, col("name") === "x")
+    assert(v > 0)
+    val rows = TsStore.read(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("name") === "y")
+  }
 }

@@ -216,4 +216,44 @@ class RenameColSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(got === want, "upserted rows must read back under the rename")
   }
+
+  test("RENAME refuses a live renamed column's physical anchor") {
+    val (_, t) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    // 'value' is now amount's stored physical anchor — renaming another
+    // column ONTO it would alias two logical columns over one parquet
+    // name ({amount→value, value→score}-shaped corruption on the write
+    // translation); the catalog must refuse like ADD COLUMN does
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN user_id TO value")
+    }
+    assert(e.getMessage.contains("physical anchor"))
+    // renaming BACK onto one's own anchor stays legal
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO value")
+    assert(spark.table(t).columns.contains("value"))
+  }
+
+  test("Scala append translates MULTIPLE renames simultaneously") {
+    import graft.sources.TsStore
+    val (cat, t) = freshTable()
+    val path = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/main/t"
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN user_id TO uid_code")
+    val src = Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    TsStore.write(
+      src.select((col("event_id") + 30000000L).as("event_id"), col("ts"),
+        (col("user_id") + 5).as("uid_code"), col("event_type"),
+        (col("value") * 2).as("amount")),
+      path, tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    val bad = spark.sql(
+      s"SELECT count(*) FROM $t WHERE event_id >= 30000000 AND " +
+        "(amount IS NULL OR uid_code IS NULL)").head().getLong(0)
+    assert(bad === 0L, "both renamed columns must land their physical names")
+    val n = spark.sql(
+      s"SELECT count(*) FROM $t WHERE event_id >= 30000000").head().getLong(0)
+    assert(n === src.count())
+  }
 }
