@@ -2518,7 +2518,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (if (uids.nonEmpty) Map(GraftTable.UidsProp -> uids.mkString(",")) else Map.empty) ++
         // DELETE routing is a durable table property: 'dv' = merge-on-
         // read deletion vectors, default = copy-on-write
-        props.get("delete.mode").map("delete.mode" -> _))
+        props.get("delete.mode").map("delete.mode" -> _) ++
+        // dv-density auto-compaction threshold for DML commits
+        // (TsStore.dvDensityCompact); absent = advisory log only
+        props.get("dv.compact.ratio").map("dv.compact.ratio" -> _))
     tableAt(p, None)
   }
 

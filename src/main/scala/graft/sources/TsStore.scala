@@ -743,6 +743,62 @@ object TsStore {
     if (base.files.isEmpty) return base.version
     val candidates = FileStats.prune(base.files, base.stats, pred)
     if (candidates.isEmpty) return base.version
+    deleteVectorsBy(spark, path, base, candidates, _.filter(pred))
+  }
+
+  /** KEYED merge-on-read takedown — [[deleteKeys]]' deletion-vector
+    * twin and [[deleteVectors]]' join-based one: remove every stored
+    * row whose merge key appears in `keys` with `versionCol <=` that
+    * key's `deleteVersionCol`, as POSITION SIDECARS instead of a
+    * copy-on-write rewrite. The key set rides as DATA (broadcast into
+    * the dv-aware find scan), so the plan is O(1) in the key count —
+    * the million-key GDPR batch shape.
+    *
+    * Why it exists at 100 TB: a SCATTERED takedown feed hits a few
+    * rows in very many files — [[deleteKeys]] pays O(affected files)
+    * rewrite IO where this path pays O(deleted rows) sidecar bytes
+    * and ONE manifest commit. Version semantics match the CDC
+    * contract exactly (delete wins ties, higher-version reinserts
+    * survive); re-applying the same key batch is a no-op (the find is
+    * dv-aware, so already-vectored rows never re-match). Returns the
+    * committed version.
+    */
+  def deleteKeysVectors(spark: SparkSession, path: String, keys: DataFrame,
+                        keyCols: Seq[String], deleteVersionCol: String,
+                        versionCol: String): Long = {
+    require(keyCols.nonEmpty, "deleteKeysVectors needs the store's merge-key columns")
+    val base = StoreLog.ensure(path)
+    if (base.files.isEmpty) return base.version
+    // one row per key, highest delete version wins (same resolution as
+    // deleteKeys / the CDC predicate path)
+    val k = keys.groupBy(keyCols.map(col): _*)
+      .agg(max(col(deleteVersionCol)).as("__del_v"))
+      .localCheckpoint() // evaluated by the extent probe and the find
+    if (k.isEmpty) return base.version
+    // manifest-stat prune of the find scan by the keys' extent —
+    // effective when the key correlates with the chunk sort order
+    val candidates =
+      if (keyCols.sizeIs == 1) {
+        val ext = k.agg(min(col(keyCols.head)).as("lo"),
+          max(col(keyCols.head)).as("hi")).first()
+        FileStats.prune(base.files, base.stats,
+          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
+      } else base.files
+    if (candidates.isEmpty) return base.version
+    deleteVectorsBy(spark, path, base, candidates, df =>
+      df.join(broadcast(k), keyCols, "inner")
+        .filter(col(versionCol) <= col("__del_v"))
+        .drop("__del_v"))
+  }
+
+  /** The shared merge-on-read delete machinery: `matcher` narrows the
+    * dv-aware keepMeta read of the candidate files to exactly the rows
+    * to delete (a predicate filter, or a broadcast key join). See
+    * [[deleteVectors]] for the full contract.
+    */
+  private def deleteVectorsBy(spark: SparkSession, path: String,
+                              base: StoreLog.Snapshot, candidates: Seq[String],
+                              matcher: DataFrame => DataFrame): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     // scan-rendered uri → (manifest rel, existing vector's abs path)
@@ -763,8 +819,8 @@ object TsStore {
     // string as-is; float/double and NTZ are never recorded (the
     // pushdown refuses them regardless).
     def matches(fs: Seq[String]) = {
-      val df = readFilesDv(spark, path, base, fs, mergeSchema = true,
-        keepMeta = true).filter(pred)
+      val df = matcher(readFilesDv(spark, path, base, fs, mergeSchema = true,
+        keepMeta = true))
       // cap the recorded columns at the stats cap (schema order): the
       // pushdowns can only use nulls/bounds alongside the file's
       // MANIFEST STATS, which [[FileStats.MaxStatsCols]] bounds the
@@ -810,7 +866,7 @@ object TsStore {
         .as[(String, Long, Map[String, Boolean], Map[String, Long], Map[String, String])]
       (ds, tags)
     }
-    StoreLog.withWriterLease(path) { lease =>
+    val v = StoreLog.withWriterLease(path) { lease =>
       val ((found, tags), uris) =
         try (matches(candidates), uriMap(candidates))
         catch { // pred column only in pruned-away schemas — widen
@@ -913,6 +969,8 @@ object TsStore {
           addDvs = entries)
       }
     }
+    if (v != base.version) dvDensityCompact(spark, path)
+    v
   }
 
   /** Map the find scan's `input_file_name()` URIs back to manifest
@@ -1148,6 +1206,42 @@ object TsStore {
         } => p
     }.toSeq.sorted
   }
+
+  /** The batch-DML twin of the streaming sink's dv-density hook: after
+    * a deletion-vector commit (SQL DELETE/UPDATE/MERGE on a dv table,
+    * or the Scala dv verbs), auto-compact the prefixes whose deleted
+    * ratio crossed the table's `dv.compact.ratio` property — the cue
+    * itself is zero IO ([[dvDensePrefixes]]: manifest sums only).
+    * Without the property the hook only LOGS an advisory at the
+    * default 20% ratio: a steady-DML table that nobody compacts pays
+    * the vectored-read tax forever, and the log line is the operator's
+    * signal. A compaction losing its CAS to a concurrent writer is
+    * skipped — the next DML commit re-checks the same manifest sums.
+    */
+  private[graft] def dvDensityCompact(spark: SparkSession, path: String): Unit =
+    StoreLog.latest(path).foreach { snap =>
+      snap.props.get("dv.compact.ratio")
+        .flatMap(r => scala.util.Try(r.toDouble).toOption).filter(_ > 0) match {
+        case Some(ratio) =>
+          val dense = dvDensePrefixes(snap, ratio)
+          if (dense.nonEmpty) {
+            val tsCol = snap.props.getOrElse(GraftTable.TsColProp, "ts")
+            val uids = snap.props.get(GraftTable.UidsProp)
+              .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(GraftTable.partCols(path))
+            if (uids.nonEmpty)
+              try compactPartitions(spark, path, dense, tsCol, uids): Unit
+              catch { case _: StoreLog.CommitConflict => () }
+          }
+        case None =>
+          val dense = dvDensePrefixes(snap, 0.2)
+          if (dense.nonEmpty)
+            log.info(s"store $path has ${dense.size} partition(s) at >=20% " +
+              "deleted-row density — compact them (CALL system.compact / " +
+              "TsStore.compactPartitions), or set TBLPROPERTIES" +
+              "('dv.compact.ratio'='0.2') to auto-compact on DML commits")
+      }
+    }
 
   /** Exact row count of the (optionally `asOf`-versioned) live view from
     * the MANIFEST alone — zero file IO, zero Spark jobs (the Delta

@@ -212,13 +212,29 @@ object StoreIngest {
     * This is the GDPR/decontamination shape at 100 TB: takedowns arrive
     * as a feed, each lands as one atomic manifest version, deleted rows
     * stay auditable via `asOf` until vacuum.
+    *
+    * `deleteMode` routes the takedown commit: `"cow"` (default) is the
+    * file-granular copy-on-write pass above; `"dv"` lands DELETION
+    * VECTORS instead ([[TsStore.deleteVectors]] below the key cap,
+    * [[TsStore.deleteKeysVectors]] above it) — O(deleted rows) sidecar
+    * bytes and ONE commit per batch where cow pays O(affected files)
+    * rewrite IO. The dv route is what a SCATTERED takedown feed wants
+    * at 100 TB: a thousand keys spread over a thousand chunks rewrite
+    * nothing. Row-for-row semantics are identical (version-resolved,
+    * reinserts survive; pinned in StreamingSpec); re-delivery converges
+    * the same way (the dv find is dv-aware, so a replayed batch
+    * re-deletes nothing). Accumulated vector density triggers the same
+    * auto-compaction cue as every other dv writer.
     */
   def startCdc(stream: DataFrame, path: String, opCol: String,
                keyCols: Seq[String], versionCol: String,
                tsCol: String, uidCols: Seq[String],
                checkpoint: String,
                trigger: Trigger = Trigger.AvailableNow(),
-               bloomKeys: Seq[String] = Nil): StreamingQuery = {
+               bloomKeys: Seq[String] = Nil,
+               deleteMode: String = "cow"): StreamingQuery = {
+    require(deleteMode == "cow" || deleteMode == "dv",
+      s"deleteMode must be 'cow' or 'dv', got '$deleteMode'")
     // a takedown feed probes by MERGE KEY — per-column parquet blooms on
     // those keys let the per-batch find scan skip row groups even where
     // min/max bounds can't (keys uncorrelated with the ts sort order).
@@ -278,7 +294,20 @@ object StoreIngest {
         // as DATA, plan size O(1) in the key count, one find scan + one
         // rewrite + one manifest commit.
         if (delN > 0) {
-          if (smallDelete)
+          if (deleteMode == "dv") {
+            // merge-on-read takedown: position sidecars + one commit,
+            // O(deleted rows) IO whatever the affected-file spread
+            if (smallDelete)
+              TsStore.deleteVectors(batch.sparkSession, path,
+                TsStore.versionedKeyPredicate(delMax.collect().toSeq, keyCols, versionCol))
+            else
+              TsStore.deleteKeysVectors(batch.sparkSession, path, delMax,
+                keyCols = keyCols, deleteVersionCol = "__del_v",
+                versionCol = versionCol)
+            // the dv writer defers its rewrite to compaction — run the
+            // density cue so steady takedown churn self-heals
+            autoCompact(batch.sparkSession, path, Int.MaxValue, tsCol, uidCols)
+          } else if (smallDelete)
             TsStore.delete(batch.sparkSession, path,
               TsStore.versionedKeyPredicate(delMax.collect().toSeq, keyCols, versionCol),
               tsCol = tsCol, uidCols = uidCols)

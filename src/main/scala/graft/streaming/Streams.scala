@@ -261,6 +261,56 @@ object Streams {
         "WHERE NOT (event_id % 13 = 0) ORDER BY event_id"),
       "CDC ingest: a takedown feed of upserts + deletes applied as manifest commits"),
 
+    "stream_cdc_dv" -> DeclaredQuery(
+      // The SAME CDC/takedown feed routed MERGE-ON-READ
+      // (deleteMode=dv): the takedown lands as deletion-vector
+      // sidecars + ONE manifest commit instead of a copy-on-write
+      // rewrite — O(deleted rows) IO where cow pays O(affected files),
+      // the 100-TB scattered-GDPR-feed shape. Self-pins the
+      // merge-on-read contract (the takedown moved NO data file;
+      // vectors live; the zero-IO metadata count stays exact) and
+      // shares stream_cdc's oracle, so the two routes are gated
+      // row-for-row equal by the driver hash.
+      (s, d) => {
+        val root = graft.Q.scratchTempDir("stream_cdc_dv_")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val base = Tables.events(s, d).select(cols.map(col): _*)
+          .withColumn("version", lit(1L))
+        // the store is ALREADY POPULATED when the takedown feed arrives
+        // (the GDPR regime: erasure requests target data at rest) — so
+        // the dv route must vector rows inside live files, not no-op
+        graft.sources.TsStore.write(base, s"$root/store",
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val filesBefore = graft.sources.StoreLog.latest(s"$root/store").get.files
+        base.filter(col("event_id") % 13 === 0)
+          .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val src = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING, version BIGINT, op STRING")
+          .parquet(s"$root/src")
+        val q = StoreIngest.startCdc(src, s"$root/store", opCol = "op",
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"),
+          checkpoint = s"$root/ckpt", deleteMode = "dv")
+        q.awaitTermination()
+        val snap = graft.sources.StoreLog.latest(s"$root/store").get
+        require(snap.dvs.nonEmpty,
+          "the dv-routed takedown must have committed deletion vectors")
+        require(snap.files == filesBefore,
+          "the dv-routed takedown must move no data file")
+        require(graft.sources.TsStore.countAt(s"$root/store").contains(
+          snap.files.flatMap(snap.liveRows).sum),
+          "the zero-IO metadata count must stay exact under the takedown vectors")
+        graft.sources.TsStore.read(s, s"$root/store")
+          .select((cols :+ "version").map(col): _*)
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props, " +
+        "CAST(1 AS BIGINT) AS version FROM events " +
+        "WHERE NOT (event_id % 13 = 0) ORDER BY event_id"),
+      "CDC takedowns as deletion vectors: sidecars + one commit, no file rewritten"),
+
     "stream_follow" -> DeclaredQuery(
       // Store-CHAIN incremental sync, oracle-gated end-to-end: an
       // upstream store takes a write + an upsert (two manifest

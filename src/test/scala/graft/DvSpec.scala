@@ -357,8 +357,10 @@ class DvSpec extends AnyFunSuite {
     assert(cnt.head().getLong(0) ===
       src.filter(col("event_id") % 3 =!= 0).agg(count(col("user_id")))
         .head().getLong(0))
-    // a DELTA vector (UPDATE under delete.mode=dv) records no counts —
-    // COUNT(col) refuses the pushdown there and still answers right
+    // a DELTA vector (UPDATE under delete.mode=dv) records the same
+    // per-column deleted-null counts (the writer has the matched rows'
+    // OLD values in hand as metadata attributes) — COUNT(col) stays a
+    // metadata answer on an UPDATE-vectored file too
     val root = Files.createTempDirectory("graft_dvnn_cat").toString
     spark.conf.set("spark.sql.catalog.gdvnn", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gdvnn.root", root)
@@ -367,11 +369,15 @@ class DvSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gdvnn.ns.t USING graft PARTITIONED BY (event_type) " +
       "TBLPROPERTIES('delete.mode'='dv') AS SELECT * FROM dvnn_src")
     spark.sql("UPDATE gdvnn.ns.t SET value = value + 1 WHERE event_id % 7 = 0")
-    assert(StoreLog.latest(s"$root/ns/t").get.dvs.values.exists(_.nulls.isEmpty),
-      "delta vectors carry no null counts by design")
+    val dvs2 = StoreLog.latest(s"$root/ns/t").get.dvs
+    assert(dvs2.nonEmpty)
+    assert(dvs2.values.forall(_.nulls.contains("user_id")),
+      "delta-DML vectors must record per-column deleted-null counts")
     val cnt2 = spark.sql("SELECT count(user_id) AS n FROM gdvnn.ns.t")
-    assert(!aggScan(cnt2),
-      "a count-less vector must refuse the COUNT(col) pushdown")
+    assert(aggScan(cnt2),
+      s"COUNT(col) under delta-DML dv stats must answer from the manifest:\n" +
+        cnt2.queryExecution.executedPlan)
+    // an UPDATE re-inserts every matched row: the live count is unchanged
     assert(cnt2.head().getLong(0) ===
       src.agg(count(col("user_id"))).head().getLong(0))
   }
@@ -436,6 +442,64 @@ class DvSpec extends AnyFunSuite {
     assert(aggScan(q2),
       "an all-null deleted column is an EMPTY bound — min/max provably intact")
     assert(q2.head().getString(0) === "s0100" && q2.head().getString(1) === "s0199")
+  }
+
+  test("delta-DML vectors record bounds: MIN/MAX stay metadata answers after UPDATE and MERGE") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    def aggScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan])
+    val root = Files.createTempDirectory("graft_dvdb").toString
+    spark.conf.set("spark.sql.catalog.gdvdb", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvdb.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvdb.ns")
+    spark.range(0, 1000).select(
+      (col("id") + 100).as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"),
+      lit("x").as("event_type"),
+      format_string("s%04d", col("id") + 100).as("tag"),
+      (col("id") * 1.0).as("value"))
+      .createOrReplaceTempView("dvdb_src")
+    spark.sql("CREATE TABLE gdvdb.ns.t USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv') AS SELECT * FROM dvdb_src")
+    // mid-range UPDATE: the vectored (old) rows' event_id/ts/tag all lie
+    // STRICTLY inside the file bounds — the delta writer must record
+    // their deleted bounds so MIN/MAX stay manifest answers
+    spark.sql("UPDATE gdvdb.ns.t SET value = value + 1 " +
+      "WHERE event_id >= 300 AND event_id <= 500")
+    val snap = StoreLog.latest(s"$root/ns/t").get
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.forall(e => e.bounds.contains("event_id") &&
+      e.bounds.contains("ts") && e.bounds.contains("tag")),
+      s"delta UPDATE must record deleted-row bounds: ${snap.dvs.values.map(_.bounds)}")
+    for (c <- Seq("event_id", "ts", "tag")) {
+      val q = spark.sql(s"SELECT min($c) AS lo, max($c) AS hi FROM gdvdb.ns.t")
+      assert(aggScan(q),
+        s"MIN/MAX($c) under delta-dv bounds must answer from the manifest:\n" +
+          q.queryExecution.executedPlan)
+    }
+    val mm = spark.sql("SELECT min(event_id) AS lo, max(event_id) AS hi FROM gdvdb.ns.t").head()
+    assert(mm.getLong(0) === 100L && mm.getLong(1) === 1099L)
+    // MERGE's matched updates vector more rows — bounds must union with
+    // the existing entries' (both-know combine) and stay provable
+    spark.sql("SELECT event_id FROM dvdb_src WHERE event_id >= 600 AND event_id <= 700")
+      .createOrReplaceTempView("dvdb_keys")
+    spark.sql("MERGE INTO gdvdb.ns.t t USING dvdb_keys k ON t.event_id = k.event_id " +
+      "WHEN MATCHED THEN UPDATE SET t.value = t.value + 10")
+    val snap2 = StoreLog.latest(s"$root/ns/t").get
+    assert(snap2.dvs.values.forall(_.bounds.contains("event_id")),
+      "post-MERGE union entries must keep the combined bounds")
+    val q2 = spark.sql("SELECT min(event_id) AS lo, max(event_id) AS hi FROM gdvdb.ns.t")
+    assert(aggScan(q2), "MIN/MAX must stay manifest answers after MERGE")
+    assert(q2.head().getLong(0) === 100L && q2.head().getLong(1) === 1099L)
+    // COUNT(col) rides the recorded null counts through both verbs
+    val qc = spark.sql("SELECT count(tag) AS n FROM gdvdb.ns.t")
+    assert(aggScan(qc), "COUNT(col) must stay a manifest answer after delta DML")
+    assert(qc.head().getLong(0) === 1000L)
+    // and the rows themselves are right
+    assert(spark.sql("SELECT sum(CAST(value AS BIGINT)) FROM gdvdb.ns.t").head().getLong(0) ===
+      (0L until 1000L).sum + 201L + 101L * 10L)
   }
 
   test("TopN file prune stays live on a vectored store via live-count covering") {
@@ -800,6 +864,100 @@ class DvSpec extends AnyFunSuite {
     // only the 3 re-upserted click rows exist in that partition now
     assert(after.filter(pred).count() === 3)
     assert(StoreLog.latest(dir).get.dvs.isEmpty)
+  }
+
+  test("dv.compact.ratio auto-compacts on SQL DML commits crossing the density") {
+    val root = Files.createTempDirectory("graft_dvratio").toString
+    spark.conf.set("spark.sql.catalog.gdvr", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvr.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvr.ns")
+    events.select(cols.map(col): _*).createOrReplaceTempView("dvr_src")
+    // WITH the property: a SQL UPDATE vectoring ~66% of every partition
+    // crosses 0.3 — the commit's density hook must compact (vectors
+    // gone, data exact) without any maintenance CALL
+    spark.sql("CREATE TABLE gdvr.ns.a USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv','dv.compact.ratio'='0.3') " +
+      "AS SELECT * FROM dvr_src")
+    spark.sql("UPDATE gdvr.ns.a SET value = value + 1 WHERE event_id % 3 != 0")
+    val snapA = StoreLog.latest(s"$root/ns/a").get
+    assert(snapA.dvs.isEmpty,
+      "crossing dv.compact.ratio on UPDATE must auto-compact the vectors away")
+    // floor(value + 1) = floor(value) + 1, so the expected sum is the
+    // base sum plus one per updated row
+    val wantSum = events.agg(sum(floor(col("value")))).head().getLong(0) +
+      events.filter(col("event_id") % 3 =!= 0).count()
+    assert(spark.sql("SELECT CAST(sum(floor(value)) AS BIGINT) FROM gdvr.ns.a")
+      .head().getLong(0) === wantSum,
+      "auto-compacted table must carry the updated rows exactly")
+    // the SQL DELETE door fires the same hook
+    spark.sql("CREATE TABLE gdvr.ns.b USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv','dv.compact.ratio'='0.3') " +
+      "AS SELECT * FROM dvr_src")
+    spark.sql("DELETE FROM gdvr.ns.b WHERE event_id % 2 = 0")
+    val snapB = StoreLog.latest(s"$root/ns/b").get
+    assert(snapB.dvs.isEmpty,
+      "crossing dv.compact.ratio on DELETE must auto-compact the vectors away")
+    assert(spark.sql("SELECT count(*) FROM gdvr.ns.b").head().getLong(0) ===
+      events.filter(col("event_id") % 2 =!= 0).count())
+    // WITHOUT the property the same DML keeps its vectors (advisory only)
+    spark.sql("CREATE TABLE gdvr.ns.c USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv') AS SELECT * FROM dvr_src")
+    spark.sql("DELETE FROM gdvr.ns.c WHERE event_id % 2 = 0")
+    assert(StoreLog.latest(s"$root/ns/c").get.dvs.nonEmpty,
+      "without dv.compact.ratio the vectors must persist")
+  }
+
+  test("deleteKeysVectors: keyed takedown = sidecars + ONE commit, cow-equal, version-resolved, idempotent") {
+    import spark.implicits._
+    def mkStore(): String = {
+      val dir = Files.createTempDirectory("graft_dvkeys").toString
+      TsStore.write(events.select(cols.map(col): _*).withColumn("version", lit(1L)),
+        dir, tsCol = "ts", uidCols = Seq("event_type"))
+      dir
+    }
+    val dvDir = mkStore(); val cowDir = mkStore()
+    val keys = events.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), lit(2L).as("del_v"))
+    val before = StoreLog.latest(dvDir).get
+    val v1 = TsStore.deleteKeysVectors(spark, dvDir, keys,
+      keyCols = Seq("event_id"), deleteVersionCol = "del_v",
+      versionCol = "version")
+    val snap = StoreLog.latest(dvDir).get
+    assert(v1 === before.version + 1, "keyed dv takedown must be ONE commit")
+    assert(snap.files === before.files, "keyed dv takedown must move no data file")
+    assert(snap.dvs.nonEmpty, "the takedown must have committed vectors")
+    assert(snap.dvs.values.forall(_.nulls.nonEmpty),
+      "keyed dv takedown records per-column deleted-null counts like the predicate verb")
+    // zero-IO metadata count stays exact
+    assert(TsStore.countAt(dvDir).contains(
+      snap.files.flatMap(snap.liveRows).sum))
+    // row-for-row equal to the copy-on-write keyed takedown
+    TsStore.deleteKeys(spark, cowDir, keys, keyCols = Seq("event_id"),
+      deleteVersionCol = "del_v", versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    val got = TsStore.read(spark, dvDir).select(cols.map(col): _*)
+      .orderBy("event_id").collect()
+    val want = TsStore.read(spark, cowDir).select(cols.map(col): _*)
+      .orderBy("event_id").collect()
+    assert(got.length === want.length && got.sameElements(want),
+      "dv and cow keyed takedowns must agree row-for-row")
+    // re-applying the SAME batch is a no-op (the find is dv-aware)
+    val v2 = TsStore.deleteKeysVectors(spark, dvDir, keys,
+      keyCols = Seq("event_id"), deleteVersionCol = "del_v",
+      versionCol = "version")
+    assert(v2 === v1, "a replayed keyed dv takedown must re-delete nothing")
+    // a reinsert ABOVE the delete version survives a replayed takedown
+    val back = events.filter(col("event_id") % 7 === 0).limit(3)
+      .select(cols.map(col): _*).withColumn("version", lit(5L))
+    TsStore.upsert(spark, dvDir, back, keyCols = Seq("event_id"),
+      versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.deleteKeysVectors(spark, dvDir, keys,
+      keyCols = Seq("event_id"), deleteVersionCol = "del_v",
+      versionCol = "version")
+    val backIds = back.select("event_id").as[Long].collect().toSet
+    val live = TsStore.read(spark, dvDir)
+      .filter(col("event_id").isin(backIds.toSeq: _*)).count()
+    assert(live === 3L, "higher-version reinserts must survive the replayed takedown")
   }
 
   test("dv DELETE on an NTZ-time store with no long-domain stat column") {

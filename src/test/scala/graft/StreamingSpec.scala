@@ -376,6 +376,63 @@ class StreamingSpec extends AnyFunSuite {
       s"re-delivered CDC batch corrupted the store: ${state()}")
   }
 
+  test("CDC deleteMode=dv: takedowns land as vectors, re-delivery converges, reinserts survive") {
+    import spark.implicits._
+    import graft.streaming.StoreIngest
+    import graft.sources.{StoreLog, TsStore}
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_dv").toString
+    val (store, ckpt, src) = (s"$root/store", s"$root/ckpt", s"$root/src")
+    val schema = "ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE, " +
+      "version LONG, op STRING"
+    def startCdc() = StoreIngest.startCdc(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+      store, opCol = "op", keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), checkpoint = ckpt,
+      deleteMode = "dv")
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 1.0, 1L, "U"),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 2.0, 1L, "U"),
+        (ts("2024-01-01 10:02:00"), "view", 3L, 3.0, 1L, "U"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    // batch 1: take down key 1, reinsert key 2 ABOVE its delete version
+    Seq((ts("2024-01-01 10:00:00"), "view", 1L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:01:00"), "click", 2L, 0.0, 2L, "D"),
+        (ts("2024-01-01 10:03:00"), "click", 2L, 22.0, 3L, "U"))
+      .toDF("ts", "event_type", "event_id", "value", "version", "op")
+      .repartition(1).write.mode("append").parquet(src)
+    val q1 = startCdc(); q1.awaitTermination()
+    def state(): Set[(Long, Double)] =
+      TsStore.read(spark, store)
+        .select("event_id", "value").as[(Long, Double)].collect().toSet
+    assert(state() === Set((2L, 22.0), (3L, 3.0)), s"dv CDC end state wrong: ${state()}")
+    // the takedown is MERGE-ON-READ: the takedown commit carries
+    // vectors and moves NO data file (its parent is batch 1's upsert
+    // commit). The tiny fixture then trips the dv-DENSITY cue (50% of
+    // the view partition deleted ≥ the 20% default), so the route's
+    // auto-compaction must have materialized the vector in a LATER
+    // maintenance commit — both halves of the contract in one store.
+    val dvV = TsStore.versions(store).reverse
+      .find(v => StoreLog.read(store, v).dvs.nonEmpty)
+    assert(dvV.isDefined, "dv-routed CDC takedown must commit vectors")
+    val snap = StoreLog.read(store, dvV.get)
+    val parent = StoreLog.read(store, dvV.get - 1)
+    assert(snap.files === parent.files,
+      "the dv takedown commit must move no data file")
+    assert(StoreLog.latest(store).get.dvs.isEmpty,
+      "the density cue must have auto-compacted the dense partition")
+    // zero-IO metadata count stays exact
+    assert(TsStore.countAt(store).contains(2L))
+    // crash window: batch 1 replays whole — the dv-aware find re-deletes
+    // nothing and the store converges
+    val marker = new java.io.File(s"$ckpt/commits/1")
+    assert(marker.exists(), "test setup: expected commit marker for batch 1")
+    assert(marker.delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = startCdc(); q2.awaitTermination()
+    assert(state() === Set((2L, 22.0), (3L, 3.0)),
+      s"re-delivered dv CDC batch corrupted the store: ${state()}")
+  }
+
   test("CDC in-batch order: version resolves delete-vs-upsert; reinserts above the delete survive") {
     import spark.implicits._
     import graft.streaming.StoreIngest
