@@ -1088,6 +1088,53 @@ object Scans {
         "WHERE amount > 0 ORDER BY event_id"),
       "ALTER TABLE RENAME COLUMN: metadata-only column mapping — no file rewrites, translated reads"),
 
+    "store_sql_retype" -> DeclaredQuery(
+      // ALTER COLUMN TYPE as a METADATA-ONLY commit (type widening,
+      // GraftTable.PhysicalTypeKey): the declared type widens
+      // (int→bigint here), old files keep their narrow parquet type
+      // and the readers upcast them natively, a post-widen INSERT
+      // lands values only the wide type can hold, and both widths read
+      // as ONE coherent column (RetypeSpec pins the refusals, the time
+      // travel and the internal verbs). At 100 TB this is a manifest
+      // commit where a rewrite-based retype would be a full-store job.
+      (s, d) => {
+        val root = sinkDir("retype_root", d)
+        val cat = s"graftrt_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        s.sql(s"DROP TABLE IF EXISTS $cat.main.events")
+        s.sql(s"CREATE TABLE $cat.main.events (" +
+          "event_id BIGINT, ts TIMESTAMP, uid_small INT, " +
+          "event_type STRING, value DOUBLE) " +
+          "USING graft PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("graft_rt_src")
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id, ts, CAST(user_id AS INT), event_type, value " +
+          "FROM graft_rt_src")
+        val before = graft.sources.StoreLog.latest(s"$root/main/events").get.files
+        s.sql(s"ALTER TABLE $cat.main.events ALTER COLUMN uid_small TYPE BIGINT")
+        require(graft.sources.StoreLog.latest(s"$root/main/events").get.files == before,
+          "the widen must be a metadata-only commit")
+        // era 2: values only the WIDE type can hold, same table
+        s.sql(s"INSERT INTO $cat.main.events " +
+          "SELECT event_id + 10000000, ts, user_id + 5000000000, event_type, value " +
+          "FROM graft_rt_src")
+        // read across both widths, filtered on the widened column
+        s.sql(s"SELECT event_id, ts, uid_small, event_type, value " +
+          s"FROM $cat.main.events WHERE uid_small >= 0 ORDER BY event_id")
+      },
+      Some("WITH u AS (SELECT event_id, ts, CAST(user_id AS BIGINT) AS uid_small, " +
+        "event_type, value FROM events " +
+        "UNION ALL SELECT event_id + 10000000, ts, user_id + 5000000000, " +
+        "event_type, value FROM events) " +
+        "SELECT event_id, ts, uid_small, event_type, value FROM u " +
+        "WHERE uid_small >= 0 ORDER BY event_id"),
+      "ALTER COLUMN TYPE: metadata-only widening — old files upcast, new files land wide"),
+
     "store_sql_rename" -> DeclaredQuery(
       // ALTER TABLE RENAME TO: one directory move — manifest log, data
       // files, and the whole time-travel history ride along because
@@ -1410,16 +1457,27 @@ object Scans {
           case (k, None) => s.conf.unset(k)
         }
       },
+      // oracle spelled as the union + last_value(IGNORE NULLS) as-of
+      // (right rows sort BEFORE left on a ts tie — backward as-of is
+      // inclusive): one window pass instead of the double correlated
+      // scalar subquery, which spilled >48 GB in DuckDB at sf0.1. The
+      // deduped d has unique (event_type, ts), so the ordering is total
+      // and both last_value frames pick the same right row.
       Some("WITH d AS (SELECT event_type, ts, " +
         "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v " +
         "FROM events GROUP BY event_type, ts), " +
-        "r AS (SELECT event_type, ts - INTERVAL 90 SECOND AS r_ts, v AS r_v FROM d) " +
-        "SELECT l.event_type, l.ts, l.v, " +
-        "(SELECT r.r_ts FROM r WHERE r.event_type = l.event_type " +
-        "AND r.r_ts <= l.ts ORDER BY r.r_ts DESC LIMIT 1) AS r_ts, " +
-        "(SELECT r.r_v FROM r WHERE r.event_type = l.event_type " +
-        "AND r.r_ts <= l.ts ORDER BY r.r_ts DESC LIMIT 1) AS r_v " +
-        "FROM d l ORDER BY l.event_type, l.ts"),
+        "r AS (SELECT event_type, ts - INTERVAL 90 SECOND AS r_ts, v AS r_v FROM d), " +
+        "u AS (SELECT event_type, ts AS o_ts, 1 AS src, ts, v, " +
+        "CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_v FROM d " +
+        "UNION ALL SELECT event_type, r_ts AS o_ts, 0 AS src, " +
+        "CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS v, r_ts, r_v FROM r), " +
+        "f AS (SELECT event_type, src, ts, v, " +
+        "last_value(r_ts IGNORE NULLS) OVER w AS r_ts, " +
+        "last_value(r_v IGNORE NULLS) OVER w AS r_v FROM u " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY o_ts, src " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, ts, v, r_ts, r_v FROM f WHERE src = 1 " +
+        "ORDER BY event_type, ts"),
       "co-located as-of join: two ordered stores zip their partitions — zero exchange, zero sort"),
 
     "store_delete_vector" -> DeclaredQuery(
