@@ -1174,6 +1174,53 @@ object Llm {
       Some(IvfRecallOracleSql),
       "ANN evaluation harness: per-query recall@3 of the IVF index vs exact search"),
 
+    "llm_ann_recall_trained" -> DeclaredQuery(
+      // The TRAINED index through the same evaluation harness:
+      // build(train=true) runs sampled k-means++ + Lloyd (seed 42,
+      // spherical) instead of first-K seeding, so cells follow the
+      // corpus geometry and a fixed nprobe recovers more of the true
+      // neighbors. Own-test (no oracle): k-means centroids are not
+      // SQL-portable; determinism comes from the fixed seed + corpus
+      // (IvfSpec pins centroid determinism, and strictly-better recall
+      // on its CLUSTERED fixture — on unstructured corpora like the
+      // driver's synthetic embeddings the two seedings are comparable
+      // and either may edge ahead, so no cross-index pin here). At
+      // 100 TB training cost is one sampled pass, paid once per index
+      // build — probe cost is unchanged.
+      (s, d) => {
+        val K = 16; val NProbe = 2; val TopK = 3
+        val sf = new java.io.File(d).getName
+        val dirT = graft.Q.scratchDir(s"ivf_rect_$sf")
+        IvfIndex.build(Tables.embeddings(s, d), dirT, K, train = true)
+        val queries = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= K && col("vec_id") < K + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wE = Window.partitionBy("q_id").orderBy(desc("cos"), asc("nbr_id"))
+        val exact = broadcast(queries)
+          .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nbr_id"),
+            round(graft.functions.VectorOps.cosine(col("q_emb"), col("embedding")), 6)
+              .as("cos"))
+          .withColumn("rnk", row_number().over(wE))
+          .filter(col("rnk") <= TopK)
+          .select(col("q_id"), col("nbr_id"))
+        val trained =
+          exact.join(IvfIndex.probe(s, dirT, queries, NProbe, TopK)
+              .select(col("q_id"), col("nbr_id")).withColumn("__hit", lit(1)),
+            Seq("q_id", "nbr_id"), "left_outer")
+            .groupBy("q_id")
+            .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+              round(sum(coalesce(col("__hit"), lit(0))) / lit(TopK.toDouble), 6)
+                .as("recall"))
+        val meanT = trained.agg(avg("recall")).head().getDouble(0)
+        require(meanT > 0.0,
+          f"trained IVF recall collapsed: mean=$meanT%.4f at nprobe=$NProbe")
+        trained.orderBy(col("q_id"))
+      },
+      None,
+      "trained (k-means++) IVF through the recall harness — own-test, trained >= first-K self-pin"),
+
     "llm_ann_ivf_quantized" -> DeclaredQuery(
       // The QUANTIZED persisted index — llm_quantize's symmetric int8
       // path wired into the cells table: codes are ONE binary value

@@ -162,6 +162,40 @@ object GraftTable {
     */
   val PhysicalKey = "graft.physical"
 
+  /** TYPE WIDENING (the Iceberg type-promotion idea on graft's
+    * manifest): `ALTER TABLE ... ALTER COLUMN ... TYPE` commits the
+    * WIDER declared type as metadata only — old files keep their
+    * narrow parquet type and the readers upcast natively (Spark 4's
+    * parquet widening: int32→int64, float→double, same-scale decimal
+    * precision growth), new writes land the declared wide type. The
+    * field records its pre-widen type under this key, which doubles as
+    * the "this store mixes physical widths" marker: internal DataFrame
+    * reads then pass the declared schema EXPLICITLY instead of
+    * mergeSchema (parquet footer merging refuses int32/int64 mixes —
+    * the reader's upcast path is per-file and has no such limit).
+    * Narrowing and cross-family retypes refuse: they need data
+    * rewrites this catalog deliberately doesn't hide behind DDL.
+    */
+  val PhysicalTypeKey = "graft.physicalType"
+
+  /** Does any field carry a widened type? (Fast path for the
+    * overwhelmingly common never-retyped store.)
+    */
+  def hasRetypes(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalTypeKey))
+
+  /** The EXPLICIT read schema for internal frames of a retyped store:
+    * the declared schema under physical names. `None` when the
+    * snapshot declares no schema or no field was retyped — callers
+    * fall back to mergeSchema, byte-identical to the pre-widening
+    * behavior.
+    */
+  private[sources] def typedReadSchema(snap: StoreLog.Snapshot): Option[StructType] =
+    snap.props.get(SchemaProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(hasRetypes)
+      .map(d => toPhysical(d, d))
+
   /** The parquet column name `f`'s data lives under (its name unless a
     * rename recorded an original).
     */
@@ -2551,8 +2585,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * travel under their era's name. The time and partition columns
     * refuse (layout/props are keyed on them).
     *
-    * Retype still refuses — that needs data rewrites this catalog
-    * deliberately doesn't hide behind DDL.
+    * ALTER COLUMN TYPE: metadata-only for SAFE WIDENINGS (integral
+    * up-chain, float→double, same-scale decimal precision growth) via
+    * [[GraftTable.PhysicalTypeKey]] — old files keep their narrow
+    * parquet type, readers upcast natively, new writes land the wide
+    * declared type, and internal frames switch to explicit-schema
+    * reads (mergeSchema refuses mixed widths). Narrowing and
+    * cross-family retypes still refuse — those need data rewrites this
+    * catalog deliberately doesn't hide behind DDL.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -2658,6 +2698,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (phys == to) md.remove(GraftTable.PhysicalKey) // renamed back
             else md.putString(GraftTable.PhysicalKey, phys)
             f.copy(name = to, metadata = md.build())
+          }
+        })
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        val name = ut.fieldNames.head
+        require(schema.fieldNames.contains(name),
+          s"column '$name' does not exist in ${ident.name}")
+        require(name != tsCol,
+          s"cannot retype the store's time column '$tsCol' — the manifest " +
+            "ts index and layout contract are keyed on it")
+        require(!uids.contains(name),
+          s"cannot retype partition column '$name' — the directory layout " +
+            "is built on it")
+        val f = schema(name)
+        // safe widenings only — exactly the promotions Spark 4's parquet
+        // readers upcast natively, so old files never rewrite. The
+        // manifest stat domains are width-blind ("i" integrals compare
+        // as long, "f" floats stay refused for min/max), so pruning and
+        // the agg pushdowns keep working across mixed-width files.
+        val ok = (f.dataType, ut.newDataType) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (a: DecimalType, b: DecimalType) =>
+            b.scale == a.scale && b.precision > a.precision
+          case _ => false
+        }
+        require(ok,
+          s"ALTER COLUMN TYPE supports only safe widenings (tinyint/" +
+            "smallint/int→bigint up the chain, float→double, same-scale " +
+            s"decimal precision growth); cannot retype '$name' from " +
+            s"${f.dataType.sql} to ${ut.newDataType.sql} — narrowing or " +
+            "cross-family retypes need a data rewrite")
+        schema = StructType(schema.fields.map { g =>
+          if (g.name != name) g
+          else {
+            val md = new MetadataBuilder().withMetadata(g.metadata)
+            // the FIRST widen records the on-file type; widening again
+            // (int→bigint after smallint→int) keeps the original anchor
+            if (!g.metadata.contains(GraftTable.PhysicalTypeKey))
+              md.putString(GraftTable.PhysicalTypeKey, g.dataType.json)
+            g.copy(dataType = ut.newDataType, metadata = md.build())
           }
         })
       case sp: TableChange.SetProperty =>

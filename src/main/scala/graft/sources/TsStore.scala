@@ -1621,9 +1621,18 @@ object TsStore {
   private[graft] def readFilesDv(spark: SparkSession, path: String,
       snap: StoreLog.Snapshot, files: Seq[String],
       mergeSchema: Boolean, keepMeta: Boolean = false): DataFrame = {
-    def plain(fs: Seq[String]) =
-      spark.read.option("mergeSchema", mergeSchema).option("basePath", path)
-        .parquet(fs.map(f => s"$path/$f"): _*)
+    // a TYPE-WIDENED store mixes physical widths (old int32 files under
+    // a declared bigint, say): parquet footer MERGING refuses those, so
+    // internal frames read with the declared schema EXPLICITLY and the
+    // reader's native per-file upcast does the rest. Never-retyped
+    // stores (no PhysicalTypeKey anywhere) keep the mergeSchema path
+    // byte-identically.
+    val typed = GraftTable.typedReadSchema(snap)
+    def plain(fs: Seq[String]) = {
+      val r = spark.read.option("mergeSchema", mergeSchema)
+        .option("basePath", path)
+      typed.fold(r)(r.schema).parquet(fs.map(f => s"$path/$f"): _*)
+    }
     def withMetaCols(df: DataFrame) = df
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))

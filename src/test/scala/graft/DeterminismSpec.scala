@@ -45,8 +45,8 @@ class DeterminismSpec extends AnyFunSuite {
     // every declared-but-unoracled query is one of the known sketch/hash ops
     val unoracled = qNames -- Registry.oracleSql.keySet
     assert(unoracled == Set("agg_hll", "agg_hll_union", "agg_percentile_approx",
-      "llm_ann_lsh", "llm_cms_counts", "llm_dedup_near", "llm_dedup_simhash",
-      "llm_dup_clusters_lsh"),
+      "llm_ann_lsh", "llm_ann_recall_trained", "llm_cms_counts",
+      "llm_dedup_near", "llm_dedup_simhash", "llm_dup_clusters_lsh"),
       s"unexpected oracle-less queries: $unoracled")
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftTable, StoreLog, Tables, TsStore}
+
+/** ALTER TABLE ... ALTER COLUMN ... TYPE — metadata-only safe widenings
+  * via GraftTable.PhysicalTypeKey: old files keep their narrow parquet
+  * type (readers upcast natively), new writes land the declared wide
+  * type, internal frames switch to explicit-schema reads, and
+  * narrowing / cross-family retypes refuse.
+  */
+class RetypeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): (String, String, String) = {
+    val root = Files.createTempDirectory("graft_retype").toString
+    val cat = s"grt${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("ts"),
+        col("user_id").cast("int").as("uid_i"),
+        col("value").cast("float").as("val_f"),
+        col("event_type"))
+      .createOrReplaceTempView("retype_src")
+    spark.sql(s"CREATE TABLE $cat.main.t USING graft " +
+      "PARTITIONED BY (event_type) AS SELECT * FROM retype_src")
+    (cat, s"$cat.main.t", s"$root/main/t")
+  }
+
+  test("widen int->bigint and float->double: metadata-only, old files upcast, inserts land wide") {
+    val (_, t, path) = freshTable()
+    val vBefore = StoreLog.latest(path).get.version
+    val filesBefore = StoreLog.latest(path).get.files.toSet
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN val_f TYPE DOUBLE")
+    val snap = StoreLog.latest(path).get
+    assert(snap.files.toSet === filesBefore, "widening must move no data file")
+    val declared = DataType.fromJson(snap.props(GraftTable.SchemaProp))
+      .asInstanceOf[StructType]
+    assert(declared("uid_i").dataType === LongType)
+    assert(declared("val_f").dataType === DoubleType)
+    assert(declared("uid_i").metadata.contains(GraftTable.PhysicalTypeKey))
+    // old (narrow) files read back under the wide declared type
+    assert(spark.table(t).schema("uid_i").dataType === LongType)
+    val wantSum = Tables.events(spark, TestSpark.sf001)
+      .agg(sum(col("user_id"))).head().getLong(0)
+    assert(spark.sql(s"SELECT sum(uid_i) FROM $t").head().getLong(0) === wantSum)
+    // INSERT a value ONLY the wide type can hold; both widths coexist
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(900000001, TIMESTAMP'2024-06-01 00:00:00', 5000000000, 1.5, 'widen')")
+    val got = spark.sql(
+      s"SELECT uid_i, val_f FROM $t WHERE event_id = 900000001").head()
+    assert(got.getLong(0) === 5000000000L && got.getDouble(1) === 1.5)
+    assert(spark.sql(s"SELECT sum(uid_i) FROM $t").head().getLong(0) ===
+      wantSum + 5000000000L)
+    // a filter on the widened column still returns the right rows
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE uid_i > 4000000000").head()
+      .getLong(0) === 1L)
+  }
+
+  test("time travel reads each era's declared type") {
+    val (_, t, path) = freshTable()
+    val preWiden = StoreLog.latest(path).get.version
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $preWiden")
+      .schema("uid_i").dataType === IntegerType,
+      "the pre-widen era must read its declared INT type")
+    assert(spark.table(t).schema("uid_i").dataType === LongType)
+    // the era read returns the same values (narrow domain)
+    val a = spark.sql(s"SELECT sum(uid_i) FROM $t VERSION AS OF $preWiden")
+      .head().getLong(0)
+    val b = spark.sql(s"SELECT sum(uid_i) FROM $t").head().getLong(0)
+    assert(a === b)
+  }
+
+  test("refusals: narrowing, cross-family, ts and partition columns") {
+    val (_, t, _) = freshTable()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(frag), s"expected '$frag' in: ${e.getMessage}")
+    }
+    // narrowing dies in Spark's own analyzer (canUpCast gate) before it
+    // reaches the catalog — either refusal is correct, both are loud
+    refuses(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE INT", "NOT_SUPPORTED_CHANGE_COLUMN")
+    // up-castable but not a SAFE widening (string absorbs everything in
+    // canUpCast) — the catalog's own gate must refuse
+    refuses(s"ALTER TABLE $t ALTER COLUMN val_f TYPE STRING", "safe widenings")
+    refuses(s"ALTER TABLE $t ALTER COLUMN ts TYPE STRING", "time column")
+    // a STRING partition column has no legal widening, so the analyzer
+    // refuses before the catalog; an INT-partitioned table reaches the
+    // catalog's own partition-column guard
+    refuses(s"ALTER TABLE $t ALTER COLUMN event_type TYPE BINARY",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    val root2 = Files.createTempDirectory("graft_retype2").toString
+    val cat2 = s"grtp${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", root2)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat2.main")
+    spark.sql(s"CREATE TABLE $cat2.main.p (ts TIMESTAMP, bucket INT, v DOUBLE) " +
+      "USING graft PARTITIONED BY (bucket)")
+    refuses(s"ALTER TABLE $cat2.main.p ALTER COLUMN bucket TYPE BIGINT",
+      "partition column")
+  }
+
+  test("internal verbs ride the explicit-schema read on a widened store") {
+    val (_, t, path) = freshTable()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(900000003, TIMESTAMP'2024-06-02 00:00:00', 6000000000, 2.5, 'purchase')")
+    // the store now mixes int32 and int64 files in one partition —
+    // mergeSchema would refuse; the typed read must carry every verb
+    val before = spark.table(t).count()
+    // upsert (Scala path, wide frame)
+    val delta = spark.sql(s"SELECT * FROM $t WHERE event_id = 900000003")
+      .withColumn("uid_i", lit(7000000000L))
+    TsStore.upsert(spark, path, delta, keyCols = Seq("event_id"),
+      versionCol = "event_id", tsCol = "ts", uidCols = Seq("event_type"))
+    assert(spark.table(t).count() === before)
+    assert(spark.sql(s"SELECT uid_i FROM $t WHERE event_id = 900000003")
+      .head().getLong(0) === 7000000000L)
+    // dv delete + read-under-vector on the mixed-width store
+    TsStore.deleteVectors(spark, path, col("event_id") % 11 === 0)
+    val live = spark.table(t).count()
+    assert(live < before && live > 0)
+    // compaction materializes across widths and lands ONE wide schema
+    TsStore.compactPartitions(spark, path,
+      StoreLog.latest(path).get.files.map(f => f.substring(0, f.lastIndexOf('/')))
+        .distinct, tsCol = "ts", uidCols = Seq("event_type"))
+    assert(spark.table(t).count() === live)
+    assert(StoreLog.latest(path).get.dvs.isEmpty)
+    assert(spark.sql(s"SELECT uid_i FROM $t WHERE event_id = 900000003")
+      .head().getLong(0) === 7000000000L)
+  }
+}
