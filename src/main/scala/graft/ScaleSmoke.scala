@@ -63,7 +63,13 @@ object ScaleSmoke {
     "store_sql_merge_dv",
     // round-14: RENAME COLUMN is a metadata commit — its 10x cost must
     // track the fixture's two INSERTs, never a rewrite of the store
-    "store_sql_rename_col")
+    "store_sql_rename_col",
+    // round-15: the dv-routed CDC takedown's 10x cost must track the
+    // deleted rows (sidecar bytes + one commit per batch), never the
+    // affected files; the widen is a metadata commit over the
+    // fixture's two INSERTs; the trained-index build cost is the
+    // sampled k-means pass (bounded sample, never the corpus²)
+    "stream_cdc_dv", "store_sql_retype", "llm_ann_recall_trained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
