@@ -181,6 +181,34 @@ class RenameColSpec extends AnyFunSuite {
     assert(q.head().getLong(0) === want)
   }
 
+  test("delta UPDATE on a renamed store records dv stats under the physical name") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    val (cat, t) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('delete.mode'='dv')")
+    // the delta op's metadata attributes resolve the DECLARED name; the
+    // fragment stats must land under the PHYSICAL parquet name or every
+    // pushdown would refuse (re-key happens at the DSv2 face)
+    spark.sql(s"UPDATE $t SET amount = amount + 1 WHERE event_id % 5 = 0")
+    val path = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/main/t"
+    val snap = StoreLog.latest(path).get
+    assert(snap.dvs.nonEmpty, "the UPDATE must have committed vectors")
+    assert(snap.dvs.values.forall(e =>
+        e.nulls.contains("value") && !e.nulls.contains("amount")),
+      s"delta dv stats must key the PHYSICAL name: ${snap.dvs.values.map(_.nulls.keySet)}")
+    val q = spark.sql(s"SELECT count(amount) AS n FROM $t")
+    val pushed = q.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .exists(_.isInstanceOf[GraftAggScan])
+    assert(pushed,
+      s"COUNT(renamed col) under delta-dv stats must stay a manifest answer:\n" +
+        q.queryExecution.executedPlan)
+    // an UPDATE re-inserts every matched row — the non-null count holds
+    assert(q.head().getLong(0) ===
+      Tables.events(spark, TestSpark.sf001).agg(count(col("value"))).head().getLong(0))
+  }
+
   test("Scala append and upsert on a renamed store land the physical schema") {
     import graft.sources.TsStore
     val (cat, t) = freshTable()
