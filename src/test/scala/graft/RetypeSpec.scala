@@ -112,6 +112,53 @@ class RetypeSpec extends AnyFunSuite {
       "partition column")
   }
 
+  test("delta dv DML on a widened store records stats in the wide domain; pushdowns stay manifest answers") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    def aggScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan])
+    val (_, t, path) = freshTable()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('delete.mode'='dv')")
+    // the delta scan upcasts old int32 files to the declared BIGINT; the
+    // writer's stat extraction reads the WIDE domain — identical to the
+    // manifest file stats' integral-as-long domain, so the merged entry
+    // bounds stay comparable
+    spark.sql(s"UPDATE $t SET val_f = val_f + 1 " +
+      "WHERE event_id % 97 = 5") // sparse mid-range matches
+    val snap = StoreLog.latest(path).get
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.forall(e =>
+        e.nulls.contains("uid_i") && e.bounds.get("uid_i").forall(_.tag == "i")),
+      s"widened-column dv stats must record in the long domain: ${snap.dvs.values}")
+    val qc = spark.sql(s"SELECT count(uid_i) AS n FROM $t")
+    assert(aggScan(qc), "COUNT(widened col) must stay a manifest answer under delta vectors")
+    assert(qc.head().getLong(0) ===
+      Tables.events(spark, TestSpark.sf001).count())
+  }
+
+  test("rename then widen compose: physical name + physical type anchors coexist") {
+    val (_, t, path) = freshTable()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN uid_i TO uid_code")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_code TYPE BIGINT")
+    val declared = DataType.fromJson(
+      StoreLog.latest(path).get.props(GraftTable.SchemaProp))
+      .asInstanceOf[StructType]
+    assert(GraftTable.physicalName(declared("uid_code")) === "uid_i")
+    assert(declared("uid_code").dataType === LongType)
+    assert(declared("uid_code").metadata.contains(GraftTable.PhysicalTypeKey))
+    // old narrow files under the old physical name + a wide insert under
+    // the new declared name all read as ONE column
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(900000005, TIMESTAMP'2024-06-03 00:00:00', 8000000000, 3.5, 'purchase')")
+    val wantSum = Tables.events(spark, TestSpark.sf001)
+      .agg(sum(col("user_id"))).head().getLong(0) + 8000000000L
+    assert(spark.sql(s"SELECT sum(uid_code) FROM $t").head().getLong(0) === wantSum)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE uid_code > 7000000000")
+      .head().getLong(0) === 1L)
+  }
+
   test("internal verbs ride the explicit-schema read on a widened store") {
     val (_, t, path) = freshTable()
     spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")
