@@ -52,23 +52,7 @@ class GraftDeltaRowLevelOperation(path: String, tableSchema: StructType,
 
   @volatile private var builtScan: GraftScan = _
 
-  private val statCols = GraftDeltaWrite.dvStatCols(tableSchema)
-
   override def command(): RowLevelOperation.Command = cmd
-
-  /** The stat-capped data columns ride the operation as METADATA
-    * ATTRIBUTES: Spark projects their pre-mutation (OLD) values into
-    * every delete()/update() call, which is exactly what the commit
-    * needs to record per-column DELETED-NULL counts and DELETED-ROW
-    * bounds on the vector entry ([[Dv.Entry]]) — the same stats the
-    * DELETE verb records, so COUNT(col)/MIN/MAX/grouped-COUNT
-    * pushdowns stay manifest answers on UPDATE/MERGE-vectored files
-    * instead of de-optimizing until compaction. The widened operation
-    * scan costs what deleteVectors' find scan always paid: the
-    * stat-capped columns of the MATCHED files only.
-    */
-  override def requiredMetadataAttributes(): Array[NamedReference] =
-    statCols.map(c => Expressions.column(c.name): NamedReference).toArray
 
   /** The physical row identity: data file + parquet row index — the
     * deletion vectors' own key. Non-nullable metadata columns (Spark
@@ -98,79 +82,10 @@ class GraftDeltaRowLevelOperation(path: String, tableSchema: StructType,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(path, info.schema(), uids, tsCol, cmd,
-          () => Option(builtScan), statCols)
+          () => Option(builtScan))
     }
 
   override def description(): String = s"graft-delta-$cmd:$path"
-}
-
-private[graft] object GraftDeltaWrite {
-
-  /** One stat-recorded column of a delta operation: declared (logical)
-    * name — what the metadata attribute resolves — and the PHYSICAL
-    * parquet name the manifest stats (and therefore [[Dv.Entry]] keys)
-    * live under; `tag` is the [[FileStats.ColStat]] value domain
-    * ("i"/"d"/"ts"/"s"), or "" for columns that get a deleted-NULL
-    * count but no bound domain (float/double — NaN-refused by the
-    * pushdowns anyway — NTZ times, and every other type).
-    */
-  final case class DvStatCol(name: String, phys: String, tag: String,
-                             dt: DataType)
-
-  /** The columns a delta DML records deleted-row stats for: the first
-    * [[FileStats.MaxStatsCols]] declared fields, schema order — the
-    * same cap the manifest file stats are bounded by, so a 500-column
-    * table pays per-deleted-row cost for 24 columns, not 500.
-    */
-  def dvStatCols(tableSchema: StructType): Seq[DvStatCol] =
-    tableSchema.fields.take(FileStats.MaxStatsCols).toSeq.map { f =>
-      val tag = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => "i"
-        case DateType => "d"
-        case TimestampType => "ts"
-        case StringType => "s"
-        case _ => ""
-      }
-      DvStatCol(f.name, GraftTable.physicalName(f), tag, f.dataType)
-    }
-
-  /** Sum per-column deleted-null counts and combine deleted bounds
-    * across a file's fragments. Positions are disjoint across
-    * fragments (each deleted row is recorded exactly once), so the
-    * counts SUM exactly; a column absent from any fragment's bounds
-    * (over-cap string values) drops — exact-or-refuse.
-    */
-  def unionFragStats(frags: Seq[DvFrag]): (Map[String, Long], Map[String, Dv.Bound]) = {
-    val nulls = frags.map(_.nulls).reduce { (a, b) =>
-      a.flatMap { case (c, k) => b.get(c).map(o => c -> (k + o)) }
-    }
-    val bounds = frags.map(_.bounds).reduce { (a, b) =>
-      a.flatMap { case (c, x) =>
-        b.get(c).collect { case y if y.tag == x.tag =>
-          c -> Dv.combineBounds(x, y)
-        }
-      }
-    }
-    (nulls, bounds)
-  }
-
-  /** Merge a file's fresh deleted-row stats with its PRE-EXISTING
-    * vector entry's — the same both-know-or-drop rule as the DELETE
-    * verb ([[TsStore.deleteVectors]]): a legacy entry without recorded
-    * stats keeps the union unknowable rather than guessed.
-    */
-  def mergeWithOld(old: Option[Dv.Entry], nulls: Map[String, Long],
-      bounds: Map[String, Dv.Bound]): (Map[String, Long], Map[String, Dv.Bound]) =
-    old match {
-      case Some(o) if o.rows > 0 =>
-        (nulls.flatMap { case (c, k) => o.nulls.get(c).map(x => c -> (x + k)) },
-         bounds.flatMap { case (c, b) =>
-           o.bounds.get(c).collect { case ob if ob.tag == b.tag =>
-             c -> Dv.combineBounds(ob, b)
-           }
-         })
-      case _ => (nulls, bounds)
-    }
 }
 
 /** The delta write: required layout, task writers, and the one-commit
@@ -178,8 +93,7 @@ private[graft] object GraftDeltaWrite {
   */
 private[sources] class GraftDeltaWrite(path: String, rowSchema: StructType,
     uids: Seq[String], tsCol: String, cmd: RowLevelOperation.Command,
-    scanOf: () => Option[GraftScan],
-    statCols: Seq[GraftDeltaWrite.DvStatCol])
+    scanOf: () => Option[GraftScan])
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   private def fileRef: Expression = Expressions.column(GraftTable.FileColName)
@@ -222,7 +136,7 @@ private[sources] class GraftDeltaWrite(path: String, rowSchema: StructType,
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, rowSchema, uids)
     new GraftDeltaBatchWrite(path, staging, rowSchema, uids, tsCol,
-      factory, conf, maxRecords, scanOf, statCols)
+      factory, conf, maxRecords, scanOf)
   }
 
   override def description(): String = s"graft-delta-write-$cmd:$path"
@@ -232,13 +146,12 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, maxRecordsPerFile: Long,
-    scanOf: () => Option[GraftScan],
-    statCols: Seq[GraftDeltaWrite.DvStatCol])
+    scanOf: () => Option[GraftScan])
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(staging, rowSchema, uids, tsCol, factory,
-      conf, maxRecordsPerFile, statCols)
+      conf, maxRecordsPerFile)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -264,15 +177,22 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
         // tasks) or an existing vector union DISTRIBUTED — one task per
         // file, executor-side IO, O(per-file deleted rows) each
         val byFile: Map[String, Seq[DvFrag]] = frags.groupBy(_.file)
-        // fresh deleted-row stats per file (fragment union), then merged
-        // with any pre-existing entry's — keeps COUNT(col)/MIN/MAX
+        // fresh deleted-row stats per file, computed FROM THE FILES at
+        // commit time (TsStore.dvFreshStats — the writer's rows carry
+        // POST-assignment values and must not be recorded), then merged
+        // with any pre-existing entry's. Keeps COUNT(col)/MIN/MAX
         // manifest-answerable on UPDATE/MERGE-vectored files, exactly
-        // like the DELETE verb's recording
-        val statsOf: Map[String, (Map[String, Long], Map[String, Dv.Bound])] =
+        // like the DELETE verb's recording.
+        val fresh = TsStore.dvFreshStats(spark, path, base,
           byFile.map { case (f, fs) =>
-            val (nulls, bounds) = GraftDeltaWrite.unionFragStats(fs)
-            f -> GraftDeltaWrite.mergeWithOld(base.dvs.get(f), nulls, bounds)
-          }
+            f -> (fs.map(x => s"$path/${x.rel}"), fs.map(_.rows).sum)
+          })
+        val statsOf: Map[String, (Map[String, Long], Map[String, Dv.Bound])] =
+          byFile.keys.map { f =>
+            val (nulls, bounds) = fresh.getOrElse(f, (Map.empty[String, Long],
+              Map.empty[String, Dv.Bound]))
+            f -> TsStore.mergeDvStats(base.dvs.get(f), nulls, bounds)
+          }.toMap
         val (direct, needMerge) = byFile.partition { case (f, fs) =>
           fs.size == 1 && !base.dvs.contains(f)
         }
@@ -333,12 +253,13 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
 }
 
 /** One deletion-vector FRAGMENT: the positions one task deleted from
-  * one data file, plus the deleted rows' per-column stats (keyed by
-  * PHYSICAL column name, [[FileStats.ColStat]] value domains) — what
-  * the commit unions into the file's [[Dv.Entry]].
+  * one data file. Deleted-row STATS are deliberately NOT recorded
+  * here: the delta plan hands the writer POST-assignment values (an
+  * UPDATE assigning a column would record the new value as "deleted"),
+  * so the commit recomputes them from the files ([[TsStore
+  * .dvFreshStats]]) where the OLD rows still live.
   */
-private[graft] final case class DvFrag(file: String, rel: String, rows: Long,
-    nulls: Map[String, Long], bounds: Map[String, Dv.Bound])
+private[graft] final case class DvFrag(file: String, rel: String, rows: Long)
 
 /** One task's artifacts: staged insert files + deletion-vector
   * fragments.
@@ -350,12 +271,11 @@ private[graft] case class GraftDeltaTaskResult(
 private[sources] class GraftDeltaWriterFactory(staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: GraftSerializableConf, maxRecordsPerFile: Long,
-    statCols: Seq[GraftDeltaWrite.DvStatCol])
+    conf: GraftSerializableConf, maxRecordsPerFile: Long)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaDataWriter(staging, rowSchema, uids, tsCol, factory,
-      conf, partitionId, taskId, maxRecordsPerFile, statCols)
+      conf, partitionId, taskId, maxRecordsPerFile)
 }
 
 /** The task writer: inserts ride the streaming-hardened hashed parquet
@@ -369,8 +289,7 @@ private[sources] class GraftDeltaDataWriter(staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, partitionId: Int, taskId: Long,
-    maxRecordsPerFile: Long,
-    statCols: Seq[GraftDeltaWrite.DvStatCol])
+    maxRecordsPerFile: Long)
   extends DeltaWriter[InternalRow] {
 
   // lazy: a pure-DELETE delta has an empty row schema and never inserts
@@ -378,101 +297,39 @@ private[sources] class GraftDeltaDataWriter(staging: String,
     uids, tsCol, factory, conf.value, partitionId, taskId, maxRecordsPerFile)
   private var insertsOpened = false
   private val positions =
-    scala.collection.mutable.LinkedHashMap.empty[String, PerFileBuf]
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
   private val frags = Seq.newBuilder[DvFrag]
   private var fragSeq = 0
   private val flushRows = conf.value.getInt(
     GraftDeltaDataWriter.FragmentFlushKey, GraftDeltaDataWriter.FragmentFlushRows)
-  private val statArr = statCols.toArray
-  // per-column long-domain extractor for the METADATA row (the deleted
-  // row's old values, projected in statCols order)
-  private val longOf: Array[(InternalRow, Int) => Long] = statArr.map { c =>
-    c.dt match {
-      case ByteType => (r: InternalRow, i: Int) => r.getByte(i).toLong
-      case ShortType => (r: InternalRow, i: Int) => r.getShort(i).toLong
-      case IntegerType | DateType => (r: InternalRow, i: Int) => r.getInt(i).toLong
-      case _ => (r: InternalRow, i: Int) => r.getLong(i)
-    }
-  }
 
-  /** One file's pending positions + deleted-row stat accumulators:
-    * per-column null counts, long-domain / string-domain running
-    * bounds, and the over-cap-string drop marks. O(statCols) per
-    * deleted row — the same order as the sidecar bytes themselves.
-    */
-  private final class PerFileBuf {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val nulls = new Array[Long](statArr.length)
-    val lo = new Array[Long](statArr.length)
-    val hi = new Array[Long](statArr.length)
-    var seen = new Array[Boolean](statArr.length)
-    val slo = new Array[String](statArr.length)
-    val shi = new Array[String](statArr.length)
-    val bad = new Array[Boolean](statArr.length)
-  }
-
-  private def flushFrag(file: String, b: PerFileBuf): Unit = {
+  private def flushFrag(file: String, buf: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
     val rel = f"${Dv.Dir}%s/frag-$partitionId%05d-$taskId%d-$fragSeq%03d.bin"
     fragSeq += 1
-    val nulls = statArr.iterator.zipWithIndex
-      .map { case (c, i) => c.phys -> b.nulls(i) }.toMap
-    val bounds = statArr.iterator.zipWithIndex.flatMap { case (c, i) =>
-      if (c.tag.isEmpty || b.bad(i)) None
-      else if (!b.seen(i)) Some(c.phys -> Dv.Bound.empty(c.tag))
-      else if (c.tag == "s")
-        Some(c.phys -> Dv.Bound(c.tag, Some(b.slo(i)), Some(b.shi(i))))
-      else Some(c.phys -> Dv.Bound(c.tag, Some(b.lo(i)), Some(b.hi(i))))
-    }.toMap
-    frags += DvFrag(file, rel,
-      Dv.write(conf.value, s"$staging/$rel", b.buf.toArray), nulls, bounds)
+    frags += DvFrag(file, rel, Dv.write(conf.value, s"$staging/$rel", buf.toArray))
   }
 
-  private def recordDelete(metadata: InternalRow, id: InternalRow): Unit = {
+  private def recordDelete(id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString // copy — the id row is reused
-    val b = positions.getOrElseUpdate(file, new PerFileBuf)
-    b.buf += id.getLong(1)
-    var i = 0
-    while (i < statArr.length) {
-      if (metadata.isNullAt(i)) b.nulls(i) += 1
-      else {
-        val tag = statArr(i).tag
-        if (tag == "s") {
-          if (!b.bad(i)) {
-            val v = metadata.getUTF8String(i).toString
-            if (v.length > FileStats.MaxStringLen) b.bad(i) = true
-            else if (!b.seen(i)) { b.slo(i) = v; b.shi(i) = v; b.seen(i) = true }
-            else {
-              if (Dv.cmpBound("s", v, b.slo(i)) < 0) b.slo(i) = v
-              if (Dv.cmpBound("s", v, b.shi(i)) > 0) b.shi(i) = v
-            }
-          }
-        } else if (tag.nonEmpty) {
-          val v = longOf(i)(metadata, i)
-          if (!b.seen(i)) { b.lo(i) = v; b.hi(i) = v; b.seen(i) = true }
-          else {
-            if (v < b.lo(i)) b.lo(i) = v
-            if (v > b.hi(i)) b.hi(i) = v
-          }
-        }
-      }
-      i += 1
-    }
+    val buf = positions.getOrElseUpdate(file,
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    buf += id.getLong(1)
     // bound task memory: a fully-deleted 8M-row file is 64 MB of
     // positions, and a task may own MANY files — spill an over-cap
     // buffer as its own fragment (the commit-side union merges
     // multi-fragment files anyway)
-    if (b.buf.length >= flushRows) {
-      flushFrag(file, b)
+    if (buf.length >= flushRows) {
+      flushFrag(file, buf)
       positions.remove(file)
     }
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    recordDelete(metadata, id)
+    recordDelete(id)
 
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
-    recordDelete(metadata, id)
+    recordDelete(id)
     insert(row)
   }
 
@@ -485,7 +342,7 @@ private[sources] class GraftDeltaDataWriter(staging: String,
     val insertFiles =
       if (!insertsOpened) Seq.empty[String]
       else insertW.commit() match { case GraftWriteTaskResult(fs) => fs }
-    positions.foreach { case (file, b) => flushFrag(file, b) }
+    positions.foreach { case (file, buf) => flushFrag(file, buf) }
     positions.clear()
     GraftDeltaTaskResult(insertFiles, frags.result())
   }

@@ -818,54 +818,9 @@ object TsStore {
     // tags): integral→long, date→epoch days, timestamp→epoch micros,
     // string as-is; float/double and NTZ are never recorded (the
     // pushdown refuses them regardless).
-    def matches(fs: Seq[String]) = {
-      val df = matcher(readFilesDv(spark, path, base, fs, mergeSchema = true,
-        keepMeta = true))
-      // cap the recorded columns at the stats cap (schema order): the
-      // pushdowns can only use nulls/bounds alongside the file's
-      // MANIFEST STATS, which [[FileStats.MaxStatsCols]] bounds the
-      // same way — a 500-column table pays per-matched-row map cost
-      // for 24 columns, not 500
-      val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos")
-        .take(FileStats.MaxStatsCols).toSeq
-      import org.apache.spark.sql.types._
-      val tags: Map[String, String] = df.schema.fields.iterator
-        .filter(f => dataCols.contains(f.name))
-        .flatMap { f =>
-          f.dataType match {
-            case ByteType | ShortType | IntegerType | LongType => Some(f.name -> "i")
-            case DateType => Some(f.name -> "d")
-            case TimestampType => Some(f.name -> "ts")
-            case StringType => Some(f.name -> "s")
-            case _ => None
-          }
-        }.toMap
-      val longDom = dataCols.filter(c => tags.get(c).exists(_ != "s"))
-      val strDom = dataCols.filter(c => tags.get(c).contains("s"))
-      // the empty fallbacks are TYPED literals: a bare functions.map()
-      // types as map<string,string>, and an NTZ-time store with no
-      // integral/date/ts column among the stat-capped set would then
-      // fail the Map[String,Long] decode below with a cannot-up-cast
-      // AnalysisException, aborting the DELETE
-      def nonNullMap(entries: Seq[Column], empty: Column): Column =
-        if (entries.isEmpty) empty
-        else map_filter(map(entries: _*), (_, v) => v.isNotNull)
-      val longVals = nonNullMap(longDom.flatMap { c =>
-        val v = tags(c) match {
-          case "d" => unix_date(col(c)).cast(LongType)
-          case "ts" => unix_micros(col(c))
-          case _ => col(c).cast(LongType)
-        }
-        Seq(lit(c), v)
-      }, typedLit(Map.empty[String, Long]))
-      val strVals = nonNullMap(strDom.flatMap(c => Seq(lit(c), col(c))),
-        typedLit(Map.empty[String, String]))
-      val ds = df.select(col("__file"), col("__pos"),
-          map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"),
-          longVals.as("__dlong"), strVals.as("__dstr"))
-        .as[(String, Long, Map[String, Boolean], Map[String, Long], Map[String, String])]
-      (ds, tags)
-    }
+    def matches(fs: Seq[String]) =
+      dvStatSelect(matcher(readFilesDv(spark, path, base, fs,
+        mergeSchema = true, keepMeta = true)))
     val v = StoreLog.withWriterLease(path) { lease =>
       val ((found, tags), uris) =
         try (matches(candidates), uriMap(candidates))
@@ -879,79 +834,34 @@ object TsStore {
       // retried/speculative task writes an orphan sidecar — vacuumable
       // garbage, exactly like an unadopted staged data file (the lease
       // held here keeps vacuum off the fresh ones meanwhile).
-      val written: Array[(String, String, Long, Map[String, Long],
-          Map[String, Long], Map[String, Long],
-          Map[String, String], Map[String, String], Seq[String])] =
+      val written: Array[(String, String, Long, DvStatRaw)] =
         found.groupByKey(_._1).mapGroups { (uri, it) =>
           val freshB = Array.newBuilder[Long]
-          val nc = scala.collection.mutable.HashMap.empty[String, Long]
-          val lo = scala.collection.mutable.HashMap.empty[String, Long]
-          val hi = scala.collection.mutable.HashMap.empty[String, Long]
-          val slo = scala.collection.mutable.HashMap.empty[String, String]
-          val shi = scala.collection.mutable.HashMap.empty[String, String]
-          // string columns whose deleted values exceed the stat cap —
-          // a truncated MAX bound would need byte-order round-UP
-          // (FileStats refuses the same way), so the column's bound is
-          // dropped rather than guessed
-          val bad = scala.collection.mutable.HashSet.empty[String]
-          var seeded = false
+          val acc = new DvStatAcc
           it.foreach { case (_, p, ns, dl, dsv) =>
             freshB += p
-            if (!seeded) { ns.keysIterator.foreach(c => nc(c) = 0L); seeded = true }
-            ns.foreach { case (c, isN) => if (isN) nc(c) = nc.getOrElse(c, 0L) + 1L }
-            dl.foreach { case (c, v) =>
-              if (!lo.contains(c) || v < lo(c)) lo(c) = v
-              if (!hi.contains(c) || v > hi(c)) hi(c) = v
-            }
-            dsv.foreach { case (c, v) =>
-              if (v.length > FileStats.MaxStringLen) { bad += c; slo.remove(c); shi.remove(c) }
-              else if (!bad.contains(c)) {
-                if (!slo.contains(c) || Dv.cmpBound("s", v, slo(c)) < 0) slo(c) = v
-                if (!shi.contains(c) || Dv.cmpBound("s", v, shi(c)) > 0) shi(c) = v
-              }
-            }
+            acc.add(ns, dl, dsv)
           }
           val fresh = freshB.result()
           val old = urisB.value.get(uri).flatMap(_._2)
             .map(Dv.read(sconf.value, _)).getOrElse(Array.empty[Long])
           val rel = Dv.newRelPath()
           val n = Dv.write(sconf.value, s"$path/$rel", old ++ fresh)
-          (uri, rel, n, nc.toMap, lo.toMap, hi.toMap, slo.toMap, shi.toMap,
-            bad.toSeq)
+          (uri, rel, n, acc.result)
         }.collect()
       if (written.isEmpty) base.version
       else {
         val entries: Map[String, Dv.Entry] = written.map {
-          case (uri, rel, n, nc, lo, hi, slo, shi, bad) =>
+          case (uri, rel, n, raw) =>
           val (dataRel, _) = uris.getOrElse(uri, throw new IllegalStateException(
             s"scan uri '$uri' matches no planned file of $path — " +
               "Dv.absUri rendering diverged from the scan's"))
-          // this commit's deleted bounds: every stat-eligible column
-          // gets one — EMPTY when all its deleted values were null
-          // (deletion provably can't move min/max then)
-          val freshBounds: Map[String, Dv.Bound] = tags.flatMap { case (c, tag) =>
-            if (bad.contains(c)) None
-            else if (tag == "s")
-              Some(c -> slo.get(c).map(l => Dv.Bound(tag, Some(l), Some(shi(c))))
-                .getOrElse(Dv.Bound.empty(tag)))
-            else
-              Some(c -> lo.get(c).map(l => Dv.Bound(tag, Some(l), Some(hi(c))))
-                .getOrElse(Dv.Bound.empty(tag)))
-          }
           // union with a pre-existing vector: summed counts / combined
           // bounds where BOTH entries know them, dropped where either
-          // doesn't (a delta-DML or legacy entry without them stays
-          // unknowable — exact-or-refuse)
-          val (merged, mergedBounds) = base.dvs.get(dataRel) match {
-            case Some(old) if old.rows > 0 =>
-              (nc.flatMap { case (c, k) => old.nulls.get(c).map(o => c -> (o + k)) },
-               freshBounds.flatMap { case (c, b) =>
-                 old.bounds.get(c).collect {
-                   case ob if ob.tag == b.tag => c -> Dv.combineBounds(ob, b)
-                 }
-               })
-            case _ => (nc, freshBounds)
-          }
+          // doesn't (a legacy entry without them stays unknowable —
+          // exact-or-refuse)
+          val (merged, mergedBounds) = mergeDvStats(base.dvs.get(dataRel),
+            raw.nulls, raw.bounds(tags))
           dataRel -> Dv.Entry(rel, n, merged, mergedBounds)
         }.toMap
         val prefixes = entries.keySet.map { f =>
@@ -971,6 +881,213 @@ object TsStore {
     }
     if (v != base.version) dvDensityCompact(spark, path)
     v
+  }
+
+  /** The deleted-row STAT PROJECTION shared by every dv writer: per
+    * matching live row — (scan uri, position, per-column isnull map,
+    * long-domain values, string-domain values) — capped at the stats
+    * cap (schema order): the pushdowns can only use nulls/bounds
+    * alongside the file's MANIFEST STATS, which
+    * [[FileStats.MaxStatsCols]] bounds the same way, so a 500-column
+    * table pays per-deleted-row map cost for 24 columns, not 500.
+    * Value domains mirror the manifest stats exactly
+    * ([[FileStats.ColStat]] tags): integral→long, date→epoch days,
+    * timestamp→epoch micros, string as-is; float/double and NTZ are
+    * never recorded (the pushdowns refuse them regardless).
+    */
+  private def dvStatSelect(df: DataFrame): (
+      org.apache.spark.sql.Dataset[(String, Long, Map[String, Boolean],
+        Map[String, Long], Map[String, String])],
+      Map[String, String]) = {
+    import df.sparkSession.implicits._
+    val dataCols = df.columns.filterNot(c => c == "__file" || c == "__pos")
+      .take(FileStats.MaxStatsCols).toSeq
+    import org.apache.spark.sql.types._
+    val tags: Map[String, String] = df.schema.fields.iterator
+      .filter(f => dataCols.contains(f.name))
+      .flatMap { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => Some(f.name -> "i")
+          case DateType => Some(f.name -> "d")
+          case TimestampType => Some(f.name -> "ts")
+          case StringType => Some(f.name -> "s")
+          case _ => None
+        }
+      }.toMap
+    val longDom = dataCols.filter(c => tags.get(c).exists(_ != "s"))
+    val strDom = dataCols.filter(c => tags.get(c).contains("s"))
+    // the empty fallbacks are TYPED literals: a bare functions.map()
+    // types as map<string,string>, and an NTZ-time store with no
+    // integral/date/ts column among the stat-capped set would then
+    // fail the Map[String,Long] decode below with a cannot-up-cast
+    // AnalysisException, aborting the DELETE
+    def nonNullMap(entries: Seq[Column], empty: Column): Column =
+      if (entries.isEmpty) empty
+      else map_filter(map(entries: _*), (_, v) => v.isNotNull)
+    val longVals = nonNullMap(longDom.flatMap { c =>
+      val v = tags(c) match {
+        case "d" => unix_date(col(c)).cast(LongType)
+        case "ts" => unix_micros(col(c))
+        case _ => col(c).cast(LongType)
+      }
+      Seq(lit(c), v)
+    }, typedLit(Map.empty[String, Long]))
+    val strVals = nonNullMap(strDom.flatMap(c => Seq(lit(c), col(c))),
+      typedLit(Map.empty[String, String]))
+    val ds = df.select(col("__file"), col("__pos"),
+        map(dataCols.flatMap(c => Seq(lit(c), col(c).isNull)): _*).as("__nulls"),
+        longVals.as("__dlong"), strVals.as("__dstr"))
+      .as[(String, Long, Map[String, Boolean], Map[String, Long], Map[String, String])]
+    (ds, tags)
+  }
+
+  /** One file's accumulated deleted-row stats in raw form — an
+    * encodable product so the distributed stat passes can return it.
+    * `bounds` builds the committed [[Dv.Bound]] map: every
+    * stat-eligible column gets one — EMPTY when all its deleted values
+    * were null (deletion provably can't move min/max then), dropped
+    * for over-cap strings (`bad` — a truncated MAX bound would need
+    * byte-order round-UP; FileStats refuses the same way).
+    */
+  private[sources] final case class DvStatRaw(n: Long,
+      nulls: Map[String, Long],
+      lo: Map[String, Long], hi: Map[String, Long],
+      slo: Map[String, String], shi: Map[String, String],
+      bad: Seq[String]) {
+    def bounds(tags: Map[String, String]): Map[String, Dv.Bound] =
+      tags.flatMap { case (c, tag) =>
+        if (bad.contains(c)) None
+        else if (tag == "s")
+          Some(c -> slo.get(c).map(l => Dv.Bound(tag, Some(l), Some(shi(c))))
+            .getOrElse(Dv.Bound.empty(tag)))
+        else
+          Some(c -> lo.get(c).map(l => Dv.Bound(tag, Some(l), Some(hi(c))))
+            .getOrElse(Dv.Bound.empty(tag)))
+      }
+  }
+
+  /** The executor-side accumulator behind [[DvStatRaw]]. */
+  private[sources] final class DvStatAcc {
+    var n = 0L
+    val nc = scala.collection.mutable.HashMap.empty[String, Long]
+    val lo = scala.collection.mutable.HashMap.empty[String, Long]
+    val hi = scala.collection.mutable.HashMap.empty[String, Long]
+    val slo = scala.collection.mutable.HashMap.empty[String, String]
+    val shi = scala.collection.mutable.HashMap.empty[String, String]
+    val bad = scala.collection.mutable.HashSet.empty[String]
+    private var seeded = false
+
+    def add(ns: Map[String, Boolean], dl: Map[String, Long],
+            dsv: Map[String, String]): Unit = {
+      n += 1
+      if (!seeded) { ns.keysIterator.foreach(c => nc(c) = 0L); seeded = true }
+      ns.foreach { case (c, isN) => if (isN) nc(c) = nc.getOrElse(c, 0L) + 1L }
+      dl.foreach { case (c, v) =>
+        if (!lo.contains(c) || v < lo(c)) lo(c) = v
+        if (!hi.contains(c) || v > hi(c)) hi(c) = v
+      }
+      dsv.foreach { case (c, v) =>
+        if (v.length > FileStats.MaxStringLen) { bad += c; slo.remove(c); shi.remove(c) }
+        else if (!bad.contains(c)) {
+          if (!slo.contains(c) || Dv.cmpBound("s", v, slo(c)) < 0) slo(c) = v
+          if (!shi.contains(c) || Dv.cmpBound("s", v, shi(c)) > 0) shi(c) = v
+        }
+      }
+    }
+
+    def result: DvStatRaw =
+      DvStatRaw(n, nc.toMap, lo.toMap, hi.toMap, slo.toMap, shi.toMap, bad.toSeq)
+  }
+
+  /** Merge a file's FRESH deleted-row stats with its pre-existing
+    * vector entry's: summed counts / combined bounds where BOTH know
+    * the column, dropped where either doesn't (a legacy entry without
+    * stats keeps the union unknowable — exact-or-refuse).
+    */
+  private[graft] def mergeDvStats(old: Option[Dv.Entry],
+      nulls: Map[String, Long], bounds: Map[String, Dv.Bound])
+      : (Map[String, Long], Map[String, Dv.Bound]) = old match {
+    case Some(o) if o.rows > 0 =>
+      (nulls.flatMap { case (c, k) => o.nulls.get(c).map(x => c -> (x + k)) },
+       bounds.flatMap { case (c, b) =>
+         o.bounds.get(c).collect { case ob if ob.tag == b.tag =>
+           c -> Dv.combineBounds(ob, b)
+         }
+       })
+    case _ => (nulls, bounds)
+  }
+
+  /** Per-column deleted-null counts + deleted-row bounds for a delta
+    * DML commit's FRESH positions, computed FROM THE FILES THEMSELVES
+    * at commit time: one distributed pass over the touched files'
+    * stat-capped columns, positions joined from the adopted fragment
+    * sidecars. The delta WRITERS cannot record these from the rows
+    * they see — Spark's delta plans project the POST-ASSIGNMENT values
+    * (an UPDATE assigning a stat column hands the writer the NEW
+    * value, verified empirically), and recording those would let a
+    * MIN/MAX pushdown claim a deleted end intact while the end was in
+    * fact deleted. The OLD rows are still in the files (merge-on-read
+    * moves nothing), so the read-back is always sound; cost is one
+    * column-pruned scan of exactly the touched files. Exact-or-refuse:
+    * a file whose aggregated row count mismatches its fragments'
+    * position count (scan/rendering divergence) drops its stats.
+    *
+    * `fragsByFile`: data-file rel → (adopted fragment ABSOLUTE paths,
+    * expected fresh position count). Returns rel → (nulls, bounds).
+    */
+  private[graft] def dvFreshStats(spark: SparkSession, path: String,
+      base: StoreLog.Snapshot,
+      fragsByFile: Map[String, (Seq[String], Long)])
+      : Map[String, (Map[String, Long], Map[String, Dv.Bound])] = {
+    if (fragsByFile.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    import spark.implicits._
+    val files = fragsByFile.keys.toSeq.sorted
+    val fidOf: Map[String, Int] = files.zipWithIndex.toMap
+    val relOfUri: Map[String, String] =
+      files.map(f => Dv.absUri(conf, path, f) -> f).toMap
+    val posDf = spark.createDataset(
+        fragsByFile.toSeq.map { case (f, (frags, _)) => (fidOf(f), frags) })
+      .flatMap { case (fid, frags) =>
+        frags.iterator.flatMap(p => Dv.read(sconf.value, p).iterator)
+          .map(p => (fid, p)) }
+      .toDF("__dv_fid", "__dv_pos")
+    val fidDf = files.map(f => (Dv.absUri(conf, path, f), fidOf(f)))
+      .toDF("__uri", "__jfid")
+    // the PRE-commit live view of the touched files: old vectors are
+    // subtracted by readFilesDv, and this commit's fresh positions are
+    // disjoint from them by construction (the operation scanned only
+    // live rows)
+    val df0 = readFilesDv(spark, path, base, files, mergeSchema = true,
+      keepMeta = true)
+    val totalFresh = fragsByFile.valuesIterator.map(_._2).sum
+    val capBytes = spark.conf.getOption("spark.graft.dv.broadcastBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val posSide = if (totalFresh * 24L <= capBytes) broadcast(posDf) else posDf
+    val joined = df0
+      .join(broadcast(fidDf), df0("__file") === col("__uri"), "inner")
+      .drop("__uri")
+      .join(posSide, col("__jfid") === col("__dv_fid") &&
+        col("__pos") === col("__dv_pos"), "inner")
+      .drop("__jfid", "__dv_fid", "__dv_pos")
+    val (ds, tags) = dvStatSelect(joined)
+    val got: Map[String, DvStatRaw] =
+      ds.groupByKey(_._1).mapGroups { (uri, it) =>
+        val acc = new DvStatAcc
+        it.foreach { case (_, _, ns, dl, dsv) => acc.add(ns, dl, dsv) }
+        (uri, acc.result)
+      }.collect().toMap.map { case (uri, raw) => relOfUri(uri) -> raw }
+    fragsByFile.map { case (f, (_, expected)) =>
+      got.get(f) match {
+        case Some(raw) if raw.n == expected =>
+          f -> (raw.nulls, raw.bounds(tags))
+        case _ =>
+          // fewer (or no) rows matched than positions exist — refuse
+          // this file's stats rather than under-count
+          f -> (Map.empty[String, Long], Map.empty[String, Dv.Bound])
+      }
+    }
   }
 
   /** Map the find scan's `input_file_name()` URIs back to manifest

@@ -866,6 +866,42 @@ class DvSpec extends AnyFunSuite {
     assert(StoreLog.latest(dir).get.dvs.isEmpty)
   }
 
+  test("delta dv stats record OLD values even when the UPDATE assigns the stat column itself") {
+    // THE soundness trap of delta-DML stat recording: Spark's delta
+    // plan hands the writer POST-assignment values, so stats must come
+    // from reading the files back at commit (TsStore.dvFreshStats). If
+    // the new values were recorded, updating the MAX-attaining rows
+    // DOWNWARD would record mid-range "deleted bounds", the MAX
+    // pushdown would claim the end intact, and the answer would be a
+    // DELETED value.
+    val root = Files.createTempDirectory("graft_dvold").toString
+    spark.conf.set("spark.sql.catalog.gdvold", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvold.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvold.ns")
+    spark.range(0, 1000).select(
+      (col("id") + 100).as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"),
+      lit("x").as("event_type"),
+      format_string("s%04d", col("id") + 100).as("tag"))
+      .createOrReplaceTempView("gdvold_src")
+    spark.sql("CREATE TABLE gdvold.ns.t USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('delete.mode'='dv') AS SELECT * FROM gdvold_src")
+    // move the TOP tags (s1090..s1099) down into the middle
+    spark.sql("UPDATE gdvold.ns.t SET tag = 'm0500' WHERE event_id >= 1090")
+    val snap = StoreLog.latest(s"$root/ns/t").get
+    val bs = snap.dvs.values.flatMap(_.bounds.get("tag")).toSeq
+    assert(bs.nonEmpty && bs.exists(_.hi.contains("s1099")),
+      s"deleted-tag bounds must carry the OLD values (true deleted end s1099): $bs")
+    // MAX must be the true live max — the updated rows' OLD tags are gone
+    assert(spark.sql("SELECT max(tag) FROM gdvold.ns.t").head().getString(0)
+      === "s1089")
+    // null direction: updating non-null -> NULL must not count the
+    // deleted rows as having been null
+    spark.sql("UPDATE gdvold.ns.t SET tag = NULL WHERE event_id <= 109")
+    assert(spark.sql("SELECT count(tag) FROM gdvold.ns.t").head().getLong(0)
+      === 990L)
+  }
+
   test("dv.compact.ratio auto-compacts on SQL DML commits crossing the density") {
     val root = Files.createTempDirectory("graft_dvratio").toString
     spark.conf.set("spark.sql.catalog.gdvr", classOf[graft.sources.GraftCatalog].getName)
