@@ -64,6 +64,19 @@ class RetypeSpec extends AnyFunSuite {
     // a filter on the widened column still returns the right rows
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE uid_i > 4000000000").head()
       .getLong(0) === 1L)
+    // MIN/MAX aggregate pushdown across MIXED widths: int32-era file
+    // stats decode into the declared BIGINT (the long stat domain is
+    // width-blind), the int64-era INSERT supplies the new max
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftAggScan
+    val qm = spark.sql(s"SELECT min(uid_i) AS lo, max(uid_i) AS hi FROM $t")
+    assert(qm.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .exists(_.isInstanceOf[GraftAggScan]),
+      "MIN/MAX(widened col) must stay a manifest answer across mixed widths")
+    val wantMin = Tables.events(spark, TestSpark.sf001)
+      .agg(min(col("user_id"))).head().getLong(0)
+    assert(qm.head().getLong(0) === wantMin && qm.head().getLong(1) === 5000000000L)
   }
 
   test("time travel reads each era's declared type") {
