@@ -1219,7 +1219,9 @@ object Llm {
         trained.orderBy(col("q_id"))
       },
       None,
-      "trained (k-means++) IVF through the recall harness — own-test, trained >= first-K self-pin"),
+      "trained (k-means++) IVF through the recall harness — own-test, " +
+        "non-collapse pin (recall > 0 at nprobe=2); centroid determinism " +
+        "and clustered-fixture superiority pinned in IvfSpec"),
 
     "llm_ann_ivf_quantized" -> DeclaredQuery(
       // The QUANTIZED persisted index — llm_quantize's symmetric int8

@@ -405,6 +405,43 @@ object Scans {
         "WHERE user_id BETWEEN 3 AND 7 AND value <= 120.0 ORDER BY event_id"),
       "z-order clustering rewrite: multi-dimensional file locality, manifest-stat pruning on non-sort keys"),
 
+    "store_zorder_scoped" -> DeclaredQuery(
+      // PARTITION-SCOPED clustering rewrite (the Delta OPTIMIZE ...
+      // WHERE role): at 100 TB you re-cluster yesterday's partitions,
+      // not the decade — the whole-store pass above would rewrite
+      // everything to fix one partition's layout. A predicate over the
+      // partition columns resolves to live prefixes driver-side
+      // (manifest-only, one local row per partition), the rewrite
+      // touches ONLY those prefixes' files, and `replaced` names only
+      // the scope so concurrent writers elsewhere serialize cleanly.
+      // Self-pins the out-of-scope-untouched contract (ZorderSpec pins
+      // it byte-level plus in-scope pruning) before the content gate;
+      // the rewrite only moves rows, so the oracle is a plain filter.
+      (s, d) => {
+        val dir = sinkDir("zorder_scope", d)
+        TsStore.write(Tables.events(s, d), dir, tsCol = "ts",
+          uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
+        val pre = graft.sources.StoreLog.latest(dir).get
+        val scope = TsStore.partitionPrefixesWhere(s, pre, "event_type = 'view'")
+        TsStore.zorder(s, dir, clusterCols = Seq("user_id", "value"),
+          uidCols = Seq("event_type"), scope = scope)
+        val snap = graft.sources.StoreLog.latest(dir).get
+        require(pre.files.filterNot(_.startsWith("event_type=view/")).sorted ==
+          snap.files.filterNot(_.startsWith("event_type=view/")).sorted,
+          "scoped zorder must leave out-of-scope partitions' file sets alone")
+        require(snap.files.filter(_.startsWith("event_type=view/"))
+            .forall(f => !pre.files.contains(f)),
+          "every in-scope file must be replaced")
+        val pred = col("event_type") === "view" && col("user_id").between(3, 7)
+        TsStore.load(s, dir, prune = Some(pred)).filter(pred)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE event_type = 'view' AND user_id BETWEEN 3 AND 7 ORDER BY event_id"),
+      "partition-scoped z-order rewrite: re-cluster only the partitions a predicate names"),
+
     "store_schema_evolution" -> DeclaredQuery(
       // Schema evolution through the store's MERGE: the upsert delta is
       // WIDER than the base (adds a `score` column) and touches only the
@@ -1545,6 +1582,49 @@ object Scans {
       Some("SELECT event_id, ts, user_id, event_type, value " +
         "FROM events WHERE event_id % 11 <> 3 ORDER BY event_id"),
       "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL"),
+
+    "store_sql_delete_keys" -> DeclaredQuery(
+      // The KEYED takedown from pure SQL: DELETE WHERE expresses a
+      // predicate, but the GDPR/takedown shape is a MILLION-KEY LIST —
+      // `CALL system.delete_keys(table, keys_view, ...)` routes a keys
+      // relation through the merge-on-read keyed delete
+      // (deleteKeysVectors: broadcast key join, plan O(1) in key count,
+      // O(deleted rows) sidecar IO, ONE manifest commit). Version
+      // semantics match the CDC contract (delete wins at version <=
+      // del_v; higher-version reinserts survive — DvSpec pins both).
+      // Self-pins sidecars-only before the content gate.
+      (s, d) => {
+        val cat = s"gdkq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_dk_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("version", lit(1L))
+          .createOrReplaceTempView("dk_sql_src")
+        s.sql(s"CREATE TABLE $cat.q.ev USING graft " +
+          "PARTITIONED BY (event_type) AS SELECT * FROM dk_sql_src")
+        Tables.events(s, d).filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), lit(2L).as("del_v"))
+          .createOrReplaceTempView("dk_sql_keys")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val before = graft.sources.StoreLog.latest(path).get
+        s.sql(s"CALL $cat.system.delete_keys(table => 'q.ev', " +
+          "keys => 'dk_sql_keys', key_cols => 'event_id', " +
+          "delete_version_col => 'del_v', version_col => 'version')").collect()
+        val snap = graft.sources.StoreLog.latest(path).get
+        require(snap.files == before.files && snap.dvs.nonEmpty,
+          "the keyed takedown must be sidecars-only: no data file moves")
+        require(snap.version == before.version + 1,
+          "the keyed takedown must be ONE commit")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value " +
+        "FROM events WHERE event_id % 7 <> 0 ORDER BY event_id"),
+      "CALL system.delete_keys: million-key takedown from SQL — dv sidecars, one commit, plan O(1) in keys"),
 
     "store_sql_update_dv" -> DeclaredQuery(
       // MERGE-ON-READ UPDATE (the delta row-level operation,

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("vacuum", "compact", "zorder", "history", "detail")
+  val Names: Seq[String] =
+    Seq("vacuum", "compact", "zorder", "history", "detail", "delete_keys")
 
   /** Procedure result rows — the analyzer requires a LocalScan. */
   private final class ResultScan(schema: StructType, rowVals: Seq[Array[Any]])
@@ -119,11 +120,13 @@ object GraftProcedures {
         }
       }
       case "zorder" => new OneShot("zorder",
-        "rewrite the table clustered on the interleaved Morton value of the named columns",
+        "rewrite the table (or the partitions a where-predicate names) " +
+          "clustered on the interleaved Morton value of the named columns",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("cols", StringType).build(),
-          ProcedureParameter.in("buckets", IntegerType).defaultValue("256").build())) {
+          ProcedureParameter.in("buckets", IntegerType).defaultValue("256").build(),
+          ProcedureParameter.in("where", StringType).defaultValue("NULL").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, uids) = layout(root, input.getUTF8String(0).toString)
           require(uids.nonEmpty, "zorder needs the table's partition columns " +
@@ -141,8 +144,82 @@ object GraftProcedures {
           val cols = input.getUTF8String(1).toString
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq.map(physOf)
           val buckets = if (input.isNullAt(2)) 256 else input.getInt(2)
-          val v = TsStore.zorder(SparkSession.active, path,
-            clusterCols = cols, uidCols = uids, buckets = buckets)
+          // partition scope: resolve the predicate to live prefixes
+          // (partition columns are rename/retype-immutable, so the
+          // user's names ARE the directory names); a null where
+          // re-clusters the whole store, a predicate admitting nothing
+          // is a no-op returning the current version
+          val spark = SparkSession.active
+          val scope =
+            if (input.isNullAt(3)) Nil
+            else TsStore.partitionPrefixesWhere(spark, StoreLog.ensure(path),
+              input.getUTF8String(3).toString)
+          val v =
+            if (!input.isNullAt(3) && scope.isEmpty)
+              StoreLog.latestVersion(path).getOrElse(0L)
+            else TsStore.zorder(spark, path,
+              clusterCols = cols, uidCols = uids, buckets = buckets,
+              scope = scope)
+          oneRowScan(StructType(Seq(
+            StructField("version", LongType, nullable = false))), Array(v))
+        }
+      }
+      case "delete_keys" => new OneShot("delete_keys",
+        "take down every row matching a key set (a view/table of keys + " +
+          "delete-version): mode 'dv' writes deletion-vector sidecars " +
+          "(O(deleted rows) IO, one commit), mode 'cow' rewrites the " +
+          "affected files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build(),
+          ProcedureParameter.in("key_cols", StringType).build(),
+          ProcedureParameter.in("delete_version_col", StringType).build(),
+          ProcedureParameter.in("version_col", StringType).build(),
+          ProcedureParameter.in("mode", StringType).defaultValue("'dv'").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          // the SQL face of the scattered-takedown path (GDPR batches):
+          // DELETE WHERE expresses a predicate, not a MILLION-KEY LIST —
+          // this routes a keys relation through deleteKeysVectors /
+          // deleteKeys, whose plans are O(1) in key count (broadcast key
+          // join, no per-key predicate explosion)
+          val (path, tsCol, uids) = layout(root, input.getUTF8String(0).toString)
+          val spark = SparkSession.active
+          val keysRel = spark.table(input.getUTF8String(1).toString)
+          // renamed columns arrive under their DECLARED names; the
+          // store-side frames read physical, so map the key/version
+          // columns and restate the keys relation in physical terms
+          val physOf: String => String = StoreLog.latest(path)
+            .flatMap(_.props.get(GraftTable.SchemaProp))
+            .map { j =>
+              val m = GraftTable.physMap(
+                org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[StructType])
+              (n: String) => m.getOrElse(n, n)
+            }.getOrElse(identity[String] _)
+          val keyCols = input.getUTF8String(2).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(keyCols.nonEmpty, "delete_keys needs at least one key column")
+          val delV = input.getUTF8String(3).toString.trim
+          val verCol = physOf(input.getUTF8String(4).toString.trim)
+          val keys = keyCols.foldLeft(keysRel) { (df, c) =>
+            if (physOf(c) == c) df
+            else df.withColumnRenamed(c, physOf(c))
+          }
+          val mode =
+            if (input.isNullAt(5)) "dv"
+            else input.getUTF8String(5).toString.trim.toLowerCase
+          val v = mode match {
+            case "dv" =>
+              TsStore.deleteKeysVectors(spark, path, keys,
+                keyCols.map(physOf), delV, verCol)
+            case "cow" =>
+              require(uids.nonEmpty, "delete_keys mode 'cow' needs the " +
+                "table's partition columns")
+              TsStore.deleteKeys(spark, path, keys, keyCols.map(physOf),
+                delV, verCol, tsCol, uids)
+            case other => throw new IllegalArgumentException(
+              s"delete_keys mode must be 'dv' or 'cow', got '$other'")
+          }
           oneRowScan(StructType(Seq(
             StructField("version", LongType, nullable = false))), Array(v))
         }

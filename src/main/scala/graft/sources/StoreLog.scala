@@ -88,6 +88,39 @@ object StoreLog {
     */
   val CheckpointInterval = 10
 
+  /** Live-file count at which checkpoint manifests switch from inline
+    * JSON to a parquet payload sidecar ([[CheckpointParquet]]). Small
+    * stores keep the readable single-file JSON format; past this, a
+    * checkpoint's JSON stays O(1) (a pointer) and the file list +
+    * per-file stats ride a compressed columnar sidecar — the fix for
+    * the million-file store's driver cost (a full Jackson DOM parse of
+    * a multi-hundred-MB text checkpoint per plan). `@volatile var` as a
+    * test seam only; both formats coexist freely in one log (resolution
+    * is per-manifest), so flipping it mid-life is always safe.
+    */
+  @volatile private[graft] var ParquetCheckpointThreshold: Int = 4096
+
+  /** Stage a checkpoint's payload for version `v`: None = inline JSON
+    * (small store), Some((sidecarName, fileCount)) after writing the
+    * parquet payload DURABLY into the log dir — called strictly before
+    * the manifest that points at it publishes, so a reader can never
+    * observe a dangling `filesRef`. The name is UUID-stamped: two
+    * writers racing the same version stage distinct sidecars, the CAS
+    * loser deletes its own, and a crashed loser's orphan is reclaimed
+    * by [[vacuum]]'s aged-unreferenced sweep.
+    */
+  private def stageCheckpointPayload(path: String, v: Long,
+      files: Seq[String], stats: Map[String, FileStats.FileStatsMap],
+      sizes: Map[String, Long], dvs: Map[String, Dv.Entry])
+      : Option[(String, Long)] =
+    if (files.size < ParquetCheckpointThreshold) None
+    else {
+      val ref = f"v$v%08d-${java.util.UUID.randomUUID().toString.replace("-", "")}.ckpt.parquet"
+      io(path).replaceAtomic(s"${logDir(path)}/$ref",
+        CheckpointParquet.write(files, stats, sizes, dvs))
+      Some((ref, files.size.toLong))
+    }
+
   /** Thrown when a concurrent commit replaced an overlapping partition
     * set — the caller's merge was computed against a stale base and
     * cannot be serialized after the winner.
@@ -280,36 +313,85 @@ object StoreLog {
   private def dvsOf(n: JsonNode): Map[String, Dv.Entry] =
     if (!n.has("dvs")) Map.empty
     else n.get("dvs").properties().asScala
-      .map { e =>
-        val nulls: Map[String, Long] =
-          if (!e.getValue.has("nn")) Map.empty
-          else e.getValue.get("nn").properties().asScala
-            .map(p => p.getKey -> p.getValue.asLong()).toMap
-        val bounds: Map[String, Dv.Bound] =
-          if (!e.getValue.has("bb")) Map.empty
-          else e.getValue.get("bb").properties().asScala
-            .map { p =>
-              val a = p.getValue
-              val tag = a.get(0).asText()
-              val b =
-                if (a.size() < 3) Dv.Bound.empty(tag)
-                else if (tag == "s")
-                  Dv.Bound(tag, Some(a.get(1).asText()), Some(a.get(2).asText()))
-                else
-                  Dv.Bound(tag, Some(a.get(1).asLong()), Some(a.get(2).asLong()))
-              p.getKey -> b
-            }.toMap
-        e.getKey ->
-          Dv.Entry(e.getValue.get("p").asText(), e.getValue.get("n").asLong(),
-            nulls, bounds)
-      }
+      .map(e => e.getKey -> dvEntryFromJson(e.getValue))
       .toMap
+
+  /** One dv entry's JSON object — the SAME dialect inline manifests and
+    * parquet checkpoint payloads ([[CheckpointParquet]]) carry.
+    */
+  private[sources] def dvEntryFromJson(v: JsonNode): Dv.Entry = {
+    val nulls: Map[String, Long] =
+      if (!v.has("nn")) Map.empty
+      else v.get("nn").properties().asScala
+        .map(p => p.getKey -> p.getValue.asLong()).toMap
+    val bounds: Map[String, Dv.Bound] =
+      if (!v.has("bb")) Map.empty
+      else v.get("bb").properties().asScala
+        .map { p =>
+          val a = p.getValue
+          val tag = a.get(0).asText()
+          val b =
+            if (a.size() < 3) Dv.Bound.empty(tag)
+            else if (tag == "s")
+              Dv.Bound(tag, Some(a.get(1).asText()), Some(a.get(2).asText()))
+            else
+              Dv.Bound(tag, Some(a.get(1).asLong()), Some(a.get(2).asLong()))
+          p.getKey -> b
+        }.toMap
+    Dv.Entry(v.get("p").asText(), v.get("n").asLong(), nulls, bounds)
+  }
+
+  private[sources] def dvEntryJson(mapper: ObjectMapper,
+      e: Dv.Entry): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val v = mapper.createObjectNode()
+    v.put("p", e.path); v.put("n", e.rows)
+    if (e.nulls.nonEmpty) {
+      val nn = mapper.createObjectNode()
+      e.nulls.toSeq.sortBy(_._1).foreach { case (c, k) => nn.put(c, k) }
+      v.set[JsonNode]("nn", nn)
+    }
+    if (e.bounds.nonEmpty) {
+      val bb = mapper.createObjectNode()
+      e.bounds.toSeq.sortBy(_._1).foreach { case (c, b) =>
+        val a = mapper.createArrayNode()
+        a.add(b.tag)
+        b.lo.foreach { lo =>
+          if (b.tag == "s") {
+            a.add(lo.asInstanceOf[String])
+            a.add(b.hi.get.asInstanceOf[String])
+          } else {
+            a.add(lo.asInstanceOf[Long])
+            a.add(b.hi.get.asInstanceOf[Long])
+          }
+        }
+        bb.set[JsonNode](c, a)
+      }
+      v.set[JsonNode]("bb", bb)
+    }
+    v
+  }
+
+  /** Whether a raw manifest node is SELF-RESOLVABLE (a checkpoint):
+    * either the inline `files` list or a `filesRef` parquet pointer.
+    */
+  private def isCheckpointNode(n: JsonNode): Boolean =
+    n.has("files") || n.has("filesRef")
+
+  /** A checkpoint node's full (files, stats, sizes, dvs) — decoding the
+    * parquet sidecar when the manifest is a pointer.
+    */
+  private def checkpointOf(path: String, n: JsonNode): (Seq[String],
+      Map[String, FileStats.FileStatsMap], Map[String, Long],
+      Map[String, Dv.Entry]) =
+    if (n.has("filesRef"))
+      CheckpointParquet.read(
+        io(path).readBytes(s"${logDir(path)}/${n.get("filesRef").asText()}"))
+    else (strings(n.get("files")), statsOf(n), sizesOf(n), dvsOf(n))
 
   private def readResolve(path: String, version: Long): Snapshot = {
     val root = readRaw(path, version)
     val (files, stats, sizes, dvs) =
-      if (root.has("files"))
-        (strings(root.get("files")), statsOf(root), sizesOf(root), dvsOf(root))
+      if (isCheckpointNode(root)) checkpointOf(path, root)
       else {
         // walk raw manifests down to the checkpoint ancestor collecting
         // the deltas, then apply them FORWARD over one mutable set —
@@ -320,20 +402,21 @@ object StoreLog {
         var v = version - 1
         var deltas = List(root) // newest-last after the walk below
         var node = readRaw(path, v)
-        while (!node.has("files")) {
+        while (!isCheckpointNode(node)) {
           deltas ::= node
           v -= 1
           node = readRaw(path, v)
         }
-        val acc = scala.collection.mutable.Set[String](strings(node.get("files")): _*)
+        val (bFiles, bStats, bSizes, bDvs) = checkpointOf(path, node)
+        val acc = scala.collection.mutable.Set[String](bFiles: _*)
         val sAcc = scala.collection.mutable.Map[String, FileStats.FileStatsMap](
-          statsOf(node).toSeq: _*)
-        val zAcc = scala.collection.mutable.Map[String, Long](sizesOf(node).toSeq: _*)
+          bStats.toSeq: _*)
+        val zAcc = scala.collection.mutable.Map[String, Long](bSizes.toSeq: _*)
         // dv entries ride deltas keyed by their DATA file: a removed
         // file drops its vector with it (the replacement rewrote the
         // survivors), a delta's `dvs` node overrides (a second delete
         // against the same file swapped in the union sidecar)
-        val dAcc = scala.collection.mutable.Map[String, Dv.Entry](dvsOf(node).toSeq: _*)
+        val dAcc = scala.collection.mutable.Map[String, Dv.Entry](bDvs.toSeq: _*)
         deltas.foreach { d =>
           val rm = strings(d.get("remove"))
           acc --= rm
@@ -398,7 +481,8 @@ object StoreLog {
                             props: Map[String, String] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
                             dvs: Map[String, Dv.Entry] = Map.empty,
-                            dvChanges: Map[String, Dv.Entry] = Map.empty): Array[Byte] = {
+                            dvChanges: Map[String, Dv.Entry] = Map.empty,
+                            filesRef: Option[(String, Long)] = None): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -444,32 +528,7 @@ object StoreLog {
       if (entries.nonEmpty) {
         val o = mapper.createObjectNode()
         entries.toSeq.sortBy(_._1).foreach { case (f, e) =>
-          val v = mapper.createObjectNode()
-          v.put("p", e.path); v.put("n", e.rows)
-          if (e.nulls.nonEmpty) {
-            val nn = mapper.createObjectNode()
-            e.nulls.toSeq.sortBy(_._1).foreach { case (c, k) => nn.put(c, k) }
-            v.set[JsonNode]("nn", nn)
-          }
-          if (e.bounds.nonEmpty) {
-            val bb = mapper.createObjectNode()
-            e.bounds.toSeq.sortBy(_._1).foreach { case (c, b) =>
-              val a = mapper.createArrayNode()
-              a.add(b.tag)
-              b.lo.foreach { lo =>
-                if (b.tag == "s") {
-                  a.add(lo.asInstanceOf[String])
-                  a.add(b.hi.get.asInstanceOf[String])
-                } else {
-                  a.add(lo.asInstanceOf[Long])
-                  a.add(b.hi.get.asInstanceOf[Long])
-                }
-              }
-              bb.set[JsonNode](c, a)
-            }
-            v.set[JsonNode]("bb", bb)
-          }
-          o.set[JsonNode](f, v)
+          o.set[JsonNode](f, dvEntryJson(mapper, e))
         }
         root.set[JsonNode]("dvs", o)
       }
@@ -484,13 +543,24 @@ object StoreLog {
         setStats(added)
         setSizes(added)
         setDvs(dvChanges)
-      case None =>
-        root.set[JsonNode]("files", arr(files.sorted))
-        // a checkpoint re-embeds every live file's stats so the chain
-        // below it can be vacuumed away without losing the index
-        setStats(files)
-        setSizes(files)
-        setDvs(dvs)
+      case None => filesRef match {
+        case Some((ref, count)) =>
+          // COLUMNAR checkpoint: the live list + per-file stats/sizes/
+          // dvs live in a parquet sidecar ([[CheckpointParquet]], staged
+          // durable BEFORE this manifest publishes); the JSON shrinks to
+          // an O(1) pointer — a million-file store's manifest stays a
+          // few hundred bytes, and resolution never builds a JSON DOM
+          // proportional to the store
+          root.put("filesRef", ref)
+          root.put("fileCount", count)
+        case None =>
+          root.set[JsonNode]("files", arr(files.sorted))
+          // a checkpoint re-embeds every live file's stats so the chain
+          // below it can be vacuumed away without losing the index
+          setStats(files)
+          setSizes(files)
+          setDvs(dvs)
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -555,12 +625,24 @@ object StoreLog {
     val allDvs = resetDvs.getOrElse(
       (parent.map(_.dvs).getOrElse(Map.empty) ++ addDvs)
         .filter { case (f, _) => liveSet(f) })
+    // a big store's checkpoint stages its columnar payload FIRST (so the
+    // pointer manifest never dangles), then publishes the O(1) JSON
+    val ref =
+      if (asDelta.isDefined) None
+      else stageCheckpointPayload(path, v, fileList.sorted, allStats,
+        allSizes, allDvs)
     val bytes = manifestBytes(v, System.currentTimeMillis(), replaced, fileList,
       asDelta, eff, allStats, tag, effBlooms, effProps, allSizes,
-      dvs = allDvs, dvChanges = addDvs)
-    if (!io(path).publishIfAbsent(verFile(path, v), bytes))
+      dvs = allDvs, dvChanges = addDvs, filesRef = ref)
+    if (!io(path).publishIfAbsent(verFile(path, v), bytes)) {
+      // CAS lost: this writer's staged sidecar will never be referenced
+      ref.foreach { case (r, _) =>
+        try io(path).deleteFile(s"${logDir(path)}/$r")
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
+    }
     v
   }
 
@@ -744,17 +826,41 @@ object StoreLog {
     // (resolved BEFORE any manifest deletion; atomic in-place replace)
     // so every retained version stays self-resolvable
     val oldest = retained.head
-    if (!readRaw(path, oldest).has("files")) {
+    if (!isCheckpointNode(readRaw(path, oldest))) {
       val snap = read(path, oldest)
+      // same format decision as a committed checkpoint: big stores get
+      // a parquet payload (staged before the pointer swaps in)
+      val ref = stageCheckpointPayload(path, oldest, snap.files.sorted,
+        snap.stats, snap.sizes, snap.dvs)
       fsio.replaceAtomic(verFile(path, oldest),
         manifestBytes(snap.version, snap.timestampMs,
           snap.replaced, snap.files, parentFiles = None,
           checkpointInterval = snap.checkpointInterval,
           stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
-          props = snap.props, sizes = snap.sizes, dvs = snap.dvs))
+          props = snap.props, sizes = snap.sizes, dvs = snap.dvs,
+          filesRef = ref))
     }
     versions.dropRight(retainVersions)
       .foreach(v => fsio.deleteFile(verFile(path, v)))
+    // checkpoint-payload reclaim: parquet sidecars no retained manifest
+    // references — dropped versions' payloads, CAS losers' crashed
+    // stages. Age + lease-birth gated exactly like dv sidecars: a live
+    // writer's freshly staged payload (the pre-publish window) must
+    // survive; genuinely orphaned ones reclaim once aged.
+    locally {
+      val referenced = listVersions(path).flatMap { v =>
+        val n = readRaw(path, v)
+        if (n.has("filesRef")) Some(n.get("filesRef").asText()) else None
+      }.toSet
+      val now = System.currentTimeMillis()
+      val cutoff = leaseCutoff(freshLeases(now))
+      fsio.list(logDir(path)).filterNot(_.isDir).map(_.name)
+        .filter(_.endsWith(".ckpt.parquet"))
+        .filterNot(referenced)
+        .filter(n => mtimeOpt(s"${logDir(path)}/$n")
+          .exists(m => now - m >= WriterLeaseMs && m < cutoff))
+        .foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
+    }
     // DELETION-VECTOR reclaim: sidecars under _graft_dv/ that no
     // retained version references (orphaned by a union-rewrite, a
     // materializing compaction, or a crashed delete) — same guards as

@@ -785,10 +785,19 @@ object TsStore {
           col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
       } else base.files
     if (candidates.isEmpty) return base.version
-    deleteVectorsBy(spark, path, base, candidates, df =>
+    deleteVectorsBy(spark, path, base, candidates, { df =>
+      // a using-columns join moves the key columns to the FRONT of the
+      // output order; dvStatSelect takes the first MaxStatsCols columns
+      // in SCHEMA order (the same cap the manifest stats use), so the
+      // original order must be restored or a wide table's recorded
+      // dv-stat column set would silently diverge from the manifest's —
+      // answers stay exact-or-refuse, but COUNT/MIN/MAX pushdowns on
+      // those files would be lost
+      val orig = df.columns.toSeq
       df.join(broadcast(k), keyCols, "inner")
         .filter(col(versionCol) <= col("__del_v"))
-        .drop("__del_v"))
+        .select(orig.map(col): _*)
+    })
   }
 
   /** The shared merge-on-read delete machinery: `matcher` narrows the
@@ -1334,8 +1343,24 @@ object TsStore {
     * the vectored-read tax forever, and the log line is the operator's
     * signal. A compaction losing its CAS to a concurrent writer is
     * skipped — the next DML commit re-checks the same manifest sums.
+    *
+    * BEST-EFFORT by contract: the hook runs AFTER the DML's manifest
+    * commit is durable, so no failure here may surface to the caller —
+    * a transient IO error in the maintenance rewrite would otherwise
+    * make an already-committed DELETE/UPDATE/MERGE report failure, and
+    * a client retry of a non-idempotent statement (SET v = v + 1)
+    * would double-apply. Anything NonFatal is logged and swallowed;
+    * the density cue re-fires on the next DML commit anyway.
     */
   private[graft] def dvDensityCompact(spark: SparkSession, path: String): Unit =
+    try dvDensityCompactUnsafe(spark, path)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-commit dv-density compaction at $path failed " +
+          s"(DML itself is committed; will re-check next commit): $e")
+    }
+
+  private def dvDensityCompactUnsafe(spark: SparkSession, path: String): Unit =
     StoreLog.latest(path).foreach { snap =>
       snap.props.get("dv.compact.ratio")
         .flatMap(r => scala.util.Try(r.toDouble).toOption).filter(_ > 0) match {
@@ -1562,6 +1587,15 @@ object TsStore {
     * resurrect replaced rows. Z-order is a maintenance op; callers skip
     * an aborted pass and retry later.
     *
+    * `scope` bounds the rewrite to the NAMED partition prefixes (the
+    * Delta `OPTIMIZE ... WHERE` role, resolved to prefixes — see
+    * [[partitionPrefixesWhere]] for the predicate face): at 100 TB you
+    * re-cluster yesterday's partitions, not the decade. Out-of-scope
+    * files are untouched on disk and un-replaced in the manifest (their
+    * partitions never even enter the rebase conflict set, so a writer
+    * landing elsewhere serializes cleanly past a scoped pass); empty =
+    * whole store. A scope naming no live files is a no-op.
+    *
     * Returns the committed version (the store's current version when it
     * has no live files).
     */
@@ -1571,18 +1605,25 @@ object TsStore {
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20,
-             numChunks: Int = 0): Long = {
+             numChunks: Int = 0,
+             scope: Seq[String] = Nil): Long = {
     require(clusterCols.nonEmpty, "zorder needs at least one cluster column")
     require(uidCols.nonEmpty, "zorder needs the store's partition columns")
     val base = StoreLog.ensure(path)
     if (base.files.isEmpty) return base.version
-    val targetSet = base.files.toSet
-    val prefixes: Seq[String] = base.files.map { f =>
+    def prefixOf(f: String): String = {
       val i = f.lastIndexOf('/')
       require(i > 0, s"live file '$f' is not under a partition directory")
       f.substring(0, i)
-    }.distinct
-    val rows = readFilesDv(spark, path, base, base.files, mergeSchema = true)
+    }
+    val scopeSet = scope.toSet
+    val targetFiles =
+      if (scope.isEmpty) base.files
+      else base.files.filter(f => scopeSet(prefixOf(f)))
+    if (targetFiles.isEmpty) return base.version
+    val targetSet = targetFiles.toSet
+    val prefixes: Seq[String] = targetFiles.map(prefixOf).distinct
+    val rows = readFilesDv(spark, path, base, targetFiles, mergeSchema = true)
     val bs = graft.functions.ZOrder.boundaries(rows, clusterCols, buckets)
     val z = graft.functions.ZOrder.zValue(bs, clusterCols)
     // Explicit partition count (AQE would coalesce a default-count range
@@ -1620,6 +1661,54 @@ object TsStore {
         // ts — the scan must stop claiming per-partition ts order
         setProps = _ => Map(GraftTable.LayoutSortedProp -> "false"))
     }
+  }
+
+  /** Resolve a partition-scope PREDICATE (a SQL boolean over the
+    * store's partition columns — `"event_type = 'view'"`,
+    * `"day >= '2024-06-01'"`) to the live partition PREFIXES it admits:
+    * the selector behind scoped maintenance (`CALL system.zorder(...,
+    * where)`, the Delta `OPTIMIZE ... WHERE` role). Manifest-only and
+    * driver-side: one local row per LIVE PARTITION (never per file, and
+    * no file IO), partition values directory-decoded with Spark's own
+    * path unescaping (the Hive null sentinel decodes to NULL), typed as
+    * strings and compared under Spark's usual implicit casts — `expr`
+    * analysis gives predicate errors their natural message. The
+    * `.collect()` is bounded by the live partition count by contract
+    * (the same O(partitions) budget every prefix list in this file
+    * carries).
+    */
+  def partitionPrefixesWhere(spark: SparkSession, snap: StoreLog.Snapshot,
+                             where: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val prefixes = snap.files.flatMap { f =>
+      val i = f.lastIndexOf('/')
+      if (i > 0) Some(f.substring(0, i)) else None
+    }.distinct.sorted
+    if (prefixes.isEmpty || where.trim.isEmpty) return prefixes
+    val parsed: Seq[(String, Map[String, String])] = prefixes.map { p =>
+      p -> p.split('/').toSeq.map { seg =>
+        val j = seg.indexOf('=')
+        require(j > 0, s"'$p' is not a partition directory prefix")
+        ExternalCatalogUtils.unescapePathName(seg.substring(0, j)) ->
+          ExternalCatalogUtils.unescapePathName(seg.substring(j + 1))
+      }.toMap
+    }
+    val colNames = parsed.flatMap(_._2.keys).distinct
+    val schema = StructType(
+      colNames.map(StructField(_, StringType, nullable = true)) :+
+        StructField("__prefix", StringType, nullable = false))
+    val rows: java.util.List[Row] = parsed.map { case (p, m) =>
+      Row.fromSeq(colNames.map(c => m.get(c)
+        .filterNot(_ == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        .orNull) :+ p)
+    }.asJava
+    spark.createDataFrame(rows, schema)
+      .filter(expr(where))
+      .select("__prefix")
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Change-feed read between two committed manifest versions — "what

@@ -1016,4 +1016,72 @@ class DvSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("name") === "y")
   }
+
+  test("CALL system.delete_keys: the keyed takedown from pure SQL — dv sidecars-only, cow rewrites, version-resolved") {
+    // DELETE WHERE expresses a predicate; a GDPR batch is a MILLION-KEY
+    // LIST. This is the SQL face of deleteKeysVectors/deleteKeys: a keys
+    // view + CALL, plan O(1) in key count (broadcast key join — the
+    // Scala-path pin), one commit
+    val root = Files.createTempDirectory("graft_dvcall").toString
+    spark.conf.set("spark.sql.catalog.gdvk", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvk.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvk.ns")
+    events.select(cols.map(col): _*).withColumn("version", lit(1L))
+      .createOrReplaceTempView("gdvk_src")
+    spark.sql("CREATE TABLE gdvk.ns.t USING graft PARTITIONED BY (event_type) " +
+      "AS SELECT * FROM gdvk_src")
+    val path = s"$root/ns/t"
+    val total = events.count()
+    val hit = events.filter(col("event_id") % 7 === 0).count()
+    // the keys relation: key + per-key delete version (2 beats version 1)
+    events.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), lit(2L).as("del_v"))
+      .createOrReplaceTempView("gdvk_keys")
+    val before = StoreLog.latest(path).get
+    val got = spark.sql("CALL gdvk.system.delete_keys(table => 'ns.t', " +
+      "keys => 'gdvk_keys', key_cols => 'event_id', " +
+      "delete_version_col => 'del_v', version_col => 'version')").head()
+    val snap = StoreLog.latest(path).get
+    assert(got.getLong(0) === snap.version)
+    assert(snap.version === before.version + 1, "dv takedown must be ONE commit")
+    assert(snap.files === before.files,
+      "mode dv must be sidecars-only: no data file added or removed")
+    assert(snap.dvs.nonEmpty)
+    assert(spark.table("gdvk.ns.t").count() === total - hit)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdvk.ns.t WHERE event_id % 7 = 0").head().getLong(0) === 0L)
+    // re-applying the same batch is a no-op (the find is dv-aware)
+    val again = spark.sql("CALL gdvk.system.delete_keys('ns.t', 'gdvk_keys', " +
+      "'event_id', 'del_v', 'version')").head()
+    assert(again.getLong(0) === snap.version, "idempotent re-apply must not commit")
+    // a HIGHER-version reinsert survives the same key batch (delete wins
+    // ties only at version <= del_v)
+    spark.sql("INSERT INTO gdvk.ns.t SELECT event_id, ts, user_id, " +
+      "event_type, value, 3L AS version FROM gdvk_src WHERE event_id % 7 = 0 " +
+      "AND event_id % 3 = 0")
+    val reinserted = spark.sql(
+      "SELECT count(*) FROM gdvk.ns.t WHERE event_id % 7 = 0").head().getLong(0)
+    assert(reinserted > 0)
+    spark.sql("CALL gdvk.system.delete_keys('ns.t', 'gdvk_keys', 'event_id', " +
+      "'del_v', 'version')").head()
+    assert(spark.sql("SELECT count(*) FROM gdvk.ns.t WHERE event_id % 7 = 0")
+      .head().getLong(0) === reinserted,
+      "version-3 reinserts must survive a del_v=2 batch")
+    // cow mode on a fresh table: files rewritten, same answer
+    spark.sql("CREATE TABLE gdvk.ns.c USING graft PARTITIONED BY (event_type) " +
+      "AS SELECT * FROM gdvk_src")
+    val cPath = s"$root/ns/c"
+    val cBefore = StoreLog.latest(cPath).get
+    spark.sql("CALL gdvk.system.delete_keys('ns.c', 'gdvk_keys', 'event_id', " +
+      "'del_v', 'version', mode => 'cow')").head()
+    val cSnap = StoreLog.latest(cPath).get
+    assert(cSnap.dvs.isEmpty, "cow mode writes no vectors")
+    assert(cSnap.files !== cBefore.files, "cow mode rewrites affected files")
+    assert(spark.table("gdvk.ns.c").count() === total - hit)
+    // bad mode refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL gdvk.system.delete_keys('ns.c', 'gdvk_keys', 'event_id', " +
+        "'del_v', 'version', mode => 'nope')").head())
+    assert(e.getMessage.contains("dv") && e.getMessage.contains("cow"))
+  }
 }

@@ -172,6 +172,65 @@ class RetypeSpec extends AnyFunSuite {
       .head().getLong(0) === 1L)
   }
 
+  test("tinyint/smallint chain and decimal precision growth across parquet physical widths") {
+    // the gate admits byte/short chains and same-scale decimal precision
+    // growth; this pins the promotions the flagship test doesn't reach —
+    // including decimal growth that CROSSES parquet physical encodings
+    // (precision <=9 = INT32, <=18 = INT64, >18 = FIXED_LEN_BYTE_ARRAY
+    // under Spark's non-legacy writer), where the reader must upcast
+    // across different physical column types, not just reinterpret widths
+    val root = Files.createTempDirectory("graft_retype_w").toString
+    val cat = s"grtw${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    val t = s"$cat.main.w"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP, b TINYINT, " +
+      "d DECIMAL(9,2), part STRING) USING graft PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, TIMESTAMP'2024-01-01 00:00:00', 7, 123.25, 'a'), " +
+      "(2, TIMESTAMP'2024-01-01 00:01:00', -3, 9999999.50, 'a')")
+    // byte -> short -> int -> long, an era file at every width
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN b TYPE SMALLINT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(3, TIMESTAMP'2024-01-02 00:00:00', 300, 1.00, 'a')")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN b TYPE INT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(4, TIMESTAMP'2024-01-03 00:00:00', 100000, 2.00, 'a')")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN b TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(5, TIMESTAMP'2024-01-04 00:00:00', 5000000000, 3.00, 'a')")
+    assert(spark.table(t).schema("b").dataType === LongType)
+    assert(spark.sql(s"SELECT sum(b) FROM $t").head().getLong(0) ===
+      7L - 3L + 300L + 100000L + 5000000000L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE b > 200").head()
+      .getLong(0) === 3L)
+    // decimal: INT32-backed (9,2) -> INT64-backed (18,2) -> FLBA (20,2)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(18,2)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(6, TIMESTAMP'2024-01-05 00:00:00', 1, 12345678901.25, 'a')")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(20,2)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(7, TIMESTAMP'2024-01-06 00:00:00', 1, 123456789012345678.25, 'a')")
+    assert(spark.table(t).schema("d").dataType === DecimalType(20, 2))
+    val want = BigDecimal("123.25") + BigDecimal("9999999.50") +
+      BigDecimal("1.00") + BigDecimal("2.00") + BigDecimal("3.00") +
+      BigDecimal("12345678901.25") + BigDecimal("123456789012345678.25")
+    assert(BigDecimal(spark.sql(s"SELECT sum(d) FROM $t").head()
+      .getDecimal(0)) === want)
+    // per-era values survive the width stack exactly
+    assert(BigDecimal(spark.sql(s"SELECT d FROM $t WHERE id = 2").head()
+      .getDecimal(0)) === BigDecimal("9999999.50"))
+    assert(BigDecimal(spark.sql(s"SELECT d FROM $t WHERE id = 6").head()
+      .getDecimal(0)) === BigDecimal("12345678901.25"))
+    // scale change is NOT a safe widening, whatever canUpCast thinks
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(22,4)"))
+    assert(e.getMessage.contains("safe widenings") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+  }
+
   test("internal verbs ride the explicit-schema read on a widened store") {
     val (_, t, path) = freshTable()
     spark.sql(s"ALTER TABLE $t ALTER COLUMN uid_i TYPE BIGINT")

@@ -101,6 +101,95 @@ class ZorderSpec extends AnyFunSuite {
     assert(got.select(cols.map(col): _*).except(want.select(cols.map(col): _*)).count() === 0)
   }
 
+  test("scoped zorder: out-of-scope partitions byte-identical, in-scope prunes, time travel intact") {
+    val events = Tables.events(spark, TestSpark.sf01)
+    val dir = Files.createTempDirectory("graft_zscope").toString
+    TsStore.write(events, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      maxRecordsPerFile = 50)
+    val pre = StoreLog.ensure(dir)
+    val preByPrefix = pre.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    val allPrefixes = preByPrefix.keySet
+    assert(allPrefixes.size >= 3, s"fixture needs several partitions: $allPrefixes")
+    // scope = ONE partition, resolved through the predicate face
+    val scope = TsStore.partitionPrefixesWhere(spark, pre,
+      "event_type = 'view'")
+    assert(scope === Seq("event_type=view"))
+    // byte fingerprint of every out-of-scope file before the rewrite
+    def fileBytes(rel: String): (Long, Long) = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }
+    val outBefore = pre.files.filterNot(_.startsWith("event_type=view/"))
+      .map(f => f -> fileBytes(f)).toMap
+    val v = TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"), maxRecordsPerFile = 50, scope = scope)
+    val post = StoreLog.latest(dir).get
+    assert(post.version === v)
+    // manifest: out-of-scope files SURVIVE (same entries), in-scope all
+    // replaced; `replaced` names only the scoped prefix so concurrent
+    // writers elsewhere rebase cleanly
+    val postByPrefix = post.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    allPrefixes.filterNot(_ == "event_type=view").foreach { p =>
+      assert(postByPrefix(p).sorted === preByPrefix(p).sorted,
+        s"out-of-scope partition $p must keep its exact file set")
+    }
+    assert(post.files.filter(_.startsWith("event_type=view/"))
+      .toSet.intersect(pre.files.toSet).isEmpty,
+      "every in-scope file must be replaced")
+    assert(post.replaced === Seq("event_type=view"),
+      s"replaced must name ONLY the scope: ${post.replaced}")
+    // out-of-scope bytes untouched on disk
+    outBefore.foreach { case (f, sig) =>
+      assert(fileBytes(f) === sig, s"out-of-scope file $f was rewritten")
+    }
+    // content identical overall; pruning engages INSIDE the scope
+    val src = events.select(cols.map(col): _*)
+    val back = TsStore.load(spark, dir).select(cols.map(col): _*)
+    assert(back.count() === src.count())
+    assert(back.except(src).count() === 0 && src.except(back).count() === 0)
+    val pred = col("user_id") === 3L
+    val inScope = post.files.filter(_.startsWith("event_type=view/"))
+    val keptIn = FileStats.prune(inScope, post.stats, pred).size
+    assert(keptIn * 2 <= inScope.size,
+      s"scoped zorder must make user_id prunable inside the scope: " +
+        s"$keptIn of ${inScope.size}")
+    // time travel to the pre-rewrite version still exact
+    assert(TsStore.load(spark, dir, asOf = Some(pre.version)).count() ===
+      src.count())
+    // a scope admitting nothing is a no-op at the current version
+    assert(TsStore.zorder(spark, dir, Seq("user_id"), Seq("event_type"),
+      scope = Seq("event_type=absent")) === post.version)
+  }
+
+  test("CALL system.zorder(..., where) scopes from pure SQL") {
+    val events = Tables.events(spark, TestSpark.sf001)
+    val root = Files.createTempDirectory("graft_zcall").toString
+    val cat = s"gzc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    events.createOrReplaceTempView("zcall_src")
+    spark.sql(s"CREATE TABLE $cat.main.e USING graft PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES ('write.maxRecordsPerFile'='100') AS SELECT * FROM zcall_src")
+    val path = s"$root/main/e"
+    val pre = StoreLog.latest(path).get
+    val outPre = pre.files.filterNot(_.startsWith("event_type=click/")).toSet
+    val got = spark.sql(s"CALL $cat.system.zorder('main.e', 'user_id,value', " +
+      "where => \"event_type = 'click'\")").head()
+    val post = StoreLog.latest(path).get
+    assert(got.getLong(0) === post.version && post.version > pre.version)
+    assert(post.files.filterNot(_.startsWith("event_type=click/")).toSet === outPre,
+      "CALL-scoped zorder must leave out-of-scope partitions' manifest entries alone")
+    assert(post.files.filter(_.startsWith("event_type=click/"))
+      .toSet.intersect(pre.files.toSet).isEmpty)
+    assert(spark.table(s"$cat.main.e").count() === events.count())
+    // a where admitting no partition: no-op, version unchanged
+    val same = spark.sql(s"CALL $cat.system.zorder('main.e', 'user_id', " +
+      "where => \"event_type = 'nope'\")").head()
+    assert(same.getLong(0) === post.version)
+  }
+
   test("zorder on a value-range predicate prunes too (second dimension)") {
     val events = Tables.events(spark, TestSpark.sf01)
     val dir = Files.createTempDirectory("graft_zdim2").toString
