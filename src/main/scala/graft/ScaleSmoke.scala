@@ -69,7 +69,13 @@ object ScaleSmoke {
     // affected files; the widen is a metadata commit over the
     // fixture's two INSERTs; the trained-index build cost is the
     // sampled k-means pass (bounded sample, never the corpus²)
-    "stream_cdc_dv", "store_sql_retype", "llm_ann_recall_trained")
+    "stream_cdc_dv", "store_sql_retype", "llm_ann_recall_trained",
+    // round-16: the scoped clustering rewrite's cost must track the
+    // SCOPE's files (out-of-scope partitions untouched on disk — the
+    // whole point vs its whole-store twin above); the SQL keyed
+    // takedown is the same one-commit broadcast anti-join plan as the
+    // streaming route, O(1) in key count
+    "store_zorder_scoped", "store_sql_delete_keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,6 +159,28 @@ object ScaleSmoke {
     val flagged = selected.filter(q => big(q) / base(q) > reps * 1.8)
     println(f"SUMMARY reps=$reps worst=$worst ratio=${big(worst) / base(worst)}%.1f " +
       s"superlinear=${if (flagged.isEmpty) "none" else flagged.mkString(",")}")
+    // Cap-engagement evidence: replicate-in-place gives every doc
+    // `reps−1` exact twins, so an exact-dup digest group of size g on
+    // the scaled corpus guarantees LSH band buckets ≥ g (identical
+    // text ⇒ identical signature ⇒ same bucket in every band) and an
+    // identical-embedding group of size g guarantees its IVF/semdedup
+    // cell ≥ g. Groups over the caps (LSH bucket cap 64, semdedup
+    // rank bound 256 — Llm.scala call sites) PROVE the star salvage /
+    // rank-bounded pair paths ran, not just that timings look sane.
+    val docGroups = spark.read.parquet(s"$scaled/documents.parquet")
+      .groupBy(md5(col("text"))).count().agg(
+        max("count").as("max_g"),
+        sum(when(col("count") > 64, 1L).otherwise(0L)).as("over_lsh_cap"))
+      .head()
+    val embGroups = spark.read.parquet(s"$scaled/embeddings.parquet")
+      .groupBy(hash(col("embedding"))).count().agg(
+        max("count").as("max_g"),
+        sum(when(col("count") > 256, 1L).otherwise(0L)).as("over_rank_cap"))
+      .head()
+    println(s"CAPS docs_max_dup_group=${docGroups.getLong(0)} " +
+      s"lsh_buckets_over_cap64>=${docGroups.getLong(1)} " +
+      s"emb_max_identical_group=${embGroups.getLong(0)} " +
+      s"cells_over_rank_cap256>=${embGroups.getLong(1)}")
     spark.stop()
   }
 }

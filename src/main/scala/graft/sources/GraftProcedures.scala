@@ -90,11 +90,13 @@ object GraftProcedures {
       }
       case "compact" => new OneShot("compact",
         "rewrite partitions holding more than max_files live files — or whose " +
-          "deleted-row ratio is at least dv_ratio — into range-sorted chunks",
+          "deleted-row ratio is at least dv_ratio — into range-sorted chunks; " +
+          "a where-predicate names the candidate partitions instead of the cues",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("max_files", IntegerType).defaultValue("8").build(),
-          ProcedureParameter.in("dv_ratio", DoubleType).defaultValue("0.2").build())) {
+          ProcedureParameter.in("dv_ratio", DoubleType).defaultValue("0.2").build(),
+          ProcedureParameter.in("where", StringType).defaultValue("NULL").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, tsCol, uids) = layout(root, input.getUTF8String(0).toString)
           require(uids.nonEmpty, "compact needs the table's partition columns " +
@@ -102,13 +104,31 @@ object GraftProcedures {
           val cap = if (input.isNullAt(1)) 8 else input.getInt(1)
           val dvRatio = if (input.isNullAt(2)) 0.2 else input.getDouble(2)
           val snap = StoreLog.ensure(path)
-          val overCap = snap.files.groupBy { f =>
+          // partition scope (the OPTIMIZE ... WHERE role): a predicate
+          // REPLACES the auto-selection cues — at 100 TB "compact
+          // yesterday's ingest partitions now" must not wait for the
+          // whole-store cue walk to name them — but keeps the
+          // already-compact guard: in-scope partitions at or under
+          // max_files with no deletion vectors cost nothing (the same
+          // contract compactPartitions enforces internally).
+          val candidates: Seq[String] =
+            if (input.isNullAt(3)) {
+              val overCap = snap.files.groupBy { f =>
+                val i = f.lastIndexOf('/')
+                if (i > 0) f.substring(0, i) else ""
+              }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
+              // dv-density cue: manifest-recorded cardinalities, zero IO
+              overCap ++ TsStore.dvDensePrefixes(snap, dvRatio)
+            } else TsStore.partitionPrefixesWhere(SparkSession.active, snap,
+              input.getUTF8String(3).toString)
+          val byPrefix = snap.files.groupBy { f =>
             val i = f.lastIndexOf('/')
             if (i > 0) f.substring(0, i) else ""
-          }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
-          // dv-density cue: manifest-recorded cardinalities, zero IO
-          val over = (overCap ++ TsStore.dvDensePrefixes(snap, dvRatio))
-            .distinct.sorted
+          }
+          val over = candidates.distinct.sorted.filter { p =>
+            val fs = byPrefix.getOrElse(p, Nil)
+            fs.size > cap || fs.exists(snap.dvs.contains)
+          }
           val v =
             if (over.isEmpty) snap.version
             else TsStore.compactPartitions(SparkSession.active, path, over,

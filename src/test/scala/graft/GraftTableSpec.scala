@@ -943,6 +943,54 @@ class GraftTableSpec extends AnyFunSuite {
       === Seq(1L, 3L, 4L, 9L), "a partition-moving UPDATE must not lose or duplicate rows")
   }
 
+  test("CALL system.compact with a where scope touches only the named partitions") {
+    val root = Files.createTempDirectory("graft_proc_scope").toString
+    spark.conf.set("spark.sql.catalog.gprocsc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gprocsc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gprocsc.ns")
+    spark.sql(
+      """CREATE TABLE gprocsc.ns.tc (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |USING graft PARTITIONED BY (event_type)""".stripMargin)
+    val ev = Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("proc_scope_src")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO gprocsc.ns.tc SELECT event_id + ${i * 10000000L}, ts, " +
+        "user_id, event_type, value FROM proc_scope_src")
+    }
+    val path = s"$root/ns/tc"
+    val before = StoreLog.latest(path).get
+    val outOfScope = before.files.filterNot(_.startsWith("event_type=view/")).sorted
+    assert(before.files.count(_.startsWith("event_type=view/")) > 1,
+      "fixture must be fragmented inside the scope")
+    // scoped compact: ONLY the view partition is rewritten; every other
+    // partition's live-file list is name-identical afterwards
+    val c = spark.sql("CALL gprocsc.system.compact(table => 'ns.tc', " +
+      "max_files => 1, where => \"event_type = 'view'\")").head()
+    assert(c.getLong(0) > before.version)
+    assert(c.getInt(1) === 1, "exactly the one in-scope partition is compacted")
+    val after = StoreLog.latest(path).get
+    assert(after.files.count(_.startsWith("event_type=view/")) === 1,
+      "the in-scope partition must collapse to one file")
+    assert(after.files.filterNot(_.startsWith("event_type=view/")).sorted
+      === outOfScope, "out-of-scope partitions must keep their exact file sets")
+    assert(after.replaced === Seq("event_type=view"),
+      "the commit's replaced record must name only the scope")
+    assert(spark.sql("SELECT count(*) FROM gprocsc.ns.tc").head().getLong(0)
+      === ev.count() * 3)
+    // re-running the same scoped call is a version-stable no-op: the
+    // scope is already compact and carries no deletion vectors
+    val c2 = spark.sql("CALL gprocsc.system.compact(table => 'ns.tc', " +
+      "max_files => 1, where => \"event_type = 'view'\")").head()
+    assert(c2.getLong(0) === after.version && c2.getInt(1) === 0)
+    // a predicate admitting nothing is a version-stable no-op too
+    val c3 = spark.sql("CALL gprocsc.system.compact(table => 'ns.tc', " +
+      "max_files => 1, where => \"event_type = 'no_such_type'\")").head()
+    assert(c3.getLong(0) === after.version && c3.getInt(1) === 0)
+  }
+
   test("CALL procedures: vacuum / compact / zorder from pure SQL") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_proc").toString
