@@ -75,7 +75,12 @@ object ScaleSmoke {
     // whole point vs its whole-store twin above); the SQL keyed
     // takedown is the same one-commit broadcast anti-join plan as the
     // streaming route, O(1) in key count
-    "store_zorder_scoped", "store_sql_delete_keys")
+    "store_zorder_scoped", "store_sql_delete_keys",
+    // round-16: the CHECK-constraint lifecycle's 10x cost must track
+    // the fixture's own INSERT (the per-row guard rides inside the
+    // write job — no second pass) plus the ADD-validation scan, both
+    // linear in the data; the refusal probes are O(1)
+    "store_sql_constraint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

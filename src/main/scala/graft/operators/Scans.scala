@@ -1583,6 +1583,57 @@ object Scans {
         "FROM events WHERE event_id % 11 <> 3 ORDER BY event_id"),
       "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL"),
 
+    "store_sql_constraint" -> DeclaredQuery(
+      // Table CHECK constraints (the Delta delta.constraints / ANSI
+      // CHECK role): TBLPROPERTIES('constraint.<name>' = '<bool sql>')
+      // makes EVERY write path refuse rows proven false — per row,
+      // INSIDE the write job (codegen'd predicate in the DSv2 writers,
+      // assert_true filter in the Scala frame paths), so at 100 TB the
+      // guarantee costs no second pass over ingested data. SQL CHECK
+      // null semantics (unknown passes); ALTER-time ADD validates the
+      // expression AND scans existing rows (stop-at-first-violation),
+      // making every committed constraint a whole-table invariant that
+      // maintenance rewrites never need to re-check. Self-pins: a
+      // violating INSERT refuses atomically (no manifest commit), an
+      // ADD over violating data refuses, a valid ADD + NULL row pass.
+      (s, d) => {
+        val cat = s"gckq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_ck_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        s.sql(s"CREATE TABLE $cat.q.ev (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) USING graft " +
+          "PARTITIONED BY (event_type) " +
+          "TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .filter(col("value") >= 0 && col("event_id") % 3 === 0)
+          .createOrReplaceTempView("ck_sql_src")
+        s.sql(s"INSERT INTO $cat.q.ev SELECT * FROM ck_sql_src")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val before = graft.sources.StoreLog.latest(path).get.version
+        val bad = scala.util.Try(s.sql(s"INSERT INTO $cat.q.ev VALUES " +
+          "(999999901, TIMESTAMP'2024-01-01 00:00:00', 1, 'view', -5.0)"))
+        require(bad.isFailure, "a violating INSERT must refuse")
+        require(graft.sources.StoreLog.latest(path).get.version == before,
+          "the refused INSERT must commit NOTHING (atomicity)")
+        val worse = scala.util.Try(s.sql(s"ALTER TABLE $cat.q.ev " +
+          "SET TBLPROPERTIES('constraint.impossible' = 'value > 1e15')"))
+        require(worse.isFailure,
+          "ADD of a constraint the live rows violate must refuse")
+        // a second, valid constraint ADDs (validating existing rows)
+        s.sql(s"ALTER TABLE $cat.q.ev " +
+          "SET TBLPROPERTIES('constraint.idpos' = 'event_id >= 0')")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE value >= 0 AND event_id % 3 = 0 ORDER BY event_id"),
+      "table CHECK constraints: per-row write-path enforcement, validated ADD, atomic refusal"),
+
     "store_sql_delete_keys" -> DeclaredQuery(
       // The KEYED takedown from pure SQL: DELETE WHERE expresses a
       // predicate, but the GDPR/takedown shape is a MILLION-KEY LIST —

@@ -61,8 +61,9 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
     val staging = TsStore.txnDir(path)
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
+    val checks = Constraints.bind(spark, writeSchema, Constraints.forStore(path))
     new GraftBatchWriteExec(path, staging, writeSchema, uids, tsCol,
-      factory, conf, truncate, maxRecords)
+      factory, conf, truncate, maxRecords, checks)
   }
 
   override def description(): String = s"graft-native-write:$path"
@@ -126,12 +127,13 @@ private[graft] object GraftBatchWrite {
 private[sources] class GraftBatchWriteExec(path: String, staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: GraftSerializableConf,
-    truncate: Boolean, maxRecordsPerFile: Long = 8L << 20)
+    truncate: Boolean, maxRecordsPerFile: Long = 8L << 20,
+    checks: Seq[Constraints.Bound] = Nil)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(staging, writeSchema, uids, tsCol, factory, conf,
-      maxRecordsPerFile)
+      maxRecordsPerFile, checks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // adopt ONLY the files the committed task attempts NAMED — the
@@ -188,11 +190,11 @@ private[graft] case class GraftWriteTaskResult(files: Seq[String])
 private[sources] class GraftDataWriterFactory(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: GraftSerializableConf,
-    maxRecordsPerFile: Long)
+    maxRecordsPerFile: Long, checks: Seq[Constraints.Bound] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(staging, writeSchema, uids, tsCol, factory,
-      conf.value, partitionId, taskId, maxRecordsPerFile)
+      conf.value, partitionId, taskId, maxRecordsPerFile, checks)
 }
 
 /** Shared task-writer base: the projections, the hive-style
@@ -205,8 +207,14 @@ private[sources] class GraftDataWriterFactory(staging: String,
 private[graft] abstract class GraftWriterBase(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    checks: Seq[Constraints.Bound] = Nil)
   extends DataWriter[InternalRow] {
+
+  // CHECK constraints ride the writer itself (codegen'd predicates,
+  // one branch per row) — enforcement costs no extra pass over the
+  // incoming data; see [[Constraints]]
+  private val rowGuard = new Constraints.RowGuard(checks, partitionId)
 
   protected val dataSchema = StructType(
     writeSchema.fields.filterNot(f => uids.contains(f.name)))
@@ -252,10 +260,12 @@ private[graft] abstract class GraftWriterBase(staging: String,
     factory.newInstance(s"$staging/$rel", dataSchema, attemptContext())
   }
 
-  protected def guardTs(row: InternalRow): Unit =
+  protected def guardTs(row: InternalRow): Unit = {
     if (tsIdx >= 0 && row.isNullAt(tsIdx))
       throw new IllegalArgumentException(
         s"null $tsCol value — refusing write (the store's time column is mandatory)")
+    if (!rowGuard.isEmpty) rowGuard.check(row)
+  }
 
   protected def closeOpenWriters(): Unit
 
@@ -277,9 +287,10 @@ private[graft] abstract class GraftWriterBase(staging: String,
 private[graft] class GraftDataWriter(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
-    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+    partitionId: Int, taskId: Long, maxRecordsPerFile: Long,
+    checks: Seq[Constraints.Bound] = Nil)
   extends GraftWriterBase(staging, writeSchema, uids, tsCol, factory, conf,
-    partitionId, taskId) {
+    partitionId, taskId, checks) {
 
   private val keyProj = UnsafeProjection.create(uidIdx.map(i =>
     BoundReference(i, writeSchema(i).dataType, writeSchema(i).nullable)).toArray
@@ -320,9 +331,10 @@ private[graft] class GraftDataWriter(staging: String,
 private[graft] class GraftHashedDataWriter(staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: Configuration,
-    partitionId: Int, taskId: Long, maxRecordsPerFile: Long)
+    partitionId: Int, taskId: Long, maxRecordsPerFile: Long,
+    checks: Seq[Constraints.Bound] = Nil)
   extends GraftWriterBase(staging, writeSchema, uids, tsCol, factory, conf,
-    partitionId, taskId) {
+    partitionId, taskId, checks) {
 
   private final class Open(var writer: OutputWriter, var records: Long)
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, Open]

@@ -135,8 +135,14 @@ private[sources] class GraftDeltaWrite(path: String, rowSchema: StructType,
     val staging = TsStore.txnDir(path)
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, rowSchema, uids)
+    // a pure DELETE's row schema is empty and never inserts — nothing
+    // to gate (removing rows cannot violate a CHECK constraint); the
+    // UPDATE/MERGE rows bind against the full row schema
+    val checks =
+      if (cmd == RowLevelOperation.Command.DELETE) Nil
+      else Constraints.bind(spark, rowSchema, Constraints.forStore(path))
     new GraftDeltaBatchWrite(path, staging, rowSchema, uids, tsCol,
-      factory, conf, maxRecords, scanOf)
+      factory, conf, maxRecords, scanOf, checks)
   }
 
   override def description(): String = s"graft-delta-write-$cmd:$path"
@@ -146,12 +152,12 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, maxRecordsPerFile: Long,
-    scanOf: () => Option[GraftScan])
+    scanOf: () => Option[GraftScan], checks: Seq[Constraints.Bound] = Nil)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftDeltaWriterFactory(staging, rowSchema, uids, tsCol, factory,
-      conf, maxRecordsPerFile)
+      conf, maxRecordsPerFile, checks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -271,11 +277,12 @@ private[graft] case class GraftDeltaTaskResult(
 private[sources] class GraftDeltaWriterFactory(staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: GraftSerializableConf, maxRecordsPerFile: Long)
+    conf: GraftSerializableConf, maxRecordsPerFile: Long,
+    checks: Seq[Constraints.Bound] = Nil)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaDataWriter(staging, rowSchema, uids, tsCol, factory,
-      conf, partitionId, taskId, maxRecordsPerFile)
+      conf, partitionId, taskId, maxRecordsPerFile, checks)
 }
 
 /** The task writer: inserts ride the streaming-hardened hashed parquet
@@ -289,12 +296,13 @@ private[sources] class GraftDeltaDataWriter(staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, partitionId: Int, taskId: Long,
-    maxRecordsPerFile: Long)
+    maxRecordsPerFile: Long, checks: Seq[Constraints.Bound] = Nil)
   extends DeltaWriter[InternalRow] {
 
   // lazy: a pure-DELETE delta has an empty row schema and never inserts
   private lazy val insertW = new GraftHashedDataWriter(staging, rowSchema,
-    uids, tsCol, factory, conf.value, partitionId, taskId, maxRecordsPerFile)
+    uids, tsCol, factory, conf.value, partitionId, taskId, maxRecordsPerFile,
+    checks)
   private var insertsOpened = false
   private val positions =
     scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]

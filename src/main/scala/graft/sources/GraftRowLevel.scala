@@ -92,10 +92,15 @@ private[sources] class GraftReplaceDataWrite(path: String,
     val staging = TsStore.txnDir(path)
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
+    // copy-on-write replacement rows = survivors + UPDATE/MERGE output:
+    // survivors satisfied the constraints at their own write (ADD
+    // validates existing data), so the per-row guard here gates exactly
+    // the mutated/inserted values
+    val checks = Constraints.bind(spark, writeSchema, Constraints.forStore(path))
     new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftDataWriterFactory(staging, writeSchema, uids, tsCol,
-          factory, conf, maxRecords)
+          factory, conf, maxRecords, checks)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         // only the committed attempts' named files (see GraftBatchWrite)

@@ -2555,7 +2555,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props.get("delete.mode").map("delete.mode" -> _) ++
         // dv-density auto-compaction threshold for DML commits
         // (TsStore.dvDensityCompact); absent = advisory log only
-        props.get("dv.compact.ratio").map("dv.compact.ratio" -> _))
+        props.get("dv.compact.ratio").map("dv.compact.ratio" -> _) ++
+        // CHECK constraints ('constraint.<name>' = boolean sql) — must
+        // analyze against the declared schema NOW (a malformed
+        // expression must refuse the CREATE, not the first INSERT);
+        // there is no data to scan yet
+        props.filter { case (k, _) => k.startsWith(Constraints.Prefix) }
+          .map { case (k, v) =>
+            Constraints.bind(SparkSession.active, schema,
+              Seq(Constraints.Check(k.stripPrefix(Constraints.Prefix), v)))
+            k -> v
+          })
     tableAt(p, None)
   }
 
@@ -2649,6 +2659,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!uids.contains(name),
             s"cannot DROP partition column '$name' — the directory layout " +
               "is built on it")
+          // a CHECK constraint referencing the column would dangle
+          // (every later write's bind would fail) — UNSET it first
+          locally {
+            val cs = Constraints.referencing(spark, cur.props ++ props, name)
+            require(cs.isEmpty,
+              s"cannot DROP column '$name': CHECK constraint(s) " +
+                s"${cs.mkString(", ")} reference it — UNSET TBLPROPERTIES " +
+                s"('${Constraints.Prefix}<name>') first")
+          }
           props += s"${GraftTable.DroppedPropPrefix}$name" -> "1"
           // a renamed column's DATA lives under its physical name —
           // tombstone that too, or a later ADD of the original name
@@ -2673,6 +2692,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!uids.contains(from),
           s"cannot RENAME partition column '$from' — the directory layout " +
             "is built on it")
+        // constraint expressions are stored as SQL text over declared
+        // names — a rename would silently detach them; UNSET first
+        // (re-SET under the new name re-validates)
+        locally {
+          val cs = Constraints.referencing(spark, cur.props ++ props, from)
+          require(cs.isEmpty,
+            s"cannot RENAME column '$from': CHECK constraint(s) " +
+              s"${cs.mkString(", ")} reference it — UNSET TBLPROPERTIES " +
+              s"('${Constraints.Prefix}<name>') first")
+        }
         require(!cur.props.contains(s"${GraftTable.DroppedPropPrefix}$to") &&
             !props.contains(s"${GraftTable.DroppedPropPrefix}$to"),
           s"column '$to' was previously dropped from ${ident.name} and its " +
@@ -2744,6 +2773,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             g.copy(dataType = ut.newDataType, metadata = md.build())
           }
         })
+      case sp: TableChange.SetProperty if sp.property.startsWith(Constraints.Prefix) =>
+        // ADD CHECK constraint: the expression must analyze against the
+        // declared schema AND hold over every existing row (one
+        // stop-at-first-violation scan) — a committed constraint is a
+        // whole-table invariant, which is what lets every write path
+        // skip re-checking survivors/maintenance rewrites
+        Constraints.validateAdd(spark, p, schema,
+          Constraints.Check(sp.property.stripPrefix(Constraints.Prefix), sp.value))
+        props += sp.property -> sp.value
       case sp: TableChange.SetProperty =>
         require(!sp.property.startsWith("graft."),
           s"property '${sp.property}' is managed by the store")

@@ -203,9 +203,14 @@ object TsStore {
     // a renamed store's files carry PHYSICAL names — translate an
     // appended frame's declared names before anything touches it
     // (an Overwrite REPLACES the store, declaration included, so the
-    // incoming names ARE the new physical schema: no translation)
-    val dfW = if (mode == SaveMode.Append) physicalFrame(df, physRenames(path))
+    // incoming names ARE the new physical schema: no translation).
+    // CHECK constraints gate the append FIRST, on the user's declared
+    // names (the guard is a codegen'd filter inside the write lineage)
+    val dfC = if (mode == SaveMode.Append)
+                Constraints.guard(df, Constraints.forStore(path))
               else df
+    val dfW = if (mode == SaveMode.Append) physicalFrame(dfC, physRenames(path))
+              else dfC
     val overlapChecked = mode == SaveMode.Append && uidCols.nonEmpty &&
       overlapPolicy != OverlapPolicy.Allow
     if (!overlapChecked)
@@ -542,9 +547,12 @@ object TsStore {
              setProps: Map[String, String] = Map.empty): Long = {
     // a renamed store's files (and upsertPlan's base read-back) carry
     // PHYSICAL names — translate the user delta and its named columns
-    // (uid/ts columns refuse renames, so only keys/version can move)
+    // (uid/ts columns refuse renames, so only keys/version can move).
+    // CHECK constraints gate the DELTA (the new rows) on the declared
+    // names; base survivors satisfied them at their own write
     val renames = physRenames(path)
-    val deltaW = physicalFrame(delta, renames)
+    val deltaW = physicalFrame(
+      Constraints.guard(delta, Constraints.forStore(path)), renames)
     val keyColsW = keyCols.map(c => renames.getOrElse(c, c))
     val versionColW = renames.getOrElse(versionCol, versionCol)
     // Pin the delta ONCE. The merge evaluates it three times (emptiness,

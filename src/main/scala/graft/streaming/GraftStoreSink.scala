@@ -170,11 +170,15 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
     val stagingBase = TsStore.txnDir(path)
+    // CHECK constraints gate the stream the same way they gate batch
+    // INSERTs — per row, inside the epoch's writers, before any commit
+    val checks = graft.sources.Constraints.bind(spark, writeSchema,
+      graft.sources.Constraints.forStore(path))
     new StreamingWrite {
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory =
         new GraftStreamingWriterFactory(stagingBase, writeSchema, uids, tsCol,
-          factory, conf, maxRecords, partitionedLayout = true)
+          factory, conf, maxRecords, partitionedLayout = true, checks)
 
       override def commit(epochId: Long,
                           messages: Array[WriterCommitMessage]): Unit = {
@@ -319,7 +323,8 @@ private[streaming] class GraftStreamingWriterFactory(stagingBase: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, maxRecordsPerFile: Long,
-    partitionedLayout: Boolean)
+    partitionedLayout: Boolean,
+    checks: Seq[graft.sources.Constraints.Bound] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -327,9 +332,9 @@ private[streaming] class GraftStreamingWriterFactory(stagingBase: String,
     val staging = s"${stagingBase}_e$epochId"
     if (partitionedLayout)
       new GraftHashedDataWriter(staging, writeSchema, uids, tsCol,
-        factory, conf.value, partitionId, taskId, maxRecordsPerFile)
+        factory, conf.value, partitionId, taskId, maxRecordsPerFile, checks)
     else
       new GraftDataWriter(staging, writeSchema, Seq.empty, tsCol,
-        factory, conf.value, partitionId, taskId, maxRecordsPerFile)
+        factory, conf.value, partitionId, taskId, maxRecordsPerFile, checks)
   }
 }

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Constraints, StoreLog, Tables, TsStore}
+
+/** Table CHECK constraints (Constraints.scala): write-path enforcement
+  * across every ingest face (SQL INSERT, Scala append/upsert, cow and
+  * delta DML, the streaming sink), SQL CHECK null semantics, ADD-time
+  * validation against existing data, and the DDL interplay guards.
+  */
+class ConstraintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, TestSpark.sf001)
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  private var catSeq = 0
+  /** A fresh catalog-backed table with the given TBLPROPERTIES clause,
+    * loaded with the non-negative-value slice of the events fixture.
+    */
+  private def freshTable(tblProps: String): (String, String) = {
+    catSeq += 1
+    val cat = s"gck$catSeq"
+    val root = Files.createTempDirectory(s"graft_ck$catSeq").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(
+      s"""CREATE TABLE $cat.ns.t (
+         |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type STRING, value DOUBLE)
+         |USING graft PARTITIONED BY (event_type) $tblProps""".stripMargin)
+    events.select(cols.map(col): _*).filter(col("value") >= 0)
+      .createOrReplaceTempView(s"ck_src_$catSeq")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM ck_src_$catSeq")
+    (s"$cat.ns.t", s"$root/ns/t")
+  }
+
+  private def violates[T](body: => T): String = {
+    val e = intercept[Exception](body)
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msg.contains("CHECK constraint"), s"wanted a CHECK violation, got: $msg")
+    msg
+  }
+
+  test("SQL INSERT refuses a violating row atomically; valid inserts pass") {
+    val (t, path) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+    val before = StoreLog.latest(path).get
+    val n0 = spark.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    val msg = violates(spark.sql(
+      s"INSERT INTO $t VALUES (900001, TIMESTAMP'2024-01-01 00:00:00', " +
+        "1, 'view', -5.0)"))
+    assert(msg.contains("vpos"))
+    // atomic: the failed INSERT committed nothing (manifest unchanged)
+    assert(StoreLog.latest(path).get.version === before.version)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === n0)
+    // valid rows (and a NULL — SQL CHECK: unknown passes) still insert
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(900002, TIMESTAMP'2024-01-01 00:00:01', 1, 'view', 3.5), " +
+      "(900003, TIMESTAMP'2024-01-01 00:00:02', 1, 'view', NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === n0 + 2)
+  }
+
+  test("cow UPDATE and dv-mode UPDATE refuse a violating assignment") {
+    val (t, path) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+    val v0 = StoreLog.latest(path).get.version
+    violates(spark.sql(s"UPDATE $t SET value = -1.0 WHERE event_id % 10 = 3"))
+    assert(StoreLog.latest(path).get.version === v0, "failed UPDATE must not commit")
+    spark.sql(s"UPDATE $t SET value = value + 1 WHERE event_id % 10 = 3")
+    assert(StoreLog.latest(path).get.version > v0)
+
+    val (t2, path2) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0', 'delete.mode' = 'dv')")
+    val v2 = StoreLog.latest(path2).get.version
+    violates(spark.sql(s"UPDATE $t2 SET value = -2.0 WHERE event_id % 10 = 4"))
+    assert(StoreLog.latest(path2).get.version === v2)
+    // deletes never violate (removal can't break a CHECK)
+    spark.sql(s"DELETE FROM $t2 WHERE event_id % 10 = 4")
+    assert(StoreLog.latest(path2).get.version > v2)
+  }
+
+  test("Scala append and upsert enforce the store's constraints") {
+    val (_, path) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+    import org.apache.spark.sql.SaveMode
+    val bad = Seq((990001L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", -9.0)).toDF(cols: _*)
+    violates(TsStore.write(bad, path, tsCol = "ts",
+      uidCols = Seq("event_type"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow))
+    violates(TsStore.upsert(spark, path,
+      bad.withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type")))
+    val good = Seq((990002L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+      1L, "view", 9.0)).toDF(cols: _*)
+    TsStore.write(good, path, tsCol = "ts", uidCols = Seq("event_type"),
+      mode = SaveMode.Append, overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(TsStore.load(spark, path).filter(col("event_id") === 990002L)
+      .count() === 1L)
+  }
+
+  test("ADD constraint validates existing data; UNSET re-opens the gate") {
+    val (t, path) = freshTable("")
+    // fixture has value >= 0 rows only — this ADD validates and holds
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+    violates(spark.sql(
+      s"INSERT INTO $t VALUES (910001, TIMESTAMP'2024-01-01 00:00:00', " +
+        "1, 'view', -1.0)"))
+    // a constraint the live rows violate REFUSES at ADD time
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES('constraint.impossible' = 'value > 1e12')"))
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(!StoreLog.latest(path).get.props.contains("constraint.impossible"))
+    // UNSET removes the gate
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('constraint.vpos')")
+    spark.sql(s"INSERT INTO $t VALUES (910002, TIMESTAMP'2024-01-01 00:00:00', " +
+      "1, 'view', -1.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE value < 0").head()
+      .getLong(0) === 1L)
+  }
+
+  test("malformed constraints refuse at DDL time, not first INSERT") {
+    val (t, _) = freshTable("")
+    // unknown column dies in the analyzer
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES('constraint.bad' = 'no_such_col > 0')"))
+      .getMessage.toLowerCase.contains("no_such_col"))
+    // aggregates cannot gate single rows
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES('constraint.agg' = 'sum(value) > 0')"))
+      .getMessage.contains("row-level"))
+    // CREATE TABLE validates too (same catalog as this test's table)
+    val cat = t.split('.').head
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.ns.bad (a BIGINT, ts TIMESTAMP) USING graft " +
+        "TBLPROPERTIES('constraint.bad' = 'b > 0')"))
+    assert(e.getMessage.toLowerCase.contains("b"))
+  }
+
+  test("DROP / RENAME of a constrained column refuse; widening re-binds") {
+    val (t, _) = freshTable(
+      "TBLPROPERTIES('constraint.upos' = 'user_id >= 0')")
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE $t DROP COLUMN user_id")).getMessage.contains("upos"))
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE $t RENAME COLUMN user_id TO uid")).getMessage.contains("upos"))
+    // UNSET first, then the DDL goes through — and a re-SET under the
+    // new name re-validates and gates again
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('constraint.upos')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN user_id TO uid")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('constraint.upos2' = 'uid >= 0')")
+    violates(spark.sql(
+      s"INSERT INTO $t VALUES (920001, TIMESTAMP'2024-01-01 00:00:00', " +
+        "-1, 'view', 1.0)"))
+  }
+
+  test("streaming append sink enforces constraints per epoch") {
+    val (_, path) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0')")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF(cols: _*)
+    val ckpt = Files.createTempDirectory("graft_ck_stream").toString
+    val q = df.writeStream.format("graft-store")
+      .option("path", path).option("tsCol", "ts")
+      .option("uids", "event_type").option("feedId", "ckfeed")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((980001L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
+        1L, "view", -4.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msg.contains("CHECK constraint") && msg.contains("vpos"))
+    } finally q.stop()
+    // the violating epoch committed nothing
+    assert(TsStore.load(spark, path).filter(col("event_id") === 980001L)
+      .count() === 0L)
+  }
+
+  test("bind refuses non-deterministic expressions") {
+    val schema = events.select(cols.map(col): _*).schema
+    val e = intercept[Exception](Constraints.bind(spark, schema,
+      Seq(Constraints.Check("rnd", "rand() > 0.5"))))
+    assert(e.getMessage.contains("deterministic"))
+  }
+}
