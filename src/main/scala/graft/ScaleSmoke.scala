@@ -79,8 +79,10 @@ object ScaleSmoke {
     // round-16: the CHECK-constraint lifecycle's 10x cost must track
     // the fixture's own INSERT (the per-row guard rides inside the
     // write job — no second pass) plus the ADD-validation scan, both
-    // linear in the data; the refusal probes are O(1)
-    "store_sql_constraint")
+    // linear in the data; the refusal probes are O(1). The tag
+    // lifecycle is metadata commits + a vacuum whose cost tracks dead
+    // files, never the live data.
+    "store_sql_constraint", "store_sql_tag_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

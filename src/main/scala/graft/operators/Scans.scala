@@ -1583,6 +1583,53 @@ object Scans {
         "FROM events WHERE event_id % 11 <> 3 ORDER BY event_id"),
       "SQL DELETE under TBLPROPERTIES delete.mode=dv: merge-on-read from pure SQL"),
 
+    "store_sql_tag_travel" -> DeclaredQuery(
+      // NAMED VERSION TAGS (the Iceberg tag/ref role): CALL system.tag
+      // pins an era under a name — readable as VERSION AS OF '<name>'
+      // and RETAINED BY VACUUM however far it falls behind the window
+      // (manifest, data files, dv sidecars; a stranded delta chain is
+      // checkpoint-rewritten self-resolvable — TagSpec pins the byte
+      // mechanics). At 100 TB this is how "the dataset the March model
+      // trained on" stays readable for a year while the table churns
+      // daily and vacuum holds the live set tight. Self-pins: the
+      // vacuum drops untagged old manifests but keeps the tagged one.
+      (s, d) => {
+        val cat = s"gtgq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_tag_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("tag_sql_src")
+        s.sql(s"CREATE TABLE $cat.q.ev (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) USING graft " +
+          "PARTITIONED BY (event_type)")
+        s.sql(s"INSERT INTO $cat.q.ev SELECT * FROM tag_sql_src " +
+          "WHERE event_id % 2 = 0")
+        s.sql(s"CALL $cat.system.tag('q.ev', 'era1')").collect()
+        // the table churns on: more data, a takedown, then a tight vacuum
+        s.sql(s"INSERT INTO $cat.q.ev SELECT * FROM tag_sql_src " +
+          "WHERE event_id % 2 = 1")
+        s.sql(s"DELETE FROM $cat.q.ev WHERE event_id % 11 = 0")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val taggedV = graft.sources.StoreLog.tagVersion(path, "era1").get
+        val nBefore = graft.sources.StoreLog.listVersions(path).size
+        s.sql(s"CALL $cat.system.vacuum('q.ev')").collect()
+        val after = graft.sources.StoreLog.listVersions(path)
+        require(after.contains(taggedV),
+          "vacuum must retain the tagged era's manifest")
+        require(after.size < nBefore,
+          "vacuum must drop the untagged old manifests")
+        s.sql("SELECT event_id, ts, user_id, event_type, value " +
+          s"FROM $cat.q.ev VERSION AS OF 'era1' ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE event_id % 2 = 0 ORDER BY event_id"),
+      "named version tags: CALL system.tag pins an era for VERSION AS OF '<name>' and vacuum retention"),
+
     "store_sql_constraint" -> DeclaredQuery(
       // Table CHECK constraints (the Delta delta.constraints / ANSI
       // CHECK role): TBLPROPERTIES('constraint.<name>' = '<bool sql>')

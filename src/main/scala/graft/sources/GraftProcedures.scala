@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("vacuum", "compact", "zorder", "history", "detail", "delete_keys")
+    Seq("vacuum", "compact", "zorder", "history", "detail", "delete_keys",
+      "tag", "drop_tag", "tags")
 
   /** Procedure result rows — the analyzer requires a LocalScan. */
   private final class ResultScan(schema: StructType, rowVals: Seq[Array[Any]])
@@ -242,6 +243,76 @@ object GraftProcedures {
           }
           oneRowScan(StructType(Seq(
             StructField("version", LongType, nullable = false))), Array(v))
+        }
+      }
+      case "tag" => new OneShot("tag",
+        "pin a version under a name (the Iceberg tag role): readable " +
+          "via VERSION AS OF '<name>', retained by vacuum however old",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("NULL").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          require(name.nonEmpty && name.forall(c =>
+              c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+            s"tag name '$name' must be [A-Za-z0-9_.-]+")
+          val cur = StoreLog.latest(path).getOrElse(
+            throw new IllegalArgumentException(s"no manifest at $path"))
+          // default = pin the CURRENT version (the one before this tag
+          // commit); an explicit version must be a retained manifest —
+          // a tag must name an era that can actually be read back
+          val v = if (input.isNullAt(2)) cur.version else input.getLong(2)
+          require(StoreLog.listVersions(path).contains(v),
+            s"version $v is not a retained manifest version (CALL " +
+              "system.history to list) — vacuumed eras cannot be tagged")
+          // re-tagging an existing name moves it (the Iceberg REPLACE
+          // TAG behavior); the tag itself is a metadata-only commit
+          StoreLog.commit(path, cur.version, Seq.empty, cur.files,
+            parent = Some(cur),
+            setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> v.toString))
+          oneRowScan(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(name), v))
+        }
+      }
+      case "drop_tag" => new OneShot("drop_tag",
+        "remove a named tag — its version rejoins the ordinary vacuum " +
+          "retention window",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          val cur = StoreLog.latest(path).getOrElse(
+            throw new IllegalArgumentException(s"no manifest at $path"))
+          require(cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
+            s"no tag '$name' (CALL system.tags to list)")
+          // empty value deletes the prop at commit
+          StoreLog.commit(path, cur.version, Seq.empty, cur.files,
+            parent = Some(cur),
+            setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> ""))
+          oneRowScan(StructType(Seq(
+            StructField("dropped", StringType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+        }
+      }
+      case "tags" => new OneShot("tags",
+        "list the table's named tags: one row per tag, metadata only",
+        Array(
+          ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          import org.apache.spark.unsafe.types.UTF8String
+          val rows = StoreLog.namedTags(path).toSeq.sortBy(_._1).map {
+            case (n, v) => Array[Any](UTF8String.fromString(n), v)
+          }
+          rowsScan(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("version", LongType, nullable = false))), rows)
         }
       }
       case "history" => new OneShot("history",

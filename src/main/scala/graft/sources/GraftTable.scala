@@ -2503,13 +2503,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableAt(p, None)
   }
 
-  /** `VERSION AS OF v` — the manifest version, same id space as the
-    * Scala `asOf` and the `graft_store` TVF.
+  /** `VERSION AS OF v` — the manifest version (same id space as the
+    * Scala `asOf` and the `graft_store` TVF), or a NAMED TAG
+    * (`VERSION AS OF 'pre_migration'` — `CALL system.tag` pins one;
+    * vacuum retains it, so a tag is a durable readable era, the
+    * Iceberg ref idea).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
     if (!isStore(p)) throw new NoSuchTableException(ident)
-    tableAt(p, Some(version.toLong))
+    val v = version.toLongOption
+      .orElse(StoreLog.tagVersion(p, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a version number nor a named tag of " +
+          s"${ident.name} (CALL system.tags to list)"))
+    tableAt(p, Some(v))
   }
 
   /** `TIMESTAMP AS OF t` — the newest version committed at or before the

@@ -464,6 +464,30 @@ object StoreLog {
       n.has("tag") && n.get("tag").asText() == tag
     }
 
+  /** NAMED VERSION TAGS (the Iceberg tag/ref role — distinct from the
+    * per-commit ingest `tag` field above, which dedups re-delivered
+    * batches): a `graft.tag.<name>` prop on the LATEST manifest pins a
+    * version for time travel (`VERSION AS OF '<name>'`) AND for
+    * [[vacuum]], which retains every tagged version — manifest, data
+    * files, and dv sidecars — however far past the retention window it
+    * falls, checkpoint-rewriting it if its delta chain loses ancestors.
+    * Managed through `CALL system.tag / drop_tag / tags` (the catalog
+    * refuses direct SET of `graft.*` props).
+    */
+  val TagPropPrefix = "graft.tag."
+
+  /** The version a named tag pins, from the latest manifest's props. */
+  def tagVersion(path: String, name: String): Option[Long] =
+    latest(path).flatMap(_.props.get(TagPropPrefix + name))
+      .flatMap(_.toLongOption)
+
+  /** All named tags of a store: name → pinned version. */
+  def namedTags(path: String): Map[String, Long] =
+    latest(path).map(_.props.collect {
+      case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
+        k.stripPrefix(TagPropPrefix) -> v.toLong
+    }).getOrElse(Map.empty)
+
   def latest(path: String): Option[Snapshot] =
     latestVersion(path).map(read(path, _))
 
@@ -757,6 +781,16 @@ object StoreLog {
         .foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
     }
     if (listVersions(path).isEmpty) return 0
+    // retention = the trailing window PLUS every tagged version (named
+    // tags live on the latest manifest's props, so a concurrent tag
+    // commit bumps the version and the stability rechecks re-read them)
+    def keep(vs: Seq[Long]): Seq[Long] = {
+      val tagged: Seq[Long] = read(path, vs.last).props.toSeq.collect {
+        case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
+          v.toLong
+      }.filter(vs.contains)
+      (vs.takeRight(retainVersions) ++ tagged).distinct.sorted
+    }
     // Candidate collection must be SOUND against live writers. A writer
     // holds its lease from before adoptStaged until after its commit,
     // so after candidates are listed, ONE recheck decides every case:
@@ -774,7 +808,7 @@ object StoreLog {
     var done = false
     while (!done) {
       val vBefore = listVersions(path)
-      val retained = vBefore.takeRight(retainVersions)
+      val retained = keep(vBefore)
       val live: Set[String] = retained.flatMap(v => read(path, v).files).toSet
       val candidates = listDataFiles(path).filterNot(live)
       val now = System.currentTimeMillis()
@@ -810,7 +844,7 @@ object StoreLog {
           // mtime counts as young and the lease-birth cutoff applies
           // (same rules as the leased path above).
           versions = listVersions(path)
-          val retained2 = versions.takeRight(retainVersions)
+          val retained2 = keep(versions)
           val live2: Set[String] = retained2.flatMap(v => read(path, v).files).toSet
           val cutoff2 = leaseCutoff(freshLeases(now))
           deleted = listDataFiles(path).filterNot(live2).filter(f =>
@@ -819,28 +853,37 @@ object StoreLog {
         }
       }
     }
-    val retained = versions.takeRight(retainVersions)
+    val retained = keep(versions)
+    val retainedSet = retained.toSet
     deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
-    // the oldest retained version may be a DELTA whose checkpoint
-    // ancestor is about to be dropped — rewrite it as a checkpoint
-    // (resolved BEFORE any manifest deletion; atomic in-place replace)
-    // so every retained version stays self-resolvable
-    val oldest = retained.head
-    if (!isCheckpointNode(readRaw(path, oldest))) {
-      val snap = read(path, oldest)
-      // same format decision as a committed checkpoint: big stores get
-      // a parquet payload (staged before the pointer swaps in)
-      val ref = stageCheckpointPayload(path, oldest, snap.files.sorted,
-        snap.stats, snap.sizes, snap.dvs)
-      fsio.replaceAtomic(verFile(path, oldest),
-        manifestBytes(snap.version, snap.timestampMs,
-          snap.replaced, snap.files, parentFiles = None,
-          checkpointInterval = snap.checkpointInterval,
-          stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
-          props = snap.props, sizes = snap.sizes, dvs = snap.dvs,
-          filesRef = ref))
+    // every retained version must stay SELF-RESOLVABLE after the drops.
+    // Delta resolution walks consecutive version numbers down to a
+    // checkpoint, so ascending over the retained set: a delta resolves
+    // iff its immediate predecessor is retained and itself resolves;
+    // anything else (the oldest of the trailing window, and any TAGGED
+    // version stranded past a gap) rewrites as a checkpoint — resolved
+    // BEFORE any manifest deletion, atomic in-place replace. Same
+    // format decision as a committed checkpoint: big stores get a
+    // parquet payload (staged before the pointer swaps in).
+    var resolvable = Set.empty[Long]
+    retained.foreach { v =>
+      if (isCheckpointNode(readRaw(path, v)) || resolvable.contains(v - 1)) {
+        resolvable += v
+      } else {
+        val snap = read(path, v)
+        val ref = stageCheckpointPayload(path, v, snap.files.sorted,
+          snap.stats, snap.sizes, snap.dvs)
+        fsio.replaceAtomic(verFile(path, v),
+          manifestBytes(snap.version, snap.timestampMs,
+            snap.replaced, snap.files, parentFiles = None,
+            checkpointInterval = snap.checkpointInterval,
+            stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
+            props = snap.props, sizes = snap.sizes, dvs = snap.dvs,
+            filesRef = ref))
+        resolvable += v
+      }
     }
-    versions.dropRight(retainVersions)
+    versions.filterNot(retainedSet)
       .foreach(v => fsio.deleteFile(verFile(path, v)))
     // checkpoint-payload reclaim: parquet sidecars no retained manifest
     // references — dropped versions' payloads, CAS losers' crashed
