@@ -189,6 +189,33 @@ class ConstraintSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("CTAS with a constraint gates its own SELECT rows") {
+    catSeq += 1
+    val cat = s"gck$catSeq"
+    val root = Files.createTempDirectory(s"graft_ck$catSeq").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    events.select(cols.map(col): _*).createOrReplaceTempView("ck_ctas_src")
+    // the source carries violating rows — the CTAS write itself refuses
+    // (createTable commits the constraint, the CTAS insert binds it)
+    val hasNeg = events.filter(col("value") < 0).limit(1).count() > 0
+    if (hasNeg) {
+      violates(spark.sql(s"CREATE TABLE $cat.ns.bad USING graft " +
+        "PARTITIONED BY (event_type) " +
+        "TBLPROPERTIES('constraint.vpos' = 'value >= 0') " +
+        "AS SELECT * FROM ck_ctas_src"))
+    }
+    // a clean source lands and the gate holds afterwards
+    spark.sql(s"CREATE TABLE $cat.ns.good USING graft " +
+      "PARTITIONED BY (event_type) " +
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0') " +
+      "AS SELECT * FROM ck_ctas_src WHERE value >= 0")
+    violates(spark.sql(s"INSERT INTO $cat.ns.good VALUES " +
+      "(930001, TIMESTAMP'2024-01-01 00:00:00', 1, 'view', -1.0)"))
+  }
+
   test("bind refuses non-deterministic expressions") {
     val schema = events.select(cols.map(col): _*).schema
     val e = intercept[Exception](Constraints.bind(spark, schema,
