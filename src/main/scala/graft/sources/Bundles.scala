@@ -233,6 +233,33 @@ class Bundles(spark: SparkSession, basePath: String,
   def versions(collection: String = defaultCollection): Seq[Long] =
     TsStore.versions(dir(collection))
 
+  /** Pin the collection's current (or a named) version under a NAME —
+    * readable forever via [[readTagged]] and spared by [[vacuum]]
+    * however small its retention window (see [[TsStore.tag]]).
+    */
+  def tag(name: String, collection: String = defaultCollection,
+          version: Option[Long] = None): Long =
+    TsStore.tag(dir(collection), name, version)
+
+  /** Drop a named tag — its era rejoins the vacuum window. */
+  def dropTag(name: String, collection: String = defaultCollection): Unit =
+    TsStore.dropTag(dir(collection), name)
+
+  /** The collection's named tags: name → pinned version. */
+  def tags(collection: String = defaultCollection): Map[String, Long] =
+    TsStore.tags(dir(collection))
+
+  /** [[readAsOf]] addressed by tag name instead of version number. */
+  def readTagged(uid: String, tagName: String,
+                 collection: String = defaultCollection,
+                 tsCol: String = "ts",
+                 columns: Seq[String] = Seq.empty): DataFrame = {
+    val v = StoreLog.tagVersion(dir(collection), tagName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no tag '$tagName' on collection '$collection'"))
+    readAsOf(uid, v, collection, tsCol, columns)
+  }
+
   /** Reclaim replaced chunks beyond the newest `retainVersions`
     * manifests (shrinks the [[readAsOf]] window; safe against live
     * writers — see [[TsStore.vacuum]]). Returns files deleted.

@@ -255,23 +255,13 @@ object GraftProcedures {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, _) = layout(root, input.getUTF8String(0).toString)
           val name = input.getUTF8String(1).toString
-          require(name.nonEmpty && name.forall(c =>
-              c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-            s"tag name '$name' must be [A-Za-z0-9_.-]+")
-          val cur = StoreLog.latest(path).getOrElse(
-            throw new IllegalArgumentException(s"no manifest at $path"))
           // default = pin the CURRENT version (the one before this tag
           // commit); an explicit version must be a retained manifest —
-          // a tag must name an era that can actually be read back
-          val v = if (input.isNullAt(2)) cur.version else input.getLong(2)
-          require(StoreLog.listVersions(path).contains(v),
-            s"version $v is not a retained manifest version (CALL " +
-              "system.history to list) — vacuumed eras cannot be tagged")
-          // re-tagging an existing name moves it (the Iceberg REPLACE
-          // TAG behavior); the tag itself is a metadata-only commit
-          StoreLog.commit(path, cur.version, Seq.empty, cur.files,
-            parent = Some(cur),
-            setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> v.toString))
+          // a tag must name an era that can actually be read back.
+          // Re-tagging an existing name moves it (REPLACE TAG); the
+          // tag itself is a metadata-only commit (TsStore.tag).
+          val v = TsStore.tag(path, name,
+            if (input.isNullAt(2)) None else Some(input.getLong(2)))
           oneRowScan(StructType(Seq(
             StructField("name", StringType, nullable = false),
             StructField("version", LongType, nullable = false))),
@@ -287,14 +277,7 @@ object GraftProcedures {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, _) = layout(root, input.getUTF8String(0).toString)
           val name = input.getUTF8String(1).toString
-          val cur = StoreLog.latest(path).getOrElse(
-            throw new IllegalArgumentException(s"no manifest at $path"))
-          require(cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
-            s"no tag '$name' (CALL system.tags to list)")
-          // empty value deletes the prop at commit
-          StoreLog.commit(path, cur.version, Seq.empty, cur.files,
-            parent = Some(cur),
-            setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> ""))
+          TsStore.dropTag(path, name)
           oneRowScan(StructType(Seq(
             StructField("dropped", StringType, nullable = false))),
             Array(org.apache.spark.unsafe.types.UTF8String.fromString(name)))

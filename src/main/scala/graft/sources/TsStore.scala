@@ -1962,6 +1962,46 @@ object TsStore {
   def vacuum(path: String, retainVersions: Int = 1): Int =
     StoreLog.vacuum(path, retainVersions)
 
+  /** Pin a manifest version under a NAME (the Iceberg tag role; the
+    * Scala twin of `CALL system.tag`): a `graft.tag.<name>` metadata
+    * commit. The tagged era stays readable (`load(asOf)`, `VERSION AS
+    * OF '<name>'`) and [[vacuum]] retains it — manifest, data files,
+    * dv sidecars, checkpoint-rewritten resolution chain — however far
+    * it falls behind the retention window. Re-tagging a name moves it;
+    * the default pins the CURRENT version. Returns the pinned version.
+    */
+  def tag(path: String, name: String, version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9_.-]+")
+    val cur = StoreLog.latest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val v = version.getOrElse(cur.version)
+    require(StoreLog.listVersions(path).contains(v),
+      s"version $v is not a retained manifest version — vacuumed eras " +
+        "cannot be tagged")
+    StoreLog.commit(path, cur.version, Seq.empty, cur.files,
+      parent = Some(cur),
+      setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> v.toString))
+    v
+  }
+
+  /** Remove a named tag — its version rejoins the ordinary vacuum
+    * retention window.
+    */
+  def dropTag(path: String, name: String): Unit = {
+    val cur = StoreLog.latest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    require(cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
+      s"no tag '$name' at $path")
+    StoreLog.commit(path, cur.version, Seq.empty, cur.files,
+      parent = Some(cur),
+      setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> ""))
+  }
+
+  /** The store's named tags: name → pinned version. */
+  def tags(path: String): Map[String, Long] = StoreLog.namedTags(path)
+
   /** Sliced read — the reference's core entry point (`Corintick.read`):
     * uid + inclusive time range + column projection. All three conditions
     * are declarative predicates/projections, so Catalyst pushes them to

@@ -440,6 +440,37 @@ class BundlesSpec extends AnyFunSuite {
     assert(ct.read("aapl").filter(col("price") === 999.0).count() === 1)
   }
 
+  test("facade tags: pin an era, read it by name, vacuum keeps it, drop releases it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_btag").toString
+    val ct = new Bundles(spark, base)
+    ct.write("aapl", Seq((ts("2024-01-01 09:30:00"), 100.0, 1L))
+      .toDF("ts", "price", "version"))
+    // upserts make the collection a LOGGED store and churn versions
+    ct.upsert("aapl", Seq((ts("2024-01-01 09:31:00"), 101.0, 1L))
+      .toDF("ts", "price", "version"), keyCols = Seq("ts"), versionCol = "version")
+    val pinned = ct.tag("two_ticks")
+    assert(ct.tags() === Map("two_ticks" -> pinned))
+    ct.upsert("aapl", Seq((ts("2024-01-01 09:31:00"), 999.0, 2L))
+      .toDF("ts", "price", "version"), keyCols = Seq("ts"), versionCol = "version")
+    ct.upsert("aapl", Seq((ts("2024-01-01 09:32:00"), 102.0, 2L))
+      .toDF("ts", "price", "version"), keyCols = Seq("ts"), versionCol = "version")
+    // the tagged era reads by name, unchanged by later churn
+    val era = ct.readTagged("aapl", "two_ticks").orderBy("ts").collect()
+    assert(era.length === 2 && era.map(_.getDouble(1)).toSeq === Seq(100.0, 101.0))
+    // a tight vacuum keeps the tagged manifest readable
+    ct.vacuum(retainVersions = 1)
+    assert(ct.versions().contains(pinned))
+    assert(ct.readTagged("aapl", "two_ticks").orderBy("ts").collect()
+      .map(_.getDouble(1)).toSeq === Seq(100.0, 101.0))
+    assert(ct.read("aapl").count() === 3)
+    // drop: the name stops resolving
+    ct.dropTag("two_ticks")
+    assert(ct.tags().isEmpty)
+    assert(intercept[IllegalArgumentException](
+      ct.readTagged("aapl", "two_ticks")).getMessage.contains("two_ticks"))
+  }
+
   test("compaction of a LOGGED collection is a manifest commit, not a swap") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_lcompact").toString
