@@ -665,6 +665,65 @@ class StoreLogSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized chains with tags: tagged versions survive any retention and resolve exactly") {
+    // the tag-retention twin of the chain property above: random
+    // cadences, random add/remove commits, random TAGS pinned along
+    // the way — after a random-retention vacuum the retained set must
+    // be exactly (trailing window ∪ tagged versions), every survivor
+    // must resolve to its recorded file list (the ascending
+    // resolvability walk must have checkpoint-rewritten every delta
+    // stranded past a gap), and dropping a tag must let the next
+    // vacuum reclaim its era
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"graft_tagchain$trial").toString
+      val interval = 1 + rnd.nextInt(5)
+      StoreLog.ensure(dir, checkpointInterval = interval)
+      var files = Set.empty[String]
+      var expected = Map(1L -> files)
+      var cur = StoreLog.latest(dir).get
+      var tagged = Map.empty[String, Long]
+      for (i <- 2 to 30) {
+        val adds = (0 until 1 + rnd.nextInt(3))
+          .map(j => s"p=${rnd.nextInt(5)}/f_${i}_$j.parquet").toSet
+        val removes = rnd.shuffle(files.toSeq).take(rnd.nextInt(3)).toSet
+        files = files -- removes ++ adds
+        val v = StoreLog.commit(dir, cur.version, Seq.empty, files.toSeq,
+          parent = Some(cur))
+        cur = StoreLog.read(dir, v)
+        expected += v -> files
+        if (rnd.nextInt(5) == 0) { // ~1 in 5 commits gets pinned
+          val name = s"t$v"
+          TsStore.tag(dir, name, Some(v))
+          tagged += name -> v
+          cur = StoreLog.latest(dir).get // the tag commit itself
+          expected += cur.version -> files
+        }
+      }
+      val retain = 1 + rnd.nextInt(4)
+      StoreLog.vacuum(dir, retain)
+      val all = expected.keys.toSeq.sorted
+      val want = (all.takeRight(retain) ++ tagged.values).distinct.sorted
+      assert(StoreLog.listVersions(dir) === want,
+        s"trial $trial: retained set (retain $retain, tags $tagged)")
+      want.foreach(v => assert(StoreLog.read(dir, v).files.toSet === expected(v),
+        s"trial $trial: post-vacuum v$v diverged (interval $interval)"))
+      // drop one tag (if any): its era reclaims on the next vacuum
+      tagged.headOption.foreach { case (name, v) =>
+        if (!all.takeRight(retain).contains(v) &&
+            !(tagged - name).values.toSet.contains(v)) {
+          TsStore.dropTag(dir, name)
+          StoreLog.vacuum(dir, retain)
+          assert(!StoreLog.listVersions(dir).contains(v),
+            s"trial $trial: dropped tag's era v$v must reclaim")
+          // the rest still resolve (the drop-tag commit is now latest)
+          StoreLog.listVersions(dir).dropRight(1).foreach(v2 =>
+            assert(StoreLog.read(dir, v2).files.toSet === expected(v2)))
+        }
+      }
+    }
+  }
+
   test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
     // interval is set at log CREATION — which now happens inside the
     // overwrite write itself, so it rides the write call
