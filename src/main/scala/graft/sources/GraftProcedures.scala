@@ -76,14 +76,20 @@ object GraftProcedures {
   def load(root: String, procName: String): UnboundProcedure =
     procName.toLowerCase match {
       case "vacuum" => new OneShot("vacuum",
-        "reclaim data files unreferenced by the retained manifest versions",
+        "reclaim data files unreferenced by the retained manifest versions " +
+          "(retained = the trailing `retain` window, plus every version " +
+          "younger than `retain_hours`, plus every named tag)",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("retain", IntegerType).defaultValue("1").build())) {
+          ProcedureParameter.in("retain", IntegerType).defaultValue("1").build(),
+          ProcedureParameter.in("retain_hours", DoubleType).defaultValue("NULL").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, _) = layout(root, input.getUTF8String(0).toString)
           val retain = if (input.isNullAt(1)) 1 else input.getInt(1)
-          val deleted = TsStore.vacuum(path, retain)
+          val retainMs =
+            if (input.isNullAt(2)) 0L
+            else (input.getDouble(2) * 3600 * 1000).toLong
+          val deleted = TsStore.vacuum(path, retain, retainMs)
           oneRowScan(StructType(Seq(
             StructField("deleted_files", IntegerType, nullable = false))),
             Array(deleted))

@@ -743,7 +743,7 @@ object StoreLog {
     * adoption are spared (they reclaim on a later pass once aged).
     * Returns the number of data files deleted.
     */
-  def vacuum(path: String, retainVersions: Int = 1): Int = {
+  def vacuum(path: String, retainVersions: Int = 1, retainMs: Long = 0L): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fsio = io(path)
     // mtime of a path that may vanish mid-vacuum (a released lease, an
@@ -781,15 +781,26 @@ object StoreLog {
         .foreach(n => fsio.deleteFile(s"${logDir(path)}/$n"))
     }
     if (listVersions(path).isEmpty) return 0
-    // retention = the trailing window PLUS every tagged version (named
-    // tags live on the latest manifest's props, so a concurrent tag
-    // commit bumps the version and the stability rechecks re-read them)
+    // retention = the trailing window PLUS every version committed
+    // within `retainMs` (the expire-snapshots-older-than role; commit
+    // times ascend along a chain, so the age window is a backward walk
+    // from the newest that stops at the first too-old manifest) PLUS
+    // every tagged version (named tags live on the latest manifest's
+    // props, so a concurrent tag commit bumps the version and the
+    // stability rechecks re-read them)
     def keep(vs: Seq[Long]): Seq[Long] = {
+      val aged: Seq[Long] =
+        if (retainMs <= 0) Nil
+        else {
+          val cutoff = System.currentTimeMillis() - retainMs
+          vs.reverse.takeWhile(v =>
+            readRaw(path, v).get("timestampMs").asLong >= cutoff)
+        }
       val tagged: Seq[Long] = read(path, vs.last).props.toSeq.collect {
         case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
           v.toLong
       }.filter(vs.contains)
-      (vs.takeRight(retainVersions) ++ tagged).distinct.sorted
+      (vs.takeRight(retainVersions) ++ aged ++ tagged).distinct.sorted
     }
     // Candidate collection must be SOUND against live writers. A writer
     // holds its lease from before adoptStaged until after its commit,

@@ -1959,8 +1959,8 @@ object TsStore {
     * (see [[StoreLog.vacuum]]); a writer stalled past the lease window
     * without renewal loses that protection, by declaration.
     */
-  def vacuum(path: String, retainVersions: Int = 1): Int =
-    StoreLog.vacuum(path, retainVersions)
+  def vacuum(path: String, retainVersions: Int = 1, retainMs: Long = 0L): Int =
+    StoreLog.vacuum(path, retainVersions, retainMs)
 
   /** Pin a manifest version under a NAME (the Iceberg tag role; the
     * Scala twin of `CALL system.tag`): a `graft.tag.<name>` metadata

@@ -1049,6 +1049,13 @@ class GraftTableSpec extends AnyFunSuite {
       System.currentTimeMillis() - 2 * StoreLog.WriterLeaseMs)
     dead.foreach(f => Files.setLastModifiedTime(
       java.nio.file.Paths.get(path, f), aged))
+    // an age window spanning the whole (young) chain retains every
+    // version — the SQL face of the retain_hours parameter
+    val vAll = StoreLog.listVersions(path)
+    spark.sql("CALL gproc.system.vacuum('ns.t', retain => 1, " +
+      "retain_hours => 24.0)").head()
+    assert(StoreLog.listVersions(path) === vAll,
+      "a 24h retain_hours must keep the whole young chain")
     val v = spark.sql("CALL gproc.system.vacuum('ns.t')").head()
     assert(v.getInt(0) === dead.size,
       s"vacuum must reclaim the ${dead.size} dead files, got ${v.getInt(0)}")

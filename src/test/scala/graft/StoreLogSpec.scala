@@ -724,6 +724,45 @@ class StoreLogSpec extends AnyFunSuite {
     }
   }
 
+  test("age-based vacuum retention: versions inside retain_hours survive the count window") {
+    val dir = Files.createTempDirectory("graft_agevac").toString
+    StoreLog.ensure(dir, checkpointInterval = 3)
+    var cur = StoreLog.latest(dir).get
+    var expected = Map(1L -> Set.empty[String])
+    var files = Set.empty[String]
+    for (i <- 2 to 10) {
+      files += s"p=0/f_$i.parquet"
+      val v = StoreLog.commit(dir, cur.version, Seq.empty, files.toSeq,
+        parent = Some(cur))
+      cur = StoreLog.read(dir, v)
+      expected += v -> files
+    }
+    // a huge age window retains EVERYTHING despite retain=1
+    StoreLog.vacuum(dir, retainVersions = 1, retainMs = 24L * 3600 * 1000)
+    assert(StoreLog.listVersions(dir) === (1L to 10L))
+    // backdate versions 1..7 by editing their manifests' timestampMs —
+    // commit times ascend, so this models a chain whose old half aged
+    // past the window
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    for (v <- 1L to 7L) {
+      val p = java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json")
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p, s.replaceAll(
+        "\"timestampMs\"\\s*:\\s*\\d+",
+        s""""timestampMs":${old + v}""").getBytes("UTF-8"))
+    }
+    // a 1h window + retain=1 keeps the young tail (8..10) only, and the
+    // oldest survivor's chain is checkpoint-rewritten self-resolvable
+    StoreLog.vacuum(dir, retainVersions = 1, retainMs = 3600 * 1000L)
+    assert(StoreLog.listVersions(dir) === (8L to 10L))
+    (8L to 10L).foreach(v =>
+      assert(StoreLog.read(dir, v).files.toSet === expected(v)))
+    // without an age window the count window is all that's left
+    StoreLog.vacuum(dir, retainVersions = 1)
+    assert(StoreLog.listVersions(dir) === Seq(10L))
+    assert(StoreLog.read(dir, 10L).files.toSet === expected(10L))
+  }
+
   test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
     // interval is set at log CREATION — which now happens inside the
     // overwrite write itself, so it rides the write call
