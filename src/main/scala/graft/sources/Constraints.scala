@@ -121,10 +121,17 @@ object Constraints {
         case other => throw new IllegalArgumentException(
           s"CHECK constraint '${c.name}' (${c.sql}) must be a row-level " +
             s"boolean expression — got a ${other.nodeName} plan " +
-            "(aggregates/windows/subqueries cannot gate single rows)")
+            "(aggregates/windows cannot gate single rows)")
       }
       require(resolved.deterministic,
         s"CHECK constraint '${c.name}' (${c.sql}) must be deterministic")
+      // a subquery survives the Project shape (it rides as a
+      // PlanExpression inside the projection) but is Unevaluable in the
+      // writers' row predicates — refuse at DDL time, not first INSERT
+      require(!resolved.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+        s"CHECK constraint '${c.name}' (${c.sql}) must not contain " +
+          "subqueries — it gates single rows at write time")
       val bound = resolved.transform { case a: AttributeReference =>
         BoundReference(schema.fieldIndex(a.name), a.dataType, a.nullable)
       }

@@ -136,11 +136,21 @@ private[sources] class GraftDeltaWrite(path: String, rowSchema: StructType,
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, rowSchema, uids)
     // a pure DELETE's row schema is empty and never inserts — nothing
-    // to gate (removing rows cannot violate a CHECK constraint); the
-    // UPDATE/MERGE rows bind against the full row schema
+    // to gate (removing rows cannot violate a CHECK constraint). The
+    // same holds per-constraint for a delete-only MERGE: its row schema
+    // carries no data columns, so a constraint referencing one cannot
+    // be violated by this operation (no insert/update carries the
+    // column; an inserted row without it lands NULL, which SQL CHECK
+    // passes) — bind only the constraints whose referenced columns the
+    // row schema actually carries, instead of refusing a legal MERGE
     val checks =
       if (cmd == RowLevelOperation.Command.DELETE) Nil
-      else Constraints.bind(spark, rowSchema, Constraints.forStore(path))
+      else {
+        val have = rowSchema.fieldNames.map(_.toLowerCase).toSet
+        Constraints.bind(spark, rowSchema,
+          Constraints.forStore(path).filter(c =>
+            Constraints.referencedCols(spark, c.sql).subsetOf(have)))
+      }
     new GraftDeltaBatchWrite(path, staging, rowSchema, uids, tsCol,
       factory, conf, maxRecords, scanOf, checks)
   }

@@ -476,16 +476,30 @@ object StoreLog {
     */
   val TagPropPrefix = "graft.tag."
 
+  /** A version's props straight from its RAW manifest JSON — props are
+    * embedded whole in every manifest (delta or checkpoint), so this
+    * never decodes a parquet checkpoint sidecar. The cheap path for
+    * metadata-only lookups (tags) on million-file stores, where a full
+    * Snapshot resolution pays the sidecar decode.
+    */
+  def propsAt(path: String, version: Long): Map[String, String] = {
+    val root = readRaw(path, version)
+    if (root.has("props"))
+      root.get("props").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    else Map.empty
+  }
+
   /** The version a named tag pins, from the latest manifest's props. */
   def tagVersion(path: String, name: String): Option[Long] =
-    latest(path).flatMap(_.props.get(TagPropPrefix + name))
-      .flatMap(_.toLongOption)
+    latestVersion(path).flatMap(v =>
+      propsAt(path, v).get(TagPropPrefix + name)).flatMap(_.toLongOption)
 
   /** All named tags of a store: name → pinned version. */
   def namedTags(path: String): Map[String, Long] =
-    latest(path).map(_.props.collect {
-      case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
-        k.stripPrefix(TagPropPrefix) -> v.toLong
+    latestVersion(path).map(v => propsAt(path, v).collect {
+      case (k, s) if k.startsWith(TagPropPrefix) && s.toLongOption.isDefined =>
+        k.stripPrefix(TagPropPrefix) -> s.toLong
     }).getOrElse(Map.empty)
 
   def latest(path: String): Option[Snapshot] =
@@ -796,7 +810,7 @@ object StoreLog {
           vs.reverse.takeWhile(v =>
             readRaw(path, v).get("timestampMs").asLong >= cutoff)
         }
-      val tagged: Seq[Long] = read(path, vs.last).props.toSeq.collect {
+      val tagged: Seq[Long] = propsAt(path, vs.last).toSeq.collect {
         case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
           v.toLong
       }.filter(vs.contains)
@@ -864,8 +878,21 @@ object StoreLog {
         }
       }
     }
+    // FRESH retention recheck right before anything is destroyed: a tag
+    // (or ordinary commit) that landed after the candidate loop's last
+    // stability check must be honored — re-list, re-read tags, and drop
+    // from the kill sets anything the fresh retained set makes live.
+    // (A tag committed after THIS point still races an in-flight vacuum
+    // — the documented contract is tag-then-vacuum, same as Iceberg's
+    // expire-snapshots-vs-ref ordering — but the window shrinks from
+    // the whole GC pass to the deletes themselves.)
+    versions = listVersions(path)
     val retained = keep(versions)
     val retainedSet = retained.toSet
+    locally {
+      val liveNow: Set[String] = retained.flatMap(v => read(path, v).files).toSet
+      deleted = deleted.filterNot(liveNow)
+    }
     deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
     // every retained version must stay SELF-RESOLVABLE after the drops.
     // Delta resolution walks consecutive version numbers down to a

@@ -1974,6 +1974,12 @@ object TsStore {
     require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
       s"tag name '$name' must be [A-Za-z0-9_.-]+")
+    // VERSION AS OF tries the numeric parse FIRST, so an all-digit tag
+    // name would be silently shadowed by the manifest version of the
+    // same number — refuse the foot-gun at creation
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF would read it " +
+        "as a version number, shadowing the tag; include a letter")
     val cur = StoreLog.latest(path).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $path"))
     val v = version.getOrElse(cur.version)

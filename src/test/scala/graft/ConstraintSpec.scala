@@ -216,6 +216,32 @@ class ConstraintSpec extends AnyFunSuite {
       "(930001, TIMESTAMP'2024-01-01 00:00:00', 1, 'view', -1.0)"))
   }
 
+  test("delete-only MERGE on a constrained dv table executes (deletes can't violate)") {
+    val (t, path) = freshTable(
+      "TBLPROPERTIES('constraint.vpos' = 'value >= 0', 'delete.mode' = 'dv')")
+    val v0 = StoreLog.latest(path).get.version
+    events.select(col("event_id")).filter(col("event_id") % 9 === 2)
+      .createOrReplaceTempView("ck_del_keys")
+    // a delete-only MERGE's row schema carries no data columns — the
+    // constraint on `value` must not refuse the legal operation
+    spark.sql(s"MERGE INTO $t g USING ck_del_keys k " +
+      "ON g.event_id = k.event_id WHEN MATCHED THEN DELETE")
+    assert(StoreLog.latest(path).get.version > v0)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE event_id % 9 = 2")
+      .head().getLong(0) === 0L)
+  }
+
+  test("subquery constraints refuse at DDL time (they'd be unevaluable per row)") {
+    val (t, _) = freshTable("")
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t " +
+      "SET TBLPROPERTIES('constraint.sub' = 'value > (SELECT 0)')"))
+    assert(e.getMessage.contains("subqueries"),
+      s"wanted the subquery refusal, got: ${e.getMessage}")
+    // the table still writes normally afterwards (nothing committed)
+    spark.sql(s"INSERT INTO $t VALUES (940001, TIMESTAMP'2024-01-01 00:00:00', " +
+      "1, 'view', 1.0)")
+  }
+
   test("bind refuses non-deterministic expressions") {
     val schema = events.select(cols.map(col): _*).schema
     val e = intercept[Exception](Constraints.bind(spark, schema,

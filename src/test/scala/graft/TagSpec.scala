@@ -111,6 +111,11 @@ class TagSpec extends AnyFunSuite {
     assert(intercept[Exception](spark.sql(
       "CALL gtag.system.tag('ns.t', 'bad name')").collect())
       .getMessage.contains("must be"))
+    // all-digit names refuse: VERSION AS OF parses numbers FIRST, so
+    // such a tag would be silently shadowed by the version of that id
+    assert(intercept[Exception](spark.sql(
+      "CALL gtag.system.tag('ns.t', '7')").collect())
+      .getMessage.contains("all digits"))
     assert(intercept[Exception](spark.sql(
       "ALTER TABLE gtag.ns.t SET TBLPROPERTIES('graft.tag.x' = '1')"))
       .getMessage.contains("managed"))
