@@ -2527,8 +2527,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     if (!isStore(p)) throw new NoSuchTableException(ident)
     val ms = timestampMicros / 1000L
+    // raw-JSON timestamps: the walk probes many versions and must not
+    // decode a parquet checkpoint sidecar per probe on big stores
     val v = StoreLog.listVersions(p).reverse
-      .find(v => StoreLog.read(p, v).timestampMs <= ms)
+      .find(v => StoreLog.timestampAt(p, v) <= ms)
       .getOrElse(throw new IllegalArgumentException(
         s"no version of ${ident.name} committed at or before $ms ms"))
     tableAt(p, Some(v))

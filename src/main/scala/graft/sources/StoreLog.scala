@@ -476,6 +476,14 @@ object StoreLog {
     */
   val TagPropPrefix = "graft.tag."
 
+  /** A version's commit time straight from its RAW manifest JSON —
+    * like [[propsAt]], never decodes a checkpoint sidecar (the
+    * TIMESTAMP AS OF walk probes many versions' timestamps and needs
+    * none of their file lists).
+    */
+  def timestampAt(path: String, version: Long): Long =
+    readRaw(path, version).get("timestampMs").asLong
+
   /** A version's props straight from its RAW manifest JSON — props are
     * embedded whole in every manifest (delta or checkpoint), so this
     * never decodes a parquet checkpoint sidecar. The cheap path for
