@@ -1681,6 +1681,121 @@ object Scans {
         "WHERE value >= 0 AND event_id % 3 = 0 ORDER BY event_id"),
       "table CHECK constraints: per-row write-path enforcement, validated ADD, atomic refusal"),
 
+    "store_sql_notnull" -> DeclaredQuery(
+      // NOT NULL column constraints complete the CHECK family: `CALL
+      // system.set_not_null(table, col)` validates existing rows (one
+      // stop-at-first-NULL scan — Spark's analyzer refuses ALTER COLUMN
+      // ... SET NOT NULL against ANY v2 catalog, so the tightening verb
+      // is a procedure, like Iceberg) and from then on every write path
+      // refuses NULLs per row through the same synthesized-CHECK guard
+      // machinery (graft.notnull prop → Constraints.effective — zero
+      // new enforcement code, and the concurrent-ADD commit recheck
+      // covers it too). `ALTER COLUMN ... DROP NOT NULL` (the loosening
+      // direction Spark does allow through) lifts it. Self-pins: NULL
+      // INSERT refuses atomically under the invariant, SET over
+      // existing NULLs refuses, DROP re-opens the gate.
+      (s, d) => {
+        val cat = s"gnnq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_nn_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        s.sql(s"CREATE TABLE $cat.q.ev (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) USING graft " +
+          "PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .filter(col("value").isNotNull && col("event_id") % 4 === 1)
+          .createOrReplaceTempView("nn_sql_src")
+        s.sql(s"INSERT INTO $cat.q.ev SELECT * FROM nn_sql_src")
+        s.sql(s"CALL $cat.system.set_not_null('q.ev', 'value')")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val before = graft.sources.StoreLog.latest(path).get.version
+        val bad = scala.util.Try(s.sql(s"INSERT INTO $cat.q.ev VALUES " +
+          "(999999902, TIMESTAMP'2024-01-01 00:00:00', 1, 'view', NULL)"))
+        require(bad.isFailure, "a NULL INSERT must refuse under NOT NULL")
+        require(graft.sources.StoreLog.latest(path).get.version == before,
+          "the refused INSERT must commit NOTHING (atomicity)")
+        // DROP re-opens the gate; SET over live NULLs then refuses
+        s.sql(s"ALTER TABLE $cat.q.ev ALTER COLUMN value DROP NOT NULL")
+        s.sql(s"INSERT INTO $cat.q.ev VALUES " +
+          "(999999903, TIMESTAMP'2024-01-01 00:00:00', 1, 'view', NULL)")
+        val reSet = scala.util.Try(
+          s.sql(s"CALL $cat.system.set_not_null('q.ev', 'value')"))
+        require(reSet.isFailure,
+          "SET NOT NULL over existing NULL rows must refuse")
+        s.sql(s"DELETE FROM $cat.q.ev WHERE event_id = 999999903")
+        s.sql(s"CALL $cat.system.set_not_null('q.ev', 'value')")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE value IS NOT NULL AND event_id % 4 = 1 ORDER BY event_id"),
+      "NOT NULL column constraints: CALL system.set_not_null validates + enforces; DROP NOT NULL lifts"),
+
+    "store_sql_branch_wap" -> DeclaredQuery(
+      // WRITABLE BRANCHES + WRITE-AUDIT-PUBLISH (the Iceberg branch /
+      // Delta WAP pattern on graft's linear CAS log): `CALL
+      // system.branch` pins main and opens a named ref; appends target
+      // it (`TsStore.write(branch = ...)` / the sink's branch option)
+      // INVISIBLY to main readers — the branch head stays readable as
+      // `VERSION AS OF '<name>'` for the audit; `CALL
+      // system.publish_branch` re-validates the branch view against the
+      // table's CURRENT constraints and fast-forwards main in ONE
+      // atomic commit (refusing if main diverged). At 100 TB this is
+      // the ingest-gate shape: land a day's feed on a branch, run the
+      // quality audit against real committed files, publish — readers
+      // never see a half-loaded day. Self-pins invisibility and the
+      // atomic jump before the content gate; BranchSpec pins the
+      // divergence refusal, the audit, vacuum ref retention, and the
+      // change-feed no-leak contract.
+      (s, d) => {
+        val cat = s"gbrq_${new java.io.File(d).getName.replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", sinkDir("sql_br_root", d))
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+        s.sql(s"DROP TABLE IF EXISTS $cat.q.ev")
+        s.sql(s"CREATE TABLE $cat.q.ev (" +
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE) USING graft " +
+          "PARTITIONED BY (event_type)")
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .filter(col("event_id") % 3 === 0)
+          .createOrReplaceTempView("br_main_src")
+        s.sql(s"INSERT INTO $cat.q.ev SELECT * FROM br_main_src")
+        val path = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/q/ev"
+        val n0 = s.sql(s"SELECT count(*) FROM $cat.q.ev").head().getLong(0)
+        s.sql(s"CALL $cat.system.branch('q.ev', 'stage')")
+        // the staged feed: appended to the BRANCH only
+        graft.sources.TsStore.write(
+          Tables.events(s, d)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .filter(col("event_id") % 3 === 1),
+          path, tsCol = "ts", uidCols = Seq("event_type"),
+          mode = org.apache.spark.sql.SaveMode.Append,
+          overlapPolicy = graft.sources.TsStore.OverlapPolicy.Allow,
+          branch = Some("stage"))
+        // WRITE-audit: main is untouched, the branch head reads the union
+        require(s.sql(s"SELECT count(*) FROM $cat.q.ev").head().getLong(0) == n0,
+          "staged branch rows must be invisible to main readers")
+        require(s.sql(s"SELECT count(*) FROM $cat.q.ev VERSION AS OF 'stage'")
+          .head().getLong(0) > n0,
+          "the branch head must read the staged rows")
+        // PUBLISH: one atomic fast-forward
+        s.sql(s"CALL $cat.system.publish_branch('q.ev', 'stage')")
+        require(s.sql(s"CALL $cat.system.branches('q.ev')").collect().isEmpty,
+          "publish must release the branch")
+        s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.q.ev " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE event_id % 3 IN (0, 1) ORDER BY event_id"),
+      "writable branches + write-audit-publish: staged appends invisible to main, audited atomic fast-forward"),
+
     "store_sql_delete_keys" -> DeclaredQuery(
       // The KEYED takedown from pure SQL: DELETE WHERE expresses a
       // predicate, but the GDPR/takedown shape is a MILLION-KEY LIST —

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -65,6 +67,36 @@ object CheckpointParquet {
       |  optional binary dv (STRING);
       |}""".stripMargin)
 
+  /** One live file's decoded checkpoint row. */
+  final case class Entry(path: String, stats: Option[FileStats.FileStatsMap],
+                         size: Option[Long], dv: Option[Dv.Entry])
+
+  /** The footer-of-footers row (parquet key-value metadata
+    * `graft.summary`): whole-checkpoint totals plus per-column merged
+    * MIN/MAX — recorded only for columns EVERY live file carries with
+    * one consistent stat tag, so a reader may prune the ENTIRE
+    * checkpoint (or skip decoding a stat it can bound globally) without
+    * touching a single row. `rows` is −1 when any file's row count is
+    * unrecorded.
+    */
+  final case class Summary(files: Long, rows: Long, dvRows: Long,
+                           cols: Map[String, FileStats.ColStat])
+
+  val SummaryKey = "graft.summary"
+
+  // ------------------------------------------------- test instrumentation
+  // Decode-cost counters for the stripe-lazy specs: reset before a
+  // resolution, then pin that a prefix-scoped read SKIPPED row groups
+  // and that a filtered plan MATERIALIZED only its survivors. Plain
+  // counters, not behavior switches — production semantics never read
+  // them.
+  @volatile private[graft] var lastRowGroupsRead: Int = 0
+  @volatile private[graft] var lastRowGroupsSkipped: Int = 0
+  @volatile private[graft] var lastRowsDecoded: Long = 0L
+  private[graft] def resetCounters(): Unit = {
+    lastRowGroupsRead = 0; lastRowGroupsSkipped = 0; lastRowsDecoded = 0L
+  }
+
   /** Serialize one checkpoint payload. `files` is written SORTED (the
     * order [[StoreLog.Snapshot.files]] promises), one row group per
     * ~64k rows so a streaming reader's working set stays bounded.
@@ -81,7 +113,15 @@ object CheckpointParquet {
       .withConf(new org.apache.hadoop.conf.Configuration(false))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withRowGroupSize(4L << 20)
+      // row-count cap as well as bytes: dictionary+snappy make these
+      // rows tiny (a 4 MB group would hold ~750k of them), and the
+      // row group is the SKIP UNIT of the stripe-lazy reader — a
+      // prefix-scoped resolution on a million-file store should decode
+      // tens of thousands of rows, not three-quarters of the store
+      .withRowGroupRowCountLimit(64 << 10)
       .withDictionaryEncoding(true)
+      .withExtraMetaData(java.util.Collections.singletonMap(
+        SummaryKey, summaryJson(mapper, files, stats, dvs)))
       .build()
     try files.sorted.foreach { f =>
       val g = factory.newGroup()
@@ -97,43 +137,200 @@ object CheckpointParquet {
   }
 
   /** Decode a checkpoint payload: (files, stats, sizes, dvs) — exactly
-    * the tuple the inline-JSON resolution produces. Row groups stream
-    * one at a time; per-file JSON blobs parse individually (no
-    * whole-checkpoint DOM ever exists).
+    * the tuple the inline-JSON resolution produces. Streams through
+    * [[stream]] (no whole-checkpoint DOM ever exists).
     */
   def read(bytes: Array[Byte]): (Seq[String],
       Map[String, FileStats.FileStatsMap], Map[String, Long],
       Map[String, Dv.Entry]) = {
-    val mapper = new ObjectMapper()
     val files = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, FileStats.FileStatsMap]
     val sizes = Map.newBuilder[String, Long]
     val dvs = Map.newBuilder[String, Dv.Entry]
+    stream(bytes, Nil, ()) { (_, e) =>
+      files += e.path
+      e.stats.foreach(stats += e.path -> _)
+      e.size.foreach(sizes += e.path -> _)
+      e.dv.foreach(dvs += e.path -> _)
+    }
+    (files.result(), stats.result(), sizes.result(), dvs.result())
+  }
+
+  /** Unsigned byte-order compare (parquet's own string-statistics
+    * order); `truncFirst` compares only the first operand's prefix of
+    * the second's length — "is every string ≥ a ABOVE the whole range
+    * under prefix b" reduces to trunc(a, |b|) > b.
+    */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte],
+                       truncFirst: Boolean = false): Int = {
+    val la = if (truncFirst) math.min(a.length, b.length) else a.length
+    var i = 0
+    val n = math.min(la, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    la - b.length
+  }
+
+  /** THE stripe-lazy decode: fold `op` over the checkpoint's rows,
+    * skipping whole ROW GROUPS whose sorted-path-column statistics
+    * prove no row lives under any of `prefixes` (partition directory
+    * prefixes; empty = no skipping). Rows outside the prefixes inside
+    * surviving groups are dropped after the cheap path decode — their
+    * stats/dv JSON never parses, and nothing the consumer doesn't keep
+    * is ever materialized. This is what bounds the DRIVER working set
+    * of a pruned plan over a million-file store: the full checkpoint is
+    * scanned at most once as transient row-group buffers, while
+    * allocations that survive are O(what `op` keeps).
+    */
+  def stream[A](bytes: Array[Byte], prefixes: Seq[String], zero: A)(
+      op: (A, Entry) => A): A = {
+    val mapper = new ObjectMapper()
+    val pLos: Seq[Array[Byte]] =
+      prefixes.map(p => (p + "/").getBytes("UTF-8"))
+    val pStrs: Seq[String] = prefixes.map(_ + "/")
+    var acc = zero
     val reader = ParquetFileReader.open(new BytesInputFile(bytes))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       val columnIO = new ColumnIOFactory().getColumnIO(schema)
-      var pages = reader.readNextRowGroup()
-      while (pages != null) {
-        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
-        var i = 0L
-        val n = pages.getRowCount
-        while (i < n) {
-          val g = rr.read()
-          val p = g.getString("path", 0)
-          files += p
-          if (g.getFieldRepetitionCount("size") > 0)
-            sizes += p -> g.getLong("size", 0)
-          if (g.getFieldRepetitionCount("stats") > 0)
-            stats += p -> FileStats.fromJson(mapper.readTree(g.getString("stats", 0)))
-          if (g.getFieldRepetitionCount("dv") > 0)
-            dvs += p -> StoreLog.dvEntryFromJson(mapper.readTree(g.getString("dv", 0)))
-          i += 1
+      val blocks = reader.getRowGroups
+      var bi = 0
+      while (bi < blocks.size()) {
+        val keepGroup = pLos.isEmpty || {
+          val st = blocks.get(bi).getColumns.asScala
+            .find(c => c.getPath.size() == 1 && c.getPath.toDotString == "path")
+            .map(_.getStatistics).orNull
+          if (st == null || st.isEmpty || !st.hasNonNullValue) true // no stats: keep
+          else {
+            val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            // a group may hold a path under prefix p iff NOT(every row
+            // < "p/") and NOT(every row > everything under "p/") — the
+            // latter via the truncated compare (sound for any suffix
+            // bytes, unlike a '￿' sentinel, which 4-byte UTF-8
+            // code points would leapfrog)
+            pLos.exists(lo =>
+              cmpBytes(mx, lo) >= 0 && cmpBytes(mn, lo, truncFirst = true) <= 0)
+          }
         }
-        pages = reader.readNextRowGroup()
+        if (!keepGroup) {
+          reader.skipNextRowGroup()
+          lastRowGroupsSkipped += 1
+        } else {
+          lastRowGroupsRead += 1
+          val pages = reader.readNextRowGroup()
+          val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            val g = rr.read()
+            val p = g.getString("path", 0)
+            lastRowsDecoded += 1
+            if (pStrs.isEmpty || pStrs.exists(p.startsWith)) {
+              val size =
+                if (g.getFieldRepetitionCount("size") > 0)
+                  Some(g.getLong("size", 0)) else None
+              val st =
+                if (g.getFieldRepetitionCount("stats") > 0)
+                  Some(FileStats.fromJson(mapper.readTree(g.getString("stats", 0))))
+                else None
+              val dv =
+                if (g.getFieldRepetitionCount("dv") > 0)
+                  Some(StoreLog.dvEntryFromJson(mapper.readTree(g.getString("dv", 0))))
+                else None
+              acc = op(acc, Entry(p, st, size, dv))
+            }
+            i += 1
+          }
+        }
+        bi += 1
       }
     } finally reader.close()
-    (files.result(), stats.result(), sizes.result(), dvs.result())
+    acc
+  }
+
+  /** The first row's path — one row-group open, one record decode (the
+    * layout-hint probe: any file of a store shares its partition
+    * directory shape, so callers that only need the column NAMES never
+    * stream the checkpoint).
+    */
+  def firstPath(bytes: Array[Byte]): Option[String] = {
+    val reader = ParquetFileReader.open(new BytesInputFile(bytes))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val pages = reader.readNextRowGroup()
+      if (pages == null || pages.getRowCount == 0) None
+      else {
+        val rr = new ColumnIOFactory().getColumnIO(schema)
+          .getRecordReader(pages, new GroupRecordConverter(schema))
+        Some(rr.read().getString("path", 0))
+      }
+    } finally reader.close()
+  }
+
+  /** The whole-checkpoint summary from the parquet FOOTER — no row
+    * decode at all (None on pre-summary checkpoints).
+    */
+  def summaryOf(bytes: Array[Byte]): Option[Summary] = {
+    val reader = ParquetFileReader.open(new BytesInputFile(bytes))
+    try {
+      Option(reader.getFooter.getFileMetaData.getKeyValueMetaData.get(SummaryKey))
+        .map { j =>
+          val mapper = new ObjectMapper()
+          val n = mapper.readTree(j)
+          val cols =
+            if (!n.has("cols")) Map.empty[String, FileStats.ColStat]
+            else FileStats.fromJson(n.get("cols"))
+          Summary(n.get("files").asLong, n.get("rows").asLong,
+            n.get("dvRows").asLong, cols)
+        }
+    } finally reader.close()
+  }
+
+  /** Serialize the footer summary: totals + per-column merged bounds
+    * for columns EVERY file records under one stat tag (anything
+    * partial is omitted — a global bound over a subset would prune
+    * unsoundly). Reuses the [[FileStats]] JSON dialect for the column
+    * map.
+    */
+  private def summaryJson(mapper: ObjectMapper, files: Seq[String],
+      stats: Map[String, FileStats.FileStatsMap],
+      dvs: Map[String, Dv.Entry]): String = {
+    val root = mapper.createObjectNode()
+    root.put("files", files.size.toLong)
+    val perFileRows: Seq[Option[Long]] = files.map(f =>
+      stats.get(f).flatMap(_.values.collectFirst {
+        case cs if cs.rows >= 0 => cs.rows
+      }))
+    root.put("rows",
+      if (perFileRows.exists(_.isEmpty)) -1L else perFileRows.flatten.sum)
+    root.put("dvRows", files.flatMap(dvs.get).map(_.rows).sum)
+    if (files.nonEmpty && files.forall(stats.contains)) {
+      // candidate columns = the first file's; merge only those every
+      // file records with the same tag
+      val first = stats(files.head)
+      val merged: Map[String, FileStats.ColStat] = first.keys.flatMap { c =>
+        val all = files.map(f => stats(f).get(c))
+        if (all.exists(_.isEmpty)) None
+        else {
+          val css = all.flatten
+          val tag = css.head.tag
+          if (css.exists(_.tag != tag)) None
+          else Some(c -> css.reduce((a, b) => FileStats.ColStat(tag,
+            if (FileStats.cmpDomain(tag, a.min, b.min) <= 0) a.min else b.min,
+            if (FileStats.cmpDomain(tag, a.max, b.max) >= 0) a.max else b.max,
+            if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
+            if (a.rows < 0 || b.rows < 0) -1L else a.rows + b.rows)))
+        }
+      }.toMap
+      if (merged.nonEmpty)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("cols",
+          FileStats.toJson(mapper, merged))
+    }
+    mapper.writeValueAsString(root)
   }
 
   /** In-memory parquet sink — checkpoint bytes flow to storage through

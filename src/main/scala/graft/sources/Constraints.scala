@@ -82,14 +82,64 @@ object Constraints {
       Check(k.stripPrefix(Prefix), v)
     }.toSeq.sortBy(_.name)
 
+  /** NOT NULL column constraints (`ALTER TABLE ... ALTER COLUMN c SET
+    * NOT NULL`): recorded as a graft-managed prop (comma-joined column
+    * list) — NOT inferred from the declared schema's nullability,
+    * deliberately: a CTAS stores its SELECT's schema, whose
+    * non-nullable fields reflect the source lineage, not a user
+    * promise; enforcing those would make a later legal NULL insert
+    * refuse out of nowhere. Only the explicit DDL verb opts a column
+    * in. Enforcement rides the CHECK machinery wholesale: each listed
+    * column synthesizes a [[Check]] (`c IS NOT NULL` — which, unlike a
+    * user CHECK, can never evaluate to unknown), so every write path's
+    * per-row guard, the ADD-time existing-data scan, the DROP/RENAME
+    * COLUMN refusals, and the concurrent-ADD commit recheck all apply
+    * without a second code path.
+    */
+  val NotNullProp = "graft.notnull"
+
+  /** The synthesized name of a column's NOT NULL check (shows up in
+    * violation messages and [[addedSince]] aborts).
+    */
+  def notNullName(column: String): String = s"notnull_$column"
+
+  def notNullCols(props: Map[String, String]): Seq[String] =
+    props.get(NotNullProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  def notNullChecks(props: Map[String, String]): Seq[Check] =
+    notNullCols(props).map(c => Check(notNullName(c), s"`$c` IS NOT NULL"))
+
+  /** ALL effective constraints of `props`: user CHECKs plus the
+    * synthesized NOT NULL checks — what every write path binds.
+    */
+  def effective(props: Map[String, String]): Seq[Check] =
+    fromProps(props) ++ notNullChecks(props)
+
   /** The live constraints of a logged store (empty for unlogged paths
     * and stores without any). Write-side lookups always read LATEST —
     * constraints are write-time invariants, not per-version reads.
     */
   def forStore(path: String): Seq[Check] =
     if (StoreLog.canLog(path))
-      StoreLog.latest(path).map(s => fromProps(s.props)).getOrElse(Nil)
+      StoreLog.latest(path).map(s => effective(s.props)).getOrElse(Nil)
     else Nil
+
+  /** Constraints in `props` that were NOT in the set a writer bound at
+    * write start — a concurrent `ALTER ... ADD` that landed while the
+    * write was in flight. The writer's staged rows were never validated
+    * against these (its per-row guard predates them), so every commit
+    * path re-checks its rebased parent's props with this and ABORTS on
+    * a non-empty answer: otherwise an append racing ADD CONSTRAINT
+    * could commit unchecked rows AFTER the constraint commit, silently
+    * breaking the whole-table-invariant contract `validateAdd`'s
+    * existing-data scan promises (the CAS totally orders the two
+    * commits, so parent-props inspection at each attempt is exact).
+    * A DROPPED constraint is harmless — the rows were checked more
+    * strictly than required.
+    */
+  def addedSince(bound: Seq[Check], props: Map[String, String]): Seq[Check] =
+    effective(props).filterNot(bound.contains)
 
   /** Frame-level guard for the Scala write paths: each check rides as
     * a codegen'd `assert_true(coalesce(c, true))` filter — keeps every
@@ -151,7 +201,7 @@ object Constraints {
     */
   def referencing(spark: SparkSession, props: Map[String, String],
                   column: String): Seq[String] =
-    fromProps(props).collect {
+    effective(props).collect {
       case c if referencedCols(spark, c.sql).contains(column.toLowerCase) =>
         c.name
     }

@@ -211,6 +211,8 @@ object FileStats {
   /** Domain compare within one tag. Strings: unsigned UTF-8 byte order
     * (parquet's own), via UTF8String whose compareTo IS that order.
     */
+  private[sources] def cmpDomain(tag: String, a: Any, b: Any): Int = cmp(tag, a, b)
+
   private def cmp(tag: String, a: Any, b: Any): Int = tag match {
     case "f" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case "s" =>

@@ -61,9 +61,10 @@ class GraftBatchWrite(path: String, writeSchema: StructType,
     val staging = TsStore.txnDir(path)
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
-    val checks = Constraints.bind(spark, writeSchema, Constraints.forStore(path))
+    val boundSet = Constraints.forStore(path)
+    val checks = Constraints.bind(spark, writeSchema, boundSet)
     new GraftBatchWriteExec(path, staging, writeSchema, uids, tsCol,
-      factory, conf, truncate, maxRecords, checks)
+      factory, conf, truncate, maxRecords, checks, boundSet)
   }
 
   override def description(): String = s"graft-native-write:$path"
@@ -128,7 +129,8 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     factory: OutputWriterFactory, conf: GraftSerializableConf,
     truncate: Boolean, maxRecordsPerFile: Long = 8L << 20,
-    checks: Seq[Constraints.Bound] = Nil)
+    checks: Seq[Constraints.Bound] = Nil,
+    boundSet: Seq[Constraints.Check] = Nil)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -151,17 +153,39 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
       while (!committed) {
         lease.renew()
         val cur = StoreLog.ensure(path)
+        // a CHECK constraint added while this INSERT was in flight —
+        // the written rows were guarded against the set bound at
+        // write-build; abort rather than commit unchecked rows after
+        // the constraint's whole-table certification
+        val addedChecks = Constraints.addedSince(boundSet, cur.props)
+        if (addedChecks.nonEmpty) {
+          StoreLog.deleteDataFiles(path, moved)
+          throw new StoreLog.CommitConflict(
+            s"CHECK constraint(s) ${addedChecks.map(_.name).mkString(", ")} " +
+              s"added concurrently at $path — re-run the INSERT")
+        }
         // an OVERWRITE is a versioned REPLACE: only the new files live,
         // every touched partition named in `replaced` (concurrent
         // writers' rebase checks look for theirs there — the restore
-        // pattern); an APPEND is a pure addition that rebases cleanly
+        // pattern); an APPEND is a pure addition that rebases cleanly.
+        // Appends are REF-AWARE (under an active branch the base is the
+        // MAIN view's files and the commit advances the main pin);
+        // OVERWRITE replaces a view wholesale and refuses while any
+        // branch is open.
+        if (truncate && cur.props.contains(StoreLog.MainRefProp)) {
+          StoreLog.deleteDataFiles(path, moved)
+          throw new IllegalStateException(
+            s"store at $path has open branch(es) — INSERT OVERWRITE " +
+              "refuses while a branch is open; publish or drop it first")
+        }
+        val (baseFiles, refProps) = TsStore.refAppendBase(path, cur, None)
         val (replaced, files) =
           if (truncate)
             ((cur.files ++ moved).map { f =>
               val i = f.lastIndexOf('/')
               if (i > 0) f.substring(0, i) else f
             }.distinct.sorted, moved)
-          else (Seq.empty[String], cur.files ++ moved)
+          else (Seq.empty[String], baseFiles ++ moved)
         try {
           StoreLog.commit(path, cur.version, replaced, files,
             parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
@@ -169,8 +193,8 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
             // sorted files — (re)establish the layout-order contract;
             // an append's sorted additions just inherit the parent's
             setProps =
-              if (truncate) Map(GraftTable.LayoutSortedProp -> "true")
-              else Map.empty)
+              (if (truncate) Map(GraftTable.LayoutSortedProp -> "true")
+               else Map.empty[String, String]) ++ refProps)
           committed = true
         } catch {
           case c: StoreLog.CommitConflict =>

@@ -143,16 +143,23 @@ private[sources] class GraftDeltaWrite(path: String, rowSchema: StructType,
     // column; an inserted row without it lands NULL, which SQL CHECK
     // passes) — bind only the constraints whose referenced columns the
     // row schema actually carries, instead of refusing a legal MERGE
-    val checks =
-      if (cmd == RowLevelOperation.Command.DELETE) Nil
-      else {
+    // the FULL set is also captured for the commit-time addedSince
+    // recheck: a pure DELETE cannot violate any constraint (including
+    // one added concurrently — removing rows preserves invariants), so
+    // it skips both the guard and the recheck
+    val boundSet =
+      if (cmd == RowLevelOperation.Command.DELETE) None
+      else Some(Constraints.forStore(path))
+    val checks = boundSet match {
+      case None => Nil
+      case Some(bs) =>
         val have = rowSchema.fieldNames.map(_.toLowerCase).toSet
         Constraints.bind(spark, rowSchema,
-          Constraints.forStore(path).filter(c =>
+          bs.filter(c =>
             Constraints.referencedCols(spark, c.sql).subsetOf(have)))
-      }
+    }
     new GraftDeltaBatchWrite(path, staging, rowSchema, uids, tsCol,
-      factory, conf, maxRecords, scanOf, checks)
+      factory, conf, maxRecords, scanOf, checks, boundSet)
   }
 
   override def description(): String = s"graft-delta-write-$cmd:$path"
@@ -162,7 +169,8 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
     rowSchema: StructType, uids: Seq[String], tsCol: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: GraftSerializableConf, maxRecordsPerFile: Long,
-    scanOf: () => Option[GraftScan], checks: Seq[Constraints.Bound] = Nil)
+    scanOf: () => Option[GraftScan], checks: Seq[Constraints.Bound] = Nil,
+    boundSet: Option[Seq[Constraints.Check]] = None)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
@@ -254,7 +262,8 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
               Some(s"concurrent writer replaced ${prefixes.mkString(",")} at " +
                 s"$path — re-run the operation against the new base")
             else None,
-          addDvs = entries)
+          addDvs = entries,
+          boundChecks = boundSet)
         ()
       }
     }

@@ -30,7 +30,8 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("vacuum", "compact", "zorder", "history", "detail", "delete_keys",
-      "tag", "drop_tag", "tags")
+      "tag", "drop_tag", "tags", "set_not_null", "drop_not_null",
+      "branch", "drop_branch", "publish_branch", "branches")
 
   /** Procedure result rows — the analyzer requires a LocalScan. */
   private final class ResultScan(schema: StructType, rowVals: Seq[Array[Any]])
@@ -287,6 +288,106 @@ object GraftProcedures {
           oneRowScan(StructType(Seq(
             StructField("dropped", StringType, nullable = false))),
             Array(org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+        }
+      }
+      case "branch" => new OneShot("branch",
+        "create a writable branch at the current main version (the " +
+          "Iceberg branch / write-audit-publish pattern): appends can " +
+          "target it invisibly to main readers; read it via VERSION AS " +
+          "OF '<name>'; publish_branch audits + fast-forwards main",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          val base = TsStore.branch(path, name)
+          oneRowScan(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("base_version", LongType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(name), base))
+        }
+      }
+      case "drop_branch" => new OneShot("drop_branch",
+        "abandon a branch: its staged commits become unreferenced and a " +
+          "later vacuum reclaims them; main is untouched",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          TsStore.dropBranch(path, name)
+          oneRowScan(StructType(Seq(
+            StructField("dropped", StringType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+        }
+      }
+      case "publish_branch" => new OneShot("publish_branch",
+        "write-audit-publish's publish: validate the branch head against " +
+          "the table's CURRENT constraints (CHECK + NOT NULL), then ONE " +
+          "atomic commit fast-forwards main to the branch view; refuses " +
+          "if main moved since the branch was created (diverged)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val name = input.getUTF8String(1).toString
+          val v = TsStore.publishBranch(SparkSession.active, path, name)
+          oneRowScan(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("published_version", LongType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(name), v))
+        }
+      }
+      case "branches" => new OneShot("branches",
+        "list the table's live branches: one row per branch, metadata only",
+        Array(
+          ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          import org.apache.spark.unsafe.types.UTF8String
+          val rows = StoreLog.branches(path).toSeq.sortBy(_._1).map {
+            case (n, v) => Array[Any](UTF8String.fromString(n), v)
+          }
+          rowsScan(StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("head_version", LongType, nullable = false))), rows)
+        }
+      }
+      case "set_not_null" => new OneShot("set_not_null",
+        "make a column NOT NULL: validates existing rows (one " +
+          "stop-at-first-NULL scan), then every write path enforces it " +
+          "per row like a CHECK constraint. (Spark's analyzer refuses " +
+          "ALTER COLUMN ... SET NOT NULL against v2 catalogs, so the " +
+          "tightening direction lives here; DROP NOT NULL also works " +
+          "through plain ALTER TABLE.)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("column", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val col = input.getUTF8String(1).toString.trim
+          GraftTable.alterNotNull(SparkSession.active, path, col, notNull = true)
+          oneRowScan(StructType(Seq(
+            StructField("column", StringType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(col)))
+        }
+      }
+      case "drop_not_null" => new OneShot("drop_not_null",
+        "lift a column's NOT NULL invariant (the CALL twin of ALTER " +
+          "COLUMN ... DROP NOT NULL)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("column", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (path, _, _) = layout(root, input.getUTF8String(0).toString)
+          val col = input.getUTF8String(1).toString.trim
+          GraftTable.alterNotNull(SparkSession.active, path, col, notNull = false)
+          oneRowScan(StructType(Seq(
+            StructField("column", StringType, nullable = false))),
+            Array(org.apache.spark.unsafe.types.UTF8String.fromString(col)))
         }
       }
       case "tags" => new OneShot("tags",

@@ -96,7 +96,8 @@ private[sources] class GraftReplaceDataWrite(path: String,
     // survivors satisfied the constraints at their own write (ADD
     // validates existing data), so the per-row guard here gates exactly
     // the mutated/inserted values
-    val checks = Constraints.bind(spark, writeSchema, Constraints.forStore(path))
+    val boundSet = Constraints.forStore(path)
+    val checks = Constraints.bind(spark, writeSchema, boundSet)
     new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftDataWriterFactory(staging, writeSchema, uids, tsCol,
@@ -129,7 +130,12 @@ private[sources] class GraftReplaceDataWrite(path: String,
                 if (s.replaced.exists(prefixes.contains))
                   Some(s"concurrent writer replaced ${prefixes.mkString(",")} " +
                     s"at $path — re-run the row-level operation against the new base")
-                else None)
+                else None,
+              // UPDATE/MERGE rewrites carry mutated/inserted values the
+              // guard validated against the build-time set — abort if a
+              // constraint was added since (the survivors alone were
+              // certified by the ADD scan; the new values were not)
+              boundChecks = Some(boundSet))
             ()
           }
         }

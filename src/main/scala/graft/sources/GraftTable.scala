@@ -307,21 +307,59 @@ object GraftTable {
     */
   private[sources] def resolveSchema(spark: SparkSession, path: String,
                                      asOf: Option[Long]): StructType = {
-    val snap =
-      if (StoreLog.canLog(path))
-        asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+    // the declared schema lives in RAW manifest props — resolving it
+    // must never decode a million-file checkpoint sidecar; only
+    // declaration-less (adopted / pure-Scala) stores fall through to
+    // file inference, which reads footers anyway
+    val vOpt =
+      if (StoreLog.canLog(path)) asOf.orElse(StoreLog.mainVersion(path))
       else None
-    snap match {
-      case Some(s) =>
-        s.props.get(SchemaProp).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    vOpt match {
+      case Some(v) =>
+        StoreLog.propsAt(path, v).get(SchemaProp)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
           .getOrElse {
-            if (s.files.isEmpty) throw new IllegalArgumentException(
-              s"store at $path has no data files and no declared schema")
+            if (StoreLog.liveFileCount(path, v) == 0L)
+              throw new IllegalArgumentException(
+                s"store at $path has no data files and no declared schema")
             TsStore.load(spark, path, asOf = asOf).schema
           }
       case _ => TsStore.load(spark, path, asOf = asOf).schema
     }
   }
+
+  /** SET / DROP NOT NULL as one metadata commit — the engine behind
+    * `CALL system.set_not_null` (Spark's analyzer hard-refuses `ALTER
+    * COLUMN ... SET NOT NULL` against any v2 catalog: "Cannot change
+    * nullable column to non-nullable" — the same wall Iceberg hits, so
+    * the tightening direction needs a procedure face; the LOOSENING
+    * `DROP NOT NULL` flows through ALTER TABLE normally). SET
+    * validates the existing rows (one stop-at-first-NULL scan,
+    * re-validated per CAS rebase) then records the graft-managed
+    * [[Constraints.NotNullProp]] and flips the declared schema field's
+    * nullability; write-side enforcement rides the CHECK machinery
+    * ([[Constraints.effective]]).
+    */
+  private[sources] def alterNotNull(spark: SparkSession, path: String,
+                                    column: String, notNull: Boolean): Unit =
+    TsStore.metadataCommitWithRetry(path) { cur =>
+      val schema = cur.props.get(SchemaProp)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(resolveSchema(spark, path, None))
+      require(schema.fieldNames.contains(column),
+        s"column '$column' does not exist at $path")
+      val cols0 = Constraints.notNullCols(cur.props)
+      val cols =
+        if (notNull) {
+          Constraints.validateAdd(spark, path, schema, Constraints.Check(
+            Constraints.notNullName(column), s"`$column` IS NOT NULL"))
+          (cols0 :+ column).distinct
+        } else cols0.filterNot(_ == column)
+      val updated = StructType(schema.fields.map(f =>
+        if (f.name == column) f.copy(nullable = !notNull) else f))
+      (Map(Constraints.NotNullProp -> cols.mkString(","),
+        SchemaProp -> updated.json), ())
+    }
 
   /** Write-side evolution for a CATALOG-declared store: when the parent
     * manifest declares a schema ([[SchemaProp]]) and the written frame
@@ -360,12 +398,18 @@ object GraftTable {
     */
   private[sources] def partCols(path: String): Seq[String] = {
     if (!StoreLog.canLog(path)) return Seq.empty
-    StoreLog.latest(path) match {
-      case Some(s) if s.files.nonEmpty =>
-        StoreChangeSource.partitionColsOf(s.files.head)
-      case Some(s) =>
-        s.props.get(UidsProp).toSeq
-          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // raw-manifest probes only — a million-file store's scan build must
+    // not pay a full snapshot resolution to learn the column NAMES
+    // (partitioning is immutable per store, so any historical path is
+    // an exact layout hint)
+    StoreLog.latestVersion(path) match {
+      case Some(v) =>
+        StoreLog.sampleFilePath(path, v) match {
+          case Some(f) => StoreChangeSource.partitionColsOf(f)
+          case None =>
+            StoreLog.propsAt(path, v).get(UidsProp).toSeq
+              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        }
       case None =>
         StoreLog.listDataFiles(path).headOption
           .map(StoreChangeSource.partitionColsOf).getOrElse(Seq.empty)
@@ -716,7 +760,7 @@ class GraftTable(val path: String, asOf: Option[Long],
 
   private def liveSnap: Option[StoreLog.Snapshot] =
     if (StoreLog.canLog(path))
-      asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+      asOf.orElse(StoreLog.mainVersion(path)).map(v => StoreLog.read(path, v))
     else None
 
   /** Distinct live partition tuples (catalyst-internal values), from
@@ -955,12 +999,31 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   private var exactPart: Array[Filter] = Array.empty
   private var allFiltersExact: Boolean = true
 
+  /** Whether the store is past the stripe-lazy threshold — judged from
+    * RAW manifest reads ([[StoreLog.liveFileCount]]), never a
+    * resolution. Above it, the builder must not touch [[aggSnap]] on
+    * the FILTER path (exact acceptance walks every live file's
+    * segments — the very materialization the lazy scan avoids):
+    * filters stay residual, [[GraftScan]] resolves stripe-lazily, and
+    * Spark re-evaluates the predicates per row as it does for any
+    * conservative source. Aggregate pushdown (a deliberate, rarer
+    * verb) still pays one full resolution above the threshold — a
+    * driver-memory cost that stays orders below the 100 TB scan it
+    * replaces.
+    */
+  private lazy val bigStore: Boolean =
+    StoreLog.canLog(path) && {
+      val vOpt = asOf.orElse(StoreLog.mainVersion(path))
+      vOpt.exists(v =>
+        StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold)
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftTable.filterColumn(f).isDefined)
     // row-level operation scans keep EVERYTHING residual: the
     // replacement read needs all rows of affected files, and Spark
     // re-evaluates the condition itself in the rewrite plan
-    if (rowLevel) { allFiltersExact = false; return filters }
+    if (rowLevel || bigStore) { allFiltersExact = false; return filters }
     val dtOf: String => Option[DataType] = n =>
       if (partColNames.contains(n)) fullSchema.fields.find(_.name == n).map(_.dataType)
       else None
@@ -1034,7 +1097,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 
   private lazy val aggSnap: Option[StoreLog.Snapshot] =
     (if (StoreLog.canLog(path))
-      asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
+      asOf.orElse(StoreLog.mainVersion(path)).map(v => StoreLog.read(path, v))
     else None)
       // renamed columns: stats are recorded under PHYSICAL names —
       // re-key to the declared names every agg lookup below uses
@@ -1468,15 +1531,71 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     // renamed columns: stats re-keyed physical→logical so pruning,
     // ordering bounds, and statistics all think in declared names
     pinnedSnap.getOrElse {
-      if (StoreLog.canLog(path))
-        asOf.map(v => StoreLog.read(path, v))
-          .orElse(StoreLog.latest(path))
-          .getOrElse(StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path)))
-      else {
+      if (StoreLog.canLog(path)) {
+        val vOpt = asOf.orElse(StoreLog.mainVersion(path))
+        vOpt match {
+          case None => StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
+          case Some(v) =>
+            // STRIPE-LAZY resolution for BIG stores under pushed
+            // filters: only files the filters may match materialize on
+            // the driver — the full checkpoint streams through
+            // transient row-group buffers ([[StoreLog.readFiltered]]).
+            // The keep predicate is byte-identical to plannedFiles'
+            // static prune, so plans are unchanged; small stores (and
+            // row-level / pinned / unfiltered scans) keep the full
+            // resolution, bit-identical to before.
+            if (pushed.nonEmpty && !fileOnlyFilters && !deltaPushFilters &&
+                StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold)
+              StoreLog.readFiltered(path, v)(lazyKeep)
+            else StoreLog.read(path, v)
+        }
+      } else {
         require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
         StoreLog.Snapshot(0L, 0L, Nil, StoreLog.listDataFiles(path))
       }
     }, fullSchema)
+
+  /** The per-entry keep for lazy resolution — EXACTLY the static slice
+    * of [[plannedFiles]]' pruning (the `_file` allowed-set plus the
+    * conservative stat prune over manifest + partition pseudo-stats),
+    * evaluated streaming so dropped files never allocate. Runtime (DPP)
+    * filters arrive later and only ever NARROW; plannedFiles re-prunes
+    * the surviving set with them as before. Renamed stores re-key each
+    * entry's stats physical→logical before the check — the same
+    * translation [[GraftTable.logicalSnap]] applies to the survivors.
+    */
+  private def lazyKeep: StoreLog.FileEntry => Boolean = {
+    val (fileFs, rest) = pushed.partition(
+      _.references.toSeq == Seq(GraftTable.FileColName))
+    val allowed: Option[Set[String]] = {
+      val sets = fileFs.toSeq.flatMap {
+        case sources.In(_, vs) =>
+          Some(vs.toSeq.map(v => String.valueOf(GraftTable.externalValue(v))).toSet)
+        case sources.EqualTo(_, v) =>
+          Some(Set(String.valueOf(GraftTable.externalValue(v))))
+        case _ => None
+      }
+      sets.reduceOption(_ intersect _)
+    }
+    val node = rest.flatMap(GraftTable.filterColumn).reduceOption(_ && _)
+      .map(p => org.apache.spark.sql.GraftShim.predTree(p))
+    val back: Map[String, String] =
+      if (!GraftTable.hasRenames(fullSchema)) Map.empty
+      else fullSchema.fields.iterator
+        .map(f => GraftTable.physicalName(f) -> f.name)
+        .filter { case (p, l) => p != l }.toMap
+    e =>
+      allowed.forall(_.contains(e.path)) && (node match {
+        case None => true
+        case Some(nd) =>
+          val raw = e.stats.getOrElse(Map.empty)
+          val logical =
+            if (back.isEmpty) raw
+            else raw.map { case (c, cs) => back.getOrElse(c, c) -> cs }
+          val stats = logical ++ GraftTable.partPseudoStats(e.path, fullSchema)
+          stats.isEmpty || FileStats.mayMatch(stats, nd)
+      })
+  }
 
   /** The snapshot this scan planned from — the row-level operations'
     * conflict-detection base (their commit must abort if a concurrent
@@ -2514,9 +2633,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isStore(p)) throw new NoSuchTableException(ident)
     val v = version.toLongOption
       .orElse(StoreLog.tagVersion(p, version))
+      // a BRANCH name reads the branch HEAD — the write-audit half of
+      // write-audit-publish queries its staged view exactly like a tag
+      .orElse(StoreLog.branchVersion(p, version))
       .getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a version number nor a named tag of " +
-          s"${ident.name} (CALL system.tags to list)"))
+        s"'$version' is neither a version number, a named tag, nor a " +
+          s"branch of ${ident.name} (CALL system.tags / system.branches)"))
     tableAt(p, Some(v))
   }
 
@@ -2674,9 +2796,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           locally {
             val cs = Constraints.referencing(spark, cur.props ++ props, name)
             require(cs.isEmpty,
-              s"cannot DROP column '$name': CHECK constraint(s) " +
+              s"cannot DROP column '$name': constraint(s) " +
                 s"${cs.mkString(", ")} reference it — UNSET TBLPROPERTIES " +
-                s"('${Constraints.Prefix}<name>') first")
+                s"('${Constraints.Prefix}<name>') or ALTER COLUMN ... " +
+                "DROP NOT NULL first")
           }
           props += s"${GraftTable.DroppedPropPrefix}$name" -> "1"
           // a renamed column's DATA lives under its physical name —
@@ -2708,9 +2831,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         locally {
           val cs = Constraints.referencing(spark, cur.props ++ props, from)
           require(cs.isEmpty,
-            s"cannot RENAME column '$from': CHECK constraint(s) " +
+            s"cannot RENAME column '$from': constraint(s) " +
               s"${cs.mkString(", ")} reference it — UNSET TBLPROPERTIES " +
-              s"('${Constraints.Prefix}<name>') first")
+              s"('${Constraints.Prefix}<name>') or ALTER COLUMN ... " +
+              "DROP NOT NULL first")
         }
         require(!cur.props.contains(s"${GraftTable.DroppedPropPrefix}$to") &&
             !props.contains(s"${GraftTable.DroppedPropPrefix}$to"),
@@ -2783,6 +2907,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             g.copy(dataType = ut.newDataType, metadata = md.build())
           }
         })
+      case un: TableChange.UpdateColumnNullability =>
+        require(un.fieldNames.length == 1,
+          "ALTER COLUMN SET/DROP NOT NULL supports top-level columns only")
+        val name = un.fieldNames.head
+        require(schema.fieldNames.contains(name),
+          s"column '$name' does not exist in ${ident.name}")
+        val liveProps = cur.props ++ props
+        if (!un.nullable()) {
+          // SET NOT NULL completes the CHECK family: validated like ADD
+          // CONSTRAINT (one stop-at-first-NULL scan over existing rows —
+          // a committed NOT NULL is a whole-table invariant), enforced
+          // write-side through the same per-row guard machinery
+          // ([[Constraints.effective]] synthesizes the check from the
+          // graft-managed prop, so every ingest face and the
+          // concurrent-ADD commit recheck apply unchanged)
+          Constraints.validateAdd(spark, p, schema, Constraints.Check(
+            Constraints.notNullName(name), s"`$name` IS NOT NULL"))
+          val cols = (Constraints.notNullCols(liveProps) :+ name).distinct
+          props += Constraints.NotNullProp -> cols.mkString(",")
+        } else {
+          // DROP NOT NULL lifts the invariant (an empty prop value
+          // deletes the key at commit)
+          val cols = Constraints.notNullCols(liveProps).filterNot(_ == name)
+          props += Constraints.NotNullProp -> cols.mkString(",")
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(nullable = un.nullable()) else f))
       case sp: TableChange.SetProperty if sp.property.startsWith(Constraints.Prefix) =>
         // ADD CHECK constraint: the expression must analyze against the
         // declared schema AND hold over every existing row (one

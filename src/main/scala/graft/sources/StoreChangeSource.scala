@@ -231,17 +231,25 @@ private[sources] class StoreChangeStream(spark: SparkSession, schema: StructType
     // the window's diff, attributed version by version so each row's
     // _commit_version names the commit that actually added its file.
     // Driver cost: O(window's manifest deltas) metadata, no data IO.
-    val startFiles: Set[String] =
-      if (a == 0) Set.empty else StoreLog.read(path, a).files.toSet
-    var prev = startFiles
+    // Every version resolves through its MAIN ref: a branch commit
+    // inherits the old pin (same main view → empty diff — staged WAP
+    // rows never leak into the feed), and the PUBLISH commit's view
+    // jump delivers the whole branch's adds at the publish version.
+    var prevMainV = if (a == 0) -1L else StoreLog.mainVersionAt(path, a)
+    var prev: Set[String] =
+      if (a == 0) Set.empty else StoreLog.read(path, prevMainV).files.toSet
     val added = scala.collection.mutable.LinkedHashMap[String, Long]()
     (a + 1 to b).foreach { v =>
-      val cur = StoreLog.read(path, v).files.toSet
-      (cur -- prev).foreach(f => added.getOrElseUpdate(f, v))
-      // files added then removed within the window were superseded
-      // before the consumer saw them — skip their IO entirely
-      (prev -- cur).foreach(added.remove)
-      prev = cur
+      val mv = StoreLog.mainVersionAt(path, v)
+      if (mv != prevMainV) {
+        val cur = StoreLog.read(path, mv).files.toSet
+        (cur -- prev).foreach(f => added.getOrElseUpdate(f, v))
+        // files added then removed within the window were superseded
+        // before the consumer saw them — skip their IO entirely
+        (prev -- cur).foreach(added.remove)
+        prev = cur
+        prevMainV = mv
+      }
     }
     val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     added.toSeq.sortBy(_._1).map { case (rel, v) =>

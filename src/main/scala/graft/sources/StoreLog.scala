@@ -54,7 +54,8 @@ object StoreLog {
                             bloomCols: Seq[String] = Nil,
                             props: Map[String, String] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
-                            dvs: Map[String, Dv.Entry] = Map.empty) {
+                            dvs: Map[String, Dv.Entry] = Map.empty,
+                            filtered: Boolean = false) {
     /** Live (post-deletion-vector) row count of `file`, when the
       * manifest records its rows — the number every metadata-served
       * count/limit path must use instead of the raw stat rows.
@@ -449,6 +450,211 @@ object StoreLog {
       })
   }
 
+  /** One live file's manifest state, as the STREAMING resolution hands
+    * it to a fold — never part of a store-wide map.
+    */
+  final case class FileEntry(path: String,
+                             stats: Option[FileStats.FileStatsMap],
+                             size: Option[Long],
+                             dv: Option[Dv.Entry])
+
+  /** Live-file count at which the DSv2 scan resolves its snapshot
+    * STRIPE-LAZILY ([[readFiltered]] — only files surviving the pushed
+    * filters materialize on the driver) instead of through the full
+    * [[read]]. Below it, plans resolve exactly as before — small
+    * stores' behavior is bit-identical. `@volatile var` test seam.
+    */
+  @volatile private[graft] var LazySnapshotThreshold: Int = 65536
+
+  /** EXACT live-file count of `version` from raw manifest JSON alone —
+    * O(chain-to-checkpoint) small reads, never a sidecar decode (a
+    * columnar checkpoint's count is its O(1) `fileCount` field; deltas
+    * adjust by their disjoint add/remove list sizes). The O(1) gate
+    * the scan path uses to decide lazy vs full resolution.
+    */
+  def liveFileCount(path: String, version: Long): Long = {
+    var v = version
+    var delta = 0L
+    while (true) {
+      val n = readRaw(path, v)
+      if (n.has("filesRef")) return n.get("fileCount").asLong + delta
+      if (n.has("files")) return n.get("files").size.toLong + delta
+      delta += n.get("add").size.toLong - n.get("remove").size.toLong
+      v -= 1
+    }
+    -1L // unreachable
+  }
+
+  /** STREAM-fold over a version's live file entries WITHOUT ever
+    * materializing the store-wide file/stat/size/dv maps — the
+    * driver-side scale fix for the million-file store: [[read]] decodes
+    * the whole checkpoint into [[Snapshot]] maps (multi-GB at the
+    * 100 TB ≈ 6–7M-file tier even though the parquet payload is tens of
+    * MB); this walks the SAME chain but keeps only (a) the delta
+    * overlays — O(sum of the ≤ interval−1 commits' footprints) — and
+    * (b) whatever `op` itself retains. `prefixes` (partition directory
+    * prefixes) push into the columnar checkpoint's sorted path column
+    * as ROW-GROUP skips ([[CheckpointParquet.stream]]).
+    *
+    * Overlay semantics mirror [[readResolve]] exactly: a delta's
+    * removes drop the file and its stats/sizes/dv; adds register the
+    * delta's own entries (re-adding a removed path resurrects it with
+    * whatever the re-adding delta carries); stat/size/dv nodes for
+    * files the delta did NOT add override the checkpoint's (a dv write
+    * touches files the add/remove lists never name). Entries arrive in
+    * no promised order.
+    */
+  def foldFiles[A](path: String, version: Long, prefixes: Seq[String] = Nil)
+                  (zero: A)(op: (A, FileEntry) => A): A = {
+    val root = readRaw(path, version)
+    var deltas = List.empty[JsonNode] // oldest-first after the walk
+    var node = root
+    var v = version - 1
+    while (!isCheckpointNode(node)) {
+      deltas ::= node
+      node = readRaw(path, v)
+      v -= 1
+    }
+    // `node` is now the checkpoint: root itself when self-resolvable,
+    // the chain's ancestor otherwise
+    val ckptNode = node
+    val removed = scala.collection.mutable.Set.empty[String]
+    val added = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Option[FileStats.FileStatsMap], Option[Long], Option[Dv.Entry])]
+    val oStats = scala.collection.mutable.Map.empty[String, FileStats.FileStatsMap]
+    val oSizes = scala.collection.mutable.Map.empty[String, Long]
+    val oDvs = scala.collection.mutable.Map.empty[String, Dv.Entry]
+    deltas.foreach { d =>
+      strings(d.get("remove")).foreach { f =>
+        if (added.remove(f).isEmpty) removed += f
+        oStats -= f; oSizes -= f; oDvs -= f
+      }
+      strings(d.get("add")).foreach { f =>
+        removed -= f
+        added(f) = (None, None, None)
+      }
+      statsOf(d).foreach { case (f, st) =>
+        added.get(f) match {
+          case Some((_, z, e)) => added(f) = (Some(st), z, e)
+          case None => oStats(f) = st
+        }
+      }
+      sizesOf(d).foreach { case (f, z) =>
+        added.get(f) match {
+          case Some((s, _, e)) => added(f) = (s, Some(z), e)
+          case None => oSizes(f) = z
+        }
+      }
+      dvsOf(d).foreach { case (f, e) =>
+        added.get(f) match {
+          case Some((s, z, _)) => added(f) = (s, z, Some(e))
+          case None => oDvs(f) = e
+        }
+      }
+    }
+    def underPrefix(f: String): Boolean =
+      prefixes.isEmpty || prefixes.exists(p => f.startsWith(p + "/"))
+    var acc = zero
+    if (ckptNode.has("filesRef")) {
+      val bytes = io(path).readBytes(
+        s"${logDir(path)}/${ckptNode.get("filesRef").asText()}")
+      acc = CheckpointParquet.stream(bytes, prefixes, acc) { (a, e) =>
+        if (removed.contains(e.path) || added.contains(e.path)) a
+        else op(a, FileEntry(e.path,
+          oStats.get(e.path).orElse(e.stats),
+          oSizes.get(e.path).orElse(e.size),
+          oDvs.get(e.path).orElse(e.dv)))
+      }
+    } else {
+      val st = statsOf(ckptNode); val sz = sizesOf(ckptNode)
+      val dv = dvsOf(ckptNode)
+      strings(ckptNode.get("files")).foreach { f =>
+        if (underPrefix(f) && !removed.contains(f) && !added.contains(f))
+          acc = op(acc, FileEntry(f,
+            oStats.get(f).orElse(st.get(f)),
+            oSizes.get(f).orElse(sz.get(f)),
+            oDvs.get(f).orElse(dv.get(f))))
+      }
+    }
+    added.foreach { case (f, (s, z, e)) =>
+      if (underPrefix(f)) acc = op(acc, FileEntry(f, s, z, e))
+    }
+    acc
+  }
+
+  /** ANY file path the chain has ever named — a LAYOUT HINT only (the
+    * file may be dead; partitioning is immutable per store, so any
+    * historical path carries the directory shape). Raw manifest walks
+    * first (a delta's add list answers without touching the sidecar);
+    * only a delta-less columnar checkpoint decodes — one row.
+    */
+  def sampleFilePath(path: String, version: Long): Option[String] = {
+    var v = version
+    while (v >= 1) {
+      val n = readRaw(path, v)
+      if (n.has("add") && n.get("add").size() > 0)
+        return Some(n.get("add").get(0).asText())
+      if (n.has("files"))
+        return if (n.get("files").size() > 0)
+          Some(n.get("files").get(0).asText()) else None
+      if (n.has("filesRef"))
+        return CheckpointParquet.firstPath(
+          io(path).readBytes(s"${logDir(path)}/${n.get("filesRef").asText()}"))
+      v -= 1
+    }
+    None
+  }
+
+  /** Resolve `version` keeping ONLY files `keep` accepts — the
+    * stripe-lazy [[read]]: the returned [[Snapshot]] (marked
+    * `filtered`) carries the survivors' files/stats/sizes/dvs and the
+    * full manifest metadata (version, props, tags, interval), with
+    * driver allocations bounded by the surviving set + the delta
+    * overlays, never the store. Callers own soundness: `keep` must be
+    * at least as permissive as the pruning the plan later applies, and
+    * a filtered snapshot must never serve as a WRITE conflict base.
+    */
+  def readFiltered(path: String, version: Long, prefixes: Seq[String] = Nil)
+                  (keep: FileEntry => Boolean): Snapshot =
+    // same one-retry contract as [[read]]: a concurrent vacuum may
+    // checkpoint-rewrite the chain mid-walk; the re-walk sees the
+    // rewritten self-contained manifest
+    try readFilteredResolve(path, version, prefixes)(keep)
+    catch {
+      case _: IllegalArgumentException | _: java.io.IOException |
+           _: java.io.UncheckedIOException =>
+        readFilteredResolve(path, version, prefixes)(keep)
+    }
+
+  private def readFilteredResolve(path: String, version: Long,
+      prefixes: Seq[String])(keep: FileEntry => Boolean): Snapshot = {
+    val root = readRaw(path, version)
+    val files = Seq.newBuilder[String]
+    val st = Map.newBuilder[String, FileStats.FileStatsMap]
+    val sz = Map.newBuilder[String, Long]
+    val dv = Map.newBuilder[String, Dv.Entry]
+    foldFiles(path, version, prefixes)(()) { (_, e) =>
+      if (keep(e)) {
+        files += e.path
+        e.stats.foreach(st += e.path -> _)
+        e.size.foreach(sz += e.path -> _)
+        e.dv.foreach(dv += e.path -> _)
+      }
+    }
+    Snapshot(root.get("version").asLong(), root.get("timestampMs").asLong(),
+      strings(root.get("replaced")), files.result().sorted,
+      if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
+      else CheckpointInterval,
+      st.result(),
+      if (root.has("tag")) Some(root.get("tag").asText()) else None,
+      if (root.has("bloomCols")) strings(root.get("bloomCols")) else Nil,
+      if (root.has("props"))
+        root.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty,
+      sz.result(), dv.result(), filtered = true)
+  }
+
   /** Scan the newest `lookback` manifests for a commit carrying `tag` —
     * the idempotent-replay check behind tagged commits (the public
     * Delta/Iceberg txn-appId design): a re-delivered streaming batch
@@ -502,6 +708,62 @@ object StoreLog {
   def tagVersion(path: String, name: String): Option[Long] =
     latestVersion(path).flatMap(v =>
       propsAt(path, v).get(TagPropPrefix + name)).flatMap(_.toLongOption)
+
+  /** WRITABLE REFS (the Iceberg branch / Delta write-audit-publish
+    * pattern, re-derived on this linear CAS log): a BRANCH is a named
+    * moving pointer commits can target without touching what main
+    * readers see. The log stays ONE version chain — branch commits are
+    * ordinary CAS'd versions whose `files` list is the BRANCH view —
+    * and three prop families carry the ref state on the tip manifest:
+    *
+    *   - `graft.ref.main = <v>`: present iff ≥1 branch exists; pins the
+    *     version MAIN readers resolve (every main-targeted append
+    *     advances it to its own version; branch commits inherit it
+    *     unchanged — which is also how the change feed tells main
+    *     versions apart: v is on main iff its props' ref is absent or
+    *     equals v).
+    *   - `graft.branch.<name> = <v>`: the branch head.
+    *   - `graft.branchbase.<name> = <v>`: main's version at branch
+    *     creation — the fast-forward guard (publish refuses if main
+    *     moved since, like any rebase conflict).
+    *
+    * Publish = audit the branch head against the table's CURRENT
+    * constraints, then ONE metadata-shaped commit whose `files` IS the
+    * branch view and whose ref props fast-forward main — atomic via
+    * the same CAS as every commit. Vacuum retains ref-pinned versions
+    * exactly like tags. While a branch exists, REPLACING verbs
+    * (upsert/delete/compact/zorder/DML) refuse — appends (the WAP
+    * ingest shape) target either ref; publish-or-drop reopens the rest.
+    */
+  val MainRefProp = "graft.ref.main"
+  val BranchPropPrefix = "graft.branch."
+  val BranchBasePrefix = "graft.branchbase."
+
+  /** The MAIN view's version at the tip: the `graft.ref.main` pin when
+    * a branch is active, the tip itself otherwise. Raw-JSON reads only.
+    */
+  def mainVersion(path: String): Option[Long] =
+    latestVersion(path).map { v =>
+      propsAt(path, v).get(MainRefProp).flatMap(_.toLongOption).getOrElse(v)
+    }
+
+  /** The main-view version AS OF manifest version `v` — what a main
+    * reader (or the change feed) saw right after `v` committed.
+    */
+  def mainVersionAt(path: String, v: Long): Long =
+    propsAt(path, v).get(MainRefProp).flatMap(_.toLongOption).getOrElse(v)
+
+  /** A branch's head version, from the latest manifest's props. */
+  def branchVersion(path: String, name: String): Option[Long] =
+    latestVersion(path).flatMap(v =>
+      propsAt(path, v).get(BranchPropPrefix + name)).flatMap(_.toLongOption)
+
+  /** All live branches: name → head version. */
+  def branches(path: String): Map[String, Long] =
+    latestVersion(path).map(v => propsAt(path, v).collect {
+      case (k, s) if k.startsWith(BranchPropPrefix) && s.toLongOption.isDefined =>
+        k.stripPrefix(BranchPropPrefix) -> s.toLong
+    }).getOrElse(Map.empty)
 
   /** All named tags of a store: name → pinned version. */
   def namedTags(path: String): Map[String, Long] =
@@ -804,25 +1066,32 @@ object StoreLog {
     }
     if (listVersions(path).isEmpty) return 0
     // retention = the trailing window PLUS every version committed
-    // within `retainMs` (the expire-snapshots-older-than role; commit
-    // times ascend along a chain, so the age window is a backward walk
-    // from the newest that stops at the first too-old manifest) PLUS
-    // every tagged version (named tags live on the latest manifest's
-    // props, so a concurrent tag commit bumps the version and the
-    // stability rechecks re-read them)
+    // within `retainMs` (the expire-snapshots-older-than role; a FULL
+    // timestamp filter, not a newest-to-oldest takeWhile — multi-writer
+    // clock skew can backdate one manifest mid-chain, and an early stop
+    // there would silently drop younger-stamped OLDER versions from age
+    // retention; one raw-JSON read per version either way) PLUS every
+    // tagged version (named tags live on the latest manifest's props,
+    // so a concurrent tag commit bumps the version and the stability
+    // rechecks re-read them)
     def keep(vs: Seq[Long]): Seq[Long] = {
       val aged: Seq[Long] =
         if (retainMs <= 0) Nil
         else {
           val cutoff = System.currentTimeMillis() - retainMs
-          vs.reverse.takeWhile(v =>
+          vs.filter(v =>
             readRaw(path, v).get("timestampMs").asLong >= cutoff)
         }
-      val tagged: Seq[Long] = propsAt(path, vs.last).toSeq.collect {
-        case (k, v) if k.startsWith(TagPropPrefix) && v.toLongOption.isDefined =>
+      // tags AND refs: the main pin and every branch head are live
+      // reader/writer targets — their manifests and files must survive
+      // exactly like tagged eras (the Iceberg expire-vs-ref contract)
+      val pinned: Seq[Long] = propsAt(path, vs.last).toSeq.collect {
+        case (k, v) if (k.startsWith(TagPropPrefix) ||
+            k.startsWith(BranchPropPrefix) || k == MainRefProp) &&
+            v.toLongOption.isDefined =>
           v.toLong
       }.filter(vs.contains)
-      (vs.takeRight(retainVersions) ++ aged ++ tagged).distinct.sorted
+      (vs.takeRight(retainVersions) ++ aged ++ pinned).distinct.sorted
     }
     // Candidate collection must be SOUND against live writers. A writer
     // holds its lease from before adoptStaged until after its commit,

@@ -191,7 +191,24 @@ object TsStore {
             maxRecordsPerFile: Long = 8L << 20,
             commitTag: Option[String] = None,
             bloomKeys: Seq[String] = Nil,
-            checkpointInterval: Int = StoreLog.CheckpointInterval): Unit = {
+            checkpointInterval: Int = StoreLog.CheckpointInterval,
+            branch: Option[String] = None): Unit = {
+    // branch target: append-only onto a logged store's named branch
+    // ([[TsStore.branch]]) — the write-audit-publish ingest shape. The
+    // overlap guard (below) reads the MAIN view; branch-vs-branch
+    // overlap is audited at publish, not per append.
+    branch.foreach { b =>
+      require(mode == SaveMode.Append,
+        s"branch '$b' writes are append-only (Overwrite replaces the store)")
+      require(StoreLog.canLog(path) && StoreLog.exists(path),
+        s"branch '$b' needs a logged store at $path")
+    }
+    if (mode == SaveMode.Overwrite && StoreLog.canLog(path) &&
+        StoreLog.exists(path))
+      require(StoreLog.branches(path).isEmpty,
+        s"store at $path has open branch(es) " +
+          s"${StoreLog.branches(path).keys.mkString(", ")} — an Overwrite " +
+          "destroys the whole log; publish or drop them first")
     // write-time overlap guard (reference behavior): appending a chunk
     // whose time range intersects what's stored for the same series is
     // almost always a double-write that silently duplicates rows. The
@@ -206,8 +223,9 @@ object TsStore {
     // incoming names ARE the new physical schema: no translation).
     // CHECK constraints gate the append FIRST, on the user's declared
     // names (the guard is a codegen'd filter inside the write lineage)
-    val dfC = if (mode == SaveMode.Append)
-                Constraints.guard(df, Constraints.forStore(path))
+    val appendChecks =
+      if (mode == SaveMode.Append) Constraints.forStore(path) else Nil
+    val dfC = if (mode == SaveMode.Append) Constraints.guard(df, appendChecks)
               else df
     val dfW = if (mode == SaveMode.Append) physicalFrame(dfC, physRenames(path))
               else dfC
@@ -272,11 +290,30 @@ object TsStore {
         while (!committed) {
           lease.renew()
           val cur = StoreLog.ensure(path)
+          // a CHECK constraint added since this append bound its guard
+          // set means the staged rows were never validated against it —
+          // abort rather than commit unchecked rows AFTER the
+          // constraint's whole-table certification (see
+          // [[Constraints.addedSince]]; the CAS totally orders us)
+          val added = Constraints.addedSince(appendChecks, cur.props)
+          if (added.nonEmpty) {
+            StoreLog.deleteDataFiles(path, moved)
+            throw new StoreLog.CommitConflict(
+              s"CHECK constraint(s) ${added.map(_.name).mkString(", ")} added " +
+                s"concurrently at $path — re-run the append")
+          }
+          // REF-AWARE base: under an active branch the tip's file list
+          // may be the OTHER ref's view — an append reads its target
+          // ref's files and advances that ref's pointer in the same
+          // commit (see [[StoreLog.MainRefProp]])
+          val (baseFiles, refProps) =
+            TsStore.refAppendBase(path, cur, branch)
           try {
-            StoreLog.commit(path, cur.version, Seq.empty, cur.files ++ moved,
+            StoreLog.commit(path, cur.version, Seq.empty, baseFiles ++ moved,
               parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
               tag = commitTag,
-              setProps = GraftTable.widenedSchemaProp(cur.props, dfW.schema))
+              setProps =
+                GraftTable.widenedSchemaProp(cur.props, dfW.schema) ++ refProps)
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -458,13 +495,25 @@ object TsStore {
     * rebased parent; `unsound(s, prevFiles)` sees each intervening
     * snapshot with its parent's file set (so append detection works)
     * and returns the abort reason if the rebase cannot serialize.
+    *
+    * `boundChecks` (row-ADDING paths only — upsert, DML inserts, cow
+    * UPDATE/MERGE rewrites): the CHECK constraint set the writer's
+    * per-row guard was bound against at write start. Each attempt
+    * re-reads the (rebased) parent's props and aborts if a constraint
+    * appeared since ([[Constraints.addedSince]]) — the staged rows were
+    * never validated against it, and committing them would break the
+    * whole-table invariant `ALTER ... ADD`'s existing-data scan just
+    * certified. Maintenance rewrites and pure deletes pass None: they
+    * add no rows a new constraint could reject (survivors were
+    * certified by the ADD scan itself).
     */
   private[sources] def commitWithRebase(path: String, lease: StoreLog.WriterLease,
       base: StoreLog.Snapshot, moved: Seq[String], replaced: Seq[String],
       newFiles: StoreLog.Snapshot => Seq[String],
       unsound: (StoreLog.Snapshot, Set[String]) => Option[String],
       setProps: StoreLog.Snapshot => Map[String, String] = _ => Map.empty,
-      addDvs: Map[String, Dv.Entry] = Map.empty): Long = {
+      addDvs: Map[String, Dv.Entry] = Map.empty,
+      boundChecks: Option[Seq[Constraints.Check]] = None): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -478,6 +527,24 @@ object TsStore {
     var done = -1L
     while (done < 0) {
       lease.renew()
+      // REPLACING verbs refuse while a branch is open: every caller of
+      // this scaffold computed its rewrite against ONE view's files,
+      // and committing it would corrupt whichever ref it didn't read
+      // (the tip zig-zags between views under branching). Appends — the
+      // write-audit-publish ingest shape — have their own ref-aware
+      // loops; publish-or-drop reopens the rest.
+      if (expected.props.contains(StoreLog.MainRefProp))
+        abort(s"store at $path has an active branch " +
+          s"(${StoreLog.branches(path).keys.mkString(", ")}) — " +
+          "replacing operations refuse while a branch is open; publish " +
+          "or drop it first (appends may still target either ref)")
+      boundChecks.foreach { bc =>
+        val added = Constraints.addedSince(bc, expected.props)
+        if (added.nonEmpty)
+          abort(s"CHECK constraint(s) ${added.map(_.name).mkString(", ")} " +
+            s"added concurrently at $path — the staged rows were never " +
+            "validated against them; re-run the write")
+      }
       try done = StoreLog.commit(path, expected.version, replaced,
         newFiles(expected), parent = Some(expected), addStats = movedStats,
         addSizes = movedSizes, setProps = setProps(expected), addDvs = addDvs)
@@ -551,8 +618,8 @@ object TsStore {
     // CHECK constraints gate the DELTA (the new rows) on the declared
     // names; base survivors satisfied them at their own write
     val renames = physRenames(path)
-    val deltaW = physicalFrame(
-      Constraints.guard(delta, Constraints.forStore(path)), renames)
+    val boundChecks = Constraints.forStore(path)
+    val deltaW = physicalFrame(Constraints.guard(delta, boundChecks), renames)
     val keyColsW = keyCols.map(c => renames.getOrElse(c, c))
     val versionColW = renames.getOrElse(versionCol, versionCol)
     // Pin the delta ONCE. The merge evaluates it three times (emptiness,
@@ -612,7 +679,8 @@ object TsStore {
         // stores (recomputed per rebase — an intervening commit may have
         // widened too, and the union must build on ITS declaration)
         setProps = exp =>
-          GraftTable.widenedSchemaProp(exp.props, delta.schema) ++ setProps)
+          GraftTable.widenedSchemaProp(exp.props, delta.schema) ++ setProps,
+        boundChecks = Some(boundChecks))
     }
   }
 
@@ -1404,8 +1472,8 @@ object TsStore {
     * store is asked.
     */
   def countAt(path: String, asOf: Option[Long] = None): Option[Long] = {
-    val snap = asOf.map(v => StoreLog.read(path, v))
-      .orElse(StoreLog.latest(path))
+    val snap = asOf.orElse(StoreLog.mainVersion(path))
+      .map(v => StoreLog.read(path, v))
       .getOrElse(return None)
     // LIVE rows: recorded per-file counts minus each file's recorded
     // deletion-vector cardinality — still exact, still zero file IO
@@ -1426,8 +1494,8 @@ object TsStore {
                 tsCol: String = "ts",
                 asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val snap = asOf.map(v => StoreLog.read(path, v))
-      .orElse(StoreLog.latest(path)).getOrElse(return None)
+    val snap = asOf.orElse(StoreLog.mainVersion(path))
+      .map(v => StoreLog.read(path, v)).getOrElse(return None)
     // deletion vectors: a vectored file's LIVE count is exact from the
     // recorded cardinality; its ts bounds stay exact when the vector's
     // recorded deleted-row bounds ([[Dv.Entry.bounds]]) prove both ends
@@ -1491,8 +1559,8 @@ object TsStore {
   def detail(spark: SparkSession, path: String,
              asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types._
-    val snap = asOf.map(v => StoreLog.read(path, v))
-      .orElse(StoreLog.latest(path))
+    val snap = asOf.orElse(StoreLog.mainVersion(path))
+      .map(v => StoreLog.read(path, v))
       .getOrElse(throw new IllegalArgumentException(
         s"detail needs a logged store; '$path' has no manifest"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1923,26 +1991,45 @@ object TsStore {
     */
   def load(spark: SparkSession, path: String, mergeSchema: Boolean = false,
            asOf: Option[Long] = None, prune: Option[Column] = None): DataFrame = {
-    val snap =
-      if (!StoreLog.canLog(path)) {
-        require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
-        None
-      } else asOf.map(v => StoreLog.read(path, v)).orElse(StoreLog.latest(path))
-    snap match {
-      case Some(s) =>
+    if (!StoreLog.canLog(path)) {
+      require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
+      return spark.read.option("mergeSchema", mergeSchema).parquet(path)
+    }
+    val vOpt = asOf.orElse(StoreLog.mainVersion(path))
+    vOpt match {
+      case Some(v) =>
         // manifest-stat pruning: drop files whose recorded column bounds
         // prove no row can match `prune` — BEFORE Spark opens a footer.
         // The caller still applies the predicate to the rows (pruning is
         // conservative, file-level). An all-pruned list keeps one file:
         // a zero-path parquet read cannot even infer the schema, and the
-        // row filter drops everything anyway.
-        val files = prune match {
+        // row filter drops everything anyway. BIG stores with a prune
+        // predicate resolve STRIPE-LAZILY: only the may-match files
+        // (plus their stats/sizes/dvs) materialize driver-side
+        // ([[StoreLog.readFiltered]]) — identical keep rule, bounded
+        // allocations.
+        prune match {
+          case Some(p)
+              if StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold =>
+            val node = org.apache.spark.sql.GraftShim.predTree(p)
+            val s = StoreLog.readFiltered(path, v)(e =>
+              e.stats.forall(fs => FileStats.mayMatch(fs, node)))
+            if (s.files.isEmpty) {
+              // all-pruned corner: fall back to the full resolution for
+              // the one-live-file schema anchor (rare by construction —
+              // the predicate excluded the whole store)
+              val full = StoreLog.read(path, v)
+              readFilesDv(spark, path, full, full.files.take(1), mergeSchema)
+            } else readFilesDv(spark, path, s, s.files, mergeSchema)
           case Some(p) =>
+            val s = StoreLog.read(path, v)
             val kept = FileStats.prune(s.files, s.stats, p)
-            if (kept.isEmpty) s.files.take(1) else kept
-          case None => s.files
+            val files = if (kept.isEmpty) s.files.take(1) else kept
+            readFilesDv(spark, path, s, files, mergeSchema)
+          case None =>
+            val s = StoreLog.read(path, v)
+            readFilesDv(spark, path, s, s.files, mergeSchema)
         }
-        readFilesDv(spark, path, s, files, mergeSchema)
       case None =>
         spark.read.option("mergeSchema", mergeSchema).parquet(path)
     }
@@ -1980,30 +2067,222 @@ object TsStore {
     require(!name.forall(_.isDigit),
       s"tag name '$name' is all digits — VERSION AS OF would read it " +
         "as a version number, shadowing the tag; include a letter")
-    val cur = StoreLog.latest(path).getOrElse(
-      throw new IllegalArgumentException(s"no manifest at $path"))
-    val v = version.getOrElse(cur.version)
-    require(StoreLog.listVersions(path).contains(v),
-      s"version $v is not a retained manifest version — vacuumed eras " +
-        "cannot be tagged")
-    StoreLog.commit(path, cur.version, Seq.empty, cur.files,
-      parent = Some(cur),
-      setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> v.toString))
-    v
+    // metadata-only commit, but still CAS-raced by concurrent writer
+    // churn — rebase-retry like every other commit path (a tag
+    // serializes after ANY commit; only the pinned version's retention
+    // must re-hold on the fresh base)
+    metadataCommitWithRetry(path) { cur =>
+      val v = version.getOrElse(cur.version)
+      require(StoreLog.listVersions(path).contains(v),
+        s"version $v is not a retained manifest version — vacuumed eras " +
+          "cannot be tagged")
+      (Map(s"${StoreLog.TagPropPrefix}$name" -> v.toString), v)
+    }
   }
+
+  /** The shared rebase-retry loop for METADATA-ONLY commits (tag,
+    * drop_tag, branch verbs): re-read latest, recompute the props via
+    * `propsOf` (which may re-validate against the fresh base and
+    * throw), commit, retry on [[StoreLog.CommitConflict]]. A metadata
+    * commit rebases trivially — it replaces nothing and carries the
+    * parent's own file list — so concurrent writer churn must never
+    * fail it spuriously.
+    */
+  private[sources] def metadataCommitWithRetry[T](path: String,
+      filesOf: StoreLog.Snapshot => Seq[String] = _.files)(
+      propsOf: StoreLog.Snapshot => (Map[String, String], T)): T = {
+    var attempts = 0
+    while (true) {
+      val cur = StoreLog.latest(path).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $path"))
+      val (props, result) = propsOf(cur)
+      try {
+        StoreLog.commit(path, cur.version, Seq.empty, filesOf(cur),
+          parent = Some(cur), setProps = props)
+        return result
+      } catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1; if (attempts > 20) throw c
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The (base file list, ref-advance props) of an APPEND targeting
+    * `branch` (None = main) against tip snapshot `cur` — the ref-aware
+    * half of the append loops: under an active branch the tip's `files`
+    * may be the OTHER ref's view, so the append resolves its target
+    * ref's files and moves that ref's pointer to its own version in the
+    * same commit. Branchless stores pay nothing (tip files, no props).
+    */
+  private[graft] def refAppendBase(path: String, cur: StoreLog.Snapshot,
+      branch: Option[String]): (Seq[String], Map[String, String]) =
+    branch match {
+      case Some(b) =>
+        val bv = cur.props.get(StoreLog.BranchPropPrefix + b)
+          .flatMap(_.toLongOption).getOrElse(
+            throw new IllegalArgumentException(
+              s"no branch '$b' at $path (TsStore.branch / CALL " +
+                "system.branch creates one)"))
+        val files =
+          if (bv == cur.version) cur.files else StoreLog.read(path, bv).files
+        (files, Map(StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+      case None =>
+        cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption) match {
+          case Some(mv) =>
+            val files =
+              if (mv == cur.version) cur.files else StoreLog.read(path, mv).files
+            (files, Map(StoreLog.MainRefProp -> (cur.version + 1).toString))
+          case None => (cur.files, Map.empty)
+        }
+    }
+
+  /** Validate a ref/tag name (shared rules: tag charset, no all-digit
+    * shadowing of VERSION AS OF's numeric parse).
+    */
+  private def validRefName(name: String, kind: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"$kind name '$name' must be [A-Za-z0-9_.-]+")
+    require(!name.forall(_.isDigit),
+      s"$kind name '$name' is all digits — VERSION AS OF would read it " +
+        s"as a version number, shadowing the $kind; include a letter")
+  }
+
+  /** Create a WRITABLE BRANCH at the current MAIN version (the Iceberg
+    * branch / write-audit-publish pattern — see
+    * [[StoreLog.MainRefProp]]): from here, `TsStore.write(branch =
+    * Some(name))` / the streaming sink's `branch` option append to the
+    * branch invisibly to main readers; [[publishBranch]] audits and
+    * fast-forwards main atomically; [[dropBranch]] abandons. Vacuum
+    * retains both refs' pinned versions like tags. Returns the branch's
+    * base (= current main) version.
+    */
+  def branch(path: String, name: String): Long = {
+    validRefName(name, "branch")
+    metadataCommitWithRetry(path) { cur =>
+      require(!cur.props.contains(s"${StoreLog.BranchPropPrefix}$name"),
+        s"branch '$name' already exists at $path")
+      require(!cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
+        s"'$name' is a tag at $path — tags and branches share the " +
+          "VERSION AS OF namespace")
+      val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
+        .getOrElse(cur.version)
+      val refs = Map(
+        s"${StoreLog.BranchPropPrefix}$name" -> mv.toString,
+        s"${StoreLog.BranchBasePrefix}$name" -> mv.toString) ++
+        (if (cur.props.contains(StoreLog.MainRefProp)) Map.empty
+         else Map(StoreLog.MainRefProp -> mv.toString))
+      (refs, mv)
+    }
+  }
+
+  /** Abandon a branch: its head's files become unreferenced (a later
+    * [[vacuum]] reclaims whatever fell outside retention). The commit
+    * restores MAIN's file list when it releases the last ref, so the
+    * tip's live view is main's again.
+    */
+  def dropBranch(path: String, name: String): Unit =
+    metadataCommitWithRetry(path,
+      filesOf = cur => {
+        val remaining = StoreLog.branches(path) - name
+        val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
+        if (remaining.isEmpty && mv.isDefined && mv.get != cur.version)
+          StoreLog.read(path, mv.get).files
+        else cur.files
+      }) { cur =>
+      require(cur.props.contains(s"${StoreLog.BranchPropPrefix}$name"),
+        s"no branch '$name' at $path")
+      val remaining =
+        cur.props.keys.count(_.startsWith(StoreLog.BranchPropPrefix)) > 1
+      ((Map(
+        s"${StoreLog.BranchPropPrefix}$name" -> "",
+        s"${StoreLog.BranchBasePrefix}$name" -> "") ++
+        (if (remaining) Map.empty
+         else Map(StoreLog.MainRefProp -> ""))), ())
+    }
+
+  /** WRITE-AUDIT-PUBLISH's publish: validate the branch head against
+    * the table's CURRENT constraints (CHECK + NOT NULL — one
+    * stop-at-first-violation scan each over the branch view), then ONE
+    * CAS commit whose `files` IS the branch view fast-forwards main and
+    * releases the branch. Refuses when main moved since the branch was
+    * created (diverged — like any rebase conflict) or when the audit
+    * finds a violation. Returns the published (new main) version.
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String): Long = {
+    var attempts = 0
+    while (true) {
+      val cur = StoreLog.latest(path).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $path"))
+      val bv = cur.props.get(s"${StoreLog.BranchPropPrefix}$name")
+        .flatMap(_.toLongOption).getOrElse(throw new IllegalArgumentException(
+          s"no branch '$name' at $path"))
+      val base = cur.props.get(s"${StoreLog.BranchBasePrefix}$name")
+        .flatMap(_.toLongOption).getOrElse(bv)
+      val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
+        .getOrElse(cur.version)
+      require(mv == base,
+        s"cannot publish branch '$name' at $path: main moved since the " +
+          s"branch was created (v$base → v$mv) — diverged; re-create the " +
+          "branch from current main and replay")
+      // the AUDIT: the branch's rows were guarded per append against the
+      // then-current constraint set; publish re-certifies the whole
+      // branch view against the set AS OF NOW, so main's whole-table
+      // invariants survive the fast-forward even if constraints landed
+      // after the branch's writes
+      val checks = Constraints.effective(cur.props)
+      if (checks.nonEmpty) {
+        val view = load(spark, path, asOf = Some(bv))
+        checks.foreach { c =>
+          val bad = view.filter(org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(c.sql)
+                .cast(org.apache.spark.sql.types.BooleanType),
+              org.apache.spark.sql.functions.lit(true))))
+            .limit(1).count()
+          require(bad == 0L,
+            s"publish audit failed for branch '$name' at $path: rows " +
+              s"violate constraint '${c.name}' (${c.sql}) — fix the branch " +
+              "or drop it")
+        }
+      }
+      val bFiles = if (bv == cur.version) cur.files
+                   else StoreLog.read(path, bv).files
+      val remaining =
+        cur.props.keys.count(_.startsWith(StoreLog.BranchPropPrefix)) > 1
+      val v = cur.version + 1
+      val refs = Map(
+        s"${StoreLog.BranchPropPrefix}$name" -> "",
+        s"${StoreLog.BranchBasePrefix}$name" -> "") ++
+        (if (remaining) Map(StoreLog.MainRefProp -> v.toString)
+         else Map(StoreLog.MainRefProp -> ""))
+      try {
+        StoreLog.commit(path, cur.version, Seq.empty, bFiles,
+          parent = Some(cur), setProps = refs)
+        return v
+      } catch {
+        case c: StoreLog.CommitConflict =>
+          // retry re-reads everything: a concurrent MAIN append moves
+          // the ref and the divergence check above then refuses
+          attempts += 1; if (attempts > 20) throw c
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The store's live branches: name → head version. */
+  def listBranches(path: String): Map[String, Long] = StoreLog.branches(path)
 
   /** Remove a named tag — its version rejoins the ordinary vacuum
     * retention window.
     */
-  def dropTag(path: String, name: String): Unit = {
-    val cur = StoreLog.latest(path).getOrElse(
-      throw new IllegalArgumentException(s"no manifest at $path"))
-    require(cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
-      s"no tag '$name' at $path")
-    StoreLog.commit(path, cur.version, Seq.empty, cur.files,
-      parent = Some(cur),
-      setProps = Map(s"${StoreLog.TagPropPrefix}$name" -> ""))
-  }
+  def dropTag(path: String, name: String): Unit =
+    metadataCommitWithRetry(path) { cur =>
+      require(cur.props.contains(s"${StoreLog.TagPropPrefix}$name"),
+        s"no tag '$name' at $path")
+      (Map(s"${StoreLog.TagPropPrefix}$name" -> ""), ())
+    }
 
   /** The store's named tags: name → pinned version. */
   def tags(path: String): Map[String, Long] = StoreLog.namedTags(path)

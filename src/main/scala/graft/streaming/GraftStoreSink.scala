@@ -112,20 +112,32 @@ private[streaming] class GraftSinkTable(declaredSchema: StructType,
           .getOrElse(Seq.empty)
         val autoCompactOpt = Option(options.get("autoCompact")).map(_.toInt)
         val ckptInterval = Option(options.get("checkpointInterval")).map(_.toInt)
-        if (replaceEachEpoch)
+        // branch target: every epoch appends to the named branch (the
+        // streaming write-audit-publish shape — land a feed invisibly,
+        // audit, fast-forward); auto-compaction is forced OFF on a
+        // branch (compaction is a replacing verb and refuses while a
+        // branch is open)
+        val branch = Option(options.get("branch")).filter(_.nonEmpty)
+        if (replaceEachEpoch) {
+          require(branch.isEmpty,
+            "Complete-mode (replace-all) output cannot target a branch")
           // Complete output: keys/merge are moot — each epoch IS the
           // whole table; land it as a canonical-layout replace commit
           new GraftStreamingAppendWrite(path, info.schema(), uids, tsCol,
             feedId = Option(options.get("feedId")).getOrElse("feed"),
             autoCompact = None, checkpointInterval = ckptInterval,
             replaceAll = true)
-        else Option(options.get("mode")).getOrElse("append").toLowerCase match {
+        } else Option(options.get("mode")).getOrElse("append").toLowerCase match {
           case "append" =>
             new GraftStreamingAppendWrite(path, info.schema(), uids, tsCol,
               feedId = Option(options.get("feedId")).getOrElse("feed"),
-              autoCompact = autoCompactOpt.orElse(Some(8)),
-              checkpointInterval = ckptInterval)
+              autoCompact =
+                if (branch.isDefined) None else autoCompactOpt.orElse(Some(8)),
+              checkpointInterval = ckptInterval, branch = branch)
           case "upsert" =>
+            require(branch.isEmpty,
+              "the upsert sink cannot target a branch (upsert is a " +
+                "replacing merge; branches are append-only)")
             val keys = Option(options.get("keys")).getOrElse(
               throw new IllegalArgumentException(
                 "graft-store upsert sink needs .option(\"keys\", \"k1,k2\")"))
@@ -154,7 +166,7 @@ private[streaming] class GraftSinkTable(declaredSchema: StructType,
 private[streaming] class GraftStreamingAppendWrite(path: String,
     writeSchema: StructType, uids: Seq[String], tsCol: String,
     feedId: String, autoCompact: Option[Int], checkpointInterval: Option[Int],
-    replaceAll: Boolean = false)
+    replaceAll: Boolean = false, branch: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -170,15 +182,27 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
     val (factory, conf, maxRecords) =
       GraftBatchWrite.parquetSetup(spark, path, writeSchema, uids)
     val stagingBase = TsStore.txnDir(path)
-    // CHECK constraints gate the stream the same way they gate batch
-    // INSERTs — per row, inside the epoch's writers, before any commit
-    val checks = graft.sources.Constraints.bind(spark, writeSchema,
-      graft.sources.Constraints.forStore(path))
     new StreamingWrite {
+      // CHECK constraints gate the stream the same way they gate batch
+      // INSERTs — per row, inside the epoch's writers, before any
+      // commit. Bound PER EPOCH (the engine builds one writer factory
+      // per micro-batch), not once at stream start: a constraint added
+      // while the query runs gates the NEXT epoch without a restart —
+      // the per-write LATEST-props contract [[Constraints.forStore]]
+      // documents. The epoch's bound set is kept for the commit-time
+      // addedSince recheck (micro-batch epochs are serial, so the
+      // single slot is never contended).
+      @volatile private var epochBound: Seq[graft.sources.Constraints.Check] = Nil
+
       override def createStreamingWriterFactory(
-          info: PhysicalWriteInfo): StreamingDataWriterFactory =
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        val bound = graft.sources.Constraints.forStore(path)
+        epochBound = bound
+        val checks = graft.sources.Constraints.bind(
+          SparkSession.active, writeSchema, bound)
         new GraftStreamingWriterFactory(stagingBase, writeSchema, uids, tsCol,
           factory, conf, maxRecords, partitionedLayout = true, checks)
+      }
 
       override def commit(epochId: Long,
                           messages: Array[WriterCommitMessage]): Unit = {
@@ -209,22 +233,46 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
             while (!committed) {
               lease.renew()
               val cur = StoreLog.ensure(path)
+              // a CHECK constraint added since this epoch's writers
+              // bound their guard set: the staged rows were never
+              // validated against it — fail the epoch (the restarted
+              // query rebinds and replays the source)
+              val addedChecks = graft.sources.Constraints
+                .addedSince(epochBound, cur.props)
+              if (addedChecks.nonEmpty) {
+                StoreLog.deleteDataFiles(path, moved)
+                throw new StoreLog.CommitConflict(
+                  s"CHECK constraint(s) ${addedChecks.map(_.name).mkString(", ")} " +
+                    s"added concurrently at $path — epoch $epochId aborted")
+              }
               // Complete-mode epochs REPLACE the store (versioned, like
-              // INSERT OVERWRITE); append epochs are pure additions
+              // INSERT OVERWRITE); append epochs are pure REF-AWARE
+              // additions (a branch-targeted epoch reads the branch
+              // head's files and advances the branch pin in its commit)
+              if (replaceAll && cur.props.contains(StoreLog.MainRefProp)) {
+                StoreLog.deleteDataFiles(path, moved)
+                throw new IllegalStateException(
+                  s"store at $path has open branch(es) — Complete-mode " +
+                    "epochs replace the store and refuse while a branch " +
+                    "is open")
+              }
+              val (baseFiles, refProps) =
+                if (replaceAll) (cur.files, Map.empty[String, String])
+                else TsStore.refAppendBase(path, cur, branch)
               val (replaced, files) =
                 if (replaceAll)
                   ((cur.files ++ moved).map { f =>
                     val i = f.lastIndexOf('/')
                     if (i > 0) f.substring(0, i) else f
                   }.distinct.sorted, moved)
-                else (Seq.empty[String], cur.files ++ moved)
+                else (Seq.empty[String], baseFiles ++ moved)
               try {
                 StoreLog.commit(path, cur.version, replaced, files,
                   parent = Some(cur), addStats = movedStats,
                   addSizes = movedSizes,
                   tag = if (replaceAll) None else Some(tag),
                   setProps = graft.sources.GraftTable
-                    .widenedSchemaProp(cur.props, writeSchema) +
+                    .widenedSchemaProp(cur.props, writeSchema) ++ refProps +
                     // the hashed epoch writer lands rows in ARRIVAL
                     // order — the store's layout-order contract is gone
                     (graft.sources.GraftTable.LayoutSortedProp -> "false"))

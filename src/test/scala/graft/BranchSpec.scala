@@ -1,0 +1,267 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Constraints, StoreLog, Tables, TsStore}
+
+/** Writable refs / branches + write-audit-publish (the Iceberg branch
+  * pattern on the linear CAS log — StoreLog.MainRefProp and friends):
+  * branch commits invisible to main, atomic fast-forward, time travel
+  * across the merge, vacuum retention of both refs, the publish-time
+  * constraint audit, divergence refusal, and the replacing-verb gate.
+  */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, TestSpark.sf001)
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  private def freshStore(): (String, Long) = {
+    val dir = Files.createTempDirectory("graft_branch").toString
+    TsStore.write(events.select(cols.map(col): _*), dir,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    (dir, TsStore.load(spark, dir).count())
+  }
+
+  private def row(id: Long, t: String, v: Double) =
+    Seq((id, java.sql.Timestamp.valueOf(t), 1L, "view", v)).toDF(cols: _*)
+
+  private def appendBranch(dir: String, df: org.apache.spark.sql.DataFrame,
+                           b: String): Unit =
+    TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("event_type"),
+      mode = SaveMode.Append, overlapPolicy = TsStore.OverlapPolicy.Allow,
+      branch = Some(b))
+
+  test("branch commits are invisible to main; publish fast-forwards atomically") {
+    val (dir, n0) = freshStore()
+    val base = TsStore.branch(dir, "audit")
+    assert(TsStore.listBranches(dir) === Map("audit" -> base))
+    appendBranch(dir, row(700001L, "2035-01-01 00:00:00", 1.0), "audit")
+    appendBranch(dir, row(700002L, "2035-01-01 00:00:01", 2.0), "audit")
+    // MAIN readers — Scala load, DSv2, countAt — all still see n0
+    assert(TsStore.load(spark, dir).count() === n0)
+    assert(spark.read.format("graft").load(dir).count() === n0)
+    assert(TsStore.countAt(dir).contains(n0))
+    // the branch HEAD reads both staged rows (Scala asOf via head version)
+    val bv = StoreLog.branchVersion(dir, "audit").get
+    assert(TsStore.load(spark, dir, asOf = Some(bv))
+      .filter(col("event_id") >= 700001L).count() === 2L)
+    // main appends keep working CONCURRENTLY with the open branch —
+    // wait: a main append moves main and publish then refuses; this
+    // case pins the clean fast-forward, so publish FIRST
+    val pv = TsStore.publishBranch(spark, dir, "audit")
+    assert(TsStore.listBranches(dir).isEmpty)
+    // ONE version: main jumped to the branch view atomically
+    assert(TsStore.load(spark, dir).count() === n0 + 2)
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("event_id") >= 700001L).count() === 2L)
+    // time travel ACROSS the merge: the pre-publish main era still reads
+    assert(TsStore.load(spark, dir, asOf = Some(base)).count() === n0)
+    // and the publish version reads the merged view
+    assert(TsStore.load(spark, dir, asOf = Some(pv)).count() === n0 + 2)
+  }
+
+  test("main appends during a branch stay on main; divergence refuses publish") {
+    val (dir, n0) = freshStore()
+    TsStore.branch(dir, "wap")
+    appendBranch(dir, row(710001L, "2035-02-01 00:00:00", 1.0), "wap")
+    // a MAIN append while the branch is open: lands on main only
+    TsStore.write(row(710002L, "2035-02-01 00:00:01", 2.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 710002L).count() === 1L)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 710001L).count() === 0L)
+    val bv = StoreLog.branchVersion(dir, "wap").get
+    val branchView = TsStore.load(spark, dir, asOf = Some(bv))
+    assert(branchView.filter(col("event_id") === 710001L).count() === 1L)
+    assert(branchView.filter(col("event_id") === 710002L).count() === 0L)
+    // main moved since branch creation → publish refuses (diverged)
+    val e = intercept[Exception](TsStore.publishBranch(spark, dir, "wap"))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // drop abandons; main is untouched and fully writable again
+    TsStore.dropBranch(dir, "wap")
+    assert(TsStore.listBranches(dir).isEmpty)
+    assert(TsStore.load(spark, dir).count() === n0 + 1)
+    TsStore.upsert(spark, dir,
+      row(710003L, "2035-02-01 00:00:02", 3.0).withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 710003L).count() === 1L)
+  }
+
+  test("replacing verbs refuse while a branch is open") {
+    val (dir, _) = freshStore()
+    TsStore.branch(dir, "gate")
+    val e = intercept[Exception](TsStore.upsert(spark, dir,
+      row(720001L, "2035-03-01 00:00:00", 1.0).withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type")))
+    assert(e.getMessage.contains("active branch"), e.getMessage)
+    val e2 = intercept[Exception](
+      TsStore.delete(spark, dir, col("event_id") % 5 === 0, "ts",
+        Seq("event_type")))
+    assert(e2.getMessage.contains("active branch"), e2.getMessage)
+    // Overwrite would destroy the branch log wholesale — refuses too
+    val e3 = intercept[Exception](TsStore.write(
+      row(720002L, "2035-03-01 00:00:01", 1.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type")))
+    assert(e3.getMessage.contains("branch"), e3.getMessage)
+    TsStore.dropBranch(dir, "gate")
+    // reopened: the same upsert goes through
+    TsStore.upsert(spark, dir,
+      row(720001L, "2035-03-01 00:00:00", 1.0).withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"))
+  }
+
+  test("publish AUDITS the branch against CURRENT constraints (the WAP contract)") {
+    val (dir, _) = freshStore()
+    // make the fixture satisfy the constraint we'll add mid-branch
+    TsStore.delete(spark, dir, col("value") < 0, "ts", Seq("event_type"))
+    TsStore.branch(dir, "q")
+    appendBranch(dir, row(730001L, "2035-04-01 00:00:00", -9.0), "q")
+    // the constraint lands AFTER the branch's write (metadata commits
+    // are ref-neutral and legal under an open branch); committed MAIN
+    // rows satisfy it, so the ADD certifies
+    Constraints.validateAdd(spark, dir,
+      events.select(cols.map(col): _*).schema,
+      Constraints.Check("vpos", "value >= 0"))
+    val cur = StoreLog.latest(dir).get
+    StoreLog.commit(dir, cur.version, Seq.empty, cur.files,
+      parent = Some(cur), setProps = Map("constraint.vpos" -> "value >= 0"))
+    // the branch's -9 row would break main's invariant — publish refuses
+    val e = intercept[Exception](TsStore.publishBranch(spark, dir, "q"))
+    assert(e.getMessage.contains("audit failed") &&
+      e.getMessage.contains("vpos"), e.getMessage)
+    assert(TsStore.listBranches(dir).keySet === Set("q"), "refusal keeps the branch")
+    TsStore.dropBranch(dir, "q")
+    assert(TsStore.load(spark, dir).filter(col("value") < 0).count() === 0L)
+  }
+
+  test("vacuum retains both refs' pinned versions like tags") {
+    val (dir, n0) = freshStore()
+    TsStore.branch(dir, "keep")
+    appendBranch(dir, row(740001L, "2035-05-01 00:00:00", 1.0), "keep")
+    // churn the chain with tags (metadata commits) so the count window
+    // alone would drop the ref-pinned versions
+    (1 to 8).foreach(k => { TsStore.tag(dir, s"c$k"); TsStore.dropTag(dir, s"c$k") })
+    val mv = StoreLog.mainVersion(dir).get
+    val bv = StoreLog.branchVersion(dir, "keep").get
+    StoreLog.vacuum(dir, retainVersions = 1)
+    val kept = StoreLog.listVersions(dir)
+    assert(kept.contains(mv), s"main ref v$mv must survive vacuum (kept $kept)")
+    assert(kept.contains(bv), s"branch head v$bv must survive vacuum (kept $kept)")
+    // both views still read fully
+    assert(TsStore.load(spark, dir).count() === n0)
+    assert(TsStore.load(spark, dir, asOf = Some(bv)).count() === n0 + 1)
+    // publish still works after the vacuum; the published view reads
+    TsStore.publishBranch(spark, dir, "keep")
+    assert(TsStore.load(spark, dir).count() === n0 + 1)
+  }
+
+  test("SQL face: CALL branch/branches/publish_branch, VERSION AS OF a branch name") {
+    val dir = Files.createTempDirectory("graft_branch_sql").toString
+    val cat = "gbr"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE) USING graft " +
+      "PARTITIONED BY (event_type)")
+    events.select(cols.map(col): _*).limit(300)
+      .createOrReplaceTempView("br_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM br_src")
+    val n0 = spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
+    spark.sql(s"CALL $cat.system.branch('ns.t', 'stage')")
+    assert(spark.sql(s"CALL $cat.system.branches('ns.t')").collect()
+      .map(_.getString(0)).toSeq === Seq("stage"))
+    val path = s"$dir/ns/t"
+    appendBranch(path, row(750001L, "2035-06-01 00:00:00", 5.0), "stage")
+    // main SQL reads see nothing; VERSION AS OF the branch name does
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0) === n0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 'stage' " +
+      "WHERE event_id = 750001").head().getLong(0) === 1L)
+    // SQL INSERT while the branch is open targets MAIN (ref-aware append)
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+      "(750002, TIMESTAMP'2035-06-01 00:00:01', 1, 'view', 6.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t WHERE event_id = 750002")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 'stage' " +
+      "WHERE event_id = 750002").head().getLong(0) === 0L)
+    // main moved → publish refuses; drop, re-branch, publish clean
+    assert(intercept[Exception](spark.sql(
+      s"CALL $cat.system.publish_branch('ns.t', 'stage')"))
+      .getMessage.contains("diverged"))
+    spark.sql(s"CALL $cat.system.drop_branch('ns.t', 'stage')")
+    spark.sql(s"CALL $cat.system.branch('ns.t', 'stage2')")
+    appendBranch(path, row(750003L, "2035-06-01 00:00:02", 7.0), "stage2")
+    spark.sql(s"CALL $cat.system.publish_branch('ns.t', 'stage2')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t WHERE event_id = 750003")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"CALL $cat.system.branches('ns.t')").collect().isEmpty)
+  }
+
+  test("the streaming sink lands epochs on a branch (WAP streaming ingest)") {
+    val (dir, n0) = freshStore()
+    TsStore.branch(dir, "feed")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = Files.createTempDirectory("graft_branch_sink").toString
+    val q = mem.toDF().toDF(cols: _*).writeStream.format("graft-store")
+      .option("path", dir).option("tsCol", "ts")
+      .option("uids", "event_type").option("feedId", "wapfeed")
+      .option("branch", "feed")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((770001L, java.sql.Timestamp.valueOf("2035-08-01 00:00:00"),
+        1L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData((770002L, java.sql.Timestamp.valueOf("2035-08-01 00:00:01"),
+        1L, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // both epochs invisible to main, readable on the branch
+    assert(TsStore.load(spark, dir).count() === n0)
+    val bv = StoreLog.branchVersion(dir, "feed").get
+    assert(TsStore.load(spark, dir, asOf = Some(bv))
+      .filter(col("event_id") >= 770001L).count() === 2L)
+    TsStore.publishBranch(spark, dir, "feed")
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") >= 770001L).count() === 2L)
+  }
+
+  test("the change feed never leaks branch commits; publish delivers them once") {
+    val (dir, _) = freshStore()
+    val sinkDir = Files.createTempDirectory("graft_branch_follow").toString
+    val ckpt = Files.createTempDirectory("graft_branch_ckpt").toString
+    def drain(): Set[Long] = {
+      val q = spark.readStream.format("graft-store-changes").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      spark.read.parquet(sinkDir).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val seen0 = drain() // baseline
+    TsStore.branch(dir, "feed")
+    appendBranch(dir, row(760001L, "2035-07-01 00:00:00", 1.0), "feed")
+    appendBranch(dir, row(760002L, "2035-07-01 00:00:01", 2.0), "feed")
+    val seen1 = drain()
+    assert(!seen1.contains(760001L) && !seen1.contains(760002L),
+      "staged branch rows must NOT stream to followers before publish")
+    TsStore.publishBranch(spark, dir, "feed")
+    val seen2 = drain()
+    assert(seen2.contains(760001L) && seen2.contains(760002L),
+      "publish must deliver the branch's rows to the feed exactly once")
+    assert(seen0.subsetOf(seen2))
+  }
+}

@@ -248,4 +248,197 @@ class ConstraintSpec extends AnyFunSuite {
       Seq(Constraints.Check("rnd", "rand() > 0.5"))))
     assert(e.getMessage.contains("deterministic"))
   }
+
+  /** Any NOT-NULL refusal: graft's synthesized guard (`notnull_<col>`)
+    * or Spark's own non-nullable output resolver — both are correct
+    * enforcement points depending on the write face.
+    */
+  private def refusesNull[T](body: => T): String = {
+    val e = intercept[Exception](body)
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msg.contains("notnull_") || msg.toLowerCase.contains("null"),
+      s"wanted a NOT NULL refusal, got: $msg")
+    msg
+  }
+
+  test("SET NOT NULL validates existing data and gates SQL + Scala writes; DROP lifts") {
+    import org.apache.spark.sql.SaveMode
+    val (t, path) = freshTable("")
+    // existing NULLs refuse the ALTER (whole-table invariant, like ADD)
+    spark.sql(s"INSERT INTO $t VALUES (950000, TIMESTAMP'2024-01-01 00:00:00', " +
+      "1, 'view', NULL)")
+    val cat = t.split('.').head
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.set_not_null('ns.t', 'value')"))
+    assert(e.getMessage.contains("existing rows violate"),
+      s"wanted the existing-data refusal, got: ${e.getMessage}")
+    assert(!StoreLog.latest(path).get.props.contains(Constraints.NotNullProp))
+    // clean the NULL row — then SET certifies and commits
+    spark.sql(s"DELETE FROM $t WHERE event_id = 950000")
+    spark.sql(s"CALL $cat.system.set_not_null('ns.t', 'value')")
+    assert(StoreLog.latest(path).get.props
+      .get(Constraints.NotNullProp).contains("value"))
+    // SQL INSERT of a NULL refuses (Spark's non-nullable resolver or
+    // the graft guard — either enforcement point is correct)
+    refusesNull(spark.sql(s"INSERT INTO $t VALUES " +
+      "(950001, TIMESTAMP'2024-01-01 00:00:01', 1, 'view', NULL)"))
+    // the Scala paths bypass Spark's resolver — the synthesized CHECK
+    // inside the write lineage must catch
+    val badDf = Seq((950002L, java.sql.Timestamp.valueOf("2034-01-01 00:00:00"),
+      1L, "view", Option.empty[Double])).toDF(cols: _*)
+    val m1 = violates(TsStore.write(badDf, path, tsCol = "ts",
+      uidCols = Seq("event_type"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow))
+    assert(m1.contains("notnull_value"))
+    violates(TsStore.upsert(spark, path, badDf.withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type")))
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE value IS NULL")
+      .head().getLong(0) === 0L)
+    // DROP NOT NULL lifts the invariant
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN value DROP NOT NULL")
+    assert(!StoreLog.latest(path).get.props.contains(Constraints.NotNullProp))
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(950003, TIMESTAMP'2024-01-01 00:00:02', 1, 'view', NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE event_id = 950003")
+      .head().getLong(0) === 1L)
+  }
+
+  test("NOT NULL gates the delta-DML insert/update paths; DROP COLUMN refuses while set") {
+    val (t, path) = freshTable("TBLPROPERTIES('delete.mode' = 'dv')")
+    spark.sql(s"CALL ${t.split('.').head}.system.set_not_null('ns.t', 'value')")
+    // MERGE not-matched INSERT of a NULL value (the delta insert path)
+    Seq(960001L).toDF("event_id").createOrReplaceTempView("nn_merge_src")
+    refusesNull(spark.sql(s"MERGE INTO $t g USING nn_merge_src s " +
+      "ON g.event_id = s.event_id WHEN NOT MATCHED THEN INSERT " +
+      "(event_id, ts, user_id, event_type, value) VALUES " +
+      "(s.event_id, TIMESTAMP'2031-01-01 00:00:00', 1, 'view', NULL)"))
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE event_id = 960001")
+      .head().getLong(0) === 0L)
+    // dv UPDATE assigning NULL (the delta update path)
+    refusesNull(spark.sql(s"UPDATE $t SET value = NULL WHERE event_id % 10 = 7"))
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE value IS NULL")
+      .head().getLong(0) === 0L)
+    // DROP COLUMN refuses while the column carries NOT NULL
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN value"))
+    assert(e.getMessage.contains("notnull_value"),
+      s"wanted the NOT NULL drop refusal, got: ${e.getMessage}")
+  }
+
+  test("append racing a concurrent ADD CONSTRAINT aborts — unchecked rows never land") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft_ck_race").toString
+    TsStore.write(events.select(cols.map(col): _*).filter(col("value") >= 0),
+      dir, tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(dir)
+    // an append whose source lineage BLOCKS mid-write: the writer binds
+    // its (empty) constraint set at entry, its first pre-write job
+    // signals `started` and parks on `gate` — the deterministic window
+    // in which the ALTER ADD lands. Without the commit-time addedSince
+    // recheck, the unblocked append would then CAS-commit a violating
+    // row AFTER the constraint's whole-table certification.
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    ConstraintRaceGate.started.set(started)
+    ConstraintRaceGate.gate.set(gate)
+    val block = udf((v: Double) => ConstraintRaceGate.hit(v))
+    val bad = Seq((990101L, java.sql.Timestamp.valueOf("2032-01-01 00:00:00"),
+      1L, "view", -7.0)).toDF(cols: _*)
+      .withColumn("value", block(col("value")))
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[Throwable] {
+        override def call(): Throwable =
+          try {
+            TsStore.write(bad, dir, tsCol = "ts", uidCols = Seq("event_type"),
+              mode = SaveMode.Append,
+              overlapPolicy = TsStore.OverlapPolicy.Allow)
+            null
+          } catch { case t: Throwable => t }
+      })
+      assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the append never started evaluating its write lineage")
+      // the ALTER: committed rows are all clean, so the existing-data
+      // scan certifies the invariant (staged files are invisible), and
+      // the props commit lands while the append is parked
+      Constraints.validateAdd(spark, dir,
+        events.select(cols.map(col): _*).schema,
+        Constraints.Check("vpos", "value >= 0"))
+      val cur = StoreLog.latest(dir).get
+      StoreLog.commit(dir, cur.version, Seq.empty, cur.files,
+        parent = Some(cur), setProps = Map("constraint.vpos" -> "value >= 0"))
+      gate.countDown()
+      val err = fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(err != null, "the racing append must NOT commit")
+      val msg = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msg.contains("added concurrently") && msg.contains("vpos"),
+        s"wanted the concurrent-ADD abort, got: $msg")
+      // the invariant the ALTER certified actually holds...
+      assert(TsStore.load(spark, dir).filter(col("value") < 0).count() === 0L)
+      // ...and the abort cleaned up its adopted files (no orphans)
+      assert(StoreLog.listDataFiles(dir).toSet ===
+        StoreLog.latest(dir).get.files.toSet)
+    } finally {
+      gate.countDown() // never leave the worker parked on failure
+      pool.shutdownNow()
+      ConstraintRaceGate.started.set(null)
+      ConstraintRaceGate.gate.set(null)
+    }
+  }
+
+  test("a constraint added mid-stream gates the NEXT epoch (per-epoch rebind)") {
+    val (t, path) = freshTable("") // no constraint at stream start
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF(cols: _*)
+    val ckpt = Files.createTempDirectory("graft_ck_stream2").toString
+    val q = df.writeStream.format("graft-store")
+      .option("path", path).option("tsCol", "ts")
+      .option("uids", "event_type").option("feedId", "ckfeed2")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // epoch 1: negative value is legal — no constraint yet
+      mem.addData((981001L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
+        1L, "view", -4.0))
+      q.processAllAvailable()
+      assert(TsStore.load(spark, path).filter(col("event_id") === 981001L)
+        .count() === 1L)
+      // ADD lands between epochs — the running query must rebind and
+      // refuse the next epoch's violation WITHOUT a restart (the
+      // bind-at-start design silently ignored it until restart).
+      // The 981001 row makes 'value >= 0' invalid; gate event_ids instead.
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES(" +
+        "'constraint.smallid' = 'event_id < 982000')")
+      mem.addData((982001L, java.sql.Timestamp.valueOf("2031-01-01 00:00:01"),
+        1L, "view", 4.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msg.contains("CHECK constraint") && msg.contains("smallid"),
+        s"wanted the rebound constraint to gate epoch 2, got: $msg")
+      assert(TsStore.load(spark, path).filter(col("event_id") === 982001L)
+        .count() === 0L)
+    } finally q.stop()
+  }
+}
+
+/** Rendezvous seam for the ADD-CONSTRAINT race test: the blocking UDF
+  * runs in executor threads of the same local JVM.
+  */
+object ConstraintRaceGate {
+  val started = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.CountDownLatch](null)
+  val gate = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.CountDownLatch](null)
+  def hit(v: Double): Double = {
+    val s = started.get(); if (s != null) s.countDown()
+    val g = gate.get()
+    if (g != null) g.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    v
+  }
 }

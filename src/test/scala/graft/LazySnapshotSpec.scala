@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Stripe-lazy snapshot state (StoreLog.foldFiles / readFiltered +
+  * CheckpointParquet.stream): the fix for the last 100 TB driver
+  * asymptote — Snapshot used to materialize EVERY live file's
+  * path/stats/size/dv on the driver per resolution (multi-GB at the
+  * ~6–7M-file tier). Now a filtered plan streams the columnar
+  * checkpoint (row groups skipped via the sorted path column when a
+  * partition prefix is known) and materializes ONLY its survivors,
+  * while small stores and unfiltered/row-level scans keep the full
+  * resolution bit-for-bit.
+  */
+class LazySnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val UIDS = 1000
+  private val PER_UID = 1000 // 1,000,000 synthetic live files
+
+  /** A synthetic MILLION-file store: manifest only (no data files on
+    * disk — everything under test is driver-side planning state).
+    * v1 = columnar checkpoint of 1M files with ts stats + sizes;
+    * v2 = delta adding 5 files under uid=42 and REMOVING 3 of uid=7's;
+    * v3 = delta carrying a dv entry for one untouched uid=7 file.
+    * Built once, shared by the cases (read-only).
+    */
+  private lazy val big: (String, StoreLog.Snapshot) = {
+    val dir = Files.createTempDirectory("graft_lazy1m").toString
+    val files = new scala.collection.mutable.ArrayBuffer[String](UIDS * PER_UID)
+    val stats = scala.collection.mutable.Map.empty[String, FileStats.FileStatsMap]
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    var u = 0
+    while (u < UIDS) {
+      var i = 0
+      while (i < PER_UID) {
+        val f = f"uid=$u%d/f_$i%05d.parquet"
+        files += f
+        stats(f) = Map("ts" -> FileStats.ColStat("i",
+          i * 100L, i * 100L + 99L, 0L, 100L))
+        sizes(f) = 1000L
+        i += 1
+      }
+      u += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    StoreLog.commit(dir, 0L, Seq.empty, files.toSeq,
+      addStats = stats.toMap, addSizes = sizes.toMap,
+      setProps = Map(
+        GraftTable.SchemaProp -> schema.json,
+        GraftTable.TsColProp -> "ts",
+        GraftTable.UidsProp -> "uid"))
+    // the test KNOWS v1's exact state — hand-build the parent snapshot
+    // instead of resolving it (1M-map churn stays out of the fixture)
+    val v1 = StoreLog.Snapshot(1L, 0L, Seq.empty, files.toSeq,
+      stats = stats.toMap, sizes = sizes.toMap,
+      props = Map(GraftTable.SchemaProp -> schema.json,
+        GraftTable.TsColProp -> "ts", GraftTable.UidsProp -> "uid"))
+    val added = (0 until 5).map(i => f"uid=42/g_$i%05d.parquet")
+    val removed = Seq("uid=7/f_00000.parquet", "uid=7/f_00001.parquet",
+      "uid=7/f_00002.parquet")
+    val v2files = files.toSeq.filterNot(removed.contains) ++ added
+    StoreLog.commit(dir, 1L, Seq("uid=42", "uid=7"), v2files,
+      parent = Some(v1),
+      addStats = added.map(f => f -> Map("ts" ->
+        FileStats.ColStat("i", 500000L, 500099L, 0L, 100L)): (String,
+          FileStats.FileStatsMap)).toMap,
+      addSizes = added.map(_ -> 2000L).toMap)
+    val v2 = v1.copy(version = 2L, files = v2files,
+      stats = (stats.toMap -- removed) ++
+        added.map(f => f -> Map("ts" -> FileStats.ColStat("i",
+          500000L, 500099L, 0L, 100L))),
+      sizes = (sizes.toMap -- removed) ++ added.map(_ -> 2000L))
+    StoreLog.commit(dir, 2L, Seq.empty, v2files, parent = Some(v2),
+      addDvs = Map("uid=7/f_00500.parquet" ->
+        Dv.Entry("_graft_dv/x.bin", 7L, Map.empty, Map.empty)))
+    (dir, v2)
+  }
+
+  test("liveFileCount is exact from raw manifests — zero checkpoint rows decode") {
+    val (dir, _) = big
+    CheckpointParquet.resetCounters()
+    assert(StoreLog.liveFileCount(dir, 1L) === UIDS.toLong * PER_UID)
+    assert(StoreLog.liveFileCount(dir, 2L) === UIDS.toLong * PER_UID + 5 - 3)
+    assert(StoreLog.liveFileCount(dir, 3L) === UIDS.toLong * PER_UID + 5 - 3)
+    assert(CheckpointParquet.lastRowsDecoded === 0L,
+      "the count must come from fileCount + delta list sizes, never a decode")
+  }
+
+  test("prefix-scoped fold SKIPS row groups; delta overlays apply exactly") {
+    val (dir, _) = big
+    CheckpointParquet.resetCounters()
+    val got = StoreLog.foldFiles(dir, 3L, prefixes = Seq("uid=7"))(
+      List.empty[StoreLog.FileEntry])((a, e) => e :: a)
+    // 1000 checkpoint files minus the 3 the v2 delta removed
+    assert(got.size === PER_UID - 3)
+    assert(!got.exists(e => Set("uid=7/f_00000.parquet",
+      "uid=7/f_00001.parquet", "uid=7/f_00002.parquet").contains(e.path)))
+    // the v3 dv override rides the fold without a full resolution
+    val dvd = got.find(_.path == "uid=7/f_00500.parquet").get
+    assert(dvd.dv.exists(_.rows == 7L))
+    // stats and sizes arrive per entry
+    assert(got.forall(e => e.stats.exists(_.contains("ts")) &&
+      e.size.contains(1000L)))
+    // THE scale pin: the sorted path column's row-group statistics
+    // prove most of the million rows can't be uid=7 — whole groups skip
+    assert(CheckpointParquet.lastRowGroupsSkipped > 0,
+      "a prefix-scoped fold over a 1M-file checkpoint must skip row groups")
+    assert(CheckpointParquet.lastRowsDecoded < 300000L,
+      s"decoded ${CheckpointParquet.lastRowsDecoded} rows — prefix " +
+        "skipping is not engaging")
+    // and an added-files prefix slice sees the delta adds
+    val g42 = StoreLog.foldFiles(dir, 3L, prefixes = Seq("uid=42"))(
+      List.empty[String])((a, e) => e.path :: a)
+    assert(g42.size === PER_UID + 5)
+    assert(g42.count(_.contains("/g_")) === 5)
+  }
+
+  test("a filtered DSv2 plan over the 1M-file store materializes ONLY its survivors") {
+    val (dir, _) = big
+    val schema = GraftTable.resolveSchema(spark, dir, None)
+    val b = new GraftScanBuilder(spark, dir, None, schema)
+    // uid equality + a ts range: pseudo-stats prune the uid, recorded
+    // stats prune the ts — the keep predicate mirrors plannedFiles
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("uid", 7L),
+      org.apache.spark.sql.sources.LessThan("ts", 1000L)))
+    val scan = b.build().asInstanceOf[GraftScan]
+    val planned = scan.plannedFiles
+    // uid=7 files with ts lo < 1000: f_00000..f_00009 minus the 3
+    // removed by the v2 delta = 7
+    assert(planned.size === 7, s"got ${planned.size}: $planned")
+    assert(planned.forall(f => f.startsWith("uid=7/") && f < "uid=7/f_00010"))
+    // the snapshot behind the plan is the FILTERED one: survivors only,
+    // never the million-entry maps — the driver-allocation bound
+    assert(scan.snapshot.filtered, "big filtered scans must resolve lazily")
+    assert(scan.snapshot.files.size === 7)
+    assert(scan.snapshot.stats.size <= 7)
+    assert(scan.snapshot.sizes.size <= 7)
+    // full metadata still rides along (props drive tsCol/layout checks)
+    assert(scan.snapshot.props.get(GraftTable.UidsProp).contains("uid"))
+  }
+
+  test("small stores keep FULL resolution and lazy-vs-full plans agree (threshold seam)") {
+    val dir = Files.createTempDirectory("graft_lazy_small").toString
+    val events = Tables.events(spark, TestSpark.sf001)
+    TsStore.write(events.select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, tsCol = "ts", uidCols = Seq("event_type"))
+    // dv + delta chain so the overlay paths engage on real data
+    TsStore.deleteVectors(spark, dir, col("event_id") % 97 === 0)
+    val schema = GraftTable.resolveSchema(spark, dir, None)
+    def plan(): (Seq[String], StoreLog.Snapshot) = {
+      val b = new GraftScanBuilder(spark, dir, None, schema)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.EqualTo("event_type", "view")))
+      val s = b.build().asInstanceOf[GraftScan]
+      (s.plannedFiles, s.snapshot)
+    }
+    val (fullPlan, fullSnap) = plan() // default threshold: full resolution
+    assert(!fullSnap.filtered)
+    val saved = StoreLog.LazySnapshotThreshold
+    StoreLog.LazySnapshotThreshold = 1
+    try {
+      val (lazyPlan, lazySnap) = plan()
+      assert(lazySnap.filtered)
+      // identical plans: the lazy keep is exactly the static prune
+      assert(lazyPlan.sorted === fullPlan.sorted)
+      // survivors carry identical stats/sizes/dvs to the full snapshot
+      lazyPlan.foreach { f =>
+        assert(lazySnap.stats.get(f) === fullSnap.stats.get(f))
+        assert(lazySnap.sizes.get(f) === fullSnap.sizes.get(f))
+        assert(lazySnap.dvs.get(f) === fullSnap.dvs.get(f))
+      }
+      // and the QUERY result is unchanged (dv subtraction included)
+      val got = spark.read.format("graft").load(dir)
+        .filter(col("event_type") === "view").count()
+      StoreLog.LazySnapshotThreshold = saved
+      val want = spark.read.format("graft").load(dir)
+        .filter(col("event_type") === "view").count()
+      assert(got === want)
+    } finally StoreLog.LazySnapshotThreshold = saved
+  }
+
+  test("readFiltered(keep=all) ≡ read across containers and delta chains") {
+    val dir = Files.createTempDirectory("graft_lazy_eq").toString
+    val events = Tables.events(spark, TestSpark.sf001)
+    val base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    val savedT = StoreLog.ParquetCheckpointThreshold
+    // force the COLUMNAR container even on the small fixture
+    StoreLog.ParquetCheckpointThreshold = 1
+    try {
+      TsStore.write(base, dir, tsCol = "ts", uidCols = Seq("event_type"),
+        checkpointInterval = 3)
+      (1 to 4).foreach { k =>
+        TsStore.upsert(spark, dir,
+          base.filter(col("event_id") % 7 === k)
+            .withColumn("value", col("value") + k)
+            .withColumn("version", lit(k.toLong + 1)),
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"))
+      }
+      TsStore.deleteVectors(spark, dir, col("event_id") % 31 === 0)
+      StoreLog.listVersions(dir).foreach { v =>
+        val full = StoreLog.read(dir, v)
+        val filt = StoreLog.readFiltered(dir, v)(_ => true)
+        assert(filt.files === full.files, s"v$v files diverge")
+        assert(filt.stats === full.stats, s"v$v stats diverge")
+        assert(filt.sizes === full.sizes, s"v$v sizes diverge")
+        assert(filt.dvs === full.dvs, s"v$v dvs diverge")
+        assert(filt.props === full.props && filt.version === full.version)
+      }
+    } finally StoreLog.ParquetCheckpointThreshold = savedT
+  }
+
+  test("checkpoint footer summary: totals + complete-column merged bounds, no row decode") {
+    val files = Seq("p=0/a.parquet", "p=1/b.parquet")
+    val stats: Map[String, FileStats.FileStatsMap] = Map(
+      files(0) -> Map(
+        "ts" -> FileStats.ColStat("i", 0L, 99L, 0L, 100L),
+        "only_a" -> FileStats.ColStat("i", 1L, 2L, 0L, 100L)),
+      files(1) -> Map("ts" -> FileStats.ColStat("i", 50L, 199L, 3L, 50L)))
+    val bytes = CheckpointParquet.write(files, stats,
+      Map(files(0) -> 10L, files(1) -> 20L),
+      Map(files(1) -> Dv.Entry("_graft_dv/y.bin", 4L, Map.empty, Map.empty)))
+    CheckpointParquet.resetCounters()
+    val s = CheckpointParquet.summaryOf(bytes).get
+    assert(CheckpointParquet.lastRowsDecoded === 0L)
+    assert(s.files === 2L && s.rows === 150L && s.dvRows === 4L)
+    // ts is recorded by BOTH files → merged bound; only_a is partial →
+    // omitted (a subset bound would prune unsoundly)
+    assert(s.cols.keySet === Set("ts"))
+    assert(s.cols("ts") === FileStats.ColStat("i", 0L, 199L, 3L, 150L))
+  }
+}

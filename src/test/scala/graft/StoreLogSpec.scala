@@ -763,6 +763,36 @@ class StoreLogSpec extends AnyFunSuite {
     assert(StoreLog.read(dir, 10L).files.toSet === expected(10L))
   }
 
+  test("age retention survives a backdated manifest mid-chain (multi-writer clock skew)") {
+    val dir = Files.createTempDirectory("graft_skewvac").toString
+    StoreLog.ensure(dir, checkpointInterval = 10)
+    var cur = StoreLog.latest(dir).get
+    var expected = Map(1L -> Set.empty[String])
+    var files = Set.empty[String]
+    for (i <- 2 to 6) {
+      files += s"p=0/f_$i.parquet"
+      val v = StoreLog.commit(dir, cur.version, Seq.empty, files.toSeq,
+        parent = Some(cur))
+      cur = StoreLog.read(dir, v)
+      expected += v -> files
+    }
+    // a skewed writer BACKDATED v3 only — the rest of the chain carries
+    // fresh timestamps. Age retention must be a full timestamp filter:
+    // a newest-to-oldest walk stopping at the first too-old manifest
+    // would silently exclude the younger-stamped OLDER versions 1-2.
+    val p = java.nio.file.Paths.get(dir, "_graft_log", f"v${3L}%08d.json")
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p, s.replaceAll(
+      "\"timestampMs\"\\s*:\\s*\\d+", "\"timestampMs\":1").getBytes("UTF-8"))
+    StoreLog.vacuum(dir, retainVersions = 1, retainMs = 24L * 3600 * 1000)
+    val kept = StoreLog.listVersions(dir)
+    assert(kept === Seq(1L, 2L, 4L, 5L, 6L),
+      s"fresh-stamped versions on both sides of the skewed manifest must survive, got $kept")
+    // every survivor resolves — v4 (its v3 parent dropped) was
+    // checkpoint-rewritten self-resolvable before the manifest prune
+    kept.foreach(v => assert(StoreLog.read(dir, v).files.toSet === expected(v)))
+  }
+
   test("per-store checkpoint interval: an interval-3 log checkpoints on cadence; mixed chains resolve") {
     // interval is set at log CREATION — which now happens inside the
     // overwrite write itself, so it rides the write call

@@ -126,4 +126,49 @@ class TagSpec extends AnyFunSuite {
       "SELECT * FROM gtag.ns.t VERSION AS OF 'pre_growth'").collect())
       .getMessage.contains("pre_growth"))
   }
+
+  test("tag / drop_tag retry through concurrent commit churn (no spurious CAS failure)") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tag_churn").toString
+    TsStore.write(events.select(cols.map(col): _*), dir,
+      tsCol = "ts", uidCols = Seq("event_type"))
+    StoreLog.ensure(dir)
+    // two appender threads churn the version chain while the main
+    // thread tags and drops — a metadata commit rebases trivially, so
+    // every tag call must succeed however the CAS interleaves
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 2).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          var i = 0
+          try while (!stop.get() && i < 12) {
+            val row = Seq((800000L + w * 1000 + i,
+              java.sql.Timestamp.valueOf(s"2033-01-01 0$w:${10 + i % 45}:00"),
+              1L, "view", 1.0)).toDF(cols: _*)
+            TsStore.write(row, dir, tsCol = "ts", uidCols = Seq("event_type"),
+              mode = SaveMode.Append,
+              overlapPolicy = TsStore.OverlapPolicy.Allow)
+            i += 1
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    try {
+      (1 to 6).foreach { k =>
+        val v = TsStore.tag(dir, s"churn$k")
+        assert(StoreLog.tagVersion(dir, s"churn$k").contains(v))
+        TsStore.dropTag(dir, s"churn$k")
+        assert(StoreLog.tagVersion(dir, s"churn$k").isEmpty)
+      }
+    } finally {
+      stop.set(true)
+      pool.shutdown()
+      pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    assert(errs.isEmpty, s"appender failed: ${Option(errs.peek()).map(_.toString)}")
+  }
 }
