@@ -82,7 +82,13 @@ object ScaleSmoke {
     // linear in the data; the refusal probes are O(1). The tag
     // lifecycle is metadata commits + a vacuum whose cost tracks dead
     // files, never the live data.
-    "store_sql_constraint", "store_sql_tag_travel")
+    "store_sql_constraint", "store_sql_tag_travel",
+    // round-17: NOT NULL rides the same in-write guard as CHECK (cost =
+    // the fixture's INSERT + the SET validation scan, linear); the
+    // branch lifecycle is metadata commits + ONE branch append + an
+    // audit scan + a metadata fast-forward — its cost must track the
+    // appended slice, never the store (publish moves no data files)
+    "store_sql_notnull", "store_sql_branch_wap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

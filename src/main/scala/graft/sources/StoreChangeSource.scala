@@ -230,31 +230,61 @@ private[sources] class StoreChangeStream(spark: SparkSession, schema: StructType
     if (b <= a) return Array.empty
     // the window's diff, attributed version by version so each row's
     // _commit_version names the commit that actually added its file.
-    // Driver cost: O(window's manifest deltas) metadata, no data IO.
-    // Every version resolves through its MAIN ref: a branch commit
-    // inherits the old pin (same main view → empty diff — staged WAP
-    // rows never leak into the feed), and the PUBLISH commit's view
-    // jump delivers the whole branch's adds at the publish version.
-    var prevMainV = if (a == 0) -1L else StoreLog.mainVersionAt(path, a)
-    var prev: Set[String] =
-      if (a == 0) Set.empty else StoreLog.read(path, prevMainV).files.toSet
+    // Driver cost: O(window's COMMIT FOOTPRINTS) — ordinary delta
+    // manifests contribute their own add/remove lists straight from raw
+    // JSON ([[StoreLog.rawDelta]]); only checkpoint versions (one per
+    // interval) and branch-era view jumps pay a snapshot-set diff, so a
+    // follower of a million-file store never resolves two full file
+    // sets per micro-batch. Every version resolves through its MAIN
+    // ref: a branch commit inherits the old pin (same main view →
+    // empty diff — staged WAP rows never leak into the feed), and the
+    // PUBLISH commit's view jump delivers the branch's adds at once.
+    var prevMainV = if (a == 0) 0L else StoreLog.mainVersionAt(path, a)
+    // the previous main view's FULL file set — materialized lazily,
+    // only when some version in the window actually needs a set diff
+    var prevSet: Set[String] = null
+    def fullSetAt(mv: Long): Set[String] =
+      if (mv == 0L) Set.empty else StoreLog.read(path, mv).files.toSet
     val added = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
     (a + 1 to b).foreach { v =>
       val mv = StoreLog.mainVersionAt(path, v)
       if (mv != prevMainV) {
-        val cur = StoreLog.read(path, mv).files.toSet
-        (cur -- prev).foreach(f => added.getOrElseUpdate(f, v))
-        // files added then removed within the window were superseded
-        // before the consumer saw them — skip their IO entirely
-        (prev -- cur).foreach(added.remove)
-        prev = cur
+        // the raw fast path is sound only when this version IS the main
+        // view and its manifest's parent was the previous main view
+        // (always true on branchless chains; a publish's view jump and
+        // the first commit after a window gap fall back to set diffs)
+        val fast =
+          if (mv == v && prevMainV == v - 1) StoreLog.rawDelta(path, v)
+          else None
+        fast match {
+          case Some((add, rm, sz)) =>
+            add.foreach(f => added.getOrElseUpdate(f, v))
+            // files added then removed within the window were
+            // superseded before the consumer saw them — skip their IO
+            rm.foreach(added.remove)
+            sizes ++= sz
+            if (prevSet != null) prevSet = prevSet -- rm ++ add
+          case None =>
+            if (prevSet == null) prevSet = fullSetAt(prevMainV)
+            val snap = StoreLog.read(path, mv)
+            val cur = snap.files.toSet
+            (cur -- prevSet).foreach { f =>
+              added.getOrElseUpdate(f, v)
+              snap.sizes.get(f).foreach(sizes.update(f, _))
+            }
+            (prevSet -- cur).foreach(added.remove)
+            prevSet = cur
+        }
         prevMainV = mv
       }
     }
+    // per-file byte lengths: the manifest's recorded sizes (free), a
+    // status RPC only for unrecorded legacy files
     val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     added.toSeq.sortBy(_._1).map { case (rel, v) =>
       val p = new HPath(s"$path/$rel")
-      val len = fs.getFileStatus(p).getLen
+      val len = sizes.getOrElse(rel, fs.getFileStatus(p).getLen)
       StoreChangeInputPartition(PartitionedFile(
         StoreChangeSource.partitionValues(rel, partSchema, v),
         SparkPath.fromPath(p), 0L, len, Array.empty, 0L, len))

@@ -582,6 +582,19 @@ object StoreLog {
     acc
   }
 
+  /** A version's raw (added, removed, addedSizes) straight from a DELTA
+    * manifest — None for checkpoints, which carry no diff. The change
+    * feed's O(commit-footprint) batch planning: a follower of a
+    * million-file store reads each commit's own add list, never two
+    * full snapshot resolutions per micro-batch.
+    */
+  def rawDelta(path: String, v: Long)
+      : Option[(Seq[String], Seq[String], Map[String, Long])] = {
+    val n = readRaw(path, v)
+    if (isCheckpointNode(n)) None
+    else Some((strings(n.get("add")), strings(n.get("remove")), sizesOf(n)))
+  }
+
   /** ANY file path the chain has ever named — a LAYOUT HINT only (the
     * file may be dead; partitioning is immutable per store, so any
     * historical path carries the directory shape). Raw manifest walks
