@@ -1023,7 +1023,9 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
     // row-level operation scans keep EVERYTHING residual: the
     // replacement read needs all rows of affected files, and Spark
     // re-evaluates the condition itself in the rewrite plan
-    if (rowLevel || bigStore) { allFiltersExact = false; return filters }
+    if (rowLevel || (bigStore && filters.nonEmpty)) {
+      allFiltersExact = false; return filters
+    }
     val dtOf: String => Option[DataType] = n =>
       if (partColNames.contains(n)) fullSchema.fields.find(_.name == n).map(_.dataType)
       else None
@@ -1302,16 +1304,250 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
   // a WHERE made entirely of partition-exact filters keeps the
   // aggregate servable: the filter restricts the FILE set exactly, and
   // the manifest answers over the survivors (any residual filter
-  // refuses — Spark would not offer the aggregation anyway)
+  // refuses — Spark would not offer the aggregation anyway). BIG stores
+  // take the STREAMING path instead ([[bigAggAnswer]]): one fold over
+  // the columnar checkpoint evaluates every servability rule AND
+  // accumulates the per-group state in O(groups) driver memory — the
+  // metadata-served fast count on a million-file store never
+  // materializes the store-wide maps either.
   private def canServe(agg: Aggregation): Boolean =
-    !rowLevel && allFiltersExact && agg.aggregateExpressions.nonEmpty &&
-      groupable(agg) &&
-      agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
+    !rowLevel && allFiltersExact && agg.aggregateExpressions.nonEmpty && {
+      if (bigStore) bigAggAnswer(agg).isDefined
+      else groupable(agg) &&
+        agg.aggregateExpressions.forall(servable) && aggSnap.isDefined
+    }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = canServe(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (canServe(agg)) { aggPushed = Some(agg); true } else false
+
+  // one fold per builder: supportCompletePushDown / pushAggregation /
+  // build all consult the same memoized answer (keyed by instance —
+  // Spark hands the same Aggregation through the sequence)
+  private var bigAggMemo: Option[(Aggregation, Option[(StructType, Seq[Array[Any]])])] = None
+
+  private def bigAggAnswer(agg: Aggregation)
+      : Option[(StructType, Seq[Array[Any]])] = {
+    bigAggMemo match {
+      case Some((a, r)) if a eq agg => return r
+      case _ => ()
+    }
+    val r = computeBigAgg(agg)
+    bigAggMemo = Some((agg, r))
+    r
+  }
+
+  /** The STREAMING twin of [[servable]]+[[groupable]]+[[aggResultRows]]
+    * for stores past the lazy threshold: exactly the same per-file
+    * refusal rules (recorded live rows for COUNT(*), recorded
+    * null+row counts — dv-adjusted — for COUNT(col), provably-intact
+    * recorded bounds for MIN/MAX, directory segments for grouping,
+    * all-empty groups dropped), evaluated in ONE [[StoreLog.foldFiles]]
+    * pass whose driver state is the group map, never the store. Any
+    * file failing a rule flips one flag and the pushdown refuses —
+    * identical semantics, streaming shape. Exact WHERE filters never
+    * coexist with this path (big stores refuse exact acceptance), so
+    * the fold always aggregates the WHOLE live set.
+    */
+  private def computeBigAgg(agg: Aggregation)
+      : Option[(StructType, Seq[Array[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Count, CountStar, Max, Min}
+    val vOpt = asOf.orElse(StoreLog.mainVersion(path))
+    if (vOpt.isEmpty) return None
+    // ---- static shape checks (schema/type — no file access) ----
+    val groupNames = agg.groupByExpressions.toSeq.map(colNameOf)
+    if (groupNames.exists(_.isEmpty)) return None
+    val gs = groupNames.flatten
+    if (!gs.forall(partColNames.contains)) return None
+    val groupFields = gs.map(n => fullSchema.fields.find(_.name == n).get)
+    def minMaxTypeOk(n: String): Boolean =
+      fullSchema.fields.find(_.name == n).exists(_.dataType match {
+        case FloatType | DoubleType => false
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+    val fns: Seq[AggregateFunc] = agg.aggregateExpressions.toSeq
+    val fnOk = fns.forall {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct =>
+        colNameOf(c.column).exists(fullSchema.fieldNames.contains)
+      case m: Min => colNameOf(m.column).exists(minMaxTypeOk)
+      case m: Max => colNameOf(m.column).exists(minMaxTypeOk)
+      case _ => false
+    }
+    if (!fnOk) return None
+    // renamed stores: entry stats/dv arrive PHYSICAL — re-key per entry
+    val back: Map[String, String] =
+      if (!GraftTable.hasRenames(fullSchema)) Map.empty
+      else fullSchema.fields.iterator
+        .map(f => GraftTable.physicalName(f) -> f.name)
+        .filter { case (p, l) => p != l }.toMap
+    // ---- the fold: per-group accumulators + one refusal flag ----
+    final class GroupAcc {
+      val counts = new Array[Long](fns.length)
+      val mins = new Array[Any](fns.length)
+      val maxs = new Array[Any](fns.length)
+      var allEmpty = true // every file vectored empty → group dropped
+    }
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], GroupAcc]
+    if (gs.isEmpty) groups(Seq.empty) = new GroupAcc // ungrouped: one total row
+    var ok = true
+    StoreLog.foldFiles(path, vOpt.get)(()) { (_, e) =>
+      if (ok) {
+        val stats: FileStats.FileStatsMap = {
+          val raw = e.stats.getOrElse(Map.empty)
+          if (back.isEmpty) raw
+          else raw.map { case (c, cs) => back.getOrElse(c, c) -> cs }
+        }
+        val dv = e.dv.map { d =>
+          if (back.isEmpty) d
+          else d.copy(
+            nulls = d.nulls.map { case (c, k) => back.getOrElse(c, c) -> k },
+            bounds = d.bounds.map { case (c, b) => back.getOrElse(c, c) -> b })
+        }
+        val rows: Option[Long] =
+          stats.values.collectFirst { case cs if cs.rows >= 0 => cs.rows }
+        val dvRows = dv.map(_.rows).getOrElse(0L)
+        val live: Option[Long] = rows.map(_ - dvRows)
+        val segs: Map[String, Option[String]] = partColNames.flatMap(c =>
+          GraftTable.partSegRaw(e.path, c).map(c -> _)).toMap
+        val pseudo = GraftTable.partPseudoStats(e.path, fullSchema)
+        // grouping rules: every group col's segment present; any
+        // vectored file's live count known (the phantom-group guard)
+        if (!gs.forall(segs.contains)) ok = false
+        else if (gs.nonEmpty && dv.isDefined && live.isEmpty) ok = false
+        else {
+          val key: Seq[Any] = gs.zip(groupFields).map { case (g, fld) =>
+            groupInternal(segs(g), fld)
+          }
+          val acc = groups.getOrElseUpdate(key, new GroupAcc)
+          if (!live.contains(0L)) acc.allEmpty = false
+          var i = 0
+          while (ok && i < fns.length) {
+            def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+                       isMin: Boolean): Unit = {
+              val n = colNameOf(col).get
+              val isPart = partColNames.contains(n)
+              // dv rule: intact end for data cols; non-emptied file for
+              // partition cols (its constant value must stay in the result)
+              val dvOk =
+                if (dvRows == 0L) true
+                else if (isPart) live.exists(_ > 0L)
+                else (for {
+                  d <- dv
+                  b <- d.bounds.get(n)
+                  cs <- stats.get(n) if cs.tag == b.tag
+                } yield b.lo.isEmpty ||
+                  (if (isMin) Dv.cmpBound(b.tag, b.lo.get, cs.min) > 0
+                   else Dv.cmpBound(b.tag, b.hi.get, cs.max) < 0)
+                ).getOrElse(false)
+              if (!dvOk) { ok = false; return }
+              // the file's contribution: None = unservable, Some(None) =
+              // empty (null partition), Some(Some(v)) = a bound
+              val bound: Option[Option[(String, Any)]] =
+                if (isPart) segs.get(n) match {
+                  case None => None
+                  case Some(None) => Some(None)
+                  case Some(Some(_)) =>
+                    pseudo.get(n).map(cs =>
+                      Some((cs.tag, if (isMin) cs.min else cs.max)))
+                }
+                else stats.get(n).map(cs =>
+                  Some((cs.tag, if (isMin) cs.min else cs.max)))
+              bound match {
+                case None => ok = false
+                case Some(None) => ()
+                case Some(Some((tag, v))) =>
+                  val slot = if (isMin) acc.mins else acc.maxs
+                  slot(i) match {
+                    case null => slot(i) = (tag, v)
+                    case (t0: String, v0) =>
+                      if (t0 != tag) ok = false
+                      else {
+                        val c = FileStats.cmpDomain(tag, v, v0)
+                        if ((isMin && c < 0) || (!isMin && c > 0))
+                          slot(i) = (tag, v)
+                      }
+                  }
+              }
+            }
+            fns(i) match {
+              case _: CountStar =>
+                live match {
+                  case Some(n) => acc.counts(i) += n
+                  case None => ok = false
+                }
+              case c: Count =>
+                val n = colNameOf(c.column).get
+                val contrib: Option[Long] =
+                  if (partColNames.contains(n)) segs.get(n) match {
+                    case None => None // no segment: unservable
+                    case Some(None) => Some(0L) // null partition
+                    case Some(Some(_)) => live
+                  }
+                  else stats.get(n)
+                    .collect { case cs if cs.nulls >= 0 && cs.rows >= 0 =>
+                      cs.rows - cs.nulls }
+                    .flatMap { nn =>
+                      if (dvRows == 0L) Some(nn)
+                      else dv.flatMap(_.nulls.get(n)).map(dn => nn - (dvRows - dn))
+                    }
+                contrib match {
+                  case Some(k) => acc.counts(i) += k
+                  case None => ok = false
+                }
+              case m: Min => minMax(m.column, isMin = true)
+              case m: Max => minMax(m.column, isMin = false)
+              case _ => ok = false
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    if (!ok) return None
+    // ---- assemble (exactly aggResultRows' shapes) ----
+    val aggFields = fns.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case c: Count =>
+        StructField(s"count(${colNameOf(c.column).get})", LongType, nullable = false)
+      case m: Min =>
+        val n = colNameOf(m.column).get
+        StructField(s"min($n)", fullSchema.fields.find(_.name == n).get.dataType)
+      case m: Max =>
+        val n = colNameOf(m.column).get
+        StructField(s"max($n)", fullSchema.fields.find(_.name == n).get.dataType)
+      case other => throw new IllegalStateException(s"unservable aggregate $other")
+    }
+    val resultSchema = StructType(
+      groupFields.map(_.copy(nullable = true)) ++ aggFields)
+    val rows = groups.toSeq.flatMap { case (key, acc) =>
+      // a group whose every file was vectored empty never appears in
+      // the unpushed plan's output (ungrouped totals always emit)
+      if (gs.nonEmpty && acc.allEmpty) None
+      else Some((key ++ fns.zipWithIndex.map { case (fn, i) =>
+        fn match {
+          case _: CountStar | _: Count => acc.counts(i)
+          case m: Min =>
+            val dt = aggFields(i).dataType
+            acc.mins(i) match {
+              case null => null
+              case (_: String, v) => internalOf(v, dt)
+            }
+          case m: Max =>
+            val dt = aggFields(i).dataType
+            acc.maxs(i) match {
+              case null => null
+              case (_: String, v) => internalOf(v, dt)
+            }
+          case other => throw new IllegalStateException(s"$other")
+        }
+      }).toArray)
+    }
+    Some((resultSchema, rows))
+  }
 
   /** Manifest-domain value → the catalyst-internal value of `dt`. */
   private def internalOf(v: Any, dt: DataType): Any = dt match {
@@ -1426,7 +1662,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, asOf: Option[Long],
 
   override def build(): Scan = aggPushed match {
     case Some(agg) =>
-      val (schema, rows) = aggResultRows(agg)
+      val (schema, rows) =
+        if (bigStore) bigAggAnswer(agg).get else aggResultRows(agg)
       new GraftAggScan(path, schema, rows)
     case None =>
       new GraftScan(spark, path, asOf, fullSchema, required, pushed,
@@ -1545,9 +1782,10 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
             // row-level / pinned / unfiltered scans) keep the full
             // resolution, bit-identical to before.
             if (pushed.nonEmpty && !fileOnlyFilters && !deltaPushFilters &&
-                StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold)
-              StoreLog.readFiltered(path, v)(lazyKeep)
-            else StoreLog.read(path, v)
+                StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
+              val (keep, summarySkip) = lazyPredicates
+              StoreLog.readFiltered(path, v, skipCheckpoint = summarySkip)(keep)
+            } else StoreLog.read(path, v)
         }
       } else {
         require(asOf.isEmpty, s"asOf needs a manifest log; '$path' cannot carry one")
@@ -1564,7 +1802,8 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
     * entry's stats physical→logical before the check — the same
     * translation [[GraftTable.logicalSnap]] applies to the survivors.
     */
-  private def lazyKeep: StoreLog.FileEntry => Boolean = {
+  private def lazyPredicates: (StoreLog.FileEntry => Boolean,
+      Option[CheckpointParquet.Summary => Boolean]) = {
     val (fileFs, rest) = pushed.partition(
       _.references.toSeq == Seq(GraftTable.FileColName))
     val allowed: Option[Set[String]] = {
@@ -1584,7 +1823,7 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
       else fullSchema.fields.iterator
         .map(f => GraftTable.physicalName(f) -> f.name)
         .filter { case (p, l) => p != l }.toMap
-    e =>
+    val keep: StoreLog.FileEntry => Boolean = e =>
       allowed.forall(_.contains(e.path)) && (node match {
         case None => true
         case Some(nd) =>
@@ -1595,6 +1834,18 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
           val stats = logical ++ GraftTable.partPseudoStats(e.path, fullSchema)
           stats.isEmpty || FileStats.mayMatch(stats, nd)
       })
+    // the footer-of-footers skip: the summary's merged bounds cover
+    // only columns EVERY file records, so mayMatch == false over them
+    // proves NO checkpoint row can match — the whole payload's rows
+    // never decode (delta adds still stream)
+    val summarySkip: Option[CheckpointParquet.Summary => Boolean] =
+      node.map { nd => (s: CheckpointParquet.Summary) =>
+        val logical =
+          if (back.isEmpty) s.cols
+          else s.cols.map { case (c, cs) => back.getOrElse(c, c) -> cs }
+        logical.nonEmpty && !FileStats.mayMatch(logical, nd)
+      }
+    (keep, summarySkip)
   }
 
   /** The snapshot this scan planned from — the row-level operations'

@@ -504,7 +504,8 @@ object StoreLog {
     * touches files the add/remove lists never name). Entries arrive in
     * no promised order.
     */
-  def foldFiles[A](path: String, version: Long, prefixes: Seq[String] = Nil)
+  def foldFiles[A](path: String, version: Long, prefixes: Seq[String] = Nil,
+                   skipCheckpoint: Option[CheckpointParquet.Summary => Boolean] = None)
                   (zero: A)(op: (A, FileEntry) => A): A = {
     val root = readRaw(path, version)
     var deltas = List.empty[JsonNode] // oldest-first after the walk
@@ -558,7 +559,15 @@ object StoreLog {
     if (ckptNode.has("filesRef")) {
       val bytes = io(path).readBytes(
         s"${logDir(path)}/${ckptNode.get("filesRef").asText()}")
-      acc = CheckpointParquet.stream(bytes, prefixes, acc) { (a, e) =>
+      // the footer-of-footers skip: when the caller's predicate
+      // contradicts the checkpoint's GLOBAL per-column bounds
+      // ([[CheckpointParquet.Summary]] — merged only over columns every
+      // file records, so a false answer is proof), the entire payload's
+      // rows never decode; only the delta adds (below) are considered
+      val skipAll = skipCheckpoint.exists(p =>
+        CheckpointParquet.summaryOf(bytes).exists(p))
+      if (!skipAll)
+        acc = CheckpointParquet.stream(bytes, prefixes, acc) { (a, e) =>
         if (removed.contains(e.path) || added.contains(e.path)) a
         else op(a, FileEntry(e.path,
           oStats.get(e.path).orElse(e.stats),
@@ -627,26 +636,29 @@ object StoreLog {
     * at least as permissive as the pruning the plan later applies, and
     * a filtered snapshot must never serve as a WRITE conflict base.
     */
-  def readFiltered(path: String, version: Long, prefixes: Seq[String] = Nil)
+  def readFiltered(path: String, version: Long, prefixes: Seq[String] = Nil,
+                   skipCheckpoint: Option[CheckpointParquet.Summary => Boolean] = None)
                   (keep: FileEntry => Boolean): Snapshot =
     // same one-retry contract as [[read]]: a concurrent vacuum may
     // checkpoint-rewrite the chain mid-walk; the re-walk sees the
     // rewritten self-contained manifest
-    try readFilteredResolve(path, version, prefixes)(keep)
+    try readFilteredResolve(path, version, prefixes, skipCheckpoint)(keep)
     catch {
       case _: IllegalArgumentException | _: java.io.IOException |
            _: java.io.UncheckedIOException =>
-        readFilteredResolve(path, version, prefixes)(keep)
+        readFilteredResolve(path, version, prefixes, skipCheckpoint)(keep)
     }
 
   private def readFilteredResolve(path: String, version: Long,
-      prefixes: Seq[String])(keep: FileEntry => Boolean): Snapshot = {
+      prefixes: Seq[String],
+      skipCheckpoint: Option[CheckpointParquet.Summary => Boolean])(
+      keep: FileEntry => Boolean): Snapshot = {
     val root = readRaw(path, version)
     val files = Seq.newBuilder[String]
     val st = Map.newBuilder[String, FileStats.FileStatsMap]
     val sz = Map.newBuilder[String, Long]
     val dv = Map.newBuilder[String, Dv.Entry]
-    foldFiles(path, version, prefixes)(()) { (_, e) =>
+    foldFiles(path, version, prefixes, skipCheckpoint)(()) { (_, e) =>
       if (keep(e)) {
         files += e.path
         e.stats.foreach(st += e.path -> _)

@@ -84,7 +84,10 @@ class LazySnapshotSpec extends AnyFunSuite {
       sizes = (sizes.toMap -- removed) ++ added.map(_ -> 2000L))
     StoreLog.commit(dir, 2L, Seq.empty, v2files, parent = Some(v2),
       addDvs = Map("uid=7/f_00500.parquet" ->
-        Dv.Entry("_graft_dv/x.bin", 7L, Map.empty, Map.empty)))
+        // full dv bookkeeping (deleted-null counts + strictly-interior
+        // deleted bounds) so COUNT(col)/MIN/MAX stay manifest-servable
+        Dv.Entry("_graft_dv/x.bin", 7L, Map("ts" -> 0L),
+          Map("ts" -> Dv.Bound("i", Some(50010L), Some(50080L))))))
     (dir, v2)
   }
 
@@ -152,6 +155,34 @@ class LazySnapshotSpec extends AnyFunSuite {
     assert(scan.snapshot.props.get(GraftTable.UidsProp).contains("uid"))
   }
 
+  test("footer summary SKIPS the whole checkpoint when the predicate excludes it") {
+    val (dir, _) = big
+    val schema = GraftTable.resolveSchema(spark, dir, None)
+    def planned(lo: Long, hi: Long): (Seq[String], Long) = {
+      val b = new GraftScanBuilder(spark, dir, None, schema)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+        org.apache.spark.sql.sources.LessThanOrEqual("ts", hi)))
+      val scan = b.build().asInstanceOf[GraftScan]
+      CheckpointParquet.resetCounters()
+      (scan.plannedFiles, CheckpointParquet.lastRowsDecoded)
+    }
+    // the checkpoint's GLOBAL ts bounds are [0, 99999]; the v2 delta's
+    // added files carry [500000, 500099]. A slice entirely above the
+    // checkpoint's hull plans ONLY the delta adds — and the summary
+    // proves it without decoding a single checkpoint row.
+    val (fs1, rows1) = planned(500000L, 500050L)
+    assert(fs1.size === 5 && fs1.forall(_.contains("/g_")), fs1.toString)
+    assert(rows1 === 0L,
+      s"decoded $rows1 checkpoint rows — the footer summary skip is not engaging")
+    // a slice beyond EVERYTHING plans nothing, still zero decode
+    val (fs2, rows2) = planned(900000L, 990000L)
+    assert(fs2.isEmpty && rows2 === 0L)
+    // and an in-hull slice still streams (no false skip)
+    val (fs3, _) = planned(0L, 50L)
+    assert(fs3.nonEmpty)
+  }
+
   test("small stores keep FULL resolution and lazy-vs-full plans agree (threshold seam)") {
     val dir = Files.createTempDirectory("graft_lazy_small").toString
     val events = Tables.events(spark, TestSpark.sf001)
@@ -190,6 +221,51 @@ class LazySnapshotSpec extends AnyFunSuite {
         .filter(col("event_type") === "view").count()
       assert(got === want)
     } finally StoreLog.LazySnapshotThreshold = saved
+  }
+
+  test("aggregate pushdown over the 1M-file store streams — exact answers, O(groups) state") {
+    val (dir, _) = big
+    // the synthetic store has NO data files on disk: a correct answer
+    // PROVES the manifest served it (any fallback scan would die on
+    // missing files). 1M files x 100 rows, minus the v2 delta's 3
+    // removed (+5 added) files, minus the v3 vector's 7 rows.
+    val df = spark.read.format("graft").load(dir)
+    val total = df.selectExpr("count(*) AS c", "count(ts) AS ct",
+      "min(ts) AS mn", "max(ts) AS mx").head()
+    assert(total.getLong(0) === 100000193L)
+    assert(total.getLong(1) === 100000193L)
+    assert(total.getLong(2) === 0L)
+    assert(total.getLong(3) === 500099L)
+    // grouped by the partition column: one row per uid from metadata
+    // (no filter — big stores deliberately refuse filtered pushdown)
+    val g = df.groupBy(col("uid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.size === 1000)
+    assert(g(7L) === 99693L)   // 997 live files - 7 vectored rows
+    assert(g(42L) === 100500L) // 1000 + the 5 delta-added files
+    assert(g(13L) === 100000L)
+  }
+
+  test("fold-agg ≡ map-agg on a real store (threshold seam)") {
+    val dir = Files.createTempDirectory("graft_lazy_agg").toString
+    val events = Tables.events(spark, TestSpark.sf001)
+    TsStore.write(events.select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, tsCol = "ts", uidCols = Seq("event_type"))
+    TsStore.deleteVectors(spark, dir, col("event_id") % 53 === 0)
+    def answers(): (Seq[(String, Long)], (Long, Long, Long)) = {
+      val df = spark.read.format("graft").load(dir)
+      val grouped = df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val t = df.selectExpr("count(*)", "count(user_id)",
+        "max(user_id)").head()
+      (grouped, (t.getLong(0), t.getLong(1), t.getLong(2)))
+    }
+    val full = answers()
+    val saved = StoreLog.LazySnapshotThreshold
+    StoreLog.LazySnapshotThreshold = 1
+    try assert(answers() === full,
+      "the streaming agg path must answer exactly like the map-based one")
+    finally StoreLog.LazySnapshotThreshold = saved
   }
 
   test("readFiltered(keep=all) ≡ read across containers and delta chains") {
