@@ -178,7 +178,8 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
             s"store at $path has open branch(es) — INSERT OVERWRITE " +
               "refuses while a branch is open; publish or drop it first")
         }
-        val (baseFiles, refProps) = TsStore.refAppendBase(path, cur, None)
+        val (baseFiles, refProps, carryStats, carrySizes) =
+          TsStore.refAppendBase(path, cur, None)
         val (replaced, files) =
           if (truncate)
             ((cur.files ++ moved).map { f =>
@@ -188,7 +189,8 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
           else (Seq.empty[String], baseFiles ++ moved)
         try {
           StoreLog.commit(path, cur.version, replaced, files,
-            parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
+            parent = Some(cur), addStats = carryStats ++ movedStats,
+            addSizes = carrySizes ++ movedSizes,
             // an OVERWRITE redefines the whole store with canonically
             // sorted files — (re)establish the layout-order contract;
             // an append's sorted additions just inherit the parent's

@@ -306,11 +306,12 @@ object TsStore {
           // may be the OTHER ref's view — an append reads its target
           // ref's files and advances that ref's pointer in the same
           // commit (see [[StoreLog.MainRefProp]])
-          val (baseFiles, refProps) =
+          val (baseFiles, refProps, carryStats, carrySizes) =
             TsStore.refAppendBase(path, cur, branch)
           try {
             StoreLog.commit(path, cur.version, Seq.empty, baseFiles ++ moved,
-              parent = Some(cur), addStats = movedStats, addSizes = movedSizes,
+              parent = Some(cur), addStats = carryStats ++ movedStats,
+              addSizes = carrySizes ++ movedSizes,
               tag = commitTag,
               setProps =
                 GraftTable.widenedSchemaProp(cur.props, dfW.schema) ++ refProps)
@@ -2108,15 +2109,30 @@ object TsStore {
     sys.error("unreachable")
   }
 
-  /** The (base file list, ref-advance props) of an APPEND targeting
-    * `branch` (None = main) against tip snapshot `cur` — the ref-aware
-    * half of the append loops: under an active branch the tip's `files`
-    * may be the OTHER ref's view, so the append resolves its target
-    * ref's files and moves that ref's pointer to its own version in the
-    * same commit. Branchless stores pay nothing (tip files, no props).
+  /** The ref-view base of an APPEND targeting `branch` (None = main)
+    * against tip snapshot `cur` — the ref-aware half of the append
+    * loops: under an active branch the tip's `files` may be the OTHER
+    * ref's view, so the append resolves its target ref's files and
+    * moves that ref's pointer to its own version in the same commit.
+    * Returns (files, ref-advance props, carried stats, carried sizes):
+    * when the ref view is NOT the tip, the delta vs the tip RE-ADDS the
+    * ref view's exclusive files, and their stats/sizes must ride the
+    * commit or the zig-zag silently strips the planner's index from
+    * every interleaved append (the manifest serializes a delta's stats
+    * for its ADDED slice from exactly this map). Branchless stores pay
+    * nothing (tip files, no props, empty carriage).
     */
   private[graft] def refAppendBase(path: String, cur: StoreLog.Snapshot,
-      branch: Option[String]): (Seq[String], Map[String, String]) =
+      branch: Option[String]): (Seq[String], Map[String, String],
+      Map[String, FileStats.FileStatsMap], Map[String, Long]) = {
+    def resolve(v: Long, props: Map[String, String])
+        : (Seq[String], Map[String, String],
+           Map[String, FileStats.FileStatsMap], Map[String, Long]) =
+      if (v == cur.version) (cur.files, props, Map.empty, Map.empty)
+      else {
+        val ref = StoreLog.read(path, v)
+        (ref.files, props, ref.stats, ref.sizes)
+      }
     branch match {
       case Some(b) =>
         val bv = cur.props.get(StoreLog.BranchPropPrefix + b)
@@ -2124,18 +2140,16 @@ object TsStore {
             throw new IllegalArgumentException(
               s"no branch '$b' at $path (TsStore.branch / CALL " +
                 "system.branch creates one)"))
-        val files =
-          if (bv == cur.version) cur.files else StoreLog.read(path, bv).files
-        (files, Map(StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+        resolve(bv,
+          Map(StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
       case None =>
         cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption) match {
           case Some(mv) =>
-            val files =
-              if (mv == cur.version) cur.files else StoreLog.read(path, mv).files
-            (files, Map(StoreLog.MainRefProp -> (cur.version + 1).toString))
-          case None => (cur.files, Map.empty)
+            resolve(mv, Map(StoreLog.MainRefProp -> (cur.version + 1).toString))
+          case None => (cur.files, Map.empty, Map.empty, Map.empty)
         }
     }
+  }
 
   /** Validate a ref/tag name (shared rules: tag charset, no all-digit
     * shadowing of VERSION AS OF's numeric parse).
@@ -2185,9 +2199,12 @@ object TsStore {
   def dropBranch(path: String, name: String): Unit =
     metadataCommitWithRetry(path,
       filesOf = cur => {
-        val remaining = StoreLog.branches(path) - name
+        // from cur.props (the attempt's own base), never a fresh
+        // listing a concurrent commit could skew mid-attempt
+        val lastBranch = cur.props.keys
+          .count(_.startsWith(StoreLog.BranchPropPrefix)) <= 1
         val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
-        if (remaining.isEmpty && mv.isDefined && mv.get != cur.version)
+        if (lastBranch && mv.isDefined && mv.get != cur.version)
           StoreLog.read(path, mv.get).files
         else cur.files
       }) { cur =>

@@ -256,8 +256,11 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                     "epochs replace the store and refuse while a branch " +
                     "is open")
               }
-              val (baseFiles, refProps) =
-                if (replaceAll) (cur.files, Map.empty[String, String])
+              val (baseFiles, refProps, carryStats, carrySizes) =
+                if (replaceAll)
+                  (cur.files, Map.empty[String, String],
+                    Map.empty[String, FileStats.FileStatsMap],
+                    Map.empty[String, Long])
                 else TsStore.refAppendBase(path, cur, branch)
               val (replaced, files) =
                 if (replaceAll)
@@ -268,8 +271,8 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                 else (Seq.empty[String], baseFiles ++ moved)
               try {
                 StoreLog.commit(path, cur.version, replaced, files,
-                  parent = Some(cur), addStats = movedStats,
-                  addSizes = movedSizes,
+                  parent = Some(cur), addStats = carryStats ++ movedStats,
+                  addSizes = carrySizes ++ movedSizes,
                   tag = if (replaceAll) None else Some(tag),
                   setProps = graft.sources.GraftTable
                     .widenedSchemaProp(cur.props, writeSchema) ++ refProps +

@@ -208,6 +208,40 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.sql(s"CALL $cat.system.branches('ns.t')").collect().isEmpty)
   }
 
+  test("interleaved main/branch appends keep every file's stats and sizes (ref carriage)") {
+    val (dir, _) = freshStore()
+    TsStore.branch(dir, "mix")
+    // zig-zag: each append's delta re-adds the OTHER ref's exclusive
+    // files — without the carriage their stats/sizes would silently
+    // strip (stat-less files stay correct but unprunable forever)
+    appendBranch(dir, row(780001L, "2035-09-01 00:00:00", 1.0), "mix")
+    TsStore.write(row(780002L, "2035-09-01 00:00:01", 2.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    appendBranch(dir, row(780003L, "2035-09-01 00:00:02", 3.0), "mix")
+    TsStore.write(row(780004L, "2035-09-01 00:00:03", 4.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    val mv = StoreLog.mainVersion(dir).get
+    val bv = StoreLog.branchVersion(dir, "mix").get
+    Seq(mv, bv).foreach { v =>
+      val s = StoreLog.read(dir, v)
+      val missing = s.files.filterNot(f =>
+        s.stats.contains(f) && s.sizes.contains(f))
+      assert(missing.isEmpty,
+        s"v$v lost stats/sizes for: ${missing.mkString(", ")}")
+    }
+    // both views still read their own rows only
+    assert(TsStore.load(spark, dir, asOf = Some(bv))
+      .filter(col("event_id").isin(780001L, 780003L)).count() === 2L)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id").isin(780002L, 780004L)).count() === 2L)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id").isin(780001L, 780003L)).count() === 0L)
+  }
+
   test("the streaming sink lands epochs on a branch (WAP streaming ingest)") {
     val (dir, n0) = freshStore()
     TsStore.branch(dir, "feed")
