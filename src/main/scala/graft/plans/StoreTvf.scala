@@ -69,8 +69,10 @@ object StoreTvf {
     // plain parquet read (no manifest, nothing to pin).
     val spark = SparkSession.active
     if (graft.sources.StoreLog.canLog(path)) {
-      val pinned = asOf.orElse(
-        graft.sources.StoreLog.latest(path).map(_.version))
+      // MAIN-ref resolved (a live read under an open branch pins what
+      // main readers see, never the staged view) and raw-probed (no
+      // full snapshot resolution just to learn the version number)
+      val pinned = asOf.orElse(graft.sources.StoreLog.mainVersion(path))
       val reader = spark.read.format("graft")
       pinned.foreach(v => reader.option("asOf", v))
       reader.load(path).queryExecution.logical

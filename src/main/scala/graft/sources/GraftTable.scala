@@ -2906,7 +2906,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .find(v => StoreLog.timestampAt(p, v) <= ms)
       .getOrElse(throw new IllegalArgumentException(
         s"no version of ${ident.name} committed at or before $ms ms"))
-    tableAt(p, Some(v))
+    // resolve THROUGH the era's main ref: the newest commit at-or-before
+    // the instant may be a BRANCH commit, and "the table as of t" means
+    // what a MAIN reader saw at t — staged write-audit-publish rows must
+    // not leak through the timestamp face (branch heads are addressed
+    // explicitly, via VERSION AS OF '<name>')
+    tableAt(p, Some(StoreLog.mainVersionAt(p, v)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

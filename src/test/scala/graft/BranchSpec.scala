@@ -208,6 +208,37 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.sql(s"CALL $cat.system.branches('ns.t')").collect().isEmpty)
   }
 
+  test("TIMESTAMP AS OF and the graft_store TVF never leak an open branch's rows") {
+    val dir = Files.createTempDirectory("graft_branch_tsof").toString
+    val cat = "gbts"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE) USING graft " +
+      "PARTITIONED BY (event_type)")
+    events.select(cols.map(col): _*).limit(200)
+      .createOrReplaceTempView("bts_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM bts_src")
+    val n0 = spark.sql(s"SELECT count(*) FROM $cat.ns.t").head().getLong(0)
+    val path = s"$dir/ns/t"
+    TsStore.branch(path, "tleak")
+    appendBranch(path, row(790001L, "2035-10-01 00:00:00", 1.0), "tleak")
+    // "the table as of NOW" = the MAIN view, even though the newest
+    // commit at-or-before now is the branch append
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ns.t TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) === n0)
+    // the TVF's live pin resolves through the main ref too
+    assert(spark.sql(s"SELECT count(*) FROM graft_store('$path')")
+      .head().getLong(0) === n0)
+    TsStore.publishBranch(spark, path, "tleak")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ns.t TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) === n0 + 1)
+  }
+
   test("interleaved main/branch appends keep every file's stats and sizes (ref carriage)") {
     val (dir, _) = freshStore()
     TsStore.branch(dir, "mix")
