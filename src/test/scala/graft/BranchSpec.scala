@@ -303,6 +303,87 @@ class BranchSpec extends AnyFunSuite {
       .filter(col("event_id") >= 770001L).count() === 2L)
   }
 
+  test("property: randomized main/branch/tag interleavings keep both views exact") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 3).foreach { trial =>
+      val (dir, _) = freshStore()
+      val baseIds = TsStore.load(spark, dir).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      var mainIds = baseIds
+      var branchSt: Option[(String, Set[Long], Set[Long])] = None // (name, view, mainAtCreate)
+      var nextId = 800000L + trial * 10000L
+      var tagSeq = 0
+      def freshRow(): (Long, org.apache.spark.sql.DataFrame) = {
+        nextId += 1
+        (nextId, row(nextId, f"2036-01-01 00:${(nextId % 60)}%02d:00", 1.0))
+      }
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // main append
+            val (id, df) = freshRow()
+            TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("event_type"),
+              mode = org.apache.spark.sql.SaveMode.Append,
+              overlapPolicy = TsStore.OverlapPolicy.Allow)
+            mainIds += id
+          case 1 => // open a branch (or append to it if one is open)
+            branchSt match {
+              case None =>
+                TsStore.branch(dir, s"p$trial")
+                branchSt = Some((s"p$trial", mainIds, mainIds))
+              case Some((b, view, base)) =>
+                val (id, df) = freshRow()
+                appendBranch(dir, df, b)
+                branchSt = Some((b, view + id, base))
+            }
+          case 2 => // branch append when open, else main
+            branchSt match {
+              case Some((b, view, base)) =>
+                val (id, df) = freshRow()
+                appendBranch(dir, df, b)
+                branchSt = Some((b, view + id, base))
+              case None =>
+                val (id, df) = freshRow()
+                TsStore.write(df, dir, tsCol = "ts",
+                  uidCols = Seq("event_type"),
+                  mode = org.apache.spark.sql.SaveMode.Append,
+                  overlapPolicy = TsStore.OverlapPolicy.Allow)
+                mainIds += id
+            }
+          case 3 => // publish (must refuse iff main moved) else drop
+            branchSt.foreach { case (b, view, base) =>
+              if (mainIds == base) {
+                TsStore.publishBranch(spark, dir, b)
+                mainIds = view
+              } else {
+                assert(intercept[Exception](
+                  TsStore.publishBranch(spark, dir, b))
+                  .getMessage.contains("diverged"),
+                  s"trial $trial: publish over moved main must refuse")
+                TsStore.dropBranch(dir, b)
+              }
+              branchSt = None
+            }
+          case 4 => // tag noise (metadata commits are ref-neutral)
+            tagSeq += 1
+            TsStore.tag(dir, s"n$trial-$tagSeq")
+        }
+        // invariants after EVERY op: both views exact, stats complete
+        def ids(asOf: Option[Long]): Set[Long] =
+          TsStore.load(spark, dir, asOf = asOf).select("event_id")
+            .collect().map(_.getLong(0)).toSet
+        assert(ids(None) === mainIds, s"trial $trial: main view diverged")
+        branchSt.foreach { case (b, view, _) =>
+          val bv = StoreLog.branchVersion(dir, b).get
+          assert(ids(Some(bv)) === view, s"trial $trial: branch view diverged")
+        }
+        val mv = StoreLog.mainVersion(dir).get
+        val s = StoreLog.read(dir, mv)
+        assert(s.files.forall(f => s.stats.contains(f) && s.sizes.contains(f)),
+          s"trial $trial: main head lost stats")
+      }
+    }
+  }
+
   test("the change feed never leaks branch commits; publish delivers them once") {
     val (dir, _) = freshStore()
     val sinkDir = Files.createTempDirectory("graft_branch_follow").toString
