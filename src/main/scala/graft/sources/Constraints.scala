@@ -122,7 +122,8 @@ object Constraints {
     */
   def forStore(path: String): Seq[Check] =
     if (StoreLog.canLog(path))
-      StoreLog.latest(path).map(s => effective(s.props)).getOrElse(Nil)
+      StoreLog.latestVersion(path)
+        .map(v => effective(StoreLog.propsAt(path, v))).getOrElse(Nil)
     else Nil
 
   /** Constraints in `props` that were NOT in the set a writer bound at

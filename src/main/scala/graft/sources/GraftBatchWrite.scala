@@ -85,7 +85,8 @@ private[graft] object GraftBatchWrite {
     // carries one stable physical schema — a pure field rename here
     // (rows are positional), applied from the store's declared schema
     val declared = if (StoreLog.canLog(path))
-      StoreLog.latest(path).flatMap(_.props.get(GraftTable.SchemaProp))
+      StoreLog.latestVersion(path)
+        .flatMap(v => StoreLog.propsAt(path, v).get(GraftTable.SchemaProp))
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType])
       else None
@@ -102,7 +103,9 @@ private[graft] object GraftBatchWrite {
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     conf.setLong("parquet.block.size", 16L << 20)
     val blooms =
-      if (StoreLog.canLog(path)) StoreLog.latest(path).map(_.bloomCols).getOrElse(Nil)
+      if (StoreLog.canLog(path))
+        StoreLog.latestVersion(path)
+          .map(v => StoreLog.bloomColsAt(path, v)).getOrElse(Nil)
       else Nil
     blooms.foreach(c => conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
     val maxRecords = spark.conf
@@ -152,12 +155,15 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
       var attempts = 0
       while (!committed) {
         lease.renew()
-        val cur = StoreLog.ensure(path)
+        val curV0 = StoreLog.latestVersion(path)
+        if (curV0.isEmpty) { StoreLog.ensure(path); () } // first-ever commit
+        val curV = curV0.getOrElse(StoreLog.latestVersion(path).get)
+        val curProps = StoreLog.propsAt(path, curV)
         // a CHECK constraint added while this INSERT was in flight —
         // the written rows were guarded against the set bound at
         // write-build; abort rather than commit unchecked rows after
         // the constraint's whole-table certification
-        val addedChecks = Constraints.addedSince(boundSet, cur.props)
+        val addedChecks = Constraints.addedSince(boundSet, curProps)
         if (addedChecks.nonEmpty) {
           StoreLog.deleteDataFiles(path, moved)
           throw new StoreLog.CommitConflict(
@@ -169,34 +175,41 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
         // writers' rebase checks look for theirs there — the restore
         // pattern); an APPEND is a pure addition that rebases cleanly.
         // Appends are REF-AWARE (under an active branch the base is the
-        // MAIN view's files and the commit advances the main pin);
-        // OVERWRITE replaces a view wholesale and refuses while any
-        // branch is open.
-        if (truncate && cur.props.contains(StoreLog.MainRefProp)) {
+        // MAIN view's files and the commit advances the main pin) and
+        // take the O(commit) transform path when branchless; OVERWRITE
+        // replaces a view wholesale and refuses while a branch is open.
+        if (truncate && curProps.contains(StoreLog.MainRefProp)) {
           StoreLog.deleteDataFiles(path, moved)
           throw new IllegalStateException(
             s"store at $path has open branch(es) — INSERT OVERWRITE " +
               "refuses while a branch is open; publish or drop it first")
         }
-        val (baseFiles, refProps, carryStats, carrySizes) =
-          TsStore.refAppendBase(path, cur, None)
-        val (replaced, files) =
-          if (truncate)
-            ((cur.files ++ moved).map { f =>
-              val i = f.lastIndexOf('/')
-              if (i > 0) f.substring(0, i) else f
-            }.distinct.sorted, moved)
-          else (Seq.empty[String], baseFiles ++ moved)
         try {
-          StoreLog.commit(path, cur.version, replaced, files,
-            parent = Some(cur), addStats = carryStats ++ movedStats,
-            addSizes = carrySizes ++ movedSizes,
-            // an OVERWRITE redefines the whole store with canonically
-            // sorted files — (re)establish the layout-order contract;
-            // an append's sorted additions just inherit the parent's
-            setProps =
-              (if (truncate) Map(GraftTable.LayoutSortedProp -> "true")
-               else Map.empty[String, String]) ++ refProps)
+          if (!truncate && !curProps.contains(StoreLog.MainRefProp))
+            StoreLog.commitTransform(path, curV, Seq.empty,
+              removeFiles = Nil, addFiles = moved,
+              addStats = movedStats, addSizes = movedSizes)
+          else {
+            val cur = StoreLog.read(path, curV)
+            val (baseFiles, refProps, carryStats, carrySizes) =
+              TsStore.refAppendBase(path, cur, None)
+            val (replaced, files) =
+              if (truncate)
+                ((cur.files ++ moved).map { f =>
+                  val i = f.lastIndexOf('/')
+                  if (i > 0) f.substring(0, i) else f
+                }.distinct.sorted, moved)
+              else (Seq.empty[String], baseFiles ++ moved)
+            StoreLog.commit(path, cur.version, replaced, files,
+              parent = Some(cur), addStats = carryStats ++ movedStats,
+              addSizes = carrySizes ++ movedSizes,
+              // an OVERWRITE redefines the whole store with canonically
+              // sorted files — (re)establish the layout-order contract;
+              // an append's sorted additions just inherit the parent's
+              setProps =
+                (if (truncate) Map(GraftTable.LayoutSortedProp -> "true")
+                 else Map.empty[String, String]) ++ refProps)
+          }
           committed = true
         } catch {
           case c: StoreLog.CommitConflict =>

@@ -591,6 +591,18 @@ object StoreLog {
     acc
   }
 
+  /** A version's `replaced` record straight from raw JSON — the
+    * conflict-detection unit every manifest carries.
+    */
+  def replacedAt(path: String, v: Long): Seq[String] =
+    strings(readRaw(path, v).get("replaced"))
+
+  /** A version's bloomCols straight from raw JSON. */
+  def bloomColsAt(path: String, v: Long): Seq[String] = {
+    val n = readRaw(path, v)
+    if (n.has("bloomCols")) strings(n.get("bloomCols")) else Nil
+  }
+
   /** A version's raw (added, removed, addedSizes) straight from a DELTA
     * manifest — None for checkpoints, which carry no diff. The change
     * feed's O(commit-footprint) batch planning: a follower of a
@@ -815,7 +827,9 @@ object StoreLog {
                             sizes: Map[String, Long] = Map.empty,
                             dvs: Map[String, Dv.Entry] = Map.empty,
                             dvChanges: Map[String, Dv.Entry] = Map.empty,
-                            filesRef: Option[(String, Long)] = None): Array[Byte] = {
+                            filesRef: Option[(String, Long)] = None,
+                            explicitDelta: Option[(Seq[String], Seq[String])] = None)
+      : Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", version)
     root.put("timestampMs", timestampMs)
@@ -866,6 +880,17 @@ object StoreLog {
         root.set[JsonNode]("dvs", o)
       }
     root.set[JsonNode]("replaced", arr(replaced.sorted))
+    // an EXPLICIT delta (the O(commit-footprint) transform commit):
+    // the caller states the exact add/remove lists — no parent file
+    // set ever materializes to diff against
+    explicitDelta.foreach { case (added, removed) =>
+      root.set[JsonNode]("add", arr(added.sorted))
+      root.set[JsonNode]("remove", arr(removed.sorted))
+      setStats(added)
+      setSizes(added)
+      setDvs(dvChanges)
+      return mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    }
     parentFiles match {
       case Some(prev) =>
         val next = files.toSet; val prevSet = prev.toSet
@@ -896,6 +921,63 @@ object StoreLog {
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
+  /** The O(COMMIT-FOOTPRINT) commit: the next version expressed as a
+    * TRANSFORM of its parent — exact removed-file list + added files
+    * with their stats/sizes + dv changes — so the parent snapshot is
+    * NEVER materialized on a delta-due commit (the writer-side twin of
+    * the stripe-lazy read: [[commit]] needs the full parent file list
+    * to diff against, which at the ~6–7M-file tier is a multi-GB
+    * driver allocation per append). Requirements the caller owns:
+    * `removeFiles` ⊆ the parent's live set, `addFiles` disjoint from
+    * it (exactly what every adopt-then-commit flow produces).
+    * Checkpoint-due versions fall back internally to ONE full
+    * resolution — 1-in-interval amortized, retired next by a streaming
+    * checkpoint writer. Same CAS semantics as [[commit]].
+    */
+  def commitTransform(path: String, expectedVersion: Long,
+                      replaced: Seq[String],
+                      removeFiles: Seq[String], addFiles: Seq[String],
+                      addStats: Map[String, FileStats.FileStatsMap] = Map.empty,
+                      addSizes: Map[String, Long] = Map.empty,
+                      addDvs: Map[String, Dv.Entry] = Map.empty,
+                      tag: Option[String] = None,
+                      setProps: Map[String, String] = Map.empty): Long = {
+    val v = expectedVersion + 1
+    val root = readRaw(path, expectedVersion)
+    val eff =
+      if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
+      else CheckpointInterval
+    if (v % eff == 0) {
+      // checkpoint cadence: the full list must serialize anyway — one
+      // materialized resolution, amortized over the interval
+      val parent = read(path, expectedVersion)
+      val next =
+        (parent.files.toSet -- removeFiles ++ addFiles).toSeq
+      return commit(path, expectedVersion, replaced, next,
+        parent = Some(parent), addStats = addStats, tag = tag,
+        setProps = setProps, addSizes = addSizes, addDvs = addDvs)
+    }
+    val pProps =
+      if (root.has("props"))
+        root.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    val effBlooms =
+      if (root.has("bloomCols")) strings(root.get("bloomCols")) else Nil
+    val effProps = (pProps ++ setProps).filter(_._2.nonEmpty)
+    val add = addFiles.distinct
+    val rm = removeFiles.distinct.toSet -- add
+    val bytes = manifestBytes(v, System.currentTimeMillis(), replaced,
+      files = Nil, parentFiles = None, checkpointInterval = eff,
+      stats = addStats, tag = tag, bloomCols = effBlooms, props = effProps,
+      sizes = addSizes, dvChanges = addDvs,
+      explicitDelta = Some((add, rm.toSeq)))
+    if (!io(path).publishIfAbsent(verFile(path, v), bytes))
+      throw new CommitConflict(
+        s"version $v already committed at $path — concurrent writer won")
+    v
   }
 
   /** Atomically publish the next version after `expectedVersion` (0 =

@@ -277,7 +277,8 @@ object TsStore {
       val staging = txnDir(path)
       val appendBlooms =
         if (bloomKeys.nonEmpty) bloomKeys
-        else StoreLog.latest(path).map(_.bloomCols).getOrElse(Nil)
+        else StoreLog.latestVersion(path)
+          .map(v => StoreLog.bloomColsAt(path, v)).getOrElse(Nil)
       writeFiles(sorted, staging, uidCols, SaveMode.Overwrite, codec,
         rowGroupBytes, maxRecordsPerFile, appendBlooms)
       StoreLog.withWriterLease(path) { lease =>
@@ -289,32 +290,45 @@ object TsStore {
         var attempts = 0
         while (!committed) {
           lease.renew()
-          val cur = StoreLog.ensure(path)
+          val curV = StoreLog.latestVersion(path).get // exists() held above
+          val curProps = StoreLog.propsAt(path, curV)
           // a CHECK constraint added since this append bound its guard
           // set means the staged rows were never validated against it —
           // abort rather than commit unchecked rows AFTER the
           // constraint's whole-table certification (see
           // [[Constraints.addedSince]]; the CAS totally orders us)
-          val added = Constraints.addedSince(appendChecks, cur.props)
+          val added = Constraints.addedSince(appendChecks, curProps)
           if (added.nonEmpty) {
             StoreLog.deleteDataFiles(path, moved)
             throw new StoreLog.CommitConflict(
               s"CHECK constraint(s) ${added.map(_.name).mkString(", ")} added " +
                 s"concurrently at $path — re-run the append")
           }
-          // REF-AWARE base: under an active branch the tip's file list
-          // may be the OTHER ref's view — an append reads its target
-          // ref's files and advances that ref's pointer in the same
-          // commit (see [[StoreLog.MainRefProp]])
-          val (baseFiles, refProps, carryStats, carrySizes) =
-            TsStore.refAppendBase(path, cur, branch)
           try {
-            StoreLog.commit(path, cur.version, Seq.empty, baseFiles ++ moved,
-              parent = Some(cur), addStats = carryStats ++ movedStats,
-              addSizes = carrySizes ++ movedSizes,
-              tag = commitTag,
-              setProps =
-                GraftTable.widenedSchemaProp(cur.props, dfW.schema) ++ refProps)
+            if (branch.isEmpty && !curProps.contains(StoreLog.MainRefProp))
+              // branchless HOT PATH: a pure addition commits O(its own
+              // footprint) — no parent snapshot ever materializes
+              // ([[StoreLog.commitTransform]]; the writer-side twin of
+              // the stripe-lazy read on million-file stores)
+              StoreLog.commitTransform(path, curV, Seq.empty,
+                removeFiles = Nil, addFiles = moved,
+                addStats = movedStats, addSizes = movedSizes,
+                tag = commitTag,
+                setProps = GraftTable.widenedSchemaProp(curProps, dfW.schema))
+            else {
+              // REF-AWARE base: under an active branch the tip's file
+              // list may be the OTHER ref's view — resolve the target
+              // ref's files and advance its pointer in the same commit
+              val cur = StoreLog.read(path, curV)
+              val (baseFiles, refProps, carryStats, carrySizes) =
+                TsStore.refAppendBase(path, cur, branch)
+              StoreLog.commit(path, cur.version, Seq.empty, baseFiles ++ moved,
+                parent = Some(cur), addStats = carryStats ++ movedStats,
+                addSizes = carrySizes ++ movedSizes,
+                tag = commitTag,
+                setProps =
+                  GraftTable.widenedSchemaProp(cur.props, dfW.schema) ++ refProps)
+            }
             committed = true
           } catch {
             case c: StoreLog.CommitConflict =>
@@ -338,8 +352,9 @@ object TsStore {
     * the new files' values.
     */
   private def physRenames(path: String): Map[String, String] =
-    (if (StoreLog.canLog(path)) StoreLog.latest(path) else None)
-      .flatMap(_.props.get(GraftTable.SchemaProp))
+    (if (StoreLog.canLog(path)) StoreLog.latestVersion(path)
+       .map(v => StoreLog.propsAt(path, v)) else None)
+      .flatMap(_.get(GraftTable.SchemaProp))
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .filter(GraftTable.hasRenames)
@@ -436,10 +451,16 @@ object TsStore {
     // UNION of the live footers — a first-footer read could silently
     // drop a column that only some partitions carry, and the rewrite
     // below would then erase it from the touched partitions for good.
-    // Cost is a footer-metadata pass over the live files, paid only on
-    // the upsert path.
+    // The union is taken over the TOUCHED partitions' files only (the
+    // load is manifest-pruned to the delta's partition values BEFORE
+    // the relation resolves): they are the only files the rewrite
+    // covers, a column living solely in untouched partitions still
+    // surfaces through read-time mergeSchema afterwards, and on a
+    // million-file store this is the difference between O(touched)
+    // footer reads and an O(store) metadata pass per upsert.
+    val basePred = keyPredicate(touched.toSeq, uidCols)
     val base =
-      try load(spark, path, mergeSchema = true)
+      try load(spark, path, mergeSchema = true, prune = Some(basePred))
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
     // UNION of the two schemas, not the delta's projection: a delta
@@ -450,7 +471,7 @@ object TsStore {
     // columns the same way (schema evolution; older partitions surface
     // them as null through mergeSchema reads). Same-name type conflicts
     // still fail loudly in unionByName.
-    base.filter(keyPredicate(touched.toSeq, uidCols))
+    base.filter(basePred)
       .withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)), allowMissingColumns = true)
       .transform(dedupLatest(keyCols, versionCol))
@@ -486,6 +507,94 @@ object TsStore {
       .orderBy(desc(versionCol), desc("__src"), xxhash64(tieCols: _*).desc)
     u.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__src")
+  }
+
+  /** The O(COMMIT-FOOTPRINT) twin of [[commitWithRebase]] for
+    * PARTITION-REPLACING writes (upsert): the commit is expressed as a
+    * TRANSFORM — remove everything under the touched `prefixes`, add
+    * `moved` — so neither the base snapshot nor any rebased parent ever
+    * materializes (the remove set streams per attempt through
+    * [[StoreLog.foldFiles]] with row-group-skipped prefixes, and the
+    * conflict walk reads intervening RAW manifests: `replaced` overlap
+    * or delta adds under our prefixes abort exactly like the
+    * materializing scaffold; a checkpoint-cadence intervening version —
+    * whose raw manifest carries no diff — falls back to one full
+    * set-diff for that version only). The writer-side fix for the
+    * million-file store's per-upsert driver cost.
+    */
+  private[sources] def commitTransformWithRebase(path: String,
+      lease: StoreLog.WriterLease, baseVersion: Long,
+      moved: Seq[String], prefixes: Seq[String],
+      schemaForWiden: Option[org.apache.spark.sql.types.StructType],
+      extraProps: Map[String, String],
+      boundChecks: Option[Seq[Constraints.Check]]): Long = {
+    def abort(why: String): Nothing = {
+      StoreLog.deleteDataFiles(path, moved)
+      throw new StoreLog.CommitConflict(why)
+    }
+    def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
+    val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+    var expectedV = baseVersion
+    var attempts = 0
+    while (true) {
+      lease.renew()
+      val props = StoreLog.propsAt(path, expectedV)
+      if (props.contains(StoreLog.MainRefProp))
+        abort(s"store at $path has an active branch " +
+          s"(${StoreLog.branches(path).keys.mkString(", ")}) — " +
+          "replacing operations refuse while a branch is open; publish " +
+          "or drop it first (appends may still target either ref)")
+      boundChecks.foreach { bc =>
+        val added = Constraints.addedSince(bc, props)
+        if (added.nonEmpty)
+          abort(s"CHECK constraint(s) ${added.map(_.name).mkString(", ")} " +
+            s"added concurrently at $path — the staged rows were never " +
+            "validated against them; re-run the write")
+      }
+      // the exact remove set at THIS attempt's base: live files under
+      // the touched prefixes, streamed (never the whole store)
+      val removeFiles = StoreLog.foldFiles(path, expectedV, prefixes)(
+        Vector.empty[String])((a, e) => a :+ e.path)
+      try {
+        return StoreLog.commitTransform(path, expectedV, prefixes,
+          removeFiles, moved, addStats = movedStats, addSizes = movedSizes,
+          setProps = schemaForWiden.fold(Map.empty[String, String])(sc =>
+            GraftTable.widenedSchemaProp(props, sc)) ++ extraProps)
+      } catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1
+          if (attempts > 20)
+            abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+          val curV = StoreLog.latestVersion(path).getOrElse(throw c)
+          ((expectedV + 1) to curV).foreach { v =>
+            val conflict =
+              try {
+                if (StoreLog.replacedAt(path, v).exists(prefixes.contains))
+                  Some("replaced")
+                else StoreLog.rawDelta(path, v) match {
+                  case Some((add, _, _)) =>
+                    if (add.exists(under)) Some("appended into") else None
+                  case None =>
+                    // checkpoint-cadence version: no raw diff — one full
+                    // set comparison for this version only
+                    val cur = StoreLog.read(path, v).files.toSet
+                    val prev = StoreLog.read(path, v - 1).files.toSet
+                    if ((cur -- prev).exists(under)) Some("appended into")
+                    else None
+                }
+              } catch {
+                case _: IllegalArgumentException =>
+                  abort(s"manifest v$v pruned by a concurrent vacuum at " +
+                    s"$path — re-run against the new base")
+              }
+            conflict.foreach(kind =>
+              abort(s"concurrent writer $kind ${prefixes.mkString(",")} at " +
+                s"$path — re-run the upsert against the new base"))
+          }
+          expectedV = curV
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** The leased adopt-then-commit retry scaffold shared by [[upsert]]
@@ -631,8 +740,12 @@ object TsStore {
     // base rows, would then be swapped to delta rows only, silently
     // deleting base data. localCheckpoint is delta-sized.
     val pinned = deltaW.localCheckpoint()
-    val base = StoreLog.ensure(path)
-    if (pinned.isEmpty) return base.version
+    // light base handle: version + raw props/blooms — a million-file
+    // store's upsert must not materialize its snapshot just to commit
+    // (ensure() runs only for the first-ever write's adoption commit)
+    val baseV: Long = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
+    if (pinned.isEmpty) return baseV
     val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW, uidCols)
     // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
     // scan), not on the merge lineage: the base was validated at its own
@@ -647,7 +760,7 @@ object TsStore {
     writeFiles(merged.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
       staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,
-      maxRecordsPerFile, base.bloomCols)
+      maxRecordsPerFile, StoreLog.bloomColsAt(path, baseV))
     StoreLog.withWriterLease(path) { lease =>
       val moved =
         try StoreLog.adoptStaged(path, staging)
@@ -664,23 +777,13 @@ object TsStore {
         require(i > 0, s"staged upsert file '$f' is not under a partition directory")
         f.substring(0, i)
       }.toSet
-      def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
       // rebase is sound ONLY if no intervening commit touched our
       // partitions — neither replaced them nor appended files under
-      // them; otherwise our merge used a stale base for those rows
-      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
-        newFiles = exp => exp.files.filterNot(under) ++ moved,
-        unsound = (s, prev) =>
-          if (s.replaced.exists(prefixes.contains) ||
-              (s.files.toSet -- prev).exists(under))
-            Some(s"concurrent writer modified ${prefixes.mkString(",")} at $path " +
-              "— re-run the upsert against the new base")
-          else None,
-        // caller props + write-side schema widening for catalog-declared
-        // stores (recomputed per rebase — an intervening commit may have
-        // widened too, and the union must build on ITS declaration)
-        setProps = exp =>
-          GraftTable.widenedSchemaProp(exp.props, delta.schema) ++ setProps,
+      // them; otherwise our merge used a stale base for those rows.
+      // The TRANSFORM scaffold streams the remove set and walks raw
+      // manifests — O(commit footprint), never the store
+      commitTransformWithRebase(path, lease, baseV, moved, prefixes.toSeq,
+        schemaForWiden = Some(delta.schema), extraProps = setProps,
         boundChecks = Some(boundChecks))
     }
   }
@@ -2010,23 +2113,38 @@ object TsStore {
         // ([[StoreLog.readFiltered]]) — identical keep rule, bounded
         // allocations.
         prune match {
-          case Some(p)
-              if StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold =>
-            val node = org.apache.spark.sql.GraftShim.predTree(p)
-            val s = StoreLog.readFiltered(path, v)(e =>
-              e.stats.forall(fs => FileStats.mayMatch(fs, node)))
-            if (s.files.isEmpty) {
-              // all-pruned corner: fall back to the full resolution for
-              // the one-live-file schema anchor (rare by construction —
-              // the predicate excluded the whole store)
-              val full = StoreLog.read(path, v)
-              readFilesDv(spark, path, full, full.files.take(1), mergeSchema)
-            } else readFilesDv(spark, path, s, s.files, mergeSchema)
           case Some(p) =>
-            val s = StoreLog.read(path, v)
-            val kept = FileStats.prune(s.files, s.stats, p)
-            val files = if (kept.isEmpty) s.files.take(1) else kept
-            readFilesDv(spark, path, s, files, mergeSchema)
+            val node = org.apache.spark.sql.GraftShim.predTree(p)
+            // PARTITION pseudo-stats join the per-file prune when the
+            // store declares a schema (partition columns never appear
+            // in footer stats — without this a partition-value
+            // predicate, the upsert plan's whole shape, prunes nothing)
+            val declared: Option[org.apache.spark.sql.types.StructType] =
+              StoreLog.propsAt(path, v).get(GraftTable.SchemaProp)
+                .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType])
+            def keepEntry(f: String,
+                          st: Option[FileStats.FileStatsMap]): Boolean = {
+              val stats = st.getOrElse(Map.empty) ++
+                declared.fold(Map.empty[String, FileStats.ColStat])(sc =>
+                  GraftTable.partPseudoStats(f, sc))
+              stats.isEmpty || FileStats.mayMatch(stats, node)
+            }
+            if (StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
+              val s = StoreLog.readFiltered(path, v)(e => keepEntry(e.path, e.stats))
+              if (s.files.isEmpty) {
+                // all-pruned corner: fall back to the full resolution for
+                // the one-live-file schema anchor (rare by construction —
+                // the predicate excluded the whole store)
+                val full = StoreLog.read(path, v)
+                readFilesDv(spark, path, full, full.files.take(1), mergeSchema)
+              } else readFilesDv(spark, path, s, s.files, mergeSchema)
+            } else {
+              val s = StoreLog.read(path, v)
+              val kept = s.files.filter(f => keepEntry(f, s.stats.get(f)))
+              val files = if (kept.isEmpty) s.files.take(1) else kept
+              readFilesDv(spark, path, s, files, mergeSchema)
+            }
           case None =>
             val s = StoreLog.read(path, v)
             readFilesDv(spark, path, s, s.files, mergeSchema)

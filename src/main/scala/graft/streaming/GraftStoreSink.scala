@@ -232,13 +232,14 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
             var attempts = 0
             while (!committed) {
               lease.renew()
-              val cur = StoreLog.ensure(path)
+              val curV = StoreLog.latestVersion(path).get // ensured at start
+              val curProps = StoreLog.propsAt(path, curV)
               // a CHECK constraint added since this epoch's writers
               // bound their guard set: the staged rows were never
               // validated against it — fail the epoch (the restarted
               // query rebinds and replays the source)
               val addedChecks = graft.sources.Constraints
-                .addedSince(epochBound, cur.props)
+                .addedSince(epochBound, curProps)
               if (addedChecks.nonEmpty) {
                 StoreLog.deleteDataFiles(path, moved)
                 throw new StoreLog.CommitConflict(
@@ -249,36 +250,49 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
               // INSERT OVERWRITE); append epochs are pure REF-AWARE
               // additions (a branch-targeted epoch reads the branch
               // head's files and advances the branch pin in its commit)
-              if (replaceAll && cur.props.contains(StoreLog.MainRefProp)) {
+              // and take the O(commit) transform path when branchless
+              if (replaceAll && curProps.contains(StoreLog.MainRefProp)) {
                 StoreLog.deleteDataFiles(path, moved)
                 throw new IllegalStateException(
                   s"store at $path has open branch(es) — Complete-mode " +
                     "epochs replace the store and refuse while a branch " +
                     "is open")
               }
-              val (baseFiles, refProps, carryStats, carrySizes) =
-                if (replaceAll)
-                  (cur.files, Map.empty[String, String],
-                    Map.empty[String, FileStats.FileStatsMap],
-                    Map.empty[String, Long])
-                else TsStore.refAppendBase(path, cur, branch)
-              val (replaced, files) =
-                if (replaceAll)
-                  ((cur.files ++ moved).map { f =>
-                    val i = f.lastIndexOf('/')
-                    if (i > 0) f.substring(0, i) else f
-                  }.distinct.sorted, moved)
-                else (Seq.empty[String], baseFiles ++ moved)
               try {
-                StoreLog.commit(path, cur.version, replaced, files,
-                  parent = Some(cur), addStats = carryStats ++ movedStats,
-                  addSizes = carrySizes ++ movedSizes,
-                  tag = if (replaceAll) None else Some(tag),
-                  setProps = graft.sources.GraftTable
-                    .widenedSchemaProp(cur.props, writeSchema) ++ refProps +
-                    // the hashed epoch writer lands rows in ARRIVAL
-                    // order — the store's layout-order contract is gone
-                    (graft.sources.GraftTable.LayoutSortedProp -> "false"))
+                if (!replaceAll && branch.isEmpty &&
+                    !curProps.contains(StoreLog.MainRefProp))
+                  StoreLog.commitTransform(path, curV, Seq.empty,
+                    removeFiles = Nil, addFiles = moved,
+                    addStats = movedStats, addSizes = movedSizes,
+                    tag = Some(tag),
+                    setProps = graft.sources.GraftTable
+                      .widenedSchemaProp(curProps, writeSchema) +
+                      (graft.sources.GraftTable.LayoutSortedProp -> "false"))
+                else {
+                  val cur = StoreLog.read(path, curV)
+                  val (baseFiles, refProps, carryStats, carrySizes) =
+                    if (replaceAll)
+                      (cur.files, Map.empty[String, String],
+                        Map.empty[String, FileStats.FileStatsMap],
+                        Map.empty[String, Long])
+                    else TsStore.refAppendBase(path, cur, branch)
+                  val (replaced, files) =
+                    if (replaceAll)
+                      ((cur.files ++ moved).map { f =>
+                        val i = f.lastIndexOf('/')
+                        if (i > 0) f.substring(0, i) else f
+                      }.distinct.sorted, moved)
+                    else (Seq.empty[String], baseFiles ++ moved)
+                  StoreLog.commit(path, cur.version, replaced, files,
+                    parent = Some(cur), addStats = carryStats ++ movedStats,
+                    addSizes = carrySizes ++ movedSizes,
+                    tag = if (replaceAll) None else Some(tag),
+                    setProps = graft.sources.GraftTable
+                      .widenedSchemaProp(cur.props, writeSchema) ++ refProps +
+                      // the hashed epoch writer lands rows in ARRIVAL
+                      // order — the store's layout-order contract is gone
+                      (graft.sources.GraftTable.LayoutSortedProp -> "false"))
+                }
                 committed = true
               } catch {
                 case c: StoreLog.CommitConflict =>

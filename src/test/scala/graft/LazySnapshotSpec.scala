@@ -299,6 +299,57 @@ class LazySnapshotSpec extends AnyFunSuite {
     } finally StoreLog.ParquetCheckpointThreshold = savedT
   }
 
+  test("writer side: append and upsert on the 1M-file store commit O(commit)") {
+    // mutate a COPY of the shared fixture (manifest-only store: copying
+    // the log dir IS copying the store)
+    val (src, _) = big
+    val dir = Files.createTempDirectory("graft_lazy1m_w").toString
+    val logSrc = java.nio.file.Paths.get(src, "_graft_log")
+    val logDst = java.nio.file.Paths.get(dir, "_graft_log")
+    java.nio.file.Files.createDirectories(logDst)
+    java.nio.file.Files.list(logSrc).forEach(p =>
+      java.nio.file.Files.copy(p, logDst.resolve(p.getFileName)))
+    val n0 = StoreLog.liveFileCount(dir, StoreLog.latestVersion(dir).get)
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    def rows(ts0: Long, v: Double) = Seq((7777777L, ts0, v, 1L))
+      .toDF("uid", "ts", "v", "version")
+    // APPEND: the commit must touch NO checkpoint rows at all — the
+    // delta serializes from the transform (raw JSON in, raw JSON out)
+    CheckpointParquet.resetCounters()
+    TsStore.write(rows(600000L, 1.0).drop("version"), dir,
+      tsCol = "ts", uidCols = Seq("uid"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(CheckpointParquet.lastRowsDecoded === 0L,
+      s"an append decoded ${CheckpointParquet.lastRowsDecoded} checkpoint " +
+        "rows — the transform commit is not engaging")
+    val v1 = StoreLog.latestVersion(dir).get
+    assert(StoreLog.liveFileCount(dir, v1) === n0 + 1)
+    assert(StoreLog.rawDelta(dir, v1).exists { case (add, rm, _) =>
+      add.size == 1 && add.head.startsWith("uid=7777777/") && rm.isEmpty })
+    // UPSERT into the real partition: the commit is a transform too —
+    // its raw manifest carries exactly (replaced partition's files
+    // removed, staged files added), never a full list
+    TsStore.upsert(spark, dir, rows(600000L, 9.0),
+      keyCols = Seq("uid", "ts"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("uid"))
+    val v2 = StoreLog.latestVersion(dir).get
+    assert(v2 === v1 + 1)
+    assert(StoreLog.rawDelta(dir, v2).exists { case (add, rm, _) =>
+      add.size == 1 && rm.size == 1 &&
+        add.head.startsWith("uid=7777777/") &&
+        rm.head.startsWith("uid=7777777/") },
+      s"the upsert must serialize an exact one-partition transform: " +
+        s"${StoreLog.rawDelta(dir, v2)}")
+    assert(StoreLog.replacedAt(dir, v2) === Seq("uid=7777777"))
+    assert(StoreLog.liveFileCount(dir, v2) === n0 + 1)
+    // the merged row reads back (and only it — latest-wins took v=9.0)
+    val got = TsStore.load(spark, dir,
+      prune = Some(col("uid") === 7777777L))
+      .filter(col("uid") === 7777777L).collect()
+    assert(got.length === 1 && got.head.getAs[Double]("v") === 9.0)
+  }
+
   test("checkpoint footer summary: totals + complete-column merged bounds, no row decode") {
     val files = Seq("p=0/a.parquet", "p=1/b.parquet")
     val stats: Map[String, FileStats.FileStatsMap] = Map(
