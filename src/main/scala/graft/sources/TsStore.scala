@@ -524,15 +524,18 @@ object TsStore {
     */
   private[sources] def commitTransformWithRebase(path: String,
       lease: StoreLog.WriterLease, baseVersion: Long,
-      moved: Seq[String], prefixes: Seq[String],
-      schemaForWiden: Option[org.apache.spark.sql.types.StructType],
-      extraProps: Map[String, String],
-      boundChecks: Option[Seq[Constraints.Check]]): Long = {
+      moved: Seq[String], replaced: Seq[String],
+      removeFilesOf: Long => Seq[String],
+      abortOnAppendsUnder: Boolean,
+      schemaForWiden: Option[org.apache.spark.sql.types.StructType] = None,
+      extraProps: Map[String, String] = Map.empty,
+      boundChecks: Option[Seq[Constraints.Check]] = None,
+      addDvs: Map[String, Dv.Entry] = Map.empty): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
     }
-    def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
+    def under(f: String): Boolean = replaced.exists(p => f.startsWith(p + "/"))
     val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
     var expectedV = baseVersion
     var attempts = 0
@@ -551,13 +554,10 @@ object TsStore {
             s"added concurrently at $path — the staged rows were never " +
             "validated against them; re-run the write")
       }
-      // the exact remove set at THIS attempt's base: live files under
-      // the touched prefixes, streamed (never the whole store)
-      val removeFiles = StoreLog.foldFiles(path, expectedV, prefixes)(
-        Vector.empty[String])((a, e) => a :+ e.path)
       try {
-        return StoreLog.commitTransform(path, expectedV, prefixes,
-          removeFiles, moved, addStats = movedStats, addSizes = movedSizes,
+        return StoreLog.commitTransform(path, expectedV, replaced,
+          removeFilesOf(expectedV), moved,
+          addStats = movedStats, addSizes = movedSizes, addDvs = addDvs,
           setProps = schemaForWiden.fold(Map.empty[String, String])(sc =>
             GraftTable.widenedSchemaProp(props, sc)) ++ extraProps)
       } catch {
@@ -569,8 +569,9 @@ object TsStore {
           ((expectedV + 1) to curV).foreach { v =>
             val conflict =
               try {
-                if (StoreLog.replacedAt(path, v).exists(prefixes.contains))
+                if (StoreLog.replacedAt(path, v).exists(replaced.contains))
                   Some("replaced")
+                else if (!abortOnAppendsUnder) None
                 else StoreLog.rawDelta(path, v) match {
                   case Some((add, _, _)) =>
                     if (add.exists(under)) Some("appended into") else None
@@ -588,8 +589,8 @@ object TsStore {
                     s"$path — re-run against the new base")
               }
             conflict.foreach(kind =>
-              abort(s"concurrent writer $kind ${prefixes.mkString(",")} at " +
-                s"$path — re-run the upsert against the new base"))
+              abort(s"concurrent writer $kind ${replaced.mkString(",")} at " +
+                s"$path — re-run the operation against the new base"))
           }
           expectedV = curV
       }
@@ -783,6 +784,11 @@ object TsStore {
       // The TRANSFORM scaffold streams the remove set and walks raw
       // manifests — O(commit footprint), never the store
       commitTransformWithRebase(path, lease, baseV, moved, prefixes.toSeq,
+        // the exact remove set at each attempt's base: live files under
+        // the touched prefixes, streamed (never the whole store)
+        removeFilesOf = v => StoreLog.foldFiles(path, v, prefixes.toSeq)(
+          Vector.empty[String])((a, e) => a :+ e.path),
+        abortOnAppendsUnder = true,
         schemaForWiden = Some(delta.schema), extraProps = setProps,
         boundChecks = Some(boundChecks))
     }
@@ -816,7 +822,12 @@ object TsStore {
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20): Long = {
     require(uidCols.nonEmpty, "delete needs the store's partition columns")
-    val base = StoreLog.ensure(path)
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
+    // scoped resolution: past the lazy threshold only the may-match
+    // files (stats/sizes/dvs riding along) materialize — the takedown's
+    // driver cost tracks its SCOPE on a million-file store
+    var base = scopedBase(path, baseV, pred)
     if (base.files.isEmpty) return base.version
     // the FIND side of the copy-on-write: manifest-stat pruning first
     // (a delete by merge key on a stat-carrying store opens only the
@@ -849,14 +860,15 @@ object TsStore {
       catch {
         // a predicate column may exist only in pruned-away files'
         // schemas (schema evolution) — resolve over the full live set
-        // instead; those extra files' rows are null on it and can't
-        // match, so the result is identical, just unpruned
+        // instead (re-resolving a FILTERED base fully first); those
+        // extra files' rows are null on it and can't match, so the
+        // result is identical, just unpruned
         case _: org.apache.spark.sql.AnalysisException =>
+          if (base.filtered) base = StoreLog.read(path, baseV)
           findAffected(base.files)
       }
     if (affectedUris.isEmpty) return base.version
     val affected = matchManifest(path, base, affectedUris)
-    val affectedSet = affected.toSet
     // conflict unit = the affected files' partition directories, read
     // off the manifest's own paths (never re-rendered from values)
     val prefixes: Set[String] = affected.map { f =>
@@ -883,13 +895,14 @@ object TsStore {
       // rebase is sound unless an intervening commit REPLACED one of
       // our partitions (our affected files may no longer be live);
       // pure appends under them serialize after this delete cleanly
-      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
-        newFiles = exp => exp.files.filterNot(affectedSet) ++ moved,
-        unsound = (s, _) =>
-          if (s.replaced.exists(prefixes.contains))
-            Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
-              "— re-run the delete against the new base")
-          else None)
+      // transform commit: remove exactly the affected files, add the
+      // rewrites — no parent file list materializes; a concurrent
+      // REPLACE of a touched partition aborts (its `replaced` record),
+      // pure appends under it serialize after this delete cleanly
+      commitTransformWithRebase(path, lease, base.version, moved,
+        prefixes.toSeq,
+        removeFilesOf = _ => affected,
+        abortOnAppendsUnder = false)
     }
   }
 
@@ -919,7 +932,13 @@ object TsStore {
     * matched).
     */
   def deleteVectors(spark: SparkSession, path: String, pred: Column): Long = {
-    val base = StoreLog.ensure(path)
+    // scoped resolution: past the lazy threshold only the may-match
+    // files (with their stats/sizes/dvs) materialize — a keyed or
+    // sliced takedown against a million-file store stays O(its scope)
+    // on the driver end to end
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
+    val base = scopedBase(path, baseV, pred)
     if (base.files.isEmpty) return base.version
     val candidates = FileStats.prune(base.files, base.stats, pred)
     if (candidates.isEmpty) return base.version
@@ -947,16 +966,27 @@ object TsStore {
                         keyCols: Seq[String], deleteVersionCol: String,
                         versionCol: String): Long = {
     require(keyCols.nonEmpty, "deleteKeysVectors needs the store's merge-key columns")
-    val base = StoreLog.ensure(path)
-    if (base.files.isEmpty) return base.version
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
     // one row per key, highest delete version wins (same resolution as
     // deleteKeys / the CDC predicate path)
     val k = keys.groupBy(keyCols.map(col): _*)
       .agg(max(col(deleteVersionCol)).as("__del_v"))
       .localCheckpoint() // evaluated by the extent probe and the find
-    if (k.isEmpty) return base.version
+    if (k.isEmpty) return baseV
     // manifest-stat prune of the find scan by the keys' extent —
-    // effective when the key correlates with the chunk sort order
+    // effective when the key correlates with the chunk sort order;
+    // past the lazy threshold the extent predicate also SCOPES the
+    // resolution itself (only may-match files materialize). Multi-key
+    // takedowns have no single extent — they resolve fully.
+    val base =
+      if (keyCols.sizeIs == 1) {
+        val ext = k.agg(min(col(keyCols.head)).as("lo"),
+          max(col(keyCols.head)).as("hi")).first()
+        scopedBase(path, baseV,
+          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
+      } else StoreLog.read(path, baseV)
+    if (base.files.isEmpty) return base.version
     val candidates =
       if (keyCols.sizeIs == 1) {
         val ext = k.agg(min(col(keyCols.head)).as("lo"),
@@ -991,9 +1021,10 @@ object TsStore {
     val conf = spark.sparkContext.hadoopConfiguration
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     // scan-rendered uri → (manifest rel, existing vector's abs path)
-    def uriMap(fs: Seq[String]): Map[String, (String, Option[String])] =
+    def uriMapOf(snap: StoreLog.Snapshot)(
+        fs: Seq[String]): Map[String, (String, Option[String])] =
       fs.map(f => Dv.absUri(conf, path, f) ->
-        (f, base.dvs.get(f).map(e => s"$path/${e.path}"))).toMap
+        (f, snap.dvs.get(f).map(e => s"$path/${e.path}"))).toMap
     import spark.implicits._
     // (file uri, row position, per-column isnull, stat-domain values)
     // of every matching LIVE row — dv-aware find, so an already-
@@ -1007,15 +1038,18 @@ object TsStore {
     // tags): integral→long, date→epoch days, timestamp→epoch micros,
     // string as-is; float/double and NTZ are never recorded (the
     // pushdown refuses them regardless).
-    def matches(fs: Seq[String]) =
-      dvStatSelect(matcher(readFilesDv(spark, path, base, fs,
+    def matches(snap: StoreLog.Snapshot, fs: Seq[String]) =
+      dvStatSelect(matcher(readFilesDv(spark, path, snap, fs,
         mergeSchema = true, keepMeta = true)))
     val v = StoreLog.withWriterLease(path) { lease =>
-      val ((found, tags), uris) =
-        try (matches(candidates), uriMap(candidates))
-        catch { // pred column only in pruned-away schemas — widen
+      val ((found, tags), uris, snapUsed) =
+        try (matches(base, candidates), uriMapOf(base)(candidates), base)
+        catch { // pred column only in pruned-away schemas — widen (a
+          // FILTERED base re-resolves fully for this corner)
           case _: org.apache.spark.sql.AnalysisException =>
-            (matches(base.files), uriMap(base.files))
+            val full =
+              if (base.filtered) StoreLog.read(path, base.version) else base
+            (matches(full, full.files), uriMapOf(full)(full.files), full)
         }
       val urisB = spark.sparkContext.broadcast(uris)
       // one task group per affected file: union the new positions with
@@ -1049,7 +1083,7 @@ object TsStore {
           // bounds where BOTH entries know them, dropped where either
           // doesn't (a legacy entry without them stays unknowable —
           // exact-or-refuse)
-          val (merged, mergedBounds) = mergeDvStats(base.dvs.get(dataRel),
+          val (merged, mergedBounds) = mergeDvStats(snapUsed.dvs.get(dataRel),
             raw.nulls, raw.bounds(tags))
           dataRel -> Dv.Entry(rel, n, merged, mergedBounds)
         }.toMap
@@ -1058,13 +1092,11 @@ object TsStore {
           require(i > 0, s"live file '$f' is not under a partition directory")
           f.substring(0, i)
         }.toSeq
-        commitWithRebase(path, lease, base, moved = Nil, replaced = prefixes,
-          newFiles = exp => exp.files,
-          unsound = (s, _) =>
-            if (s.replaced.exists(prefixes.contains))
-              Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
-                "— re-run the delete against the new base")
-            else None,
+        // dv-only transform: no file moves, no parent file list — the
+        // commit is O(changed vectors) however many files the store has
+        commitTransformWithRebase(path, lease, base.version,
+          moved = Nil, replaced = prefixes,
+          removeFilesOf = _ => Nil, abortOnAppendsUnder = false,
           addDvs = entries)
       }
     }
@@ -1406,13 +1438,14 @@ object TsStore {
       val moved =
         try StoreLog.adoptStaged(path, staging)
         finally StoreLog.deleteStaging(staging)
-      commitWithRebase(path, lease, base, moved, prefixes.toSeq,
-        newFiles = exp => exp.files.filterNot(affectedSet) ++ moved,
-        unsound = (s, _) =>
-          if (s.replaced.exists(prefixes.contains))
-            Some(s"concurrent writer replaced ${prefixes.mkString(",")} at $path " +
-              "— re-run the delete against the new base")
-          else None)
+      // transform commit: remove exactly the affected files, add the
+      // rewrites — no parent file list materializes; a concurrent
+      // REPLACE of a touched partition aborts (its `replaced` record),
+      // pure appends under it serialize after this delete cleanly
+      commitTransformWithRebase(path, lease, base.version, moved,
+        prefixes.toSeq,
+        removeFilesOf = _ => affected,
+        abortOnAppendsUnder = false)
     }
   }
 
@@ -1513,6 +1546,38 @@ object TsStore {
     }.toSeq.sorted
   }
 
+  /** [[dvDensePrefixes]] computed STREAMING from the manifest chain —
+    * per-prefix tallies in O(live prefixes) driver state, so the
+    * post-DML hook (which runs after EVERY dv commit) never resolves a
+    * million-file snapshot just to read two sums. Same semantics as
+    * the snapshot variant: a prefix is dense when any of its files'
+    * row counts are unrecorded (conservative) or deleted ≥ ratio ×
+    * recorded; only prefixes carrying at least one vector qualify.
+    */
+  private[graft] def dvDensePrefixesAt(path: String, v: Long,
+                                       ratio: Double): Seq[String] = {
+    if (ratio <= 0) return Seq.empty
+    final class T {
+      var dv = 0L; var rec = 0L; var unknown = false; var hasDv = false
+    }
+    val m = scala.collection.mutable.Map.empty[String, T]
+    StoreLog.foldFiles(path, v)(()) { (_, e) =>
+      val i = e.path.lastIndexOf('/')
+      if (i > 0) {
+        val t = m.getOrElseUpdate(e.path.substring(0, i), new T)
+        e.dv.foreach { d => t.hasDv = true; t.dv += d.rows }
+        e.stats.flatMap(_.values.collectFirst {
+          case cs if cs.rows >= 0 => cs.rows
+        }) match {
+          case Some(r) => t.rec += r
+          case None => t.unknown = true
+        }
+      }
+    }
+    m.collect { case (p, t) if t.hasDv &&
+        (t.unknown || t.dv.toDouble >= ratio * t.rec) => p }.toSeq.sorted
+  }
+
   /** The batch-DML twin of the streaming sink's dv-density hook: after
     * a deletion-vector commit (SQL DELETE/UPDATE/MERGE on a dv table,
     * or the Scala dv verbs), auto-compact the prefixes whose deleted
@@ -1541,14 +1606,15 @@ object TsStore {
     }
 
   private def dvDensityCompactUnsafe(spark: SparkSession, path: String): Unit =
-    StoreLog.latest(path).foreach { snap =>
-      snap.props.get("dv.compact.ratio")
+    StoreLog.latestVersion(path).foreach { v =>
+      val props = StoreLog.propsAt(path, v)
+      props.get("dv.compact.ratio")
         .flatMap(r => scala.util.Try(r.toDouble).toOption).filter(_ > 0) match {
         case Some(ratio) =>
-          val dense = dvDensePrefixes(snap, ratio)
+          val dense = dvDensePrefixesAt(path, v, ratio)
           if (dense.nonEmpty) {
-            val tsCol = snap.props.getOrElse(GraftTable.TsColProp, "ts")
-            val uids = snap.props.get(GraftTable.UidsProp)
+            val tsCol = props.getOrElse(GraftTable.TsColProp, "ts")
+            val uids = props.get(GraftTable.UidsProp)
               .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
               .getOrElse(GraftTable.partCols(path))
             if (uids.nonEmpty)
@@ -1556,7 +1622,7 @@ object TsStore {
               catch { case _: StoreLog.CommitConflict => () }
           }
         case None =>
-          val dense = dvDensePrefixes(snap, 0.2)
+          val dense = dvDensePrefixesAt(path, v, 0.2)
           if (dense.nonEmpty)
             log.info(s"store $path has ${dense.size} partition(s) at >=20% " +
               "deleted-row density — compact them (CALL system.compact / " +
@@ -2004,6 +2070,42 @@ object TsStore {
     * `_metadata.file_path` in DvSpec, escaped partition values
     * included).
     */
+  /** The conservative may-match keep for `pred` over a version's
+    * files: footer stats PLUS partition pseudo-stats (from the declared
+    * schema when one exists — partition columns never appear in footer
+    * stats, so without them a partition-value predicate prunes
+    * nothing). Shared by [[load]]'s prune and the maintenance verbs'
+    * scoped resolution.
+    */
+  private def predKeep(path: String, v: Long, pred: Column)
+      : (String, Option[FileStats.FileStatsMap]) => Boolean = {
+    val node = org.apache.spark.sql.GraftShim.predTree(pred)
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      StoreLog.propsAt(path, v).get(GraftTable.SchemaProp)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (f, st) => {
+      val stats = st.getOrElse(Map.empty) ++
+        declared.fold(Map.empty[String, FileStats.ColStat])(sc =>
+          GraftTable.partPseudoStats(f, sc))
+      stats.isEmpty || FileStats.mayMatch(stats, node)
+    }
+  }
+
+  /** The snapshot a PREDICATE-scoped verb (dv/cow delete) works from:
+    * stripe-lazily FILTERED to the may-match files past the lazy
+    * threshold (their stats/sizes/dvs ride along — everything the find
+    * scan and the dv union need), the ordinary full resolution below
+    * it. A `filtered` result is a strict subset view; callers that hit
+    * a schema-widening corner re-resolve fully.
+    */
+  private def scopedBase(path: String, v: Long,
+                         pred: Column): StoreLog.Snapshot =
+    if (StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
+      val keep = predKeep(path, v, pred)
+      StoreLog.readFiltered(path, v)(e => keep(e.path, e.stats))
+    } else StoreLog.read(path, v)
+
   private[graft] def readFilesDv(spark: SparkSession, path: String,
       snap: StoreLog.Snapshot, files: Seq[String],
       mergeSchema: Boolean, keepMeta: Boolean = false): DataFrame = {
@@ -2114,22 +2216,7 @@ object TsStore {
         // allocations.
         prune match {
           case Some(p) =>
-            val node = org.apache.spark.sql.GraftShim.predTree(p)
-            // PARTITION pseudo-stats join the per-file prune when the
-            // store declares a schema (partition columns never appear
-            // in footer stats — without this a partition-value
-            // predicate, the upsert plan's whole shape, prunes nothing)
-            val declared: Option[org.apache.spark.sql.types.StructType] =
-              StoreLog.propsAt(path, v).get(GraftTable.SchemaProp)
-                .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-                  .asInstanceOf[org.apache.spark.sql.types.StructType])
-            def keepEntry(f: String,
-                          st: Option[FileStats.FileStatsMap]): Boolean = {
-              val stats = st.getOrElse(Map.empty) ++
-                declared.fold(Map.empty[String, FileStats.ColStat])(sc =>
-                  GraftTable.partPseudoStats(f, sc))
-              stats.isEmpty || FileStats.mayMatch(stats, node)
-            }
+            val keepEntry = predKeep(path, v, p)
             if (StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
               val s = StoreLog.readFiltered(path, v)(e => keepEntry(e.path, e.stats))
               if (s.files.isEmpty) {

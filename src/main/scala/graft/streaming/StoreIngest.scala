@@ -81,12 +81,19 @@ object StoreIngest {
                                  tsCol: String, uidCols: Seq[String],
                                  dvRatio: Double = 0.2): Unit = {
     require(cap >= 1, s"autoCompactFilesPerPartition must be >= 1, got $cap")
-    graft.sources.StoreLog.latest(path).foreach { snap =>
-      val over = snap.files.groupBy { f =>
-        val i = f.lastIndexOf('/')
-        if (i > 0) f.substring(0, i) else ""
-      }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
-      val dense = TsStore.dvDensePrefixes(snap, dvRatio)
+    graft.sources.StoreLog.latestVersion(path).foreach { v =>
+      // streaming fold, not a snapshot resolution: the hook runs after
+      // EVERY epoch and must stay O(live prefixes) on the driver
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      graft.sources.StoreLog.foldFiles(path, v)(()) { (_, e) =>
+        val i = e.path.lastIndexOf('/')
+        if (i > 0) {
+          val p = e.path.substring(0, i)
+          counts(p) = counts.getOrElse(p, 0) + 1
+        }
+      }
+      val over = counts.collect { case (p, n) if n > cap => p }.toSeq
+      val dense = TsStore.dvDensePrefixesAt(path, v, dvRatio)
       val targets = (over ++ dense).distinct.sorted
       if (targets.nonEmpty)
         try TsStore.compactPartitions(spark, path, targets, tsCol, uidCols,

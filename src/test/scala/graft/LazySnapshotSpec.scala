@@ -348,6 +348,21 @@ class LazySnapshotSpec extends AnyFunSuite {
       prune = Some(col("uid") === 7777777L))
       .filter(col("uid") === 7777777L).collect()
     assert(got.length === 1 && got.head.getAs[Double]("v") === 9.0)
+    // dv TAKEDOWN: the scoped find resolves only the may-match files
+    // and the commit is a dv-only TRANSFORM (no file moves, no parent
+    // list) — raw manifest: empty add/remove, a dvs node present
+    TsStore.deleteVectors(spark, dir,
+      col("uid") === 7777777L && col("v") === 9.0)
+    val v3 = StoreLog.latestVersion(dir).get
+    assert(v3 === v2 + 1)
+    assert(StoreLog.rawDelta(dir, v3).exists { case (add, rm, _) =>
+      add.isEmpty && rm.isEmpty })
+    val rawJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", f"v$v3%08d.json")), "UTF-8")
+    assert(rawJson.contains("\"dvs\""), "the dv commit must carry its vector entry")
+    assert(TsStore.load(spark, dir, prune = Some(col("uid") === 7777777L))
+      .filter(col("uid") === 7777777L).count() === 0L)
+    assert(StoreLog.liveFileCount(dir, v3) === n0 + 1)
   }
 
   test("checkpoint footer summary: totals + complete-column merged bounds, no row decode") {
