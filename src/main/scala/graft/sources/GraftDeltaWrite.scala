@@ -255,15 +255,13 @@ private[sources] class GraftDeltaBatchWrite(path: String, staging: String,
           require(i > 0, s"live file '$f' is not under a partition directory")
           f.substring(0, i)
         }.toSeq.distinct.sorted
-        TsStore.commitWithRebase(path, lease, base, moved, prefixes,
-          newFiles = exp => exp.files ++ moved,
-          unsound = (s, _) =>
-            if (s.replaced.exists(prefixes.contains))
-              Some(s"concurrent writer replaced ${prefixes.mkString(",")} at " +
-                s"$path — re-run the operation against the new base")
-            else None,
-          addDvs = entries,
-          boundChecks = boundSet)
+        // transform commit: pure file additions + vector changes — no
+        // parent file list materializes however many files the store
+        // has; a concurrent REPLACE of a touched partition still aborts
+        TsStore.commitTransformWithRebase(path, lease, base.version,
+          moved, prefixes,
+          removeFilesOf = _ => Nil, abortOnAppendsUnder = false,
+          boundChecks = boundSet, addDvs = entries)
         ()
       }
     }

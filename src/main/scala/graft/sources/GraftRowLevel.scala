@@ -112,7 +112,6 @@ private[sources] class GraftReplaceDataWrite(path: String,
         // the files the replacement rows were COMPUTED from — evaluated
         // now, after runtime group filtering narrowed the scan
         val removed = scan.plannedFiles
-        val removedSet = removed.toSet
         val base = scan.snapshot
         val prefixes: Seq[String] = removed.map { f =>
           val i = f.lastIndexOf('/')
@@ -124,13 +123,12 @@ private[sources] class GraftReplaceDataWrite(path: String,
             finally StoreLog.deleteStaging(staging)
           if (removed.isEmpty && moved.isEmpty) ()
           else {
-            TsStore.commitWithRebase(path, lease, base, moved, prefixes,
-              newFiles = exp => exp.files.filterNot(removedSet) ++ moved,
-              unsound = (s, _) =>
-                if (s.replaced.exists(prefixes.contains))
-                  Some(s"concurrent writer replaced ${prefixes.mkString(",")} " +
-                    s"at $path — re-run the row-level operation against the new base")
-                else None,
+            // transform commit: swap exactly the operation's planned
+            // files for the rewrites — no parent file list materializes
+            TsStore.commitTransformWithRebase(path, lease, base.version,
+              moved, prefixes,
+              removeFilesOf = _ => removed,
+              abortOnAppendsUnder = false,
               // UPDATE/MERGE rewrites carry mutated/inserted values the
               // guard validated against the build-time set — abort if a
               // constraint was added since (the survivors alone were
