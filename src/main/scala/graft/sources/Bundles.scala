@@ -377,17 +377,26 @@ class Bundles(spark: SparkSession, basePath: String,
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uid)
     val partPrefix = s"$UidCol=$esc"
     if (StoreLog.canLog(dir(collection)) && StoreLog.exists(dir(collection))) {
-      val snap = StoreLog.latest(dir(collection)).get
-      if (!snap.files.exists(_.startsWith(partPrefix + "/"))) return false
-      // the shared leased commit scaffold: no adopted files, and a
-      // rebase is always sound — whatever an intervening commit did to
-      // the partition, dropping the WHOLE series (recomputed from the
-      // rebased parent's file list) serializes after it
-      StoreLog.withWriterLease(dir(collection)) { lease =>
-        TsStore.commitWithRebase(dir(collection), lease, snap,
+      val path = dir(collection)
+      // the series' live files stream off a PREFIX-SCOPED fold (row
+      // groups outside the uid's directory skip at the checkpoint) —
+      // a one-series drop against a million-file collection is O(that
+      // series), both here and per commit attempt below
+      def seriesFiles(v: Long): Seq[String] =
+        StoreLog.foldFiles(path, v, Seq(partPrefix))(
+          Vector.empty[String])((a, e) => a :+ e.path)
+      val curV = StoreLog.latestVersion(path).get
+      if (seriesFiles(curV).isEmpty) return false
+      // the transform commit scaffold: no adopted files, and a rebase
+      // is always sound — whatever an intervening commit did to the
+      // partition, dropping the WHOLE series (the remove set recomputed
+      // per attempt from the rebased parent) serializes after it
+      StoreLog.withWriterLease(path) { lease =>
+        TsStore.commitTransformWithRebase(path, lease, curV,
           moved = Seq.empty, replaced = Seq(partPrefix),
-          newFiles = exp => exp.files.filterNot(_.startsWith(partPrefix + "/")),
-          unsound = (_, _) => None)
+          removeFilesOf = seriesFiles,
+          abortOnAppendsUnder = false,
+          abortOnReplaced = false)
       }
       true
     } else {

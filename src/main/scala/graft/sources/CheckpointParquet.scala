@@ -7,7 +7,6 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.{ColumnIOFactory, DelegatingPositionOutputStream,
   DelegatingSeekableInputStream, InputFile, OutputFile, PositionOutputStream,
@@ -100,40 +99,137 @@ object CheckpointParquet {
   /** Serialize one checkpoint payload. `files` is written SORTED (the
     * order [[StoreLog.Snapshot.files]] promises), one row group per
     * ~64k rows so a streaming reader's working set stays bounded.
+    * Implemented over [[StreamWriter]] — one serialization path whether
+    * the caller holds materialized maps (this entry point) or streams
+    * entries straight off a parent fold (the O(commit-footprint)
+    * checkpoint commit, [[StoreLog.commitTransform]]).
     */
   def write(files: Seq[String],
             stats: Map[String, FileStats.FileStatsMap],
             sizes: Map[String, Long],
             dvs: Map[String, Dv.Entry]): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(1 << 20)
-    val mapper = new ObjectMapper()
-    val factory = new SimpleGroupFactory(Schema)
-    val writer = ExampleParquetWriter.builder(new BytesOutputFile(buf))
-      .withType(Schema)
-      .withConf(new org.apache.hadoop.conf.Configuration(false))
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withRowGroupSize(4L << 20)
-      // row-count cap as well as bytes: dictionary+snappy make these
-      // rows tiny (a 4 MB group would hold ~750k of them), and the
-      // row group is the SKIP UNIT of the stripe-lazy reader — a
-      // prefix-scoped resolution on a million-file store should decode
-      // tens of thousands of rows, not three-quarters of the store
-      .withRowGroupRowCountLimit(64 << 10)
-      .withDictionaryEncoding(true)
-      .withExtraMetaData(java.util.Collections.singletonMap(
-        SummaryKey, summaryJson(mapper, files, stats, dvs)))
-      .build()
-    try files.sorted.foreach { f =>
+    val w = new StreamWriter
+    files.sorted.foreach(f =>
+      w.add(Entry(f, stats.get(f), sizes.get(f), dvs.get(f))))
+    w.finish()._1
+  }
+
+  /** INCREMENTAL checkpoint serializer — the writer-side twin of
+    * [[stream]]: rows are appended one [[Entry]] at a time (REQUIRED in
+    * ascending path order — the sorted path column is the stripe-lazy
+    * reader's skip unit) and the footer summary is folded as they pass,
+    * so a million-file checkpoint serializes with O(row-group buffer)
+    * working state instead of the materialized file/stat/size/dv maps
+    * the batch [[write]] signature implies. The summary lands in the
+    * parquet footer via [[WriteSupport.finalizeWrite]] (evaluated at
+    * close, after the fold has seen every row) — byte-compatible with
+    * what the batch path always produced.
+    */
+  final class StreamWriter {
+    import org.apache.parquet.hadoop.api.WriteSupport
+
+    private val buf = new java.io.ByteArrayOutputStream(1 << 20)
+    private val mapper = new ObjectMapper()
+    private val factory = new SimpleGroupFactory(Schema)
+
+    // ---- incrementally-folded summary state (batch semantics preserved: rows −1 once any file's count is unrecorded;
+    // cols merged only over columns EVERY file records under one tag)
+    private var count = 0L
+    private var rowsKnown = true
+    private var rows = 0L
+    private var dvRows = 0L
+    private var allStats = true
+    private var merged: Map[String, FileStats.ColStat] = Map.empty
+    private var lastPath: String = null
+
+    private val support = new org.apache.parquet.hadoop.example.GroupWriteSupport {
+      override def finalizeWrite(): WriteSupport.FinalizedWriteContext =
+        new WriteSupport.FinalizedWriteContext(
+          java.util.Collections.singletonMap(SummaryKey, summaryNow()))
+    }
+    private final class GroupBuilder(out: OutputFile)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          org.apache.parquet.example.data.Group, GroupBuilder](out) {
+      override def self(): GroupBuilder = this
+      override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+          : WriteSupport[org.apache.parquet.example.data.Group] = support
+    }
+    private val writer = {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(Schema, conf)
+      new GroupBuilder(new BytesOutputFile(buf))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withRowGroupSize(4L << 20)
+        // row-count cap as well as bytes: dictionary+snappy make these
+        // rows tiny (a 4 MB group would hold ~750k of them), and the
+        // row group is the SKIP UNIT of the stripe-lazy reader — a
+        // prefix-scoped resolution on a million-file store should decode
+        // tens of thousands of rows, not three-quarters of the store
+        .withRowGroupRowCountLimit(64 << 10)
+        .withDictionaryEncoding(true)
+        .build()
+    }
+
+    def add(e: Entry): Unit = {
+      require(lastPath == null || lastPath < e.path,
+        s"checkpoint rows must arrive in ascending path order: " +
+          s"'${e.path}' after '$lastPath'")
+      lastPath = e.path
       val g = factory.newGroup()
-      g.append("path", f)
-      sizes.get(f).foreach(s => g.append("size", s))
-      stats.get(f).foreach(m =>
+      g.append("path", e.path)
+      e.size.foreach(s => g.append("size", s))
+      e.stats.foreach(m =>
         g.append("stats", mapper.writeValueAsString(FileStats.toJson(mapper, m))))
-      dvs.get(f).foreach(e =>
-        g.append("dv", mapper.writeValueAsString(StoreLog.dvEntryJson(mapper, e))))
+      e.dv.foreach(d =>
+        g.append("dv", mapper.writeValueAsString(StoreLog.dvEntryJson(mapper, d))))
       writer.write(g)
-    } finally writer.close()
-    buf.toByteArray
+      // ---- summary fold
+      count += 1
+      if (rowsKnown) {
+        e.stats.flatMap(_.values.collectFirst {
+          case cs if cs.rows >= 0 => cs.rows
+        }) match {
+          case Some(r) => rows += r
+          case None => rowsKnown = false
+        }
+      }
+      e.dv.foreach(dvRows += _.rows)
+      if (allStats) e.stats match {
+        case None => allStats = false; merged = Map.empty
+        case Some(st) =>
+          merged =
+            if (count == 1L) st.map { case (c, cs) =>
+              c -> FileStats.ColStat(cs.tag, cs.min, cs.max, cs.nulls, cs.rows)
+            }
+            else merged.flatMap { case (c, a) =>
+              st.get(c).filter(_.tag == a.tag).map { b =>
+                c -> FileStats.ColStat(a.tag,
+                  if (FileStats.cmpDomain(a.tag, a.min, b.min) <= 0) a.min else b.min,
+                  if (FileStats.cmpDomain(a.tag, a.max, b.max) >= 0) a.max else b.max,
+                  if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
+                  if (a.rows < 0 || b.rows < 0) -1L else a.rows + b.rows)
+              }
+            }
+      }
+    }
+
+    /** Close the writer and return (payload bytes, exact row count). */
+    def finish(): (Array[Byte], Long) = {
+      writer.close()
+      (buf.toByteArray, count)
+    }
+
+    private def summaryNow(): String = {
+      val root = mapper.createObjectNode()
+      root.put("files", count)
+      root.put("rows", if (rowsKnown) rows else -1L)
+      root.put("dvRows", dvRows)
+      if (count > 0 && allStats && merged.nonEmpty)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("cols",
+          FileStats.toJson(mapper, merged))
+      mapper.writeValueAsString(root)
+    }
   }
 
   /** Decode a checkpoint payload: (files, stats, sizes, dvs) — exactly
@@ -288,49 +384,6 @@ object CheckpointParquet {
             n.get("dvRows").asLong, cols)
         }
     } finally reader.close()
-  }
-
-  /** Serialize the footer summary: totals + per-column merged bounds
-    * for columns EVERY file records under one stat tag (anything
-    * partial is omitted — a global bound over a subset would prune
-    * unsoundly). Reuses the [[FileStats]] JSON dialect for the column
-    * map.
-    */
-  private def summaryJson(mapper: ObjectMapper, files: Seq[String],
-      stats: Map[String, FileStats.FileStatsMap],
-      dvs: Map[String, Dv.Entry]): String = {
-    val root = mapper.createObjectNode()
-    root.put("files", files.size.toLong)
-    val perFileRows: Seq[Option[Long]] = files.map(f =>
-      stats.get(f).flatMap(_.values.collectFirst {
-        case cs if cs.rows >= 0 => cs.rows
-      }))
-    root.put("rows",
-      if (perFileRows.exists(_.isEmpty)) -1L else perFileRows.flatten.sum)
-    root.put("dvRows", files.flatMap(dvs.get).map(_.rows).sum)
-    if (files.nonEmpty && files.forall(stats.contains)) {
-      // candidate columns = the first file's; merge only those every
-      // file records with the same tag
-      val first = stats(files.head)
-      val merged: Map[String, FileStats.ColStat] = first.keys.flatMap { c =>
-        val all = files.map(f => stats(f).get(c))
-        if (all.exists(_.isEmpty)) None
-        else {
-          val css = all.flatten
-          val tag = css.head.tag
-          if (css.exists(_.tag != tag)) None
-          else Some(c -> css.reduce((a, b) => FileStats.ColStat(tag,
-            if (FileStats.cmpDomain(tag, a.min, b.min) <= 0) a.min else b.min,
-            if (FileStats.cmpDomain(tag, a.max, b.max) >= 0) a.max else b.max,
-            if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
-            if (a.rows < 0 || b.rows < 0) -1L else a.rows + b.rows)))
-        }
-      }.toMap
-      if (merged.nonEmpty)
-        root.set[com.fasterxml.jackson.databind.JsonNode]("cols",
-          FileStats.toJson(mapper, merged))
-    }
-    mapper.writeValueAsString(root)
   }
 
   /** In-memory parquet sink — checkpoint bytes flow to storage through

@@ -56,7 +56,10 @@ object GraftProcedures {
     val path = (root +: table.split('.').toSeq.map(_.trim).filter(_.nonEmpty))
       .mkString("/")
     require(StoreLog.exists(path), s"no graft table at '$table' (path $path)")
-    val props = StoreLog.latest(path).map(_.props).getOrElse(Map.empty)
+    // raw props probe — a procedure's layout lookup must not resolve a
+    // million-file snapshot just to read three properties
+    val props = StoreLog.latestVersion(path)
+      .map(v => StoreLog.propsAt(path, v)).getOrElse(Map.empty)
     val tsCol = props.getOrElse(GraftTable.TsColProp, "ts")
     val uids = props.get(GraftTable.UidsProp)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -111,7 +114,12 @@ object GraftProcedures {
             "(create the table through the catalog, or write it partitioned)")
           val cap = if (input.isNullAt(1)) 8 else input.getInt(1)
           val dvRatio = if (input.isNullAt(2)) 0.2 else input.getDouble(2)
-          val snap = StoreLog.ensure(path)
+          val v0 = StoreLog.latestVersion(path)
+            .getOrElse(StoreLog.ensure(path).version)
+          // per-prefix cue tallies STREAM off the manifest fold — the
+          // cue walk against a million-file store holds O(prefixes)
+          // driver state, never a resolved snapshot
+          val stats = TsStore.livePrefixStats(path, v0)
           // partition scope (the OPTIMIZE ... WHERE role): a predicate
           // REPLACES the auto-selection cues — at 100 TB "compact
           // yesterday's ingest partitions now" must not wait for the
@@ -121,24 +129,17 @@ object GraftProcedures {
           // contract compactPartitions enforces internally).
           val candidates: Seq[String] =
             if (input.isNullAt(3)) {
-              val overCap = snap.files.groupBy { f =>
-                val i = f.lastIndexOf('/')
-                if (i > 0) f.substring(0, i) else ""
-              }.collect { case (p, fs) if p.nonEmpty && fs.size > cap => p }.toSeq
+              val overCap = stats.collect {
+                case (p, (n, _)) if n > cap => p }.toSeq
               // dv-density cue: manifest-recorded cardinalities, zero IO
-              overCap ++ TsStore.dvDensePrefixes(snap, dvRatio)
-            } else TsStore.partitionPrefixesWhere(SparkSession.active, snap,
-              input.getUTF8String(3).toString)
-          val byPrefix = snap.files.groupBy { f =>
-            val i = f.lastIndexOf('/')
-            if (i > 0) f.substring(0, i) else ""
-          }
+              overCap ++ TsStore.dvDensePrefixesAt(path, v0, dvRatio)
+            } else TsStore.partitionPrefixesWhere(SparkSession.active,
+              stats.keys.toSeq.sorted, input.getUTF8String(3).toString)
           val over = candidates.distinct.sorted.filter { p =>
-            val fs = byPrefix.getOrElse(p, Nil)
-            fs.size > cap || fs.exists(snap.dvs.contains)
+            stats.get(p).exists { case (n, hasDv) => n > cap || hasDv }
           }
           val v =
-            if (over.isEmpty) snap.version
+            if (over.isEmpty) v0
             else TsStore.compactPartitions(SparkSession.active, path, over,
               tsCol, uids, maxFilesPerPartition = cap)
           oneRowScan(StructType(Seq(
@@ -161,8 +162,8 @@ object GraftProcedures {
             "(create the table through the catalog, or write it partitioned)")
           // renamed columns arrive under their DECLARED names; the
           // clustering rewrite operates on the files' physical names
-          val physOf: String => String = StoreLog.latest(path)
-            .flatMap(_.props.get(GraftTable.SchemaProp))
+          val physOf: String => String = StoreLog.latestVersion(path)
+            .flatMap(v => StoreLog.propsAt(path, v).get(GraftTable.SchemaProp))
             .map { j =>
               val m = GraftTable.physMap(
                 org.apache.spark.sql.types.DataType.fromJson(j)
@@ -180,8 +181,13 @@ object GraftProcedures {
           val spark = SparkSession.active
           val scope =
             if (input.isNullAt(3)) Nil
-            else TsStore.partitionPrefixesWhere(spark, StoreLog.ensure(path),
-              input.getUTF8String(3).toString)
+            else {
+              val v0 = StoreLog.latestVersion(path)
+                .getOrElse(StoreLog.ensure(path).version)
+              TsStore.partitionPrefixesWhere(spark,
+                TsStore.livePrefixStats(path, v0).keys.toSeq.sorted,
+                input.getUTF8String(3).toString)
+            }
           val v =
             if (!input.isNullAt(3) && scope.isEmpty)
               StoreLog.latestVersion(path).getOrElse(0L)
@@ -216,8 +222,8 @@ object GraftProcedures {
           // renamed columns arrive under their DECLARED names; the
           // store-side frames read physical, so map the key/version
           // columns and restate the keys relation in physical terms
-          val physOf: String => String = StoreLog.latest(path)
-            .flatMap(_.props.get(GraftTable.SchemaProp))
+          val physOf: String => String = StoreLog.latestVersion(path)
+            .flatMap(v => StoreLog.propsAt(path, v).get(GraftTable.SchemaProp))
             .map { j =>
               val m = GraftTable.physMap(
                 org.apache.spark.sql.types.DataType.fromJson(j)

@@ -1779,9 +1779,15 @@ class GraftScan(spark: SparkSession, path: String, asOf: Option[Long],
             // transient row-group buffers ([[StoreLog.readFiltered]]).
             // The keep predicate is byte-identical to plannedFiles'
             // static prune, so plans are unchanged; small stores (and
-            // row-level / pinned / unfiltered scans) keep the full
-            // resolution, bit-identical to before.
-            if (pushed.nonEmpty && !fileOnlyFilters && !deltaPushFilters &&
+            // pinned / unfiltered scans) keep the full resolution,
+            // bit-identical to before. ROW-LEVEL operation scans lazy-
+            // resolve too: their pushed filters stay residual on the
+            // rows (file-only pruning), but the conservative manifest
+            // stat prune is the same one plannedFiles applies — a file
+            // no row can match holds no affected group, so a predicate-
+            // bounded UPDATE/DELETE/MERGE against a million-file store
+            // plans (and later commits) O(its footprint).
+            if (pushed.nonEmpty &&
                 StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
               val (keep, summarySkip) = lazyPredicates
               StoreLog.readFiltered(path, v, skipCheckpoint = summarySkip)(keep)

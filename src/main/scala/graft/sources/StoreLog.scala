@@ -504,9 +504,20 @@ object StoreLog {
     * touches files the add/remove lists never name). Entries arrive in
     * no promised order.
     */
-  def foldFiles[A](path: String, version: Long, prefixes: Seq[String] = Nil,
-                   skipCheckpoint: Option[CheckpointParquet.Summary => Boolean] = None)
-                  (zero: A)(op: (A, FileEntry) => A): A = {
+  /** The delta-overlay state of a version's chain above its checkpoint
+    * ancestor — O(sum of the ≤ interval−1 commits' footprints), the
+    * bounded driver allocation every streamed resolution shares.
+    */
+  private final class Overlay(
+      val ckptNode: JsonNode,
+      val removed: scala.collection.mutable.Set[String],
+      val added: scala.collection.mutable.LinkedHashMap[String,
+        (Option[FileStats.FileStatsMap], Option[Long], Option[Dv.Entry])],
+      val oStats: scala.collection.mutable.Map[String, FileStats.FileStatsMap],
+      val oSizes: scala.collection.mutable.Map[String, Long],
+      val oDvs: scala.collection.mutable.Map[String, Dv.Entry])
+
+  private def overlayOf(path: String, version: Long): Overlay = {
     val root = readRaw(path, version)
     var deltas = List.empty[JsonNode] // oldest-first after the walk
     var node = root
@@ -518,7 +529,6 @@ object StoreLog {
     }
     // `node` is now the checkpoint: root itself when self-resolvable,
     // the chain's ancestor otherwise
-    val ckptNode = node
     val removed = scala.collection.mutable.Set.empty[String]
     val added = scala.collection.mutable.LinkedHashMap
       .empty[String, (Option[FileStats.FileStatsMap], Option[Long], Option[Dv.Entry])]
@@ -553,6 +563,16 @@ object StoreLog {
         }
       }
     }
+    new Overlay(node, removed, added, oStats, oSizes, oDvs)
+  }
+
+  def foldFiles[A](path: String, version: Long, prefixes: Seq[String] = Nil,
+                   skipCheckpoint: Option[CheckpointParquet.Summary => Boolean] = None)
+                  (zero: A)(op: (A, FileEntry) => A): A = {
+    val o = overlayOf(path, version)
+    val ckptNode = o.ckptNode
+    val removed = o.removed; val added = o.added
+    val oStats = o.oStats; val oSizes = o.oSizes; val oDvs = o.oDvs
     def underPrefix(f: String): Boolean =
       prefixes.isEmpty || prefixes.exists(p => f.startsWith(p + "/"))
     var acc = zero
@@ -591,6 +611,53 @@ object StoreLog {
     acc
   }
 
+  /** [[foldFiles]] with entries delivered in ASCENDING PATH ORDER — the
+    * feed for the streaming checkpoint writer
+    * ([[CheckpointParquet.StreamWriter]] requires sorted rows so the
+    * path column's row-group stats stay a skip index). Same overlay
+    * semantics and the same bounded driver state: the checkpoint
+    * payload streams sorted by construction, the inline-JSON file list
+    * was written sorted, and the delta-added entries (O(chain
+    * footprints)) merge in by a sorted cursor.
+    */
+  def foldFilesSorted[A](path: String, version: Long)(zero: A)(
+      op: (A, FileEntry) => A): A = {
+    val o = overlayOf(path, version)
+    val addedSorted: IndexedSeq[(String,
+        (Option[FileStats.FileStatsMap], Option[Long], Option[Dv.Entry]))] =
+      o.added.toIndexedSeq.sortBy(_._1)
+    var ai = 0
+    var acc = zero
+    def emitAdd(): Unit = {
+      val (f, (s, z, e)) = addedSorted(ai)
+      acc = op(acc, FileEntry(f, s, z, e))
+      ai += 1
+    }
+    def onCkptFile(f: String, st: Option[FileStats.FileStatsMap],
+                   sz: Option[Long], dv: Option[Dv.Entry]): Unit = {
+      while (ai < addedSorted.length && addedSorted(ai)._1 < f) emitAdd()
+      if (!o.removed.contains(f) && !o.added.contains(f))
+        acc = op(acc, FileEntry(f,
+          o.oStats.get(f).orElse(st),
+          o.oSizes.get(f).orElse(sz),
+          o.oDvs.get(f).orElse(dv)))
+    }
+    if (o.ckptNode.has("filesRef")) {
+      val bytes = io(path).readBytes(
+        s"${logDir(path)}/${o.ckptNode.get("filesRef").asText()}")
+      CheckpointParquet.stream(bytes, Nil, ()) { (_, e) =>
+        onCkptFile(e.path, e.stats, e.size, e.dv)
+      }
+    } else {
+      val st = statsOf(o.ckptNode); val sz = sizesOf(o.ckptNode)
+      val dv = dvsOf(o.ckptNode)
+      strings(o.ckptNode.get("files")).foreach(f =>
+        onCkptFile(f, st.get(f), sz.get(f), dv.get(f)))
+    }
+    while (ai < addedSorted.length) emitAdd()
+    acc
+  }
+
   /** A version's `replaced` record straight from raw JSON — the
     * conflict-detection unit every manifest carries.
     */
@@ -603,16 +670,23 @@ object StoreLog {
     if (n.has("bloomCols")) strings(n.get("bloomCols")) else Nil
   }
 
-  /** A version's raw (added, removed, addedSizes) straight from a DELTA
-    * manifest — None for checkpoints, which carry no diff. The change
-    * feed's O(commit-footprint) batch planning: a follower of a
-    * million-file store reads each commit's own add list, never two
-    * full snapshot resolutions per micro-batch.
+  /** A version's raw (added, removed, addedSizes) straight from its
+    * manifest's own add/remove record. Every DELTA carries one by
+    * construction, and checkpoint manifests written by the transform
+    * path carry their commit's lists too (the TXN RECORD — see
+    * [[commitTransform]]), so the change feed / conflict walks stay
+    * O(commit footprint) across checkpoint boundaries. None only for
+    * record-less checkpoints: legacy ones, and full-list commits whose
+    * diff genuinely spans the store (restore, resetDvs rollbacks) —
+    * those callers fall back to a set diff, correctly paying for what
+    * the commit actually did. The inline-JSON txn checkpoint's `sizes`
+    * map covers all live files (a superset of the adds') — consumers
+    * look up added files only.
     */
   def rawDelta(path: String, v: Long)
       : Option[(Seq[String], Seq[String], Map[String, Long])] = {
     val n = readRaw(path, v)
-    if (isCheckpointNode(n)) None
+    if (!n.has("add")) None
     else Some((strings(n.get("add")), strings(n.get("remove")), sizesOf(n)))
   }
 
@@ -949,16 +1023,14 @@ object StoreLog {
     val eff =
       if (root.has("checkpointInterval")) root.get("checkpointInterval").asInt()
       else CheckpointInterval
-    if (v % eff == 0) {
-      // checkpoint cadence: the full list must serialize anyway — one
-      // materialized resolution, amortized over the interval
-      val parent = read(path, expectedVersion)
-      val next =
-        (parent.files.toSet -- removeFiles ++ addFiles).toSeq
-      return commit(path, expectedVersion, replaced, next,
-        parent = Some(parent), addStats = addStats, tag = tag,
-        setProps = setProps, addSizes = addSizes, addDvs = addDvs)
-    }
+    if (v % eff == 0)
+      // checkpoint cadence: the full list must serialize anyway — but
+      // STREAMED off the parent fold into the incremental payload
+      // writer, never materialized as driver-side maps (the last
+      // writer-side O(store) allocation, retired)
+      return commitTransformCheckpoint(path, expectedVersion, replaced,
+        removeFiles, addFiles, addStats, addSizes, addDvs, tag, setProps,
+        eff, root)
     val pProps =
       if (root.has("props"))
         root.get("props").properties().asScala
@@ -977,6 +1049,207 @@ object StoreLog {
     if (!io(path).publishIfAbsent(verFile(path, v), bytes))
       throw new CommitConflict(
         s"version $v already committed at $path — concurrent writer won")
+    v
+  }
+
+  /** The CHECKPOINT-DUE arm of [[commitTransform]]: the parent's live
+    * entries stream in sorted order ([[foldFilesSorted]]) through the
+    * incremental payload writer ([[CheckpointParquet.StreamWriter]])
+    * with the transform applied mid-stream (removes skipped, adds
+    * merged in by a sorted cursor, dv changes overriding surviving
+    * files) — driver state is O(commit footprint + row-group buffer),
+    * never the store's maps. The manifest ALSO records the commit's own
+    * add/remove lists (the TXN RECORD): [[rawDelta]] then serves
+    * checkpoint versions too, so the change feed, the rebase conflict
+    * walks, and incremental maintenance passes stay O(commit footprint)
+    * across checkpoint boundaries instead of paying a full set diff
+    * once per interval. Same CAS semantics as [[commit]]; a CAS loser
+    * deletes its staged sidecar.
+    */
+  private def commitTransformCheckpoint(path: String, expectedVersion: Long,
+      replaced: Seq[String], removeFiles: Seq[String], addFiles: Seq[String],
+      addStats: Map[String, FileStats.FileStatsMap],
+      addSizes: Map[String, Long], addDvs: Map[String, Dv.Entry],
+      tag: Option[String], setProps: Map[String, String],
+      eff: Int, parentRaw: JsonNode): Long = {
+    val v = expectedVersion + 1
+    val add: IndexedSeq[String] = addFiles.distinct.sorted.toIndexedSeq
+    val addSet = add.toSet
+    val rm = removeFiles.distinct.toSet -- addSet
+    val pProps =
+      if (parentRaw.has("props"))
+        parentRaw.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    val effBlooms =
+      if (parentRaw.has("bloomCols")) strings(parentRaw.get("bloomCols")) else Nil
+    // container choice from the exact raw-manifest count (O(chain)) —
+    // the same gate [[stageCheckpointPayload]] applies
+    val est = liveFileCount(path, expectedVersion) - rm.size + add.size
+    publishStreamedCheckpoint(path, v, eff, tag, effBlooms,
+      (pProps ++ setProps).filter(_._2.nonEmpty), replaced, est,
+      txn = Some((add, rm.toSeq.sorted,
+        add.filter(addSizes.contains).map(f => f -> addSizes(f)).toMap))) { sink =>
+      var ai = 0
+      def drainAdds(limit: String): Unit =
+        while (ai < add.length && (limit == null || add(ai) < limit)) {
+          val f = add(ai)
+          sink(CheckpointParquet.Entry(f, addStats.get(f), addSizes.get(f),
+            addDvs.get(f)))
+          ai += 1
+        }
+      foldFilesSorted(path, expectedVersion)(()) { (_, e) =>
+        drainAdds(e.path)
+        if (ai < add.length && add(ai) == e.path) {
+          // contract corner (a re-added live path): mirror [[commit]]'s
+          // merge — the new entry's attributes win, the parent's fill in
+          sink(CheckpointParquet.Entry(e.path,
+            addStats.get(e.path).orElse(e.stats),
+            addSizes.get(e.path).orElse(e.size),
+            addDvs.get(e.path).orElse(e.dv)))
+          ai += 1
+        } else if (!rm.contains(e.path))
+          sink(CheckpointParquet.Entry(e.path, e.stats, e.size,
+            addDvs.get(e.path).orElse(e.dv)))
+      }
+      drainAdds(null)
+    }
+  }
+
+  /** RESTORE as a streamed checkpoint commit: publish `expectedVersion
+    * + 1` whose live state is EXACTLY `targetVersion`'s — files, stats,
+    * sizes, and deletion vectors (the exact-reset only a checkpoint can
+    * express) — with the target's entries streaming straight off its
+    * own fold into the payload writer. Neither the current NOR the
+    * target snapshot ever materializes as driver maps; props/interval/
+    * bloomCols inherit from the CURRENT version (a rollback rewinds
+    * data, not store configuration — same semantics the materializing
+    * restore always had). No txn record: a restore's diff genuinely
+    * spans the store, so change-feed followers pay their one honest set
+    * diff at the rollback boundary.
+    */
+  def restoreCommit(path: String, expectedVersion: Long, targetVersion: Long,
+                    replaced: Seq[String]): Long = {
+    val v = expectedVersion + 1
+    val curRaw = readRaw(path, expectedVersion)
+    val eff =
+      if (curRaw.has("checkpointInterval")) curRaw.get("checkpointInterval").asInt()
+      else CheckpointInterval
+    val props =
+      if (curRaw.has("props"))
+        curRaw.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    val blooms =
+      if (curRaw.has("bloomCols")) strings(curRaw.get("bloomCols")) else Nil
+    publishStreamedCheckpoint(path, v, eff, None, blooms, props, replaced,
+      est = liveFileCount(path, targetVersion), txn = None) { sink =>
+      foldFilesSorted(path, targetVersion)(())((_, e) =>
+        sink(CheckpointParquet.Entry(e.path, e.stats, e.size, e.dv)))
+    }
+  }
+
+  /** Shared checkpoint publisher: `feed` pushes the new version's live
+    * entries (ASCENDING path order) into the sink exactly once; the
+    * container is a parquet sidecar past [[ParquetCheckpointThreshold]]
+    * (per `est`) or inline JSON below it, and `txn` (add, remove,
+    * addedSizes) — when the commit has a bounded footprint — is
+    * recorded in the manifest for [[rawDelta]] consumers. CAS losers
+    * delete their staged sidecar and throw [[CommitConflict]].
+    */
+  private def publishStreamedCheckpoint(path: String, v: Long, eff: Int,
+      tag: Option[String], bloomCols: Seq[String], props: Map[String, String],
+      replaced: Seq[String], est: Long,
+      txn: Option[(Seq[String], Seq[String], Map[String, Long])])(
+      feed: (CheckpointParquet.Entry => Unit) => Unit): Long = {
+    val big = est >= ParquetCheckpointThreshold
+    val writer = if (big) new CheckpointParquet.StreamWriter else null
+    val inFiles = if (big) null else Seq.newBuilder[String]
+    val inStats =
+      if (big) null else Map.newBuilder[String, FileStats.FileStatsMap]
+    val inSizes = if (big) null else Map.newBuilder[String, Long]
+    val inDvs = if (big) null else Map.newBuilder[String, Dv.Entry]
+    feed { e =>
+      if (big) writer.add(e)
+      else {
+        inFiles += e.path
+        e.stats.foreach(inStats += e.path -> _)
+        e.size.foreach(inSizes += e.path -> _)
+        e.dv.foreach(inDvs += e.path -> _)
+      }
+    }
+    // ---- manifest JSON: checkpoint container (+ the txn record)
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    root.put("timestampMs", System.currentTimeMillis())
+    root.put("checkpointInterval", eff)
+    tag.foreach(root.put("tag", _))
+    if (bloomCols.nonEmpty) {
+      val a = mapper.createArrayNode(); bloomCols.foreach(a.add)
+      root.set[JsonNode]("bloomCols", a)
+    }
+    if (props.nonEmpty) {
+      val o = mapper.createObjectNode()
+      props.toSeq.sortBy(_._1).foreach { case (k, pv) => o.put(k, pv) }
+      root.set[JsonNode]("props", o)
+    }
+    def arr(xs: Seq[String]): ArrayNode = {
+      val a = mapper.createArrayNode(); xs.foreach(a.add); a
+    }
+    root.set[JsonNode]("replaced", arr(replaced.sorted))
+    txn.foreach { case (add, rm, _) =>
+      root.set[JsonNode]("add", arr(add))
+      root.set[JsonNode]("remove", arr(rm))
+    }
+    val staged: Option[String] =
+      if (big) {
+        val (bytes, n) = writer.finish()
+        val ref = f"v$v%08d-${java.util.UUID.randomUUID().toString.replace("-", "")}.ckpt.parquet"
+        io(path).replaceAtomic(s"${logDir(path)}/$ref", bytes)
+        root.put("filesRef", ref)
+        root.put("fileCount", n)
+        // sizes for the ADDED slice only — the rawDelta consumers'
+        // contract (full per-file attrs live in the payload)
+        txn.map(_._3).filter(_.nonEmpty).foreach { asz =>
+          val o = mapper.createObjectNode()
+          asz.toSeq.sortBy(_._1).foreach { case (f, s) => o.put(f, s) }
+          root.set[JsonNode]("sizes", o)
+        }
+        Some(ref)
+      } else {
+        val files = inFiles.result() // sorted by construction
+        root.set[JsonNode]("files", arr(files))
+        val st = inStats.result(); val sz = inSizes.result()
+        val dv = inDvs.result()
+        if (st.nonEmpty) {
+          val o = mapper.createObjectNode()
+          files.filter(st.contains).foreach(f =>
+            o.set[JsonNode](f, FileStats.toJson(mapper, st(f))))
+          root.set[JsonNode]("stats", o)
+        }
+        if (sz.nonEmpty) {
+          val o = mapper.createObjectNode()
+          files.filter(sz.contains).foreach(f => o.put(f, sz(f)))
+          root.set[JsonNode]("sizes", o)
+        }
+        if (dv.nonEmpty) {
+          val o = mapper.createObjectNode()
+          dv.toSeq.sortBy(_._1).foreach { case (f, e) =>
+            o.set[JsonNode](f, dvEntryJson(mapper, e))
+          }
+          root.set[JsonNode]("dvs", o)
+        }
+        None
+      }
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    if (!io(path).publishIfAbsent(verFile(path, v), bytes)) {
+      staged.foreach { r =>
+        try io(path).deleteFile(s"${logDir(path)}/$r")
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      throw new CommitConflict(
+        s"version $v already committed at $path — concurrent writer won")
+    }
     v
   }
 

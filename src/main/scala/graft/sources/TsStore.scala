@@ -530,7 +530,12 @@ object TsStore {
       schemaForWiden: Option[org.apache.spark.sql.types.StructType] = None,
       extraProps: Map[String, String] = Map.empty,
       boundChecks: Option[Seq[Constraints.Check]] = None,
-      addDvs: Map[String, Dv.Entry] = Map.empty): Long = {
+      addDvs: Map[String, Dv.Entry] = Map.empty,
+      // verbs whose remove set is recomputed WHOLE from the rebased
+      // parent (dropSeries: "whatever lives under the prefix now")
+      // serialize soundly after ANY intervening commit — they opt out
+      // of the replaced-overlap abort
+      abortOnReplaced: Boolean = true): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -569,7 +574,8 @@ object TsStore {
           ((expectedV + 1) to curV).foreach { v =>
             val conflict =
               try {
-                if (StoreLog.replacedAt(path, v).exists(replaced.contains))
+                if (abortOnReplaced &&
+                    StoreLog.replacedAt(path, v).exists(replaced.contains))
                   Some("replaced")
                 else if (!abortOnAppendsUnder) None
                 else StoreLog.rawDelta(path, v) match {
@@ -1477,7 +1483,16 @@ object TsStore {
                         maxRecordsPerFile: Long = 8L << 20): Long = {
     require(prefixes.nonEmpty, "compactPartitions needs at least one partition prefix")
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
-    val base = StoreLog.ensure(path)
+    // scoped resolution: past the lazy threshold only the TOUCHED
+    // prefixes' files (their stats/sizes/dvs riding along) materialize
+    // on the driver — a one-partition compaction against a million-file
+    // store stays O(its scope), like the delete/takedown family
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
+    val base =
+      if (StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
+        StoreLog.readFiltered(path, baseV, prefixes)(_ => true)
+      else StoreLog.read(path, baseV)
     // only prefixes actually OVER the target are rewritten — an
     // already-compact partition costs nothing. A partition holding a
     // DELETION-VECTORED file is compaction-worthy at any file count:
@@ -1490,7 +1505,6 @@ object TsStore {
     }
     if (byPrefix.isEmpty) return base.version
     val targets = byPrefix.flatMap(_._2)
-    val targetSet = targets.toSet
     val touched = byPrefix.map(_._1)
     // dv-aware: compaction MATERIALIZES deletion vectors — the rewrite
     // reads only live rows and the replaced files' vectors die with them
@@ -1505,13 +1519,16 @@ object TsStore {
       val moved =
         try StoreLog.adoptStaged(path, staging)
         finally StoreLog.deleteStaging(staging)
-      commitWithRebase(path, lease, base, moved, touched,
-        newFiles = exp => exp.files.filterNot(targetSet) ++ moved,
-        unsound = (s, _) =>
-          if (s.replaced.exists(touched.contains))
-            Some(s"concurrent writer replaced ${touched.mkString(",")} at $path " +
-              "— skip this compaction pass and retry later")
-          else None)
+      // transform commit: swap exactly the targets for the rewrite — no
+      // parent file list materializes on any attempt. The conflict walk
+      // aborts when an intervening commit REPLACED a touched prefix
+      // (its `replaced` record names it — replacing verbs and dv writes
+      // alike), and appends under the prefixes serialize cleanly (their
+      // files are not in the remove set and survive the transform).
+      commitTransformWithRebase(path, lease, base.version, moved,
+        replaced = touched,
+        removeFilesOf = _ => targets,
+        abortOnAppendsUnder = false)
     }
   }
 
@@ -1780,31 +1797,33 @@ object TsStore {
     * Returns the new version. Requires `toVersion` to still be
     * resolvable (inside the vacuum retention window).
     */
-  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
-    val target = StoreLog.read(path, toVersion)
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long =
     StoreLog.withWriterLease(path) { lease =>
       lease.renew()
-      val cur = StoreLog.ensure(path)
-      // `replaced` must name every partition prefix the restore could
-      // touch — concurrent writers' rebase checks look for THEIR prefix
-      // there, and a sentinel would let e.g. a compaction rebase over
-      // the restore and resurrect pre-restore rows
-      val prefixes = (cur.files ++ target.files).map { f =>
-        val i = f.lastIndexOf('/')
-        if (i > 0) f.substring(0, i) else f
-      }.distinct
-      if (cur.version == toVersion) cur.version
-      else StoreLog.commit(path, cur.version,
-        replaced = prefixes,
-        files = target.files, parent = Some(cur),
-        addStats = target.stats, addSizes = target.sizes,
-        // the rollback must resurrect the TARGET's deletion-vector
-        // state exactly — shedding newer vectors even for files live in
-        // both versions (resetDvs forces the checkpoint that can
-        // express that)
-        resetDvs = Some(target.dvs))
+      val curV = StoreLog.latestVersion(path)
+        .getOrElse(StoreLog.ensure(path).version)
+      if (curV == toVersion) curV
+      else {
+        // `replaced` must name every partition prefix the restore could
+        // touch — concurrent writers' rebase checks look for THEIR
+        // prefix there, and a sentinel would let e.g. a compaction
+        // rebase over the restore and resurrect pre-restore rows. The
+        // prefix union streams off both versions' folds: O(live
+        // partitions) driver state, never two file lists.
+        val s = scala.collection.mutable.Set.empty[String]
+        def prefixesOf(v: Long): Unit =
+          StoreLog.foldFiles(path, v)(()) { (_, e) =>
+            val i = e.path.lastIndexOf('/')
+            s += (if (i > 0) e.path.substring(0, i) else e.path)
+          }
+        prefixesOf(curV); prefixesOf(toVersion)
+        // streamed checkpoint commit: the target's live state — files,
+        // stats, sizes, and its EXACT deletion-vector set (shedding
+        // newer vectors even for files live in both versions) — without
+        // materializing either snapshot's maps
+        StoreLog.restoreCommit(path, curV, toVersion, s.toSeq.sorted)
+      }
     }
-  }
 
   /** Z-ORDER the live files of a logged store: rewrite them clustered on
     * the interleaved-bit Morton value of `clusterCols` (equi-depth
@@ -1855,7 +1874,17 @@ object TsStore {
              scope: Seq[String] = Nil): Long = {
     require(clusterCols.nonEmpty, "zorder needs at least one cluster column")
     require(uidCols.nonEmpty, "zorder needs the store's partition columns")
-    val base = StoreLog.ensure(path)
+    // SCOPED resolution: a prefix-bounded re-cluster against a
+    // million-file store materializes only its scope's files (a
+    // whole-store pass is O(store) by definition — its rewrite IS the
+    // store — so it keeps the full resolve)
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
+    val base =
+      if (scope.nonEmpty &&
+          StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
+        StoreLog.readFiltered(path, baseV, scope)(_ => true)
+      else StoreLog.read(path, baseV)
     if (base.files.isEmpty) return base.version
     def prefixOf(f: String): String = {
       val i = f.lastIndexOf('/')
@@ -1867,7 +1896,6 @@ object TsStore {
       if (scope.isEmpty) base.files
       else base.files.filter(f => scopeSet(prefixOf(f)))
     if (targetFiles.isEmpty) return base.version
-    val targetSet = targetFiles.toSet
     val prefixes: Seq[String] = targetFiles.map(prefixOf).distinct
     val rows = readFilesDv(spark, path, base, targetFiles, mergeSchema = true)
     val bs = graft.functions.ZOrder.boundaries(rows, clusterCols, buckets)
@@ -1896,16 +1924,17 @@ object TsStore {
       val moved =
         try StoreLog.adoptStaged(path, staging)
         finally StoreLog.deleteStaging(staging)
-      commitWithRebase(path, lease, base, moved, prefixes,
-        newFiles = exp => exp.files.filterNot(targetSet) ++ moved,
-        unsound = (s, _) =>
-          if (s.replaced.exists(prefixes.contains))
-            Some(s"concurrent writer replaced a partition under $path " +
-              "— skip this zorder pass and retry later")
-          else None,
+      // transform commit: swap exactly the targets for the clustered
+      // rewrite — O(rewrite footprint) on every attempt, no parent file
+      // list. Conflict rules unchanged: an intervening commit REPLACING
+      // a touched prefix aborts, appends serialize.
+      commitTransformWithRebase(path, lease, base.version, moved,
+        replaced = prefixes,
+        removeFilesOf = _ => targetFiles,
+        abortOnAppendsUnder = false,
         // z-clustered files are ordered by the interleave rank, NOT by
         // ts — the scan must stop claiming per-partition ts order
-        setProps = _ => Map(GraftTable.LayoutSortedProp -> "false"))
+        extraProps = Map(GraftTable.LayoutSortedProp -> "false"))
     }
   }
 
@@ -1924,15 +1953,41 @@ object TsStore {
     * carries).
     */
   def partitionPrefixesWhere(spark: SparkSession, snap: StoreLog.Snapshot,
+                             where: String): Seq[String] =
+    partitionPrefixesWhere(spark, snap.files.flatMap { f =>
+      val i = f.lastIndexOf('/')
+      if (i > 0) Some(f.substring(0, i)) else None
+    }.distinct.sorted, where)
+
+  /** Per-prefix (live file count, carries-a-deletion-vector) tallies,
+    * STREAMED from the manifest chain — the compaction cue walk's
+    * input, O(live prefixes) driver state on a million-file store
+    * (the same budget [[dvDensePrefixesAt]] holds).
+    */
+  private[graft] def livePrefixStats(path: String, v: Long)
+      : Map[String, (Int, Boolean)] = {
+    val m = scala.collection.mutable.Map.empty[String, (Int, Boolean)]
+    StoreLog.foldFiles(path, v)(()) { (_, e) =>
+      val i = e.path.lastIndexOf('/')
+      if (i > 0) {
+        val p = e.path.substring(0, i)
+        val (n, dv) = m.getOrElse(p, (0, false))
+        m(p) = (n + 1, dv || e.dv.isDefined)
+      }
+    }
+    m.toMap
+  }
+
+  /** [[partitionPrefixesWhere]] over an already-listed prefix set (the
+    * streamed-cue callers' face — they hold the prefixes, never a
+    * snapshot).
+    */
+  def partitionPrefixesWhere(spark: SparkSession, prefixes: Seq[String],
                              where: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
-    val prefixes = snap.files.flatMap { f =>
-      val i = f.lastIndexOf('/')
-      if (i > 0) Some(f.substring(0, i)) else None
-    }.distinct.sorted
     if (prefixes.isEmpty || where.trim.isEmpty) return prefixes
     val parsed: Seq[(String, Map[String, String])] = prefixes.map { p =>
       p -> p.split('/').toSeq.map { seg =>

@@ -365,6 +365,182 @@ class LazySnapshotSpec extends AnyFunSuite {
     assert(StoreLog.liveFileCount(dir, v3) === n0 + 1)
   }
 
+  /** Copy the shared 1M-file fixture's log into a fresh dir (manifest-
+    * only store: copying the log dir IS copying the store).
+    */
+  private def copyBig(): String = {
+    val (src, _) = big
+    val dir = Files.createTempDirectory("graft_lazy1m_c").toString
+    val logSrc = java.nio.file.Paths.get(src, "_graft_log")
+    val logDst = java.nio.file.Paths.get(dir, "_graft_log")
+    java.nio.file.Files.createDirectories(logDst)
+    java.nio.file.Files.list(logSrc).forEach(p =>
+      java.nio.file.Files.copy(p, logDst.resolve(p.getFileName)))
+    dir
+  }
+
+  test("checkpoint-DUE transform commit streams: txn record, exact state, summary intact") {
+    val dir = copyBig() // v3, interval 10 → v10 is checkpoint-due
+    def st(f: String, lo: Long): (String, FileStats.FileStatsMap) =
+      f -> Map("ts" -> FileStats.ColStat("i", lo, lo + 99L, 0L, 100L))
+    (4 to 9).foreach { i =>
+      val f = f"uid=500/h_$i%02d.parquet"
+      StoreLog.commitTransform(dir, i - 1L, Seq.empty,
+        removeFiles = Nil, addFiles = Seq(f),
+        addStats = Map(st(f, 700000L)), addSizes = Map(f -> 500L))
+    }
+    // v10: one add, one remove, one dv change on an untouched file —
+    // all three transform species riding ONE streamed checkpoint
+    val f10 = "uid=500/h_10.parquet"
+    val v = StoreLog.commitTransform(dir, 9L, Seq("uid=7", "uid=500"),
+      removeFiles = Seq("uid=7/f_00003.parquet"),
+      addFiles = Seq(f10),
+      addStats = Map(st(f10, 710000L)), addSizes = Map(f10 -> 500L),
+      addDvs = Map("uid=13/f_00100.parquet" ->
+        Dv.Entry("_graft_dv/z.bin", 5L, Map("ts" -> 0L), Map.empty)))
+    assert(v === 10L)
+    // the manifest is a POINTER checkpoint carrying its own txn record:
+    // rawDelta serves it — the change feed / conflict walks / marker
+    // walks stay O(commit) across the checkpoint boundary
+    val rawJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", "v00000010.json")), "UTF-8")
+    assert(rawJson.contains("\"filesRef\""))
+    assert(StoreLog.rawDelta(dir, 10L).exists { case (add, rm, sz) =>
+      add == Seq(f10) && rm == Seq("uid=7/f_00003.parquet") &&
+        sz.get(f10).contains(500L)
+    }, s"txn record missing: ${StoreLog.rawDelta(dir, 10L)}")
+    // exact live count from raw manifests alone
+    val n = UIDS.toLong * PER_UID + 5 - 3 + 6 + 1 - 1
+    assert(StoreLog.liveFileCount(dir, 10L) === n)
+    // resolution above the new checkpoint: the transform applied exactly
+    val u7 = StoreLog.foldFiles(dir, 10L, prefixes = Seq("uid=7"))(
+      List.empty[StoreLog.FileEntry])((a, e) => e :: a)
+    assert(u7.size === PER_UID - 4)
+    assert(!u7.exists(_.path == "uid=7/f_00003.parquet"))
+    // pre-existing dv (v3) AND the v10 dv change both ride the payload
+    assert(u7.find(_.path == "uid=7/f_00500.parquet")
+      .exists(_.dv.exists(_.rows == 7L)))
+    val u13 = StoreLog.foldFiles(dir, 10L, prefixes = Seq("uid=13"))(
+      List.empty[StoreLog.FileEntry])((a, e) => e :: a)
+    assert(u13.find(_.path == "uid=13/f_00100.parquet")
+      .exists(_.dv.exists(_.rows == 5L)))
+    val u500 = StoreLog.foldFiles(dir, 10L, prefixes = Seq("uid=500"))(
+      List.empty[String])((a, e) => e.path :: a)
+    assert(u500.size === PER_UID + 7)
+    // the NEW checkpoint's sorted path column still row-group-skips,
+    // and its footer summary folded correctly while streaming
+    CheckpointParquet.resetCounters()
+    StoreLog.foldFiles(dir, 10L, prefixes = Seq("uid=13"))(())((_, _) => ())
+    assert(CheckpointParquet.lastRowGroupsSkipped > 0)
+    val refName = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rawJson)
+      m.get("filesRef").asText()
+    }
+    val s = CheckpointParquet.summaryOf(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", refName))).get
+    assert(s.files === n)
+    assert(s.dvRows === 12L) // 7 (v3 vector) + 5 (v10 change)
+    assert(s.cols.get("ts").exists(cs => cs.min == 0L && cs.max == 710099L))
+  }
+
+  test("restore streams a checkpoint commit — exact target state, no materialized maps") {
+    val dir = copyBig() // v3: +5 uid=42 adds, -3 uid=7 removes, 1 dv
+    CheckpointParquet.resetCounters()
+    val v = TsStore.restore(spark, dir, 1L)
+    assert(v === 4L)
+    // v4 is a full-list checkpoint (no txn record — a restore's diff
+    // spans the store; followers pay their one honest set diff)
+    assert(StoreLog.rawDelta(dir, 4L).isEmpty)
+    assert(StoreLog.liveFileCount(dir, 4L) === UIDS.toLong * PER_UID)
+    // the v2 removes resurrected, the v2 adds gone, the v3 dv shed
+    val u7 = StoreLog.foldFiles(dir, 4L, prefixes = Seq("uid=7"))(
+      List.empty[StoreLog.FileEntry])((a, e) => e :: a)
+    assert(u7.size === PER_UID)
+    assert(u7.forall(_.dv.isEmpty))
+    assert(u7.find(_.path == "uid=7/f_00000.parquet")
+      .exists(_.stats.exists(_.contains("ts"))))
+    val u42 = StoreLog.foldFiles(dir, 4L, prefixes = Seq("uid=42"))(
+      List.empty[String])((a, e) => e.path :: a)
+    assert(u42.size === PER_UID && !u42.exists(_.contains("/g_")))
+    // props survived from the CURRENT head (rollback rewinds data, not
+    // store configuration)
+    assert(StoreLog.propsAt(dir, 4L).get(GraftTable.UidsProp).contains("uid"))
+    // replaced names every touched partition prefix (concurrent
+    // writers' rebase checks look for theirs there)
+    assert(StoreLog.replacedAt(dir, 4L).size === UIDS)
+  }
+
+  test("compact + scoped zorder + dropSeries under the lazy threshold ≡ full resolution") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def mkStore(): String = {
+      val d = Files.createTempDirectory("graft_lazy_verbs").toString
+      TsStore.write(events, d, tsCol = "ts", uidCols = Seq("event_type"),
+        checkpointInterval = 3)
+      // churn: an upsert chain + a vector, so compaction has both
+      // small files and a dv to materialize
+      TsStore.upsert(spark, d,
+        events.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("version", lit(2L)),
+        keyCols = Seq("event_id"), versionCol = "version",
+        tsCol = "ts", uidCols = Seq("event_type"))
+      TsStore.deleteVectors(spark, d, col("event_id") % 41 === 0)
+      d
+    }
+    def readBack(d: String): Seq[(Long, Double)] =
+      spark.read.format("graft").load(d)
+        .select("event_id", "value").as[(Long, Double)]
+        .collect().toSeq.sorted
+    val dirLazy = mkStore(); val dirFull = mkStore()
+    val saved = StoreLog.LazySnapshotThreshold
+    def verbs(d: String): Unit = {
+      TsStore.compactPartitions(spark, d, Seq("event_type=view"),
+        tsCol = "ts", uidCols = Seq("event_type"))
+      TsStore.zorder(spark, d, clusterCols = Seq("user_id"),
+        uidCols = Seq("event_type"), buckets = 16,
+        scope = Seq("event_type=click"))
+      ()
+    }
+    StoreLog.LazySnapshotThreshold = 1
+    try verbs(dirLazy) finally StoreLog.LazySnapshotThreshold = saved
+    verbs(dirFull)
+    assert(readBack(dirLazy) === readBack(dirFull),
+      "scoped-resolve maintenance verbs must read back identically")
+    // the compacted prefix's vector materialized in BOTH modes, the
+    // commits are transforms (raw add/remove lists), and untouched
+    // partitions' files never entered either commit
+    Seq(dirLazy, dirFull).foreach { d =>
+      val vC = StoreLog.latestVersion(d).get - 1 // compact's commit
+      assert(StoreLog.rawDelta(d, vC).exists { case (a, r, _) =>
+        a.nonEmpty && r.nonEmpty &&
+          (a ++ r).forall(_.startsWith("event_type=view/")) })
+      assert(StoreLog.replacedAt(d, vC) === Seq("event_type=view"))
+      assert(StoreLog.rawDelta(d, vC + 1).exists { case (a, r, _) =>
+        (a ++ r).forall(_.startsWith("event_type=click/")) })
+      val snap = StoreLog.read(d, StoreLog.latestVersion(d).get)
+      assert(!snap.files.filter(_.startsWith("event_type=view/"))
+        .exists(snap.dvs.contains))
+    }
+    // dropSeries through the facade under the seam: prefix-scoped fold
+    // + per-attempt transform remove set
+    val base = Files.createTempDirectory("graft_lazy_drop").toString
+    val ct = new Bundles(spark, base)
+    val rows = Seq((java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 09:31:00"), 2.0)).toDF("ts", "v")
+    ct.write("AAPL", rows); ct.write("MSFT", rows)
+    ct.upsert("AAPL", rows.withColumn("version", lit(2L)),
+      keyCols = Seq("ts"), versionCol = "version") // logs the collection
+    StoreLog.LazySnapshotThreshold = 1
+    try {
+      assert(ct.dropSeries("AAPL"))
+      assert(!ct.dropSeries("AAPL")) // already gone — scoped fold says so
+    } finally StoreLog.LazySnapshotThreshold = saved
+    val uids = ct.listUids().collect().map(_.getString(0)).toSeq
+    assert(uids === Seq("MSFT"))
+  }
+
   test("checkpoint footer summary: totals + complete-column merged bounds, no row decode") {
     val files = Seq("p=0/a.parquet", "p=1/b.parquet")
     val stats: Map[String, FileStats.FileStatsMap] = Map(
