@@ -442,6 +442,107 @@ object Scans {
         "WHERE event_type = 'view' AND user_id BETWEEN 3 AND 7 ORDER BY event_id"),
       "partition-scoped z-order rewrite: re-cluster only the partitions a predicate names"),
 
+    "store_zorder_incremental" -> DeclaredQuery(
+      // INCREMENTAL clustering (the Delta liquid-clustering role): a
+      // whole-store z-order pass records a cluster MARKER (version +
+      // columns) in the manifest props; a later `incremental = true`
+      // pass walks the raw commit records since the marker — O(commits),
+      // txn-carrying checkpoints included — and rewrites ONLY the files
+      // appended since, skipping earlier cluster passes' own tagged
+      // output. At 100 TB the steady state is "cluster tonight's ingest",
+      // never "rewrite the decade nightly". Self-pins the exact remove
+      // set (== the appended files) and the marker advance before the
+      // content gate; clustering only moves rows, so the oracle is the
+      // plain table.
+      (s, d) => {
+        val dir = sinkDir("zorder_incr", d)
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        TsStore.write(ev.filter(col("event_id") % 2 === 0), dir,
+          tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
+        TsStore.zorder(s, dir, clusterCols = Seq("user_id", "value"),
+          uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
+        TsStore.write(ev.filter(col("event_id") % 2 === 1), dir,
+          tsCol = "ts", uidCols = Seq("event_type"),
+          mode = org.apache.spark.sql.SaveMode.Append,
+          overlapPolicy = TsStore.OverlapPolicy.Allow,
+          maxRecordsPerFile = 2000)
+        val v2 = graft.sources.StoreLog.latestVersion(dir).get
+        val appended = graft.sources.StoreLog.rawDelta(dir, v2).get._1.toSet
+        val v3 = TsStore.zorder(s, dir, clusterCols = Seq("user_id", "value"),
+          uidCols = Seq("event_type"), maxRecordsPerFile = 2000,
+          incremental = true)
+        val (_, rm, _) = graft.sources.StoreLog.rawDelta(dir, v3).get
+        require(rm.toSet == appended,
+          "incremental zorder must rewrite exactly the files appended " +
+            s"since the marker: $rm vs $appended")
+        require(graft.sources.StoreLog.propsAt(dir, v3)
+            .get(TsStore.ClusterVersionProp).exists(_.toLong == v2),
+          "the incremental pass must advance the cluster marker to its base")
+        val pred = col("user_id").between(2, 6)
+        TsStore.load(s, dir).filter(pred)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE user_id BETWEEN 2 AND 6 ORDER BY event_id"),
+      "incremental z-order: cluster only the files appended since the last pass's marker"),
+
+    "store_takedown_scattered" -> DeclaredQuery(
+      // SCATTERED keyed takedown with MANIFEST-LEVEL key digests: the
+      // store declares a bloom column, so every committed file records
+      // its distinct-value fingerprint set (derived from the parquet
+      // dictionary the commit's footer pass already holds). A GDPR-
+      // shaped key set — uncorrelated with the (uid, ts) layout, so
+      // the [min,max] extent gate keeps EVERY file — prunes at the
+      // manifest instead: only files whose digest may hold a key join
+      // the find scan, so footers open for O(the keys' files), not
+      // O(store). Self-pins the candidate count ≪ live files before
+      // the content gate; absent digests only ever widen (KeyDigestSpec
+      // pins the conservative cases).
+      (s, d) => {
+        val dir = sinkDir("takedown_scatter", d)
+        // a scatter-permuted ENTITY key (each key owns ~8 adjacent
+        // rows): consecutive key values land far apart in key space, so
+        // per-file key ranges all span ~everything — and the per-file
+        // distinct set stays small enough that parquet keeps the column
+        // dictionary-encoded (an all-unique key column falls back to
+        // PLAIN and records no digest — the unique-id takedown keeps
+        // the extent gate + parquet blooms instead)
+        val kExpr = expr("(event_id DIV 8) * 2654435761 % 1000000")
+        TsStore.write(Tables.events(s, d)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .withColumn("k", kExpr).withColumn("version", lit(1L)),
+          dir, tsCol = "ts", uidCols = Seq("event_type"),
+          maxRecordsPerFile = 200, bloomKeys = Seq("k"))
+        val keys = Tables.events(s, d)
+          .filter(col("event_id").between(100, 149))
+          .select(kExpr.as("k"), lit(2L).as("del_v"))
+        TsStore.lastTakedownCandidates = -1
+        TsStore.deleteKeysVectors(s, dir, keys, keyCols = Seq("k"),
+          deleteVersionCol = "del_v", versionCol = "version")
+        val snap = graft.sources.StoreLog.latest(dir).get
+        // the 50 keys live in ~one file per partition; everything else
+        // survives only as a ~1%-per-file fingerprint collision (the
+        // tiniest fixture is all-partitions-affected — skip the ratio)
+        require(TsStore.lastTakedownCandidates >= 0 &&
+            (snap.files.size <= 10 ||
+              TsStore.lastTakedownCandidates * 2 < snap.files.size),
+          s"the digest gate must prune a scattered takedown's find scan: " +
+            s"${TsStore.lastTakedownCandidates} of ${snap.files.size} files")
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE (event_id // 8) * 2654435761 % 1000000 NOT IN " +
+        "(SELECT (event_id // 8) * 2654435761 % 1000000 FROM events " +
+        "WHERE event_id BETWEEN 100 AND 149) ORDER BY event_id"),
+      "scattered keyed takedown: manifest key digests prune the find scan before any footer opens"),
+
     "store_schema_evolution" -> DeclaredQuery(
       // Schema evolution through the store's MERGE: the upsert delta is
       // WIDER than the base (adds a `score` column) and touches only the

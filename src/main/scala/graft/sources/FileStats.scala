@@ -34,9 +34,22 @@ object FileStats {
     * manifest) let `IS NULL` prune files with zero nulls — the
     * data-quality audit scan ("find the violating rows") skips every
     * clean file without opening it.
+    *
+    * `digest` (optional, null = none): the file's DISTINCT-VALUE
+    * fingerprint set for this column — base64 of sorted 4-byte
+    * big-endian 32-bit xxhash64 fingerprints, recorded only for the
+    * store's declared bloom columns when the file's parquet dictionary
+    * proves the closed value set (every page dictionary-encoded,
+    * ≤ [[DigestMaxValues]] distinct). The SCATTERED-takedown
+    * accelerant: a keyed delete probes candidate files at the MANIFEST
+    * level — a file whose digest contains none of the key fingerprints
+    * is dropped before any footer opens. Absent/saturated digests keep
+    * the file; a fingerprint collision keeps it too — conservative
+    * both ways.
     */
   final case class ColStat(tag: String, min: Any, max: Any,
-                           nulls: Long = -1L, rows: Long = -1L)
+                           nulls: Long = -1L, rows: Long = -1L,
+                           digest: String = null)
 
   type FileStatsMap = Map[String, ColStat]
 
@@ -70,12 +83,21 @@ object FileStats {
     * RPCs). Committed into the manifest as the `sizes` index, it lets
     * scan planning and the planner's sizeInBytes answer metadata-only.
     */
-  def forFilesWithSizes(path: String, rels: Seq[String])
+  def forFilesWithSizes(path: String, rels: Seq[String],
+                        digestCols: Option[Seq[String]] = None)
       : (Map[String, FileStatsMap], Map[String, Long]) = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+    // key-digest columns default to the store's own declared bloom
+    // columns (one raw manifest probe) — the same "keys worth indexing"
+    // declaration drives the parquet blooms and the manifest digests
+    val dcols: Set[String] = digestCols.getOrElse(
+      if (StoreLog.canLog(path))
+        StoreLog.latestVersion(path)
+          .map(v => StoreLog.bloomColsAt(path, v)).getOrElse(Nil)
+      else Nil).toSet
     val stats = Map.newBuilder[String, FileStatsMap]
     val sizes = Map.newBuilder[String, Long]
     rels.foreach { rel =>
@@ -85,7 +107,7 @@ object FileStats {
         sizes += rel -> in.getLength
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val fs = fromFooter(reader.getFooter)
+          val fs = fromFooter(reader.getFooter, dcols, reader)
           if (fs.nonEmpty) stats += rel -> fs
         } finally reader.close()
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -93,8 +115,112 @@ object FileStats {
     (stats.result(), sizes.result())
   }
 
+  /** Digest caps: a column with more distinct values than this per
+    * file records no digest (a near-saturated fingerprint set prunes
+    * nothing and bloats the manifest), and a takedown probing with
+    * more keys than [[DigestProbeMaxKeys]] skips the digest gate
+    * (a store-wide purge touches most files anyway).
+    */
+  val DigestMaxValues = 4096
+  val DigestProbeMaxKeys = 65536
+
+  private val DigestSeed = 42L
+
+  /** 32-bit fingerprint of one value in its STAT DOMAIN (the same
+    * canonical domains the bounds use — integral/date/timestamp →
+    * long, string → UTF-8): both the dictionary side (file write) and
+    * the key side (takedown probe) hash through here, so they can
+    * never disagree on encoding.
+    */
+  private[sources] def fingerprint(tag: String, v: Any): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = tag match {
+      case "s" => XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          v.asInstanceOf[String]), DigestSeed)
+      case _ => XXH64.hashLong(v.asInstanceOf[Long], DigestSeed)
+    }
+    (h >>> 32).toInt ^ h.toInt
+  }
+
+  private[sources] def digestEncode(fps: java.util.TreeSet[Integer]): String = {
+    val bb = java.nio.ByteBuffer.allocate(fps.size * 4)
+    fps.forEach(i => { bb.putInt(i); () })
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** Probe a recorded digest with a key-fingerprint set: true iff the
+    * file MAY hold one of the keys. O(file's distinct values) hash
+    * lookups with early exit on the first hit.
+    */
+  private[sources] def digestMayContain(digest: String,
+      probe: java.util.HashSet[Integer]): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(digest)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    val n = bytes.length / 4
+    while (i < n) {
+      if (probe.contains(bb.getInt(i * 4))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** The file's distinct-value fingerprints for `name`, from its
+    * parquet DICTIONARY pages alone (no data pages): sound only when
+    * EVERY page of every row group is dictionary-encoded (the
+    * encoding stats prove it — a plain-encoded fallback page could
+    * hold values outside the dictionary), capped at
+    * [[DigestMaxValues]]. The dictionary may name values no surviving
+    * page actually wrote — a superset only ever KEEPS files. Cost: one
+    * dictionary-page read per row group, riding the same footer open
+    * the bounds already paid for.
+    */
+  private def digestOf(reader: org.apache.parquet.hadoop.ParquetFileReader,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      name: String, tag: String): Option[String] = {
+    val schema = footer.getFileMetaData.getSchema
+    val cd =
+      try schema.getColumnDescription(Array(name))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val fps = new java.util.TreeSet[Integer]()
+    val blocks = footer.getBlocks.asScala
+    blocks.foreach { b =>
+      val col = b.getColumns.asScala
+        .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name)
+        .getOrElse(return None)
+      val es = col.getEncodingStats
+      if (es == null || !es.hasDictionaryPages || es.hasNonDictionaryEncodedPages)
+        return None
+      // upcast to the public interface: the concrete reader class is
+      // package-private in parquet-hadoop
+      val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+        reader.getDictionaryReader(b)
+      val page = store.readDictionaryPage(cd)
+      if (page == null) return None
+      val dict = page.getEncoding.initDictionary(cd, page)
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      var i = 0
+      while (i <= dict.getMaxId) {
+        val v: Any = cd.getPrimitiveType.getPrimitiveTypeName match {
+          case INT64 => dict.decodeToLong(i)
+          case INT32 => dict.decodeToInt(i).toLong
+          case BINARY if tag == "s" =>
+            new String(dict.decodeToBinary(i).getBytes, "UTF-8")
+          case _ => return None
+        }
+        fps.add(fingerprint(tag, v))
+        if (fps.size > DigestMaxValues) return None
+        i += 1
+      }
+    }
+    if (fps.isEmpty) None else Some(digestEncode(fps))
+  }
+
   private def fromFooter(
-      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): FileStatsMap = {
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      digestCols: Set[String] = Set.empty,
+      reader: org.apache.parquet.hadoop.ParquetFileReader = null): FileStatsMap = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val schema = footer.getFileMetaData.getSchema
@@ -146,7 +272,10 @@ object FileStats {
         val nulls =
           if (perBlockNulls.exists(_.isEmpty)) -1L else perBlockNulls.flatten.sum
         val rows = blocks.map(_.getRowCount).sum
-        Some(name -> ColStat(tag, lo, hi, nulls, rows))
+        val dg =
+          if (reader == null || !digestCols.contains(name) || tag == "f") null
+          else digestOf(reader, footer, name, tag).orNull
+        Some(name -> ColStat(tag, lo, hi, nulls, rows, dg))
       }
     }.toMap
   }
@@ -184,7 +313,9 @@ object FileStats {
         case "s" => a.add(cs.min.asInstanceOf[String]); a.add(cs.max.asInstanceOf[String])
         case _   => a.add(cs.min.asInstanceOf[Long]); a.add(cs.max.asInstanceOf[Long])
       }
-      if (cs.rows >= 0) { a.add(cs.nulls); a.add(cs.rows) }
+      // element 6 (the digest) needs 4-5 present — −1 spells "unknown"
+      if (cs.rows >= 0 || cs.digest != null) { a.add(cs.nulls); a.add(cs.rows) }
+      if (cs.digest != null) a.add(cs.digest)
       o.set[com.fasterxml.jackson.databind.JsonNode](name, a)
     }
     o
@@ -203,7 +334,8 @@ object FileStats {
       // legacy 3-element arrays parse with unknown null counts
       val (nulls, rows) =
         if (a.size() >= 5) (a.get(3).asLong(), a.get(4).asLong()) else (-1L, -1L)
-      e.getKey -> ColStat(tag, mn, mx, nulls, rows)
+      val dg = if (a.size() >= 6) a.get(5).asText() else null
+      e.getKey -> ColStat(tag, mn, mx, nulls, rows, dg)
     }.toMap
 
   // ---------------------------------------------------------------- prune

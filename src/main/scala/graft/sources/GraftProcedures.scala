@@ -150,12 +150,15 @@ object GraftProcedures {
       }
       case "zorder" => new OneShot("zorder",
         "rewrite the table (or the partitions a where-predicate names) " +
-          "clustered on the interleaved Morton value of the named columns",
+          "clustered on the interleaved Morton value of the named columns; " +
+          "incremental => true rewrites only files added since the last " +
+          "whole-store pass on the same columns",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("cols", StringType).build(),
           ProcedureParameter.in("buckets", IntegerType).defaultValue("256").build(),
-          ProcedureParameter.in("where", StringType).defaultValue("NULL").build())) {
+          ProcedureParameter.in("where", StringType).defaultValue("NULL").build(),
+          ProcedureParameter.in("incremental", BooleanType).defaultValue("false").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, uids) = layout(root, input.getUTF8String(0).toString)
           require(uids.nonEmpty, "zorder needs the table's partition columns " +
@@ -188,12 +191,13 @@ object GraftProcedures {
                 TsStore.livePrefixStats(path, v0).keys.toSeq.sorted,
                 input.getUTF8String(3).toString)
             }
+          val incremental = !input.isNullAt(4) && input.getBoolean(4)
           val v =
             if (!input.isNullAt(3) && scope.isEmpty)
               StoreLog.latestVersion(path).getOrElse(0L)
             else TsStore.zorder(spark, path,
               clusterCols = cols, uidCols = uids, buckets = buckets,
-              scope = scope)
+              scope = scope, incremental = incremental)
           oneRowScan(StructType(Seq(
             StructField("version", LongType, nullable = false))), Array(v))
         }

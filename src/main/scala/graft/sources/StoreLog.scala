@@ -664,6 +664,12 @@ object StoreLog {
   def replacedAt(path: String, v: Long): Seq[String] =
     strings(readRaw(path, v).get("replaced"))
 
+  /** A version's commit tag straight from raw JSON (None when untagged). */
+  def tagAt(path: String, v: Long): Option[String] = {
+    val n = readRaw(path, v)
+    if (n.has("tag")) Some(n.get("tag").asText()) else None
+  }
+
   /** A version's bloomCols straight from raw JSON. */
   def bloomColsAt(path: String, v: Long): Seq[String] = {
     val n = readRaw(path, v)
@@ -1368,8 +1374,11 @@ object StoreLog {
         // the adoption commit is the one chance to index the ADOPTED
         // files — a one-time O(files) footer-metadata pass (the
         // convert-to-Delta cost); without it every pre-log file stays
-        // stat-less and un-prunable for the store's whole life
-        val (st, sz) = FileStats.forFilesWithSizes(path, files)
+        // stat-less and un-prunable for the store's whole life. Digest
+        // cols come from THIS call's declaration: no manifest exists
+        // yet to derive them from
+        val (st, sz) = FileStats.forFilesWithSizes(path, files,
+          digestCols = Some(bloomCols))
         commit(path, 0L, Seq.empty, files,
           interval = Some(checkpointInterval),
           addStats = st, addSizes = sz,

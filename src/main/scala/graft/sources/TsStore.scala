@@ -285,7 +285,8 @@ object TsStore {
         val moved =
           try StoreLog.adoptStaged(path, staging)
           finally StoreLog.deleteStaging(staging)
-        val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+        val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved,
+          digestCols = Some(appendBlooms))
         var committed = false
         var attempts = 0
         while (!committed) {
@@ -535,7 +536,8 @@ object TsStore {
       // parent (dropSeries: "whatever lives under the prefix now")
       // serialize soundly after ANY intervening commit — they opt out
       // of the replaced-overlap abort
-      abortOnReplaced: Boolean = true): Long = {
+      abortOnReplaced: Boolean = true,
+      tag: Option[String] = None): Long = {
     def abort(why: String): Nothing = {
       StoreLog.deleteDataFiles(path, moved)
       throw new StoreLog.CommitConflict(why)
@@ -563,6 +565,7 @@ object TsStore {
         return StoreLog.commitTransform(path, expectedV, replaced,
           removeFilesOf(expectedV), moved,
           addStats = movedStats, addSizes = movedSizes, addDvs = addDvs,
+          tag = tag,
           setProps = schemaForWiden.fold(Map.empty[String, String])(sc =>
             GraftTable.widenedSchemaProp(props, sc)) ++ extraProps)
       } catch {
@@ -980,26 +983,40 @@ object TsStore {
       .agg(max(col(deleteVersionCol)).as("__del_v"))
       .localCheckpoint() // evaluated by the extent probe and the find
     if (k.isEmpty) return baseV
-    // manifest-stat prune of the find scan by the keys' extent —
-    // effective when the key correlates with the chunk sort order;
-    // past the lazy threshold the extent predicate also SCOPES the
-    // resolution itself (only may-match files materialize). Multi-key
-    // takedowns have no single extent — they resolve fully.
+    // manifest-level prune of the find scan: the keys' [min,max]
+    // extent (effective when the key correlates with the chunk sort
+    // order) AND the per-file distinct-value digest probe (the
+    // SCATTERED-key accelerant — a layout-uncorrelated key set keeps
+    // everything past the extent, but a digest-carrying file admits
+    // the takedown only if it may actually hold a key). Past the lazy
+    // threshold both gates also SCOPE the resolution itself. A
+    // composite key probes on its first column alone (a file without
+    // the first component cannot hold the composite).
+    val probe = keyProbe(k, keyCols.head)
+    val dKeep = digestKeep(probe, keyCols.head) _
     val base =
       if (keyCols.sizeIs == 1) {
         val ext = k.agg(min(col(keyCols.head)).as("lo"),
           max(col(keyCols.head)).as("hi")).first()
         scopedBase(path, baseV,
-          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
-      } else StoreLog.read(path, baseV)
+          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))),
+          extraKeep = dKeep)
+      } else if (probe.isDefined &&
+          StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
+        StoreLog.readFiltered(path, baseV)(e => dKeep(e.stats))
+      else StoreLog.read(path, baseV)
     if (base.files.isEmpty) return base.version
-    val candidates =
-      if (keyCols.sizeIs == 1) {
-        val ext = k.agg(min(col(keyCols.head)).as("lo"),
-          max(col(keyCols.head)).as("hi")).first()
-        FileStats.prune(base.files, base.stats,
-          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
-      } else base.files
+    val candidates = {
+      val extPruned =
+        if (keyCols.sizeIs == 1) {
+          val ext = k.agg(min(col(keyCols.head)).as("lo"),
+            max(col(keyCols.head)).as("hi")).first()
+          FileStats.prune(base.files, base.stats,
+            col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
+        } else base.files
+      extPruned.filter(f => dKeep(base.stats.get(f)))
+    }
+    lastTakedownCandidates = candidates.size
     if (candidates.isEmpty) return base.version
     deleteVectorsBy(spark, path, base, candidates, { df =>
       // a using-columns join moves the key columns to the FRONT of the
@@ -1387,42 +1404,64 @@ object TsStore {
                  maxRecordsPerFile: Long = 8L << 20): Long = {
     require(keyCols.nonEmpty, "deleteKeys needs the store's merge-key columns")
     require(uidCols.nonEmpty, "deleteKeys needs the store's partition columns")
-    val base = StoreLog.ensure(path)
-    if (base.files.isEmpty) return base.version
+    val baseV = StoreLog.latestVersion(path)
+      .getOrElse(StoreLog.ensure(path).version)
     // one row per key, highest delete version wins (same resolution the
     // chunked predicate applies per key)
     val k = keys.groupBy(keyCols.map(col): _*)
       .agg(max(col(deleteVersionCol)).as("__del_v"))
       .localCheckpoint() // evaluated 3× below (extent, find, rewrite)
-    if (k.isEmpty) return base.version
-    // manifest-stat prune of the FIND scan by the keys' extent —
-    // effective when the key correlates with the chunk sort order
-    // (vec_id-keyed indexes, id-ordered feeds); conservative otherwise
-    val candidates =
+    if (k.isEmpty) return baseV
+    // manifest-level prune of the FIND scan: keys' extent (sort-order-
+    // correlated feeds) + per-file digest probe (scattered feeds) —
+    // same gates as the dv twin, scoping the resolution itself past
+    // the lazy threshold
+    val probe = keyProbe(k, keyCols.head)
+    val dKeep = digestKeep(probe, keyCols.head) _
+    val base =
       if (keyCols.sizeIs == 1) {
         val ext = k.agg(min(col(keyCols.head)).as("lo"),
           max(col(keyCols.head)).as("hi")).first()
-        FileStats.prune(base.files, base.stats,
-          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
-      } else base.files
+        scopedBase(path, baseV,
+          col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))),
+          extraKeep = dKeep)
+      } else if (probe.isDefined &&
+          StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
+        StoreLog.readFiltered(path, baseV)(e => dKeep(e.stats))
+      else StoreLog.read(path, baseV)
+    if (base.files.isEmpty) return base.version
+    val candidates = {
+      val extPruned =
+        if (keyCols.sizeIs == 1) {
+          val ext = k.agg(min(col(keyCols.head)).as("lo"),
+            max(col(keyCols.head)).as("hi")).first()
+          FileStats.prune(base.files, base.stats,
+            col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))))
+        } else base.files
+      extPruned.filter(f => dKeep(base.stats.get(f)))
+    }
+    lastTakedownCandidates = candidates.size
     if (candidates.isEmpty) return base.version
-    def readFiles(fs: Seq[String]) =
-      readFilesDv(spark, path, base, fs, mergeSchema = true)
-    def findAffected(fs: Seq[String]): Array[String] =
-      readFiles(fs).join(broadcast(k), keyCols, "inner")
+    def readFiles(s: StoreLog.Snapshot, fs: Seq[String]) =
+      readFilesDv(spark, path, s, fs, mergeSchema = true)
+    def findAffected(s: StoreLog.Snapshot, fs: Seq[String]): Array[String] =
+      readFiles(s, fs).join(broadcast(k), keyCols, "inner")
         .filter(col(versionCol) <= col("__del_v"))
         .select(input_file_name().as("__f"))
         .distinct().collect().map(_.getString(0))
-    val affectedUris =
-      try findAffected(candidates)
+    val (affectedUris, snapUsed) =
+      try (findAffected(base, candidates), base)
       catch {
         // a key/version column may exist only in pruned-away files'
-        // schemas (schema evolution) — resolve over the full live set
-        case _: org.apache.spark.sql.AnalysisException => findAffected(base.files)
+        // schemas (schema evolution) — re-resolve over the FULL live
+        // set (a filtered base widens here too)
+        case _: org.apache.spark.sql.AnalysisException =>
+          val full =
+            if (base.filtered) StoreLog.read(path, base.version) else base
+          (findAffected(full, full.files), full)
       }
     if (affectedUris.isEmpty) return base.version
-    val affected = matchManifest(path, base, affectedUris)
-    val affectedSet = affected.toSet
+    val affected = matchManifest(path, snapUsed, affectedUris)
     val prefixes: Set[String] = affected.map { f =>
       val i = f.lastIndexOf('/')
       require(i > 0, s"live file '$f' is not under a partition directory")
@@ -1430,7 +1469,7 @@ object TsStore {
     }.toSet
     // survivors: rows with no matching delete key, or reinserted ABOVE
     // the key's delete version
-    val survivors = readFiles(affected)
+    val survivors = readFiles(snapUsed, affected)
       .join(broadcast(k), keyCols, "left_outer")
       .filter(col("__del_v").isNull || col(versionCol) > col("__del_v"))
       .drop("__del_v")
@@ -1871,30 +1910,80 @@ object TsStore {
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20,
              numChunks: Int = 0,
-             scope: Seq[String] = Nil): Long = {
+             scope: Seq[String] = Nil,
+             incremental: Boolean = false): Long = {
     require(clusterCols.nonEmpty, "zorder needs at least one cluster column")
     require(uidCols.nonEmpty, "zorder needs the store's partition columns")
-    // SCOPED resolution: a prefix-bounded re-cluster against a
-    // million-file store materializes only its scope's files (a
-    // whole-store pass is O(store) by definition — its rewrite IS the
-    // store — so it keeps the full resolve)
+    require(scope.isEmpty || !incremental,
+      "incremental zorder covers the whole store — name a scope OR pass incremental")
     val baseV = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
-    val base =
-      if (scope.nonEmpty &&
-          StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
-        StoreLog.readFiltered(path, baseV, scope)(_ => true)
-      else StoreLog.read(path, baseV)
-    if (base.files.isEmpty) return base.version
+    val props0 = StoreLog.propsAt(path, baseV)
+    // INCREMENTAL (the liquid-clustering role): rewrite only files
+    // added since the recorded marker — the walk reads each commit's
+    // raw add/remove record (txn checkpoints keep it raw; a
+    // record-less version — legacy checkpoint, restore — falls back to
+    // one live-set diff), skipping the adds of PREVIOUS cluster
+    // commits (their tag marks them — a pass must not churn its own
+    // output). Marker soundness needs no append fencing: the marker is
+    // the pass's BASE version, so files landing during the commit
+    // window commit at higher versions and join the next pass's walk.
+    val marker: Option[Long] =
+      if (!incremental) None
+      else props0.get(ClusterVersionProp).flatMap(m =>
+        scala.util.Try(m.toLong).toOption)
+          .filter(_ => props0.get(ClusterColsProp)
+            .contains(clusterCols.mkString(",")))
+    val incrTargets: Option[Seq[String]] = marker.map { m =>
+      val added = scala.collection.mutable.LinkedHashSet.empty[String]
+      var v = m + 1
+      var raw = true
+      while (raw && v <= baseV) {
+        StoreLog.rawDelta(path, v) match {
+          case Some((add, rm, _)) =>
+            rm.foreach(added -= _)
+            if (!StoreLog.tagAt(path, v).exists(_.startsWith(ClusterTagPrefix)))
+              added ++= add
+          case None => raw = false // record-less version: diff instead
+        }
+        v += 1
+      }
+      if (raw) added.toSeq
+      else {
+        // fallback: files live now that were not live at the marker —
+        // O(store paths) driver memory, only on restore/legacy chains
+        val atMarker = StoreLog.foldFiles(path, m)(
+          scala.collection.mutable.HashSet.empty[String])((s, e) => { s += e.path; s })
+        StoreLog.foldFiles(path, baseV)(Vector.empty[String])((a, e) =>
+          if (atMarker.contains(e.path)) a else a :+ e.path)
+      }
+    }
+    if (incrTargets.exists(_.isEmpty)) return baseV // nothing new since marker
     def prefixOf(f: String): String = {
       val i = f.lastIndexOf('/')
       require(i > 0, s"live file '$f' is not under a partition directory")
       f.substring(0, i)
     }
+    // SCOPED resolution: a prefix-bounded or incremental re-cluster
+    // against a million-file store materializes only its targets (a
+    // whole-store pass is O(store) by definition — its rewrite IS the
+    // store — so it keeps the full resolve)
+    val incrSet = incrTargets.map(_.toSet)
+    val resolvePrefixes =
+      incrTargets.map(_.map(prefixOf).distinct).getOrElse(scope)
+    val base =
+      if (resolvePrefixes.nonEmpty &&
+          StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
+        StoreLog.readFiltered(path, baseV, resolvePrefixes)(e =>
+          incrSet.forall(_.contains(e.path)))
+      else StoreLog.read(path, baseV)
+    if (base.files.isEmpty) return base.version
     val scopeSet = scope.toSet
-    val targetFiles =
-      if (scope.isEmpty) base.files
-      else base.files.filter(f => scopeSet(prefixOf(f)))
+    val targetFiles = incrSet match {
+      case Some(ts) => base.files.filter(ts.contains)
+      case None if scope.isEmpty => base.files
+      case None => base.files.filter(f => scopeSet(prefixOf(f)))
+    }
     if (targetFiles.isEmpty) return base.version
     val prefixes: Seq[String] = targetFiles.map(prefixOf).distinct
     val rows = readFilesDv(spark, path, base, targetFiles, mergeSchema = true)
@@ -1927,16 +2016,38 @@ object TsStore {
       // transform commit: swap exactly the targets for the clustered
       // rewrite — O(rewrite footprint) on every attempt, no parent file
       // list. Conflict rules unchanged: an intervening commit REPLACING
-      // a touched prefix aborts, appends serialize.
+      // a touched prefix aborts, appends serialize. Whole-store and
+      // incremental passes advance the CLUSTER MARKER to their base
+      // version (everything live there is clustered after this commit);
+      // a scoped pass covers only its prefixes and leaves it alone. The
+      // commit tag marks the adds as cluster OUTPUT so later
+      // incremental walks skip them.
+      val markerProps =
+        if (incremental || scope.isEmpty)
+          Map(ClusterColsProp -> clusterCols.mkString(","),
+            ClusterVersionProp -> base.version.toString)
+        else Map.empty[String, String]
       commitTransformWithRebase(path, lease, base.version, moved,
         replaced = prefixes,
         removeFilesOf = _ => targetFiles,
         abortOnAppendsUnder = false,
+        tag = Some(ClusterTagPrefix +
+          java.util.UUID.randomUUID().toString.take(8)),
         // z-clustered files are ordered by the interleave rank, NOT by
         // ts — the scan must stop claiming per-partition ts order
-        extraProps = Map(GraftTable.LayoutSortedProp -> "false"))
+        extraProps = Map(GraftTable.LayoutSortedProp -> "false") ++ markerProps)
     }
   }
+
+  /** Cluster-marker store properties ([[zorder]] incremental mode):
+    * the version at which the whole store was last proven clustered on
+    * [[ClusterColsProp]], and the commit-tag prefix that marks a
+    * cluster pass's own output files (so incremental walks never churn
+    * them).
+    */
+  val ClusterColsProp = "graft.cluster.cols"
+  val ClusterVersionProp = "graft.cluster.v"
+  val ClusterTagPrefix = "graft.zorder:"
 
   /** Resolve a partition-scope PREDICATE (a SQL boolean over the
     * store's partition columns — `"event_type = 'view'"`,
@@ -2154,12 +2265,73 @@ object TsStore {
     * it. A `filtered` result is a strict subset view; callers that hit
     * a schema-widening corner re-resolve fully.
     */
-  private def scopedBase(path: String, v: Long,
-                         pred: Column): StoreLog.Snapshot =
+  private def scopedBase(path: String, v: Long, pred: Column,
+      extraKeep: Option[FileStats.FileStatsMap] => Boolean = _ => true)
+      : StoreLog.Snapshot =
     if (StoreLog.liveFileCount(path, v) >= StoreLog.LazySnapshotThreshold) {
       val keep = predKeep(path, v, pred)
-      StoreLog.readFiltered(path, v)(e => keep(e.path, e.stats))
+      StoreLog.readFiltered(path, v)(e =>
+        keep(e.path, e.stats) && extraKeep(e.stats))
     } else StoreLog.read(path, v)
+
+  /** Candidate-file count of the last keyed takedown's find scan —
+    * observability seam for the digest-pruning specs only.
+    */
+  @volatile private[graft] var lastTakedownCandidates: Int = -1
+
+  /** The keyed takedown's MANIFEST-LEVEL key gate: 32-bit fingerprints
+    * of the key set's FIRST merge-key column, in the column's stat
+    * domain — probed against each candidate file's recorded
+    * distinct-value digest ([[FileStats.ColStat.digest]]) so a
+    * SCATTERED takedown (keys uncorrelated with the (uid, ts) layout,
+    * where the [min,max] extent keeps everything) drops files BEFORE
+    * any footer opens. None — and so no gate, conservatively — when
+    * the key domain is undigestable, or the distinct key count
+    * exceeds [[FileStats.DigestProbeMaxKeys]] (a purge that size
+    * touches most files anyway).
+    */
+  private def keyProbe(k: DataFrame, keyCol: String)
+      : Option[(String, java.util.HashSet[Integer])] = {
+    import org.apache.spark.sql.types._
+    val tag = k.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "i"
+      case DateType => "d"
+      case StringType => "s"
+      case _ => return None
+    }
+    val vals = k.select(col(keyCol)).distinct()
+      .limit(FileStats.DigestProbeMaxKeys + 1).collect()
+    if (vals.length > FileStats.DigestProbeMaxKeys) return None
+    val set = new java.util.HashSet[Integer](vals.length * 2)
+    vals.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val v: Any = tag match {
+          case "i" => r.get(0).asInstanceOf[Number].longValue()
+          case "d" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(r.getDate(0)).toLong
+          case "s" => r.getString(0)
+        }
+        set.add(FileStats.fingerprint(tag, v)); ()
+      }
+    }
+    Some((tag, set))
+  }
+
+  /** File keep under a key probe: a recorded digest with a matching
+    * tag must contain at least one key fingerprint; anything else —
+    * no probe, no digest, tag mismatch — keeps the file.
+    */
+  private def digestKeep(probe: Option[(String, java.util.HashSet[Integer])],
+      keyCol: String)(st: Option[FileStats.FileStatsMap]): Boolean =
+    probe match {
+      case None => true
+      case Some((tag, fps)) =>
+        st.flatMap(_.get(keyCol)) match {
+          case Some(cs) if cs.digest != null && cs.tag == tag =>
+            FileStats.digestMayContain(cs.digest, fps)
+          case _ => true
+        }
+    }
 
   private[graft] def readFilesDv(spark: SparkSession, path: String,
       snap: StoreLog.Snapshot, files: Seq[String],

@@ -203,4 +203,55 @@ class ZorderSpec extends AnyFunSuite {
     assert(kept * 2 <= post.files.size,
       s"value-range predicate should prune z-ordered files: $kept of ${post.files.size}")
   }
+
+  test("incremental zorder rewrites ONLY files added since the marker") {
+    val events = Tables.events(spark, TestSpark.sf001)
+      .select(cols.head, cols.tail: _*)
+    val dir = Files.createTempDirectory("graft_zorder_incr").toString
+    TsStore.write(events.filter(col("event_id") % 2 === 0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 200)
+    // whole-store pass records the cluster marker
+    val v1 = TsStore.zorder(spark, dir, clusterCols = Seq("user_id"),
+      uidCols = Seq("event_type"), buckets = 16, maxRecordsPerFile = 200)
+    val p1 = StoreLog.propsAt(dir, v1)
+    assert(p1.get(TsStore.ClusterColsProp).contains("user_id"))
+    assert(p1.get(TsStore.ClusterVersionProp).exists(_.toLong === v1 - 1))
+    val clusteredAtV1 = StoreLog.read(dir, v1).files.toSet
+    // fresh appends land unclustered files
+    TsStore.write(events.filter(col("event_id") % 2 === 1), dir,
+      tsCol = "ts", uidCols = Seq("event_type"),
+      mode = org.apache.spark.sql.SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow, maxRecordsPerFile = 200)
+    val v2 = StoreLog.latestVersion(dir).get
+    val appended = StoreLog.rawDelta(dir, v2).get._1.toSet
+    assert(appended.nonEmpty)
+    // incremental pass: its remove set is EXACTLY the appended files —
+    // the first pass's output is never churned
+    val v3 = TsStore.zorder(spark, dir, clusterCols = Seq("user_id"),
+      uidCols = Seq("event_type"), buckets = 16, maxRecordsPerFile = 200,
+      incremental = true)
+    assert(v3 === v2 + 1)
+    val (add3, rm3, _) = StoreLog.rawDelta(dir, v3).get
+    assert(rm3.toSet === appended,
+      s"incremental pass must rewrite exactly the appends: $rm3 vs $appended")
+    assert(add3.nonEmpty && add3.toSet.intersect(clusteredAtV1).isEmpty)
+    // marker advanced; an immediate second incremental pass is a no-op
+    assert(StoreLog.propsAt(dir, v3)
+      .get(TsStore.ClusterVersionProp).exists(_.toLong === v2))
+    assert(TsStore.zorder(spark, dir, clusterCols = Seq("user_id"),
+      uidCols = Seq("event_type"), buckets = 16,
+      incremental = true) === v3)
+    // content identical to the pre-pass view
+    val got = TsStore.load(spark, dir).count()
+    assert(got === events.count())
+    // a different cluster column refuses the stale marker (full pass)
+    val v4 = TsStore.zorder(spark, dir, clusterCols = Seq("value"),
+      uidCols = Seq("event_type"), buckets = 16, maxRecordsPerFile = 200,
+      incremental = true)
+    val (_, rm4, _) = StoreLog.rawDelta(dir, v4).get
+    assert(rm4.size === StoreLog.read(dir, v4 - 1).files.size,
+      "a cols mismatch must fall back to a whole-store pass")
+    assert(StoreLog.propsAt(dir, v4)
+      .get(TsStore.ClusterColsProp).contains("value"))
+  }
 }
