@@ -1897,6 +1897,52 @@ object Scans {
         "WHERE event_id % 3 IN (0, 1) ORDER BY event_id"),
       "writable branches + write-audit-publish: staged appends invisible to main, audited atomic fast-forward"),
 
+    "store_branch_cdc" -> DeclaredQuery(
+      // BRANCH-TARGETED DML — WAP for a CDC feed, not just an append
+      // feed (the real-world gap: a day's change batch carries UPDATES
+      // and DELETES): a keyed upsert and a deletion-vector takedown
+      // both land ON the branch (TsStore.upsert(branch)/
+      // deleteVectors(branch) — the branch-ref commit loop: new branch
+      // view + pin advance in one commit, dv state exact-reset whenever
+      // tip inheritance would leak across refs), stay INVISIBLE to
+      // every main read face, and publish fast-forwards the fully-
+      // applied batch atomically; a drop sheds rewrites AND vectors.
+      // Self-pins main invisibility mid-batch before the content gate.
+      (s, d) => {
+        val dir = sinkDir("branch_cdc", d)
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        TsStore.write(ev.withColumn("version", lit(1L)), dir,
+          tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
+        val n0 = TsStore.load(s, dir).count()
+        TsStore.branch(dir, "cdc")
+        // the change batch: value updates for every 10th id…
+        TsStore.upsert(s, dir,
+          ev.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("version", lit(2L)),
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"), branch = Some("cdc"))
+        // …and takedowns for every 7th — vectors on the branch only
+        TsStore.deleteVectors(s, dir, col("event_id") % 7 === 0,
+          branch = Some("cdc"))
+        require(TsStore.load(s, dir).count() == n0,
+          "the half-applied CDC batch must be invisible to main")
+        require(TsStore.load(s, dir)
+            .filter(col("event_id") % 10 === 0 && col("version") === 2L)
+            .limit(1).count() == 0L,
+          "branch upserts must not leak into the main view")
+        TsStore.publishBranch(s, dir, "cdc")
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value " +
+        "FROM events WHERE event_id % 7 <> 0 ORDER BY event_id"),
+      "branch-targeted CDC batch: upsert + dv takedown on a WAP branch, published atomically"),
+
     "store_sql_delete_keys" -> DeclaredQuery(
       // The KEYED takedown from pure SQL: DELETE WHERE expresses a
       // predicate, but the GDPR/takedown shape is a MILLION-KEY LIST —

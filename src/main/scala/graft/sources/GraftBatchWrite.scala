@@ -191,7 +191,7 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
               addStats = movedStats, addSizes = movedSizes)
           else {
             val cur = StoreLog.read(path, curV)
-            val (baseFiles, refProps, carryStats, carrySizes) =
+            val (baseFiles, refProps, carryStats, carrySizes, dvReset) =
               TsStore.refAppendBase(path, cur, None)
             val (replaced, files) =
               if (truncate)
@@ -203,6 +203,7 @@ private[sources] class GraftBatchWriteExec(path: String, staging: String,
             StoreLog.commit(path, cur.version, replaced, files,
               parent = Some(cur), addStats = carryStats ++ movedStats,
               addSizes = carrySizes ++ movedSizes,
+              resetDvs = if (truncate) None else dvReset,
               // an OVERWRITE redefines the whole store with canonically
               // sorted files — (re)establish the layout-order contract;
               // an append's sorted additions just inherit the parent's

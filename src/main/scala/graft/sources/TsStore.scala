@@ -321,12 +321,13 @@ object TsStore {
               // list may be the OTHER ref's view — resolve the target
               // ref's files and advance its pointer in the same commit
               val cur = StoreLog.read(path, curV)
-              val (baseFiles, refProps, carryStats, carrySizes) =
+              val (baseFiles, refProps, carryStats, carrySizes, dvReset) =
                 TsStore.refAppendBase(path, cur, branch)
               StoreLog.commit(path, cur.version, Seq.empty, baseFiles ++ moved,
                 parent = Some(cur), addStats = carryStats ++ movedStats,
                 addSizes = carrySizes ++ movedSizes,
                 tag = commitTag,
+                resetDvs = dvReset,
                 setProps =
                   GraftTable.widenedSchemaProp(cur.props, dfW.schema) ++ refProps)
             }
@@ -440,7 +441,7 @@ object TsStore {
     */
   def upsertPlan(spark: SparkSession, path: String, delta: DataFrame,
                  keyCols: Seq[String], versionCol: String,
-                 uidCols: Seq[String]): DataFrame = {
+                 uidCols: Seq[String], asOf: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one merge-key column")
     require(uidCols.nonEmpty, "upsert needs the store's partition columns")
     val touched = delta.select(uidCols.map(col): _*).distinct().collect()
@@ -461,7 +462,8 @@ object TsStore {
     // footer reads and an O(store) metadata pass per upsert.
     val basePred = keyPredicate(touched.toSeq, uidCols)
     val base =
-      try load(spark, path, mergeSchema = true, prune = Some(basePred))
+      try load(spark, path, mergeSchema = true, prune = Some(basePred),
+        asOf = asOf)
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return delta.withColumn("__src", lit(1)).transform(dedupLatest(keyCols, versionCol)) }
     // UNION of the two schemas, not the delta's projection: a delta
@@ -553,7 +555,8 @@ object TsStore {
         abort(s"store at $path has an active branch " +
           s"(${StoreLog.branches(path).keys.mkString(", ")}) — " +
           "replacing operations refuse while a branch is open; publish " +
-          "or drop it first (appends may still target either ref)")
+          "or drop it first (appends — and branch-targeted upsert / " +
+          "deleteVectors — may still run)")
       boundChecks.foreach { bc =>
         val added = Constraints.addedSince(bc, props)
         if (added.nonEmpty)
@@ -657,7 +660,8 @@ object TsStore {
         abort(s"store at $path has an active branch " +
           s"(${StoreLog.branches(path).keys.mkString(", ")}) — " +
           "replacing operations refuse while a branch is open; publish " +
-          "or drop it first (appends may still target either ref)")
+          "or drop it first (appends — and branch-targeted upsert / " +
+          "deleteVectors — may still run)")
       boundChecks.foreach { bc =>
         val added = Constraints.addedSince(bc, expected.props)
         if (added.nonEmpty)
@@ -731,7 +735,8 @@ object TsStore {
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
              maxRecordsPerFile: Long = 8L << 20,
-             setProps: Map[String, String] = Map.empty): Long = {
+             setProps: Map[String, String] = Map.empty,
+             branch: Option[String] = None): Long = {
     // a renamed store's files (and upsertPlan's base read-back) carry
     // PHYSICAL names — translate the user delta and its named columns
     // (uid/ts columns refuse renames, so only keys/version can move).
@@ -755,8 +760,18 @@ object TsStore {
     // (ensure() runs only for the first-ever write's adoption commit)
     val baseV: Long = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
-    if (pinned.isEmpty) return baseV
-    val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW, uidCols)
+    // BRANCH-TARGETED upsert (the WAP CDC-apply shape): merge against
+    // the BRANCH view and commit through [[branchDmlCommit]] — main
+    // readers never see the half-applied feed; publish fast-forwards it
+    val branchPin: Option[Long] = branch.map { b =>
+      StoreLog.propsAt(path, baseV).get(StoreLog.BranchPropPrefix + b)
+        .flatMap(_.toLongOption).getOrElse(throw new IllegalArgumentException(
+          s"no branch '$b' at $path (TsStore.branch / CALL system.branch " +
+            "creates one)"))
+    }
+    if (pinned.isEmpty) return branchPin.getOrElse(baseV)
+    val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW,
+      uidCols, asOf = branchPin)
     // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
     // scan), not on the merge lineage: the base was validated at its own
     // write, so the merge can only carry a null ts the delta brought in.
@@ -792,14 +807,22 @@ object TsStore {
       // them; otherwise our merge used a stale base for those rows.
       // The TRANSFORM scaffold streams the remove set and walks raw
       // manifests — O(commit footprint), never the store
-      commitTransformWithRebase(path, lease, baseV, moved, prefixes.toSeq,
-        // the exact remove set at each attempt's base: live files under
-        // the touched prefixes, streamed (never the whole store)
-        removeFilesOf = v => StoreLog.foldFiles(path, v, prefixes.toSeq)(
-          Vector.empty[String])((a, e) => a :+ e.path),
-        abortOnAppendsUnder = true,
-        schemaForWiden = Some(delta.schema), extraProps = setProps,
-        boundChecks = Some(boundChecks))
+      branch match {
+        case Some(b) =>
+          branchDmlCommit(path, lease, b, branchPin.get, moved,
+            prefixes.toSeq, removeUnder = true, addDvs = Map.empty,
+            boundChecks = Some(boundChecks),
+            schemaForWiden = Some(delta.schema))
+        case None =>
+          commitTransformWithRebase(path, lease, baseV, moved, prefixes.toSeq,
+            // the exact remove set at each attempt's base: live files under
+            // the touched prefixes, streamed (never the whole store)
+            removeFilesOf = v => StoreLog.foldFiles(path, v, prefixes.toSeq)(
+              Vector.empty[String])((a, e) => a :+ e.path),
+            abortOnAppendsUnder = true,
+            schemaForWiden = Some(delta.schema), extraProps = setProps,
+            boundChecks = Some(boundChecks))
+      }
     }
   }
 
@@ -940,18 +963,28 @@ object TsStore {
     * Returns the committed version (the base version when nothing
     * matched).
     */
-  def deleteVectors(spark: SparkSession, path: String, pred: Column): Long = {
+  def deleteVectors(spark: SparkSession, path: String, pred: Column,
+                    branch: Option[String] = None): Long = {
     // scoped resolution: past the lazy threshold only the may-match
     // files (with their stats/sizes/dvs) materialize — a keyed or
     // sliced takedown against a million-file store stays O(its scope)
-    // on the driver end to end
-    val baseV = StoreLog.latestVersion(path)
+    // on the driver end to end. A BRANCH target finds over the branch
+    // view and commits through the WAP loop — the takedown stays
+    // invisible to main until publish, dies with a drop
+    val tipV = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
+    val baseV = branch match {
+      case Some(b) =>
+        StoreLog.propsAt(path, tipV).get(StoreLog.BranchPropPrefix + b)
+          .flatMap(_.toLongOption).getOrElse(
+            throw new IllegalArgumentException(s"no branch '$b' at $path"))
+      case None => tipV
+    }
     val base = scopedBase(path, baseV, pred)
     if (base.files.isEmpty) return base.version
     val candidates = FileStats.prune(base.files, base.stats, pred)
     if (candidates.isEmpty) return base.version
-    deleteVectorsBy(spark, path, base, candidates, _.filter(pred))
+    deleteVectorsBy(spark, path, base, candidates, _.filter(pred), branch)
   }
 
   /** KEYED merge-on-read takedown — [[deleteKeys]]' deletion-vector
@@ -1040,7 +1073,8 @@ object TsStore {
     */
   private def deleteVectorsBy(spark: SparkSession, path: String,
                               base: StoreLog.Snapshot, candidates: Seq[String],
-                              matcher: DataFrame => DataFrame): Long = {
+                              matcher: DataFrame => DataFrame,
+                              branch: Option[String] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     // scan-rendered uri → (manifest rel, existing vector's abs path)
@@ -1115,15 +1149,28 @@ object TsStore {
           require(i > 0, s"live file '$f' is not under a partition directory")
           f.substring(0, i)
         }.toSeq
-        // dv-only transform: no file moves, no parent file list — the
-        // commit is O(changed vectors) however many files the store has
-        commitTransformWithRebase(path, lease, base.version,
-          moved = Nil, replaced = prefixes,
-          removeFilesOf = _ => Nil, abortOnAppendsUnder = false,
-          addDvs = entries)
+        branch match {
+          case Some(b) =>
+            // branch-targeted takedown: the vectors land on the BRANCH
+            // view only (invisible to main; exact dv reset keeps the
+            // refs' states from cross-leaking on later zig-zag commits)
+            branchDmlCommit(path, lease, b, base.version, moved = Nil,
+              prefixes = prefixes, removeUnder = false, addDvs = entries,
+              boundChecks = None, schemaForWiden = None)
+          case None =>
+            // dv-only transform: no file moves, no parent file list — the
+            // commit is O(changed vectors) however many files the store has
+            commitTransformWithRebase(path, lease, base.version,
+              moved = Nil, replaced = prefixes,
+              removeFilesOf = _ => Nil, abortOnAppendsUnder = false,
+              addDvs = entries)
+        }
       }
     }
-    if (v != base.version) dvDensityCompact(spark, path)
+    // the density auto-compact cue is a REPLACING verb — it refuses
+    // under an open branch, so branch takedowns skip the hook (publish
+    // or drop reopens it)
+    if (v != base.version && branch.isEmpty) dvDensityCompact(spark, path)
     v
   }
 
@@ -2522,7 +2569,8 @@ object TsStore {
     * fail it spuriously.
     */
   private[sources] def metadataCommitWithRetry[T](path: String,
-      filesOf: StoreLog.Snapshot => Seq[String] = _.files)(
+      filesOf: StoreLog.Snapshot => Seq[String] = _.files,
+      dvsOf: StoreLog.Snapshot => Option[Map[String, Dv.Entry]] = _ => None)(
       propsOf: StoreLog.Snapshot => (Map[String, String], T)): T = {
     var attempts = 0
     while (true) {
@@ -2531,7 +2579,7 @@ object TsStore {
       val (props, result) = propsOf(cur)
       try {
         StoreLog.commit(path, cur.version, Seq.empty, filesOf(cur),
-          parent = Some(cur), setProps = props)
+          parent = Some(cur), setProps = props, resetDvs = dvsOf(cur))
         return result
       } catch {
         case c: StoreLog.CommitConflict =>
@@ -2546,24 +2594,39 @@ object TsStore {
     * loops: under an active branch the tip's `files` may be the OTHER
     * ref's view, so the append resolves its target ref's files and
     * moves that ref's pointer to its own version in the same commit.
-    * Returns (files, ref-advance props, carried stats, carried sizes):
-    * when the ref view is NOT the tip, the delta vs the tip RE-ADDS the
-    * ref view's exclusive files, and their stats/sizes must ride the
-    * commit or the zig-zag silently strips the planner's index from
-    * every interleaved append (the manifest serializes a delta's stats
-    * for its ADDED slice from exactly this map). Branchless stores pay
-    * nothing (tip files, no props, empty carriage).
+    * Returns (files, ref-advance props, carried stats, carried sizes,
+    * dv reset): when the ref view is NOT the tip, the delta vs the tip
+    * RE-ADDS the ref view's exclusive files, and their stats/sizes must
+    * ride the commit or the zig-zag silently strips the planner's index
+    * from every interleaved append (the manifest serializes a delta's
+    * stats for its ADDED slice from exactly this map). The DV RESET is
+    * the deletion-vector twin: since branch-targeted DML exists, the
+    * two views' dv states can DIVERGE (a branch takedown vectors a file
+    * both views share) — a commit inheriting the TIP's dv map would
+    * leak the other ref's deletions into this ref's view, so when the
+    * states differ the commit must exact-reset to the ref view's own
+    * map (a checkpoint manifest; only paid when they actually diverged
+    * — plain WAP append flows never do). Branchless stores pay nothing
+    * (tip files, no props, empty carriage, no reset).
     */
   private[graft] def refAppendBase(path: String, cur: StoreLog.Snapshot,
       branch: Option[String]): (Seq[String], Map[String, String],
-      Map[String, FileStats.FileStatsMap], Map[String, Long]) = {
+      Map[String, FileStats.FileStatsMap], Map[String, Long],
+      Option[Map[String, Dv.Entry]]) = {
     def resolve(v: Long, props: Map[String, String])
         : (Seq[String], Map[String, String],
-           Map[String, FileStats.FileStatsMap], Map[String, Long]) =
-      if (v == cur.version) (cur.files, props, Map.empty, Map.empty)
+           Map[String, FileStats.FileStatsMap], Map[String, Long],
+           Option[Map[String, Dv.Entry]]) =
+      if (v == cur.version) (cur.files, props, Map.empty, Map.empty, None)
       else {
         val ref = StoreLog.read(path, v)
-        (ref.files, props, ref.stats, ref.sizes)
+        // the dv state the commit would DEFAULT to (tip's map filtered
+        // to the ref view's live files) vs the ref view's own — reset
+        // only on genuine divergence
+        val live = ref.files.toSet
+        val inherited = cur.dvs.filter { case (f, _) => live(f) }
+        val reset = if (inherited == ref.dvs) None else Some(ref.dvs)
+        (ref.files, props, ref.stats, ref.sizes, reset)
       }
     branch match {
       case Some(b) =>
@@ -2578,9 +2641,93 @@ object TsStore {
         cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption) match {
           case Some(mv) =>
             resolve(mv, Map(StoreLog.MainRefProp -> (cur.version + 1).toString))
-          case None => (cur.files, Map.empty, Map.empty, Map.empty)
+          case None => (cur.files, Map.empty, Map.empty, Map.empty, None)
         }
     }
+  }
+
+  /** The leased commit loop for BRANCH-TARGETED DML — the write-audit-
+    * publish gap-closer: a CDC batch (partition-replacing upsert) or a
+    * keyed/predicate takedown (deletion vectors) lands ON a branch,
+    * invisible to every main-facing read face, and [[publishBranch]]
+    * fast-forwards the result atomically (re-audited against current
+    * constraints) or [[dropBranch]] abandons it, vectors included.
+    *
+    * The commit's `files` is the NEW BRANCH VIEW (replaced-prefix files
+    * dropped when `removeUnder`, staged files added) — main readers
+    * resolve through their own pin, so the tip flip is invisible; the
+    * target ref's pointer advances in the same commit, and the dv state
+    * exact-resets to the branch view's whenever inheritance from the
+    * tip would leak the other ref's vectors. Concurrency is the honest
+    * WAP contract: a CAS loss against MAIN commits rebases transparently
+    * (the branch pin did not move), while ANY other commit that moved
+    * THIS branch's pin since the operation read its view aborts — the
+    * rewrite/find was computed against a superseded branch head, and
+    * branch feeds are single-writer by design. The branch vanishing
+    * mid-flight (published or dropped) aborts too. `replaced` names the
+    * touched prefixes, so a stale main-side writer rebasing across the
+    * published era finds the conflict in this commit's own record.
+    */
+  private def branchDmlCommit(path: String, lease: StoreLog.WriterLease,
+      b: String, bv0: Long, moved: Seq[String], prefixes: Seq[String],
+      removeUnder: Boolean,
+      addDvs: Map[String, Dv.Entry],
+      boundChecks: Option[Seq[Constraints.Check]],
+      schemaForWiden: Option[org.apache.spark.sql.types.StructType]): Long = {
+    def abort(why: String): Nothing = {
+      StoreLog.deleteDataFiles(path, moved)
+      throw new StoreLog.CommitConflict(why)
+    }
+    val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+    var attempts = 0
+    while (true) {
+      lease.renew()
+      val cur = StoreLog.latest(path).getOrElse(
+        abort(s"no manifest at $path"))
+      boundChecks.foreach { bc =>
+        val added = Constraints.addedSince(bc, cur.props)
+        if (added.nonEmpty)
+          abort(s"CHECK constraint(s) ${added.map(_.name).mkString(", ")} " +
+            s"added concurrently at $path — the staged rows were never " +
+            "validated against them; re-run the write")
+      }
+      val bvNow = cur.props.get(StoreLog.BranchPropPrefix + b)
+        .flatMap(_.toLongOption).getOrElse(abort(
+          s"branch '$b' at $path was published or dropped mid-operation — " +
+            "the staged change has no target; re-run against main or a " +
+            "fresh branch"))
+      if (bvNow != bv0)
+        abort(s"branch '$b' at $path moved (v$bv0 → v$bvNow) since this " +
+          "operation read its view — re-run against the new branch head")
+      val bSnap = if (bvNow == cur.version) cur else StoreLog.read(path, bvNow)
+      def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
+      val newFiles =
+        (if (removeUnder) bSnap.files.filterNot(under) else bSnap.files) ++ moved
+      val live = newFiles.toSet
+      val desired = (bSnap.dvs ++ addDvs).filter { case (f, _) => live(f) }
+      val inherited = (cur.dvs ++ addDvs).filter { case (f, _) => live(f) }
+      val dvReset = if (inherited == desired) None else Some(desired)
+      val (carryStats, carrySizes) =
+        if (bvNow == cur.version)
+          (Map.empty[String, FileStats.FileStatsMap], Map.empty[String, Long])
+        else (bSnap.stats, bSnap.sizes)
+      try {
+        return StoreLog.commit(path, cur.version, prefixes.sorted, newFiles,
+          parent = Some(cur),
+          addStats = carryStats ++ movedStats,
+          addSizes = carrySizes ++ movedSizes,
+          addDvs = addDvs, resetDvs = dvReset,
+          setProps = schemaForWiden.fold(Map.empty[String, String])(sc =>
+            GraftTable.widenedSchemaProp(cur.props, sc)) +
+            (StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+      } catch {
+        case c: StoreLog.CommitConflict =>
+          attempts += 1
+          if (attempts > 20)
+            abort(s"gave up after $attempts commit attempts at $path: ${c.getMessage}")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Validate a ref/tag name (shared rules: tag charset, no all-digit
@@ -2628,17 +2775,26 @@ object TsStore {
     * restores MAIN's file list when it releases the last ref, so the
     * tip's live view is main's again.
     */
-  def dropBranch(path: String, name: String): Unit =
+  def dropBranch(path: String, name: String): Unit = {
+    def mainRestore(cur: StoreLog.Snapshot): Option[StoreLog.Snapshot] = {
+      // from cur.props (the attempt's own base), never a fresh
+      // listing a concurrent commit could skew mid-attempt
+      val lastBranch = cur.props.keys
+        .count(_.startsWith(StoreLog.BranchPropPrefix)) <= 1
+      val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
+      if (lastBranch && mv.isDefined && mv.get != cur.version)
+        Some(StoreLog.read(path, mv.get))
+      else None
+    }
     metadataCommitWithRetry(path,
-      filesOf = cur => {
-        // from cur.props (the attempt's own base), never a fresh
-        // listing a concurrent commit could skew mid-attempt
-        val lastBranch = cur.props.keys
-          .count(_.startsWith(StoreLog.BranchPropPrefix)) <= 1
-        val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
-        if (lastBranch && mv.isDefined && mv.get != cur.version)
-          StoreLog.read(path, mv.get).files
-        else cur.files
+      filesOf = cur => mainRestore(cur).map(_.files).getOrElse(cur.files),
+      // restoring main's view restores its DV STATE too: an abandoned
+      // branch takedown's vectors must die with the branch (exact
+      // reset only when the maps genuinely diverged)
+      dvsOf = cur => mainRestore(cur).flatMap { m =>
+        val live = m.files.toSet
+        val inherited = cur.dvs.filter { case (f, _) => live(f) }
+        if (inherited == m.dvs) None else Some(m.dvs)
       }) { cur =>
       require(cur.props.contains(s"${StoreLog.BranchPropPrefix}$name"),
         s"no branch '$name' at $path")
@@ -2650,6 +2806,7 @@ object TsStore {
         (if (remaining) Map.empty
          else Map(StoreLog.MainRefProp -> ""))), ())
     }
+  }
 
   /** WRITE-AUDIT-PUBLISH's publish: validate the branch head against
     * the table's CURRENT constraints (CHECK + NOT NULL — one
@@ -2696,8 +2853,8 @@ object TsStore {
               "or drop it")
         }
       }
-      val bFiles = if (bv == cur.version) cur.files
-                   else StoreLog.read(path, bv).files
+      val bSnap = if (bv == cur.version) cur else StoreLog.read(path, bv)
+      val bFiles = bSnap.files
       val remaining =
         cur.props.keys.count(_.startsWith(StoreLog.BranchPropPrefix)) > 1
       val v = cur.version + 1
@@ -2706,9 +2863,20 @@ object TsStore {
         s"${StoreLog.BranchBasePrefix}$name" -> "") ++
         (if (remaining) Map(StoreLog.MainRefProp -> v.toString)
          else Map(StoreLog.MainRefProp -> ""))
+      // publish's dv state is the BRANCH VIEW's exactly: a branch
+      // takedown's vectors must land on main with the fast-forward, and
+      // an inherited tip map would carry the wrong ref's entries (exact
+      // reset — checkpoint — only when they genuinely differ)
+      val bLive = bFiles.toSet
+      val dvReset =
+        if (cur.dvs.filter { case (f, _) => bLive(f) } == bSnap.dvs) None
+        else Some(bSnap.dvs)
+      // (no `replaced` record: branch-era DML commits carry their own
+      // prefix records, which is where a stale writer's rebase walk
+      // finds them — the fast-forward itself replaces nothing)
       try {
         StoreLog.commit(path, cur.version, Seq.empty, bFiles,
-          parent = Some(cur), setProps = refs)
+          parent = Some(cur), setProps = refs, resetDvs = dvReset)
         return v
       } catch {
         case c: StoreLog.CommitConflict =>

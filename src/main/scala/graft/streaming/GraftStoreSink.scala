@@ -270,11 +270,12 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                       (graft.sources.GraftTable.LayoutSortedProp -> "false"))
                 else {
                   val cur = StoreLog.read(path, curV)
-                  val (baseFiles, refProps, carryStats, carrySizes) =
+                  val (baseFiles, refProps, carryStats, carrySizes, dvReset) =
                     if (replaceAll)
                       (cur.files, Map.empty[String, String],
                         Map.empty[String, FileStats.FileStatsMap],
-                        Map.empty[String, Long])
+                        Map.empty[String, Long],
+                        Option.empty[Map[String, graft.sources.Dv.Entry]])
                     else TsStore.refAppendBase(path, cur, branch)
                   val (replaced, files) =
                     if (replaceAll)
@@ -286,6 +287,7 @@ private[streaming] class GraftStreamingAppendWrite(path: String,
                   StoreLog.commit(path, cur.version, replaced, files,
                     parent = Some(cur), addStats = carryStats ++ movedStats,
                     addSizes = carrySizes ++ movedSizes,
+                    resetDvs = dvReset,
                     tag = if (replaceAll) None else Some(tag),
                     setProps = graft.sources.GraftTable
                       .widenedSchemaProp(cur.props, writeSchema) ++ refProps +

@@ -410,4 +410,100 @@ class BranchSpec extends AnyFunSuite {
       "publish must deliver the branch's rows to the feed exactly once")
     assert(seen0.subsetOf(seen2))
   }
+
+  test("branch-targeted UPSERT: a CDC batch lands on the branch, publish applies it") {
+    val (dir, n0) = freshStore()
+    TsStore.branch(dir, "cdc")
+    // one update (existing key in 'view') + one insert, as a keyed batch
+    val existing = TsStore.load(spark, dir)
+      .filter(col("event_type") === "view").limit(1).collect().head
+    val delta = Seq(
+      (existing.getAs[Long]("event_id"), existing.getAs[java.sql.Timestamp]("ts"),
+        existing.getAs[Long]("user_id"), "view", 9999.0, 2L),
+      (770001L, java.sql.Timestamp.valueOf("2035-03-01 00:00:00"),
+        1L, "view", 1.0, 2L)
+    ).toDF(cols :+ "version": _*)
+    TsStore.upsert(spark, dir,
+      delta, keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), branch = Some("cdc"))
+    // MAIN: untouched (count, the updated row's OLD value, no insert)
+    assert(TsStore.load(spark, dir).count() === n0)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === existing.getAs[Long]("event_id"))
+      .select("value").as[Double].head() === existing.getAs[Double]("value"))
+    // BRANCH: merged view (the audit face)
+    val bv = StoreLog.branchVersion(dir, "cdc").get
+    val bView = TsStore.load(spark, dir, asOf = Some(bv))
+    assert(bView.count() === n0 + 1)
+    assert(bView.filter(col("event_id") === existing.getAs[Long]("event_id"))
+      .select("value").as[Double].head() === 9999.0)
+    // publish applies the batch to main atomically
+    TsStore.publishBranch(spark, dir, "cdc")
+    val main = TsStore.load(spark, dir)
+    assert(main.count() === n0 + 1)
+    assert(main.filter(col("event_id") === existing.getAs[Long]("event_id"))
+      .select("value").as[Double].head() === 9999.0)
+    assert(main.filter(col("event_id") === 770001L).count() === 1L)
+  }
+
+  test("branch-targeted dv DELETE: vectors invisible to main, die on drop, land on publish") {
+    val (dir, n0) = freshStore()
+    // --- publish path
+    TsStore.branch(dir, "gdpr")
+    val del = TsStore.load(spark, dir).filter(col("event_id") % 53 === 0).count()
+    assert(del > 0)
+    TsStore.deleteVectors(spark, dir, col("event_id") % 53 === 0,
+      branch = Some("gdpr"))
+    assert(TsStore.load(spark, dir).count() === n0,
+      "a branch takedown must be invisible to main")
+    val bv = StoreLog.branchVersion(dir, "gdpr").get
+    assert(TsStore.load(spark, dir, asOf = Some(bv)).count() === n0 - del)
+    // a MAIN append while the branch holds vectors must NOT leak them
+    // into the main view (the refAppendBase dv reset)
+    TsStore.write(row(780002L, "2035-04-01 00:00:00", 1.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow)
+    assert(TsStore.load(spark, dir).count() === n0 + 1,
+      "a main append after a branch takedown must not inherit its vectors")
+    // divergence: main moved → publish refuses; re-branch and redo
+    intercept[IllegalArgumentException] {
+      TsStore.publishBranch(spark, dir, "gdpr")
+    }
+    TsStore.dropBranch(dir, "gdpr")
+    // the abandoned branch's vectors died with it
+    assert(TsStore.load(spark, dir).count() === n0 + 1)
+    assert(StoreLog.latest(dir).get.dvs.isEmpty,
+      "dropping the branch must shed its vectors from the restored view")
+    TsStore.branch(dir, "gdpr2")
+    TsStore.deleteVectors(spark, dir, col("event_id") % 53 === 0,
+      branch = Some("gdpr2"))
+    val pv = TsStore.publishBranch(spark, dir, "gdpr2")
+    assert(TsStore.load(spark, dir).count() === n0 + 1 - del)
+    assert(TsStore.load(spark, dir, asOf = Some(pv)).count() === n0 + 1 - del)
+    // publish carried the vectors into main's manifest state
+    assert(StoreLog.latest(dir).get.dvs.nonEmpty)
+  }
+
+  test("branch DML aborts when the branch moved or vanished mid-operation") {
+    val (dir, _) = freshStore()
+    TsStore.branch(dir, "race")
+    // stage an upsert whose branch is dropped before its commit: the
+    // commit loop must abort (CommitConflict), never land on main
+    val delta = row(790001L, "2035-05-01 00:00:00", 1.0)
+      .withColumn("version", lit(2L))
+    // simulate the mid-flight drop by dropping BEFORE the verb runs its
+    // commit — the verb reads the pin at entry, so drop right after
+    // requires racing; instead pin the abort contract at entry level:
+    TsStore.dropBranch(dir, "race")
+    intercept[IllegalArgumentException] {
+      TsStore.upsert(spark, dir, delta, keyCols = Seq("event_id"),
+        versionCol = "version", tsCol = "ts", uidCols = Seq("event_type"),
+        branch = Some("race"))
+    }
+    // and a branch takedown against a published branch refuses the same way
+    intercept[IllegalArgumentException] {
+      TsStore.deleteVectors(spark, dir, col("event_id") === 1L,
+        branch = Some("race"))
+    }
+  }
 }
