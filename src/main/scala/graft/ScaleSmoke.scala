@@ -88,7 +88,14 @@ object ScaleSmoke {
     // branch lifecycle is metadata commits + ONE branch append + an
     // audit scan + a metadata fast-forward — its cost must track the
     // appended slice, never the store (publish moves no data files)
-    "store_sql_notnull", "store_sql_branch_wap")
+    "store_sql_notnull", "store_sql_branch_wap",
+    // round-18: the incremental re-cluster's cost must track the files
+    // APPENDED since the marker (never the already-clustered store);
+    // the scattered takedown's find must track the keys' files (the
+    // digest gate) plus the fixture write; the branch CDC batch is an
+    // upsert + takedown + metadata publish over the touched slice
+    "store_zorder_incremental", "store_takedown_scattered",
+    "store_branch_cdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

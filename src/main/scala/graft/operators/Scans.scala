@@ -510,13 +510,16 @@ object Scans {
         // dictionary-encoded (an all-unique key column falls back to
         // PLAIN and records no digest — the unique-id takedown keeps
         // the extent gate + parquet blooms instead)
-        val kExpr = expr("(event_id DIV 8) * 2654435761 % 1000000")
+        // the % 100000 BEFORE the multiply keeps the product inside
+        // int64 for ANY id magnitude (ANSI overflow would kill the
+        // query on replicated/offset id spaces)
+        val kExpr = expr("(event_id DIV 8) % 100000 * 2654435761 % 1000000")
         TsStore.write(Tables.events(s, d)
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"))
             .withColumn("k", kExpr).withColumn("version", lit(1L)),
           dir, tsCol = "ts", uidCols = Seq("event_type"),
-          maxRecordsPerFile = 200, bloomKeys = Seq("k"))
+          maxRecordsPerFile = 1000, bloomKeys = Seq("k"))
         val keys = Tables.events(s, d)
           .filter(col("event_id").between(100, 149))
           .select(kExpr.as("k"), lit(2L).as("del_v"))
@@ -538,8 +541,8 @@ object Scans {
           .orderBy(col("event_id"))
       },
       Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
-        "WHERE (event_id // 8) * 2654435761 % 1000000 NOT IN " +
-        "(SELECT (event_id // 8) * 2654435761 % 1000000 FROM events " +
+        "WHERE (event_id // 8) % 100000 * 2654435761 % 1000000 NOT IN " +
+        "(SELECT (event_id // 8) % 100000 * 2654435761 % 1000000 FROM events " +
         "WHERE event_id BETWEEN 100 AND 149) ORDER BY event_id"),
       "scattered keyed takedown: manifest key digests prune the find scan before any footer opens"),
 
@@ -1918,7 +1921,8 @@ object Scans {
         TsStore.branch(dir, "cdc")
         // the change batch: value updates for every 10th id…
         TsStore.upsert(s, dir,
-          ev.filter(col("event_id") % 10 === 0)
+          ev.filter(col("event_id") % 10 === 0 &&
+              col("event_type") === "view")
             .withColumn("value", col("value") * 2)
             .withColumn("version", lit(2L)),
           keyCols = Seq("event_id"), versionCol = "version",
@@ -1939,7 +1943,8 @@ object Scans {
           .orderBy(col("event_id"))
       },
       Some("SELECT event_id, ts, user_id, event_type, " +
-        "CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value " +
+        "CASE WHEN event_id % 10 = 0 AND event_type = 'view' " +
+        "THEN value * 2 ELSE value END AS value " +
         "FROM events WHERE event_id % 7 <> 0 ORDER BY event_id"),
       "branch-targeted CDC batch: upsert + dv takedown on a WAP branch, published atomically"),
 
