@@ -422,18 +422,23 @@ object GraftProcedures {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, _) = layout(root, input.getUTF8String(0).toString)
           import org.apache.spark.unsafe.types.UTF8String
+          // per version: raw manifest probes (count/replaced/tag/ts) +
+          // ONE streamed fold for the live-byte sum — O(1) driver
+          // memory per row however many files the store holds (the old
+          // full resolution materialized every version's maps)
           val rows = StoreLog.listVersions(path).sorted.map { v =>
-            val s = StoreLog.read(path, v)
-            val live = s.files.toSet
+            val replaced = StoreLog.replacedAt(path, v)
+            val bytes = StoreLog.foldFiles(path, v)(0L)(
+              (a, e) => a + e.size.getOrElse(0L))
             Array[Any](
               v,
-              s.timestampMs * 1000L, // ms → internal micros
-              s.files.size,
-              s.replaced.size,
-              if (s.replaced.isEmpty) null
-              else UTF8String.fromString(s.replaced.mkString(",")),
-              s.sizes.collect { case (f, len) if live(f) => len }.sum,
-              s.tag.map(UTF8String.fromString).orNull)
+              StoreLog.timestampAt(path, v) * 1000L, // ms → internal micros
+              StoreLog.liveFileCount(path, v).toInt,
+              replaced.size,
+              if (replaced.isEmpty) null
+              else UTF8String.fromString(replaced.mkString(",")),
+              bytes,
+              StoreLog.tagAt(path, v).map(UTF8String.fromString).orNull)
           }
           rowsScan(StructType(Seq(
             StructField("version", LongType, nullable = false),

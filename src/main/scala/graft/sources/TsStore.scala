@@ -810,7 +810,12 @@ object TsStore {
       branch match {
         case Some(b) =>
           branchDmlCommit(path, lease, b, branchPin.get, moved,
-            prefixes.toSeq, removeUnder = true, addDvs = Map.empty,
+            prefixes.toSeq,
+            // the upsert REPLACES whole touched partitions: its merged
+            // output covers every base row of those prefixes
+            removeOf = bs => bs.files.filter(f =>
+              prefixes.exists(p => f.startsWith(p + "/"))),
+            addDvs = Map.empty,
             boundChecks = Some(boundChecks),
             schemaForWiden = Some(delta.schema))
         case None =>
@@ -852,10 +857,20 @@ object TsStore {
              tsCol: String, uidCols: Seq[String],
              codec: String = "zstd",
              rowGroupBytes: Long = 16L << 20,
-             maxRecordsPerFile: Long = 8L << 20): Long = {
+             maxRecordsPerFile: Long = 8L << 20,
+             branch: Option[String] = None): Long = {
     require(uidCols.nonEmpty, "delete needs the store's partition columns")
-    val baseV = StoreLog.latestVersion(path)
+    val tipV = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
+    // a BRANCH target rewrites the branch view's affected files and
+    // commits through the WAP loop — invisible to main until publish
+    val baseV = branch match {
+      case Some(b) =>
+        StoreLog.propsAt(path, tipV).get(StoreLog.BranchPropPrefix + b)
+          .flatMap(_.toLongOption).getOrElse(
+            throw new IllegalArgumentException(s"no branch '$b' at $path"))
+      case None => tipV
+    }
     // scoped resolution: past the lazy threshold only the may-match
     // files (stats/sizes/dvs riding along) materialize — the takedown's
     // driver cost tracks its SCOPE on a million-file store
@@ -931,10 +946,17 @@ object TsStore {
       // rewrites — no parent file list materializes; a concurrent
       // REPLACE of a touched partition aborts (its `replaced` record),
       // pure appends under it serialize after this delete cleanly
-      commitTransformWithRebase(path, lease, base.version, moved,
-        prefixes.toSeq,
-        removeFilesOf = _ => affected,
-        abortOnAppendsUnder = false)
+      branch match {
+        case Some(b) =>
+          branchDmlCommit(path, lease, b, base.version, moved,
+            prefixes.toSeq, removeOf = _ => affected,
+            addDvs = Map.empty, boundChecks = None, schemaForWiden = None)
+        case None =>
+          commitTransformWithRebase(path, lease, base.version, moved,
+            prefixes.toSeq,
+            removeFilesOf = _ => affected,
+            abortOnAppendsUnder = false)
+      }
     }
   }
 
@@ -1155,7 +1177,7 @@ object TsStore {
             // view only (invisible to main; exact dv reset keeps the
             // refs' states from cross-leaking on later zig-zag commits)
             branchDmlCommit(path, lease, b, base.version, moved = Nil,
-              prefixes = prefixes, removeUnder = false, addDvs = entries,
+              prefixes = prefixes, removeOf = _ => Nil, addDvs = entries,
               boundChecks = None, schemaForWiden = None)
           case None =>
             // dv-only transform: no file moves, no parent file list — the
@@ -2670,7 +2692,7 @@ object TsStore {
     */
   private def branchDmlCommit(path: String, lease: StoreLog.WriterLease,
       b: String, bv0: Long, moved: Seq[String], prefixes: Seq[String],
-      removeUnder: Boolean,
+      removeOf: StoreLog.Snapshot => Seq[String],
       addDvs: Map[String, Dv.Entry],
       boundChecks: Option[Seq[Constraints.Check]],
       schemaForWiden: Option[org.apache.spark.sql.types.StructType]): Long = {
@@ -2700,9 +2722,8 @@ object TsStore {
         abort(s"branch '$b' at $path moved (v$bv0 → v$bvNow) since this " +
           "operation read its view — re-run against the new branch head")
       val bSnap = if (bvNow == cur.version) cur else StoreLog.read(path, bvNow)
-      def under(f: String): Boolean = prefixes.exists(p => f.startsWith(p + "/"))
-      val newFiles =
-        (if (removeUnder) bSnap.files.filterNot(under) else bSnap.files) ++ moved
+      val rm = removeOf(bSnap).toSet
+      val newFiles = bSnap.files.filterNot(rm) ++ moved
       val live = newFiles.toSet
       val desired = (bSnap.dvs ++ addDvs).filter { case (f, _) => live(f) }
       val inherited = (cur.dvs ++ addDvs).filter { case (f, _) => live(f) }

@@ -484,6 +484,27 @@ class BranchSpec extends AnyFunSuite {
     assert(StoreLog.latest(dir).get.dvs.nonEmpty)
   }
 
+  test("branch-targeted cow DELETE: rewrite invisible to main, survivors exact on publish") {
+    val (dir, n0) = freshStore()
+    TsStore.branch(dir, "purge")
+    val del = TsStore.load(spark, dir).filter(col("event_id") % 11 === 0).count()
+    assert(del > 0)
+    TsStore.delete(spark, dir, col("event_id") % 11 === 0, "ts",
+      Seq("event_type"), branch = Some("purge"))
+    // main untouched — no rewrite visible, no rows gone
+    assert(TsStore.load(spark, dir).count() === n0)
+    val bv = StoreLog.branchVersion(dir, "purge").get
+    assert(TsStore.load(spark, dir, asOf = Some(bv)).count() === n0 - del)
+    // unaffected files under the touched prefixes survive the branch
+    // commit (exact-file remove, not prefix-wipe): every partition
+    // still reads its non-matching rows on the branch
+    assert(TsStore.load(spark, dir, asOf = Some(bv))
+      .groupBy("event_type").count().collect().length === 5)
+    TsStore.publishBranch(spark, dir, "purge")
+    assert(TsStore.load(spark, dir).count() === n0 - del)
+    assert(TsStore.load(spark, dir).filter(col("event_id") % 11 === 0).count() === 0L)
+  }
+
   test("branch DML aborts when the branch moved or vanished mid-operation") {
     val (dir, _) = freshStore()
     TsStore.branch(dir, "race")
