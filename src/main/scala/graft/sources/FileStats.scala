@@ -273,7 +273,10 @@ object FileStats {
           if (perBlockNulls.exists(_.isEmpty)) -1L else perBlockNulls.flatten.sum
         val rows = blocks.map(_.getRowCount).sum
         val dg =
-          if (reader == null || !digestCols.contains(name) || tag == "f") null
+          // probe-able domains only (the takedown's key side hashes
+          // i/d/s — recording others would bloat manifests unread)
+          if (reader == null || !digestCols.contains(name) ||
+              (tag != "i" && tag != "d" && tag != "s")) null
           else digestOf(reader, footer, name, tag).orNull
         Some(name -> ColStat(tag, lo, hi, nulls, rows, dg))
       }
