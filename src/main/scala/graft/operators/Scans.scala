@@ -1917,7 +1917,6 @@ object Scans {
           .select("event_id", "ts", "user_id", "event_type", "value")
         TsStore.write(ev.withColumn("version", lit(1L)), dir,
           tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 2000)
-        val n0 = TsStore.load(s, dir).count()
         TsStore.branch(dir, "cdc")
         // the change batch: value updates for every 10th id…
         TsStore.upsert(s, dir,
@@ -1930,7 +1929,10 @@ object Scans {
         // …and takedowns for every 7th — vectors on the branch only
         TsStore.deleteVectors(s, dir, col("event_id") % 7 === 0,
           branch = Some("cdc"))
-        require(TsStore.load(s, dir).count() == n0,
+        // O(1) existence probes, not full-store counts: a branch
+        // takedown's vectors must not hide main rows…
+        require(TsStore.load(s, dir).filter(col("event_id") % 7 === 0)
+            .limit(1).count() == 1L,
           "the half-applied CDC batch must be invisible to main")
         require(TsStore.load(s, dir)
             .filter(col("event_id") % 10 === 0 && col("version") === 2L)

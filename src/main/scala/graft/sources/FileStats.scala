@@ -274,10 +274,17 @@ object FileStats {
         val rows = blocks.map(_.getRowCount).sum
         val dg =
           // probe-able domains only (the takedown's key side hashes
-          // i/d/s — recording others would bloat manifests unread)
+          // i/d/s/ts/tn — recording others would bloat manifests unread)
           if (reader == null || !digestCols.contains(name) ||
-              (tag != "i" && tag != "d" && tag != "s")) null
-          else digestOf(reader, footer, name, tag).orNull
+              (tag != "i" && tag != "d" && tag != "s" &&
+                tag != "ts" && tag != "tn")) null
+          // guarded on its own: a dictionary-read failure (odd/corrupt
+          // dictionary page) must cost only the DIGEST, never the
+          // file's whole stats map — without this the per-file catch in
+          // forFilesWithSizes drops min/max/nulls for every column and
+          // the file stays un-prunable for the store's life
+          else try digestOf(reader, footer, name, tag).orNull
+          catch { case scala.util.control.NonFatal(_) => null }
         Some(name -> ColStat(tag, lo, hi, nulls, rows, dg))
       }
     }.toMap

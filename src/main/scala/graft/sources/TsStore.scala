@@ -2011,7 +2011,13 @@ object TsStore {
         StoreLog.rawDelta(path, v) match {
           case Some((add, rm, _)) =>
             rm.foreach(added -= _)
-            if (!StoreLog.tagAt(path, v).exists(_.startsWith(ClusterTagPrefix)))
+            // skip ONLY the output of passes clustered on THESE columns
+            // (the tag encodes them — see [[clusterTag]]): a scoped or
+            // different-column pass's files are NOT clustered on the
+            // marker's columns and must rejoin the walk. Legacy
+            // uuid-suffixed tags never match — re-clustered once,
+            // conservatively.
+            if (!StoreLog.tagAt(path, v).contains(clusterTag(clusterCols)))
               added ++= add
           case None => raw = false // record-less version: diff instead
         }
@@ -2100,8 +2106,7 @@ object TsStore {
         replaced = prefixes,
         removeFilesOf = _ => targetFiles,
         abortOnAppendsUnder = false,
-        tag = Some(ClusterTagPrefix +
-          java.util.UUID.randomUUID().toString.take(8)),
+        tag = Some(clusterTag(clusterCols)),
         // z-clustered files are ordered by the interleave rank, NOT by
         // ts — the scan must stop claiming per-partition ts order
         extraProps = Map(GraftTable.LayoutSortedProp -> "false") ++ markerProps)
@@ -2117,6 +2122,13 @@ object TsStore {
   val ClusterColsProp = "graft.cluster.cols"
   val ClusterVersionProp = "graft.cluster.v"
   val ClusterTagPrefix = "graft.zorder:"
+
+  /** A cluster pass's commit tag: the prefix plus the CLUSTER COLUMNS —
+    * so an incremental walk can tell "already clustered on my columns"
+    * (skip) from a scoped/different-column pass's output (rejoin).
+    */
+  private[graft] def clusterTag(cols: Seq[String]): String =
+    ClusterTagPrefix + cols.mkString(",")
 
   /** Resolve a partition-scope PREDICATE (a SQL boolean over the
     * store's partition columns — `"event_type = 'view'"`,
@@ -2344,9 +2356,17 @@ object TsStore {
     } else StoreLog.read(path, v)
 
   /** Candidate-file count of the last keyed takedown's find scan —
-    * observability seam for the digest-pruning specs only.
+    * observability seam for the digest-pruning specs only. PER-THREAD:
+    * the takedown verbs run driver-side on the calling thread, so a
+    * parallelized harness's concurrent takedowns can never interleave
+    * each other's set/read (a process-global var could).
     */
-  @volatile private[graft] var lastTakedownCandidates: Int = -1
+  private val lastTakedownCandidatesTl: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(-1))
+  private[graft] def lastTakedownCandidates: Int =
+    lastTakedownCandidatesTl.get().intValue()
+  private[graft] def lastTakedownCandidates_=(n: Int): Unit =
+    lastTakedownCandidatesTl.set(Integer.valueOf(n))
 
   /** The keyed takedown's MANIFEST-LEVEL key gate: 32-bit fingerprints
     * of the key set's FIRST merge-key column, in the column's stat
