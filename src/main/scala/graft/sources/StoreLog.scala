@@ -1166,7 +1166,14 @@ object StoreLog {
   private def publishStreamedCheckpoint(path: String, v: Long, eff: Int,
       tag: Option[String], bloomCols: Seq[String], props: Map[String, String],
       replaced: Seq[String], est: Long,
-      txn: Option[(Seq[String], Seq[String], Map[String, Long])])(
+      txn: Option[(Seq[String], Seq[String], Map[String, Long])],
+      // `timestampMs` pins the manifest's commit time (the in-place
+      // rewrite preserves the ORIGINAL commit's — age retention and
+      // history must not see vacuum time); `replaceInPlace` swaps the
+      // EXISTING manifest atomically instead of CAS-publishing a new
+      // version (vacuum's stranded-delta repair owns the file)
+      timestampMs: Option[Long] = None,
+      replaceInPlace: Boolean = false)(
       feed: (CheckpointParquet.Entry => Unit) => Unit): Long = {
     val big = est >= ParquetCheckpointThreshold
     val writer = if (big) new CheckpointParquet.StreamWriter else null
@@ -1187,7 +1194,7 @@ object StoreLog {
     // ---- manifest JSON: checkpoint container (+ the txn record)
     val root = mapper.createObjectNode()
     root.put("version", v)
-    root.put("timestampMs", System.currentTimeMillis())
+    root.put("timestampMs", timestampMs.getOrElse(System.currentTimeMillis()))
     root.put("checkpointInterval", eff)
     tag.foreach(root.put("tag", _))
     if (bloomCols.nonEmpty) {
@@ -1248,7 +1255,9 @@ object StoreLog {
         None
       }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-    if (!io(path).publishIfAbsent(verFile(path, v), bytes)) {
+    if (replaceInPlace) {
+      io(path).replaceAtomic(verFile(path, v), bytes)
+    } else if (!io(path).publishIfAbsent(verFile(path, v), bytes)) {
       staged.foreach { r =>
         try io(path).deleteFile(s"${logDir(path)}/$r")
         catch { case scala.util.control.NonFatal(_) => () }
@@ -1257,6 +1266,42 @@ object StoreLog {
         s"version $v already committed at $path — concurrent writer won")
     }
     v
+  }
+
+  /** Rewrite version `v`'s manifest IN PLACE as a self-resolving
+    * checkpoint — vacuum's stranded-delta repair — STREAMING the
+    * version's live entries off its own fold into the payload writer:
+    * neither the file list nor the stats/sizes/dv maps ever
+    * materialize driver-side. The original commit's timestamp, tag,
+    * replaced record, props, and TXN RECORD (add/remove lists) are
+    * preserved, so age retention, history, and [[rawDelta]] consumers
+    * see the manifest they always did — just checkpoint-shaped.
+    */
+  private def rewriteAsCheckpoint(path: String, v: Long): Unit = {
+    val raw = readRaw(path, v)
+    val eff =
+      if (raw.has("checkpointInterval")) raw.get("checkpointInterval").asInt()
+      else CheckpointInterval
+    val props =
+      if (raw.has("props"))
+        raw.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    val blooms = if (raw.has("bloomCols")) strings(raw.get("bloomCols")) else Nil
+    val tag = if (raw.has("tag")) Some(raw.get("tag").asText()) else None
+    // a delta node's `sizes` slice covers its adds — exactly the txn
+    // record's contract
+    val txn =
+      if (raw.has("add"))
+        Some((strings(raw.get("add")), strings(raw.get("remove")), sizesOf(raw)))
+      else None
+    publishStreamedCheckpoint(path, v, eff, tag, blooms, props,
+      strings(raw.get("replaced")), est = liveFileCount(path, v), txn = txn,
+      timestampMs = Some(raw.get("timestampMs").asLong()),
+      replaceInPlace = true) { sink =>
+      foldFilesSorted(path, v)(())((_, e) =>
+        sink(CheckpointParquet.Entry(e.path, e.stats, e.size, e.dv)))
+    }
   }
 
   /** Atomically publish the next version after `expectedVersion` (0 =
@@ -1347,16 +1392,67 @@ object StoreLog {
     * dirs, Spark's _SUCCESS markers) are excluded at every level.
     */
   def listDataFiles(path: String): Seq[String] = {
-    val fsio = io(path)
-    if (!fsio.isDir(path)) return Seq.empty
     val out = Seq.newBuilder[String]
+    foreachDataFile(path)(out += _)
+    out.result().sorted
+  }
+
+  /** Streaming [[listDataFiles]]: walk the store directory and call
+    * `f` per data file WITHOUT materializing the full path list — the
+    * vacuum candidate scan's feed (the caller retains strings only for
+    * the files it decides to keep, so vacuum's driver state is bounded
+    * by the DEAD set, never the store).
+    */
+  def foreachDataFile(path: String)(f: String => Unit): Unit = {
+    val fsio = io(path)
+    if (!fsio.isDir(path)) return
     def walk(dir: String, prefix: String): Unit =
       fsio.list(dir).filterNot(e => hiddenName(e.name)).foreach { e =>
         if (e.isDir) walk(s"$dir/${e.name}", s"$prefix${e.name}/")
-        else if (e.name.endsWith(".parquet")) out += s"$prefix${e.name}"
+        else if (e.name.endsWith(".parquet")) f(s"$prefix${e.name}")
       }
     walk(path, "")
-    out.result().sorted
+  }
+
+  /** 64-bit fingerprint of a store-relative path — the unit of
+    * vacuum's LIVENESS set: 8 bytes per live file instead of the path
+    * string (a 1M-file store's live set is one 8 MB long array, not a
+    * multi-hundred-MB Set[String]). A collision can only mark a DEAD
+    * file live — kept this pass, never the reverse — so the set is
+    * conservative by construction.
+    */
+  private def pathFp(f: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(f), 42L)
+
+  /** Sorted-array fingerprint set (binary-search membership). */
+  private final class FpSet(arr: Array[Long]) {
+    def contains(f: String): Boolean =
+      java.util.Arrays.binarySearch(arr, pathFp(f)) >= 0
+  }
+
+  /** The live-file fingerprint set across `versions`, STREAMED per
+    * version through [[foldFiles]] — no version's file list ever
+    * materializes driver-side (duplicates across versions are fine:
+    * the array sorts, membership is binary search).
+    */
+  private def liveFps(path: String, versions: Seq[Long]): FpSet = {
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    versions.foreach(v =>
+      foldFiles(path, v)(())((_, e) => { b += pathFp(e.path); () }))
+    val arr = b.result(); java.util.Arrays.sort(arr)
+    new FpSet(arr)
+  }
+
+  /** Same streamed fingerprint set over the versions' DELETION-VECTOR
+    * sidecar paths — the dv-reclaim phase's referenced set.
+    */
+  private def dvFps(path: String, versions: Seq[Long]): FpSet = {
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    versions.foreach(v =>
+      foldFiles(path, v)(())((_, e) => { e.dv.foreach(d => b += pathFp(d.path)); () }))
+    val arr = b.result(); java.util.Arrays.sort(arr)
+    new FpSet(arr)
   }
 
   /** Ensure a log exists, initializing version 1 from the current
@@ -1500,8 +1596,14 @@ object StoreLog {
     while (!done) {
       val vBefore = listVersions(path)
       val retained = keep(vBefore)
-      val live: Set[String] = retained.flatMap(v => read(path, v).files).toSet
-      val candidates = listDataFiles(path).filterNot(live)
+      // liveness STREAMS: one foldFiles pass per retained version into
+      // a fingerprint set ([[liveFps]]), and the directory walk calls
+      // back per file — driver string state is bounded by the DEAD
+      // candidate set, never the live one
+      val live = liveFps(path, retained)
+      val candB = Seq.newBuilder[String]
+      foreachDataFile(path)(f => if (!live.contains(f)) candB += f)
+      val candidates = candB.result()
       val now = System.currentTimeMillis()
       val fresh = freshLeases(now)
       val writerActive = fresh.nonEmpty
@@ -1536,10 +1638,15 @@ object StoreLog {
           // (same rules as the leased path above).
           versions = listVersions(path)
           val retained2 = keep(versions)
-          val live2: Set[String] = retained2.flatMap(v => read(path, v).files).toSet
+          val live2 = liveFps(path, retained2)
           val cutoff2 = leaseCutoff(freshLeases(now))
-          deleted = listDataFiles(path).filterNot(live2).filter(f =>
-            mtimeOpt(s"$path/$f").exists(m => now - m >= WriterLeaseMs && m < cutoff2))
+          val db = Seq.newBuilder[String]
+          foreachDataFile(path) { f =>
+            if (!live2.contains(f) && mtimeOpt(s"$path/$f")
+                .exists(m => now - m >= WriterLeaseMs && m < cutoff2))
+              db += f
+          }
+          deleted = db.result()
           done = true
         }
       }
@@ -1556,8 +1663,8 @@ object StoreLog {
     val retained = keep(versions)
     val retainedSet = retained.toSet
     locally {
-      val liveNow: Set[String] = retained.flatMap(v => read(path, v).files).toSet
-      deleted = deleted.filterNot(liveNow)
+      val liveNow = liveFps(path, retained)
+      deleted = deleted.filterNot(liveNow.contains)
     }
     deleted.foreach(f => fsio.deleteFile(s"$path/$f"))
     // every retained version must stay SELF-RESOLVABLE after the drops.
@@ -1574,16 +1681,7 @@ object StoreLog {
       if (isCheckpointNode(readRaw(path, v)) || resolvable.contains(v - 1)) {
         resolvable += v
       } else {
-        val snap = read(path, v)
-        val ref = stageCheckpointPayload(path, v, snap.files.sorted,
-          snap.stats, snap.sizes, snap.dvs)
-        fsio.replaceAtomic(verFile(path, v),
-          manifestBytes(snap.version, snap.timestampMs,
-            snap.replaced, snap.files, parentFiles = None,
-            checkpointInterval = snap.checkpointInterval,
-            stats = snap.stats, tag = snap.tag, bloomCols = snap.bloomCols,
-            props = snap.props, sizes = snap.sizes, dvs = snap.dvs,
-            filesRef = ref))
+        rewriteAsCheckpoint(path, v)
         resolvable += v
       }
     }
@@ -1625,12 +1723,12 @@ object StoreLog {
         // live sidecar judged unreferenced. Bounded retries; on churn
         // the age gate below still makes deletion safe (a live writer's
         // sidecar is younger than its lease's birth cutoff).
-        var referenced: Set[String] = Set.empty
+        var referenced: FpSet = null
         var refTries = 0
         var refStable = false
         while (!refStable) {
           val vs = listVersions(path)
-          referenced = vs.flatMap(v => read(path, v).dvs.values.map(_.path)).toSet
+          referenced = dvFps(path, vs)
           refTries += 1
           refStable = listVersions(path) == vs || refTries > 5
         }
@@ -1638,7 +1736,7 @@ object StoreLog {
         val cutoff = leaseCutoff(freshLeases(now))
         fsio.list(dvDir).filterNot(_.isDir)
           .map(e => s"${Dv.Dir}/${e.name}")
-          .filterNot(referenced)
+          .filterNot(referenced.contains)
           // ALWAYS age + lease-birth gated (never skipped when no fresh
           // lease exists): a writer may commit and RELEASE its lease
           // between the listing above and this delete — its sidecar is

@@ -541,6 +541,55 @@ class LazySnapshotSpec extends AnyFunSuite {
     assert(uids === Seq("MSFT"))
   }
 
+  test("vacuum on the 1M-file store: streamed liveness + streamed stranded-delta rewrite") {
+    val dir = copyBig() // v1 pointer ckpt, v2 delta, v3 delta (dv change)
+    // a DEAD garbage file in a partition dir: the only on-disk data
+    // file (the fixture is manifest-only), so the candidate walk must
+    // find exactly it — everything the manifests name is absent from
+    // disk and never becomes a candidate
+    val deadDir = java.nio.file.Paths.get(dir, "uid=7")
+    java.nio.file.Files.createDirectories(deadDir)
+    java.nio.file.Files.write(deadDir.resolve("zz_dead.parquet"),
+      Array[Byte](1, 2, 3))
+    val tsBefore = {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_log", "v00000003.json")), "UTF-8")
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(raw).get("timestampMs").asLong()
+    }
+    assert(StoreLog.vacuum(dir, retainVersions = 1) === 1,
+      "exactly the planted dead file must reclaim")
+    // manifests pruned to the retained window; the stranded v3 delta
+    // was rewritten IN PLACE as a self-resolving POINTER checkpoint —
+    // streamed off its own fold, never a driver-side map of the store
+    assert(StoreLog.listVersions(dir) === Seq(3L))
+    val rawJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", "v00000003.json")), "UTF-8")
+    assert(rawJson.contains("\"filesRef\""),
+      "a 1M-file rewrite must stay a pointer checkpoint")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rawJson)
+    // the ORIGINAL commit's identity survives the rewrite: timestamp
+    // (age retention / history) and the TXN RECORD (rawDelta consumers)
+    assert(m.get("timestampMs").asLong() === tsBefore)
+    assert(StoreLog.rawDelta(dir, 3L).exists { case (a, r, _) =>
+      a.isEmpty && r.isEmpty }, "v3's dv-only txn record must survive")
+    // exact live state round-trips through the streamed rewrite
+    assert(StoreLog.liveFileCount(dir, 3L) === UIDS.toLong * PER_UID + 5 - 3)
+    val u7 = StoreLog.foldFiles(dir, 3L, prefixes = Seq("uid=7"))(
+      List.empty[StoreLog.FileEntry])((a, e) => e :: a)
+    assert(u7.size === PER_UID - 3)
+    assert(u7.find(_.path == "uid=7/f_00500.parquet")
+      .exists(_.dv.exists(_.rows == 7L)))
+    assert(u7.forall(e => e.stats.exists(_.contains("ts")) && e.size.nonEmpty))
+    val u42 = StoreLog.foldFiles(dir, 3L, prefixes = Seq("uid=42"))(
+      List.empty[String])((a, e) => e.path :: a)
+    assert(u42.size === PER_UID + 5 && u42.count(_.contains("/g_")) === 5)
+    // and the rewritten checkpoint's payload still row-group-skips
+    CheckpointParquet.resetCounters()
+    StoreLog.foldFiles(dir, 3L, prefixes = Seq("uid=13"))(())((_, _) => ())
+    assert(CheckpointParquet.lastRowGroupsSkipped > 0)
+  }
+
   test("checkpoint footer summary: totals + complete-column merged bounds, no row decode") {
     val files = Seq("p=0/a.parquet", "p=1/b.parquet")
     val stats: Map[String, FileStats.FileStatsMap] = Map(
