@@ -1950,6 +1950,148 @@ object Scans {
         "FROM events WHERE event_id % 7 <> 0 ORDER BY event_id"),
       "branch-targeted CDC batch: upsert + dv takedown on a WAP branch, published atomically"),
 
+    "store_compact_branch" -> DeclaredQuery(
+      // MAINTENANCE UNDER AN OPEN BRANCH (the nightly-compaction
+      // blocker): a day-scale WAP branch used to stall every replacing
+      // verb on main for its whole lifetime. A rewrite whose targets
+      // the branch holds IN FULL (branches start as main's view and
+      // touch other partitions) is semantics-preserving for both refs:
+      // the main commit swaps the files AND advances every branch's
+      // BASE (so publish's divergence check keeps passing), then the
+      // branch pin REBASES through the same file mapping. Genuine
+      // overlap — a branch rewrite of some target, diverging vectors —
+      // still refuses (BranchSpec pins the matrix). Self-pins: main
+      // compacted to one file, branch rows invisible mid-flight,
+      // publish lands the batch.
+      (s, d) => {
+        val dir = sinkDir("compact_branch", d)
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        TsStore.write(ev, dir, tsCol = "ts", uidCols = Seq("event_type"),
+          maxRecordsPerFile = 1000)
+        TsStore.branch(dir, "wap")
+        // the day's CDC batch lands on the branch (new view rows)
+        TsStore.write(
+          ev.filter(col("event_type") === "view" && col("event_id") < 50)
+            .withColumn("event_id", col("event_id") + 9000000L)
+            .withColumn("value", col("value") * 3),
+          dir, tsCol = "ts", uidCols = Seq("event_type"),
+          mode = org.apache.spark.sql.SaveMode.Append,
+          overlapPolicy = TsStore.OverlapPolicy.Allow, branch = Some("wap"))
+        // nightly compaction of a partition the branch only shares —
+        // proceeds under the open branch, rebasing the branch pin
+        TsStore.compactPartitions(s, dir, Seq("event_type=click"),
+          tsCol = "ts", uidCols = Seq("event_type"))
+        val mv = graft.sources.StoreLog.mainVersion(dir).get
+        require(graft.sources.StoreLog.read(dir, mv).files
+            .count(_.startsWith("event_type=click/")) == 1,
+          "main's partition must be compacted under the open branch")
+        require(TsStore.load(s, dir)
+            .filter(col("event_id") >= 9000000L).limit(1).count() == 0L,
+          "the staged batch must stay invisible to main across maintenance")
+        TsStore.publishBranch(s, dir, "wap")
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "UNION ALL SELECT event_id + 9000000, ts, user_id, event_type, " +
+        "value * 3 AS value FROM events " +
+        "WHERE event_type = 'view' AND event_id < 50 ORDER BY event_id"),
+      "nightly compaction under an open WAP branch: disjoint rewrite + branch-pin rebase + publish"),
+
+    "store_branch_expiry" -> DeclaredQuery(
+      // BRANCH AGE-EXPIRY (the Iceberg ref-aging role): a branch
+      // declared with expire_hours dies at vacuum once idle that long —
+      // its staged rewrites AND deletion vectors shed like dropBranch,
+      // its pinned versions rejoin vacuum retention, and the
+      // maintenance-overlap proofs it held open release. Without it a
+      // forgotten WAP feed pins manifests forever. Self-pins: the
+      // expired branch is gone after vacuum while an unexpiring one
+      // survives, its vectors died, and main never saw its rows.
+      (s, d) => {
+        val dir = sinkDir("branch_expiry", d)
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        TsStore.write(ev.withColumn("version", lit(1L)), dir,
+          tsCol = "ts", uidCols = Seq("event_type"))
+        TsStore.branch(dir, "stale", expireMs = Some(0L))
+        // the forgotten feed staged real work: an upsert and a takedown
+        TsStore.upsert(s, dir,
+          ev.filter(col("event_id") % 13 === 0 &&
+              col("event_type") === "view")
+            .withColumn("value", col("value") * 5)
+            .withColumn("version", lit(2L)),
+          keyCols = Seq("event_id"), versionCol = "version",
+          tsCol = "ts", uidCols = Seq("event_type"), branch = Some("stale"))
+        TsStore.deleteVectors(s, dir, col("event_id") % 17 === 0,
+          branch = Some("stale"))
+        TsStore.branch(dir, "live") // no declared expiry — survives
+        TsStore.vacuum(dir, retainVersions = 100) // expiry runs here
+        require(graft.sources.StoreLog.branches(dir).keySet == Set("live"),
+          "vacuum must age out exactly the expired branch")
+        require(graft.sources.StoreLog.read(dir,
+            graft.sources.StoreLog.mainVersion(dir).get).dvs.isEmpty,
+          "the expired branch's vectors must die from the main view")
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "ORDER BY event_id"),
+      "branch age-expiry: a forgotten WAP branch dies at vacuum, rewrites and vectors included"),
+
+    "store_takedown_composite" -> DeclaredQuery(
+      // COMPOSITE-KEY scattered takedown: the key is a (coarse, fine)
+      // tuple whose COARSE first column holds the same four values in
+      // every file — a first-column-only digest probe would keep the
+      // whole store. The manifest gate probes EVERY digestable key
+      // column (column-independent AND: a present tuple puts each
+      // component in its column's dictionary), so the FINE scatter
+      // column's digest prunes the find scan to O(the keys' files).
+      // Self-pins candidates ≪ live files before the content gate;
+      // KeyDigestSpec pins the probe matrix and the timestamp domain.
+      (s, d) => {
+        val dir = sinkDir("takedown_comp", d)
+        val gExpr = expr("event_id % 4")
+        // bounded multiplicands (% BEFORE *) keep the product in int64
+        // under ANSI at any replicated id magnitude
+        val kExpr = expr("(event_id DIV 8) % 100000 * 2654435761 % 1000000")
+        TsStore.write(Tables.events(s, d)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .withColumn("g", gExpr).withColumn("k", kExpr)
+            .withColumn("version", lit(1L)),
+          dir, tsCol = "ts", uidCols = Seq("event_type"),
+          maxRecordsPerFile = 1000, bloomKeys = Seq("g", "k"))
+        val keys = Tables.events(s, d)
+          .filter(col("event_id").between(200, 249))
+          .select(gExpr.as("g"), kExpr.as("k"), lit(2L).as("del_v"))
+        TsStore.lastTakedownCandidates = -1
+        TsStore.deleteKeysVectors(s, dir, keys, keyCols = Seq("g", "k"),
+          deleteVersionCol = "del_v", versionCol = "version")
+        val snap = graft.sources.StoreLog.latest(dir).get
+        require(TsStore.lastTakedownCandidates >= 0 &&
+            (snap.files.size <= 10 ||
+              TsStore.lastTakedownCandidates * 2 < snap.files.size),
+          s"the fine column's digest must prune a composite takedown: " +
+            s"${TsStore.lastTakedownCandidates} of ${snap.files.size} files")
+        TsStore.load(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value " +
+        "FROM events e WHERE NOT EXISTS (" +
+        "SELECT 1 FROM events x WHERE x.event_id BETWEEN 200 AND 249 " +
+        "AND x.event_id % 4 = e.event_id % 4 " +
+        "AND (x.event_id // 8) % 100000 * 2654435761 % 1000000 = " +
+        "(e.event_id // 8) % 100000 * 2654435761 % 1000000) " +
+        "ORDER BY e.event_id"),
+      "composite-key scattered takedown: every key column's digest probes, the fine one prunes"),
+
     "store_sql_delete_keys" -> DeclaredQuery(
       // The KEYED takedown from pure SQL: DELETE WHERE expresses a
       // predicate, but the GDPR/takedown shape is a MILLION-KEY LIST —

@@ -304,14 +304,21 @@ object GraftProcedures {
         "create a writable branch at the current main version (the " +
           "Iceberg branch / write-audit-publish pattern): appends can " +
           "target it invisibly to main readers; read it via VERSION AS " +
-          "OF '<name>'; publish_branch audits + fast-forwards main",
+          "OF '<name>'; publish_branch audits + fast-forwards main. " +
+          "expire_hours ages the branch out at vacuum once idle that " +
+          "long (the ref-aging role); omitted = never expires",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("name", StringType).build())) {
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("expire_hours", DoubleType)
+            .defaultValue("NULL").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val (path, _, _) = layout(root, input.getUTF8String(0).toString)
           val name = input.getUTF8String(1).toString
-          val base = TsStore.branch(path, name)
+          val expireMs =
+            if (input.isNullAt(2)) None
+            else Some((input.getDouble(2) * 3600 * 1000).toLong)
+          val base = TsStore.branch(path, name, expireMs)
           oneRowScan(StructType(Seq(
             StructField("name", StringType, nullable = false),
             StructField("base_version", LongType, nullable = false))),

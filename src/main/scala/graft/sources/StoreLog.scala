@@ -855,6 +855,14 @@ object StoreLog {
   val MainRefProp = "graft.ref.main"
   val BranchPropPrefix = "graft.branch."
   val BranchBasePrefix = "graft.branchbase."
+  // branch AGE-EXPIRY (the Iceberg ref-aging role): per-branch declared
+  // max idle age (ms) and last-activity stamp (epoch ms, advanced by
+  // every branch-targeted commit) — [[TsStore.expireBranches]] drops a
+  // branch whose idle age exceeds its declared expiry, so a forgotten
+  // branch stops pinning vacuum retention and maintenance-overlap
+  // proofs forever. No declared expiry = never expires.
+  val BranchExpirePrefix = "graft.branchexp."
+  val BranchTouchPrefix = "graft.branchtouch."
 
   /** The MAIN view's version at the tip: the `graft.ref.main` pin when
     * a branch is active, the tip itself otherwise. Raw-JSON reads only.

@@ -610,6 +610,175 @@ object TsStore {
     sys.error("unreachable")
   }
 
+  /** The MAINTENANCE-rewrite commit ([[compactPartitions]] / [[zorder]]):
+    * swap `targets` (live files of the MAIN view) for `moved`. With no
+    * branch open this is the streamed transform scaffold
+    * ([[commitTransformWithRebase]], O(commit footprint)). Under open
+    * branches the rewrite may still proceed — nightly compaction must
+    * not stall for a day-scale WAP branch — when it is PROVABLY
+    * semantics-preserving for every ref:
+    *
+    *  - a branch holding ALL targets (the common case: branches start
+    *    as main's view and touch other partitions) gets its pin REBASED
+    *    through the same file mapping in a follow-up commit, provided
+    *    the targets' deletion-vector state matches main's (the rewrite
+    *    materialized MAIN's vectors — substituting under diverging
+    *    branch vectors would silently drop the branch's takedown);
+    *  - a branch holding NONE of them (it replaced those partitions
+    *    itself) is untouched — its own files supersede the rewrite at
+    *    publish, which is exactly the branch's declared intent;
+    *  - PARTIAL overlap, or diverging vectors on a shared target,
+    *    refuses like the old blanket guard (genuine divergence).
+    *
+    * The MAIN commit advances `graft.ref.main` AND every branch's BASE
+    * to itself — the rewrite is invisible to each ref's rows, so
+    * publish's moved-since-creation divergence check must keep passing.
+    * Branch-pin rebases are BEST-EFFORT layout propagation committed
+    * after main: a crash or CAS storm between leaves the branch on its
+    * pre-rewrite view — still correct (its pinned version retains its
+    * files against vacuum) and still publishable (base already
+    * advanced; the fast-forward simply carries the older layout).
+    * Under branches the commit pays O(view) driver lists like every
+    * other branch verb; branchless stores keep the streamed path.
+    */
+  private[sources] def commitMaintenanceRewrite(path: String,
+      lease: StoreLog.WriterLease, baseViewV: Long, moved: Seq[String],
+      replaced: Seq[String], targets: Seq[String],
+      extraProps: Map[String, String] = Map.empty,
+      tag: Option[String] = None): Long = {
+    def abort(why: String): Nothing = {
+      StoreLog.deleteDataFiles(path, moved)
+      throw new StoreLog.CommitConflict(why)
+    }
+    val tipV0 = StoreLog.latestVersion(path)
+      .getOrElse(abort(s"no manifest at $path"))
+    if (!StoreLog.propsAt(path, tipV0).contains(StoreLog.MainRefProp))
+      return commitTransformWithRebase(path, lease, baseViewV, moved,
+        replaced, removeFilesOf = _ => targets,
+        abortOnAppendsUnder = false, extraProps = extraProps, tag = tag)
+    val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
+    val targetSet = targets.toSet
+    var attempts = 0
+    while (true) {
+      lease.renew()
+      val cur = StoreLog.latest(path).getOrElse(abort(s"no manifest at $path"))
+      if (!cur.props.contains(StoreLog.MainRefProp))
+        // every branch closed mid-verb: the rewrite was computed under
+        // assumptions a publish/drop may have invalidated — re-run
+        abort(s"branches at $path closed mid-rewrite — re-run the " +
+          "maintenance pass against the new state")
+      val mv = cur.props(StoreLog.MainRefProp).toLong
+      val mSnap = if (mv == cur.version) cur else StoreLog.read(path, mv)
+      val mLive = mSnap.files.toSet
+      // every target must still be live on MAIN: an intervening rewrite
+      // or delete means ours was computed from superseded files (pure
+      // appends simply join the view and survive untouched)
+      if (!targets.forall(mLive))
+        abort(s"concurrent writer replaced rewrite targets at $path — " +
+          "re-run the maintenance pass against the new base")
+      // per-branch disjointness proofs against the CURRENT pins
+      val pins: Seq[(String, Long)] = cur.props.toSeq.collect {
+        case (k, s) if k.startsWith(StoreLog.BranchPropPrefix) &&
+            s.toLongOption.isDefined =>
+          k.stripPrefix(StoreLog.BranchPropPrefix) -> s.toLong
+      }
+      val plans: Seq[(String, Long, Boolean)] = pins.map { case (b, bv) =>
+        val bSnap = if (bv == cur.version) cur else StoreLog.read(path, bv)
+        val bLive = bSnap.files.toSet
+        val overlap = targets.count(bLive)
+        if (overlap == 0) (b, bv, false)
+        else if (overlap == targets.size) {
+          val dvEq = targets.forall(f => mSnap.dvs.get(f) == bSnap.dvs.get(f))
+          if (!dvEq)
+            abort(s"branch '$b' at $path holds diverging deletion " +
+              "vectors on the rewrite's files — publish or drop it first")
+          (b, bv, true)
+        } else
+          abort(s"branch '$b' at $path genuinely overlaps the rewrite " +
+            s"($overlap of ${targets.size} files shared) — publish or " +
+            "drop it first")
+      }
+      val newMain = mSnap.files.filterNot(targetSet) ++ moved
+      val live = newMain.toSet
+      val desired = mSnap.dvs.filter { case (f, _) => live(f) }
+      val inherited = cur.dvs.filter { case (f, _) => live(f) }
+      val dvReset = if (inherited == desired) None else Some(desired)
+      val v = cur.version + 1
+      val baseAdv = plans.map { case (b, _, _) =>
+        (StoreLog.BranchBasePrefix + b) -> v.toString
+      }.toMap
+      // the zig-zag delta vs a branch-view tip re-adds main-exclusive
+      // files — their planner index must ride (refAppendBase's rule)
+      val (carryStats, carrySizes) =
+        if (mv == cur.version)
+          (Map.empty[String, FileStats.FileStatsMap], Map.empty[String, Long])
+        else (mSnap.stats, mSnap.sizes)
+      val committed =
+        try StoreLog.commit(path, cur.version, replaced, newMain,
+          parent = Some(cur), addStats = carryStats ++ movedStats,
+          addSizes = carrySizes ++ movedSizes, tag = tag,
+          resetDvs = dvReset,
+          setProps = extraProps ++ baseAdv +
+            (StoreLog.MainRefProp -> v.toString))
+        catch {
+          case c: StoreLog.CommitConflict =>
+            attempts += 1
+            if (attempts > 20)
+              abort(s"gave up after $attempts commit attempts at $path: " +
+                c.getMessage)
+            -1L
+        }
+      if (committed >= 0) {
+        plans.foreach { case (b, bv, rebase) =>
+          if (rebase) rebaseBranchPin(path, lease, b, bv, targetSet, moved,
+            movedStats, movedSizes)
+        }
+        return committed
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Rebase branch `b`'s pin through a maintenance rewrite's file
+    * mapping (targets → moved) — the follow-up commit after
+    * [[commitMaintenanceRewrite]]'s main commit. BEST-EFFORT: a pin
+    * that moved or vanished since the proof was taken is left alone
+    * (the concurrent branch writer's view still references the old
+    * targets, which stay vacuum-live through its pin), and a CAS storm
+    * gives up quietly — correctness never depends on this commit.
+    */
+  private def rebaseBranchPin(path: String, lease: StoreLog.WriterLease,
+      b: String, bv0: Long, targetSet: Set[String], moved: Seq[String],
+      movedStats: Map[String, FileStats.FileStatsMap],
+      movedSizes: Map[String, Long]): Unit = {
+    var tries = 0
+    while (tries <= 20) {
+      lease.renew()
+      val cur = StoreLog.latest(path).getOrElse(return)
+      val bvNow = cur.props.get(StoreLog.BranchPropPrefix + b)
+        .flatMap(_.toLongOption).getOrElse(return)
+      if (bvNow != bv0) return
+      val bSnap = if (bvNow == cur.version) cur else StoreLog.read(path, bvNow)
+      val newB = bSnap.files.filterNot(targetSet) ++ moved
+      val liveB = newB.toSet
+      val desiredB = bSnap.dvs.filter { case (f, _) => liveB(f) }
+      val inheritedB = cur.dvs.filter { case (f, _) => liveB(f) }
+      val dvResetB = if (inheritedB == desiredB) None else Some(desiredB)
+      try {
+        StoreLog.commit(path, cur.version, Seq.empty, newB,
+          parent = Some(cur),
+          addStats = bSnap.stats ++ movedStats,
+          addSizes = bSnap.sizes ++ movedSizes,
+          resetDvs = dvResetB,
+          setProps = Map(
+            StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+        return
+      } catch {
+        case _: StoreLog.CommitConflict => tries += 1
+      }
+    }
+  }
+
   /** The leased adopt-then-commit retry scaffold shared by [[upsert]]
     * and [[delete]]: renew the lease, try the CAS commit, and on a loss
     * walk every intervening commit — abort (deleting the adopted files)
@@ -1045,10 +1214,10 @@ object TsStore {
     // everything past the extent, but a digest-carrying file admits
     // the takedown only if it may actually hold a key). Past the lazy
     // threshold both gates also SCOPE the resolution itself. A
-    // composite key probes on its first column alone (a file without
-    // the first component cannot hold the composite).
-    val probe = keyProbe(k, keyCols.head)
-    val dKeep = digestKeep(probe, keyCols.head) _
+    // composite key probes on EVERY digestable component (a file
+    // missing ANY component value cannot hold the composite tuple).
+    val probe = keyProbe(k, keyCols)
+    val dKeep = digestKeep(probe) _
     val base =
       if (keyCols.sizeIs == 1) {
         val ext = k.agg(min(col(keyCols.head)).as("lo"),
@@ -1056,7 +1225,7 @@ object TsStore {
         scopedBase(path, baseV,
           col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))),
           extraKeep = dKeep)
-      } else if (probe.isDefined &&
+      } else if (probe.nonEmpty &&
           StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
         StoreLog.readFiltered(path, baseV)(e => dKeep(e.stats))
       else StoreLog.read(path, baseV)
@@ -1189,9 +1358,10 @@ object TsStore {
         }
       }
     }
-    // the density auto-compact cue is a REPLACING verb — it refuses
-    // under an open branch, so branch takedowns skip the hook (publish
-    // or drop reopens it)
+    // the density auto-compact cue targets the MAIN view (and is
+    // branch-tolerant since commitMaintenanceRewrite); BRANCH-targeted
+    // takedowns skip it — their vectors live on the branch view, which
+    // main-side compaction can neither see nor help
     if (v != base.version && branch.isEmpty) dvDensityCompact(spark, path)
     v
   }
@@ -1485,8 +1655,8 @@ object TsStore {
     // correlated feeds) + per-file digest probe (scattered feeds) —
     // same gates as the dv twin, scoping the resolution itself past
     // the lazy threshold
-    val probe = keyProbe(k, keyCols.head)
-    val dKeep = digestKeep(probe, keyCols.head) _
+    val probe = keyProbe(k, keyCols)
+    val dKeep = digestKeep(probe) _
     val base =
       if (keyCols.sizeIs == 1) {
         val ext = k.agg(min(col(keyCols.head)).as("lo"),
@@ -1494,7 +1664,7 @@ object TsStore {
         scopedBase(path, baseV,
           col(keyCols.head).between(lit(ext.get(0)), lit(ext.get(1))),
           extraKeep = dKeep)
-      } else if (probe.isDefined &&
+      } else if (probe.nonEmpty &&
           StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
         StoreLog.readFiltered(path, baseV)(e => dKeep(e.stats))
       else StoreLog.read(path, baseV)
@@ -1594,9 +1764,13 @@ object TsStore {
     // scoped resolution: past the lazy threshold only the TOUCHED
     // prefixes' files (their stats/sizes/dvs riding along) materialize
     // on the driver — a one-partition compaction against a million-file
-    // store stays O(its scope), like the delete/takedown family
-    val baseV = StoreLog.latestVersion(path)
+    // store stays O(its scope), like the delete/takedown family.
+    // Maintenance reads the MAIN view: under an open branch the tip may
+    // be the branch's (the rewrite targets main; branch pins rebase or
+    // prove disjoint at commit — [[commitMaintenanceRewrite]])
+    val tipV = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
+    val baseV = StoreLog.mainVersionAt(path, tipV)
     val base =
       if (StoreLog.liveFileCount(path, baseV) >= StoreLog.LazySnapshotThreshold)
         StoreLog.readFiltered(path, baseV, prefixes)(_ => true)
@@ -1627,16 +1801,13 @@ object TsStore {
       val moved =
         try StoreLog.adoptStaged(path, staging)
         finally StoreLog.deleteStaging(staging)
-      // transform commit: swap exactly the targets for the rewrite — no
-      // parent file list materializes on any attempt. The conflict walk
-      // aborts when an intervening commit REPLACED a touched prefix
-      // (its `replaced` record names it — replacing verbs and dv writes
-      // alike), and appends under the prefixes serialize cleanly (their
-      // files are not in the remove set and survive the transform).
-      commitTransformWithRebase(path, lease, base.version, moved,
-        replaced = touched,
-        removeFilesOf = _ => targets,
-        abortOnAppendsUnder = false)
+      // maintenance commit: swap exactly the targets for the rewrite —
+      // branchless, the streamed transform (no parent file list on any
+      // attempt; an intervening REPLACE of a touched prefix aborts,
+      // appends serialize); under open branches, the disjointness-
+      // proved rewrite with branch-pin rebase.
+      commitMaintenanceRewrite(path, lease, base.version, moved,
+        replaced = touched, targets = targets)
     }
   }
 
@@ -1731,8 +1902,12 @@ object TsStore {
     }
 
   private def dvDensityCompactUnsafe(spark: SparkSession, path: String): Unit =
-    StoreLog.latestVersion(path).foreach { v =>
-      val props = StoreLog.propsAt(path, v)
+    // density reads the MAIN view (under an open branch the tip may be
+    // the branch's); compaction itself is branch-tolerant now
+    // ([[commitMaintenanceRewrite]]), so the cue no longer stalls for a
+    // long-lived WAP branch
+    StoreLog.mainVersion(path).foreach { v =>
+      val props = StoreLog.propsAt(path, StoreLog.latestVersion(path).getOrElse(v))
       props.get("dv.compact.ratio")
         .flatMap(r => scala.util.Try(r.toDouble).toOption).filter(_ > 0) match {
         case Some(ratio) =>
@@ -1985,9 +2160,13 @@ object TsStore {
     require(uidCols.nonEmpty, "zorder needs the store's partition columns")
     require(scope.isEmpty || !incremental,
       "incremental zorder covers the whole store — name a scope OR pass incremental")
-    val baseV = StoreLog.latestVersion(path)
+    // maintenance reads the MAIN view (under a branch the tip may be
+    // the branch's); marker props read at the TIP — the freshest store
+    // properties
+    val tipV = StoreLog.latestVersion(path)
       .getOrElse(StoreLog.ensure(path).version)
-    val props0 = StoreLog.propsAt(path, baseV)
+    val baseV = StoreLog.mainVersionAt(path, tipV)
+    val props0 = StoreLog.propsAt(path, tipV)
     // INCREMENTAL (the liquid-clustering role): rewrite only files
     // added since the recorded marker — the walk reads each commit's
     // raw add/remove record (txn checkpoints keep it raw; a
@@ -2007,8 +2186,14 @@ object TsStore {
       val added = scala.collection.mutable.LinkedHashSet.empty[String]
       var v = m + 1
       var raw = true
-      while (raw && v <= baseV) {
-        StoreLog.rawDelta(path, v) match {
+      while (raw && v <= tipV) {
+        // a BRANCH-era version's raw record reflects the tip's view
+        // FLIPS (zig-zag deltas), not main's semantic changes — one
+        // live-set diff answers instead (conservative: re-clusters at
+        // worst; never misses a main file a flip commit removed last)
+        if (StoreLog.propsAt(path, v).contains(StoreLog.MainRefProp))
+          raw = false
+        else StoreLog.rawDelta(path, v) match {
           case Some((add, rm, _)) =>
             rm.foreach(added -= _)
             // skip ONLY the output of passes clustered on THESE columns
@@ -2102,10 +2287,8 @@ object TsStore {
           Map(ClusterColsProp -> clusterCols.mkString(","),
             ClusterVersionProp -> base.version.toString)
         else Map.empty[String, String]
-      commitTransformWithRebase(path, lease, base.version, moved,
-        replaced = prefixes,
-        removeFilesOf = _ => targetFiles,
-        abortOnAppendsUnder = false,
+      commitMaintenanceRewrite(path, lease, base.version, moved,
+        replaced = prefixes, targets = targetFiles,
         tag = Some(clusterTag(clusterCols)),
         // z-clustered files are ordered by the interleave rank, NOT by
         // ts — the scan must stop claiming per-partition ts order
@@ -2368,58 +2551,79 @@ object TsStore {
   private[graft] def lastTakedownCandidates_=(n: Int): Unit =
     lastTakedownCandidatesTl.set(Integer.valueOf(n))
 
-  /** The keyed takedown's MANIFEST-LEVEL key gate: 32-bit fingerprints
-    * of the key set's FIRST merge-key column, in the column's stat
-    * domain — probed against each candidate file's recorded
-    * distinct-value digest ([[FileStats.ColStat.digest]]) so a
-    * SCATTERED takedown (keys uncorrelated with the (uid, ts) layout,
-    * where the [min,max] extent keeps everything) drops files BEFORE
-    * any footer opens. None — and so no gate, conservatively — when
-    * the key domain is undigestable, or the distinct key count
-    * exceeds [[FileStats.DigestProbeMaxKeys]] (a purge that size
-    * touches most files anyway).
+  /** The keyed takedown's MANIFEST-LEVEL key gate, over EVERY
+    * digestable merge-key column: per column, 32-bit fingerprints of
+    * the key set's distinct values in the column's stat domain —
+    * probed against each candidate file's recorded distinct-value
+    * digest ([[FileStats.ColStat.digest]]) so a SCATTERED takedown
+    * (keys uncorrelated with the (uid, ts) layout, where the [min,max]
+    * extent keeps everything) drops files BEFORE any footer opens.
+    * Probing ALL key columns (column-independent AND — sound because a
+    * present key tuple puts each component value in its column's
+    * dictionary) closes the composite-key hole: a (coarse, fine) key
+    * prunes on the FINE column's digest even though the coarse first
+    * column matches every file. Timestamp keys probe as micros-
+    * integral fingerprints. A column is skipped — no gate from it,
+    * conservatively — when its domain is undigestable or its distinct
+    * key count exceeds [[FileStats.DigestProbeMaxKeys]] (a purge that
+    * size touches most files anyway).
     */
-  private def keyProbe(k: DataFrame, keyCol: String)
-      : Option[(String, java.util.HashSet[Integer])] = {
+  private def keyProbe(k: DataFrame, keyCols: Seq[String])
+      : Map[String, (String, java.util.HashSet[Integer])] = {
     import org.apache.spark.sql.types._
-    val tag = k.schema(keyCol).dataType match {
-      case LongType | IntegerType | ShortType | ByteType => "i"
-      case DateType => "d"
-      case StringType => "s"
-      case _ => return None
-    }
-    val vals = k.select(col(keyCol)).distinct()
-      .limit(FileStats.DigestProbeMaxKeys + 1).collect()
-    if (vals.length > FileStats.DigestProbeMaxKeys) return None
-    val set = new java.util.HashSet[Integer](vals.length * 2)
-    vals.foreach { r =>
-      if (!r.isNullAt(0)) {
-        val v: Any = tag match {
-          case "i" => r.get(0).asInstanceOf[Number].longValue()
-          case "d" => org.apache.spark.sql.catalyst.util.DateTimeUtils
-            .fromJavaDate(r.getDate(0)).toLong
-          case "s" => r.getString(0)
+    val out = Map.newBuilder[String, (String, java.util.HashSet[Integer])]
+    keyCols.foreach { keyCol =>
+      val tagOpt = k.schema(keyCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => Some("i")
+        case DateType => Some("d")
+        case StringType => Some("s")
+        case TimestampType => Some("ts")
+        case TimestampNTZType => Some("tn")
+        case _ => None
+      }
+      tagOpt.foreach { tag =>
+        val vals = k.select(col(keyCol)).distinct()
+          .limit(FileStats.DigestProbeMaxKeys + 1).collect()
+        if (vals.length <= FileStats.DigestProbeMaxKeys) {
+          val set = new java.util.HashSet[Integer](vals.length * 2)
+          vals.foreach { r =>
+            if (!r.isNullAt(0)) {
+              val v: Any = tag match {
+                case "i" => r.get(0).asInstanceOf[Number].longValue()
+                case "d" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaDate(r.getDate(0)).toLong
+                case "s" => r.getString(0)
+                case "ts" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(r.getTimestamp(0))
+                case "tn" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .localDateTimeToMicros(
+                    r.getAs[java.time.LocalDateTime](0))
+              }
+              set.add(FileStats.fingerprint(tag, v)); ()
+            }
+          }
+          out += keyCol -> ((tag, set))
         }
-        set.add(FileStats.fingerprint(tag, v)); ()
       }
     }
-    Some((tag, set))
+    out.result()
   }
 
-  /** File keep under a key probe: a recorded digest with a matching
-    * tag must contain at least one key fingerprint; anything else —
-    * no probe, no digest, tag mismatch — keeps the file.
+  /** File keep under the key probes: for EVERY probed column whose
+    * recorded digest matches the probe's tag, at least one key
+    * fingerprint must appear. An un-probed or un-digested column
+    * contributes no gate (keeps), and an empty probe map keeps
+    * everything — conservative at every fallback.
     */
-  private def digestKeep(probe: Option[(String, java.util.HashSet[Integer])],
-      keyCol: String)(st: Option[FileStats.FileStatsMap]): Boolean =
-    probe match {
-      case None => true
-      case Some((tag, fps)) =>
-        st.flatMap(_.get(keyCol)) match {
-          case Some(cs) if cs.digest != null && cs.tag == tag =>
-            FileStats.digestMayContain(cs.digest, fps)
-          case _ => true
-        }
+  private def digestKeep(
+      probes: Map[String, (String, java.util.HashSet[Integer])])(
+      st: Option[FileStats.FileStatsMap]): Boolean =
+    probes.forall { case (c, (tag, fps)) =>
+      st.flatMap(_.get(c)) match {
+        case Some(cs) if cs.digest != null && cs.tag == tag =>
+          FileStats.digestMayContain(cs.digest, fps)
+        case _ => true
+      }
     }
 
   private[graft] def readFilesDv(spark: SparkSession, path: String,
@@ -2568,8 +2772,12 @@ object TsStore {
     * (see [[StoreLog.vacuum]]); a writer stalled past the lease window
     * without renewal loses that protection, by declaration.
     */
-  def vacuum(path: String, retainVersions: Int = 1, retainMs: Long = 0L): Int =
+  def vacuum(path: String, retainVersions: Int = 1, retainMs: Long = 0L): Int = {
+    // age out forgotten branches FIRST, so their pinned versions stop
+    // counting as retention the same pass that reclaims them
+    expireBranches(path)
     StoreLog.vacuum(path, retainVersions, retainMs)
+  }
 
   /** Pin a manifest version under a NAME (the Iceberg tag role; the
     * Scala twin of `CALL system.tag`): a `graft.tag.<name>` metadata
@@ -2678,7 +2886,10 @@ object TsStore {
               s"no branch '$b' at $path (TsStore.branch / CALL " +
                 "system.branch creates one)"))
         resolve(bv,
-          Map(StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+          Map(StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString,
+            // branch activity: advance the age-expiry touch stamp
+            StoreLog.BranchTouchPrefix + b ->
+              System.currentTimeMillis().toString))
       case None =>
         cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption) match {
           case Some(mv) =>
@@ -2760,7 +2971,10 @@ object TsStore {
           addDvs = addDvs, resetDvs = dvReset,
           setProps = schemaForWiden.fold(Map.empty[String, String])(sc =>
             GraftTable.widenedSchemaProp(cur.props, sc)) +
-            (StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString))
+            (StoreLog.BranchPropPrefix + b -> (cur.version + 1).toString) +
+            // branch activity: advance the age-expiry touch stamp
+            (StoreLog.BranchTouchPrefix + b ->
+              System.currentTimeMillis().toString))
       } catch {
         case c: StoreLog.CommitConflict =>
           attempts += 1
@@ -2792,8 +3006,10 @@ object TsStore {
     * retains both refs' pinned versions like tags. Returns the branch's
     * base (= current main) version.
     */
-  def branch(path: String, name: String): Long = {
+  def branch(path: String, name: String,
+             expireMs: Option[Long] = None): Long = {
     validRefName(name, "branch")
+    expireMs.foreach(ms => require(ms >= 0, "branch expireMs must be >= 0"))
     metadataCommitWithRetry(path) { cur =>
       require(!cur.props.contains(s"${StoreLog.BranchPropPrefix}$name"),
         s"branch '$name' already exists at $path")
@@ -2804,11 +3020,48 @@ object TsStore {
         .getOrElse(cur.version)
       val refs = Map(
         s"${StoreLog.BranchPropPrefix}$name" -> mv.toString,
-        s"${StoreLog.BranchBasePrefix}$name" -> mv.toString) ++
+        s"${StoreLog.BranchBasePrefix}$name" -> mv.toString,
+        s"${StoreLog.BranchTouchPrefix}$name" ->
+          System.currentTimeMillis().toString) ++
+        expireMs.map(ms =>
+          s"${StoreLog.BranchExpirePrefix}$name" -> ms.toString) ++
         (if (cur.props.contains(StoreLog.MainRefProp)) Map.empty
          else Map(StoreLog.MainRefProp -> mv.toString))
       (refs, mv)
     }
+  }
+
+  /** Drop every branch whose idle age — time since creation or the
+    * latest branch-targeted commit ([[StoreLog.BranchTouchPrefix]]) —
+    * exceeds its declared expiry ([[branch]]'s `expireMs`; the Iceberg
+    * ref-aging role): a forgotten branch otherwise pins its versions
+    * against [[vacuum]] and holds maintenance-overlap proofs open
+    * forever. Branches without a declared expiry never expire; an
+    * ACTIVE branch's touch stamp advances with every branch commit, so
+    * it never expires while in use (maintenance rebases deliberately do
+    * NOT touch — they are main's activity, not the branch's). Returns
+    * the dropped names. Runs automatically at the head of [[vacuum]].
+    */
+  def expireBranches(path: String,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    if (!StoreLog.canLog(path)) return Nil
+    val v = StoreLog.latestVersion(path).getOrElse(return Nil)
+    val props = StoreLog.propsAt(path, v)
+    val expired = props.toSeq.collect {
+      case (k, ms) if k.startsWith(StoreLog.BranchExpirePrefix) &&
+          ms.toLongOption.isDefined =>
+        k.stripPrefix(StoreLog.BranchExpirePrefix) -> ms.toLong
+    }.filter { case (b, expMs) =>
+      props.contains(StoreLog.BranchPropPrefix + b) &&
+        props.get(StoreLog.BranchTouchPrefix + b).flatMap(_.toLongOption)
+          .exists(t => nowMs - t > expMs)
+    }.map(_._1).sorted
+    expired.foreach { b =>
+      // a racing publish/drop beat us to it — that IS the branch ending
+      try dropBranch(path, b)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    expired
   }
 
   /** Abandon a branch: its head's files become unreferenced (a later
@@ -2843,7 +3096,9 @@ object TsStore {
         cur.props.keys.count(_.startsWith(StoreLog.BranchPropPrefix)) > 1
       ((Map(
         s"${StoreLog.BranchPropPrefix}$name" -> "",
-        s"${StoreLog.BranchBasePrefix}$name" -> "") ++
+        s"${StoreLog.BranchBasePrefix}$name" -> "",
+        s"${StoreLog.BranchExpirePrefix}$name" -> "",
+        s"${StoreLog.BranchTouchPrefix}$name" -> "") ++
         (if (remaining) Map.empty
          else Map(StoreLog.MainRefProp -> ""))), ())
     }
@@ -2901,7 +3156,9 @@ object TsStore {
       val v = cur.version + 1
       val refs = Map(
         s"${StoreLog.BranchPropPrefix}$name" -> "",
-        s"${StoreLog.BranchBasePrefix}$name" -> "") ++
+        s"${StoreLog.BranchBasePrefix}$name" -> "",
+        s"${StoreLog.BranchExpirePrefix}$name" -> "",
+        s"${StoreLog.BranchTouchPrefix}$name" -> "") ++
         (if (remaining) Map(StoreLog.MainRefProp -> v.toString)
          else Map(StoreLog.MainRefProp -> ""))
       // publish's dv state is the BRANCH VIEW's exactly: a branch

@@ -527,4 +527,162 @@ class BranchSpec extends AnyFunSuite {
         branch = Some("race"))
     }
   }
+
+  test("branch age-expiry: forgotten branches die at vacuum, active ones never do") {
+    val (dir, n0) = freshStore()
+    val t0 = System.currentTimeMillis()
+    TsStore.branch(dir, "forgotten", expireMs = Some(10000L))
+    // the forgotten branch holds real work: a rewrite AND a vector —
+    // expiry must shed both like dropBranch
+    appendBranch(dir, row(830001L, "2035-07-01 00:00:00", 7.0), "forgotten")
+    TsStore.deleteVectors(spark, dir, col("event_id") === 1L,
+      branch = Some("forgotten"))
+    TsStore.branch(dir, "forever") // no declared expiry — immortal
+    // before its idle age passes: nothing expires
+    assert(TsStore.expireBranches(dir, t0 + 5000L).isEmpty)
+    // touch advances with branch activity: append again near the
+    // deadline, then check just past the ORIGINAL deadline — alive
+    appendBranch(dir, row(830002L, "2035-07-01 00:00:01", 7.0), "forgotten")
+    val touched = System.currentTimeMillis()
+    assert(TsStore.expireBranches(dir, touched + 9000L).isEmpty,
+      "an active branch must not expire from its creation stamp")
+    // idle past the expiry: dies like dropBranch — rows and vectors shed
+    assert(TsStore.expireBranches(dir, touched + 60000L) === Seq("forgotten"))
+    assert(StoreLog.branches(dir).keySet === Set("forever"))
+    // vectors die from every VIEW (the tip snapshot may keep zig-zag
+    // residue while other branches remain — reads resolve refs)
+    assert(StoreLog.read(dir, StoreLog.mainVersion(dir).get).dvs.isEmpty,
+      "the expired branch's vectors must die with it")
+    assert(TsStore.load(spark, dir).count() === n0)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") >= 830001L).limit(1).count() === 0L)
+    // expiry props cleaned: a fresh same-name branch starts a new life
+    val props = StoreLog.propsAt(dir, StoreLog.latestVersion(dir).get)
+    assert(!props.contains(StoreLog.BranchExpirePrefix + "forgotten"))
+    assert(!props.contains(StoreLog.BranchTouchPrefix + "forgotten"))
+    // vacuum runs expiry automatically (an already-expired branch at
+    // vacuum time is gone before retention is computed)
+    TsStore.branch(dir, "gone", expireMs = Some(0L))
+    Thread.sleep(5)
+    TsStore.vacuum(dir, retainVersions = 100)
+    assert(StoreLog.branches(dir).keySet === Set("forever"))
+  }
+
+  private def fragStore(): String = {
+    val dir = Files.createTempDirectory("graft_branch_maint").toString
+    TsStore.write(events.select(cols.map(col): _*), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), maxRecordsPerFile = 100)
+    dir
+  }
+  private def filesUnder(dir: String, p: String): Seq[String] =
+    StoreLog.latest(dir).map { cur =>
+      val mv = cur.props.get(StoreLog.MainRefProp).flatMap(_.toLongOption)
+        .getOrElse(cur.version)
+      StoreLog.read(dir, mv).files.filter(_.startsWith(p + "/"))
+    }.getOrElse(Nil)
+
+  test("maintenance under an open branch: compact proceeds, branch rebases, publish works") {
+    val dir = fragStore()
+    TsStore.branch(dir, "wap")
+    // the branch's own work: a CDC append into event_type=view
+    appendBranch(dir, row(810001L, "2035-06-01 00:00:00", 7.0), "wap")
+    val bv0 = StoreLog.branchVersion(dir, "wap").get
+    val branchBefore = TsStore.load(spark, dir, asOf = Some(bv0))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(filesUnder(dir, "event_type=click").size > 1,
+      "fixture must be fragmented")
+    // nightly compaction of a partition the branch holds IN FULL (it
+    // only appended elsewhere) — the old blanket guard refused here
+    val vC = TsStore.compactPartitions(spark, dir,
+      Seq("event_type=click"), tsCol = "ts", uidCols = Seq("event_type"))
+    assert(vC > bv0, "compaction must commit under the open branch")
+    assert(filesUnder(dir, "event_type=click").size === 1,
+      "main's partition must be compacted")
+    // the branch pin REBASED through the same mapping: content
+    // byte-equal, layout propagated
+    val bv1 = StoreLog.branchVersion(dir, "wap").get
+    assert(bv1 > bv0, "the branch pin must rebase")
+    val branchAfter = TsStore.load(spark, dir, asOf = Some(bv1))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(branchAfter === branchBefore,
+      "the branch view must be byte-equal across the rewrite")
+    assert(StoreLog.read(dir, bv1).files
+      .count(_.startsWith("event_type=click/")) === 1,
+      "the rebased branch view must carry the compacted layout")
+    // main never saw the branch row
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 810001L).limit(1).count() === 0L)
+    // and publish still fast-forwards (base advanced with the rewrite)
+    TsStore.publishBranch(spark, dir, "wap")
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 810001L).count() === 1L)
+    assert(filesUnder(dir, "event_type=click").size === 1)
+  }
+
+  test("maintenance under an open branch: zorder proceeds and the branch stays exact") {
+    val dir = fragStore()
+    TsStore.branch(dir, "wap")
+    appendBranch(dir, row(820001L, "2035-06-02 00:00:00", 7.0), "wap")
+    val bv0 = StoreLog.branchVersion(dir, "wap").get
+    val branchBefore = TsStore.load(spark, dir, asOf = Some(bv0))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    TsStore.zorder(spark, dir, clusterCols = Seq("user_id", "value"),
+      uidCols = Seq("event_type"), scope = Seq("event_type=click"))
+    val bv1 = StoreLog.branchVersion(dir, "wap").get
+    val branchAfter = TsStore.load(spark, dir, asOf = Some(bv1))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(branchAfter === branchBefore)
+    TsStore.publishBranch(spark, dir, "wap")
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 820001L).count() === 1L)
+  }
+
+  test("maintenance under an open branch: genuine overlap and dv divergence refuse") {
+    // PARTIAL overlap: a branch cow-delete rewrote SOME of the
+    // partition's files — substitution would corrupt the branch
+    val dir = fragStore()
+    TsStore.branch(dir, "cow")
+    val oneClick = events.filter(col("event_type") === "click")
+      .select(col("event_id")).limit(1).collect().head.getLong(0)
+    TsStore.delete(spark, dir, col("event_id") === oneClick, "ts",
+      Seq("event_type"), branch = Some("cow"))
+    val e = intercept[StoreLog.CommitConflict](
+      TsStore.compactPartitions(spark, dir, Seq("event_type=click"),
+        tsCol = "ts", uidCols = Seq("event_type")))
+    assert(e.getMessage.contains("overlaps"), e.getMessage)
+    TsStore.dropBranch(dir, "cow")
+    // DV divergence: a branch takedown vectored a shared file — the
+    // rewrite would materialize MAIN's (empty) vector state
+    val dir2 = fragStore()
+    TsStore.branch(dir2, "dv")
+    TsStore.deleteVectors(spark, dir2,
+      col("event_id") === oneClick && col("event_type") === "click",
+      branch = Some("dv"))
+    val e2 = intercept[StoreLog.CommitConflict](
+      TsStore.compactPartitions(spark, dir2, Seq("event_type=click"),
+        tsCol = "ts", uidCols = Seq("event_type")))
+    assert(e2.getMessage.contains("diverging deletion vectors"), e2.getMessage)
+    // ZERO overlap: the branch replaced the whole partition itself —
+    // main-side compaction is invisible to it and publish honors the
+    // branch's files (the rewrite's output simply dies unreferenced)
+    val dir3 = fragStore()
+    TsStore.branch(dir3, "up")
+    TsStore.upsert(spark, dir3,
+      events.filter(col("event_type") === "view")
+        .select(cols.map(col): _*)
+        .withColumn("value", col("value") + 100.0)
+        .withColumn("version", lit(2L)),
+      keyCols = Seq("event_id"), versionCol = "version",
+      tsCol = "ts", uidCols = Seq("event_type"), branch = Some("up"))
+    val bv = StoreLog.branchVersion(dir3, "up").get
+    TsStore.compactPartitions(spark, dir3, Seq("event_type=view"),
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(StoreLog.branchVersion(dir3, "up").get === bv,
+      "a zero-overlap branch must not be rebased")
+    TsStore.publishBranch(spark, dir3, "up")
+    val got = TsStore.load(spark, dir3)
+      .filter(col("event_type") === "view").agg(min(col("value"))).collect()
+    assert(got.head.getDouble(0) >= 100.0,
+      "publish must deliver the branch's replaced partition")
+  }
 }

@@ -112,6 +112,64 @@ class KeyDigestSpec extends AnyFunSuite {
     assert(TsStore.load(spark, dir2).count() === 40000L - 333L)
   }
 
+  test("composite keys probe every digestable column; timestamp keys probe as micros") {
+    import spark.implicits._
+    // composite (coarse, fine): the coarse first column holds the SAME
+    // four values in every file, so a first-column-only probe keeps all
+    // 40 — only the FINE column's digest can prune the takedown
+    val dir = Files.createTempDirectory("graft_keydigest_comp").toString
+    val rows = (0L until 40000L).map { r =>
+      val block = r / 1000L
+      val k =
+        if (r % 3 == 0) 0L
+        else if (r % 3 == 1) 2000000L
+        else 1000000L + permOf(block)
+      ("all", r, r % 4L, k, 1L, r.toDouble)
+    }.toDF("p", "ts", "g", "k", "version", "v")
+    TsStore.write(rows, dir, tsCol = "ts", uidCols = Seq("p"),
+      maxRecordsPerFile = 1000L, bloomKeys = Seq("g", "k"))
+    val key = 1000000L + permOf(7L)
+    val expectDel = TsStore.load(spark, dir)
+      .filter(col("g") === 2L && col("k") === key).count()
+    assert(expectDel > 0)
+    TsStore.lastTakedownCandidates = -1
+    TsStore.deleteKeysVectors(spark, dir,
+      Seq((2L, key, 5L)).toDF("g", "k", "del_v"),
+      keyCols = Seq("g", "k"), deleteVersionCol = "del_v",
+      versionCol = "version")
+    assert(TsStore.lastTakedownCandidates === 1,
+      s"the fine column's digest must prune a composite takedown: " +
+        s"${TsStore.lastTakedownCandidates} of 40 files")
+    assert(TsStore.load(spark, dir).count() === 40000L - expectDel)
+    // timestamp key domain: the file side records micros-integral
+    // fingerprints off the INT64 dictionary; the probe hashes the
+    // java.sql.Timestamp key through the same micros domain
+    val tdir = Files.createTempDirectory("graft_keydigest_ts").toString
+    val trows = (0L until 40000L).map { r =>
+      val block = r / 1000L
+      val k =
+        if (r % 3 == 0) 0L
+        else if (r % 3 == 1) 2000000L
+        else 1000000L + permOf(block)
+      ("all", r, k, 1L)
+    }.toDF("p", "ts", "k", "version")
+      .withColumn("at", col("k").cast("timestamp"))
+    TsStore.write(trows, tdir, tsCol = "ts", uidCols = Seq("p"),
+      maxRecordsPerFile = 1000L, bloomKeys = Seq("at"))
+    val tsnap = StoreLog.latest(tdir).get
+    assert(tsnap.files.forall(f => tsnap.stats(f).get("at")
+      .exists(cs => cs.tag == "ts" && cs.digest != null)),
+      "timestamp bloom columns must record micros digests")
+    TsStore.lastTakedownCandidates = -1
+    TsStore.deleteKeysVectors(spark, tdir,
+      Seq((new java.sql.Timestamp(key * 1000L), 5L)).toDF("at", "del_v"),
+      keyCols = Seq("at"), deleteVersionCol = "del_v", versionCol = "version")
+    assert(TsStore.lastTakedownCandidates === 1,
+      s"a timestamp-keyed scattered takedown must digest-prune: " +
+        s"${TsStore.lastTakedownCandidates} of 40 files")
+    assert(TsStore.load(spark, tdir).count() === 40000L - 333L)
+  }
+
   test("conservative keeps: no digest, saturated dictionary, absent key") {
     import spark.implicits._
     // no declared bloom cols → no digests → every file stays a candidate
