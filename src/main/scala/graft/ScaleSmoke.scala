@@ -95,7 +95,17 @@ object ScaleSmoke {
     // digest gate) plus the fixture write; the branch CDC batch is an
     // upsert + takedown + metadata publish over the touched slice
     "store_zorder_incremental", "store_takedown_scattered",
-    "store_branch_cdc")
+    "store_branch_cdc",
+    // round-19: compaction under an open branch adds ONE partition
+    // rewrite + a metadata pin-rebase to the branch lifecycle (cost
+    // tracks the compacted partition, never the branch or the store);
+    // branch expiry is a vacuum whose added work is the aged ref's
+    // metadata (the liveness fold is the streamed fingerprint set —
+    // cost tracks dead files); the composite takedown's find must
+    // track the keys' files via the FINE column's digest even though
+    // the coarse first column matches everywhere
+    "store_compact_branch", "store_branch_expiry",
+    "store_takedown_composite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
