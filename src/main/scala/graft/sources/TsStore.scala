@@ -658,6 +658,10 @@ object TsStore {
         abortOnAppendsUnder = false, extraProps = extraProps, tag = tag)
     val (movedStats, movedSizes) = FileStats.forFilesWithSizes(path, moved)
     val targetSet = targets.toSet
+    // the deletion-vector state the rewrite MATERIALIZED (it read live
+    // rows as of baseViewV) — resolved once, only if the branch path
+    // engages; the branchless path's conflict walk covers this itself
+    lazy val baseDvs = StoreLog.read(path, baseViewV).dvs
     var attempts = 0
     while (true) {
       lease.renew()
@@ -676,6 +680,16 @@ object TsStore {
       if (!targets.forall(mLive))
         abort(s"concurrent writer replaced rewrite targets at $path — " +
           "re-run the maintenance pass against the new base")
+      // …and must carry the SAME deletion vectors it had when the pass
+      // read its rows: a takedown landing on a target after baseViewV
+      // (but before this commit) would be silently resurrected — the
+      // staged rewrite still contains the newly-deleted rows, and the
+      // replaced file's vector dies with it. Parquet files never mutate,
+      // so dv state is the only way a live target's content can drift.
+      if (!targets.forall(f => mSnap.dvs.get(f) == baseDvs.get(f)))
+        abort(s"deletion vectors changed on rewrite targets at $path " +
+          "since the pass read them — re-run the maintenance pass " +
+          "against the new base")
       // per-branch disjointness proofs against the CURRENT pins
       val pins: Seq[(String, Long)] = cur.props.toSeq.collect {
         case (k, s) if k.startsWith(StoreLog.BranchPropPrefix) &&
@@ -704,8 +718,19 @@ object TsStore {
       val inherited = cur.dvs.filter { case (f, _) => live(f) }
       val dvReset = if (inherited == desired) None else Some(desired)
       val v = cur.version + 1
-      val baseAdv = plans.map { case (b, _, _) =>
-        (StoreLog.BranchBasePrefix + b) -> v.toString
+      // Advance ONLY a non-diverged base (base == mv): publish would
+      // pass today and must keep passing across a semantics-preserving
+      // rewrite. A DIVERGED base — main moved since the branch was
+      // created — keeps its refusal: blindly advancing it would launder
+      // the divergence and let a later publish fast-forward a branch
+      // view that never saw main's post-branch appends, silently
+      // dropping those rows from main.
+      val baseAdv = plans.flatMap { case (b, _, _) =>
+        val base = cur.props.get(StoreLog.BranchBasePrefix + b)
+          .flatMap(_.toLongOption)
+        if (base.contains(mv))
+          Some((StoreLog.BranchBasePrefix + b) -> v.toString)
+        else None
       }.toMap
       // the zig-zag delta vs a branch-view tip re-adds main-exclusive
       // files — their planner index must ride (refAppendBase's rule)
@@ -2571,39 +2596,45 @@ object TsStore {
   private def keyProbe(k: DataFrame, keyCols: Seq[String])
       : Map[String, (String, java.util.HashSet[Integer])] = {
     import org.apache.spark.sql.types._
-    val out = Map.newBuilder[String, (String, java.util.HashSet[Integer])]
-    keyCols.foreach { keyCol =>
-      val tagOpt = k.schema(keyCol).dataType match {
+    val tagged: Seq[(String, String)] = keyCols.flatMap { keyCol =>
+      (k.schema(keyCol).dataType match {
         case LongType | IntegerType | ShortType | ByteType => Some("i")
         case DateType => Some("d")
         case StringType => Some("s")
         case TimestampType => Some("ts")
         case TimestampNTZType => Some("tn")
         case _ => None
-      }
-      tagOpt.foreach { tag =>
-        val vals = k.select(col(keyCol)).distinct()
-          .limit(FileStats.DigestProbeMaxKeys + 1).collect()
-        if (vals.length <= FileStats.DigestProbeMaxKeys) {
-          val set = new java.util.HashSet[Integer](vals.length * 2)
-          vals.foreach { r =>
-            if (!r.isNullAt(0)) {
-              val v: Any = tag match {
-                case "i" => r.get(0).asInstanceOf[Number].longValue()
-                case "d" => org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .fromJavaDate(r.getDate(0)).toLong
-                case "s" => r.getString(0)
-                case "ts" => org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .fromJavaTimestamp(r.getTimestamp(0))
-                case "tn" => org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .localDateTimeToMicros(
-                    r.getAs[java.time.LocalDateTime](0))
-              }
-              set.add(FileStats.fingerprint(tag, v)); ()
-            }
+      }).map(keyCol -> _)
+    }
+    if (tagged.isEmpty) return Map.empty
+    // ONE Spark action for every probed column: per-column distinct
+    // sets as capped collect_set aggregates (cap+1 elements is the
+    // over-cap sentinel), not one distinct()+collect() job per column —
+    // a wide composite key must not multiply driver job latency.
+    // collect_set drops nulls, matching the row-probe's null skip.
+    val aggs = tagged.map { case (c, _) =>
+      slice(collect_set(col(c)), 1, FileStats.DigestProbeMaxKeys + 1).as(c)
+    }
+    val row = k.agg(aggs.head, aggs.tail: _*).head()
+    val out = Map.newBuilder[String, (String, java.util.HashSet[Integer])]
+    tagged.zipWithIndex.foreach { case ((keyCol, tag), i) =>
+      val vals = row.getSeq[Any](i)
+      if (vals.length <= FileStats.DigestProbeMaxKeys) {
+        val set = new java.util.HashSet[Integer](vals.length * 2)
+        vals.foreach { a =>
+          val v: Any = tag match {
+            case "i" => a.asInstanceOf[Number].longValue()
+            case "d" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaDate(a.asInstanceOf[java.sql.Date]).toLong
+            case "s" => a.asInstanceOf[String]
+            case "ts" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaTimestamp(a.asInstanceOf[java.sql.Timestamp])
+            case "tn" => org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .localDateTimeToMicros(a.asInstanceOf[java.time.LocalDateTime])
           }
-          out += keyCol -> ((tag, set))
+          set.add(FileStats.fingerprint(tag, v)); ()
         }
+        out += keyCol -> ((tag, set))
       }
     }
     out.result()
@@ -3056,12 +3087,13 @@ object TsStore {
         props.get(StoreLog.BranchTouchPrefix + b).flatMap(_.toLongOption)
           .exists(t => nowMs - t > expMs)
     }.map(_._1).sorted
-    expired.foreach { b =>
-      // a racing publish/drop beat us to it — that IS the branch ending
-      try dropBranch(path, b)
-      catch { case scala.util.control.NonFatal(_) => () }
+    expired.filter { b =>
+      // a racing publish/drop beat us to it — that IS the branch
+      // ending; either way only branches actually GONE are reported
+      // (a swallowed CAS storm must not read as a successful expiry)
+      try { dropBranch(path, b); true }
+      catch { case scala.util.control.NonFatal(_) => false }
     }
-    expired
   }
 
   /** Abandon a branch: its head's files become unreferenced (a later

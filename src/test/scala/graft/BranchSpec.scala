@@ -619,6 +619,37 @@ class BranchSpec extends AnyFunSuite {
     assert(filesUnder(dir, "event_type=click").size === 1)
   }
 
+  test("maintenance never launders main-branch divergence: publish keeps refusing") {
+    // main moves AFTER the branch was created (append to a partition
+    // the compaction does not touch) — publish must refuse with or
+    // without an intervening rewrite. The rewrite itself is still
+    // semantics-preserving and proceeds, but it must NOT advance the
+    // diverged branch's base: doing so would launder the divergence
+    // and let a later publish fast-forward a branch view that never
+    // saw main's post-branch append, silently dropping that row.
+    val dir = fragStore()
+    TsStore.branch(dir, "wap")
+    appendBranch(dir, row(830001L, "2035-06-03 00:00:00", 7.0), "wap")
+    TsStore.write(row(830002L, "2035-06-03 00:00:01", 8.0), dir,
+      tsCol = "ts", uidCols = Seq("event_type"), mode = SaveMode.Append,
+      overlapPolicy = TsStore.OverlapPolicy.Allow) // MAIN append: diverges
+    assert(filesUnder(dir, "event_type=click").size > 1)
+    TsStore.compactPartitions(spark, dir, Seq("event_type=click"),
+      tsCol = "ts", uidCols = Seq("event_type"))
+    assert(filesUnder(dir, "event_type=click").size === 1,
+      "the semantics-preserving rewrite still proceeds under divergence")
+    val e = intercept[Exception](TsStore.publishBranch(spark, dir, "wap"))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // main's post-branch append is alive, branch still droppable
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 830002L).count() === 1L)
+    TsStore.dropBranch(dir, "wap")
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 830002L).count() === 1L)
+    assert(TsStore.load(spark, dir)
+      .filter(col("event_id") === 830001L).count() === 0L)
+  }
+
   test("maintenance under an open branch: zorder proceeds and the branch stays exact") {
     val dir = fragStore()
     TsStore.branch(dir, "wap")
