@@ -317,8 +317,8 @@ class BranchSpec extends AnyFunSuite {
         nextId += 1
         (nextId, row(nextId, f"2036-01-01 00:${(nextId % 60)}%02d:00", 1.0))
       }
-      (1 to 8).foreach { _ =>
-        rnd.nextInt(5) match {
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(7) match {
           case 0 => // main append
             val (id, df) = freshRow()
             TsStore.write(df, dir, tsCol = "ts", uidCols = Seq("event_type"),
@@ -366,6 +366,37 @@ class BranchSpec extends AnyFunSuite {
           case 4 => // tag noise (metadata commits are ref-neutral)
             tagSeq += 1
             TsStore.tag(dir, s"n$trial-$tagSeq")
+          case 5 => // MAINTENANCE: compact the append partition. Every
+            // row lands in event_type=view, so under an open branch the
+            // oracle is sharp: main moved since creation ⟺ main holds
+            // view files the branch lacks ⟺ PARTIAL overlap refuses;
+            // otherwise the rewrite proceeds (full overlap, pin rebase)
+            // and must PRESERVE publishability — the base advances only
+            // because it was non-diverged (the laundering guard's
+            // positive side). Branchless compaction always proceeds.
+            branchSt match {
+              case Some((_, _, base)) if mainIds != base =>
+                val e = intercept[StoreLog.CommitConflict](
+                  TsStore.compactPartitions(spark, dir,
+                    Seq("event_type=view"), tsCol = "ts",
+                    uidCols = Seq("event_type")))
+                assert(e.getMessage.contains("overlaps"),
+                  s"trial $trial: diverged-main compaction must refuse " +
+                    s"on partial overlap, got: ${e.getMessage}")
+              case _ =>
+                TsStore.compactPartitions(spark, dir,
+                  Seq("event_type=view"), tsCol = "ts",
+                  uidCols = Seq("event_type"))
+            }
+          case 6 => // main dv takedown of one live row (branchless only:
+            // main-targeted vectors refuse under an open branch) — the
+            // vector must hold across every later op, incl. branch
+            // inheritance and dv-materializing compaction
+            if (branchSt.isEmpty && mainIds.nonEmpty) {
+              val victim = mainIds.head
+              TsStore.deleteVectors(spark, dir, col("event_id") === victim)
+              mainIds -= victim
+            }
         }
         // invariants after EVERY op: both views exact, stats complete
         def ids(asOf: Option[Long]): Set[Long] =
