@@ -650,6 +650,50 @@ class BranchSpec extends AnyFunSuite {
     assert(filesUnder(dir, "event_type=click").size === 1)
   }
 
+  test("race: concurrent branch appends and maintenance serialize to the exact views") {
+    // branch APPENDS re-resolve the pin per CAS attempt (they never
+    // abort on a pin move, unlike branch DML), and the maintenance
+    // commit re-proves overlap per attempt then best-effort-rebases
+    // the pin — so a live interleaving must serialize: every append
+    // lands, the rewrite lands, both views stay exact, and publish
+    // still fast-forwards (main never moved, so the base advanced).
+    (1 to 3).foreach { trial =>
+      val dir = fragStore()
+      TsStore.branch(dir, "wap")
+      val n0 = TsStore.load(spark, dir).count()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ids = (1 to 3).map(i => 840000L + trial * 100L + i)
+      val tA = new Thread(() => {
+        try ids.foreach { id =>
+          appendBranch(dir,
+            row(id, f"2035-07-0$trial 00:0${(id % 6).toInt}:00", 1.0), "wap")
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+      val tB = new Thread(() => {
+        try {
+          TsStore.compactPartitions(spark, dir, Seq("event_type=view"),
+            tsCol = "ts", uidCols = Seq("event_type"))
+          TsStore.compactPartitions(spark, dir, Seq("event_type=click"),
+            tsCol = "ts", uidCols = Seq("event_type"))
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+      tA.start(); tB.start()
+      tA.join(180000L); tB.join(180000L)
+      assert(errs.isEmpty, s"trial $trial unexpected: " +
+        errs.toArray.map { case t: Throwable => t.getMessage }.mkString("; "))
+      // main never saw the branch rows; branch view holds all of them
+      assert(TsStore.load(spark, dir).count() === n0, s"trial $trial")
+      val bv = StoreLog.branchVersion(dir, "wap").get
+      assert(TsStore.load(spark, dir, asOf = Some(bv))
+        .filter(col("event_id") >= 840000L).count() === ids.size.toLong,
+        s"trial $trial: every racing append must land on the branch")
+      // base advanced with the rewrite (main never moved) → publish works
+      TsStore.publishBranch(spark, dir, "wap")
+      assert(TsStore.load(spark, dir).count() === n0 + ids.size,
+        s"trial $trial: publish must deliver the full batch")
+    }
+  }
+
   test("maintenance never launders main-branch divergence: publish keeps refusing") {
     // main moves AFTER the branch was created (append to a partition
     // the compaction does not touch) — publish must refuse with or
