@@ -307,8 +307,16 @@ object Llm {
     * Returns `(u, label)` for every node with at least one edge.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Pre-partition the (static) edge table by the join key it is
+    // re-joined on EVERY round: localCheckpoint preserves the physical
+    // plan's output partitioning, so each round's neighbor join only
+    // exchanges the (much smaller) labels side — without this the edge
+    // table pays a full shuffle per round, the dominant cost of the
+    // whole fixpoint at scale.
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.toDF("u", "v")
       .unionByName(pairs.toDF("v", "u"))
+      .repartition(np, col("v"))
       .localCheckpoint() // materialized once; re-joined every round
     var labels = edges.groupBy("u").agg(min(col("v")).as("__mn"))
       .select(col("u"), least(col("u"), col("__mn")).as("label"))

@@ -98,19 +98,45 @@ object FileStats {
         StoreLog.latestVersion(path)
           .map(v => StoreLog.bloomColsAt(path, v)).getOrElse(Nil)
       else Nil).toSet
-    val stats = Map.newBuilder[String, FileStatsMap]
-    val sizes = Map.newBuilder[String, Long]
-    rels.foreach { rel =>
+    // Footer opens are independent per file and IO-bound — run them on a
+    // bounded pool instead of serially on the committing thread (a commit
+    // adding hundreds of small files otherwise stalls the driver for the
+    // sum of the opens; the pool keeps the pass O(files / parallelism)).
+    // Results are folded back in input order, so the maps are identical
+    // to the sequential build.
+    def statOne(rel: String)
+        : (String, Option[FileStatsMap], Option[Long]) =
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new HPath(s"$path/$rel"), conf)
-        sizes += rel -> in.getLength
+        val len = in.getLength
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val fs = fromFooter(reader.getFooter, dcols, reader)
-          if (fs.nonEmpty) stats += rel -> fs
+          (rel, if (fs.nonEmpty) Some(fs) else None, Some(len))
         } finally reader.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case scala.util.control.NonFatal(_) => (rel, None, None)
+      }
+    val results: Seq[(String, Option[FileStatsMap], Option[Long])] =
+      if (rels.size <= 4) rels.map(statOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, Runtime.getRuntime.availableProcessors()))
+        try {
+          val futs = rels.map(rel =>
+            pool.submit(new java.util.concurrent.Callable[
+              (String, Option[FileStatsMap], Option[Long])] {
+              def call() = statOne(rel)
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    val stats = Map.newBuilder[String, FileStatsMap]
+    val sizes = Map.newBuilder[String, Long]
+    results.foreach { case (rel, fs, len) =>
+      fs.foreach(stats += rel -> _)
+      len.foreach(sizes += rel -> _)
     }
     (stats.result(), sizes.result())
   }

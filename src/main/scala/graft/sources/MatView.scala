@@ -269,8 +269,13 @@ object MatView {
           .agg(sum(sign * measureE4).cast("long").as("d_sum"),
             sum(sign).as("d_cnt"))
         // old state for EXACTLY the touched groups: bucket partition
-        // pruning bounds the view read, the join is delta-sized
+        // pruning bounds the view read, the join is delta-sized.
+        // localCheckpoint pins the aggregated delta ONCE — it is read
+        // twice (the bucket probe below, the merge join), and without
+        // the pin each read re-runs the whole change-feed scan +
+        // aggregate. The checkpoint is touched-groups-sized.
         val withBucket = delta.withColumn(BucketCol, bucketOf(groupCols, nBuckets))
+          .localCheckpoint()
         val buckets = withBucket.select(BucketCol).distinct().collect()
           .map(_.getInt(0)).toSeq
         if (buckets.isEmpty) {

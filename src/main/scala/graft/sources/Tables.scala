@@ -10,8 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * PlanSpec). Schemas come from parquet footers; no inference cost.
   */
 object Tables {
+  /** Resolved-relation memo per (session, path): `spark.read.parquet`
+    * re-lists the directory and re-reads footer schemas on EVERY call,
+    * and the fixture tables are immutable inputs read by nearly every
+    * query — across a full bench run the repeated driver-side
+    * resolution alone costs whole seconds. The memo holds the LAZY
+    * plan handle only (no rows, no results — every action still
+    * computes from the parquet files); sessions are weak keys so a
+    * stopped test session never pins its entries.
+    */
+  private val resolved =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, DataFrame]]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    resolved.synchronized {
+      var m = resolved.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.HashMap.empty[String, DataFrame]
+        resolved.put(spark, m)
+      }
+      val p = s"$sfDir/$name.parquet"
+      m.getOrElseUpdate(p, spark.read.parquet(p))
+    }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

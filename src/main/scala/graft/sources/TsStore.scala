@@ -231,8 +231,22 @@ object TsStore {
               else dfC
     val overlapChecked = mode == SaveMode.Append && uidCols.nonEmpty &&
       overlapPolicy != OverlapPolicy.Allow
-    if (!overlapChecked)
+    // Null-ts validation: the overlap pre-scan (when it runs) counts
+    // nulls in its own job. Otherwise the check rides INSIDE the write
+    // lineage as a codegen'd assert_true filter (the Constraints.guard
+    // pattern) — one pass over the input instead of a dedicated
+    // full-scan job before the write. Exception: an Overwrite onto an
+    // EXISTING logged store still pre-scans, because the overwrite
+    // deletes the log before writing and a refusal must land BEFORE
+    // that destruction, not mid-job.
+    val mustPreScan = !overlapChecked && mode == SaveMode.Overwrite &&
+      StoreLog.canLog(path) && StoreLog.exists(path)
+    if (mustPreScan)
       require(validate(dfW, tsCol, uidCols) == 0, s"null $tsCol values — refusing write")
+    val dfV =
+      if (overlapChecked || mustPreScan) dfW
+      else dfW.filter(assert_true(col(tsCol).isNotNull,
+        lit(s"null $tsCol values — refusing write")).isNull)
     if (overlapChecked) {
       val bad = overlappingSeries(dfW.sparkSession, path, dfW, tsCol, uidCols)
       if (bad.nonEmpty) {
@@ -246,7 +260,7 @@ object TsStore {
       }
     }
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
-    val sorted = dfW.repartitionByRange(rangeCols: _*)
+    val sorted = dfV.repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     // Manifest handling applies to paths whose backend has an atomic
     // publish primitive (local, file:, HDFS-likes — CommitIo.forPath);
@@ -441,10 +455,17 @@ object TsStore {
     */
   def upsertPlan(spark: SparkSession, path: String, delta: DataFrame,
                  keyCols: Seq[String], versionCol: String,
-                 uidCols: Seq[String], asOf: Option[Long] = None): DataFrame = {
+                 uidCols: Seq[String], asOf: Option[Long] = None,
+                 touchedOpt: Option[Seq[org.apache.spark.sql.Row]] = None)
+      : DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one merge-key column")
     require(uidCols.nonEmpty, "upsert needs the store's partition columns")
-    val touched = delta.select(uidCols.map(col): _*).distinct().collect()
+    // `touchedOpt` lets [[upsert]] hand over the partition values it
+    // already collected in its single probe job (emptiness + null-ts +
+    // touched partitions in ONE pass over the pinned delta) — the
+    // standalone path keeps the distinct-collect.
+    val touched: Seq[org.apache.spark.sql.Row] = touchedOpt.getOrElse(
+      delta.select(uidCols.map(col): _*).distinct().collect().toSeq)
     // empty delta → empty touched set → nothing to merge (also keeps the
     // composite-key predicate's reduce from seeing an empty collection)
     if (touched.isEmpty)
@@ -941,8 +962,8 @@ object TsStore {
     val deltaW = physicalFrame(Constraints.guard(delta, boundChecks), renames)
     val keyColsW = keyCols.map(c => renames.getOrElse(c, c))
     val versionColW = renames.getOrElse(versionCol, versionCol)
-    // Pin the delta ONCE. The merge evaluates it three times (emptiness,
-    // touched-partition collect, staging write); a nondeterministic
+    // Pin the delta ONCE. The merge evaluates it twice (the combined
+    // probe below, staging write); a nondeterministic
     // delta lineage (limit/sample/shuffled upstream) could otherwise
     // name partition set {A} during the prune but produce rows in
     // {A, B} at write time — the B partition, never merged with its
@@ -963,19 +984,32 @@ object TsStore {
           s"no branch '$b' at $path (TsStore.branch / CALL system.branch " +
             "creates one)"))
     }
-    if (pinned.isEmpty) return branchPin.getOrElse(baseV)
-    val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW,
-      uidCols, asOf = branchPin)
-    // Null-ts validation runs on the PINNED DELTA (a cheap checkpointed
-    // scan), not on the merge lineage: the base was validated at its own
-    // write, so the merge can only carry a null ts the delta brought in.
-    // Routing the staged write through TsStore.write instead would
-    // re-execute the whole pruned merge a second time just to count
-    // nulls (measured: ~2x the upsert wall time at sf0.1).
-    require(validate(pinned, tsCol, uidCols) == 0,
+    // ONE probe job over the pinned delta answers every pre-write
+    // question — emptiness, null-ts validation, and the touched
+    // partition values — that previously each paid their own action
+    // (isEmpty + validate + upsertPlan's distinct-collect = three scans
+    // of the checkpoint, three scheduled jobs). The null-ts check runs
+    // on the PINNED DELTA, not the merge lineage: the base was validated
+    // at its own write, so the merge can only carry a null ts the delta
+    // brought in. The collected set is the delta's DISTINCT partition
+    // values — the same driver budget as upsertPlan's own collect.
+    val probe = pinned.agg(
+      count(lit(1)).as("__n"),
+      count(when(col(tsCol).isNull, lit(1))).as("__nulls"),
+      collect_set(struct(uidCols.map(col): _*)).as("__parts")).head()
+    if (probe.getLong(0) == 0L) return branchPin.getOrElse(baseV)
+    require(probe.getLong(1) == 0L,
       s"null $tsCol values in upsert delta — refusing write")
+    val merged = upsertPlan(spark, path, pinned, keyColsW, versionColW,
+      uidCols, asOf = branchPin,
+      touchedOpt = Some(probe.getSeq[org.apache.spark.sql.Row](2)))
     val staging = txnDir(path)
     val rangeCols: Seq[Column] = uidCols.map(col) :+ col(tsCol)
+    // (A localCheckpoint of `merged` before the range write was tried
+    // and measured SLOWER: repartitionByRange's bounds-sampling job and
+    // the write job share the merge's shuffle map stages, so the
+    // apparent double compute is mostly skipped stages — the extra
+    // materialization pass costs more than it saves.)
     writeFiles(merged.repartitionByRange(rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*),
       staging, uidCols, SaveMode.Overwrite, codec, rowGroupBytes,

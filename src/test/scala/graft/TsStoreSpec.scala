@@ -47,9 +47,37 @@ class TsStoreSpec extends AnyFunSuite {
     val bad = Seq((1L, Option.empty[java.sql.Timestamp], 1.0),
       (2L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 2.0))
       .toDF("event_id", "ts", "value")
-    assertThrows[IllegalArgumentException] {
-      TsStore.write(bad, Files.createTempDirectory("graft_bad").toString, tsCol = "ts")
+    val dir = Files.createTempDirectory("graft_bad").toString
+    // the validation rides INSIDE the write lineage (assert_true guard —
+    // one pass over the input, not a dedicated pre-scan job), so the
+    // refusal surfaces as a Spark task failure wrapping the message
+    val e = intercept[Throwable] {
+      TsStore.write(bad, dir, tsCol = "ts")
     }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("refusing write"))),
+      s"expected a null-ts refusal, got $e")
+    // and the refused write must not have produced a readable store
+    assert(!new java.io.File(dir, "_graft_log").exists() ||
+      graft.sources.StoreLog.latestVersion(dir).isEmpty)
+  }
+
+  test("overwrite of an EXISTING logged store refuses null timestamps " +
+    "BEFORE destroying the log (pre-scan path)") {
+    val dir = Files.createTempDirectory("graft_bad_ow").toString
+    TsStore.write(events, dir, tsCol = "ts")
+    val v = graft.sources.StoreLog.latestVersion(dir)
+    assert(v.nonEmpty)
+    val bad = Seq((1L, Option.empty[java.sql.Timestamp], 1.0))
+      .toDF("event_id", "ts", "value")
+    assertThrows[IllegalArgumentException] {
+      TsStore.write(bad, dir, tsCol = "ts")
+    }
+    // the refusal landed before StoreLog.delete: store intact
+    assert(graft.sources.StoreLog.latestVersion(dir) === v)
+    assert(TsStore.load(spark, dir).count() === events.count())
   }
 
   test("strict monotonicity validation flags duplicate timestamps per uid") {
