@@ -40,6 +40,14 @@ object Bench {
       val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(2000)
       em.select(graft.functions.VectorOps.cosine(col("embedding"), col("embedding")),
         graft.functions.VectorOps.lshBucket(col("embedding"))).count()
+      // binary-encoding expressions (base64/hex/unbase64/decode) compile
+      // their own codegen class — without this the first fn_* query that
+      // uses them absorbs ~2 s of C2 compile (measured: fn_encode 2.4 s
+      // in-bench vs 0.4 s warm)
+      spark.read.parquet(s"$sfDir/part.parquet").limit(1000)
+        .select(lower(hex(encode(col("p_name"), "UTF-8"))),
+          decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8"))
+        .count()
       li.limit(5000).write.mode("overwrite").parquet("/tmp/graft_bench_warm")
     } catch {
       // warm-up is best-effort, but say so — a silently-broken warm-up

@@ -314,8 +314,17 @@ object Llm {
     // table pays a full shuffle per round, the dominant cost of the
     // whole fixpoint at scale.
     val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // symmetrize in ONE pass via explode, not union-of-self: a union's
+    // two branches each re-execute the pairs lineage (for the LSH/
+    // MinHash edge sources that lineage is the expensive candidate
+    // generation + verification — measured as two concurrent ~3 s jobs
+    // per branch at sf0.1), while explode emits both directions from a
+    // single evaluation of each input row
     val edges = pairs.toDF("u", "v")
-      .unionByName(pairs.toDF("v", "u"))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .repartition(np, col("v"))
       .localCheckpoint() // materialized once; re-joined every round
     var labels = edges.groupBy("u").agg(min(col("v")).as("__mn"))
@@ -1703,11 +1712,13 @@ object Llm {
           .withColumn("fp", min(col("__h")).over(w))
           .filter(col("pos") >= 3)
           .select(col("doc_id"), col("fp")).distinct()
-        // sel is already distinct (doc_id, fp): a plain count IS the
-        // doc frequency — no second distinct pass
-        val docFreq = sel.groupBy("fp")
-          .agg(count(lit(1)).as("__df"))
-        sel.join(docFreq, "fp")
+        // sel is already distinct (doc_id, fp): a plain count over the
+        // fp partition IS the doc frequency. A window over ONE shuffle
+        // by fp, not a groupBy(fp) + self-join (that spelling paid the
+        // fp exchange twice — once for the aggregate, once to co-locate
+        // the join — for identical per-row values)
+        sel.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("fp"))))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"),
             sum((col("__df") > 1).cast("long")).as("n_shared"))

@@ -2317,7 +2317,19 @@ object TsStore {
     // is footer-only on parquet (no data pages).
     val n =
       if (numChunks > 0) numChunks
-      else math.max(1, math.ceil(rows.count().toDouble / maxRecordsPerFile).toInt)
+      else {
+        // live row total from the MANIFEST when every target records
+        // rows (commit-time footer stats minus dv cardinality — the
+        // exact number rows.count() would return), saving a whole scan
+        // job per pass; a store with any unrecorded file (legacy
+        // adopted) falls back to the count
+        val recorded = targetFiles.foldLeft(Option(0L)) {
+          case (Some(acc), f) => base.liveRows(f).map(acc + _)
+          case (None, _) => None
+        }
+        val total = recorded.getOrElse(rows.count())
+        math.max(1, math.ceil(total.toDouble / maxRecordsPerFile).toInt)
+      }
     val clustered = {
       val withZ = rows.withColumn("__z", z)
       val keys = uidCols.map(col) :+ col("__z")
