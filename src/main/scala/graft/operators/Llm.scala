@@ -330,37 +330,49 @@ object Llm {
     var labels = edges.groupBy("u").agg(min(col("v")).as("__mn"))
       .select(col("u"), least(col("u"), col("__mn")).as("label"))
       .localCheckpoint()
-    var converged = false
+    // convergence by EXACT label-sum: labels are monotonically
+    // non-increasing per node (the union branch below keeps each node's
+    // own label in its min), so the sum strictly decreases iff ANY label
+    // changed — one aggregate per round replaces the old per-row
+    // old-vs-new comparison, which needed a third join per round just to
+    // carry the old label alongside. decimal(38,0) keeps the sum exact
+    // at any corpus size (a double would round; a long could overflow).
+    def sumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = sumOf(labels)
+    var converged = prevSum == null // no edges → nothing to propagate
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // least(own label, neighbor labels) in ONE aggregate: the labels
+      // table unions into the neighbor-join output (n tiny checkpointed
+      // rows against 2m join rows), so no separate labels-vs-nbr join is
+      // needed to keep the monotone floor
       val nbr = edges.join(labels.select(col("u").as("v"), col("label")), "v")
-        .groupBy("u").agg(min(col("label")).as("__nbr"))
-      // __old rides along so convergence needs NO extra join: labels are
-      // monotonically non-increasing, so "any row where label != __old"
-      // is exactly "this round changed something".
-      val cand = labels.join(nbr, Seq("u"))
-        .select(col("u"), least(col("label"), col("__nbr")).as("label"),
-          col("label").as("__old"))
+        .select(col("u"), col("label"))
+        .unionByName(labels)
+        .groupBy("u").agg(min(col("label")).as("label"))
       // pointer jump: label ← labels(label). Every label value is a node
       // id (least() over node ids), so the PREVIOUS round's checkpointed
       // labels table is a valid (slightly stale) mapping — using it
-      // instead of `cand` avoids recomputing the neighbor-min join+agg a
+      // instead of `nbr` avoids recomputing the neighbor-min join+agg a
       // second time in the self-join (only the shuffle would be reused).
       // Stale jumps keep the monotone-decrease invariant and the same
       // fixpoint; the 300-hop CcSpec case pins that doubling still holds.
       // Left join + coalesce keeps already-minimal labels (label(m) = m
       // rows always exist, but stay safe under future re-keying).
-      val next = cand.join(
+      // LAZY checkpoint: the convergence aggregate below is the round's
+      // one action — it computes (and caches) every partition of `next`,
+      // so an eager materialization job would be a second full pass.
+      val next = nbr.join(
           labels.select(col("u").as("label"), col("label").as("__jump")),
           Seq("label"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"),
-          col("__old"))
-        .localCheckpoint()
-      // limit(1): existence check, not a full count — stops at the first
-      // changed row
-      converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0L
-      labels = next.select(col("u"), col("label"))
+          least(col("label"), coalesce(col("__jump"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val s = sumOf(next)
+      converged = s != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
