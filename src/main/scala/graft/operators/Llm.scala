@@ -129,8 +129,11 @@ object Llm {
     * agg barrier keeps the heavy set-scoring expressions map-side.
     */
   private def jaccardDupPairs(s: SparkSession, d: String): DataFrame = {
+    // pinned: both sides of the self-join below re-tokenize the corpus
+    // otherwise (the window join cannot reuse one side's exchange)
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
+      .localCheckpoint()
     val a = t.select(col("doc_id").as("doc_a"), col("source"), col("tk").as("tk_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("tk").as("tk_b"))
     val scored = a.join(b, col("source") === col("source_b") && col("doc_b") > col("doc_a") &&
@@ -247,6 +250,11 @@ object Llm {
   def minhashDupPairs(docs: DataFrame, tau: Double = 0.5,
                       salvage: Boolean = true): DataFrame = {
     val numHashes = 64; val rowsPerBand = 4
+    // (A localCheckpoint of the exploded (doc_id, hash) rows was tried
+    // and measured SLOWER — llm_dedup_near 7.2 → 9.9 s same-position:
+    // materializing ~1M exploded rows and re-reading them from RDD
+    // storage costs more than recomputing the codegen'd explode per
+    // consumer. Recompute wins while the subtree is cheap-per-row.)
     val hashed = TextOps.docShingles(docs, 3)
       .withColumn("__h", TextOps.baseHash(col("sh")))
     // whole signature as ONE native aggregate buffer (array<long>),
@@ -875,9 +883,13 @@ object Llm {
         val tok = TextOps.docShingles(Tables.documents(s, d), 3)
           .withColumn("__h", TextOps.baseHash(col("sh")))
         // ONE native aggregate (long[64] buffer → BIGINT signature), not
-        // 64 sum(when(bit)) columns — bit-identical output
+        // 64 sum(when(bit)) columns — bit-identical output. Pinned: the
+        // signature table feeds three consumers (bands + both sides of
+        // the Hamming join) that would each recompute the shingle hash
+        // aggregate (tiny: one 16-byte row per doc)
         val sim = tok.groupBy("doc_id")
           .agg(TextOps.simHash(col("__h")).as("sim"))
+          .localCheckpoint()
         val bands = sim.select(col("doc_id"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))

@@ -1561,9 +1561,13 @@ object Scans {
       // the layout they join in. Self-pins the plan; oracle = the
       // correlated-subquery as-of over the same deduped series.
       (s, d) => {
+        // pinned: the aggregate feeds TWO independent store writes (each
+        // paying a range-sample pass + a write pass) — four evaluations
+        // without the checkpoint
         val dedup = Tables.events(s, d)
           .groupBy("event_type", "ts")
           .agg(sum(floor(col("value"))).as("v"))
+          .localCheckpoint()
         val dirL = sinkDir("asof_l", d); val dirR = sinkDir("asof_r", d)
         TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type"))
         TsStore.write(
