@@ -98,11 +98,27 @@ class PlanSpec extends AnyFunSuite {
   test("native TypedImperativeAggregates plan as ObjectHashAggregate, never SortAggregate") {
     // SortAggregate would interpose a per-partition sort before every
     // signature/percentile aggregation
-    Seq("agg_percentile", "llm_dedup_near", "llm_dedup_simhash").foreach { q =>
+    Seq("agg_percentile", "llm_dedup_near").foreach { q =>
       val df = Registry.all(q).fn(spark, TestSpark.sf001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"), q)
+    }
+    // llm_dedup_simhash pins its signature table with a localCheckpoint
+    // (it feeds three consumers), so the aggregate no longer appears in
+    // the query's FINAL plan — assert the same property on the signature
+    // aggregate shape directly
+    locally {
+      import org.apache.spark.sql.functions._
+      val df = graft.functions.TextOps
+        .docShingles(sources.Tables.documents(spark, TestSpark.sf001), 3)
+        .withColumn("__h", graft.functions.TextOps.baseHash(col("sh")))
+        .groupBy("doc_id")
+        .agg(graft.functions.TextOps.simHash(col("__h")).as("sim"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+        "simhash signature aggregate")
     }
   }
 
