@@ -274,8 +274,10 @@ object MatView {
         // twice (the bucket probe below, the merge join), and without
         // the pin each read re-runs the whole change-feed scan +
         // aggregate. The checkpoint is touched-groups-sized.
+        // LAZY: the bucket-probe distinct below scans every partition,
+        // so it doubles as the materialization job
         val withBucket = delta.withColumn(BucketCol, bucketOf(groupCols, nBuckets))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val buckets = withBucket.select(BucketCol).distinct().collect()
           .map(_.getInt(0)).toSeq
         if (buckets.isEmpty) {

@@ -968,8 +968,11 @@ object TsStore {
     // name partition set {A} during the prune but produce rows in
     // {A, B} at write time — the B partition, never merged with its
     // base rows, would then be swapped to delta rows only, silently
-    // deleting base data. localCheckpoint is delta-sized.
-    val pinned = deltaW.localCheckpoint()
+    // deleting base data. localCheckpoint is delta-sized. LAZY: the
+    // probe below is a global aggregate — its job computes (and caches)
+    // every partition of the delta, so an eager materialization pass
+    // would scan the lineage a second time for nothing.
+    val pinned = deltaW.localCheckpoint(false)
     // light base handle: version + raw props/blooms — a million-file
     // store's upsert must not materialize its snapshot just to commit
     // (ensure() runs only for the first-ever write's adoption commit)
