@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE partition handling stays at Spark's defaults (adaptive on,
+    // coalescing parallelism-first). SIZE-first coalescing was MEASURED
+    // this round (full 264-query A/B, r20 notes §AQE) and lost both ways:
+    // advisory=1m collapses the store write paths' range-partition
+    // parallelism (stream_matview +1.7 s, stream_sink_native +0.7 s);
+    // advisory=256k additionally serializes the compute-dense-but-
+    // byte-light llm stages (llm_dup_clusters_lsh +4.2 s, llm_dedup_near
+    // +3.0 s — vector/set scoring carries ~100 flops per shuffled byte,
+    // so byte-based sizing starves it of cores). The r19 scaling
+    // observation (sub-second tail faster at 8 cores) is scheduler
+    // overhead on sub-second fixtures, not a recoverable win.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -91,7 +102,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Contract hardening (round 20, declared in OPTIMIZATION_r20.md): at 264
+    // queries the full JSON line is ~11 kB, and the driver's stdout capture
+    // window has truncated it for three rounds running (parsed: null in
+    // BENCH_r18/r19 despite rc 0). Emit the SAME one-line JSON as before
+    // (second-to-last line), then persist it to bench_out.json beside the
+    // repo root, and close stdout with a compact totals-only line that fits
+    // any capture window. Nothing timed changes; the per-query map is
+    // unchanged and still printed in full.
+    println(full)
+    try {
+      val out = new java.io.PrintWriter(new java.io.File("bench_out.json"), "UTF-8")
+      try out.println(full) finally out.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_out.json: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size - failed.size},"errors":$errs,"queries_file":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -44,27 +44,56 @@ object Q {
     * conditions (`PushPredicateThroughJoin`), where a heavy expression
     * (e.g. a 64-term cosine) is then evaluated per candidate pair in
     * interpreted mode — measured 22s vs ~1.5s for llm_dedup_embed at
-    * sf0.1. Optimizer tricks (nondeterministic barrier column, OR-rand
-    * padding) get folded away in Spark 4, so the barrier is SEMANTIC: an
-    * interposed per-key aggregate. `keys` are unique per row, so
-    * `min(value) == value` and results are unchanged, while a filter on
-    * an aggregate output can never be pushed below the aggregation.
+    * sf0.1. Column-level tricks (OR-rand padding, rand-based barrier
+    * columns) get folded away in Spark 4, so the fence must be an
+    * expression the optimizer is FORBIDDEN to move past.
     *
-    * The explicit `repartition(keys)` before the groupBy is load-bearing
-    * twice over: (1) the heavy value is computed in the codegen'd map-side
-    * Project BELOW the exchange — as the direct child of a grouped
-    * HashAggregate, a several-hundred-node expression silently falls out
-    * of whole-stage codegen and runs interpreted (measured 12.7s vs 1.5s
-    * at sf0.1); (2) the aggregate above the exchange sees a plain
-    * attribute and reuses the partitioning (no second shuffle). Cost: one
-    * shuffle of (keys, value) — a few MB against tens of seconds saved.
+    * Through round 19 that fence was an interposed per-key aggregate
+    * (`repartition(keys) + groupBy(keys).agg(min(value))` — sound
+    * because `keys` are unique per row, so min(value) == value), but it
+    * paid a full extra Exchange + two HashAggregates over EVERY
+    * candidate pair just to hold the line: at sf0.1 the llm_dedup_embed
+    * barrier alone shuffled ~4M scored pairs. Round 20 replaces it with
+    * [[graft.functions.expressions.OptimizerBarrier]] — an identity
+    * pass-through that REPORTS itself non-deterministic, the
+    * Scala-expression twin of guide §4.4's `udf.asNondeterministic()`.
+    * The optimizer may not push predicates below, duplicate, or fold a
+    * non-deterministic expression, so the heavy value is computed ONCE,
+    * map-side, inside the join stage's codegen'd Project, the filter
+    * stays above it, and the pair-sized exchange disappears outright
+    * (guide §2.4). Evaluation is the child's bit-for-bit on every call
+    * and retry (the flag is a declaration, not a behavior), so results
+    * — and the SPARK-38388 retry-safety story — are unchanged.
+    *
+    * Contract unchanged from the aggregate spelling: `keys` must be
+    * unique per row (callers' join shapes emit each key pair at most
+    * once), and the output schema is exactly `keys :+ value`.
     */
   def aggFilterBarrier(df: DataFrame, keys: Seq[String], value: String,
-                       cond: Column): DataFrame =
-    df.repartition(keys.map(col): _*)
-      .groupBy(keys.map(col): _*)
-      .agg(min(col(value)).as(value))
+                       cond: Column): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column => ofExpr, expression => toExpr}
+    df.withColumn(value,
+        ofExpr(graft.functions.expressions.OptimizerBarrier(toExpr(col(value)))))
       .filter(cond)
+      .select((keys :+ value).map(col): _*)
+  }
+
+  /** Run INDEPENDENT Spark actions concurrently from driver threads
+    * (guide §2.6 — actions are only sequential because driver code calls
+    * them sequentially): the later job's tasks back-fill executors freed
+    * by the earlier job's straggler tail. Use ONLY for actions with no
+    * data or commit dependency on each other (e.g. two store writes to
+    * different paths). Propagates the first failure after all actions
+    * finish — no half-started action is abandoned mid-flight.
+    */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = actions.map(a => new Thread(() =>
+      try a() catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 
   /** Two-phase (salted) aggregation for skewed keys — the 100 TB answer
     * to one hot key melting a single reducer. Phase 1 aggregates on

@@ -130,7 +130,13 @@ object Llm {
     */
   private def jaccardDupPairs(s: SparkSession, d: String): DataFrame = {
     // pinned: both sides of the self-join below re-tokenize the corpus
-    // otherwise (the window join cannot reuse one side's exchange)
+    // otherwise (the window join cannot reuse one side's exchange).
+    // Failure-mode choice (r20): stays a localCheckpoint, NOT a
+    // recomputable persist — the pin feeds the RETURNED frame, so a
+    // session-lived cache entry could never be unpersisted inside the
+    // query and would leak reuse across queries (and bench timings);
+    // checkpoint blocks are per-invocation and GC-reclaimed. Executor
+    // loss ⇒ query retry, the price every pin site here accepts.
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
       .localCheckpoint()
@@ -315,6 +321,21 @@ object Llm {
     * Returns `(u, label)` for every node with at least one edge.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // The label-sum convergence check below casts labels to
+    // decimal(38,0): a non-integral node id (string doc ids, fractional
+    // doubles) would null or truncate the sum and the loop would spin to
+    // maxRounds with a misleading "did not converge" — refuse loudly at
+    // entry instead (all in-repo callers pass longs).
+    pairs.schema.take(2).foreach { f =>
+      import org.apache.spark.sql.types._
+      val integral = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"connectedComponents needs integral node ids; column '${f.name}' " +
+          s"is ${f.dataType.simpleString} — map ids to longs first")
+    }
     // Pre-partition the (static) edge table by the join key it is
     // re-joined on EVERY round: localCheckpoint preserves the physical
     // plan's output partitioning, so each round's neighbor join only
@@ -328,6 +349,11 @@ object Llm {
     // generation + verification — measured as two concurrent ~3 s jobs
     // per branch at sf0.1), while explode emits both directions from a
     // single evaluation of each input row
+    // (failure-mode choice, r20: the edge and per-round label pins stay
+    // localCheckpoints, not recomputable persists — LINEAGE TRUNCATION
+    // is the point: persist keeps the full plan, so round k would still
+    // re-optimize rounds 1..k-1's lineage and the fixpoint's planning
+    // cost would grow quadratically. Executor loss ⇒ query retry.)
     val edges = pairs.toDF("u", "v")
       .select(explode(array(
         struct(col("u"), col("v")),
@@ -887,6 +913,9 @@ object Llm {
         // signature table feeds three consumers (bands + both sides of
         // the Hamming join) that would each recompute the shingle hash
         // aggregate (tiny: one 16-byte row per doc)
+        // (failure-mode choice, r20: localCheckpoint, not persist — the
+        // pin feeds the returned frame, so it could not be unpersisted
+        // inside the query; see jaccardDupPairs' fuller note)
         val sim = tok.groupBy("doc_id")
           .agg(TextOps.simHash(col("__h")).as("sim"))
           .localCheckpoint()

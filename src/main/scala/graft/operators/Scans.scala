@@ -1563,18 +1563,26 @@ object Scans {
       (s, d) => {
         // pinned: the aggregate feeds TWO independent store writes (each
         // paying a range-sample pass + a write pass) — four evaluations
-        // without the checkpoint
+        // without the pin. Failure-mode choice (r20): a RECOMPUTABLE
+        // persist, not a localCheckpoint — the aggregate lineage is
+        // deterministic, so executor loss recomputes instead of failing
+        // the query at cluster scale; unpersisted after the writes.
         val dedup = Tables.events(s, d)
           .groupBy("event_type", "ts")
           .agg(sum(floor(col("value"))).as("v"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dirL = sinkDir("asof_l", d); val dirR = sinkDir("asof_r", d)
-        TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type"))
-        TsStore.write(
-          dedup.select(col("event_type"),
-            (col("ts") - expr("INTERVAL 90 SECONDS")).as("r_ts"),
-            col("v").as("r_v")),
-          dirR, tsCol = "r_ts", uidCols = Seq("event_type"))
+        // the two sinks are INDEPENDENT (different paths, both reading
+        // the pinned aggregate) — submit them concurrently so the second
+        // write's tasks back-fill the first's straggler tail (guide §2.6)
+        try graft.Q.inParallel(
+          () => TsStore.write(dedup, dirL, tsCol = "ts", uidCols = Seq("event_type")),
+          () => TsStore.write(
+            dedup.select(col("event_type"),
+              (col("ts") - expr("INTERVAL 90 SECONDS")).as("r_ts"),
+              col("v").as("r_v")),
+            dirR, tsCol = "r_ts", uidCols = Seq("event_type")))
+        finally dedup.unpersist(blocking = false)
         val confs = Seq(
           graft.sources.GraftScan.PreserveGroupingKey -> "true",
           "spark.sql.sources.v2.bucketing.enabled" -> "true")

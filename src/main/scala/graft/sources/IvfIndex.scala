@@ -320,13 +320,23 @@ object IvfIndex {
   def add(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val assigned0 = assignAgainst(spark, dir, delta)
     // a quantized index's delta must carry the same code columns, or the
-    // merged rows would probe as null scores
+    // merged rows would probe as null scores.
+    // LAZY pin + ONE fused probe (the TsStore.upsert pattern): the
+    // emptiness check and the migration guard's id extent previously
+    // paid three actions (eager checkpoint job + limit-1 isEmpty +
+    // min/max aggregate). The global aggregate below computes (and
+    // caches) every partition of the pinned delta, so it doubles as the
+    // materialization job — the nondeterministic-lineage hole the pin
+    // closes stays closed because no decision is taken before the full
+    // materialization.
     val assigned = (if (isQuantized(spark, dir)) withQuantCols(assigned0) else assigned0)
-      .localCheckpoint()
+      .localCheckpoint(false)
+    val probe = assigned.agg(count(lit(1)).as("__n"),
+      min(col("vec_id")).as("__lo"), max(col("vec_id")).as("__hi")).head()
     // an empty delta (an incremental pipeline whose batch matched no new
     // vectors) is a no-op at the current version — and must not reach
     // the guard, whose min/max extent would be null
-    if (assigned.isEmpty)
+    if (probe.getLong(0) == 0L)
       return StoreLog.ensure(s"$dir/cells").version
     // Loud guard on the pruned MERGE's partition-immutability contract:
     // a re-added vec_id whose embedding moved it to a DIFFERENT cell
@@ -336,7 +346,8 @@ object IvfIndex {
     // [[migrations]]; failing loudly costs O(delta locality), not
     // O(index). Callers hitting a genuine cell migration should rebuild
     // or delete first.
-    val movedN = migrations(spark, dir, assigned).count()
+    val movedN = migrations(spark, dir, assigned,
+      extent = Some((probe.getLong(1), probe.getLong(2)))).count()
     require(movedN == 0,
       s"$movedN re-added vector(s) would change cell — the pruned upsert cannot " +
         "move a key across partitions; rebuild the index (or drop the ids) instead")
@@ -381,10 +392,16 @@ object IvfIndex {
     * column-pruned) scan.
     */
   private[graft] def migrations(spark: SparkSession, dir: String,
-                                assigned: DataFrame): DataFrame = {
-    val ext = assigned.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).first()
+                                assigned: DataFrame,
+                                extent: Option[(Long, Long)] = None): DataFrame = {
+    // [[add]] passes the extent from its fused probe so the guard costs
+    // no extra aggregate job; the no-extent path (specs) computes it here
+    val (lo, hi) = extent.getOrElse {
+      val ext = assigned.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).first()
+      (ext.getLong(0), ext.getLong(1))
+    }
     val existing = TsStore.load(spark, s"$dir/cells")
-      .filter(col("vec_id").between(lit(ext.getLong(0)), lit(ext.getLong(1))))
+      .filter(col("vec_id").between(lit(lo), lit(hi)))
       .select(col("vec_id"), col("cell").cast("long").as("__old_cell"))
     assigned.join(existing, "vec_id").filter(col("cell") =!= col("__old_cell"))
   }

@@ -270,14 +270,19 @@ object MatView {
             sum(sign).as("d_cnt"))
         // old state for EXACTLY the touched groups: bucket partition
         // pruning bounds the view read, the join is delta-sized.
-        // localCheckpoint pins the aggregated delta ONCE — it is read
-        // twice (the bucket probe below, the merge join), and without
-        // the pin each read re-runs the whole change-feed scan +
-        // aggregate. The checkpoint is touched-groups-sized.
-        // LAZY: the bucket-probe distinct below scans every partition,
-        // so it doubles as the materialization job
+        // persist(MEMORY_AND_DISK) pins the aggregated delta ONCE — it
+        // is read twice (the bucket probe below, the merge join), and
+        // without the pin each read re-runs the whole change-feed scan
+        // + aggregate. The pin is touched-groups-sized and LAZY (the
+        // bucket-probe distinct doubles as the materialization job).
+        // Failure-mode choice (r20): a RECOMPUTABLE persist, not a
+        // localCheckpoint — the delta lineage is deterministic (a
+        // grouped aggregate over fixed file lists), so keeping it
+        // preserves executor-loss recovery at cluster scale for free;
+        // unpersisted before return, so nothing leaks past the refresh.
         val withBucket = delta.withColumn(BucketCol, bucketOf(groupCols, nBuckets))
-          .localCheckpoint(false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val buckets = withBucket.select(BucketCol).distinct().collect()
           .map(_.getInt(0)).toSeq
         if (buckets.isEmpty) {
@@ -312,6 +317,7 @@ object MatView {
             setProps = Map(AppliedProp -> storeV.toString))
           storeV
         }
+        } finally withBucket.unpersist(blocking = false)
       }
     }
   }

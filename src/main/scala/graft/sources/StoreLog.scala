@@ -60,10 +60,16 @@ object StoreLog {
       * manifest records its rows — the number every metadata-served
       * count/limit path must use instead of the raw stat rows.
       */
-    def liveRows(file: String): Option[Long] =
-      stats.get(file)
-        .flatMap(_.values.collectFirst { case cs if cs.rows >= 0 => cs.rows })
-        .map(_ - dvs.get(file).map(_.rows).getOrElse(0L))
+    def liveRows(file: String): Option[Long] = {
+      // deterministic across map orderings: every column records the same
+      // file row count, but collectFirst over the unordered per-column
+      // map would silently pick an arbitrary entry if one ever disagreed
+      // — take the max of the recorded values instead
+      val recorded = stats.get(file)
+        .map(_.values.collect { case cs if cs.rows >= 0 => cs.rows })
+        .filter(_.nonEmpty).map(_.max)
+      recorded.map(_ - dvs.get(file).map(_.rows).getOrElse(0L))
+    }
   }
 
   /** Every `interval`-th version is a CHECKPOINT (full live file

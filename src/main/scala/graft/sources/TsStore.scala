@@ -396,11 +396,13 @@ object TsStore {
     * INT96 columns carry NO parquet min/max statistics, which silently
     * turns every ts-slice into a full scan (measured: the row-group-skip
     * test reads 100% of rows under INT96). Session-conf-only in Spark,
-    * so set and restore around the write. TsStore-vs-TsStore concurrency
-    * is serialized by the lock below; a NON-TsStore parquet write racing
-    * on the same session during this window would still see the pinned
-    * value — acceptable (it pins the GOOD type), but restore-ordering
-    * means heavy concurrent mixed writers should use separate sessions.
+    * so set and restore around the write. Concurrent TsStore writes all
+    * pin the SAME value, so they overlap freely under the
+    * reference-counted pin below (last one out restores); a NON-TsStore
+    * parquet write racing on the same session during this window would
+    * still see the pinned value — acceptable (it pins the GOOD type),
+    * but restore-ordering means heavy concurrent mixed writers should
+    * use separate sessions.
     */
   private def writeFiles(sorted: DataFrame, path: String, uidCols: Seq[String],
                          mode: SaveMode, codec: String,
@@ -424,16 +426,40 @@ object TsStore {
     }
     val sess = sorted.sparkSession
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    // Reference-counted conf pin instead of a lock held across the whole
+    // write job: every TsStore writer wants the SAME value (MICROS), so
+    // concurrent store writes in one session may overlap freely (guide
+    // §2.6 — a query with two independent sinks submits them from two
+    // threads and the second job's tasks back-fill the first's tail).
+    // The first entrant saves the previous value and sets MICROS; the
+    // last one out restores — sequential callers see the exact old
+    // save/restore semantics.
     TsStore.synchronized {
-      val prev = sess.conf.getOption(tsTypeKey)
-      sess.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-      try (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
-      finally prev match {
-        case Some(v) => sess.conf.set(tsTypeKey, v)
-        case None    => sess.conf.unset(tsTypeKey)
-      }
+      val cur = tsPinDepth.get(sess)
+      if (cur == null) {
+        tsPinDepth.put(sess, (1, sess.conf.getOption(tsTypeKey)))
+        sess.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      } else tsPinDepth.put(sess, (cur._1 + 1, cur._2))
+    }
+    try (if (uidCols.nonEmpty) writer.partitionBy(uidCols: _*) else writer).parquet(path)
+    finally TsStore.synchronized {
+      val (d, prev) = tsPinDepth.get(sess)
+      if (d == 1) {
+        tsPinDepth.remove(sess)
+        prev match {
+          case Some(v) => sess.conf.set(tsTypeKey, v)
+          case None    => sess.conf.unset(tsTypeKey)
+        }
+      } else tsPinDepth.put(sess, (d - 1, prev))
     }
   }
+
+  /** Per-session depth + saved previous value of the parquet
+    * timestamp-type pin ([[writeFiles]]); all transitions run under
+    * `TsStore.synchronized`.
+    */
+  private val tsPinDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, Option[String])]()
 
   /** The MERGE read plan behind [[upsert]]: prune the stored base to the
     * partitions the delta touches, union, and keep the winning row per
@@ -2532,8 +2558,21 @@ object TsStore {
         // pure removal window: every removed-file row's key is gone
         readFrom(gf).withColumn("change_type", lit("delete"))
       case (nf, gf) =>
-        val n = readTo(nf)
-        val o = readFrom(gf)
+        // PIN both sides ONCE (the shared-subtree rule, guide §5): the
+        // insert/update/delete (+preimage) branches below fan `n` and
+        // `o` into up to six join inputs, and each branch would
+        // otherwise replay its side's whole readFilesDv lineage (file
+        // scan + dv anti-join) AND carry a duplicated subtree through
+        // the optimizer — measured ~0.9 s of driver-side PLANNING per
+        // MatView refresh before the pin, plus the repeated scans. Both
+        // sides are bounded by the window's commit footprint, never the
+        // store. LAZY: the first consumer's job doubles as the
+        // materialization pass. localCheckpoint (not a recomputable
+        // persist) is deliberate: it truncates the lineage so the
+        // 6-branch plan optimizes over two leaf nodes — on executor
+        // loss the QUERY retries, the price this site chooses.
+        val n = readTo(nf).localCheckpoint(false)
+        val o = readFrom(gf).localCheckpoint(false)
         // carried-over survivors cancel on the (key, version) pair
         val fresh = n.as("n").join(o.as("o"),
           keyEq && col(s"n.$versionCol") <=> col(s"o.$versionCol"), "left_anti")
