@@ -324,12 +324,15 @@ object Joins {
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
         }
-        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
-        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+        // the two bucketed sides are independent sinks — overlap them so
+        // the second write back-fills the first's tail (guide §2.6)
+        graft.Q.inParallel(
+          () => Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot),
+          () => Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct))
         s.table(ot).hint("merge")
           .join(s.table(ct), col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),

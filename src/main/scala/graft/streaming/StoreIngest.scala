@@ -43,12 +43,23 @@ object StoreIngest {
     checkpointInterval.foreach(i => graft.sources.StoreLog.ensure(path, i))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          TsStore.upsert(batch.sparkSession, path, batch,
-            keyCols = keyCols, versionCol = versionCol,
-            tsCol = tsCol, uidCols = uidCols)
-          autoCompactFilesPerPartition.foreach(cap =>
-            autoCompact(batch.sparkSession, path, cap, tsCol, uidCols))
+        autoCompactFilesPerPartition match {
+          case None =>
+            // no isEmpty pre-probe: upsert's own fused probe decides
+            // emptiness in the same job that validates and plans the
+            // merge — a dedicated limit-1 action would be a second
+            // scan of the batch for nothing (guide §1.2)
+            TsStore.upsert(batch.sparkSession, path, batch,
+              keyCols = keyCols, versionCol = versionCol,
+              tsCol = tsCol, uidCols = uidCols) : Unit
+          case Some(cap) if !batch.isEmpty =>
+            // the guard stays when compaction is wired: an empty batch
+            // must not trigger maintenance
+            TsStore.upsert(batch.sparkSession, path, batch,
+              keyCols = keyCols, versionCol = versionCol,
+              tsCol = tsCol, uidCols = uidCols)
+            autoCompact(batch.sparkSession, path, cap, tsCol, uidCols)
+          case _ => ()
         }
         ()
       }
@@ -256,44 +267,49 @@ object StoreIngest {
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         import org.apache.spark.sql.functions.{coalesce, col, lit, max, not}
+        import org.apache.spark.sql.functions.{count, struct, when}
         // null op = upsert: a bare `op =!= 'D'` is null-valued on null
         // ops and would silently DROP those rows from both branches
         val isDelete = coalesce(col(opCol) === "D", lit(false))
         // per-key highest delete version. Pinned once (evaluated by the
-        // null audit, the route count, the supersession join and the
-        // takedown) — and NEVER collected whole: a million-key takedown
-        // batch must not materialize its key set on the driver.
+        // supersession join and the takedown) — and NEVER collected
+        // whole: a million-key takedown batch must not materialize its
+        // key set on the driver. LAZY pin + ONE probe job (the
+        // TsStore.upsert pattern): the aggregate below materializes the
+        // pin, counts the keys, AND carries at most one null-key
+        // violation example — previously three actions (eager
+        // checkpoint + take(1) audit + capped count). The exact count
+        // is still one driver-side long; only boundedness is acted on.
         val delMax = batch.filter(isDelete)
           .groupBy(keyCols.map(col): _*)
           .agg(max(col(versionCol)).as("__del_v"))
-          .localCheckpoint()
-        // null-key audit, distributed: ship back at most ONE violating
-        // row (the error's evidence), whatever the batch size
+          .localCheckpoint(false)
         val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
-        val badKey = delMax.filter(nullKey).select(keyCols.map(col): _*).take(1)
-        require(badKey.isEmpty,
+        val probe = delMax.agg(
+          count(lit(1)).as("__n"),
+          max(when(nullKey, struct(keyCols.map(col): _*))).as("__bad")).head()
+        require(probe.isNullAt(1),
           s"CDC delete row with null key component (${keyCols.mkString(",")} = " +
-            s"${badKey.headOption.getOrElse("")}) — a null key can never " +
+            s"${probe.get(1)}) — a null key can never " +
             "match a stored row; fix the feed")
-        // route on a LIMITED count: the driver learns min(keys, cap+1),
-        // never the batch's key cardinality
-        val delN = delMax.limit(MaxKeysPerDeletePass + 1).count()
+        val delN = probe.getLong(0)
         val smallDelete = delN <= MaxKeysPerDeletePass
         val ups0 = batch.filter(not(isDelete)).drop(opCol)
         // drop upsert rows a same-key delete supersedes (version <= the
         // delete's); the join keeps this fully distributed — broadcast
         // is only HINTED when the key set is known small (over-cap sets
-        // are left to the planner/AQE, which sizes the build side)
+        // are left to the planner/AQE, which sizes the build side).
+        // No isEmpty pre-probe on the result: upsert's fused probe
+        // decides emptiness in the job that plans the merge.
         val ups =
           if (delN == 0) ups0
           else ups0.join(if (smallDelete) delMax.hint("broadcast") else delMax,
               keyCols, "left_outer")
             .filter(col("__del_v").isNull || col(versionCol) > col("__del_v"))
             .drop("__del_v")
-        if (!ups.isEmpty)
-          TsStore.upsert(batch.sparkSession, path, ups,
-            keyCols = keyCols, versionCol = versionCol,
-            tsCol = tsCol, uidCols = uidCols)
+        TsStore.upsert(batch.sparkSession, path, ups,
+          keyCols = keyCols, versionCol = versionCol,
+          tsCol = tsCol, uidCols = uidCols)
         // small takedowns inline as one literal-predicate delete pass
         // (no broadcast job) — the only point keys ever reach the
         // driver, bounded by the cap. Anything larger runs as ONE

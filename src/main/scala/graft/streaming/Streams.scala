@@ -278,13 +278,16 @@ object Streams {
           .withColumn("version", lit(1L))
         // the store is ALREADY POPULATED when the takedown feed arrives
         // (the GDPR regime: erasure requests target data at rest) — so
-        // the dv route must vector rows inside live files, not no-op
-        graft.sources.TsStore.write(base, s"$root/store",
-          tsCol = "ts", uidCols = Seq("event_type"))
+        // the dv route must vector rows inside live files, not no-op.
+        // Store population and the feed dump are independent sinks —
+        // overlapped (guide §2.6)
+        graft.Q.inParallel(
+          () => graft.sources.TsStore.write(base, s"$root/store",
+            tsCol = "ts", uidCols = Seq("event_type")),
+          () => base.filter(col("event_id") % 13 === 0)
+            .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+            .write.mode("overwrite").parquet(s"$root/src"))
         val filesBefore = graft.sources.StoreLog.latest(s"$root/store").get.files
-        base.filter(col("event_id") % 13 === 0)
-          .withColumn("version", lit(2L)).withColumn("op", lit("D"))
-          .write.mode("overwrite").parquet(s"$root/src")
         val src = s.readStream
           .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING, version BIGINT, op STRING")
