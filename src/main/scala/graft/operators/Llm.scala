@@ -828,7 +828,13 @@ object Llm {
       // plus a locality bound, so the pair count grows linearly in corpus
       // size, never quadratically. Filter on the ROUNDED value so both
       // engines make identical boundary decisions.
-      (s, d) => jaccardDupPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      // the surviving pairs (tiny: threshold-filtered) are pinned before
+      // the global sort — the range exchange's bounds-sampling pass would
+      // otherwise re-execute the whole join + set-scoring lineage a
+      // second time (the barrier fence removed the aggregate exchange the
+      // sampler used to read from; measured +0.3 s without this pin)
+      (s, d) => jaccardDupPairs(s, d).localCheckpoint()
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"WITH $DupPairsSql " +
         "SELECT doc_a, doc_b, jaccard FROM p ORDER BY doc_a, doc_b"),
       "exact token-set Jaccard for same-source pairs (bounded candidates)"),
@@ -994,7 +1000,11 @@ object Llm {
             col("id_b") > col("id_a") && col("id_b") <= col("id_a") + W)
           .select(col("id_a"), col("id_b"),
             round(VectorOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos"))
+        // survivors pinned before the global sort: the range exchange's
+        // bounds-sampling pass would otherwise evaluate the whole
+        // join + cosine lineage a second time (see llm_jaccard_pairs)
         graft.Q.aggFilterBarrier(scored, Seq("id_a", "id_b"), "cos", col("cos") >= 0.3)
+          .localCheckpoint()
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

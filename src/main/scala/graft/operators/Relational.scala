@@ -221,11 +221,16 @@ object Relational {
       // the interposed min() aggregate is a no-op semantically but keeps
       // the parse single. At 100 TB, halving a per-row Jackson parse
       // dwarfs the (event_id, k)-pair shuffle the barrier costs.
+      // survivors pinned before the global sort: the range exchange's
+      // bounds-sampling pass would otherwise run the JSON parse a second
+      // time over the full table (the barrier fence removed the exchange
+      // the sampler used to read from; see llm_jaccard_pairs)
       (s, d) => graft.Q.aggFilterBarrier(
         Tables.events(s, d)
           .select(col("event_id"),
             get_json_object(col("props"), "$.k").cast("long").as("k")),
         keys = Seq("event_id"), value = "k", cond = col("k") > 50)
+        .localCheckpoint()
         .orderBy(col("event_id")),
       Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events " +
         "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 ORDER BY event_id")),

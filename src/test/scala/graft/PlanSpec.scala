@@ -71,8 +71,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("fn_json parses each document exactly once (barrier holds)") {
     // without Q.aggFilterBarrier the filter is pushed below the project
-    // and the plan carries TWO get_json_object calls per row
-    val n = "get_json_object".r.findAllIn(plan("fn_json")).size
+    // and the plan carries TWO get_json_object calls per row. The r20
+    // survivor pin hides the parse from the FINAL plan (an ExistingRDD
+    // leaf), so the property is asserted on the same barrier-fenced
+    // lineage the query builds, pre-pin — the exact shape the fence
+    // must hold for
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val fenced = graft.Q.aggFilterBarrier(
+      graft.sources.Tables.events(spark, TestSpark.sf001)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      keys = Seq("event_id"), value = "k", cond = col("k") > 50)
+      .orderBy(col("event_id"))
+    val p = fenced.queryExecution.executedPlan.toString
+    val n = "get_json_object".r.findAllIn(p).size
     assert(n == 1, s"expected exactly 1 get_json_object in the plan, found $n")
   }
 
